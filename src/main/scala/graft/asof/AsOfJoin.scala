@@ -1,0 +1,87 @@
+package graft.asof
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for every left ("entity") row, attach the most recent
+  * right ("feature") row with `rightTime <= leftTime` within the same key,
+  * optionally bounded by a TTL (`rightTime >= leftTime - ttl`).
+  *
+  * This is the reference's central operator, appearing as
+  *  - the 9× `ORDER BY time DESC LIMIT 1` CTEs in `feature_pit_snapshot`
+  *    (`sql/timescaledb_schema.sql:313-409`),
+  *  - the contract's equi+theta `LEFT JOIN f ON f.symbol = o.symbol AND
+  *    f.time <= p_as_of_ts` (`sql/smartdb_contract.md:154-167`),
+  *  - Feast's TTL-bounded `get_historical_features` PIT join
+  *    (`tests/test_feast_pit_correctness.py:48-66`,
+  *    `feast_repo/feature_definitions.py:37,93,145`).
+  *
+  * Spark has no native as-of join; a naive theta-join (`l.time >= r.time`)
+  * explodes to O(|L|·|R|) rows per key. Instead we UNION both sides tagged,
+  * sort each key partition once by (time, tag), and carry the latest feature
+  * row forward with `last(payload, ignoreNulls)` over an unbounded-preceding
+  * frame. Cost: ONE shuffle of |L|+|R| rows on the key — no row explosion, no
+  * skew amplification beyond key cardinality; scales linearly across
+  * executors. Feature rows get tag 0, entity rows tag 1, so an exactly
+  * contemporaneous feature (rightTime == leftTime) is visible — matching the
+  * `<=` no-future-leakage ("无未来数据泄露") PIT contract
+  * (`sql/smartdb_contract.md:13`).
+  */
+object AsOfJoin {
+
+  /** @param keys        equi-join key columns present on both sides
+    * @param leftTime    event-time column on `left`
+    * @param rightTime   event-time column on `right`
+    * @param ttlSeconds  optional max staleness; older matches are nulled out
+    * @param rightPrefix prefix applied to right-side output columns
+    */
+  def backward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String = "time",
+      rightTime: String = "time",
+      ttlSeconds: Option[Long] = None,
+      rightPrefix: String = ""): DataFrame = {
+
+    val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val leftCols  = left.columns.toSeq
+
+    val payload     = struct(col(rightTime).as("__rt") +: valueCols.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+    val lrowType    = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
+
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__tag"),
+        payload.as("__payload"),
+        lit(null).cast(lrowType).as("__lrow")): _*)
+
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(1).as("__tag"),
+        lit(null).cast(payloadType).as("__payload"),
+        struct(leftCols.map(col): _*).as("__lrow")): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withMatch = rTagged.unionByName(lTagged)
+      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+
+    val ttlOk: Column = ttlSeconds match {
+      case Some(s) => col("__m").isNotNull &&
+        unix_micros(col("__t")) - unix_micros(col("__m.__rt")) <= s * 1000000L
+      case None => col("__m").isNotNull
+    }
+
+    withMatch.select(
+      leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+        Seq(when(ttlOk, col("__m.__rt")).as(s"${rightPrefix}matched_$rightTime")) ++
+        valueCols.map(c => when(ttlOk, col(s"__m.$c")).as(s"$rightPrefix$c")): _*)
+  }
+}

@@ -1,0 +1,109 @@
+package graft.asof
+
+import graft.functions.Quantize
+import java.sql.Timestamp
+
+import graft.features._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Point-in-time feature snapshot: every contract feature for one symbol,
+  * using ONLY data with `time <= as_of_ts` — the reference's flagship entry
+  * point and its central no-future-leakage invariant.
+  *
+  * Reference: `feature_pit_snapshot(symbol, as_of_ts)` set-returning function
+  * (`sql/timescaledb_schema.sql:292-411`): 9 independent "latest <= ts"
+  * lookups + the EWM fold, combined into a single 14-column record; Python
+  * API `src/features/smartdb_contract.py:182-233` (future-query guard at
+  * `:200-201`); tested by `tests/test_pit_correctness.py:38-79`.
+  *
+  * Spark-first shape: one partition-pruned filtered scan of the fact table
+  * (`symbol = ? AND time <= ts` — predicate pushes to parquet), then each
+  * feature reduces to a 0/1-row aggregate (`max_by` over its bucket — exact
+  * analogue of the SQL `ORDER BY time DESC LIMIT 1` under the same filter).
+  * The 1-row frames are cross-joined like the reference's `LEFT JOIN ... ON
+  * TRUE` (`sql/timescaledb_schema.sql:401-409`) — cartesians of singleton
+  * frames, so the "join" is free. Nothing here collects to the driver.
+  */
+object PitSnapshot {
+
+  /** Future-query guard, mirroring `smartdb_contract.py:200-201`. */
+  def validateAsOf(asOf: Timestamp, now: Timestamp): Either[String, Timestamp] =
+    if (asOf.after(now)) Left(s"as_of_ts $asOf is in the future (now=$now)") else Right(asOf)
+
+  def snapshot(spark: SparkSession, trades: DataFrame, symbol: String, asOf: Timestamp): DataFrame = {
+    val asOfCol = lit(asOf)
+    // The PIT guard: the single most important filter in the engine.
+    val base = trades.filter(col("symbol") === symbol && col("time") <= asOfCol)
+
+    // Latest 1-minute OHLC bar <= ts (bar may be partial — correct PIT view).
+    val ohlc = Ohlc.compute(base).agg(
+      max_by(col("open"), col("bucket")).as("open"),
+      max_by(col("high"), col("bucket")).as("high"),
+      max_by(col("low"), col("bucket")).as("low"),
+      max_by(col("close"), col("bucket")).as("close"))
+
+    // SMA-20: mean of the last 20 prices <= ts.
+    val sma = base.orderBy(col("time").desc).limit(20)
+      .agg(Quantize.r(avg(col("price")), 6).as("sma_20"))
+
+    // EWM-12: recursive fold over the last 12 prices ascending (spec form,
+    // SURVEY §7.4 item 1).
+    val ewm = base.orderBy(col("time").desc).limit(12)
+      .agg(sort_array(collect_list(struct(col("time"), col("price")))).as("tp"))
+      .select(Quantize.r(Ewm.ewmOverArray(expr("transform(tp, x -> x.price)")), 6).as("ewm_12"))
+
+    // Latest 1-hour volatility bucket <= ts with a defined value (a
+    // single-sample bucket has NULL stddev; the DuckDB oracle's arg_max
+    // skips NULL values, so we align by filtering them out explicitly).
+    val vol = Volatility.compute(base)
+      .filter(col("volatility_1h").isNotNull)
+      .agg(max_by(col("volatility_1h"), col("bucket")).as("volatility_1h"))
+
+    // Latest 5-minute VWAP bucket <= ts.
+    val vwap = Vwap.compute(base).agg(
+      max_by(col("vwap_5m"), col("bucket")).as("vwap_5m"))
+
+    // Large-trade flag of the latest tick, against the Q95 of visible volume.
+    val large = base
+      .agg(percentile(col("volume"), lit(0.95)).as("p95"),
+        max_by(col("volume"), col("time")).as("last_volume"))
+      .select(
+        (col("last_volume") > col("p95")).as("large_trade_flag"),
+        Quantize.r(col("p95"), 6).as("percentile_95"))
+
+    // Latest tick carrying both bid and ask.
+    val spread = base.filter(col("bid").isNotNull && col("ask").isNotNull)
+      .agg(
+        max_by(col("bid"), col("time")).as("b"),
+        max_by(col("ask"), col("time")).as("a"))
+      .select(
+        Quantize.r(col("b"), 6).as("bid"), Quantize.r(col("a"), 6).as("ask"),
+        Quantize.r(col("a") - col("b"), 6).as("bidask_spread"))
+
+    // Latest 5-minute imbalance bucket <= ts.
+    val imb = Imbalance.compute(base).agg(
+      max_by(col("imbalance"), col("bucket")).as("trade_imbalance_5m"))
+
+    // Regime: latest price vs SMA-20 at ts (the implicit "regime join",
+    // sql/timescaledb_schema.sql:241-255, collapsed onto the snapshot).
+    val lastPrice = base.agg(max_by(col("price"), col("time")).as("last_price"))
+      .crossJoin(base.orderBy(col("time").desc).limit(20)
+        .agg(avg(col("price")).as("sma_raw")))
+      .select(
+        when(col("last_price") > col("sma_raw"), "up")
+          .when(col("last_price") < col("sma_raw"), "down")
+          .when(col("last_price").isNotNull, "neutral").as("regime_tag"))
+
+    ohlc
+      .crossJoin(sma).crossJoin(ewm).crossJoin(vol).crossJoin(vwap)
+      .crossJoin(large).crossJoin(spread).crossJoin(imb).crossJoin(lastPrice)
+      .select(
+        lit(symbol).as("symbol"), asOfCol.as("as_of_ts"),
+        col("open"), col("high"), col("low"), col("close"),
+        col("sma_20"), col("ewm_12"), col("volatility_1h"), col("vwap_5m"),
+        col("large_trade_flag"), col("percentile_95"),
+        col("bid"), col("ask"), col("bidask_spread"),
+        col("trade_imbalance_5m"), col("regime_tag"))
+  }
+}

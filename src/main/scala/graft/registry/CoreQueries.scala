@@ -1,0 +1,254 @@
+package graft.registry
+
+import graft.functions.Quantize
+import graft.core.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Core relational operators over the TPC-H-ish tables: scans with pushed
+  * predicates, hash aggregations, broadcast/shuffle joins, semi/anti joins,
+  * window top-k, set ops, JSON parse. Each pairs with a DuckDB oracle.
+  */
+object CoreQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // TPC-H Q1-shaped pricing summary: single hash-agg shuffle; the shipdate
+    // filter pushes into the parquet scan (PushedFilters).
+    "q_pricing_summary" -> ((s, d) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          Quantize.r(sum(col("l_quantity")), 2).as("sum_qty"),
+          Quantize.r(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+          Quantize.r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+            .as("sum_disc_price"),
+          Quantize.r(avg(col("l_quantity")), 6).as("avg_qty"),
+          Quantize.r(avg(col("l_extendedprice")), 6).as("avg_price"),
+          Quantize.r(avg(col("l_discount")), 6).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+    }),
+
+    // TPC-H Q3-shaped: two shuffle joins on keys + top-k by revenue. The
+    // customer filter reduces the build side before the join.
+    "q_top_revenue_orders" -> ((s, d) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord  = Tables.orders(s, d)
+      val li   = Tables.lineitem(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(Quantize.r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Star join: fact × 4 dims — dims are broadcast (no fact shuffle for the
+    // joins; one shuffle for the final group-by).
+    "q_region_revenue" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d)
+      val nat = Tables.nation(s, d)
+      val reg = Tables.region(s, d)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(Quantize.r(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"), count(lit(1)).as("line_count"))
+    }),
+
+    // Scan + pushed predicate + column pruning: only 4 of 11 columns read.
+    "q_scan_filter_project" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-02-01").cast("timestamp") &&
+          col("l_quantity") > 25)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_extendedprice")),
+
+    // Global order + limit (TakeOrderedAndProject — no full sort materialized).
+    "q_topk_orders" -> ((s, d) =>
+      Tables.orders(s, d)
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderdate")),
+
+    // Per-group top-k via row_number window.
+    "q_topk_per_priority" -> ((s, d) => {
+      val w = Window.partitionBy("o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      Tables.orders(s, d)
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 3)
+        .select("o_orderpriority", "rank", "o_orderkey", "o_totalprice")
+    }),
+
+    // Left-semi join: customers having at least one order.
+    "q_customers_with_orders" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name")),
+
+    // Left-anti join: customers having no orders.
+    "q_customers_without_orders" -> ((s, d) =>
+      Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name")),
+
+    // DISTINCT + countDistinct.
+    "q_distinct_status" -> ((s, d) =>
+      Tables.orders(s, d).select("o_orderstatus", "o_orderpriority").distinct()),
+
+    "q_count_distinct" -> ((s, d) =>
+      Tables.orders(s, d).agg(
+        countDistinct(col("o_custkey")).as("n_customers"),
+        countDistinct(col("o_orderpriority")).as("n_priorities"),
+        count(lit(1)).as("n_orders"))),
+
+    // GROUP BY ... HAVING (multi-line orders).
+    "q_multiline_orders" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_lines"))
+        .filter(col("n_lines") >= 5)),
+
+    // UNION ALL of disjoint projections.
+    "q_union_order_classes" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      o.filter(col("o_totalprice") > 400000)
+        .select(col("o_orderkey"), lit("high").as("class"))
+        .unionAll(
+          o.filter(col("o_totalprice") < 10000)
+            .select(col("o_orderkey"), lit("low").as("class")))
+    }),
+
+    // JSON parse (get_json_object) + filtered aggregate per event_type.
+    "q_json_props" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_type"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .groupBy("event_type")
+        .agg(
+          sum(col("k")).as("sum_k"),
+          Quantize.r(avg(col("k")), 6).as("avg_k"),
+          count(when(col("k") > 50, 1)).as("n_high"),
+          count(lit(1)).as("n"))),
+
+    // Agg-vs-raw verification join (the reference's own oracle pattern,
+    // tests/test_pit_correctness.py:118-166): per-order totals recomputed two
+    // ways and equi-joined; emits rows where they disagree (expected: none,
+    // so the check is the row count itself).
+    "q_agg_verify" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val a = li.groupBy("l_orderkey").agg(Quantize.r(sum(col("l_quantity")), 6).as("qty_a"))
+      val b = li.select(col("l_orderkey"), col("l_quantity"))
+        .groupBy("l_orderkey").agg(Quantize.r(sum(col("l_quantity")), 6).as("qty_b"))
+      a.join(b, "l_orderkey")
+        .filter(col("qty_a") =!= col("qty_b"))
+    }))
+
+  val oracles: Map[String, String] = Map(
+    "q_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+        |       floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base_price,
+        |       floor((sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+        |       floor((avg(l_quantity)) * 1e6 + 0.5) / 1e6 AS avg_qty,
+        |       floor((avg(l_extendedprice)) * 1e6 + 0.5) / 1e6 AS avg_price,
+        |       floor((avg(l_discount)) * 1e6 + 0.5) / 1e6 AS avg_disc,
+        |       count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_top_revenue_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |       floor((sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount))) * 1e4 + 0.5) / 1e4 AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin,
+
+    "q_region_revenue" ->
+      """SELECT r_name,
+        |       floor((sum(l_extendedprice * (CAST(1 AS DOUBLE) - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue,
+        |       count(*) AS line_count
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name""".stripMargin,
+
+    "q_scan_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-02-01 00:00:00'
+        |  AND l_quantity > 25""".stripMargin,
+
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderdate
+        |FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin,
+
+    "q_topk_per_priority" ->
+      """SELECT o_orderpriority, rank, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderpriority
+        |                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
+        |  FROM orders)
+        |WHERE rank <= 3""".stripMargin,
+
+    "q_customers_with_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_customers_without_orders" ->
+      """SELECT c_custkey, c_name FROM customer c
+        |WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)""".stripMargin,
+
+    "q_distinct_status" ->
+      "SELECT DISTINCT o_orderstatus, o_orderpriority FROM orders",
+
+    "q_count_distinct" ->
+      """SELECT count(DISTINCT o_custkey) AS n_customers,
+        |       count(DISTINCT o_orderpriority) AS n_priorities,
+        |       count(*) AS n_orders
+        |FROM orders""".stripMargin,
+
+    "q_multiline_orders" ->
+      """SELECT l_orderkey, count(*) AS n_lines FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) >= 5""".stripMargin,
+
+    "q_union_order_classes" ->
+      """SELECT o_orderkey, 'high' AS class FROM orders WHERE o_totalprice > 400000
+        |UNION ALL
+        |SELECT o_orderkey, 'low' AS class FROM orders WHERE o_totalprice < 10000""".stripMargin,
+
+    "q_json_props" ->
+      """SELECT event_type,
+        |       CAST(sum(k) AS BIGINT) AS sum_k,
+        |       floor((avg(k)) * 1e6 + 0.5) / 1e6 AS avg_k,
+        |       count(CASE WHEN k > 50 THEN 1 END) AS n_high,
+        |       count(*) AS n
+        |FROM (SELECT event_type,
+        |             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |      FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    "q_agg_verify" ->
+      """SELECT a.l_orderkey, qty_a, qty_b FROM
+        |  (SELECT l_orderkey, floor((sum(l_quantity)) * 1e6 + 0.5) / 1e6 AS qty_a FROM lineitem GROUP BY 1) a
+        |JOIN
+        |  (SELECT l_orderkey, floor((sum(l_quantity)) * 1e6 + 0.5) / 1e6 AS qty_b FROM lineitem GROUP BY 1) b
+        |ON a.l_orderkey = b.l_orderkey
+        |WHERE qty_a <> qty_b""".stripMargin)
+}

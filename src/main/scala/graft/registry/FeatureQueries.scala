@@ -1,0 +1,380 @@
+package graft.registry
+
+import graft.functions.Quantize
+import java.sql.Timestamp
+
+import graft.asof.{AsOfJoin, HistoricalFeatures, PitSnapshot}
+import graft.core.Tables
+import graft.features._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Contract-feature queries over the `trades` view, each paired with a DuckDB
+  * oracle (see OracleSql). Names/column aliases must match the oracle exactly:
+  * the driver sorts columns by name before hashing.
+  */
+object FeatureQueries {
+  import OracleSql.{withTrades, withTradesAnd}
+
+  private val PitSymbol = "7"
+  private val PitAsOf   = "2024-01-20 00:00:00"
+
+  type Q = (SparkSession, String) => DataFrame
+
+  def trades(s: SparkSession, dir: String): DataFrame = Tables.trades(s, dir)
+
+  val queries: Map[String, Q] = Map(
+    "q_ohlc_1m" -> ((s, d) => Ohlc.compute(trades(s, d))),
+
+    "q_vwap_5m" -> ((s, d) => Vwap.compute(trades(s, d))),
+
+    "q_imbalance_5m" -> ((s, d) => Imbalance.compute(trades(s, d))),
+
+    "q_sma20" -> ((s, d) => Sma.compute(trades(s, d))),
+
+    "q_volatility_1h" -> ((s, d) => Volatility.compute(trades(s, d))),
+
+    "q_ewm12" -> ((s, d) => Ewm.compute(trades(s, d))),
+
+    "q_spread" -> ((s, d) => Spread.compute(trades(s, d))),
+
+    "q_regime" -> ((s, d) => Regime.compute(trades(s, d))),
+
+    "q_large_trades" -> ((s, d) => LargeTrades.compute(trades(s, d))),
+
+    "q_pit_snapshot" -> ((s, d) =>
+      PitSnapshot.snapshot(s, trades(s, d), PitSymbol, Timestamp.valueOf(PitAsOf))),
+
+    "q_asof_sma" -> ((s, d) => {
+      val t = trades(s, d)
+      AsOfJoin.backward(
+        entityGrid(s, t), Sma.compute(t).select("time", "symbol", "sma_20"),
+        Seq("symbol"), "event_timestamp", "time",
+        ttlSeconds = Some(7L * 24 * 3600), rightPrefix = "sma_")
+    }),
+
+    "q_historical_features" -> ((s, d) => {
+      val t = trades(s, d)
+      HistoricalFeatures.retrieve(entityGrid(s, t), t)
+    }),
+
+    "q_time_range_scan" -> ((s, d) => {
+      val t = trades(s, d)
+      val anchor = t.agg(max(col("time")).as("mx"))
+      t.crossJoin(broadcast(anchor))
+        .filter(col("time") > col("mx") - expr("INTERVAL 1 DAY"))
+        .groupBy("symbol").agg(count(lit(1)).as("recent_trades"))
+    }),
+
+    "q_freshness_sla" -> ((s, d) => {
+      val t = trades(s, d)
+      val anchor = t.agg(max(col("time")).as("mx"))
+      def age(df: DataFrame, name: String): DataFrame =
+        df.agg(max(col("bucket")).as("mb")).crossJoin(broadcast(anchor))
+          .select(lit(name).as("feature"),
+            (unix_micros(col("mx")) - unix_micros(col("mb"))).as("age_micros"))
+      age(Ohlc.compute(t), "ohlc_1m")
+        .unionAll(age(Vwap.compute(t), "vwap_5m"))
+        .unionAll(age(Imbalance.compute(t), "trade_imbalance_5m"))
+    }),
+
+    "q_cep_large_trades" -> ((s, d) => {
+      // Declarative (batch) form of the >=3-large-trades-in-5-min CEP pattern
+      // (flink-jobs/market-realtime/anomaly_detection.py:40-102); the stateful
+      // streaming form lives in graft.streaming.Cep and is tested equal.
+      // Window widened to 7 days here so the check is non-vacuous on the
+      // sparse synthetic corpus; graft.streaming.Cep uses the contract 5 min.
+      val lt = LargeTrades.compute(trades(s, d))
+      val w = Window.partitionBy("symbol").orderBy(unix_micros(col("time")))
+        .rangeBetween(-7L * 24 * 3600 * 1000000L, 0)
+      lt.withColumn("large_trades_5m", count(lit(1)).over(w))
+        .filter(col("large_trades_5m") >= 3)
+        .select("time", "symbol", "large_trades_5m")
+    }),
+
+    "q_spread_ema" -> ((s, d) => {
+      // Final EMA(0.1) of spread per symbol — batch form of the Flink keyed
+      // ValueState monitor (anomaly_detection.py:105-149).
+      trades(s, d)
+        .filter(col("bid").isNotNull && col("ask").isNotNull)
+        .groupBy("symbol")
+        .agg(sort_array(collect_list(struct(col("time"), (col("ask") - col("bid")).as("spread"))))
+          .as("ts"), count(lit(1)).as("n"))
+        .select(col("symbol"),
+          Quantize.r(
+            aggregate(
+              expr("slice(transform(ts, x -> x.spread), 2, size(ts) - 1)"),
+              expr("element_at(transform(ts, x -> x.spread), 1)"),
+              (acc, x) => lit(0.9) * acc + lit(0.1) * x), 6).as("normal_spread"),
+          col("n"))
+    }),
+
+    "q_dedup_exact" -> ((s, d) => {
+      val t = trades(s, d)
+      val dup = t.unionAll(t.filter(col("trade_id").cast("long") % 10 === 0))
+      dup.dropDuplicates("time", "symbol", "trade_id")
+        .select("time", "symbol", "trade_id", "price", "volume")
+    }),
+
+    "q_dup_detect" -> ((s, d) => {
+      val t = trades(s, d)
+      val dup = t.unionAll(t.filter(col("trade_id").cast("long") % 10 === 0))
+      dup.groupBy("trade_id").agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
+    }),
+
+    "q_sharpe" -> ((s, d) => {
+      val daily = trades(s, d)
+        .groupBy(col("symbol"), date_trunc("day", col("time")).as("day"))
+        .agg(max_by(col("price"), col("time")).as("close"))
+      val w = Window.partitionBy("symbol").orderBy("day")
+      daily
+        .withColumn("ret", col("close") / lag(col("close"), 1).over(w) - 1.0)
+        .groupBy("symbol")
+        .agg(Quantize.r(avg(col("ret")) / stddev_samp(col("ret")) * sqrt(lit(252.0)), 6)
+          .as("sharpe"), count(col("ret")).as("n_returns"))
+    }))
+
+  /** Deterministic entity frame: every symbol × 100 six-hourly timestamps —
+    * the Feast 100-timestamp sweep shape (`test_feast_pit_correctness.py:115-151`).
+    */
+  private def entityGrid(s: SparkSession, t: DataFrame): DataFrame = {
+    val times = s.range(100).select(
+      expr("timestampadd(HOUR, CAST(id * 6 AS INT), TIMESTAMP'2024-01-02 00:00:00')")
+        .as("event_timestamp"))
+    t.select("symbol").distinct().crossJoin(times)
+  }
+
+  private val entityGridSql =
+    """entities AS (
+      |  SELECT s.symbol,
+      |         TIMESTAMP '2024-01-02 00:00:00' + INTERVAL (t.i * 6) HOUR AS event_timestamp
+      |  FROM (SELECT DISTINCT symbol FROM trades) s CROSS JOIN range(100) t(i))""".stripMargin
+
+  private val ohlcSelect =
+    """SELECT time_bucket(INTERVAL '1 minute', time) AS bucket, symbol,
+      |       arg_min(price, time) AS open, max(price) AS high, min(price) AS low,
+      |       arg_max(price, time) AS close, sum(volume) AS volume,
+      |       count(*) AS trade_count
+      |FROM trades GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_ohlc_1m" -> withTrades(ohlcSelect),
+
+    "q_vwap_5m" -> withTrades(
+      """SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+        |       floor((sum(price * volume) / nullif(sum(volume), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS vwap_5m,
+        |       sum(volume) AS total_volume
+        |FROM trades GROUP BY 1, 2""".stripMargin),
+
+    "q_imbalance_5m" -> withTrades(
+      """SELECT bucket, symbol, buy_volume, sell_volume,
+        |       floor(((buy_volume - sell_volume) / nullif(buy_volume + sell_volume, CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS imbalance
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+        |         sum(CASE WHEN side = 'buy' THEN volume ELSE CAST(0 AS DOUBLE) END) AS buy_volume,
+        |         sum(CASE WHEN side = 'sell' THEN volume ELSE CAST(0 AS DOUBLE) END) AS sell_volume
+        |  FROM trades WHERE side IS NOT NULL GROUP BY 1, 2)""".stripMargin),
+
+    "q_sma20" -> withTrades(
+      """SELECT time, symbol, price,
+        |       floor((avg(price) OVER (PARTITION BY symbol ORDER BY time
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6 AS sma_20
+        |FROM trades""".stripMargin),
+
+    "q_volatility_1h" -> withTrades(
+      """SELECT time_bucket(INTERVAL '1 hour', time) AS bucket, symbol,
+        |       floor((stddev_samp(log_return)) * 1e6 + 0.5) / 1e6 AS volatility_1h,
+        |       count(log_return) AS sample_count
+        |FROM (
+        |  SELECT time, symbol,
+        |         ln(price / lag(price, 1) OVER (PARTITION BY symbol ORDER BY time)) AS log_return
+        |  FROM trades)
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_ewm12" -> withTrades(
+      """SELECT time, symbol, price,
+        |       floor((list_reduce(
+        |         list(price) OVER (PARTITION BY symbol ORDER BY time
+        |              ROWS BETWEEN 11 PRECEDING AND CURRENT ROW),
+        |         (acc, x) -> CAST(0.85 AS DOUBLE) * acc + CAST(0.15 AS DOUBLE) * x)) * 1e6 + 0.5) / 1e6 AS ewm_12
+        |FROM trades""".stripMargin),
+
+    "q_spread" -> withTrades(
+      """SELECT time, symbol, floor((bid) * 1e6 + 0.5) / 1e6 AS bid, floor((ask) * 1e6 + 0.5) / 1e6 AS ask,
+        |       floor((ask - bid) * 1e6 + 0.5) / 1e6 AS spread
+        |FROM trades WHERE bid IS NOT NULL AND ask IS NOT NULL""".stripMargin),
+
+    "q_regime" -> withTrades(
+      """SELECT time, symbol, price, floor((sma) * 1e6 + 0.5) / 1e6 AS sma_20,
+        |       CASE WHEN price > sma THEN 'up' WHEN price < sma THEN 'down'
+        |            ELSE 'neutral' END AS regime_tag
+        |FROM (
+        |  SELECT time, symbol, price,
+        |         avg(price) OVER (PARTITION BY symbol ORDER BY time
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW) AS sma
+        |  FROM trades)""".stripMargin),
+
+    "q_large_trades" -> withTrades(
+      """SELECT t.time, t.symbol, t.volume, floor((thr.p95) * 1e6 + 0.5) / 1e6 AS percentile_95
+        |FROM trades t
+        |JOIN (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1) thr
+        |  ON t.symbol = thr.symbol
+        |WHERE t.volume > thr.p95""".stripMargin),
+
+    "q_pit_snapshot" ->
+      s"WITH ${OracleSql.tradesCte},\n${pitSnapshotSql(PitSymbol, PitAsOf)}",
+
+    "q_asof_sma" -> withTradesAnd(
+      entityGridSql + """,
+      |sma AS (
+      |  SELECT time, symbol,
+      |         floor((avg(price) OVER (PARTITION BY symbol ORDER BY time
+      |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6 AS sma_20
+      |  FROM trades)""".stripMargin,
+      """SELECT e.symbol, e.event_timestamp,
+        |       CASE WHEN f.time >= e.event_timestamp - INTERVAL 7 DAY THEN f.time END AS sma_matched_time,
+        |       CASE WHEN f.time >= e.event_timestamp - INTERVAL 7 DAY THEN f.sma_20 END AS sma_sma_20
+        |FROM entities e
+        |ASOF LEFT JOIN sma f ON e.symbol = f.symbol AND e.event_timestamp >= f.time""".stripMargin),
+
+    "q_historical_features" -> withTradesAnd(
+      entityGridSql + s""",
+      |ohlc AS ($ohlcSelect),
+      |sma AS (
+      |  SELECT time, symbol,
+      |         floor((avg(price) OVER (PARTITION BY symbol ORDER BY time
+      |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6 AS sma_20
+      |  FROM trades),
+      |vwap AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+      |         floor((sum(price * volume) / nullif(sum(volume), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS vwap_5m
+      |  FROM trades GROUP BY 1, 2)""".stripMargin,
+      """SELECT e.symbol, e.event_timestamp,
+        |       CASE WHEN o.bucket >= e.event_timestamp - INTERVAL 7 DAY THEN o.bucket END AS ohlc_matched_bucket,
+        |       CASE WHEN o.bucket >= e.event_timestamp - INTERVAL 7 DAY THEN o.close END AS ohlc_close,
+        |       CASE WHEN sm.time >= e.event_timestamp - INTERVAL 7 DAY THEN sm.time END AS sma_matched_time,
+        |       CASE WHEN sm.time >= e.event_timestamp - INTERVAL 7 DAY THEN sm.sma_20 END AS sma_sma_20,
+        |       CASE WHEN v.bucket >= e.event_timestamp - INTERVAL 7 DAY THEN v.bucket END AS vwap_matched_bucket,
+        |       CASE WHEN v.bucket >= e.event_timestamp - INTERVAL 7 DAY THEN v.vwap_5m END AS vwap_vwap_5m
+        |FROM entities e
+        |ASOF LEFT JOIN ohlc o ON e.symbol = o.symbol AND e.event_timestamp >= o.bucket
+        |ASOF LEFT JOIN sma sm ON e.symbol = sm.symbol AND e.event_timestamp >= sm.time
+        |ASOF LEFT JOIN vwap v ON e.symbol = v.symbol AND e.event_timestamp >= v.bucket""".stripMargin),
+
+    "q_time_range_scan" -> withTrades(
+      """SELECT symbol, count(*) AS recent_trades
+        |FROM trades
+        |WHERE time > (SELECT max(time) FROM trades) - INTERVAL 1 DAY
+        |GROUP BY symbol""".stripMargin),
+
+    "q_freshness_sla" -> withTrades(
+      """SELECT 'ohlc_1m' AS feature,
+        |       CAST(epoch_us((SELECT max(time) FROM trades)) -
+        |            epoch_us(max(time_bucket(INTERVAL '1 minute', time))) AS BIGINT) AS age_micros
+        |FROM trades
+        |UNION ALL
+        |SELECT 'vwap_5m',
+        |       CAST(epoch_us((SELECT max(time) FROM trades)) -
+        |            epoch_us(max(time_bucket(INTERVAL '5 minutes', time))) AS BIGINT)
+        |FROM trades
+        |UNION ALL
+        |SELECT 'trade_imbalance_5m',
+        |       CAST(epoch_us((SELECT max(time) FROM trades)) -
+        |            epoch_us(max(time_bucket(INTERVAL '5 minutes', time))) AS BIGINT)
+        |FROM trades WHERE side IS NOT NULL""".stripMargin),
+
+    "q_cep_large_trades" -> withTrades(
+      """SELECT time, symbol, large_trades_5m FROM (
+        |  SELECT t.time, t.symbol,
+        |         count(*) OVER (PARTITION BY t.symbol ORDER BY t.time
+        |               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS large_trades_5m
+        |  FROM trades t
+        |  JOIN (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1) thr
+        |    ON t.symbol = thr.symbol
+        |  WHERE t.volume > thr.p95)
+        |WHERE large_trades_5m >= 3""".stripMargin),
+
+    "q_spread_ema" -> withTrades(
+      """SELECT symbol,
+        |       floor((list_reduce(list(ask - bid ORDER BY time),
+        |             (acc, x) -> CAST(0.9 AS DOUBLE) * acc + CAST(0.1 AS DOUBLE) * x)) * 1e6 + 0.5) / 1e6 AS normal_spread,
+        |       count(*) AS n
+        |FROM trades WHERE bid IS NOT NULL AND ask IS NOT NULL
+        |GROUP BY symbol""".stripMargin),
+
+    "q_dedup_exact" -> withTrades(
+      """SELECT DISTINCT time, symbol, trade_id, price, volume
+        |FROM (SELECT * FROM trades
+        |      UNION ALL
+        |      SELECT * FROM trades WHERE CAST(trade_id AS BIGINT) % 10 = 0)""".stripMargin),
+
+    "q_dup_detect" -> withTrades(
+      """SELECT trade_id, count(*) AS cnt
+        |FROM (SELECT * FROM trades
+        |      UNION ALL
+        |      SELECT * FROM trades WHERE CAST(trade_id AS BIGINT) % 10 = 0)
+        |GROUP BY trade_id HAVING count(*) > 1""".stripMargin),
+
+    "q_sharpe" -> withTrades(
+      """SELECT symbol,
+        |       floor((avg(ret) / stddev_samp(ret) * sqrt(CAST(252 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS sharpe,
+        |       count(ret) AS n_returns
+        |FROM (
+        |  SELECT symbol, close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY day) - CAST(1 AS DOUBLE) AS ret
+        |  FROM (
+        |    SELECT symbol, date_trunc('day', time) AS day, arg_max(price, time) AS close
+        |    FROM trades GROUP BY 1, 2))
+        |GROUP BY symbol""".stripMargin))
+
+  /** The 9-way PIT snapshot oracle — mirrors `sql/timescaledb_schema.sql:292-411`. */
+  private def pitSnapshotSql(symbol: String, asOf: String): String =
+    s"""base AS (SELECT * FROM trades WHERE symbol = '$symbol' AND time <= TIMESTAMP '$asOf'),
+       |ohlc AS (
+       |  SELECT arg_max(open, bucket) AS open, arg_max(high, bucket) AS high,
+       |         arg_max(low, bucket) AS low, arg_max(close, bucket) AS close
+       |  FROM (SELECT time_bucket(INTERVAL '1 minute', time) AS bucket,
+       |               arg_min(price, time) AS open, max(price) AS high, min(price) AS low,
+       |               arg_max(price, time) AS close
+       |        FROM base GROUP BY 1)),
+       |sma AS (SELECT floor((avg(price)) * 1e6 + 0.5) / 1e6 AS sma_20
+       |        FROM (SELECT price FROM base ORDER BY time DESC LIMIT 20)),
+       |sma_raw AS (SELECT avg(price) AS sma_raw
+       |        FROM (SELECT price FROM base ORDER BY time DESC LIMIT 20)),
+       |ewm AS (SELECT floor((list_reduce(list(price ORDER BY time),
+       |               (acc, x) -> CAST(0.85 AS DOUBLE) * acc + CAST(0.15 AS DOUBLE) * x)) * 1e6 + 0.5) / 1e6 AS ewm_12
+       |        FROM (SELECT time, price FROM base ORDER BY time DESC LIMIT 12)),
+       |vol AS (SELECT arg_max(v, bucket) AS volatility_1h FROM (
+       |          SELECT time_bucket(INTERVAL '1 hour', time) AS bucket,
+       |                 floor((stddev_samp(lr)) * 1e6 + 0.5) / 1e6 AS v
+       |          FROM (SELECT time, ln(price / lag(price, 1) OVER (ORDER BY time)) AS lr FROM base)
+       |          GROUP BY 1)),
+       |vwap AS (SELECT arg_max(v, bucket) AS vwap_5m FROM (
+       |           SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket,
+       |                  floor((sum(price * volume) / nullif(sum(volume), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS v
+       |           FROM base GROUP BY 1)),
+       |large AS (SELECT arg_max(volume, time) > quantile_cont(volume, 0.95) AS large_trade_flag,
+       |                 floor((quantile_cont(volume, 0.95)) * 1e6 + 0.5) / 1e6 AS percentile_95
+       |          FROM base),
+       |spr AS (SELECT floor((arg_max(bid, time)) * 1e6 + 0.5) / 1e6 AS bid, floor((arg_max(ask, time)) * 1e6 + 0.5) / 1e6 AS ask,
+       |               floor((arg_max(ask, time) - arg_max(bid, time)) * 1e6 + 0.5) / 1e6 AS bidask_spread
+       |        FROM base WHERE bid IS NOT NULL AND ask IS NOT NULL),
+       |imb AS (SELECT arg_max(i, bucket) AS trade_imbalance_5m FROM (
+       |          SELECT bucket, floor(((b - s) / nullif(b + s, CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS i
+       |          FROM (
+       |            SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket,
+       |                   sum(CASE WHEN side = 'buy' THEN volume ELSE CAST(0 AS DOUBLE) END) AS b,
+       |                   sum(CASE WHEN side = 'sell' THEN volume ELSE CAST(0 AS DOUBLE) END) AS s
+       |            FROM base WHERE side IS NOT NULL GROUP BY 1))),
+       |lastp AS (SELECT arg_max(price, time) AS last_price FROM base),
+       |regime AS (SELECT CASE WHEN last_price > sma_raw THEN 'up'
+       |                       WHEN last_price < sma_raw THEN 'down'
+       |                       WHEN last_price IS NOT NULL THEN 'neutral' END AS regime_tag
+       |           FROM lastp CROSS JOIN sma_raw)
+       |SELECT '$symbol' AS symbol, TIMESTAMP '$asOf' AS as_of_ts,
+       |       open, high, low, close, sma_20, ewm_12, volatility_1h, vwap_5m,
+       |       large_trade_flag, percentile_95, bid, ask, bidask_spread,
+       |       trade_imbalance_5m, regime_tag
+       |FROM ohlc CROSS JOIN sma CROSS JOIN ewm CROSS JOIN vol CROSS JOIN vwap
+       |     CROSS JOIN large CROSS JOIN spr CROSS JOIN imb CROSS JOIN regime""".stripMargin
+}
