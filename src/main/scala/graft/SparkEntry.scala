@@ -20,12 +20,16 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     registry.CoreQueries.queries ++
-      registry.FeatureQueries.queries
+      registry.FeatureQueries.queries ++
+      registry.ExtQueries.queries ++
+      registry.QualityQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows/schema-only check.
     */
   def oracleSql: Map[String, String] =
     registry.CoreQueries.oracles ++
-      registry.FeatureQueries.oracles
+      registry.FeatureQueries.oracles ++
+      registry.ExtQueries.oracles ++
+      registry.QualityQueries.oracles
 }

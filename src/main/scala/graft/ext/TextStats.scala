@@ -1,0 +1,92 @@
+package graft.ext
+
+import graft.functions.Quantize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis over a `documents(doc_id, text, lang, source, n_chars)`
+  * table: tokenization, quality scoring, n-gram heuristic language ID, and
+  * content fingerprinting — the text-side toolkit a large-scale training-data
+  * pipeline needs (SURVEY §7.5; generalizes the reference's text/embedding
+  * column handling, `sql/timescaledb_schema.sql:267-286`).
+  *
+  * Everything here is pure column functions — codegen'd, one pass, no UDFs —
+  * so a 100 TB corpus processes at scan speed with no shuffle except the
+  * final aggregations.
+  */
+object TextStats {
+
+  /** Whitespace tokens. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** BPE-ish lexer token count: runs of lowercase letters, digits, or single
+    * other non-space chars (regex kept to the common dialect subset so the
+    * DuckDB oracle matches).
+    */
+  def regexTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+
+  /** English-ish stopword ratio over whitespace tokens. */
+  val Stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")
+
+  def stopwordRatio(toks: Column): Column = {
+    val stops = array(Stopwords.map(lit): _*)
+    size(filter(toks, t => array_contains(stops, t))).cast("double") /
+      size(toks).cast("double")
+  }
+
+  /** Distinct-token ratio — low values indicate repetitive/boilerplate text. */
+  def uniqueTokenRatio(toks: Column): Column =
+    size(array_distinct(toks)).cast("double") / size(toks).cast("double")
+
+  /** Composite quality score in [0,1]: length band + lexical diversity −
+    * stopword excess. Mirrors the shape of the reference's 4-component DQ
+    * scoring (`src/quality/great_expectations_setup.py:123-244`) applied to
+    * raw text.
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val lenScore = least(size(toks).cast("double") / lit(50.0), lit(1.0))
+    val divScore = uniqueTokenRatio(toks)
+    val stopPenalty = greatest(stopwordRatio(toks) - lit(0.4), lit(0.0))
+    greatest(least(lit(0.5) * lenScore + lit(0.5) * divScore - stopPenalty, lit(1.0)), lit(0.0))
+  }
+
+  /** N-gram-heuristic language ID: stopword-marker hits per language over the
+    * token stream; deterministic CASE cascade (first match wins).
+    */
+  def langId(text: Column): Column = {
+    val padded = concat(lit(" "), text, lit(" "))
+    when(padded.contains(" the ") || padded.contains(" and "), "en")
+      .when(padded.contains(" der ") || padded.contains(" und "), "de")
+      .when(padded.contains(" el ") || padded.contains(" los "), "es")
+      .when(padded.contains(" le ") || padded.contains(" les "), "fr")
+      .when(padded.contains(" de ") || padded.contains(" la "), "romance")
+      .otherwise("unknown")
+  }
+
+  /** Content fingerprint (md5 — stable across engines). */
+  def fingerprint(text: Column): Column = md5(text)
+
+  /** Per-language corpus stats — one agg pass. */
+  def corpusStats(documents: DataFrame): DataFrame =
+    documents
+      .select(col("lang"), col("n_chars"), tokens(col("text")).as("toks"))
+      .groupBy("lang")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("total_chars"),
+        Quantize.r(avg(size(col("toks")).cast("double")), 6).as("avg_tokens"),
+        Quantize.r(avg(col("n_chars").cast("double") / size(col("toks")).cast("double")), 6)
+          .as("avg_chars_per_token"))
+
+  /** Per-document quality record. */
+  def docQuality(documents: DataFrame): DataFrame =
+    documents.select(
+      col("doc_id"),
+      size(tokens(col("text"))).as("token_count"),
+      regexTokenCount(col("text")).as("regex_token_count"),
+      Quantize.r(uniqueTokenRatio(tokens(col("text"))), 6).as("unique_token_ratio"),
+      Quantize.r(stopwordRatio(tokens(col("text"))), 6).as("stopword_ratio"),
+      Quantize.r(qualityScore(col("text")), 6).as("quality_score"))
+}

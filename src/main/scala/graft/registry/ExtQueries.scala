@@ -1,0 +1,146 @@
+package graft.registry
+
+import graft.core.Tables
+import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** LLM-training-data-pipeline queries: dedup, similarity search, text
+  * analysis, multimodal plumbing (SURVEY §7.5; graded as first-class).
+  * Hash-based ops (MinHash/SimHash/LSH) have no DuckDB-expressible oracle
+  * (different hash primitives) and get deterministic rows/schema checks.
+  */
+object ExtQueries {
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    "q_text_stats" -> ((s, d) => TextStats.corpusStats(Tables.documents(s, d))),
+
+    "q_text_quality" -> ((s, d) => TextStats.docQuality(Tables.documents(s, d))),
+
+    "q_lang_id" -> ((s, d) =>
+      Tables.documents(s, d)
+        .groupBy(col("lang"), TextStats.langId(col("text")).as("predicted"))
+        .agg(count(lit(1)).as("n"))),
+
+    "q_text_dup_exact" -> ((s, d) => Dedup.exactTextDups(Tables.documents(s, d))),
+
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sets = docs.select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
+      val q = sets.filter(col("doc_id") === 0).select(col("sh").as("qsh"))
+      sets.filter(col("doc_id") =!= 0)
+        .crossJoin(broadcast(q))
+        .select(col("doc_id"),
+          graft.functions.Quantize.r(Dedup.jaccard(col("sh"), col("qsh")), 6).as("jaccard"))
+    }),
+
+    // Deterministic (seeded xxhash64) but not DuckDB-expressible: rows check.
+    "q_minhash_pairs" -> ((s, d) =>
+      Dedup.nearDups(Tables.documents(s, d), threshold = 0.5)
+        .orderBy("doc_a", "doc_b")),
+
+    "q_simhash_dups" -> ((s, d) =>
+      Dedup.simhashDups(Tables.documents(s, d))
+        .select(col("simhash"), col("n_docs"),
+          to_json(col("doc_ids")).as("doc_ids"))),
+
+    "q_cosine_topk" -> ((s, d) => Similarity.topK(Tables.embeddings(s, d), 0L, 20)),
+
+    // LSH-bucketed near-dup pairs (rows check — seeded hyperplanes). 8
+    // planes / threshold 0.3 tuned to the synthetic corpus (max pairwise
+    // cosine ~0.48) so the check is non-vacuous.
+    "q_embed_neardup" -> ((s, d) =>
+      Similarity.nearDupPairs(Tables.embeddings(s, d), planes = 8, threshold = 0.3)
+        .orderBy("vec_a", "vec_b")),
+
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.fakeDecode(Multimodal.payloads(s, d))
+        .select(col("media_id"), col("source"),
+          col("n_bytes").cast("int").as("n_bytes"),
+          col("meta.width").as("width"), col("meta.height").as("height"),
+          col("meta.n_frames").as("n_frames"), col("meta.codec_tag").as("codec_tag"))),
+
+    "q_frame_sample" -> ((s, d) =>
+      Multimodal.sampleFrames(Multimodal.fakeDecode(Multimodal.payloads(s, d)))))
+
+  private val shinglesCte =
+    """s AS (
+      |  SELECT doc_id,
+      |         CASE WHEN len(t) < 2 THEN CAST([] AS VARCHAR[])
+      |              ELSE list_distinct(list_transform(range(1, len(t)),
+      |                     i -> t[i] || ' ' || t[i+1])) END AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
+        |       floor((avg(CAST(len(string_split(text, ' ')) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS avg_tokens,
+        |       floor((avg(CAST(n_chars AS DOUBLE) / CAST(len(string_split(text, ' ')) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS avg_chars_per_token
+        |FROM documents GROUP BY lang""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       len(t) AS token_count,
+        |       len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS regex_token_count,
+        |       floor((CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS unique_token_ratio,
+        |       floor((CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+        |       floor((greatest(least(
+        |         CAST(0.5 AS DOUBLE) * least(CAST(len(t) AS DOUBLE) / CAST(50 AS DOUBLE), CAST(1 AS DOUBLE)) +
+        |         CAST(0.5 AS DOUBLE) * (CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE)) -
+        |         greatest(CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) - CAST(0.4 AS DOUBLE), CAST(0 AS DOUBLE)),
+        |         CAST(1 AS DOUBLE)), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS quality_score
+        |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT lang,
+        |       CASE WHEN contains(p, ' the ') OR contains(p, ' and ') THEN 'en'
+        |            WHEN contains(p, ' der ') OR contains(p, ' und ') THEN 'de'
+        |            WHEN contains(p, ' el ') OR contains(p, ' los ') THEN 'es'
+        |            WHEN contains(p, ' le ') OR contains(p, ' les ') THEN 'fr'
+        |            WHEN contains(p, ' de ') OR contains(p, ' la ') THEN 'romance'
+        |            ELSE 'unknown' END AS predicted,
+        |       count(*) AS n
+        |FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents)
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_text_dup_exact" ->
+      """SELECT md5(text) AS fingerprint, count(*) AS n_docs,
+        |       min(doc_id) AS keep_doc_id, max(doc_id) AS dup_doc_id
+        |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    "q_ngram_jaccard" -> s"""WITH $shinglesCte,
+      |q AS (SELECT sh AS qsh FROM s WHERE doc_id = 0)
+      |SELECT doc_id,
+      |       floor((CAST(len(list_filter(sh, x -> list_contains(qsh, x))) AS DOUBLE) /
+      |              CAST(len(sh) + len(qsh) - len(list_filter(sh, x -> list_contains(qsh, x))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jaccard
+      |FROM s, q WHERE doc_id <> 0""".stripMargin,
+
+    "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |        list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]), (a, b) -> a + b) AS dp,
+        |        list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b) AS na,
+        |        list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (a, b) -> a + b) AS nb
+        |      FROM e, q WHERE vec_id <> 0)
+        |SELECT vec_id, floor((dp / (sqrt(na) * sqrt(nb))) * 1e6 + 0.5) / 1e6 AS cosine
+        |FROM c ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id AS media_id, source,
+        |       CAST(strlen(text) AS INTEGER) AS n_bytes,
+        |       64 + (ascii(substr(md5(text), 1, 1)) % 16) * 16 AS width,
+        |       64 + (ascii(substr(md5(text), 2, 1)) % 16) * 16 AS height,
+        |       1 + doc_id % 8 AS n_frames,
+        |       substr(md5(text), 1, 8) AS codec_tag
+        |FROM documents""".stripMargin,
+
+    "q_frame_sample" ->
+      """SELECT media_id, n_frames, frame_idx FROM (
+        |  SELECT doc_id AS media_id, 1 + doc_id % 8 AS n_frames,
+        |         unnest(range(0, 1 + doc_id % 8)) AS frame_idx
+        |  FROM documents)
+        |WHERE frame_idx % 2 = 0""".stripMargin)
+}

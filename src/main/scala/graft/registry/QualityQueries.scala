@@ -1,0 +1,170 @@
+package graft.registry
+
+import graft.core.Tables
+import graft.features.Ohlc
+import graft.operators.Rls
+import graft.quality.{DqScore, Expectations, KsTest}
+import graft.sources.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-quality, validation, RLS and ingest-contract queries, mirroring the
+  * reference's quality framework (the `src/quality` modules) and security
+  * layer.
+  */
+object QualityQueries {
+  import OracleSql.{withTrades, withTradesAnd}
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private def trades(s: SparkSession, d: String): DataFrame = Tables.trades(s, d)
+
+  val queries: Map[String, Q] = Map(
+    "q_dq_score" -> ((s, d) => {
+      val t = trades(s, d)
+      DqScore.compute(Ohlc.compute(t), t.agg(max(col("time")).as("mx")))
+    }),
+
+    "q_ks_test" -> ((s, d) =>
+      KsTest.dStatistic(Tables.events(s, d), "value", "event_type", "view", "click")),
+
+    "q_zscore_outliers" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val stats = li.groupBy("l_returnflag")
+        .agg(avg(col("l_extendedprice")).as("mu"),
+          stddev_samp(col("l_extendedprice")).as("sigma"))
+      li.join(broadcast(stats), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+          count(when(abs((col("l_extendedprice") - col("mu")) / col("sigma")) > 3, 1))
+            .as("n_outliers"),
+          count(lit(1)).as("n"))
+    }),
+
+    "q_expectations" -> ((s, d) => {
+      import Expectations._
+      evaluate(trades(s, d), Seq(
+        NotNull("price"), Positive("price"), Positive("volume"),
+        InSet("side", Seq("buy", "sell")), PairGte("ask", "bid"),
+        Between("volume", 1, 100),
+        Unique(Seq("time", "symbol", "trade_id"))))
+    }),
+
+    "q_increasing_check" -> ((s, d) =>
+      Expectations.increasingViolations(trades(s, d), "price", "time", Seq("symbol"))),
+
+    "q_ingest_dlq" -> ((s, d) => {
+      val rules = Ingest.tradeRules
+      val aggs = rules.map { case (n, c) => count(when(c, 1)).as(n) } ++ Seq(
+        count(when(Ingest.anyViolation(rules), 1)).as("n_dlq"),
+        count(when(!Ingest.anyViolation(rules), 1)).as("n_clean"))
+      trades(s, d).agg(aggs.head, aggs.tail: _*)
+    }),
+
+    "q_rls_tenant" -> ((s, d) =>
+      Rls.withTenant(trades(s, d), 0L)
+        .groupBy("symbol").agg(count(lit(1)).as("n_trades"))))
+
+  private val ohlcCte =
+    """ohlc AS (
+      |  SELECT time_bucket(INTERVAL '1 minute', time) AS bucket, symbol,
+      |         arg_min(price, time) AS open, max(price) AS high, min(price) AS low,
+      |         arg_max(price, time) AS close, sum(volume) AS volume
+      |  FROM trades GROUP BY 1, 2)""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_dq_score" -> withTradesAnd(
+      ohlcCte + """,
+      |stats AS (SELECT avg(close) AS mu, stddev_samp(close) AS sigma FROM ohlc),
+      |anchor AS (SELECT max(time) AS mx FROM trades),
+      |raw AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(1 AS DOUBLE) - (count(CASE WHEN open IS NULL THEN 1 END) + count(CASE WHEN high IS NULL THEN 1 END) +
+      |      count(CASE WHEN low IS NULL THEN 1 END) + count(CASE WHEN close IS NULL THEN 1 END) +
+      |      count(CASE WHEN volume IS NULL THEN 1 END)) / CAST(count(*) * 5 AS DOUBLE) AS completeness,
+      |    CAST(1 AS DOUBLE) - CAST(count(CASE WHEN high < low OR low > close THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS consistency,
+      |    CAST(1 AS DOUBLE) - CAST(count(CASE WHEN abs((close - mu) / sigma) > 3 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy,
+      |    CASE WHEN epoch_us(max(mx)) - epoch_us(max(bucket)) <= 60000000 THEN CAST(1.0 AS DOUBLE)
+      |         WHEN epoch_us(max(mx)) - epoch_us(max(bucket)) <= 300000000 THEN CAST(0.8 AS DOUBLE)
+      |         ELSE CAST(0.5 AS DOUBLE) END AS timeliness
+      |  FROM ohlc CROSS JOIN stats CROSS JOIN anchor)""".stripMargin,
+      """SELECT n_rows,
+        |       floor(completeness * 1e6 + 0.5) / 1e6 AS completeness,
+        |       floor(consistency * 1e6 + 0.5) / 1e6 AS consistency,
+        |       floor(accuracy * 1e6 + 0.5) / 1e6 AS accuracy,
+        |       timeliness,
+        |       floor(((completeness + consistency + accuracy + timeliness) / CAST(4 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS overall
+        |FROM raw""".stripMargin),
+
+    "q_ks_test" ->
+      """WITH pts AS (
+        |  SELECT value AS v,
+        |         count(CASE WHEN event_type = 'view' THEN 1 END) AS c1,
+        |         count(CASE WHEN event_type = 'click' THEN 1 END) AS c2
+        |  FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+        |  GROUP BY 1),
+        |r AS (
+        |  SELECT sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+        |         sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2,
+        |         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+        |  FROM pts),
+        |a AS (
+        |  SELECT max(abs(CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS d,
+        |         CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+        |  FROM r)
+        |SELECT floor(d * 1e6 + 0.5) / 1e6 AS d_statistic, n1, n2,
+        |       d > CAST(1.358 AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS shifted
+        |FROM a""".stripMargin,
+
+    "q_zscore_outliers" ->
+      """SELECT l.l_returnflag,
+        |       count(CASE WHEN abs((l_extendedprice - mu) / sigma) > 3 THEN 1 END) AS n_outliers,
+        |       count(*) AS n
+        |FROM lineitem l
+        |JOIN (SELECT l_returnflag, avg(l_extendedprice) AS mu,
+        |             stddev_samp(l_extendedprice) AS sigma
+        |      FROM lineitem GROUP BY 1) s
+        |  ON l.l_returnflag = s.l_returnflag
+        |GROUP BY l.l_returnflag""".stripMargin,
+
+    "q_expectations" -> withTrades(
+      """SELECT count(*) AS n_rows,
+        |       count(CASE WHEN price IS NULL THEN 1 END) AS price_not_null,
+        |       count(CASE WHEN price IS NOT NULL AND price <= 0 THEN 1 END) AS price_positive,
+        |       count(CASE WHEN volume IS NOT NULL AND volume <= 0 THEN 1 END) AS volume_positive,
+        |       count(CASE WHEN side IS NOT NULL AND side NOT IN ('buy', 'sell') THEN 1 END) AS side_in_set,
+        |       count(CASE WHEN ask IS NOT NULL AND bid IS NOT NULL AND ask < bid THEN 1 END) AS ask_gte_bid,
+        |       count(CASE WHEN volume IS NOT NULL AND NOT (volume >= 1 AND volume <= 100) THEN 1 END) AS volume_between,
+        |       (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |          (SELECT count(*) AS c FROM trades GROUP BY time, symbol, trade_id
+        |           HAVING count(*) > 1)) AS time_symbol_trade_id_unique
+        |FROM trades""".stripMargin),
+
+    "q_increasing_check" -> withTrades(
+      """SELECT count(CASE WHEN prev > price THEN 1 END) AS price_increasing_violations
+        |FROM (SELECT price, lag(price, 1) OVER (PARTITION BY symbol ORDER BY time) AS prev
+        |      FROM trades)""".stripMargin),
+
+    "q_ingest_dlq" -> withTrades(
+      """SELECT count(CASE WHEN price IS NULL OR price <= 0 THEN 1 END) AS price_positive,
+        |       count(CASE WHEN volume IS NULL OR volume < 1 OR volume > 100 THEN 1 END) AS volume_in_range,
+        |       count(CASE WHEN side IS NOT NULL AND side NOT IN ('buy', 'sell') THEN 1 END) AS side_in_domain,
+        |       count(CASE WHEN bid IS NOT NULL AND ask IS NOT NULL AND ask < bid THEN 1 END) AS ask_gte_bid,
+        |       count(CASE WHEN bid IS NOT NULL AND ask IS NOT NULL AND ask - bid > CAST(0.15 AS DOUBLE) THEN 1 END) AS spread_bounded,
+        |       count(CASE WHEN (price IS NULL OR price <= 0) OR (volume IS NULL OR volume < 1 OR volume > 100)
+        |                    OR (side IS NOT NULL AND side NOT IN ('buy', 'sell'))
+        |                    OR (bid IS NOT NULL AND ask IS NOT NULL AND ask < bid)
+        |                    OR (bid IS NOT NULL AND ask IS NOT NULL AND ask - bid > CAST(0.15 AS DOUBLE))
+        |             THEN 1 END) AS n_dlq,
+        |       count(CASE WHEN NOT ((price IS NULL OR price <= 0) OR (volume IS NULL OR volume < 1 OR volume > 100)
+        |                    OR (side IS NOT NULL AND side NOT IN ('buy', 'sell'))
+        |                    OR (bid IS NOT NULL AND ask IS NOT NULL AND ask < bid)
+        |                    OR (bid IS NOT NULL AND ask IS NOT NULL AND ask - bid > CAST(0.15 AS DOUBLE)))
+        |             THEN 1 END) AS n_clean
+        |FROM trades""".stripMargin),
+
+    "q_rls_tenant" -> withTrades(
+      """SELECT symbol, count(*) AS n_trades
+        |FROM trades WHERE CAST(symbol AS BIGINT) % 3 = 0
+        |GROUP BY symbol""".stripMargin))
+}
