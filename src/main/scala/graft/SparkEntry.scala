@@ -22,7 +22,8 @@ object SparkEntry {
     registry.CoreQueries.queries ++
       registry.FeatureQueries.queries ++
       registry.ExtQueries.queries ++
-      registry.QualityQueries.queries
+      registry.QualityQueries.queries ++
+      registry.StreamQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows/schema-only check.
@@ -31,5 +32,6 @@ object SparkEntry {
     registry.CoreQueries.oracles ++
       registry.FeatureQueries.oracles ++
       registry.ExtQueries.oracles ++
-      registry.QualityQueries.oracles
+      registry.QualityQueries.oracles ++
+      registry.StreamQueries.oracles
 }

@@ -1,0 +1,101 @@
+package graft.registry
+
+import java.nio.file.Files
+
+import graft.core.Tables
+import graft.features.LargeTrades
+import graft.sources.StreamSources
+import graft.streaming.{Cep, StreamingFeatures}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** Streaming-path queries, runnable under the batch Verify/Bench harness via
+  * `Trigger.AvailableNow` bounded replays of the real streaming code paths
+  * (file source → watermark → stateful op → sink). Each is checked against
+  * the SAME batch oracle as its declarative twin — the streaming/batch
+  * equivalence invariant.
+  */
+object StreamQueries {
+  import OracleSql.withTrades
+
+  type Q = (SparkSession, String) => DataFrame
+
+  val queries: Map[String, Q] = Map(
+    // Streaming OHLC (watermark + tumbling window + memory sink).
+    "q_stream_ohlc" -> ((s, d) =>
+      StreamingFeatures.streamingOhlcOnce(s, s"$d/events.parquet")),
+
+    // Exactly-once ingest: foreachBatch idempotent MERGE + full replay.
+    "q_stream_merge" -> ((s, d) => {
+      val out = Files.createTempDirectory("graft_merge_").toString + "/t"
+      StreamingFeatures.exactlyOnceIngest(s, s"$d/events.parquet", out)
+        .select("time", "symbol", "trade_id", "price", "volume")
+    }),
+
+    // Stateful CEP (flatMapGroupsWithState) over a bounded stream; thresholds
+    // from a batch percentile broadcast into the stream (stream-static join).
+    "q_stream_cep" -> ((s, d) => {
+      val thresholds = LargeTrades.thresholds(Tables.trades(s, d))
+      val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
+        .join(broadcast(thresholds), Seq("symbol"))
+        .filter(col("volume") > col("percentile_95"))
+      val anomalies = Cep.LargeTradeDetector.detect(stream, 7L * 24 * 3600 * 1000000L)
+      val name = s"stream_cep_${System.nanoTime()}"
+      val q = anomalies.writeStream.format("memory").queryName(name)
+        .outputMode("append").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
+    // Stateful EMA monitor (mapGroupsWithState) — final state per symbol,
+    // collected via foreachBatch (update-mode sink path).
+    "q_stream_spread_ema" -> ((s, d) => {
+      val out = Files.createTempDirectory("graft_ema_").toString + "/t"
+      val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
+      val results = Cep.SpreadEmaMonitor.monitor(stream)
+      val q = results.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Cep.EmaResult], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).select("symbol", "normal_spread", "n")
+    }))
+
+  private val ohlcSql =
+    """SELECT time_bucket(INTERVAL '1 minute', time) AS bucket, symbol,
+      |       arg_min(price, time) AS open, max(price) AS high, min(price) AS low,
+      |       arg_max(price, time) AS close, sum(volume) AS volume,
+      |       count(*) AS trade_count
+      |FROM trades GROUP BY 1, 2""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "q_stream_ohlc" -> withTrades(ohlcSql),
+
+    "q_stream_merge" -> withTrades(
+      "SELECT time, symbol, trade_id, price, volume FROM trades"),
+
+    "q_stream_cep" -> withTrades(
+      """SELECT time, symbol, large_trades_5m FROM (
+        |  SELECT t.time, t.symbol,
+        |         count(*) OVER (PARTITION BY t.symbol ORDER BY t.time
+        |               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS large_trades_5m
+        |  FROM trades t
+        |  JOIN (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1) thr
+        |    ON t.symbol = thr.symbol
+        |  WHERE t.volume > thr.p95)
+        |WHERE large_trades_5m >= 3""".stripMargin),
+
+    "q_stream_spread_ema" -> withTrades(
+      """SELECT symbol,
+        |       floor((list_reduce(list(ask - bid ORDER BY time),
+        |             (acc, x) -> CAST(0.9 AS DOUBLE) * acc + CAST(0.1 AS DOUBLE) * x)) * 1e6 + 0.5) / 1e6 AS normal_spread,
+        |       count(*) AS n
+        |FROM trades WHERE bid IS NOT NULL AND ask IS NOT NULL
+        |GROUP BY symbol""".stripMargin))
+}

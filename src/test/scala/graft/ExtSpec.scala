@@ -1,0 +1,99 @@
+package graft
+
+import graft.core.Tables
+import graft.ext.{Dedup, Similarity, TextStats}
+import graft.quality.{DqScore, KsTest}
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline ext operators + quality framework. */
+class ExtSpec extends SparkTestBase {
+
+  private def docs = Tables.documents(spark, sf0001)
+
+  test("minhash near-dup finds planted near-duplicates and only high-jaccard pairs") {
+    val pairs = Dedup.nearDups(docs, threshold = 0.5).collect()
+    assert(pairs.nonEmpty, "corpus contains planted near-dups; LSH must surface them")
+    assert(pairs.forall(_.getAs[Double]("jaccard") >= 0.5))
+  }
+
+  test("minhash candidates contain every exact-duplicate text pair (recall on identity)") {
+    val exact = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val candidates = Dedup.minhashCandidates(docs)
+    assert(exact.exceptAll(candidates).count() === 0)
+  }
+
+  test("simhash collides only for near-identical token sets (high jaccard)") {
+    val dups = Dedup.simhashDups(docs)
+    assert(dups.count() > 0, "planted dups must collide")
+    // simhash is deliberately lossy: colliding docs should be near-identical
+    // in token-set space, not necessarily byte-identical.
+    val sets = docs.select(col("doc_id"), Dedup.shingles(col("text"), 1).as("sh"))
+    val exploded = dups.select(explode(col("doc_ids")).as("doc_id"), col("simhash"))
+      .join(sets, "doc_id")
+    val pairs = exploded.as("a").join(exploded.as("b"),
+        col("a.simhash") === col("b.simhash") && col("a.doc_id") < col("b.doc_id"))
+      .select(Dedup.jaccard(col("a.sh"), col("b.sh")).as("j"))
+    assert(pairs.filter(col("j") < 0.8).count() === 0)
+  }
+
+  test("cosine: self-similarity is 1, topK is ordered and bounded") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val self = emb.limit(5)
+      .select(Similarity.cosine(col("embedding"), col("embedding")).as("c"))
+      .collect().map(_.getDouble(0))
+    self.foreach(c => assert(math.abs(c - 1.0) < 1e-9))
+    val top = Similarity.topK(emb, 0L, 10).collect()
+    assert(top.length === 10)
+    val cosines = top.map(_.getAs[Double]("cosine"))
+    assert(cosines.zip(cosines.tail).forall { case (a, b) => a >= b }, "descending")
+    assert(cosines.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
+  }
+
+  test("language id is deterministic and total") {
+    val out = docs.select(TextStats.langId(col("text")).as("p"))
+    assert(out.filter(col("p").isNull).count() === 0)
+  }
+
+  test("quality scores live in [0,1]") {
+    val q = TextStats.docQuality(docs)
+    assert(q.filter(col("quality_score") < 0 || col("quality_score") > 1).count() === 0)
+    assert(q.filter(col("unique_token_ratio") <= 0 || col("unique_token_ratio") > 1).count() === 0)
+  }
+
+  test("DQ score components and overall are in [0,1]; clean data scores >= 0.85") {
+    val t = Tables.trades(spark, sf0001)
+    val row = DqScore.compute(
+      graft.features.Ohlc.compute(t), t.agg(max(col("time")).as("mx"))).collect()(0)
+    Seq("completeness", "consistency", "accuracy", "timeliness", "overall").foreach { c =>
+      val v = row.getAs[Double](c)
+      assert(v >= 0.0 && v <= 1.0, s"$c=$v")
+    }
+    // the reference's alerting threshold on clean data
+    assert(row.getAs[Double]("overall") >= 0.85)
+  }
+
+  test("KS test: identical distributions give d == 0; disjoint give d == 1") {
+    import spark.implicits._
+    // decade blocks alternate groups so every value hits both groups equally
+    val same = Seq.tabulate(100)(i => (i % 10 * 1.0, if ((i / 10) % 2 == 0) "a" else "b"))
+      .toDF("value", "event_type")
+    val d0 = KsTest.dStatistic(same, "value", "event_type", "a", "b")
+      .collect()(0).getAs[Double]("d_statistic")
+    assert(d0 === 0.0)
+    val disjoint = (Seq.tabulate(50)(i => (i * 1.0, "a")) ++
+      Seq.tabulate(50)(i => (1000.0 + i, "b"))).toDF("value", "event_type")
+    val d1 = KsTest.dStatistic(disjoint, "value", "event_type", "a", "b")
+      .collect()(0)
+    assert(d1.getAs[Double]("d_statistic") === 1.0)
+    assert(d1.getAs[Boolean]("shifted"))
+  }
+
+  test("RLS: tenants see disjoint, covering symbol sets") {
+    val t = Tables.trades(spark, sf0001)
+    val counts = (0L to 2L).map(ten =>
+      graft.operators.Rls.withTenant(t, ten).count())
+    assert(counts.sum === t.count())
+  }
+}

@@ -1,0 +1,84 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.asof.{AsOfJoin, PitSnapshot}
+import graft.core.Tables
+import org.apache.spark.sql.functions._
+
+/** PIT correctness — the reference's central invariant suite
+  * (`tests/test_pit_correctness.py:38-79`, `test_feast_pit_correctness.py`).
+  */
+class PitSpec extends SparkTestBase {
+
+  private def trades = Tables.trades(spark, sf0001)
+
+  test("no future leakage: snapshot equals snapshot over pre-truncated data") {
+    val asOf = Timestamp.valueOf("2024-01-15 00:00:00")
+    val full = PitSnapshot.snapshot(spark, trades, "3", asOf).collect()(0)
+    // An engine that leaks future rows would differ when the future is
+    // physically removed:
+    val truncated = PitSnapshot.snapshot(
+      spark, trades.filter(col("time") <= lit(asOf)), "3", asOf).collect()(0)
+    assert(full === truncated)
+  }
+
+  test("determinism: same query twice gives identical records") {
+    val asOf = Timestamp.valueOf("2024-01-20 00:00:00")
+    val a = PitSnapshot.snapshot(spark, trades, "5", asOf).collect()(0)
+    val b = PitSnapshot.snapshot(spark, trades, "5", asOf).collect()(0)
+    assert(a === b)
+  }
+
+  test("future as_of is rejected") {
+    val now = Timestamp.valueOf("2024-01-30 00:00:00")
+    assert(PitSnapshot.validateAsOf(Timestamp.valueOf("2024-02-01 00:00:00"), now).isLeft)
+    assert(PitSnapshot.validateAsOf(Timestamp.valueOf("2024-01-29 00:00:00"), now).isRight)
+  }
+
+  test("as-of join: exact-time feature rows are visible (<= semantics), later ones are not") {
+    import spark.implicits._
+    val feature = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("A", Timestamp.valueOf("2024-01-01 11:00:00"), 2.0),
+      ("A", Timestamp.valueOf("2024-01-01 12:00:00"), 3.0))
+      .toDF("symbol", "time", "v")
+    val entity = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 09:00:00")), // before any feature
+      ("A", Timestamp.valueOf("2024-01-01 11:00:00")), // exactly at #2
+      ("A", Timestamp.valueOf("2024-01-01 11:30:00"))) // between #2 and #3
+      .toDF("symbol", "ts")
+    val out = AsOfJoin.backward(entity, feature, Seq("symbol"), "ts", "time")
+      .orderBy("ts").select("v").collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) === 2.0)
+    assert(out(2).getDouble(0) === 2.0)
+  }
+
+  test("as-of join TTL: matches older than the TTL are nulled") {
+    import spark.implicits._
+    val feature = Seq(("A", Timestamp.valueOf("2024-01-01 00:00:00"), 1.0))
+      .toDF("symbol", "time", "v")
+    val entity = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 00:30:00")), // 30 min later: in TTL
+      ("A", Timestamp.valueOf("2024-01-01 02:30:00"))) // 2.5 h later: out
+      .toDF("symbol", "ts")
+    val out = AsOfJoin.backward(
+      entity, feature, Seq("symbol"), "ts", "time", ttlSeconds = Some(3600))
+      .orderBy("ts").select("v").collect()
+    assert(out(0).getDouble(0) === 1.0)
+    assert(out(1).isNullAt(0))
+  }
+
+  test("historical features sweep produces a value for every in-range entity row") {
+    val t = trades
+    val entities = t.select("symbol").distinct().limit(3)
+      .crossJoin(spark.range(5).select(
+        expr("timestampadd(DAY, CAST(id AS INT), TIMESTAMP'2024-01-10 00:00:00')")
+          .as("event_timestamp")))
+    val out = graft.asof.HistoricalFeatures.retrieve(entities, t)
+    assert(out.count() === entities.count())
+    // every row must have an OHLC close within the 7-day TTL (data is dense)
+    assert(out.filter(col("ohlc_close").isNull).count() === 0)
+  }
+}

@@ -1,0 +1,101 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.core.Tables
+import graft.features.{LargeTrades, Ohlc}
+import graft.streaming.{Cep, StreamingFeatures}
+import org.apache.spark.sql.functions._
+
+/** Streaming/batch equivalence + exactly-once semantics (reference:
+  * `tests/test_chaos_flink_exactly_once.py:44-226`, streaming topology
+  * `spark/streaming_feature_updates.py:96-177`).
+  */
+class StreamingSpec extends SparkTestBase {
+
+  test("streaming OHLC equals batch OHLC on the same input") {
+    val streamed = StreamingFeatures.streamingOhlcOnce(spark, s"$sf0001/events.parquet")
+    val batch = Ohlc.compute(Tables.trades(spark, sf0001))
+    assert(streamed.count() === batch.count())
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
+  test("exactly-once: replayed input leaves the merged table unchanged") {
+    val out = Files.createTempDirectory("graft_eo_").toString + "/t"
+    val merged = StreamingFeatures.exactlyOnceIngest(spark, s"$sf0001/events.parquet", out)
+    val expected = Tables.trades(spark, sf0001)
+    // exactlyOnceIngest already replays the full input once after the
+    // streaming pass — N input rows, 2N deliveries, N rows out.
+    assert(merged.count() === expected.count())
+    assert(merged.select("trade_id").distinct().count() === expected.count())
+    // A third delivery (another replay) must also be a no-op.
+    StreamingFeatures.mergeIntoKeyed(spark, out, expected)
+    assert(spark.read.parquet(out).count() === expected.count())
+  }
+
+  test("stateful CEP large-trade detector equals the declarative range-window form") {
+    val t = Tables.trades(spark, sf0001)
+    val window = 7L * 24 * 3600 * 1000000L
+    val larges = LargeTrades.compute(t)
+    val stateful = Cep.LargeTradeDetector.detect(larges, window)
+      .select(col("time"), col("symbol"), col("large_trades_5m"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy(unix_micros(col("time")))
+      .rangeBetween(-window, 0)
+    val declarative = larges
+      .withColumn("large_trades_5m", count(lit(1)).over(w))
+      .filter(col("large_trades_5m") >= 3)
+      .select("time", "symbol", "large_trades_5m")
+    assert(stateful.exceptAll(declarative).count() === 0)
+    assert(declarative.exceptAll(stateful).count() === 0)
+  }
+
+  test("CEP detector fires on an injected burst of large trades") {
+    import spark.implicits._
+    // 50 normal trades + 3 large ones within 2 minutes (the reference's
+    // injected x15-volume pattern, scripts/generate_test_data.py:70-99); the
+    // burst must stay under 5% of rows so the dynamic Q95 sits below it.
+    val base = rampTrades(50)
+    val burst = spark.range(3).select(
+      expr("timestamp_micros(CAST(1704067200000000 + 600000000 + id * 30000000 AS BIGINT))").as("time"),
+      lit("RAMP").as("symbol"),
+      lit(200.0).as("price"),
+      lit(1500.0).as("volume"),
+      concat(lit("L"), col("id")).as("trade_id"),
+      lit("buy").as("side"),
+      lit(199.0).as("bid"),
+      lit(201.0).as("ask"))
+    val larges = LargeTrades.compute(base.unionByName(burst))
+    val anomalies = Cep.LargeTradeDetector.detect(larges, 300L * 1000000L).collect()
+    assert(anomalies.length === 1)
+    assert(anomalies.head.large_trades_5m === 3)
+  }
+
+  test("spread EMA monitor matches the batch fold") {
+    val t = Tables.trades(spark, sf0001)
+    val monitored = Cep.SpreadEmaMonitor.monitor(t)
+      .select("symbol", "normal_spread").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val batch = t.filter(col("bid").isNotNull && col("ask").isNotNull)
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(struct(col("time"), (col("ask") - col("bid")).as("s")))).as("ts"))
+      .select(col("symbol"),
+        graft.functions.Quantize.r(
+          aggregate(expr("slice(transform(ts, x -> x.s), 2, size(ts) - 1)"),
+            expr("element_at(transform(ts, x -> x.s), 1)"),
+            (acc, x) => lit(0.9) * acc + lit(0.1) * x), 6).as("ema"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(monitored.keySet === batch.keySet)
+    monitored.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-9, k) }
+  }
+
+  test("DLQ split partitions rows exactly and violations carry rule names") {
+    val (clean, dlq) = graft.sources.Ingest.dlqSplit(Tables.trades(spark, sf0001))
+    val total = Tables.trades(spark, sf0001).count()
+    assert(clean.count() + dlq.count() === total)
+    assert(dlq.filter(size(col("violations")) === 0).count() === 0)
+    // spread_bounded violations exist in this corpus by construction
+    assert(dlq.filter(array_contains(col("violations"), "spread_bounded")).count() > 0)
+  }
+}
