@@ -48,10 +48,22 @@ object Dedup {
   /** MinHash signature column: for each of `numHashes` seeded hash functions,
     * the min of xxhash64(shingle, seed_i) over the document's shingle set.
     * Deterministic (seeded), no UDF — array HOFs only.
+    *
+    * Shaped as ONE aggregate pass over the shingle array (running
+    * element-wise min of the per-shingle hash vector): the naive
+    * transform-per-seed form embeds the shingle-construction subtree into
+    * every seed's lambda (Catalyst does not CSE through higher-order
+    * functions), recomputing shingles `numHashes`× per row — measured 30×
+    * slower at sf0.1.
     */
   def minhashSignature(sh: C, numHashes: Int): C =
-    transform(sequence(lit(0), lit(numHashes - 1)),
-      i => array_min(transform(sh, s => xxhash64(s, i))))
+    aggregate(
+      sh,
+      array_repeat(lit(Long.MaxValue), numHashes),
+      (acc, s) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
+        (a, b) => least(a, b)))
 
   /** LSH candidate pairs: band the signature, equi-join on (band, key). */
   def minhashCandidates(
@@ -60,8 +72,12 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rows = numHashes / bands
+    // Shingle-less docs (< n tokens) would share the identity signature and
+    // collide into one giant bucket — drop them before banding.
     val sig = documents
-      .select(col("doc_id"), minhashSignature(shingles(col("text"), shingleN), numHashes).as("sig"))
+      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
     val banded = sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
@@ -77,7 +93,7 @@ object Dedup {
   /** Exact n-gram Jaccard between two shingle-set columns. */
   def jaccard(a: C, b: C): C = {
     val inter = size(array_intersect(a, b)).cast("double")
-    inter / (size(a) + size(b) - size(array_intersect(a, b))).cast("double")
+    inter / nullif((size(a) + size(b) - size(array_intersect(a, b))).cast("double"), lit(0.0))
   }
 
   /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify ≥ threshold. */
@@ -92,19 +108,25 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes. O(64·|tokens|) column ops per doc — fine, still scan-parallel.
+    * hashes. Single aggregate pass accumulating the 64 bit-counts (same
+    * no-recompute-through-lambdas discipline as [[minhashSignature]]).
     */
   def simhash(text: C): C = {
     val hashes = transform(split(text, " "), t => xxhash64(t))
+    val bitCounts = aggregate(
+      hashes,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(
+        acc,
+        transform(sequence(lit(0), lit(63)),
+          j => call_function("shiftright", h, j.cast("int")).bitwiseAND(1L)),
+        (a, b) => a + b))
+    val nTokens = size(split(text, " "))
     aggregate(
-      sequence(lit(0), lit(63)),
-      lit(0L),
-      (acc, j) => {
-        val ones = size(filter(hashes,
-          h => call_function("shiftright", h, j.cast("int")).bitwiseAND(1L) === 1L))
-        acc + when(ones * 2 >= size(hashes),
-          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)
-      })
+      zip_with(bitCounts, sequence(lit(0), lit(63)),
+        (c, j) => when(c * 2 >= nTokens,
+          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+      lit(0L), (acc, x) => acc + x)
   }
 
   /** SimHash-exact dup groups (identical token multisets collide). */

@@ -27,7 +27,7 @@ object Similarity {
       lit(0.0), (acc, x) => acc + x)
 
   def cosine(a: C, b: C): C =
-    dot(a, b) / (sqrt(dot(a, a)) * sqrt(dot(b, b)))
+    dot(a, b) / nullif(sqrt(dot(a, a)) * sqrt(dot(b, b)), lit(0.0))
 
   /** Brute-force cosine top-k of `embeddings(vec_id, embedding, ...)` against
     * the embedding of `queryVecId`.

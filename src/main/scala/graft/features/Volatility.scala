@@ -21,8 +21,12 @@ object Volatility {
 
   def compute(trades: DataFrame, bucket: String = "1 hour"): DataFrame = {
     val w = Window.partitionBy("symbol").orderBy("time")
+    // nullif guards: a zero price (halted/bad tick) yields a NULL log-return
+    // instead of an ANSI division error / ln(0) — matching SQL NULL
+    // propagation in the oracle.
     trades
-      .withColumn("log_return", log(col("price") / lag(col("price"), 1).over(w)))
+      .withColumn("log_return",
+        log(nullif(col("price"), lit(0.0)) / nullif(lag(col("price"), 1).over(w), lit(0.0))))
       .groupBy(window(col("time"), bucket), col("symbol"))
       .agg(
         Quantize.r(stddev_samp(col("log_return")), 6).as("volatility_1h"),

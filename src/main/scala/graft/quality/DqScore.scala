@@ -35,7 +35,7 @@ object DqScore {
           (count(when(col("high") < col("low") || col("low") > col("close"), 1)).cast("double") /
             count(lit(1)).cast("double"))).as("consistency"),
         (lit(1.0) -
-          count(when(abs((col("close") - col("mu")) / col("sigma")) > 3, 1)).cast("double") /
+          count(when(abs((col("close") - col("mu")) / nullif(col("sigma"), lit(0.0))) > 3, 1)).cast("double") /
             count(lit(1)).cast("double")).as("accuracy"),
         when(unix_micros(max(col("mx"))) - unix_micros(max(col("bucket"))) <= 60L * 1000000L, 1.0)
           .when(unix_micros(max(col("mx"))) - unix_micros(max(col("bucket"))) <= 300L * 1000000L, 0.8)

@@ -14,10 +14,22 @@ object ExtQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** CPU-heavy per-row stages (shingling, hashing, folds) need real
+    * parallelism; the local corpus is one parquet split, so fan it out to the
+    * cores first. On a production cluster the input arrives pre-split, but an
+    * explicit repartition before a CPU-bound stage is the correct shape
+    * either way (cost: one shuffle of the raw rows).
+    */
+  private def docsPar(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).repartition(s.sparkContext.defaultParallelism)
+
+  private def embPar(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).repartition(s.sparkContext.defaultParallelism)
+
   val queries: Map[String, Q] = Map(
     "q_text_stats" -> ((s, d) => TextStats.corpusStats(Tables.documents(s, d))),
 
-    "q_text_quality" -> ((s, d) => TextStats.docQuality(Tables.documents(s, d))),
+    "q_text_quality" -> ((s, d) => TextStats.docQuality(docsPar(s, d))),
 
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
@@ -38,21 +50,21 @@ object ExtQueries {
 
     // Deterministic (seeded xxhash64) but not DuckDB-expressible: rows check.
     "q_minhash_pairs" -> ((s, d) =>
-      Dedup.nearDups(Tables.documents(s, d), threshold = 0.5)
+      Dedup.nearDups(docsPar(s, d), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
     "q_simhash_dups" -> ((s, d) =>
-      Dedup.simhashDups(Tables.documents(s, d))
+      Dedup.simhashDups(docsPar(s, d))
         .select(col("simhash"), col("n_docs"),
           to_json(col("doc_ids")).as("doc_ids"))),
 
-    "q_cosine_topk" -> ((s, d) => Similarity.topK(Tables.embeddings(s, d), 0L, 20)),
+    "q_cosine_topk" -> ((s, d) => Similarity.topK(embPar(s, d), 0L, 20)),
 
     // LSH-bucketed near-dup pairs (rows check — seeded hyperplanes). 8
     // planes / threshold 0.3 tuned to the synthetic corpus (max pairwise
     // cosine ~0.48) so the check is non-vacuous.
     "q_embed_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(Tables.embeddings(s, d), planes = 8, threshold = 0.3)
+      Similarity.nearDupPairs(embPar(s, d), planes = 8, threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
 
     "q_multimodal_meta" -> ((s, d) =>
@@ -114,7 +126,7 @@ object ExtQueries {
       |q AS (SELECT sh AS qsh FROM s WHERE doc_id = 0)
       |SELECT doc_id,
       |       floor((CAST(len(list_filter(sh, x -> list_contains(qsh, x))) AS DOUBLE) /
-      |              CAST(len(sh) + len(qsh) - len(list_filter(sh, x -> list_contains(qsh, x))) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS jaccard
+      |              nullif(CAST(len(sh) + len(qsh) - len(list_filter(sh, x -> list_contains(qsh, x))) AS DOUBLE), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS jaccard
       |FROM s, q WHERE doc_id <> 0""".stripMargin,
 
     "q_cosine_topk" ->
@@ -125,7 +137,7 @@ object ExtQueries {
         |        list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b) AS na,
         |        list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (a, b) -> a + b) AS nb
         |      FROM e, q WHERE vec_id <> 0)
-        |SELECT vec_id, floor((dp / (sqrt(na) * sqrt(nb))) * 1e6 + 0.5) / 1e6 AS cosine
+        |SELECT vec_id, floor((dp / nullif(sqrt(na) * sqrt(nb), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS cosine
         |FROM c ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
 
     "q_multimodal_meta" ->

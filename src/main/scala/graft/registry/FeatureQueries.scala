@@ -129,7 +129,7 @@ object FeatureQueries {
         .agg(max_by(col("price"), col("time")).as("close"))
       val w = Window.partitionBy("symbol").orderBy("day")
       daily
-        .withColumn("ret", col("close") / lag(col("close"), 1).over(w) - 1.0)
+        .withColumn("ret", col("close") / nullif(lag(col("close"), 1).over(w), lit(0.0)) - 1.0)
         .groupBy("symbol")
         .agg(Quantize.r(avg(col("ret")) / stddev_samp(col("ret")) * sqrt(lit(252.0)), 6)
           .as("sharpe"), count(col("ret")).as("n_returns"))
@@ -188,7 +188,7 @@ object FeatureQueries {
         |       count(log_return) AS sample_count
         |FROM (
         |  SELECT time, symbol,
-        |         ln(price / lag(price, 1) OVER (PARTITION BY symbol ORDER BY time)) AS log_return
+        |         ln(nullif(price, CAST(0 AS DOUBLE)) / nullif(lag(price, 1) OVER (PARTITION BY symbol ORDER BY time), CAST(0 AS DOUBLE))) AS log_return
         |  FROM trades)
         |GROUP BY 1, 2""".stripMargin),
 
@@ -321,7 +321,7 @@ object FeatureQueries {
         |       floor((avg(ret) / stddev_samp(ret) * sqrt(CAST(252 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS sharpe,
         |       count(ret) AS n_returns
         |FROM (
-        |  SELECT symbol, close / lag(close, 1) OVER (PARTITION BY symbol ORDER BY day) - CAST(1 AS DOUBLE) AS ret
+        |  SELECT symbol, close / nullif(lag(close, 1) OVER (PARTITION BY symbol ORDER BY day), CAST(0 AS DOUBLE)) - CAST(1 AS DOUBLE) AS ret
         |  FROM (
         |    SELECT symbol, date_trunc('day', time) AS day, arg_max(price, time) AS close
         |    FROM trades GROUP BY 1, 2))
@@ -347,7 +347,7 @@ object FeatureQueries {
        |vol AS (SELECT arg_max(v, bucket) AS volatility_1h FROM (
        |          SELECT time_bucket(INTERVAL '1 hour', time) AS bucket,
        |                 floor((stddev_samp(lr)) * 1e6 + 0.5) / 1e6 AS v
-       |          FROM (SELECT time, ln(price / lag(price, 1) OVER (ORDER BY time)) AS lr FROM base)
+       |          FROM (SELECT time, ln(nullif(price, CAST(0 AS DOUBLE)) / nullif(lag(price, 1) OVER (ORDER BY time), CAST(0 AS DOUBLE))) AS lr FROM base)
        |          GROUP BY 1)),
        |vwap AS (SELECT arg_max(v, bucket) AS vwap_5m FROM (
        |           SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket,

@@ -36,7 +36,7 @@ object QualityQueries {
       li.join(broadcast(stats), "l_returnflag")
         .groupBy("l_returnflag")
         .agg(
-          count(when(abs((col("l_extendedprice") - col("mu")) / col("sigma")) > 3, 1))
+          count(when(abs((col("l_extendedprice") - col("mu")) / nullif(col("sigma"), lit(0.0))) > 3, 1))
             .as("n_outliers"),
           count(lit(1)).as("n"))
     }),
@@ -83,7 +83,7 @@ object QualityQueries {
       |      count(CASE WHEN low IS NULL THEN 1 END) + count(CASE WHEN close IS NULL THEN 1 END) +
       |      count(CASE WHEN volume IS NULL THEN 1 END)) / CAST(count(*) * 5 AS DOUBLE) AS completeness,
       |    CAST(1 AS DOUBLE) - CAST(count(CASE WHEN high < low OR low > close THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS consistency,
-      |    CAST(1 AS DOUBLE) - CAST(count(CASE WHEN abs((close - mu) / sigma) > 3 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy,
+      |    CAST(1 AS DOUBLE) - CAST(count(CASE WHEN abs((close - mu) / nullif(sigma, CAST(0 AS DOUBLE))) > 3 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy,
       |    CASE WHEN epoch_us(max(mx)) - epoch_us(max(bucket)) <= 60000000 THEN CAST(1.0 AS DOUBLE)
       |         WHEN epoch_us(max(mx)) - epoch_us(max(bucket)) <= 300000000 THEN CAST(0.8 AS DOUBLE)
       |         ELSE CAST(0.5 AS DOUBLE) END AS timeliness
@@ -118,7 +118,7 @@ object QualityQueries {
 
     "q_zscore_outliers" ->
       """SELECT l.l_returnflag,
-        |       count(CASE WHEN abs((l_extendedprice - mu) / sigma) > 3 THEN 1 END) AS n_outliers,
+        |       count(CASE WHEN abs((l_extendedprice - mu) / nullif(sigma, CAST(0 AS DOUBLE))) > 3 THEN 1 END) AS n_outliers,
         |       count(*) AS n
         |FROM lineitem l
         |JOIN (SELECT l_returnflag, avg(l_extendedprice) AS mu,
