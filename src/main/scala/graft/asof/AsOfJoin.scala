@@ -84,4 +84,74 @@ object AsOfJoin {
         Seq(when(ttlOk, col("__m.__rt")).as(s"${rightPrefix}matched_$rightTime")) ++
         valueCols.map(c => when(ttlOk, col(s"__m.$c")).as(s"$rightPrefix$c")): _*)
   }
+
+  /** One right-side feature view for [[backwardMulti]]. */
+  final case class FeatureView(
+      df: DataFrame,
+      timeCol: String,
+      prefix: String,
+      ttlSeconds: Option[Long] = None)
+
+  /** Multi-view backward as-of join in ONE shuffle: all feature views and
+    * the entity frame union into a single key-partitioned, time-sorted pass;
+    * each view contributes its own payload column and its own
+    * `last(ignoreNulls)` carry-forward — Spark evaluates all of them inside
+    * one WindowExec (same partition/order spec), so N feature views cost the
+    * same single sort-shuffle as one. This is the scale-critical form of the
+    * Feast historical-features retrieval (N views × M entities on 100 TB:
+    * shuffle volume |entities| + Σ|views|, once).
+    */
+  def backwardMulti(
+      left: DataFrame,
+      views: Seq[FeatureView],
+      keys: Seq[String],
+      leftTime: String): DataFrame = {
+
+    val leftCols = left.columns.toSeq
+    val lrowType = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
+
+    val viewMeta = views.zipWithIndex.map { case (v, i) =>
+      val valueCols = v.df.columns.filterNot(c => keys.contains(c) || c == v.timeCol).toSeq
+      val payload = struct(col(v.timeCol).as("__rt") +: valueCols.map(col): _*)
+      val pType = v.df.select(payload).schema.head.dataType
+      (v, i, valueCols, payload, pType)
+    }
+
+    def nullPayloads(except: Int): Seq[Column] =
+      viewMeta.map { case (_, j, _, p, t) =>
+        (if (j == except) p else lit(null).cast(t)).as(s"__p$j")
+      }
+
+    val taggedViews = viewMeta.map { case (v, i, _, _, _) =>
+      v.df.select(
+        keys.map(col) ++ Seq(col(v.timeCol).as("__t"), lit(0).as("__tag")) ++
+          nullPayloads(except = i) :+ lit(null).cast(lrowType).as("__lrow"): _*)
+    }
+    val taggedLeft = left.select(
+      keys.map(col) ++ Seq(col(leftTime).as("__t"), lit(1).as("__tag")) ++
+        nullPayloads(except = -1) :+ struct(leftCols.map(col): _*).as("__lrow"): _*)
+
+    val unioned = (taggedViews :+ taggedLeft).reduce(_ unionByName _)
+
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+
+    val withMatches = viewMeta.foldLeft(unioned) { case (df, (_, i, _, _, _)) =>
+      df.withColumn(s"__m$i", last(col(s"__p$i"), ignoreNulls = true).over(w))
+    }.filter(col("__tag") === 1)
+
+    val outCols = leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+      viewMeta.flatMap { case (v, i, valueCols, _, _) =>
+        val m = col(s"__m$i")
+        val ttlOk: Column = v.ttlSeconds match {
+          case Some(s) => m.isNotNull &&
+            unix_micros(col("__t")) - unix_micros(m.getField("__rt")) <= s * 1000000L
+          case None => m.isNotNull
+        }
+        when(ttlOk, m.getField("__rt")).as(s"${v.prefix}matched_${v.timeCol}") +:
+          valueCols.map(c => when(ttlOk, m.getField(c)).as(s"${v.prefix}$c"))
+      }
+    withMatches.select(outCols: _*)
+  }
 }

@@ -23,25 +23,26 @@ import org.apache.spark.sql.DataFrame
   */
 object HistoricalFeatures {
 
-  /** Attach OHLC close, SMA-20 and 5-min VWAP to an entity frame. */
+  /** Attach OHLC close, SMA-20 and 5-min VWAP to an entity frame — all three
+    * feature views resolved in ONE shuffle via [[AsOfJoin.backwardMulti]].
+    */
   def retrieve(
       entities: DataFrame,
       trades: DataFrame,
       entityTime: String = "event_timestamp",
       ttlSeconds: Option[Long] = Some(7L * 24 * 3600)): DataFrame = {
 
-    val ohlcBars = Ohlc.compute(trades)
-      .select("bucket", "symbol", "close")
-    val smaRows = Sma.compute(trades)
-      .select("time", "symbol", "sma_20")
-    val vwapBars = Vwap.compute(trades)
-      .select("bucket", "symbol", "vwap_5m")
+    val views = Seq(
+      AsOfJoin.FeatureView(
+        Ohlc.compute(trades).select("bucket", "symbol", "close"),
+        "bucket", "ohlc_", ttlSeconds),
+      AsOfJoin.FeatureView(
+        Sma.compute(trades).select("time", "symbol", "sma_20"),
+        "time", "sma_", ttlSeconds),
+      AsOfJoin.FeatureView(
+        Vwap.compute(trades).select("bucket", "symbol", "vwap_5m"),
+        "bucket", "vwap_", ttlSeconds))
 
-    val withClose = AsOfJoin.backward(
-      entities, ohlcBars, Seq("symbol"), entityTime, "bucket", ttlSeconds, "ohlc_")
-    val withSma = AsOfJoin.backward(
-      withClose, smaRows, Seq("symbol"), entityTime, "time", ttlSeconds, "sma_")
-    AsOfJoin.backward(
-      withSma, vwapBars, Seq("symbol"), entityTime, "bucket", ttlSeconds, "vwap_")
+    AsOfJoin.backwardMulti(entities, views, Seq("symbol"), entityTime)
   }
 }

@@ -151,7 +151,49 @@ object CoreQueries {
         .groupBy("l_orderkey").agg(Quantize.r(sum(col("l_quantity")), 6).as("qty_b"))
       a.join(b, "l_orderkey")
         .filter(col("qty_a") =!= col("qty_b"))
-    }))
+    }),
+
+    // lead window fn: next-day forward return per customer's order sequence.
+    "q_lead_returns" -> ((s, d) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+      Tables.orders(s, d).select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        graft.functions.Quantize.r(
+          lead(col("o_totalprice"), 1).over(w) / nullif(col("o_totalprice"), lit(0.0)) - 1.0,
+          6).as("next_order_ratio"))
+    }),
+
+    // INTERSECT / EXCEPT (set semantics — beyond the reference surface).
+    "q_set_ops" -> ((s, d) => {
+      val o = Tables.orders(s, d)
+      def buyers(y: Int) = o
+        .filter(col("o_orderdate") >= lit(s"$y-01-01").cast("timestamp") &&
+          col("o_orderdate") < lit(s"${y + 1}-01-01").cast("timestamp"))
+        .select("o_custkey")
+      buyers(1995).intersect(buyers(1996))
+        .select(lit("both_years").as("cohort"), col("o_custkey"))
+        .unionAll(buyers(1995).except(buyers(1996))
+          .select(lit("only_1995").as("cohort"), col("o_custkey")))
+    }),
+
+    // Exact multi-quantile latency stats (p50/p95/p99) — the benchmark
+    // percentile reporting shape (scripts/benchmark_performance.py:38-47).
+    "q_latency_percentiles" -> ((s, d) =>
+      Tables.events(s, d)
+        .groupBy("event_type")
+        .agg(
+          graft.functions.Quantize.r(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          graft.functions.Quantize.r(percentile(col("value"), lit(0.95)), 6).as("p95"),
+          graft.functions.Quantize.r(percentile(col("value"), lit(0.99)), 6).as("p99"),
+          count(lit(1)).as("n"))),
+
+    // Sketch-based approximations (the 100-TB default for distinct/quantile;
+    // engine-specific sketches have no cross-engine oracle -> rows check).
+    "q_approx_stats" -> ((s, d) =>
+      Tables.events(s, d).agg(
+        approx_count_distinct(col("user_id")).as("approx_users"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95"),
+        count(lit(1)).as("n"))))
 
   val oracles: Map[String, String] = Map(
     "q_pricing_summary" ->
@@ -250,5 +292,30 @@ object CoreQueries {
         |JOIN
         |  (SELECT l_orderkey, floor((sum(l_quantity)) * 1e6 + 0.5) / 1e6 AS qty_b FROM lineitem GROUP BY 1) b
         |ON a.l_orderkey = b.l_orderkey
-        |WHERE qty_a <> qty_b""".stripMargin)
+        |WHERE qty_a <> qty_b""".stripMargin,
+
+    "q_lead_returns" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |       floor((lead(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |              / nullif(o_totalprice, CAST(0 AS DOUBLE)) - CAST(1 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS next_order_ratio
+        |FROM orders""".stripMargin,
+
+    "q_set_ops" ->
+      """SELECT 'both_years' AS cohort, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  INTERSECT
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')
+        |UNION ALL
+        |SELECT 'only_1995' AS cohort, o_custkey FROM (
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1995-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1996-01-01 00:00:00'
+        |  EXCEPT
+        |  SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00' AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00')""".stripMargin,
+
+    "q_latency_percentiles" ->
+      """SELECT event_type,
+        |       floor((quantile_cont(value, 0.5)) * 1e6 + 0.5) / 1e6 AS p50,
+        |       floor((quantile_cont(value, 0.95)) * 1e6 + 0.5) / 1e6 AS p95,
+        |       floor((quantile_cont(value, 0.99)) * 1e6 + 0.5) / 1e6 AS p99,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type""".stripMargin)
 }

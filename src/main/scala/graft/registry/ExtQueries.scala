@@ -60,6 +60,20 @@ object ExtQueries {
 
     "q_cosine_topk" -> ((s, d) => Similarity.topK(embPar(s, d), 0L, 20)),
 
+    // Same top-k through the native codegen'd Catalyst expression — must be
+    // bit-identical to the HOF form (shared oracle proves it).
+    "q_cosine_topk_native" -> ((s, d) => {
+      graft.plans.CosineSimilarity.register(s)
+      val emb = embPar(s, d)
+      val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("q_embedding"))
+      emb.filter(col("vec_id") =!= 0L)
+        .crossJoin(broadcast(q))
+        .select(col("vec_id"),
+          graft.functions.Quantize.r(expr("cosine_sim(CAST(embedding AS ARRAY<DOUBLE>), CAST(q_embedding AS ARRAY<DOUBLE>))"), 6).as("cosine"))
+        .orderBy(col("cosine").desc, col("vec_id"))
+        .limit(20)
+    }),
+
     // LSH-bucketed near-dup pairs (rows check — seeded hyperplanes). 8
     // planes / threshold 0.3 tuned to the synthetic corpus (max pairwise
     // cosine ~0.48) so the check is non-vacuous.
@@ -130,6 +144,17 @@ object ExtQueries {
       |FROM s, q WHERE doc_id <> 0""".stripMargin,
 
     "q_cosine_topk" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c AS (SELECT vec_id,
+        |        list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * qv[i]), (a, b) -> a + b) AS dp,
+        |        list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b) AS na,
+        |        list_reduce(list_transform(range(1, len(qv) + 1), i -> qv[i] * qv[i]), (a, b) -> a + b) AS nb
+        |      FROM e, q WHERE vec_id <> 0)
+        |SELECT vec_id, floor((dp / nullif(sqrt(na) * sqrt(nb), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS cosine
+        |FROM c ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_cosine_topk_native" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
         |c AS (SELECT vec_id,

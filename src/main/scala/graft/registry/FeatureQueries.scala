@@ -133,7 +133,26 @@ object FeatureQueries {
         .groupBy("symbol")
         .agg(Quantize.r(avg(col("ret")) / stddev_samp(col("ret")) * sqrt(lit(252.0)), 6)
           .as("sharpe"), count(col("ret")).as("n_returns"))
-    }))
+    }),
+
+    // Sliding (overlapping) windows: 10-min VWAP sliding every 5 min — each
+    // trade lands in two windows.
+    "q_sliding_vwap" -> ((s, d) =>
+      trades(s, d)
+        .groupBy(window(col("time"), "10 minutes", "5 minutes"), col("symbol"))
+        .agg(sum(col("price") * col("volume")).as("pv"), sum(col("volume")).as("vol"))
+        .select(col("window.start").as("w_start"), col("symbol"),
+          Quantize.r(col("pv") / nullif(col("vol"), lit(0.0)), 6).as("vwap_10m"),
+          col("vol").as("total_volume"))),
+
+    // Session windows: trading bursts separated by >= 1 hour of silence.
+    "q_session_stats" -> ((s, d) =>
+      trades(s, d)
+        .groupBy(session_window(col("time"), "1 hour"), col("symbol"))
+        .agg(count(lit(1)).as("n_trades"), sum(col("volume")).as("session_volume"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("symbol"), col("n_trades"), col("session_volume"))))
 
   /** Deterministic entity frame: every symbol × 100 six-hourly timestamps —
     * the Feast 100-timestamp sweep shape (`test_feast_pit_correctness.py:115-151`).
@@ -315,6 +334,34 @@ object FeatureQueries {
         |      UNION ALL
         |      SELECT * FROM trades WHERE CAST(trade_id AS BIGINT) % 10 = 0)
         |GROUP BY trade_id HAVING count(*) > 1""".stripMargin),
+
+    "q_sliding_vwap" -> withTrades(
+      """SELECT w_start, symbol,
+        |       floor((pv / nullif(vol, CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS vwap_10m,
+        |       vol AS total_volume
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '10 minutes', time) AS w_start, symbol,
+        |         sum(price * volume) AS pv, sum(volume) AS vol
+        |  FROM trades GROUP BY 1, 2
+        |  UNION ALL
+        |  SELECT time_bucket(INTERVAL '10 minutes', time, TIMESTAMP '2000-01-01 00:05:00') AS w_start, symbol,
+        |         sum(price * volume) AS pv, sum(volume) AS vol
+        |  FROM trades GROUP BY 1, 2)""".stripMargin),
+
+    "q_session_stats" -> withTrades(
+      """SELECT min(time) AS session_start, max(time) + INTERVAL 1 HOUR AS session_end,
+        |       symbol, count(*) AS n_trades, sum(volume) AS session_volume
+        |FROM (
+        |  SELECT symbol, time, volume,
+        |         sum(brk) OVER (PARTITION BY symbol ORDER BY time
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM (
+        |    SELECT symbol, time, volume,
+        |           CASE WHEN lag(time) OVER (PARTITION BY symbol ORDER BY time) IS NULL
+        |                  OR time - lag(time) OVER (PARTITION BY symbol ORDER BY time) >= INTERVAL 1 HOUR
+        |                THEN 1 ELSE 0 END AS brk
+        |    FROM trades))
+        |GROUP BY symbol, grp""".stripMargin),
 
     "q_sharpe" -> withTrades(
       """SELECT symbol,

@@ -1,0 +1,87 @@
+package graft
+
+import graft.asof.AsOfJoin
+import graft.core.Tables
+import graft.plans.CosineSimilarity
+import graft.quality.Sla
+import org.apache.spark.sql.functions._
+
+/** Native-expression, SLA-validator and plan-shape checks. */
+class PlanSpec extends SparkTestBase {
+
+  test("native cosine_sim expression matches the HOF fold bit-for-bit") {
+    CosineSimilarity.register(spark)
+    val emb = Tables.embeddings(spark, sf0001).limit(200)
+    val q = emb.filter(col("vec_id") === 0L).select(col("embedding").as("qe"))
+    val joined = emb.crossJoin(broadcast(q))
+    val viaExpr = joined.select(col("vec_id"),
+      expr("cosine_sim(CAST(embedding AS ARRAY<DOUBLE>), CAST(qe AS ARRAY<DOUBLE>))").as("c"))
+    val viaHof = joined.select(col("vec_id"),
+      graft.ext.Similarity.cosine(col("embedding"), col("qe")).as("c"))
+    val diff = viaExpr.join(viaHof.withColumnRenamed("c", "c2"), "vec_id")
+      .agg(max(abs(col("c") - col("c2")))).collect()(0).getDouble(0)
+    assert(diff === 0.0)
+  }
+
+  test("cosine_sim rejects non-double-array inputs at analysis time") {
+    CosineSimilarity.register(spark)
+    val e = intercept[Exception] {
+      Tables.embeddings(spark, sf0001)
+        .select(expr("cosine_sim(vec_id, vec_id)")).collect()
+    }
+    assert(e.getMessage.toLowerCase.contains("cosine_sim") ||
+      e.getMessage.contains("DATATYPE_MISMATCH"))
+  }
+
+  test("backwardMulti resolves all views in a single window over one shuffle") {
+    val t = Tables.trades(spark, sf0001)
+    val entities = t.select("symbol").distinct()
+      .crossJoin(spark.range(3).select(
+        expr("timestampadd(DAY, CAST(id AS INT), TIMESTAMP'2024-01-10 00:00:00')")
+          .as("event_timestamp")))
+    val out = graft.asof.HistoricalFeatures.retrieve(entities, t)
+    val plan = out.queryExecution.executedPlan.toString
+    // all three carry-forward window functions must share ONE Window node:
+    // exactly one plan line mentions last(__p0), and that same line also
+    // carries last(__p1) and last(__p2)
+    val carryLines = plan.split("\n").filter(_.contains("last(__p0"))
+    assert(carryLines.length === 1, s"plan:\n$plan")
+    assert(carryLines.head.contains("last(__p1") && carryLines.head.contains("last(__p2"),
+      s"plan:\n$plan")
+  }
+
+  test("predicate pushdown: time filter reaches the parquet scan") {
+    val t = Tables.events(spark, sf0001).filter(col("event_id") > 500)
+      .select("event_id", "value")
+    val plan = t.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,500)]"),
+      s"plan:\n$plan")
+    assert(plan.contains("ReadSchema: struct<event_id:bigint,value:double>"), s"plan:\n$plan")
+  }
+
+  test("dimension joins in the star query are broadcast, not shuffled") {
+    val plan = registry.CoreQueries.queries("q_region_revenue")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
+  }
+
+  test("SLA violations: stale features flagged, fresh ones pass") {
+    import spark.implicits._
+    val ages = Seq(
+      ("ohlc_1m", 25L * 1000000L),          // fresh (sla 30 s)
+      ("vwap_5m", 45L * 1000000L),          // stale (sla 30 s)
+      ("sma_20", 60L * 1000000L))           // fresh (sla 120 s)
+      .toDF("feature", "age_micros")
+    val v = Sla.violations(ages).collect()
+    assert(v.map(_.getString(0)).toSeq === Seq("vwap_5m"))
+  }
+
+  test("Sla.validate returns Left on any stale feature, Right otherwise") {
+    val snap = core.FeatureSnapshot("7", java.sql.Timestamp.valueOf("2024-01-20 00:00:00"),
+      None, None, None, None, None, None, None, None, None, None, None, None, None, None)
+    assert(Sla.validate(snap, Map("ohlc_1m" -> 10L * 1000000L)).isRight)
+    val bad = Sla.validate(snap, Map("ohlc_1m" -> 31L * 1000000L))
+    assert(bad.isLeft)
+    assert(bad.left.toOption.get.feature === "ohlc_1m")
+  }
+}

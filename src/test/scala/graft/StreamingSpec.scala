@@ -90,6 +90,29 @@ class StreamingSpec extends SparkTestBase {
     monitored.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-9, k) }
   }
 
+  test("two coordinated streaming queries run concurrently on one session") {
+    // The reference's topology: raw-ingest query + windowed-agg query started
+    // together and awaited together (spark/streaming_feature_updates.py:147-177).
+    import org.apache.spark.sql.streaming.Trigger
+    val out = Files.createTempDirectory("graft_two_").toString
+    val src = graft.sources.StreamSources.tradeFileStream(spark, s"$sf0001/events.parquet")
+    val rawQ = src.writeStream
+      .format("parquet").option("path", s"$out/raw")
+      .option("checkpointLocation", s"$out/ckpt_raw")
+      .trigger(Trigger.AvailableNow()).start()
+    val barsQ = Ohlc.compute(
+      graft.sources.StreamSources.tradeFileStream(spark, s"$sf0001/events.parquet")
+        .withWatermark("time", "1 minute"))
+      .writeStream.format("memory").queryName("two_q_bars").outputMode("complete")
+      .option("checkpointLocation", s"$out/ckpt_bars")
+      .trigger(Trigger.AvailableNow()).start()
+    rawQ.awaitTermination()
+    barsQ.awaitTermination()
+    assert(spark.read.parquet(s"$out/raw").count() === Tables.trades(spark, sf0001).count())
+    assert(spark.table("two_q_bars").count() ===
+      Ohlc.compute(Tables.trades(spark, sf0001)).count())
+  }
+
   test("DLQ split partitions rows exactly and violations carry rule names") {
     val (clean, dlq) = graft.sources.Ingest.dlqSplit(Tables.trades(spark, sf0001))
     val total = Tables.trades(spark, sf0001).count()
