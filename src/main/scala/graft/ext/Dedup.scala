@@ -65,8 +65,18 @@ object Dedup {
         transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
         (a, b) => least(a, b)))
 
-  /** LSH candidate pairs: band the signature, equi-join on (band, key). */
-  def minhashCandidates(
+  /** LSH candidate pairs: band the signature, group on (band, key), expand
+    * pairs inside each bucket. A single aggregation of the banded rows — the
+    * signature pipeline runs ONCE (a self-join would compute it per side),
+    * and pair count is bounded by bucket sizes, never |corpus|².
+    *
+    * `maxBucketSize` drops adversarial mega-buckets (an exact-dup cluster of
+    * k docs contributes k²/2 pairs from every band); run [[exactTextDups]]
+    * first to collapse those, and treat dropped buckets as an explicit
+    * coverage decision, not a silent cap — they are observable as buckets
+    * with `size > maxBucketSize` in [[minhashBuckets]].
+    */
+  def minhashBuckets(
       documents: DataFrame,
       shingleN: Int = 3,
       numHashes: Int = 32,
@@ -78,17 +88,27 @@ object Dedup {
       .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
       .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    val banded = sig.select(
+    sig.select(
       col("doc_id"),
       posexplode(transform(sequence(lit(0), lit(bands - 1)),
         b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
-    banded.as("a")
-      .join(banded.as("b"), Seq("band", "key"))
-      .filter(col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+      .groupBy("band", "key")
+      .agg(collect_list(col("doc_id")).as("ids"))
   }
+
+  def minhashCandidates(
+      documents: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame =
+    minhashBuckets(documents, shingleN, numHashes, bands)
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"), greatest(col("a"), col("b")).as("doc_b"))
+      .distinct()
 
   /** Exact n-gram Jaccard between two shingle-set columns. */
   def jaccard(a: C, b: C): C = {
@@ -96,10 +116,19 @@ object Dedup {
     inter / nullif((size(a) + size(b) - size(array_intersect(a, b))).cast("double"), lit(0.0))
   }
 
-  /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify ≥ threshold. */
+  /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify ≥ threshold.
+    *
+    * The verify joins are pruned to candidate doc_ids first, so shingle sets
+    * shuffle only for documents that actually collided (candidates ≪ corpus
+    * at scale), never for the whole corpus.
+    */
   def nearDups(documents: DataFrame, threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
+    val cands = minhashCandidates(documents, shingleN)
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sets = documents.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
-    minhashCandidates(documents, shingleN)
+      .join(candIds, "doc_id", "left_semi")
+    cands
       .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
       .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
       .select(col("doc_a"), col("doc_b"),
