@@ -20,5 +20,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier(CosineSimilarity.name),
       new ExpressionInfo(classOf[CosineSimilarity].getName, CosineSimilarity.name),
       (exprs: Seq[Expression]) => CosineSimilarity(exprs.head, exprs(1))))
+    ext.injectOptimizerRule(spark => new TenantFilterRule(spark))
   }
 }

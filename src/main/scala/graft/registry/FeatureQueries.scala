@@ -135,6 +135,15 @@ object FeatureQueries {
           .as("sharpe"), count(col("ret")).as("n_returns"))
     }),
 
+    // The custom EwmAggregator registered as a UDAF and used from an agg —
+    // final EWM-12 per symbol over the 12 latest ticks. The JVM fold is
+    // bit-identical to the SQL fold (1.0-0.15 rounds to the 0.85 double).
+    "q_ewm_udaf" -> ((s, d) => {
+      val ewm12 = udaf(new graft.functions.EwmAggregator(12, 0.15))
+      trades(s, d).groupBy("symbol")
+        .agg(Quantize.r(ewm12(unix_micros(col("time")), col("price")), 6).as("ewm_12"))
+    }),
+
     // Sliding (overlapping) windows: 10-min VWAP sliding every 5 min — each
     // trade lands in two windows.
     "q_sliding_vwap" -> ((s, d) =>
@@ -334,6 +343,15 @@ object FeatureQueries {
         |      UNION ALL
         |      SELECT * FROM trades WHERE CAST(trade_id AS BIGINT) % 10 = 0)
         |GROUP BY trade_id HAVING count(*) > 1""".stripMargin),
+
+    "q_ewm_udaf" -> withTrades(
+      """SELECT symbol,
+        |       floor((list_reduce(list(price ORDER BY time),
+        |             (acc, x) -> CAST(0.85 AS DOUBLE) * acc + CAST(0.15 AS DOUBLE) * x)) * 1e6 + 0.5) / 1e6 AS ewm_12
+        |FROM (SELECT symbol, time, price,
+        |             row_number() OVER (PARTITION BY symbol ORDER BY time DESC) AS rn
+        |      FROM trades)
+        |WHERE rn <= 12 GROUP BY symbol""".stripMargin),
 
     "q_sliding_vwap" -> withTrades(
       """SELECT w_start, symbol,

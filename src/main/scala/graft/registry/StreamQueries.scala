@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import graft.core.Tables
 import graft.features.LargeTrades
-import graft.sources.StreamSources
+import graft.sources.{AvroCodec, StreamSources}
 import graft.streaming.{Cep, StreamingFeatures}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -65,6 +65,18 @@ object StreamQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(out).select("symbol", "normal_spread", "n")
+    }),
+
+    // Avro wire-format roundtrip (decimal logical types): encode every trade
+    // to Avro binary, decode it back, aggregate — must equal the plain SQL
+    // aggregation of the source rows.
+    "q_avro_roundtrip" -> ((s, d) => {
+      val rt = AvroCodec.decode(AvroCodec.encode(Tables.trades(s, d)))
+      rt.groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(col("volume")).as("sum_volume"),
+        graft.functions.Quantize.r(sum(col("price")), 4).as("sum_price"),
+        count(col("side")).as("n_sided"))
     }))
 
   private val ohlcSql =
@@ -90,6 +102,12 @@ object StreamQueries {
         |    ON t.symbol = thr.symbol
         |  WHERE t.volume > thr.p95)
         |WHERE large_trades_5m >= 3""".stripMargin),
+
+    "q_avro_roundtrip" -> withTrades(
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price,
+        |       count(side) AS n_sided
+        |FROM trades GROUP BY symbol""".stripMargin),
 
     "q_stream_spread_ema" -> withTrades(
       """SELECT symbol,

@@ -65,6 +65,34 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("TenantFilterRule injects the tenant predicate at the scan") {
+    import graft.plans.TenantFilterRule
+    val total = Tables.events(spark, sf0001).count()
+    TenantFilterRule.enable(spark, 1L)
+    try {
+      val visible = Tables.events(spark, sf0001).count()
+      val expected = {
+        TenantFilterRule.disable(spark)
+        Tables.events(spark, sf0001).filter(pmod(col("user_id"), lit(3L)) === 1L).count()
+      }
+      assert(visible === expected)
+      assert(visible < total)
+      // and with the conf unset the session sees everything again
+      assert(Tables.events(spark, sf0001).count() === total)
+    } finally TenantFilterRule.disable(spark)
+  }
+
+  test("avro codec roundtrips trades exactly (values, nulls, decimals)") {
+    import graft.sources.AvroCodec
+    val t = Tables.trades(spark, sf0001).limit(300)
+    val rt = AvroCodec.decode(AvroCodec.encode(t))
+    assert(rt.count() === 300)
+    val orig = t.select(col("trade_id"), col("price"), col("volume"), col("side"))
+    val back = rt.select(col("trade_id"), col("price"), col("volume"), col("side"))
+    assert(orig.exceptAll(back).count() === 0)
+    assert(back.exceptAll(orig).count() === 0)
+  }
+
   test("SLA violations: stale features flagged, fresh ones pass") {
     import spark.implicits._
     val ages = Seq(
