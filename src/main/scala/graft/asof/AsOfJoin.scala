@@ -85,6 +85,43 @@ object AsOfJoin {
         valueCols.map(c => when(ttlOk, col(s"__m.$c")).as(s"$rightPrefix$c")): _*)
   }
 
+  /** The contract's literal equi+theta formulation
+    * (`sql/smartdb_contract.md:154-167`): equi-join on keys plus the
+    * `rightTime <= leftTime` inequality, then keep the latest right row per
+    * left row via `max_by`. Row count explodes to O(matching pairs) before
+    * the re-aggregation, so this variant is ONLY for small left sides
+    * (single snapshots, small entity frames) — [[backward]] is the scale
+    * form. Kept because it exercises the join-based plan (broadcast left,
+    * no window) and as a cross-check implementation.
+    */
+  def backwardViaJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String = "time",
+      rightTime: String = "time",
+      ttlSeconds: Option[Long] = None,
+      rightPrefix: String = ""): DataFrame = {
+
+    val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val leftCols  = left.columns.toSeq
+    val r = right.select(
+      keys.map(c => col(c).as(s"__r_$c")) ++
+        (col(rightTime).as("__rt") +: valueCols.map(c => col(c).as(s"__rv_$c"))): _*)
+
+    val cond = keys.map(k => col(k) === col(s"__r_$k")).reduce(_ && _) &&
+      col("__rt") <= col(leftTime) &&
+      ttlSeconds.map(s =>
+        unix_micros(col(leftTime)) - unix_micros(col("__rt")) <= s * 1000000L)
+        .getOrElse(lit(true))
+
+    broadcast(left).join(r, cond, "left_outer")
+      .groupBy(leftCols.map(col): _*)
+      .agg(
+        max_by(col("__rt"), col("__rt")).as(s"${rightPrefix}matched_$rightTime"),
+        valueCols.map(c => max_by(col(s"__rv_$c"), col("__rt")).as(s"$rightPrefix$c")): _*)
+  }
+
   /** One right-side feature view for [[backwardMulti]]. */
   final case class FeatureView(
       df: DataFrame,

@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.core.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: treat image/audio/video payloads as opaque
@@ -41,6 +41,37 @@ object Multimodal {
         (lit(64) + pmod(ascii(substring(h, 2, 1)), lit(16)) * 16).as("height"),
         (lit(1) + pmod(col("media_id"), lit(8))).as("n_frames"),
         substring(h, 1, 8).as("codec_tag")).as("meta"))
+  }
+
+  final case class MediaMeta(
+      media_id: Long, source: String, n_bytes: Int,
+      width: Int, height: Int, n_frames: Int, codec_tag: String)
+
+  /** The batch-decode path a real codec plugs into: `mapPartitions` over the
+    * binary payloads, with per-partition codec initialization (here a reused
+    * MessageDigest standing in for a native decoder handle — the Scala
+    * analogue of the reference-era `mapInPandas` batch shape). Emits the
+    * SAME deterministic stub metadata as [[fakeDecode]] (tested equal), so
+    * swapping in a real decoder changes only this function's body.
+    */
+  def decodeBatched(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"), col("source"))
+      .as[(Long, Array[Byte], String)]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5") // per-partition "codec"
+        it.map { case (id, bytes, src) =>
+          md.reset()
+          val hex = md.digest(bytes).map("%02x".format(_)).mkString
+          MediaMeta(
+            media_id = id, source = src, n_bytes = bytes.length,
+            width = 64 + (hex.charAt(0).toInt % 16) * 16,
+            height = 64 + (hex.charAt(1).toInt % 16) * 16,
+            n_frames = (1 + id % 8).toInt,
+            codec_tag = hex.substring(0, 8))
+        }
+      }
   }
 
   /** Frame-sampling plan: explode a deterministic frame index per media row

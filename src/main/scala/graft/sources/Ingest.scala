@@ -19,11 +19,19 @@ import org.apache.spark.sql.types.StructType
   */
 object Ingest {
 
-  /** Parse a JSON-string column; rows that fail to parse keep a NULL struct
-    * (PERMISSIVE) and route to the DLQ branch.
+  /** Parse a JSON-string column with corrupt-record capture: malformed rows
+    * surface with `__corrupt` non-null (PERMISSIVE mode yields an all-null
+    * struct — NOT a null struct — for bad input, so the corrupt-record
+    * column is the only reliable routing signal).
     */
-  def parseJson(df: DataFrame, jsonCol: String, schema: StructType): DataFrame =
-    df.withColumn("__parsed", from_json(col(jsonCol), schema))
+  def parseJson(df: DataFrame, jsonCol: String, schema: StructType): DataFrame = {
+    val withCorrupt = schema.add("__corrupt", org.apache.spark.sql.types.StringType)
+    df
+      .withColumn("__parsed",
+        from_json(col(jsonCol), withCorrupt,
+          Map("columnNameOfCorruptRecord" -> "__corrupt")))
+      .withColumn("__corrupt", col("__parsed.__corrupt"))
+  }
 
   /** Contract rules for trade records — each (name, violation predicate).
     * Mirrors the CHECK constraints + pydantic validators

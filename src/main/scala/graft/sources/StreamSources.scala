@@ -56,6 +56,26 @@ object StreamSources {
       expr("CASE WHEN event_id % 11 <> 0 THEN value + (1 + event_id % 10) / CAST(100 AS DOUBLE) END")
         .as("ask"))
 
+  /** Kafka sink builder: anomaly records serialized to JSON and published to
+    * a topic — the reference's transactional anomaly sink
+    * (`flink-jobs/market-realtime/anomaly_detection.py:199-215`,
+    * idempotent/transactional variant `enhanced_anomaly_detection.py:267-281`).
+    * NOT runnable here (no broker/connector jar); production code path.
+    */
+  def kafkaJsonSink(
+      df: DataFrame,
+      bootstrapServers: String,
+      topic: String,
+      checkpointLocation: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    df.select(
+      col("symbol").cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+      .writeStream
+      .format("kafka")
+      .option("kafka.bootstrap.servers", bootstrapServers)
+      .option("topic", topic)
+      .option("checkpointLocation", checkpointLocation)
+
   /** Kafka source builder (reference `spark/streaming_feature_updates.py:55-62`;
     * Flink variant with read_committed,
     * `enhanced_anomaly_detection.py:231-260`). NOT runnable here — no broker

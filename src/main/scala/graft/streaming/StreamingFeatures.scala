@@ -78,6 +78,30 @@ object StreamingFeatures {
     new java.io.File(tmp).renameTo(target)
   }
 
+  /** Incremental refresh of a continuous aggregate — the batch-scheduled
+    * analogue of TimescaleDB's refresh policies
+    * (`sql/timescaledb_schema.sql:60-65,154-159,173-178,233-238`:
+    * start_offset/end_offset/schedule_interval). Recomputes only the bars in
+    * `[anchor − startOffset, anchor − endOffset]` (anchor = newest event
+    * time, deterministic) and MERGEs them into the feature table keyed
+    * (bucket, symbol) — older bars stay untouched, re-runs are idempotent.
+    */
+  def refreshOhlcAggregate(
+      spark: SparkSession,
+      trades: org.apache.spark.sql.DataFrame,
+      tablePath: String,
+      startOffsetSec: Long = 3600,
+      endOffsetSec: Long = 0): org.apache.spark.sql.DataFrame = {
+    // single scalar to the driver — the only driver-side value in the op
+    val anchorMicros = trades.agg(max(unix_micros(col("time")))).collect()(0).getLong(0)
+    val lo = anchorMicros - startOffsetSec * 1000000L
+    val hi = anchorMicros - endOffsetSec * 1000000L
+    val fresh = Ohlc.compute(
+      trades.filter(unix_micros(col("time")) >= lo && unix_micros(col("time")) <= hi))
+    mergeIntoKeyed(spark, tablePath, fresh, keys = Seq("bucket", "symbol"))
+    spark.read.parquet(tablePath)
+  }
+
   /** Stream the events file into a keyed parquet table via foreachBatch
     * MERGE, then replay the whole input once more to prove idempotence, and
     * return the final table. Exercises: streaming scan, foreachBatch sink,

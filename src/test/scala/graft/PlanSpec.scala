@@ -93,6 +93,63 @@ class PlanSpec extends SparkTestBase {
     assert(back.exceptAll(orig).count() === 0)
   }
 
+  test("equi+theta as-of variant agrees with the windowed form") {
+    val t = Tables.trades(spark, sf0001)
+    val sma = graft.features.Sma.compute(t).select("time", "symbol", "sma_20")
+    val entities = t.select("symbol").distinct().limit(5)
+      .crossJoin(spark.range(4).select(
+        expr("timestampadd(DAY, CAST(id * 7 AS INT), TIMESTAMP'2024-01-05 00:00:00')")
+          .as("ts")))
+    val viaWindow = AsOfJoin.backward(
+      entities, sma, Seq("symbol"), "ts", "time", ttlSeconds = Some(3 * 24 * 3600))
+    val viaJoin = AsOfJoin.backwardViaJoin(
+      entities, sma, Seq("symbol"), "ts", "time", ttlSeconds = Some(3 * 24 * 3600))
+    assert(viaWindow.exceptAll(viaJoin).count() === 0)
+    assert(viaJoin.exceptAll(viaWindow).count() === 0)
+  }
+
+  test("continuous-aggregate refresh only touches the trailing window and is idempotent") {
+    import java.nio.file.Files
+    val t = Tables.trades(spark, sf0001)
+    val path = Files.createTempDirectory("graft_ca_").toString + "/t"
+    // initial full build
+    graft.streaming.StreamingFeatures.mergeIntoKeyed(
+      spark, path, graft.features.Ohlc.compute(t), Seq("bucket", "symbol"))
+    val before = spark.read.parquet(path).count()
+    // trailing refresh (1 day back): must change nothing on unchanged input
+    val after1 = graft.streaming.StreamingFeatures
+      .refreshOhlcAggregate(spark, t, path, startOffsetSec = 24 * 3600).count()
+    val after2 = graft.streaming.StreamingFeatures
+      .refreshOhlcAggregate(spark, t, path, startOffsetSec = 24 * 3600).count()
+    assert(after1 === before)
+    assert(after2 === before)
+  }
+
+  test("batch decoder (mapPartitions) equals the column-function stub decode") {
+    import graft.ext.Multimodal
+    val media = Multimodal.payloads(spark, sf0001)
+    val viaCols = Multimodal.fakeDecode(media).select(
+      col("media_id"), col("source"), col("n_bytes").cast("int").as("n_bytes"),
+      col("meta.width").as("width"), col("meta.height").as("height"),
+      col("meta.n_frames").cast("int").as("n_frames"), col("meta.codec_tag").as("codec_tag"))
+    val viaBatch = Multimodal.decodeBatched(media).toDF()
+    assert(viaCols.exceptAll(viaBatch).count() === 0)
+    assert(viaBatch.exceptAll(viaCols).count() === 0)
+  }
+
+  test("JSON parse routes corrupt records to the DLQ branch") {
+    import spark.implicits._
+    val raw = Seq(
+      """{"k": 7}""", """{"k": 9}""", """not json at all""").toDF("js")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.LongType)))
+    val parsed = graft.sources.Ingest.parseJson(raw, "js", schema)
+    assert(parsed.filter(col("__corrupt").isNull).count() === 2)
+    assert(parsed.filter(col("__corrupt").isNotNull).count() === 1)
+    assert(parsed.filter(col("__corrupt").isNull)
+      .agg(sum(col("__parsed.k"))).collect()(0).getLong(0) === 16L)
+  }
+
   test("SLA violations: stale features flagged, fresh ones pass") {
     import spark.implicits._
     val ages = Seq(
