@@ -1,0 +1,89 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.asof.PitSnapshot
+import graft.features._
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+/** Property-based invariants over randomized trade frames (mirroring the
+  * reference's range/invariant tests with generated rather than fixed data —
+  * `tests/test_smartdb_correctness.py:136-192`).
+  */
+class PropertySpec extends SparkTestBase {
+
+  /** Deterministic forAll over scalacheck generators (no scalatestplus
+    * bridge in the image): 5 samples per property, fixed seeds.
+    */
+  private def forAll[T](gen: Gen[T])(body: T => Unit): Unit =
+    (0 until 5).foreach { i =>
+      body(gen.apply(Gen.Parameters.default, Seed(42L + i)).get)
+    }
+
+  private val tradeGen = for {
+    n      <- Gen.choose(5, 60)
+    seed   <- Gen.choose(0L, 1000000L)
+  } yield (n, seed)
+
+  /** Deterministic pseudo-random trades from (n, seed) — generated
+    * distributed (spark.range), not collected.
+    */
+  private def genTrades(n: Int, seed: Long) = {
+    spark.range(n).select(
+      expr(s"timestamp_micros(CAST(1704067200000000 + (xxhash64(id, $seed) % 86400000000) + id AS BIGINT))")
+        .as("time"),
+      expr(s"CAST(pmod(xxhash64(id + 7, $seed), 3) AS STRING)").as("symbol"),
+      expr(s"CAST(50 AS DOUBLE) + pmod(xxhash64(id + 13, $seed), 10000) / CAST(100 AS DOUBLE)").as("price"),
+      expr(s"CAST(1 + pmod(xxhash64(id + 17, $seed), 100) AS DOUBLE)").as("volume"),
+      col("id").cast("string").as("trade_id"),
+      expr(s"CASE pmod(xxhash64(id + 19, $seed), 3) WHEN 0 THEN 'buy' WHEN 1 THEN 'sell' END")
+        .as("side"),
+      expr(s"CAST(49 AS DOUBLE) + pmod(xxhash64(id + 13, $seed), 10000) / CAST(100 AS DOUBLE)").as("bid"),
+      expr(s"CAST(51 AS DOUBLE) + pmod(xxhash64(id + 13, $seed), 10000) / CAST(100 AS DOUBLE)").as("ask"))
+  }
+
+  test("property: OHLC bars always satisfy low <= open,close <= high") {
+    forAll(tradeGen) { case (n, seed) =>
+      val bars = Ohlc.compute(genTrades(n, seed))
+      assert(bars.filter(
+        col("high") < col("low") || col("open") > col("high") ||
+          col("open") < col("low") || col("close") > col("high") ||
+          col("close") < col("low")).count() === 0)
+    }
+  }
+
+  test("property: imbalance stays in [-1, 1] and EWM stays within price range") {
+    forAll(tradeGen) { case (n, seed) =>
+      val t = genTrades(n, seed)
+      assert(Imbalance.compute(t)
+        .filter(col("imbalance") < -1 || col("imbalance") > 1).count() === 0)
+      // EWM is a convex combination of recent prices -> bounded by extremes
+      val bounds = t.agg(min("price"), max("price")).collect()(0)
+      val (lo, hi) = (bounds.getDouble(0) - 1e-6, bounds.getDouble(1) + 1e-6)
+      assert(Ewm.compute(t).filter(col("ewm_12") < lo || col("ewm_12") > hi).count() === 0)
+    }
+  }
+
+  test("property: PIT snapshot never sees the future for random as-of times") {
+    forAll(Gen.zip(Gen.choose(1, 28), Gen.choose(0L, 100000L))) { case (day, seed) =>
+      val t = genTrades(50, seed)
+      val asOf = Timestamp.valueOf(f"2024-01-$day%02d 12:00:00")
+      val full = PitSnapshot.snapshot(spark, t, "1", asOf).collect()(0)
+      val truncated = PitSnapshot.snapshot(
+        spark, t.filter(col("time") <= lit(asOf)), "1", asOf).collect()(0)
+      assert(full === truncated)
+    }
+  }
+
+  test("property: dedup is idempotent and never increases row counts") {
+    forAll(tradeGen) { case (n, seed) =>
+      val t = genTrades(n, seed)
+      val doubled = t.unionAll(t)
+      val once = graft.ext.Dedup.exact(doubled, Seq("time", "symbol", "trade_id"))
+      assert(once.count() === t.count())
+      assert(graft.ext.Dedup.exact(once, Seq("time", "symbol", "trade_id")).count() === once.count())
+    }
+  }
+}
