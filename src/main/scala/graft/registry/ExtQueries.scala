@@ -39,7 +39,7 @@ object ExtQueries {
     "q_text_dup_exact" -> ((s, d) => Dedup.exactTextDups(Tables.documents(s, d))),
 
     "q_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
+      val docs = docsPar(s, d)
       val sets = docs.select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
       val q = sets.filter(col("doc_id") === 0).select(col("sh").as("qsh"))
       sets.filter(col("doc_id") =!= 0)
