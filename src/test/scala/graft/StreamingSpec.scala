@@ -90,6 +90,98 @@ class StreamingSpec extends SparkTestBase {
     monitored.foreach { case (k, v) => assert(math.abs(v - batch(k)) < 1e-9, k) }
   }
 
+  test("chaos: kill mid-stream, restart from checkpoint -> exactly N rows, no dups") {
+    // Mirror of tests/test_chaos_flink_exactly_once.py:44-165: multi-batch
+    // ingest, processor killed after the first batch, restarted on the same
+    // checkpoint; the keyed MERGE + checkpoint must land every record once.
+    import org.apache.spark.sql.streaming.Trigger
+    val root = Files.createTempDirectory("graft_chaos_").toString
+    val inDir = s"$root/in"; val outDir = s"$root/out"; val ckpt = s"$root/ckpt"
+    // split the corpus into 4 stream files
+    Tables.events(spark, sf0001).repartition(4).write.parquet(inDir)
+    val expected = Tables.trades(spark, sf0001).count()
+
+    def startQuery() = {
+      val src = graft.sources.StreamSources.projectTrades(
+        spark.readStream.schema(graft.sources.StreamSources.eventsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+      src.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          StreamingFeatures.mergeIntoKeyed(batch.sparkSession, outDir, batch)
+        }
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow()).start()
+    }
+
+    // run 1: kill after at least one committed batch
+    val q1 = startQuery()
+    val deadline = System.nanoTime() + 60L * 1000000000L
+    while (q1.recentProgress.count(_.numInputRows > 0) < 1 && System.nanoTime() < deadline)
+      Thread.sleep(100)
+    q1.stop() // the "kill"
+    val partial = if (new java.io.File(outDir).exists()) spark.read.parquet(outDir).count() else 0L
+    assert(partial < expected, "kill must land mid-stream for the test to be meaningful")
+
+    // run 2: restart on the same checkpoint — resumes unprocessed files only
+    val q2 = startQuery()
+    q2.awaitTermination()
+    val merged = spark.read.parquet(outDir)
+    assert(merged.count() === expected)
+    assert(merged.select("trade_id").distinct().count() === expected)
+  }
+
+  test("late data beyond the watermark is dropped from append-mode bars") {
+    import org.apache.spark.sql.streaming.Trigger
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val root = Files.createTempDirectory("graft_late_").toString
+    val inDir = s"$root/in"; JFiles.createDirectories(Paths.get(inDir))
+
+    def writeStreamFile(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+      val tmp = s"$root/stage_$name"
+      df.coalesce(1).write.parquet(tmp)
+      val part = new java.io.File(tmp).listFiles().filter(_.getName.endsWith(".parquet")).head
+      JFiles.move(part.toPath, Paths.get(s"$inDir/$name"), StandardCopyOption.ATOMIC_MOVE)
+      Thread.sleep(1100) // distinct mtimes -> deterministic file order
+    }
+
+    // events-schema rows: (event_id, ts nanos, user_id, event_type, value, props)
+    def ev(id: Long, minuteOffset: Long) = (id, (1704067200L * 1000000000L) +
+      minuteOffset * 60L * 1000000000L + id * 1000L, 1L, "view", 100.0 + id, "{}")
+    import spark.implicits._
+    // Spark's guarantee is one-directional: a late row is only certainly
+    // dropped once its window's state has been EVICTED (watermark passed the
+    // window end in an earlier batch). So: batch a fills minute 0, batch b
+    // advances the watermark past it (evicting + emitting the bar), batch c
+    // delivers the late row — which must now be discarded.
+    writeStreamFile(Seq(ev(1, 0), ev(2, 0), ev(3, 180)).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props"), "a.parquet")
+    writeStreamFile(Seq(ev(5, 240)).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props"), "b.parquet")
+    writeStreamFile(Seq(ev(4, 0), ev(6, 300)).toDF(
+      "event_id", "ts", "user_id", "event_type", "value", "props"), "c.parquet")
+
+    val bars = Ohlc.compute(
+      graft.sources.StreamSources.projectTrades(
+        spark.readStream.schema(graft.sources.StreamSources.eventsSchema)
+          .option("maxFilesPerTrigger", 1).parquet(inDir))
+        .withWatermark("time", "1 minute"))
+    val name = s"late_bars_${System.nanoTime()}"
+    val q = bars.writeStream.format("memory").queryName(name)
+      .outputMode("append")
+      .option("checkpointLocation", s"$root/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination()
+
+    val minute0 = spark.table(name)
+      .filter(col("bucket") === lit("2024-01-01 00:00:00").cast("timestamp"))
+      .collect()
+    // exactly ONE finalized bar for minute 0, containing only the 2 on-time
+    // trades — the post-eviction late event (id 4) must be discarded, not
+    // re-open the window or emit a second bar
+    assert(minute0.length === 1, "minute-0 bar must be emitted exactly once")
+    assert(minute0.head.getAs[Long]("trade_count") === 2L)
+  }
+
   test("two coordinated streaming queries run concurrently on one session") {
     // The reference's topology: raw-ingest query + windowed-agg query started
     // together and awaited together (spark/streaming_feature_updates.py:147-177).
