@@ -144,6 +144,10 @@ object FeatureQueries {
         .agg(Quantize.r(ewm12(unix_micros(col("time")), col("price")), 6).as("ewm_12"))
     }),
 
+    // Contract feature #10: latest news sentiment per symbol as-of.
+    "q_news_sentiment" -> ((s, d) =>
+      NewsSentiment.latestAsOf(s, d, "2024-01-20 00:00:00")),
+
     // Sliding (overlapping) windows: 10-min VWAP sliding every 5 min — each
     // trade lands in two windows.
     "q_sliding_vwap" -> ((s, d) =>
@@ -352,6 +356,22 @@ object FeatureQueries {
         |             row_number() OVER (PARTITION BY symbol ORDER BY time DESC) AS rn
         |      FROM trades)
         |WHERE rn <= 12 GROUP BY symbol""".stripMargin),
+
+    "q_news_sentiment" ->
+      """WITH news AS (
+        |  SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (vec_id) HOUR AS time,
+        |         CAST(vec_id % 15 AS VARCHAR) AS symbol,
+        |         CAST(vec_id AS VARCHAR) AS news_id,
+        |         (CAST(label AS DOUBLE) - CAST(4.5 AS DOUBLE)) / CAST(4.5 AS DOUBLE) AS score,
+        |         CAST(embedding AS DOUBLE[]) AS v
+        |  FROM embeddings)
+        |SELECT symbol, news_id,
+        |       floor(score * 1e6 + 0.5) / 1e6 AS sentiment_score,
+        |       time AS news_time,
+        |       floor((sqrt(list_reduce(list_transform(range(1, len(v) + 1), i -> v[i] * v[i]), (a, b) -> a + b))) * 1e6 + 0.5) / 1e6 AS embedding_norm
+        |FROM (SELECT *, row_number() OVER (PARTITION BY symbol ORDER BY time DESC) AS rn
+        |      FROM news WHERE time <= TIMESTAMP '2024-01-20 00:00:00')
+        |WHERE rn = 1""".stripMargin,
 
     "q_sliding_vwap" -> withTrades(
       """SELECT w_start, symbol,

@@ -78,6 +78,34 @@ object StreamingFeatures {
     new java.io.File(tmp).renameTo(target)
   }
 
+  /** Production two-query topology builder — the reference's streaming main
+    * (`spark/streaming_feature_updates.py:147-177`): a raw-ingest query on a
+    * 10 s ProcessingTime trigger and a watermarked 1-min OHLC query on a
+    * 1 min trigger, sharing one session; callers `.start()` both and await
+    * both. Returned unstarted so tests can swap triggers/sinks.
+    */
+  def productionQueries(
+      source: org.apache.spark.sql.DataFrame,
+      rawPath: String,
+      barsPath: String,
+      checkpointRoot: String): (
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row],
+      org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]) = {
+    val rawQ = source.writeStream
+      .format("parquet").option("path", rawPath)
+      .option("checkpointLocation", s"$checkpointRoot/raw")
+      .trigger(Trigger.ProcessingTime("10 seconds"))
+    val barsQ = Ohlc.compute(source.withWatermark("time", "1 minute"))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        mergeIntoKeyed(batch.sparkSession, barsPath, batch, Seq("bucket", "symbol"))
+      }
+      .outputMode("update")
+      .option("checkpointLocation", s"$checkpointRoot/bars")
+      .trigger(Trigger.ProcessingTime("1 minute"))
+    (rawQ, barsQ)
+  }
+
   /** Incremental refresh of a continuous aggregate — the batch-scheduled
     * analogue of TimescaleDB's refresh policies
     * (`sql/timescaledb_schema.sql:60-65,154-159,173-178,233-238`:

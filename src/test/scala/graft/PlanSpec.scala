@@ -150,6 +150,35 @@ class PlanSpec extends SparkTestBase {
       .agg(sum(col("__parsed.k"))).collect()(0).getLong(0) === 16L)
   }
 
+  test("schema compat: widening + nullable adds pass, narrowing + required adds fail") {
+    import graft.sources.SchemaCompat
+    import org.apache.spark.sql.types._
+    val v1 = StructType(Seq(
+      StructField("time", LongType, nullable = false),
+      StructField("price", FloatType, nullable = false),
+      StructField("qty", IntegerType, nullable = true)))
+    // allowed evolution: float->double, int->long, add nullable column
+    val v2 = StructType(Seq(
+      StructField("time", LongType, nullable = false),
+      StructField("price", DoubleType, nullable = false),
+      StructField("qty", LongType, nullable = true),
+      StructField("venue", StringType, nullable = true)))
+    assert(SchemaCompat.isFullyCompatible(v1, v2))
+    // rejected: double->float narrowing
+    val narrowed = StructType(Seq(StructField("price", FloatType, nullable = false)))
+    val widened = StructType(Seq(StructField("price", DoubleType, nullable = false)))
+    assert(SchemaCompat.backward(widened, narrowed).nonEmpty)
+    // rejected: adding a REQUIRED column (old rows have no value for it)
+    val addRequired = v1.add(StructField("must", StringType, nullable = false))
+    assert(SchemaCompat.backward(v1, addRequired).nonEmpty)
+    // rejected: removing a required column breaks old readers (forward)
+    val removed = StructType(v1.fields.filterNot(_.name == "time"))
+    assert(SchemaCompat.forward(v1, removed).nonEmpty)
+    intercept[IllegalArgumentException] {
+      SchemaCompat.requireCompatible(v1, addRequired)
+    }
+  }
+
   test("SLA violations: stale features flagged, fresh ones pass") {
     import spark.implicits._
     val ages = Seq(
