@@ -56,6 +56,25 @@ object StreamSources {
       expr("CASE WHEN event_id % 11 <> 0 THEN value + (1 + event_id % 10) / CAST(100 AS DOUBLE) END")
         .as("ask"))
 
+  /** Schema of the landed trades table (what [[projectTrades]] emits) — used
+    * to re-stream the raw directory as a second-stage source, the
+    * reference's two-stage topology (`spark/streaming_feature_updates.py:102`:
+    * the OHLC query streams the raw Delta dir, not Kafka).
+    */
+  val tradesSchema: StructType = StructType(Seq(
+    StructField("time", TimestampType),
+    StructField("symbol", StringType),
+    StructField("price", DoubleType),
+    StructField("volume", DoubleType),
+    StructField("trade_id", StringType),
+    StructField("side", StringType),
+    StructField("bid", DoubleType),
+    StructField("ask", DoubleType)))
+
+  /** Second-stage streaming scan over a landed raw-trades directory. */
+  def rawTradesStream(spark: SparkSession, rawDir: String): DataFrame =
+    spark.readStream.schema(tradesSchema).parquet(rawDir)
+
   /** Kafka sink builder: anomaly records serialized to JSON and published to
     * a topic — the reference's transactional anomaly sink
     * (`flink-jobs/market-realtime/anomaly_detection.py:199-215`,

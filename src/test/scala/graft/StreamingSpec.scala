@@ -192,13 +192,15 @@ class StreamingSpec extends SparkTestBase {
       .format("parquet").option("path", s"$out/raw")
       .option("checkpointLocation", s"$out/ckpt_raw")
       .trigger(Trigger.AvailableNow()).start()
+    rawQ.awaitTermination()
+    // second stage streams the LANDED raw dir, exactly like the reference's
+    // OHLC query over the raw Delta directory
     val barsQ = Ohlc.compute(
-      graft.sources.StreamSources.tradeFileStream(spark, s"$sf0001/events.parquet")
+      graft.sources.StreamSources.rawTradesStream(spark, s"$out/raw")
         .withWatermark("time", "1 minute"))
       .writeStream.format("memory").queryName("two_q_bars").outputMode("complete")
       .option("checkpointLocation", s"$out/ckpt_bars")
       .trigger(Trigger.AvailableNow()).start()
-    rawQ.awaitTermination()
     barsQ.awaitTermination()
     assert(spark.read.parquet(s"$out/raw").count() === Tables.trades(spark, sf0001).count())
     assert(spark.table("two_q_bars").count() ===
