@@ -59,6 +59,16 @@ object FeatureQueries {
       HistoricalFeatures.retrieve(entityGrid(s, t), t)
     }),
 
+    // Online-store read path: the latest feature vector for EVERY symbol at
+    // the corpus "now" (Feast online serving, feature_store.yaml Redis path)
+    // — the same one-shuffle multi-view as-of with a 1-timestamp entity frame.
+    "q_online_features" -> ((s, d) => {
+      val t = trades(s, d)
+      val anchor = t.agg(max(col("time")).as("event_timestamp"))
+      val entities = t.select("symbol").distinct().crossJoin(broadcast(anchor))
+      HistoricalFeatures.retrieve(entities, t)
+    }),
+
     "q_time_range_scan" -> ((s, d) => {
       val t = trades(s, d)
       val anchor = t.agg(max(col("time")).as("mx"))
@@ -273,6 +283,37 @@ object FeatureQueries {
     "q_historical_features" -> withTradesAnd(
       entityGridSql + s""",
       |ohlc AS ($ohlcSelect),
+      |sma AS (
+      |  SELECT time, symbol,
+      |         floor((avg(price) OVER (PARTITION BY symbol ORDER BY time
+      |               ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)) * 1e6 + 0.5) / 1e6 AS sma_20
+      |  FROM trades),
+      |vwap AS (
+      |  SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+      |         floor((sum(price * volume) / nullif(sum(volume), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS vwap_5m
+      |  FROM trades GROUP BY 1, 2)""".stripMargin,
+      """SELECT e.symbol, e.event_timestamp,
+        |       CASE WHEN o.bucket >= e.event_timestamp - INTERVAL 7 DAY THEN o.bucket END AS ohlc_matched_bucket,
+        |       CASE WHEN o.bucket >= e.event_timestamp - INTERVAL 7 DAY THEN o.close END AS ohlc_close,
+        |       CASE WHEN sm.time >= e.event_timestamp - INTERVAL 7 DAY THEN sm.time END AS sma_matched_time,
+        |       CASE WHEN sm.time >= e.event_timestamp - INTERVAL 7 DAY THEN sm.sma_20 END AS sma_sma_20,
+        |       CASE WHEN v.bucket >= e.event_timestamp - INTERVAL 7 DAY THEN v.bucket END AS vwap_matched_bucket,
+        |       CASE WHEN v.bucket >= e.event_timestamp - INTERVAL 7 DAY THEN v.vwap_5m END AS vwap_vwap_5m
+        |FROM entities e
+        |ASOF LEFT JOIN ohlc o ON e.symbol = o.symbol AND e.event_timestamp >= o.bucket
+        |ASOF LEFT JOIN sma sm ON e.symbol = sm.symbol AND e.event_timestamp >= sm.time
+        |ASOF LEFT JOIN vwap v ON e.symbol = v.symbol AND e.event_timestamp >= v.bucket""".stripMargin),
+
+    "q_online_features" -> withTradesAnd(
+      """entities AS (
+      |  SELECT symbol, (SELECT max(time) FROM trades) AS event_timestamp
+      |  FROM (SELECT DISTINCT symbol FROM trades)),
+      |ohlc AS (
+      |  SELECT time_bucket(INTERVAL '1 minute', time) AS bucket, symbol,
+      |         arg_min(price, time) AS open, max(price) AS high, min(price) AS low,
+      |         arg_max(price, time) AS close, sum(volume) AS volume,
+      |         count(*) AS trade_count
+      |  FROM trades GROUP BY 1, 2),
       |sma AS (
       |  SELECT time, symbol,
       |         floor((avg(price) OVER (PARTITION BY symbol ORDER BY time
