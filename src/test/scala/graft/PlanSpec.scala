@@ -150,6 +150,32 @@ class PlanSpec extends SparkTestBase {
       .agg(sum(col("__parsed.k"))).collect()(0).getLong(0) === 16L)
   }
 
+  test("bucketed-by-symbol tables join without a shuffle (co-located join)") {
+    // The storage-layout claim from SCALE.md made concrete: pre-bucketing
+    // both sides on the join key eliminates the Exchange entirely — the
+    // Spark analogue of the reference's (symbol, time DESC) index layout.
+    val t = Tables.trades(spark, sf0001)
+    t.write.bucketBy(8, "symbol").sortBy("symbol", "time")
+      .mode("overwrite").saveAsTable("bkt_trades")
+    t.groupBy("symbol").agg(count(lit(1)).as("n")).write.bucketBy(8, "symbol")
+      .mode("overwrite").saveAsTable("bkt_counts")
+    // disable auto-broadcast so the co-located (bucket-aligned) join path is
+    // what gets planned — on real dims broadcast would win, the point here
+    // is the fact-fact case
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("bkt_trades")
+        .join(spark.table("bkt_counts"), "symbol")
+        .groupBy("symbol").agg(max(col("n")))
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"),
+        s"plan:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle; plan:\n$plan")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+  }
+
   test("schema compat: widening + nullable adds pass, narrowing + required adds fail") {
     import graft.sources.SchemaCompat
     import org.apache.spark.sql.types._
