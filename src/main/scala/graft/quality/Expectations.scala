@@ -51,7 +51,12 @@ object Expectations {
   final case class Unique(columns: Seq[String]) extends Expectation {
     val name = s"${columns.mkString("_")}_unique"
   }
-  final case class Increasing(column: String, partitionBy: Seq[String]) extends Expectation {
+
+  /** `column` must be non-decreasing when ordered by `orderBy` within each
+    * partition key (one lag-window pass — one extra shuffle).
+    */
+  final case class Increasing(column: String, orderBy: String, partitionBy: Seq[String])
+      extends Expectation {
     val name = s"${column}_increasing"
   }
 
@@ -71,7 +76,11 @@ object Expectations {
           .filter(col("c") > 1)
           .agg(coalesce(sum(col("c") - 1), lit(0L)).as(Unique(cols0).name))
         acc.crossJoin(dups)
-      // Increasing needs an explicit order column — use increasingViolations.
+      case (acc, inc @ Increasing(c, ord, parts)) =>
+        val w = Window.partitionBy(parts.map(col): _*).orderBy(col(ord))
+        val viol = df.select(col(c).as("__v"), lag(col(c), 1).over(w).as("__prev"))
+          .agg(count(when(col("__prev") > col("__v"), 1)).as(inc.name))
+        acc.crossJoin(viol)
       case (acc, _) => acc
     }
   }

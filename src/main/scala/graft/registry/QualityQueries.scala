@@ -47,7 +47,8 @@ object QualityQueries {
         NotNull("price"), Positive("price"), Positive("volume"),
         InSet("side", Seq("buy", "sell")), PairGte("ask", "bid"),
         Between("volume", 1, 100),
-        Unique(Seq("time", "symbol", "trade_id"))))
+        Unique(Seq("time", "symbol", "trade_id")),
+        Increasing("price", "time", Seq("symbol"))))
     }),
 
     "q_increasing_check" -> ((s, d) =>
@@ -137,7 +138,10 @@ object QualityQueries {
         |       count(CASE WHEN volume IS NOT NULL AND NOT (volume >= 1 AND volume <= 100) THEN 1 END) AS volume_between,
         |       (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
         |          (SELECT count(*) AS c FROM trades GROUP BY time, symbol, trade_id
-        |           HAVING count(*) > 1)) AS time_symbol_trade_id_unique
+        |           HAVING count(*) > 1)) AS time_symbol_trade_id_unique,
+        |       (SELECT count(CASE WHEN prev > price THEN 1 END) FROM
+        |          (SELECT price, lag(price, 1) OVER (PARTITION BY symbol ORDER BY time) AS prev
+        |           FROM trades)) AS price_increasing
         |FROM trades""".stripMargin),
 
     "q_increasing_check" -> withTrades(
