@@ -176,6 +176,22 @@ class PlanSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
   }
 
+  test("salted join equals the plain join and spreads keys across salts") {
+    import graft.operators.Salting
+    val t = Tables.trades(spark, sf0001)
+    val thr = graft.features.LargeTrades.thresholds(t)
+    val plain = t.join(thr, Seq("symbol"))
+      .select("symbol", "trade_id", "percentile_95")
+    val salted = Salting.saltedJoin(t, thr, "symbol", 4, "trade_id")
+      .select("symbol", "trade_id", "percentile_95")
+    assert(salted.exceptAll(plain).count() === 0)
+    assert(plain.exceptAll(salted).count() === 0)
+    // the salt really fans out: each symbol's rows land in >1 salt bucket
+    val spread = t.withColumn("__salt", pmod(xxhash64(col("trade_id")), lit(4L)))
+      .groupBy("symbol").agg(countDistinct(col("__salt")).as("n_salts"))
+    assert(spread.filter(col("n_salts") < 2).count() === 0)
+  }
+
   test("schema compat: widening + nullable adds pass, narrowing + required adds fail") {
     import graft.sources.SchemaCompat
     import org.apache.spark.sql.types._
