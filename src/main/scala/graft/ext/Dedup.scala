@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.functions.Quantize
+import graft.plans.TextHashing
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.{Column => C}
 import org.apache.spark.sql.functions._
@@ -18,6 +19,12 @@ import org.apache.spark.sql.functions._
   *  - the exact-Jaccard verify joins candidate pairs back to token sets by
   *    doc_id (two broadcast-or-shuffle equi-joins), so verification cost is
   *    proportional to candidates, not corpus².
+  *
+  * Per-row compute (shingling, hashing, folds) goes through the native
+  * Catalyst expressions in [[graft.plans.TextHashing]] — the interpreted
+  * higher-order-function forms (kept under [[Dedup.Hof]], equivalence-tested
+  * in ExtSpec) allocate arrays per lambda step and measured 30-50× slower on
+  * the MinHash path at sf0.1.
   */
 object Dedup {
 
@@ -36,39 +43,21 @@ object Dedup {
       .filter(col("n_docs") > 1)
 
   /** Word shingles (n-grams joined with spaces); n=1 gives plain tokens. */
-  def shingles(text: C, n: Int): C = {
-    val toks = split(text, " ")
-    if (n == 1) array_distinct(toks)
-    else array_distinct(
-      when(size(toks) < n, array()).otherwise(
-        transform(sequence(lit(1), size(toks) - (n - 1)),
-          i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
-  }
+  def shingles(text: C, n: Int): C = TextHashing.shingles(text, n)
 
   /** MinHash signature column: for each of `numHashes` seeded hash functions,
     * the min of xxhash64(shingle, seed_i) over the document's shingle set.
-    * Deterministic (seeded), no UDF — array HOFs only.
-    *
-    * Shaped as ONE aggregate pass over the shingle array (running
-    * element-wise min of the per-shingle hash vector): the naive
-    * transform-per-seed form embeds the shingle-construction subtree into
-    * every seed's lambda (Catalyst does not CSE through higher-order
-    * functions), recomputing shingles `numHashes`× per row — measured 30×
-    * slower at sf0.1.
+    * Deterministic (seeded); native single-pass loop.
     */
   def minhashSignature(sh: C, numHashes: Int): C =
-    aggregate(
-      sh,
-      array_repeat(lit(Long.MaxValue), numHashes),
-      (acc, s) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
-        (a, b) => least(a, b)))
+    TextHashing.minhashSignature(sh, numHashes)
 
   /** LSH candidate pairs: band the signature, group on (band, key), expand
     * pairs inside each bucket. A single aggregation of the banded rows — the
-    * signature pipeline runs ONCE (a self-join would compute it per side),
-    * and pair count is bounded by bucket sizes, never |corpus|².
+    * signature pipeline runs ONCE ([[TextHashing.MinHashBands]] fuses
+    * signature+banding into one expression, so `CollapseProject` cannot
+    * duplicate the signature subtree into each band), and pair count is
+    * bounded by bucket sizes, never |corpus|².
     *
     * `maxBucketSize` drops adversarial mega-buckets (an exact-dup cluster of
     * k docs contributes k²/2 pairs from every band); run [[exactTextDups]]
@@ -81,17 +70,13 @@ object Dedup {
       shingleN: Int = 3,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
-    val rows = numHashes / bands
     // Shingle-less docs (< n tokens) would share the identity signature and
     // collide into one giant bucket — drop them before banding.
-    val sig = documents
+    documents
       .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
       .filter(size(col("sh")) > 0)
-      .select(col("doc_id"), minhashSignature(col("sh"), numHashes).as("sig"))
-    sig.select(
-      col("doc_id"),
-      posexplode(transform(sequence(lit(0), lit(bands - 1)),
-        b => concat_ws(",", slice(col("sig"), b * rows + 1, lit(rows))))))
+      .select(col("doc_id"),
+        posexplode(TextHashing.minhashBands(col("sh"), numHashes, bands)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
       .groupBy("band", "key")
       .agg(collect_list(col("doc_id")).as("ids"))
@@ -110,11 +95,8 @@ object Dedup {
       .select(least(col("a"), col("b")).as("doc_a"), greatest(col("a"), col("b")).as("doc_b"))
       .distinct()
 
-  /** Exact n-gram Jaccard between two shingle-set columns. */
-  def jaccard(a: C, b: C): C = {
-    val inter = size(array_intersect(a, b)).cast("double")
-    inter / nullif((size(a) + size(b) - size(array_intersect(a, b))).cast("double"), lit(0.0))
-  }
+  /** Exact n-gram Jaccard between two shingle-set columns (native). */
+  def jaccard(a: C, b: C): C = TextHashing.jaccard(a, b)
 
   /** Full near-dup pipeline: LSH candidates → exact-Jaccard verify ≥ threshold.
     *
@@ -137,26 +119,9 @@ object Dedup {
   }
 
   /** 64-bit SimHash over whitespace tokens: per-bit majority vote of token
-    * hashes. Single aggregate pass accumulating the 64 bit-counts (same
-    * no-recompute-through-lambdas discipline as [[minhashSignature]]).
+    * hashes (native single pass).
     */
-  def simhash(text: C): C = {
-    val hashes = transform(split(text, " "), t => xxhash64(t))
-    val bitCounts = aggregate(
-      hashes,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(
-        acc,
-        transform(sequence(lit(0), lit(63)),
-          j => call_function("shiftright", h, j.cast("int")).bitwiseAND(1L)),
-        (a, b) => a + b))
-    val nTokens = size(split(text, " "))
-    aggregate(
-      zip_with(bitCounts, sequence(lit(0), lit(63)),
-        (c, j) => when(c * 2 >= nTokens,
-          call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
-      lit(0L), (acc, x) => acc + x)
-  }
+  def simhash(text: C): C = TextHashing.simhash(text)
 
   /** SimHash-exact dup groups (identical token multisets collide). */
   def simhashDups(documents: DataFrame): DataFrame =
@@ -165,4 +130,63 @@ object Dedup {
       .groupBy("simhash")
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("n_docs") > 1)
+
+  /** The original higher-order-function forms. Value-identical to the native
+    * expressions (ExtSpec asserts it); kept as the executable spec and
+    * cross-check, NOT used on hot paths.
+    */
+  object Hof {
+
+    def shingles(text: C, n: Int): C = {
+      val toks = split(text, " ")
+      if (n == 1) array_distinct(toks)
+      else array_distinct(
+        when(size(toks) < n, array()).otherwise(
+          transform(sequence(lit(1), size(toks) - (n - 1)),
+            i => concat_ws(" ", (0 until n).map(k => element_at(toks, i + k)): _*))))
+    }
+
+    /** One aggregate pass (running element-wise min of the per-shingle hash
+      * vector): the naive transform-per-seed form embeds the shingle
+      * subtree into every seed's lambda (Catalyst does not CSE through
+      * higher-order functions) — measured 30× slower at sf0.1.
+      */
+    def minhashSignature(sh: C, numHashes: Int): C =
+      aggregate(
+        sh,
+        array_repeat(lit(Long.MaxValue), numHashes),
+        (acc, s) => zip_with(
+          acc,
+          transform(sequence(lit(0), lit(numHashes - 1)), i => xxhash64(s, i)),
+          (a, b) => least(a, b)))
+
+    def bands(sig: C, numHashes: Int, nBands: Int): C = {
+      val rows = numHashes / nBands
+      transform(sequence(lit(0), lit(nBands - 1)),
+        b => concat_ws(",", slice(sig, b * rows + 1, lit(rows))))
+    }
+
+    def jaccard(a: C, b: C): C = {
+      val inter = size(array_intersect(a, b)).cast("double")
+      inter / nullif((size(a) + size(b) - size(array_intersect(a, b))).cast("double"), lit(0.0))
+    }
+
+    def simhash(text: C): C = {
+      val hashes = transform(split(text, " "), t => xxhash64(t))
+      val bitCounts = aggregate(
+        hashes,
+        array_repeat(lit(0L), 64),
+        (acc, h) => zip_with(
+          acc,
+          transform(sequence(lit(0), lit(63)),
+            j => call_function("shiftright", h, j.cast("int")).bitwiseAND(1L)),
+          (a, b) => a + b))
+      val nTokens = size(split(text, " "))
+      aggregate(
+        zip_with(bitCounts, sequence(lit(0), lit(63)),
+          (c, j) => when(c * 2 >= nTokens,
+            call_function("shiftleft", lit(1L), j.cast("int"))).otherwise(0L)),
+        lit(0L), (acc, x) => acc + x)
+    }
+  }
 }

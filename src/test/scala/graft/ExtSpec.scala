@@ -38,6 +38,54 @@ class ExtSpec extends SparkTestBase {
     assert(pairs.filter(col("j") < 0.8).count() === 0)
   }
 
+  test("native text-hash expressions are value-identical to the HOF spec forms") {
+    import graft.plans.TextHashing
+    val d = docs.select(col("doc_id"), col("text"))
+    // shingles (n = 1 and n = 3), minhash signature, bands, simhash
+    val both = d.select(
+      col("doc_id"),
+      TextHashing.shingles(col("text"), 1).as("sh1_n"),
+      Dedup.Hof.shingles(col("text"), 1).as("sh1_h"),
+      TextHashing.shingles(col("text"), 3).as("sh3_n"),
+      Dedup.Hof.shingles(col("text"), 3).as("sh3_h"),
+      TextHashing.simhash(col("text")).as("simhash_n"),
+      Dedup.Hof.simhash(col("text")).as("simhash_h"))
+    assert(both.filter(col("sh1_n") =!= col("sh1_h")).count() === 0)
+    assert(both.filter(col("sh3_n") =!= col("sh3_h")).count() === 0)
+    assert(both.filter(col("simhash_n") =!= col("simhash_h")).count() === 0)
+
+    val sigs = d.select(TextHashing.shingles(col("text"), 3).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(
+        TextHashing.minhashSignature(col("sh"), 32).as("sig_n"),
+        Dedup.Hof.minhashSignature(col("sh"), 32).as("sig_h"),
+        TextHashing.minhashBands(col("sh"), 32, 8).as("bands_n"))
+    assert(sigs.filter(col("sig_n") =!= col("sig_h")).count() === 0)
+    assert(sigs.filter(col("bands_n") =!= Dedup.Hof.bands(col("sig_h"), 32, 8)).count() === 0)
+
+    // jaccard on real shingle pairs (cross a small sample)
+    val s = d.limit(20).select(TextHashing.shingles(col("text"), 2).as("sh"))
+    val pairs = s.as("a").crossJoin(s.as("b"))
+      .select(
+        TextHashing.jaccard(col("a.sh"), col("b.sh")).as("j_n"),
+        Dedup.Hof.jaccard(col("a.sh"), col("b.sh")).as("j_h"))
+    assert(pairs.filter(
+      (col("j_n").isNull =!= col("j_h").isNull) ||
+        (col("j_n").isNotNull && col("j_n") =!= col("j_h"))).count() === 0)
+  }
+
+  test("native jaccard edge cases: empty arrays -> null, disjoint -> 0, equal -> 1") {
+    import spark.implicits._
+    val rows = Seq(
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq("a", "b"), Seq("a", "b"))).toDF("a", "b")
+    val out = rows.select(Dedup.jaccard(col("a"), col("b")).as("j")).collect()
+    assert(out(0).isNullAt(0))
+    assert(out(1).getDouble(0) === 0.0)
+    assert(out(2).getDouble(0) === 1.0)
+  }
+
   test("cosine: self-similarity is 1, topK is ordered and bounded") {
     val emb = Tables.embeddings(spark, sf0001)
     val self = emb.limit(5)
