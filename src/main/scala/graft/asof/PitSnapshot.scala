@@ -34,7 +34,15 @@ object PitSnapshot {
   def snapshot(spark: SparkSession, trades: DataFrame, symbol: String, asOf: Timestamp): DataFrame = {
     val asOfCol = lit(asOf)
     // The PIT guard: the single most important filter in the engine.
+    // Persisted: all 9 feature branches below re-read this frame; without it
+    // each branch re-scans the fact table (9 scans → 1). The frame is ONE
+    // symbol's history ≤ ts — bounded and small at any corpus scale (the
+    // reference's feature_pit_snapshot is likewise a point lookup over one
+    // symbol's partitions). Callers serving many snapshots per session
+    // should snapshot several symbols per retrieval (HistoricalFeatures)
+    // rather than loop this entry point.
     val base = trades.filter(col("symbol") === symbol && col("time") <= asOfCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Latest 1-minute OHLC bar <= ts (bar may be partial — correct PIT view).
     val ohlc = Ohlc.compute(base).agg(

@@ -81,6 +81,14 @@ object ExtQueries {
       Similarity.nearDupPairs(embPar(s, d), planes = 8, threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
 
+    // IVF coarse-quantizer ANN (the pgvector-ivfflat analogue): deterministic
+    // centroids -> broadcast assignment -> probe 2 of 16 buckets -> exact
+    // cosine top-k within. Fully DuckDB-oracle-checked (assignment, probe
+    // selection and scoring reproduce bit-identically).
+    "q_ann_ivf" -> ((s, d) =>
+      graft.ext.Ivf.topK(embPar(s, d), queryVecId = 0L, k = 20,
+        nCentroids = 16, nProbe = 2)),
+
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.fakeDecode(Multimodal.payloads(s, d))
         .select(col("media_id"), col("source"),
@@ -99,7 +107,36 @@ object ExtQueries {
       |                     i -> t[i] || ' ' || t[i+1])) END AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
 
+  /** DuckDB cosine with the identical left-to-right double fold as
+    * [[graft.plans.CosineSimilarity]] — bit-stable across engines.
+    */
+  private def cosSql(a: String, b: String): String =
+    s"(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $b[i]), (x, y) -> x + y) / " +
+      s"nullif(sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]), (x, y) -> x + y)) * " +
+      s"sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]), (x, y) -> x + y)), CAST(0 AS DOUBLE)))"
+
   val oracles: Map[String, String] = Map(
+    "q_ann_ivf" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |probes AS (
+        |  SELECT centroid_id FROM (
+        |    SELECT centroid_id, ${cosSql("cv", "qv")} AS qcos FROM c, q)
+        |  ORDER BY qcos DESC, centroid_id LIMIT 2),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, c.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+        |    FROM e CROSS JOIN c)
+        |  WHERE rn = 1)
+        |SELECT e.vec_id, a.centroid_id,
+        |       floor(${cosSql("e.v", "qv")} * 1e6 + 0.5) / 1e6 AS cosine
+        |FROM e JOIN assign a ON e.vec_id = a.vec_id CROSS JOIN q
+        |WHERE a.centroid_id IN (SELECT centroid_id FROM probes) AND e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
+
     "q_text_stats" ->
       """SELECT lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS total_chars,
         |       floor((avg(CAST(len(string_split(text, ' ')) AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS avg_tokens,

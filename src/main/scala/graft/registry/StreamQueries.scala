@@ -67,6 +67,11 @@ object StreamQueries {
       s.read.parquet(out).select("symbol", "normal_spread", "n")
     }),
 
+    // Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)
+    // over an at-least-once duplicated delivery; equals batch DISTINCT.
+    "q_stream_dedup" -> ((s, d) =>
+      StreamingFeatures.streamingDedupOnce(s, s"$d/events.parquet")),
+
     // Avro wire-format roundtrip (decimal logical types): encode every trade
     // to Avro binary, decode it back, aggregate — must equal the plain SQL
     // aggregation of the source rows.
@@ -91,6 +96,12 @@ object StreamQueries {
 
     "q_stream_merge" -> withTrades(
       "SELECT time, symbol, trade_id, price, volume FROM trades"),
+
+    "q_stream_dedup" -> withTrades(
+      """SELECT DISTINCT time, symbol, trade_id, price, volume
+        |FROM (SELECT * FROM trades
+        |      UNION ALL
+        |      SELECT * FROM trades WHERE CAST(trade_id AS BIGINT) % 10 = 0)""".stripMargin),
 
     "q_stream_cep" -> withTrades(
       """SELECT time, symbol, large_trades_5m FROM (

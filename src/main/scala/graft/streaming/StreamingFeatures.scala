@@ -49,6 +49,37 @@ object StreamingFeatures {
     spark.table(name)
   }
 
+  /** Streaming exact dedup with BOUNDED state: inject duplicates (a second
+    * delivery of every 10th trade — the at-least-once shape), then
+    * `dropDuplicatesWithinWatermark` on the natural key. State for a key is
+    * dropped once the watermark passes its event time, so state size is
+    * O(keys per watermark window), not O(all keys ever) — the scale-correct
+    * form of the reference's DB-unique-key dedup backstop
+    * (`ARCHITECTURE.md:49-55`). Output equals `SELECT DISTINCT` over the
+    * duplicated input (the batch oracle).
+    */
+  def streamingDedupOnce(spark: SparkSession, eventsPath: String,
+      watermark: String = "1 minute"): DataFrame = {
+    val trades = StreamSources.tradeFileStream(spark, eventsPath)
+    val withDups = trades.unionAll(
+      StreamSources.tradeFileStream(spark, eventsPath)
+        .filter(col("trade_id").cast("long") % 10 === 0))
+    val deduped = withDups
+      .withWatermark("time", watermark)
+      .dropDuplicatesWithinWatermark("trade_id")
+    val name = s"stream_dedup_${runId.incrementAndGet()}"
+    val q = deduped.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(name).select("time", "symbol", "trade_id", "price", "volume")
+  }
+
   /** Idempotent MERGE sink: upsert a micro-batch into a parquet "table" dir
     * keyed on (time, symbol, trade_id) — the Spark analogue of the
     * reference's `INSERT ... ON CONFLICT DO UPDATE` JDBC sink

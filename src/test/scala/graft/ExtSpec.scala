@@ -99,6 +99,32 @@ class ExtSpec extends SparkTestBase {
     assert(cosines.forall(c => c >= -1.0 - 1e-9 && c <= 1.0 + 1e-9))
   }
 
+  test("native SRP bucket is value-identical to the HOF spec form") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val both = emb.select(
+      Similarity.lshBucket(col("embedding"), 12).as("b_n"),
+      Similarity.Hof.lshBucket(col("embedding"), 12).as("b_h"))
+    assert(both.filter(col("b_n") =!= col("b_h")).count() === 0)
+  }
+
+  test("IVF with full probe degrades exactly to brute-force top-k") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.topK(emb, 0L, 15).collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    val full = graft.ext.Ivf.topK(emb, 0L, 15, nCentroids = 16, nProbe = 16)
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Double]("cosine")))
+    assert(full.toSeq === brute.toSeq)
+  }
+
+  test("IVF probe subset keeps high recall on the clustered corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val brute = Similarity.topK(emb, 0L, 10).collect().map(_.getAs[Long]("vec_id")).toSet
+    val ivf = graft.ext.Ivf.topK(emb, 0L, 10, nCentroids = 16, nProbe = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((brute intersect ivf).size >= 5,
+      s"recall@10 too low: ${(brute intersect ivf).size}/10")
+  }
+
   test("language id is deterministic and total") {
     val out = docs.select(TextStats.langId(col("text")).as("p"))
     assert(out.filter(col("p").isNull).count() === 0)

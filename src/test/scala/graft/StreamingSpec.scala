@@ -21,6 +21,15 @@ class StreamingSpec extends SparkTestBase {
     assert(batch.exceptAll(streamed).count() === 0)
   }
 
+  test("streaming dedup with bounded state equals batch DISTINCT over duplicated input") {
+    val streamed = StreamingFeatures.streamingDedupOnce(spark, s"$sf0001/events.parquet")
+    val batch = Tables.trades(spark, sf0001)
+      .select("time", "symbol", "trade_id", "price", "volume")
+    assert(streamed.count() === batch.count(), "every duplicate delivery dropped, nothing lost")
+    assert(streamed.exceptAll(batch).count() === 0)
+    assert(batch.exceptAll(streamed).count() === 0)
+  }
+
   test("exactly-once: replayed input leaves the merged table unchanged") {
     val out = Files.createTempDirectory("graft_eo_").toString + "/t"
     val merged = StreamingFeatures.exactlyOnceIngest(spark, s"$sf0001/events.parquet", out)
