@@ -65,6 +65,20 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastHashJoin"), s"plan:\n$plan")
   }
 
+  test("IVF plan: centroids and probes broadcast; no pairwise shuffle of the corpus") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val plan = graft.ext.Ivf.topK(emb, 0L, 10, nCentroids = 16, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    // centroid assignment and probe restriction are broadcast joins — the
+    // corpus never shuffles against itself; the only wide op is the
+    // per-vector argmax reduce (hash agg on vec_id)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"plan:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge against itself:\n$plan")
+    // final top-k is per-partition top-k merged on the driver, not a global sort
+    assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
+  }
+
   test("TenantFilterRule injects the tenant predicate at the scan") {
     import graft.plans.TenantFilterRule
     val total = Tables.events(spark, sf0001).count()
