@@ -37,19 +37,29 @@ object Ivf {
       .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
 
   /** Assign every vector to its max-cosine centroid (smallest id on ties).
-    * Broadcast join + per-row argmax: narrow, shuffle-free up to the final
-    * per-vector reduce (map-side combined on vec_id).
+    *
+    * Shape: the K centroids collapse to a ONE-row array frame that
+    * broadcast-joins onto the corpus, and the argmax is a per-row fold over
+    * that array — a genuinely narrow map with NO shuffle of the corpus
+    * (plan-asserted in PlanSpec). The K-way explode + re-group alternative
+    * would push |corpus|×K rows through a hash shuffle — wrong at 100 TB.
     */
   def assign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
-    val c = broadcast(centroids(embeddings, nCentroids))
-    embeddings.crossJoin(c)
-      .select(col("vec_id"), col("embedding"), col("centroid_id"),
-        Similarity.cosineNative(col("embedding"), col("centroid")).as("ccos"))
-      .groupBy(col("vec_id"))
-      .agg(
-        min_by(col("centroid_id"), struct((-col("ccos")).as("nc"), col("centroid_id")))
-          .as("centroid_id"),
-        first(col("embedding")).as("embedding"))
+    val centArr = centroids(embeddings, nCentroids)
+      .agg(sort_array(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("cents"))
+    val best = aggregate(
+      col("cents"),
+      struct(lit(-1L).as("centroid_id"), lit(Double.NegativeInfinity).as("ccos")),
+      (acc, c) => {
+        val cos = Similarity.cosineNative(col("embedding"), c.getField("centroid"))
+        // strict > keeps the first (lowest-id, array sorted) centroid on ties
+        when(cos > acc.getField("ccos"),
+          struct(c.getField("centroid_id").as("centroid_id"), cos.as("ccos")))
+          .otherwise(acc)
+      })
+    embeddings.crossJoin(broadcast(centArr))
+      .select(col("vec_id"), col("embedding"), best.getField("centroid_id").as("centroid_id"))
   }
 
   /** The query's `nProbe` nearest centroids. */

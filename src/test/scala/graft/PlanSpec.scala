@@ -75,6 +75,10 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
       s"plan:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"corpus must not sort-merge against itself:\n$plan")
+    // assignment is a per-row fold over the broadcast centroid array — the
+    // corpus itself never goes through a hash shuffle
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"IVF must not shuffle the corpus:\n$plan")
     // final top-k is per-partition top-k merged on the driver, not a global sort
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
