@@ -1,0 +1,79 @@
+package graft.ext
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column => C}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data curation operators: deterministic hash-based dataset
+  * splitting, class-balanced sampling, and context-window document chunking
+  * — the set a large-scale training-data pipeline runs after dedup/quality
+  * filtering (SURVEY §7.5 companion surface).
+  *
+  * Every operator is a pure column computation on md5 (shared bit-for-bit by
+  * every engine), so assignments are reproducible across runs, engines, and
+  * cluster sizes — no RNG state, no `rand()` (whose sequence is
+  * partitioning-dependent and engine-specific). All three are
+  * DuckDB-oracle-checked end to end.
+  *
+  * Scale shapes: split + chunk are NARROW per-row maps (no shuffle at all);
+  * balanced sampling is one hash shuffle on the class key + a bounded
+  * row_number window — state per class is O(1), output O(classes × n).
+  */
+object Curation {
+
+  /** Deterministic uniform [0,1) from the md5 of a key: the first 8 hex
+    * digits as an integer, divided by 2³². Exact double arithmetic — every
+    * engine computing the same key produces the same u.
+    */
+  def hashUniform(key: C): C =
+    conv(substring(md5(key.cast("string")), 1, 8), 16, 10).cast("bigint") /
+      lit(4294967296.0)
+
+  /** Train/valid/test tag with the given cumulative fractions. */
+  def splitTag(key: C, trainFrac: Double = 0.8, validFrac: Double = 0.1): C = {
+    val u = hashUniform(key)
+    when(u < trainFrac, "train")
+      .when(u < trainFrac + validFrac, "valid")
+      .otherwise("test")
+  }
+
+  /** Deterministic split assignment on a key column. */
+  def hashSplit(df: DataFrame, keyCol: String,
+      trainFrac: Double = 0.8, validFrac: Double = 0.1): DataFrame =
+    df.withColumn("split", splitTag(col(keyCol), trainFrac, validFrac))
+
+  /** Class-balanced downsample: at most `perClass` rows per value of
+    * `classCol`, chosen by md5 order (deterministic, uniform within class —
+    * the "take a fixed random-but-reproducible sample of every language/
+    * source" curation step). One shuffle on the class key.
+    */
+  def balancedSample(df: DataFrame, classCol: String, keyCol: String,
+      perClass: Int): DataFrame = {
+    val w = Window.partitionBy(col(classCol))
+      .orderBy(md5(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= perClass)
+      .drop("rn")
+  }
+
+  /** Context-window chunking: split each document's whitespace tokens into
+    * consecutive windows of `chunkTokens`, one output row per chunk. A
+    * narrow map + explode — no shuffle; chunk count per doc is
+    * ceil(tokens / chunkTokens).
+    */
+  def chunk(documents: DataFrame, chunkTokens: Int): DataFrame = {
+    val k = chunkTokens
+    val toks = split(col("text"), " ")
+    val nChunks = ceil(size(toks).cast("double") / k).cast("int")
+    documents
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), nChunks - 1), i =>
+          struct(
+            i.as("chunk_idx"),
+            concat_ws(" ", slice(toks, i * k + 1, lit(k))).as("chunk_text"),
+            size(slice(toks, i * k + 1, lit(k))).as("chunk_tokens")))).as("c"))
+      .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"),
+        col("c.chunk_tokens"))
+  }
+}

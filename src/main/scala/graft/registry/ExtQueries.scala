@@ -89,6 +89,22 @@ object ExtQueries {
       graft.ext.Ivf.topK(embPar(s, d), queryVecId = 0L, k = 20,
         nCentroids = 16, nProbe = 2)),
 
+    // Deterministic (md5-keyed) train/valid/test split — per-split × lang
+    // counts. No RNG: reproducible across engines/cluster sizes.
+    "q_train_split" -> ((s, d) =>
+      graft.ext.Curation.hashSplit(Tables.documents(s, d), "doc_id")
+        .groupBy("split", "lang").agg(count(lit(1)).as("n"))),
+
+    // Class-balanced downsample: 20 docs per language, md5-ordered.
+    "q_balanced_sample" -> ((s, d) =>
+      graft.ext.Curation.balancedSample(
+        Tables.documents(s, d), "lang", "doc_id", perClass = 20)
+        .select("doc_id", "lang", "source", "n_chars")),
+
+    // Context-window chunking: 50-token windows, one row per chunk.
+    "q_doc_chunks" -> ((s, d) =>
+      graft.ext.Curation.chunk(docsPar(s, d), chunkTokens = 50)),
+
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.fakeDecode(Multimodal.payloads(s, d))
         .select(col("media_id"), col("source"),
@@ -201,6 +217,36 @@ object ExtQueries {
         |      FROM e, q WHERE vec_id <> 0)
         |SELECT vec_id, floor((dp / nullif(sqrt(na) * sqrt(nb), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS cosine
         |FROM c ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_train_split" ->
+      """SELECT split, lang, count(*) AS n FROM (
+        |  SELECT lang,
+        |         CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+        |              WHEN u < CAST(0.9 AS DOUBLE) THEN 'valid'
+        |              ELSE 'test' END AS split
+        |  FROM (SELECT lang,
+        |               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |                 / CAST(4294967296 AS DOUBLE) AS u
+        |        FROM documents))
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q_balanced_sample" ->
+      """SELECT doc_id, lang, source, n_chars FROM (
+        |  SELECT doc_id, lang, source, n_chars,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |  FROM documents)
+        |WHERE rn <= 20""".stripMargin,
+
+    "q_doc_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |x AS (SELECT doc_id, t,
+        |             unnest(range(0, CAST(ceil(CAST(len(t) AS DOUBLE) / 50) AS BIGINT))) AS ci
+        |      FROM d)
+        |SELECT doc_id, CAST(ci AS INT) AS chunk_idx,
+        |       array_to_string(t[(ci*50+1):(ci*50+50)], ' ') AS chunk_text,
+        |       CAST(len(t[(ci*50+1):(ci*50+50)]) AS INT) AS chunk_tokens
+        |FROM x""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, source,

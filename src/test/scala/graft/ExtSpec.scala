@@ -125,6 +125,39 @@ class ExtSpec extends SparkTestBase {
       s"recall@10 too low: ${(brute intersect ivf).size}/10")
   }
 
+  test("curation: chunks reassemble to the original text; sizes bounded") {
+    import graft.ext.Curation
+    val chunks = Curation.chunk(docs, chunkTokens = 50)
+    assert(chunks.filter(col("chunk_tokens") > 50 || col("chunk_tokens") < 1).count() === 0)
+    val reassembled = chunks.orderBy("doc_id", "chunk_idx")
+      .groupBy("doc_id")
+      .agg(concat_ws(" ", collect_list(col("chunk_text"))).as("re"))
+    val diff = reassembled.join(docs, "doc_id")
+      .filter(col("re") =!= col("text")).count()
+    assert(diff === 0, "concatenated chunks must equal the source text")
+  }
+
+  test("curation: hash split is deterministic, total, and near the target fractions") {
+    import graft.ext.Curation
+    val s1 = Curation.hashSplit(docs, "doc_id")
+    val s2 = Curation.hashSplit(docs, "doc_id")
+    assert(s1.select("doc_id", "split").exceptAll(s2.select("doc_id", "split")).count() === 0)
+    val n = docs.count().toDouble
+    val frac = s1.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1) / n).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.1, s"train frac ${frac("train")}")
+    assert(frac.values.sum === 1.0)
+  }
+
+  test("curation: balanced sample caps every class and is stable") {
+    import graft.ext.Curation
+    val sample = Curation.balancedSample(docs, "lang", "doc_id", perClass = 7)
+    val over = sample.groupBy("lang").count().filter(col("count") > 7).count()
+    assert(over === 0)
+    val again = Curation.balancedSample(docs, "lang", "doc_id", perClass = 7)
+    assert(sample.select("doc_id").exceptAll(again.select("doc_id")).count() === 0)
+  }
+
   test("language id is deterministic and total") {
     val out = docs.select(TextStats.langId(col("text")).as("p"))
     assert(out.filter(col("p").isNull).count() === 0)
