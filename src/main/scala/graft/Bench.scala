@@ -40,7 +40,39 @@ object Bench {
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // Warm serving-path latency, the shape the reference benchmarks
+    // (scripts/benchmark_performance.py:26-119: repeated feature_pit_snapshot
+    // / online-read calls, p50/p95 over iterations). Each iteration rebuilds
+    // and executes the full query (plan + run), as the reference's function
+    // call does.
+    def warmStats(name: String, iters: Int): String = {
+      val fn = SparkEntry.queries(name)
+      (1 to 2).foreach(_ => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
+      def pct(ts: Seq[Double], p: Int) = ts.sorted.apply((ts.length * p / 100).min(ts.length - 1))
+      // cold-plan: build + analyze + optimize + execute per call
+      val full = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        fn(spark, sfDir).write.format("noop").mode("overwrite").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // prepared-plan: physical plan built once, executed per call — the
+      // analogue of the reference's plpgsql function (parsed/planned once)
+      val rdd = fn(spark, sfDir).queryExecution.toRdd
+      rdd.count()
+      val prepared = (1 to iters).map { _ =>
+        val t0 = System.nanoTime()
+        rdd.count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      s"""{"p50_sec":${pct(full, 50)},"p95_sec":${pct(full, 95)},""" +
+        s""""prepared_p50_sec":${pct(prepared, 50)},"prepared_p95_sec":${pct(prepared, 95)},"n":$iters}"""
+    }
+    val pitWarm = warmStats("q_pit_snapshot", 20)
+    val onlineWarm = warmStats("q_online_features", 10)
+
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""pit_warm":$pitWarm,"online_warm":$onlineWarm,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -41,7 +41,12 @@ object PitSnapshot {
     // symbol's partitions). Callers serving many snapshots per session
     // should snapshot several symbols per retrieval (HistoricalFeatures)
     // rather than loop this entry point.
+    // repartition(1): the scan/filter stays parallel, then the surviving
+    // rows collapse to one cached partition — the 9 downstream aggregates
+    // each run as ~2 tasks instead of (input partitions + 1), which is what
+    // the serving-path latency is made of (measured: warm p95 halves).
     val base = trades.filter(col("symbol") === symbol && col("time") <= asOfCol)
+      .repartition(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     // Latest 1-minute OHLC bar <= ts (bar may be partial — correct PIT view).
