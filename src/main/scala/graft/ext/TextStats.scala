@@ -68,6 +68,14 @@ object TextStats {
   /** Content fingerprint (md5 — stable across engines). */
   def fingerprint(text: Column): Column = md5(text)
 
+  /** Canonical text normalization for dedup/training prep: lowercase, strip
+    * non-alphanumerics to spaces, collapse runs, trim. Pure column fns
+    * (codegen'd regexes), narrow map — and RE2-safe patterns so the DuckDB
+    * oracle applies the identical transform.
+    */
+  def normalize(text: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
+
   /** Per-language corpus stats — one agg pass. */
   def corpusStats(documents: DataFrame): DataFrame =
     documents

@@ -15,6 +15,22 @@ object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
+    // PIVOT: per-symbol buy/sell volume as columns (explicit value list, so
+    // the pivot is a single conditional-sum hash agg — no second pass to
+    // discover values).
+    "q_pivot_sides" -> ((s, d) =>
+      graft.core.Tables.trades(s, d)
+        .groupBy("symbol")
+        .pivot("side", Seq("buy", "sell"))
+        .agg(sum(col("volume")))),
+
+    // ROLLUP over (symbol, day): subtotal and grand-total rows in one pass
+    // (Spark expands grouping sets in a single Expand + hash agg).
+    "q_rollup_volume" -> ((s, d) =>
+      graft.core.Tables.trades(s, d)
+        .rollup(col("symbol"), date_trunc("day", col("time")).as("day"))
+        .agg(sum(col("volume")).as("total_volume"), count(lit(1)).as("n_trades"))),
+
     // TPC-H Q1-shaped pricing summary: single hash-agg shuffle; the shipdate
     // filter pushes into the parquet scan (PushedFilters).
     "q_pricing_summary" -> ((s, d) => {
@@ -196,6 +212,17 @@ object CoreQueries {
         count(lit(1)).as("n"))))
 
   val oracles: Map[String, String] = Map(
+    "q_pivot_sides" -> OracleSql.withTrades(
+      """SELECT symbol,
+        |       sum(CASE WHEN side = 'buy' THEN volume END) AS buy,
+        |       sum(CASE WHEN side = 'sell' THEN volume END) AS sell
+        |FROM trades GROUP BY symbol""".stripMargin),
+
+    "q_rollup_volume" -> OracleSql.withTrades(
+      """SELECT symbol, date_trunc('day', time) AS day,
+        |       sum(volume) AS total_volume, count(*) AS n_trades
+        |FROM trades GROUP BY ROLLUP (symbol, day)""".stripMargin),
+
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |       floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,

@@ -38,6 +38,13 @@ object ExtQueries {
 
     "q_text_dup_exact" -> ((s, d) => Dedup.exactTextDups(Tables.documents(s, d))),
 
+    // Canonical normalization + how many distinct docs it collapses.
+    "q_text_normalize" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextStats.normalize(col("text")).as("norm_text"))
+        .groupBy("norm_text")
+        .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_doc_id"))),
+
     "q_ngram_jaccard" -> ((s, d) => {
       val docs = docsPar(s, d)
       val sets = docs.select(col("doc_id"), Dedup.shingles(col("text"), 2).as("sh"))
@@ -217,6 +224,12 @@ object ExtQueries {
         |      FROM e, q WHERE vec_id <> 0)
         |SELECT vec_id, floor((dp / nullif(sqrt(na) * sqrt(nb), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS cosine
         |FROM c ORDER BY cosine DESC, vec_id LIMIT 20""".stripMargin,
+
+    "q_text_normalize" ->
+      """SELECT trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+        |            ' +', ' ', 'g')) AS norm_text,
+        |       count(*) AS n_docs, min(doc_id) AS keep_doc_id
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_train_split" ->
       """SELECT split, lang, count(*) AS n FROM (
