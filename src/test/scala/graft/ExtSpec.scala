@@ -74,6 +74,22 @@ class ExtSpec extends SparkTestBase {
         (col("j_n").isNotNull && col("j_n") =!= col("j_h"))).count() === 0)
   }
 
+  test("SQL-registered text-hash functions match the column API") {
+    graft.plans.TextHashing.register(spark)
+    docs.limit(50).createOrReplaceTempView("th_docs")
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_simhash(text) AS sh,
+        |       graft_minhash_bands(graft_shingles(text, 3), 32, 8) AS bands
+        |FROM th_docs""".stripMargin)
+    val viaCols = docs.limit(50).select(
+      col("doc_id"),
+      graft.plans.TextHashing.simhash(col("text")).as("sh"),
+      graft.plans.TextHashing.minhashBands(
+        graft.plans.TextHashing.shingles(col("text"), 3), 32, 8).as("bands"))
+    assert(viaSql.exceptAll(viaCols).count() === 0)
+    assert(viaCols.exceptAll(viaSql).count() === 0)
+  }
+
   test("native jaccard edge cases: empty arrays -> null, disjoint -> 0, equal -> 1") {
     import spark.implicits._
     val rows = Seq(
