@@ -67,6 +67,22 @@ object StreamQueries {
       s.read.parquet(out).select("symbol", "normal_spread", "n")
     }),
 
+    // Continuous-aggregate refresh (TimescaleDB refresh policy analogue):
+    // seed a STALE materialized OHLC (30 min behind), refresh the trailing
+    // 2 h window twice (idempotence), and gate the final table against the
+    // full batch recompute — buckets older than the refresh window must
+    // already be correct, newer ones must be corrected by the MERGE.
+    "q_ohlc_refresh" -> ((s, d) => {
+      val t = Tables.trades(s, d)
+      val out = Files.createTempDirectory("graft_ohlc_refresh_").toString + "/t"
+      val mx = t.agg(max(col("time"))).collect()(0).getTimestamp(0)
+      val cutoff = new java.sql.Timestamp(mx.getTime - 30L * 60 * 1000)
+      graft.features.Ohlc.compute(t.filter(col("time") <= lit(cutoff)))
+        .write.mode("overwrite").parquet(out)
+      StreamingFeatures.refreshOhlcAggregate(s, t, out, startOffsetSec = 7200)
+      StreamingFeatures.refreshOhlcAggregate(s, t, out, startOffsetSec = 7200)
+    }),
+
     // Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)
     // over an at-least-once duplicated delivery; equals batch DISTINCT.
     "q_stream_dedup" -> ((s, d) =>
@@ -93,6 +109,8 @@ object StreamQueries {
 
   val oracles: Map[String, String] = Map(
     "q_stream_ohlc" -> withTrades(ohlcSql),
+
+    "q_ohlc_refresh" -> withTrades(ohlcSql),
 
     "q_stream_merge" -> withTrades(
       "SELECT time, symbol, trade_id, price, volume FROM trades"),
