@@ -49,7 +49,9 @@ object Bench {
     def warmStats(name: String, iters: Int): String = {
       val fn = SparkEntry.queries(name)
       (1 to 2).foreach(_ => fn(spark, sfDir).write.format("noop").mode("overwrite").save())
-      def pct(ts: Seq[Double], p: Int) = ts.sorted.apply((ts.length * p / 100).min(ts.length - 1))
+      // nearest-rank percentile: index ceil(n*p/100) - 1
+      def pct(ts: Seq[Double], p: Int) =
+        ts.sorted.apply((math.ceil(ts.length * p / 100.0).toInt - 1).max(0))
       // cold-plan: build + analyze + optimize + execute per call
       val full = (1 to iters).map { _ =>
         val t0 = System.nanoTime()

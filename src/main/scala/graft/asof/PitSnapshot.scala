@@ -27,6 +27,9 @@ import org.apache.spark.sql.functions._
   */
 object PitSnapshot {
 
+  private val lastBase =
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
   /** Future-query guard, mirroring `smartdb_contract.py:200-201`. */
   def validateAsOf(asOf: Timestamp, now: Timestamp): Either[String, Timestamp] =
     if (asOf.after(now)) Left(s"as_of_ts $asOf is in the future (now=$now)") else Right(asOf)
@@ -48,6 +51,11 @@ object PitSnapshot {
     val base = trades.filter(col("symbol") === symbol && col("time") <= asOfCol)
       .repartition(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Bounded cache lifecycle for serving loops: keep at most one snapshot
+    // base cached per session. Unpersisting the previous base is safe — it
+    // only removes the cache; an un-executed earlier snapshot just
+    // recomputes its (pruned, bounded) lineage.
+    Option(PitSnapshot.lastBase.put(spark, base)).foreach(_.unpersist(blocking = false))
 
     // Latest 1-minute OHLC bar <= ts (bar may be partial — correct PIT view).
     val ohlc = Ohlc.compute(base).agg(

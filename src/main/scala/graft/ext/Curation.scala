@@ -64,9 +64,16 @@ object Curation {
     */
   def chunk(documents: DataFrame, chunkTokens: Int): DataFrame = {
     val k = chunkTokens
-    val toks = split(col("text"), " ")
+    // Tokenize ONCE into a projected column and reference it by attribute:
+    // embedding `split(text)` inside the transform lambda would re-tokenize
+    // the document per chunk per slice (Catalyst does not CSE through
+    // higher-order functions — the documented TextHashing pitfall). A
+    // Project under Generate is not collapsed into the generator, so `toks`
+    // stays a single evaluation per row.
+    val toks = col("toks")
     val nChunks = ceil(size(toks).cast("double") / k).cast("int")
     documents
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         explode(transform(sequence(lit(0), nChunks - 1), i =>
           struct(

@@ -46,10 +46,6 @@ object TextHashing {
   private[plans] def hashString(s: UTF8String): Long =
     XxHash64Function.hash(s, StringType, Seed)
 
-  /** xxhash64(s, i) — string then int folded left-to-right onto seed 42. */
-  private[plans] def hashStringInt(s: UTF8String, i: Int): Long =
-    XxHash64Function.hash(i, IntegerType, XxHash64Function.hash(s, StringType, Seed))
-
   /** Distinct word n-grams of `text` (first-occurrence order), `" "`-joined.
     * Value-identical to [[graft.ext.Dedup.shingles]].
     */

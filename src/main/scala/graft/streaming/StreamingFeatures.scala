@@ -94,11 +94,18 @@ object StreamingFeatures {
       keys: Seq[String] = Seq("time", "symbol", "trade_id")): Unit = {
     val existing =
       if (new java.io.File(tablePath).exists()) Some(spark.read.parquet(tablePath)) else None
-    val unioned = existing match {
-      case Some(e) => e.unionByName(batch.select(e.columns.map(col): _*))
-      case None    => batch
+    // MERGE precedence must be deterministic: the incoming batch WINS on key
+    // collision (upsert semantics, like `ON CONFLICT DO UPDATE`). A
+    // dropDuplicates over the union would keep an arbitrary row — fine for
+    // identical replays, wrong for refresh-style updates where stale and
+    // fresh rows differ. So: keep existing rows only where no fresh row
+    // shares the key (left_anti), then union the batch.
+    val merged = existing match {
+      case Some(e) =>
+        val b = batch.select(e.columns.map(col): _*).dropDuplicates(keys)
+        e.join(b.select(keys.map(col): _*), keys, "left_anti").unionByName(b)
+      case None => batch.dropDuplicates(keys)
     }
-    val merged = unioned.dropDuplicates(keys)
     val tmp = tablePath + "_tmp"
     merged.write.mode("overwrite").parquet(tmp)
     val target = new java.io.File(tablePath)
@@ -150,10 +157,17 @@ object StreamingFeatures {
       trades: org.apache.spark.sql.DataFrame,
       tablePath: String,
       startOffsetSec: Long = 3600,
-      endOffsetSec: Long = 0): org.apache.spark.sql.DataFrame = {
+      endOffsetSec: Long = 0,
+      bucketSec: Long = 60): org.apache.spark.sql.DataFrame = {
     // single scalar to the driver — the only driver-side value in the op
     val anchorMicros = trades.agg(max(unix_micros(col("time")))).collect()(0).getLong(0)
-    val lo = anchorMicros - startOffsetSec * 1000000L
+    // Snap the window's lower edge DOWN to the bucket boundary (TimescaleDB
+    // refresh policies do the same): a mid-bucket edge would recompute the
+    // boundary bucket from only its tail rows and merge that partial bar
+    // over the correct one.
+    val rawLo = anchorMicros - startOffsetSec * 1000000L
+    val bucketMicros = bucketSec * 1000000L
+    val lo = Math.floorDiv(rawLo, bucketMicros) * bucketMicros
     val hi = anchorMicros - endOffsetSec * 1000000L
     val fresh = Ohlc.compute(
       trades.filter(unix_micros(col("time")) >= lo && unix_micros(col("time")) <= hi))

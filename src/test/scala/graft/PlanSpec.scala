@@ -143,6 +143,31 @@ class PlanSpec extends SparkTestBase {
     assert(after2 === before)
   }
 
+  test("refresh from a stale table with a mid-bucket window edge equals full recompute") {
+    import java.nio.file.Files
+    import spark.implicits._
+    // one symbol, one trade every 20s: EVERY minute bucket straddles any
+    // non-aligned window edge, so an unaligned refresh lower bound would
+    // merge a partial boundary bar over the correct one
+    val t = (0 until 360).map { i =>
+      (new java.sql.Timestamp(1704067200000L + i * 20000L), "S", 100.0 + i, 1.0)
+    }.toDF("time", "symbol", "price", "volume")
+    val path = Files.createTempDirectory("graft_ca_edge_").toString + "/t"
+    // stale seed: 40 minutes behind (partial bucket at the cutoff)
+    val cutoff = new java.sql.Timestamp(1704067200000L + 360 * 20000L - 40 * 60 * 1000L)
+    graft.streaming.StreamingFeatures.mergeIntoKeyed(
+      spark, path, graft.features.Ohlc.compute(t.filter(col("time") <= lit(cutoff))),
+      Seq("bucket", "symbol"))
+    // refresh window = 47 min back from max: 47*60s is bucket-aligned in
+    // seconds but the anchor (max time) is mid-bucket, so the raw lower
+    // edge lands mid-bucket — the alignment logic must snap it down
+    val refreshed = graft.streaming.StreamingFeatures
+      .refreshOhlcAggregate(spark, t, path, startOffsetSec = 47 * 60)
+    val full = graft.features.Ohlc.compute(t)
+    assert(refreshed.exceptAll(full).count() === 0, "no stale/partial bars may survive")
+    assert(full.exceptAll(refreshed).count() === 0)
+  }
+
   test("batch decoder (mapPartitions) equals the column-function stub decode") {
     import graft.ext.Multimodal
     val media = Multimodal.payloads(spark, sf0001)
