@@ -31,6 +31,12 @@ object CoreQueries {
         .rollup(col("symbol"), date_trunc("day", col("time")).as("day"))
         .agg(sum(col("volume")).as("total_volume"), count(lit(1)).as("n_trades"))),
 
+    // CUBE over (symbol, side): all four grouping sets in one Expand+agg.
+    "q_cube_volume" -> ((s, d) =>
+      graft.core.Tables.trades(s, d)
+        .cube(col("symbol"), col("side"))
+        .agg(sum(col("volume")).as("total_volume"), count(lit(1)).as("n_trades"))),
+
     // TPC-H Q1-shaped pricing summary: single hash-agg shuffle; the shipdate
     // filter pushes into the parquet scan (PushedFilters).
     "q_pricing_summary" -> ((s, d) => {
@@ -222,6 +228,10 @@ object CoreQueries {
       """SELECT symbol, date_trunc('day', time) AS day,
         |       sum(volume) AS total_volume, count(*) AS n_trades
         |FROM trades GROUP BY ROLLUP (symbol, day)""".stripMargin),
+
+    "q_cube_volume" -> OracleSql.withTrades(
+      """SELECT symbol, side, sum(volume) AS total_volume, count(*) AS n_trades
+        |FROM trades GROUP BY CUBE (symbol, side)""".stripMargin),
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

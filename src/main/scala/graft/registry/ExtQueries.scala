@@ -88,6 +88,22 @@ object ExtQueries {
       Similarity.nearDupPairs(embPar(s, d), planes = 8, threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
 
+    // Edit-distance near-dup verify over a deterministic candidate set
+    // (adjacent doc_ids) — the fuzzy-match tier below n-gram Jaccard.
+    // Levenshtein is O(len²) per pair: at scale it runs ONLY on LSH/exact
+    // candidates (bounded), never all-pairs; same discipline as nearDups.
+    "q_edit_distance" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      docs.as("a")
+        .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          levenshtein(col("a.text"), col("b.text")).as("edit_dist"),
+          graft.functions.Quantize.r(
+            lit(1.0) - levenshtein(col("a.text"), col("b.text")).cast("double") /
+              greatest(length(col("a.text")), length(col("b.text"))).cast("double"),
+            6).as("similarity"))
+    }),
+
     // IVF coarse-quantizer ANN (the pgvector-ivfflat analogue): deterministic
     // centroids -> broadcast assignment -> probe 2 of 16 buckets -> exact
     // cosine top-k within. Fully DuckDB-oracle-checked (assignment, probe
@@ -139,6 +155,14 @@ object ExtQueries {
       s"sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]), (x, y) -> x + y)), CAST(0 AS DOUBLE)))"
 
   val oracles: Map[String, String] = Map(
+    "q_edit_distance" ->
+      """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |       levenshtein(a.text, b.text) AS edit_dist,
+        |       floor((CAST(1 AS DOUBLE) - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
+        |              CAST(greatest(strlen(a.text), strlen(b.text)) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |         AS similarity
+        |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
+
     "q_ann_ivf" ->
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |c AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
