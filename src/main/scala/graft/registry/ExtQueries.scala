@@ -93,7 +93,9 @@ object ExtQueries {
     // Levenshtein is O(len²) per pair: at scale it runs ONLY on LSH/exact
     // candidates (bounded), never all-pairs; same discipline as nearDups.
     "q_edit_distance" -> ((s, d) => {
-      val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+      // O(len²) per pair is CPU-bound: fan the single parquet split out to
+      // the cores before the join (same shape as docsPar)
+      val docs = docsPar(s, d).select(col("doc_id"), col("text"))
       docs.as("a")
         .join(docs.as("b"), col("b.doc_id") === col("a.doc_id") + 1)
         .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
