@@ -133,6 +133,26 @@ object FeatureQueries {
       dup.groupBy("trade_id").agg(count(lit(1)).as("cnt")).filter(col("cnt") > 1)
     }),
 
+    // Bivariate statistics per symbol: price↔volume correlation + sample
+    // covariance — one hash-agg pass.
+    "q_price_volume_corr" -> ((s, d) =>
+      trades(s, d).groupBy("symbol").agg(
+        Quantize.r(corr(col("price"), col("volume")), 6).as("pv_corr"),
+        Quantize.r(covar_samp(col("price"), col("volume")), 4).as("pv_covar"),
+        count(lit(1)).as("n"))),
+
+    // ntile quartiles by volume (deterministic tie-break on trade_id), then
+    // per-quartile stats — the bucketed-feature shape.
+    "q_volume_quartiles" -> ((s, d) => {
+      val w = Window.partitionBy("symbol").orderBy(col("volume"), col("trade_id"))
+      trades(s, d)
+        .withColumn("quartile", ntile(4).over(w))
+        .groupBy("symbol", "quartile")
+        .agg(count(lit(1)).as("n_trades"),
+          Quantize.r(avg(col("volume")), 6).as("avg_volume"),
+          max(col("volume")).as("max_volume"))
+    }),
+
     "q_sharpe" -> ((s, d) => {
       val daily = trades(s, d)
         .groupBy(col("symbol"), date_trunc("day", col("time")).as("day"))
@@ -441,6 +461,23 @@ object FeatureQueries {
         |                THEN 1 ELSE 0 END AS brk
         |    FROM trades))
         |GROUP BY symbol, grp""".stripMargin),
+
+    "q_price_volume_corr" -> withTrades(
+      """SELECT symbol,
+        |       floor((corr(price, volume)) * 1e6 + 0.5) / 1e6 AS pv_corr,
+        |       floor((covar_samp(price, volume)) * 1e4 + 0.5) / 1e4 AS pv_covar,
+        |       count(*) AS n
+        |FROM trades GROUP BY symbol""".stripMargin),
+
+    "q_volume_quartiles" -> withTrades(
+      """SELECT symbol, quartile, count(*) AS n_trades,
+        |       floor((avg(volume)) * 1e6 + 0.5) / 1e6 AS avg_volume,
+        |       max(volume) AS max_volume
+        |FROM (
+        |  SELECT symbol, volume,
+        |         ntile(4) OVER (PARTITION BY symbol ORDER BY volume, trade_id) AS quartile
+        |  FROM trades)
+        |GROUP BY symbol, quartile""".stripMargin),
 
     "q_sharpe" -> withTrades(
       """SELECT symbol,
