@@ -27,8 +27,22 @@ import org.apache.spark.sql.functions._
   */
 object PitSnapshot {
 
+  /** Weak on both axes so neither a stopped session nor its cached frame is
+    * pinned by this map: weak KEY lets a dereferenced session entry vanish;
+    * weak VALUE breaks the value→session strong chain that would otherwise
+    * defeat the weak key. Unpersist is best-effort (a collected ref just
+    * means nothing left to release).
+    */
   private val lastBase =
-    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]())
+
+  /** Release the cached snapshot base for `spark`, if any — call on session
+    * teardown in long-running serving processes.
+    */
+  def releaseCache(spark: SparkSession): Unit =
+    Option(lastBase.remove(spark)).flatMap(r => Option(r.get()))
+      .foreach(_.unpersist(blocking = false))
 
   /** Future-query guard, mirroring `smartdb_contract.py:200-201`. */
   def validateAsOf(asOf: Timestamp, now: Timestamp): Either[String, Timestamp] =
@@ -52,10 +66,13 @@ object PitSnapshot {
       .repartition(1)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Bounded cache lifecycle for serving loops: keep at most one snapshot
-    // base cached per session. Unpersisting the previous base is safe — it
-    // only removes the cache; an un-executed earlier snapshot just
-    // recomputes its (pruned, bounded) lineage.
-    Option(PitSnapshot.lastBase.put(spark, base)).foreach(_.unpersist(blocking = false))
+    // base cached per session (keep-last is deliberate — a caller assembling
+    // MANY entities at once should use HistoricalFeatures, not a snapshot
+    // loop). Unpersisting the previous base is safe — it only removes the
+    // cache; an un-executed earlier snapshot recomputes its bounded lineage.
+    Option(PitSnapshot.lastBase.put(spark, new java.lang.ref.WeakReference(base)))
+      .flatMap(r => Option(r.get()))
+      .foreach(_.unpersist(blocking = false))
 
     // Latest 1-minute OHLC bar <= ts (bar may be partial — correct PIT view).
     val ohlc = Ohlc.compute(base).agg(

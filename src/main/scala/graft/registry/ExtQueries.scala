@@ -161,7 +161,7 @@ object ExtQueries {
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
         |       levenshtein(a.text, b.text) AS edit_dist,
         |       floor((CAST(1 AS DOUBLE) - CAST(levenshtein(a.text, b.text) AS DOUBLE) /
-        |              CAST(greatest(strlen(a.text), strlen(b.text)) AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |              CAST(greatest(length(a.text), length(b.text)) AS DOUBLE)) * 1e6 + 0.5) / 1e6
         |         AS similarity
         |FROM documents a JOIN documents b ON b.doc_id = a.doc_id + 1""".stripMargin,
 

@@ -103,7 +103,12 @@ object StreamingFeatures {
     val merged = existing match {
       case Some(e) =>
         val b = batch.select(e.columns.map(col): _*).dropDuplicates(keys)
-        e.join(b.select(keys.map(col): _*), keys, "left_anti").unionByName(b)
+        // null-SAFE key equality (<=>): a plain equi-anti-join never matches
+        // NULL keys, so a replayed batch row with a NULL key column would be
+        // appended again on every replay, breaking idempotence
+        val bk = b.select(keys.map(k => col(k).as(s"__k_$k")): _*)
+        val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+        e.join(bk, cond, "left_anti").unionByName(b)
       case None => batch.dropDuplicates(keys)
     }
     val tmp = tablePath + "_tmp"
@@ -160,17 +165,27 @@ object StreamingFeatures {
       endOffsetSec: Long = 0,
       bucketSec: Long = 60): org.apache.spark.sql.DataFrame = {
     // single scalar to the driver — the only driver-side value in the op
-    val anchorMicros = trades.agg(max(unix_micros(col("time")))).collect()(0).getLong(0)
-    // Snap the window's lower edge DOWN to the bucket boundary (TimescaleDB
-    // refresh policies do the same): a mid-bucket edge would recompute the
-    // boundary bucket from only its tail rows and merge that partial bar
-    // over the correct one.
-    val rawLo = anchorMicros - startOffsetSec * 1000000L
+    val anchorRow = trades.agg(max(unix_micros(col("time")))).collect()(0)
+    if (anchorRow.isNullAt(0)) {
+      // empty source (fresh deployment / upstream outage): refresh is a no-op
+      return if (new java.io.File(tablePath).exists()) spark.read.parquet(tablePath)
+      else Ohlc.compute(trades) // empty frame with the table schema
+    }
+    val anchorMicros = anchorRow.getLong(0)
+    // Snap BOTH window edges outward to bucket boundaries (TimescaleDB
+    // refresh policies do the same): a mid-bucket edge would recompute its
+    // boundary bucket from only part of that bucket's rows and merge the
+    // partial bar over a complete one. Lower edge floors; upper edge
+    // extends to the END of the bucket containing `hi`, so the boundary
+    // bucket is recomputed from all of its rows (with endOffsetSec = 0 this
+    // is everything ≤ anchor, unchanged).
     val bucketMicros = bucketSec * 1000000L
+    val rawLo = anchorMicros - startOffsetSec * 1000000L
+    val rawHi = anchorMicros - endOffsetSec * 1000000L
     val lo = Math.floorDiv(rawLo, bucketMicros) * bucketMicros
-    val hi = anchorMicros - endOffsetSec * 1000000L
+    val hiEnd = (Math.floorDiv(rawHi, bucketMicros) + 1) * bucketMicros
     val fresh = Ohlc.compute(
-      trades.filter(unix_micros(col("time")) >= lo && unix_micros(col("time")) <= hi))
+      trades.filter(unix_micros(col("time")) >= lo && unix_micros(col("time")) < hiEnd))
     mergeIntoKeyed(spark, tablePath, fresh, keys = Seq("bucket", "symbol"))
     spark.read.parquet(tablePath)
   }

@@ -166,6 +166,28 @@ class PlanSpec extends SparkTestBase {
     val full = graft.features.Ohlc.compute(t)
     assert(refreshed.exceptAll(full).count() === 0, "no stale/partial bars may survive")
     assert(full.exceptAll(refreshed).count() === 0)
+
+    // upper edge: a non-zero endOffset landing mid-bucket must not replace a
+    // complete boundary bar with a partial recompute — the boundary bucket
+    // is recomputed from ALL its rows (edge snapped to the bucket end)
+    val refreshed2 = graft.streaming.StreamingFeatures
+      .refreshOhlcAggregate(spark, t, path, startOffsetSec = 47 * 60, endOffsetSec = 90)
+    assert(refreshed2.exceptAll(full).count() === 0,
+      "mid-bucket upper edge must not write partial bars over complete ones")
+    assert(full.exceptAll(refreshed2).count() === 0)
+  }
+
+  test("mergeIntoKeyed replay with NULL key columns stays idempotent") {
+    import java.nio.file.Files
+    import spark.implicits._
+    val path = Files.createTempDirectory("graft_merge_null_").toString + "/t"
+    val batch = Seq(
+      (Some("a"), 1, 10.0), (None, 2, 20.0), (None, 3, 30.0)
+    ).toDF("k1", "k2", "v")
+    graft.streaming.StreamingFeatures.mergeIntoKeyed(spark, path, batch, Seq("k1", "k2"))
+    graft.streaming.StreamingFeatures.mergeIntoKeyed(spark, path, batch, Seq("k1", "k2"))
+    assert(spark.read.parquet(path).count() === 3,
+      "replaying an identical batch with NULL keys must not grow the table")
   }
 
   test("batch decoder (mapPartitions) equals the column-function stub decode") {
