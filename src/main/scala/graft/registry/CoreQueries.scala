@@ -15,9 +15,10 @@ object CoreQueries {
   type Q = (SparkSession, String) => DataFrame
 
   val queries: Map[String, Q] = Map(
-    // PIVOT: per-symbol buy/sell volume as columns (explicit value list, so
-    // the pivot is a single conditional-sum hash agg — no second pass to
-    // discover values).
+    // PIVOT: per-symbol buy/sell volume as columns. The explicit value list
+    // avoids the distinct-values discovery job; the plan is two stacked
+    // map-side-combined key aggregations (sum by (symbol, side), then
+    // pivotfirst by symbol) — shuffles carry O(groups) rows (plan-asserted).
     "q_pivot_sides" -> ((s, d) =>
       graft.core.Tables.trades(s, d)
         .groupBy("symbol")

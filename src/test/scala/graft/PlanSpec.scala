@@ -83,6 +83,31 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"), s"plan:\n$plan")
   }
 
+  test("curation plans: chunking and split tagging are pure narrow maps") {
+    val docs = Tables.documents(spark, sf0001)
+    // chunk: project + generate + project — nothing wide
+    val chunkPlan = graft.ext.Curation.chunk(docs, 50)
+      .queryExecution.executedPlan.toString
+    assert(!chunkPlan.contains("Exchange"), s"chunk must not shuffle:\n$chunkPlan")
+    // split tag: per-row hash arithmetic, no shuffle before the caller's agg
+    val splitPlan = graft.ext.Curation.hashSplit(docs, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(!splitPlan.contains("Exchange"), s"hashSplit must not shuffle:\n$splitPlan")
+  }
+
+  test("pivot with explicit values needs no value-discovery job and stays map-side combined") {
+    val df = registry.CoreQueries.queries("q_pivot_sides")(spark, sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    // Spark compiles .pivot(col, values) to TWO stacked aggregations —
+    // sum by (symbol, side), then pivotfirst by symbol — both partial-
+    // aggregated map-side, so each shuffle carries O(groups) rows. The
+    // explicit value list is what avoids an extra distinct-values JOB
+    // before planning; assert the shape is exactly those two key exchanges.
+    assert(plan.split("Exchange hashpartitioning").length - 1 === 2, s"plan:\n$plan")
+    assert(plan.contains("partial_pivotfirst"), s"map-side combine expected:\n$plan")
+    assert(plan.contains("partial_sum"), s"map-side combine expected:\n$plan")
+  }
+
   test("TenantFilterRule injects the tenant predicate at the scan") {
     import graft.plans.TenantFilterRule
     val total = Tables.events(spark, sf0001).count()
