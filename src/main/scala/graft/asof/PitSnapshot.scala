@@ -27,22 +27,26 @@ import org.apache.spark.sql.functions._
   */
 object PitSnapshot {
 
-  /** Weak on both axes so neither a stopped session nor its cached frame is
-    * pinned by this map: weak KEY lets a dereferenced session entry vanish;
-    * weak VALUE breaks the value→session strong chain that would otherwise
-    * defeat the weak key. Unpersist is best-effort (a collected ref just
-    * means nothing left to release).
+  /** Strong references on purpose: the CacheManager pins the persisted plan
+    * until `unpersist` is called on the SAME Dataset wrapper, so a weak ref
+    * here could be GC-cleared and leave the cache entry unreleasable
+    * forever. Boundedness comes from keep-last-per-session plus a sweep of
+    * stopped sessions on every snapshot call (a stopped session's cache
+    * died with it — dropping the entry just lets the objects collect).
     */
   private val lastBase =
-    java.util.Collections.synchronizedMap(
-      new java.util.WeakHashMap[SparkSession, java.lang.ref.WeakReference[DataFrame]]())
+    new java.util.concurrent.ConcurrentHashMap[SparkSession, DataFrame]()
+
+  private def sweepStopped(): Unit =
+    lastBase.keySet.forEach { s =>
+      if (s.sparkContext.isStopped) lastBase.remove(s)
+    }
 
   /** Release the cached snapshot base for `spark`, if any — call on session
     * teardown in long-running serving processes.
     */
   def releaseCache(spark: SparkSession): Unit =
-    Option(lastBase.remove(spark)).flatMap(r => Option(r.get()))
-      .foreach(_.unpersist(blocking = false))
+    Option(lastBase.remove(spark)).foreach(_.unpersist(blocking = false))
 
   /** Future-query guard, mirroring `smartdb_contract.py:200-201`. */
   def validateAsOf(asOf: Timestamp, now: Timestamp): Either[String, Timestamp] =
@@ -70,9 +74,8 @@ object PitSnapshot {
     // MANY entities at once should use HistoricalFeatures, not a snapshot
     // loop). Unpersisting the previous base is safe — it only removes the
     // cache; an un-executed earlier snapshot recomputes its bounded lineage.
-    Option(PitSnapshot.lastBase.put(spark, new java.lang.ref.WeakReference(base)))
-      .flatMap(r => Option(r.get()))
-      .foreach(_.unpersist(blocking = false))
+    PitSnapshot.sweepStopped()
+    Option(PitSnapshot.lastBase.put(spark, base)).foreach(_.unpersist(blocking = false))
 
     // Latest 1-minute OHLC bar <= ts (bar may be partial — correct PIT view).
     val ohlc = Ohlc.compute(base).agg(

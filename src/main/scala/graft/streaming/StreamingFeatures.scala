@@ -184,8 +184,12 @@ object StreamingFeatures {
     val rawHi = anchorMicros - endOffsetSec * 1000000L
     val lo = Math.floorDiv(rawLo, bucketMicros) * bucketMicros
     val hiEnd = (Math.floorDiv(rawHi, bucketMicros) + 1) * bucketMicros
+    // bucketSec drives BOTH the edge snapping and the bar width — if they
+    // disagreed, a snapped edge could still land mid-bar and recreate the
+    // partial-boundary-bar corruption the snapping prevents
     val fresh = Ohlc.compute(
-      trades.filter(unix_micros(col("time")) >= lo && unix_micros(col("time")) < hiEnd))
+      trades.filter(unix_micros(col("time")) >= lo && unix_micros(col("time")) < hiEnd),
+      bucket = s"$bucketSec seconds")
     mergeIntoKeyed(spark, tablePath, fresh, keys = Seq("bucket", "symbol"))
     spark.read.parquet(tablePath)
   }

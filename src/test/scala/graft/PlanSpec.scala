@@ -200,6 +200,24 @@ class PlanSpec extends SparkTestBase {
     assert(refreshed2.exceptAll(full).count() === 0,
       "mid-bucket upper edge must not write partial bars over complete ones")
     assert(full.exceptAll(refreshed2).count() === 0)
+
+    // non-default bucket width: edge snapping and bar width must share
+    // bucketSec (90s bars; 60s-aligned edges would land mid-bar)
+    val path90 = java.nio.file.Files.createTempDirectory("graft_ca_90_").toString + "/t"
+    graft.streaming.StreamingFeatures.mergeIntoKeyed(
+      spark, path90,
+      graft.features.Ohlc.compute(t.filter(col("time") <= lit(cutoff)), "90 seconds"),
+      Seq("bucket", "symbol"))
+    graft.streaming.StreamingFeatures
+      .refreshOhlcAggregate(spark, t, path90, startOffsetSec = 47 * 60, bucketSec = 90)
+    // the offset refresh must not corrupt complete 90s bars near its edges
+    val refreshed90 = graft.streaming.StreamingFeatures
+      .refreshOhlcAggregate(spark, t, path90, startOffsetSec = 47 * 60, endOffsetSec = 75,
+        bucketSec = 90)
+    val full90 = graft.features.Ohlc.compute(t, "90 seconds")
+    assert(refreshed90.exceptAll(full90).count() === 0,
+      "90s-bucket refresh must align edges to 90s bars")
+    assert(full90.exceptAll(refreshed90).count() === 0)
   }
 
   test("mergeIntoKeyed replay with NULL key columns stays idempotent") {
