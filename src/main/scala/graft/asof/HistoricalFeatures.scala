@@ -45,4 +45,55 @@ object HistoricalFeatures {
 
     AsOfJoin.backwardMulti(entities, views, Seq("symbol"), entityTime)
   }
+
+  /** Online-store read path: the latest feature vector for EVERY symbol at
+    * the corpus "now" — Feast online serving (feature_store.yaml Redis path).
+    *
+    * With a single-timestamp entity frame an as-of join degenerates to
+    * "latest row per key", so instead of the union+sort [[AsOfJoin]] this
+    * plans one `max_by` hash aggregate PER VIEW — map-side combined,
+    * O(distinct symbols) output, no corpus-wide sort — then joins the
+    * 1-row-per-symbol frames. Output columns/semantics (TTL nulling
+    * included) are identical to [[retrieve]] over that entity frame, and
+    * `q_online_features` keeps the same oracle across both plans.
+    */
+  def latestFeatures(
+      trades: DataFrame,
+      ttlSeconds: Long = 7L * 24 * 3600): DataFrame = {
+    import org.apache.spark.sql.functions._
+
+    val anchor = trades.agg(max(col("time")).as("event_timestamp"))
+    val entities = trades.select("symbol").distinct().crossJoin(broadcast(anchor))
+
+    // Latest row per symbol of a feature view: max_by over (time, values) —
+    // values included in the ordering key so ties break deterministically.
+    def latest(view: DataFrame, timeCol: String, prefix: String,
+        valueCols: Seq[String]): DataFrame =
+      view.groupBy("symbol").agg(
+        max_by(
+          struct(col(timeCol).as("__rt") +: valueCols.map(col): _*),
+          struct(col(timeCol) +: valueCols.map(col): _*)).as(s"__m_$prefix"))
+
+    val views = Seq(
+      (latest(Ohlc.compute(trades).select("bucket", "symbol", "close"),
+        "bucket", "ohlc_", Seq("close")), "bucket", "ohlc_", Seq("close")),
+      (latest(Sma.compute(trades).select("time", "symbol", "sma_20"),
+        "time", "sma_", Seq("sma_20")), "time", "sma_", Seq("sma_20")),
+      (latest(Vwap.compute(trades).select("bucket", "symbol", "vwap_5m"),
+        "bucket", "vwap_", Seq("vwap_5m")), "bucket", "vwap_", Seq("vwap_5m")))
+
+    val joined = views.foldLeft(entities) { case (acc, (v, _, _, _)) =>
+      acc.join(v, Seq("symbol"), "left_outer")
+    }
+    val outCols = col("symbol") +: col("event_timestamp") +:
+      views.flatMap { case (_, timeCol, prefix, valueCols) =>
+        val m = col(s"__m_$prefix")
+        val ttlOk = m.isNotNull &&
+          unix_micros(col("event_timestamp")) - unix_micros(m.getField("__rt")) <=
+            ttlSeconds * 1000000L
+        when(ttlOk, m.getField("__rt")).as(s"${prefix}matched_$timeCol") +:
+          valueCols.map(c => when(ttlOk, m.getField(c)).as(s"$prefix$c"))
+      }
+    joined.select(outCols: _*)
+  }
 }

@@ -10,10 +10,11 @@ import org.apache.spark.sql.functions._
   * query time).
   *
   * Shape, and why it scales:
-  *  - **Coarse quantizer**: `nCentroids` deterministic centroids (the lowest
-  *    vec_ids — a fixed "training sample"; a k-means refinement would slot in
-  *    here without changing any downstream shape). Centroids are broadcast —
-  *    they are tiny (`k × dims`) at any corpus size.
+  *  - **Coarse quantizer**: `nCentroids` centroids — either the deterministic
+  *    lowest-vec_id seeds (oracle-friendly, [[centroids]]) or a k-means
+  *    refinement of those seeds ([[kmeansCentroids]], pgvector's ivfflat
+  *    training analogue). Centroids are broadcast — they are tiny
+  *    (`k × dims`) at any corpus size.
   *  - **Assignment**: each vector goes to its max-cosine centroid (ties to
   *    the smallest centroid id). This is a NARROW map over the corpus — a
   *    broadcast join plus a per-row argmax, no shuffle, no pairwise blowup.
@@ -27,14 +28,61 @@ import org.apache.spark.sql.functions._
   *
   * Every stage is cosine-in-double with the same left-to-right fold as the
   * DuckDB oracle, so `q_ann_ivf` is hash-checked end to end (assignment,
-  * probe selection, and final top-k all reproduce bit-identically).
+  * probe selection, and final top-k all reproduce bit-identically). The
+  * k-means path is deterministic too (fixed seeds, fixed iteration count, no
+  * RNG) but its centroid means are engine-specific float folds, so its query
+  * (`q_ann_ivf_kmeans`) gates on the rows check plus the ExtSpec recall
+  * assertion instead of a cross-engine hash.
   */
 object Ivf {
 
   /** Deterministic coarse centroids: the `nCentroids` lowest vec_ids. */
   def centroids(embeddings: DataFrame, nCentroids: Int): DataFrame =
     embeddings.filter(col("vec_id") < nCentroids)
-      .select(col("vec_id").as("centroid_id"), col("embedding").as("centroid"))
+      .select(col("vec_id").as("centroid_id"),
+        col("embedding").cast("array<double>").as("centroid"))
+
+  /** Deterministic k-means (Lloyd) refinement of the seed centroids —
+    * pgvector ivfflat's training step (`lists` k-means on a sample). No RNG:
+    * init = the lowest-vec_id seeds, a FIXED number of iterations, ties on
+    * assignment to the smallest centroid id — the same corpus always yields
+    * the same centroids.
+    *
+    * Scale shape per iteration: assignment is the same broadcast-centroids
+    * narrow map as [[assign]]; the re-centering is one `(centroid_id, dim)`
+    * hash aggregate over `sample × dims` rows (map-side combined). Like
+    * pgvector, training runs on a bounded deterministic sample
+    * (`vec_id % sampleMod == 0`) — the full corpus is never shuffled.
+    * Centroids are `localCheckpoint`ed between iterations so the plan stays
+    * O(1) deep. Empty clusters keep their previous centroid.
+    */
+  def kmeansCentroids(
+      embeddings: DataFrame,
+      nCentroids: Int,
+      iters: Int = 3,
+      sampleMod: Long = 1L): DataFrame = {
+    val train =
+      (if (sampleMod > 1) embeddings.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+       else embeddings)
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    var cents = centroids(embeddings, nCentroids).localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      val means = assignTo(train, cents)
+        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+        .groupBy("centroid_id", "pos")
+        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+        .groupBy("centroid_id")
+        .agg(transform(
+          array_sort(collect_list(struct(col("pos"), (col("sx") / col("cnt")).as("m")))),
+          e => e.getField("m")).as("mean"))
+      cents = cents
+        .join(means, Seq("centroid_id"), "left_outer")
+        .select(col("centroid_id"),
+          coalesce(col("mean"), col("centroid")).as("centroid"))
+        .localCheckpoint(true)
+    }
+    cents
+  }
 
   /** Assign every vector to its max-cosine centroid (smallest id on ties).
     *
@@ -44,8 +92,8 @@ object Ivf {
     * (plan-asserted in PlanSpec). The K-way explode + re-group alternative
     * would push |corpus|×K rows through a hash shuffle — wrong at 100 TB.
     */
-  def assign(embeddings: DataFrame, nCentroids: Int): DataFrame = {
-    val centArr = centroids(embeddings, nCentroids)
+  def assignTo(embeddings: DataFrame, cents: DataFrame): DataFrame = {
+    val centArr = cents
       .agg(sort_array(collect_list(struct(col("centroid_id"), col("centroid"))))
         .as("cents"))
     val best = aggregate(
@@ -62,11 +110,15 @@ object Ivf {
       .select(col("vec_id"), col("embedding"), best.getField("centroid_id").as("centroid_id"))
   }
 
+  def assign(embeddings: DataFrame, nCentroids: Int): DataFrame =
+    assignTo(embeddings, centroids(embeddings, nCentroids))
+
   /** The query's `nProbe` nearest centroids. */
-  def probes(embeddings: DataFrame, queryVecId: Long, nCentroids: Int, nProbe: Int): DataFrame = {
+  def probesOf(embeddings: DataFrame, cents: DataFrame, queryVecId: Long,
+      nProbe: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
-    centroids(embeddings, nCentroids)
+    cents
       .crossJoin(broadcast(q))
       .select(col("centroid_id"),
         Similarity.cosineNative(col("centroid"), col("q_embedding")).as("qcos"))
@@ -75,17 +127,20 @@ object Ivf {
       .select(col("centroid_id"))
   }
 
-  /** IVF top-k: score only vectors assigned to the probed buckets. */
-  def topK(
+  def probes(embeddings: DataFrame, queryVecId: Long, nCentroids: Int, nProbe: Int): DataFrame =
+    probesOf(embeddings, centroids(embeddings, nCentroids), queryVecId, nProbe)
+
+  /** IVF top-k over an explicit centroid set. */
+  def topKWith(
       embeddings: DataFrame,
+      cents: DataFrame,
       queryVecId: Long,
       k: Int,
-      nCentroids: Int = 16,
-      nProbe: Int = 2): DataFrame = {
+      nProbe: Int): DataFrame = {
     val q = embeddings.filter(col("vec_id") === queryVecId)
       .select(col("embedding").as("q_embedding"))
-    assign(embeddings, nCentroids)
-      .join(broadcast(probes(embeddings, queryVecId, nCentroids, nProbe)), "centroid_id")
+    assignTo(embeddings, cents)
+      .join(broadcast(probesOf(embeddings, cents, queryVecId, nProbe)), "centroid_id")
       .filter(col("vec_id") =!= queryVecId)
       .crossJoin(broadcast(q))
       .select(col("vec_id"), col("centroid_id"),
@@ -94,4 +149,13 @@ object Ivf {
       .orderBy(col("cosine").desc, col("vec_id"))
       .limit(k)
   }
+
+  /** IVF top-k: score only vectors assigned to the probed buckets. */
+  def topK(
+      embeddings: DataFrame,
+      queryVecId: Long,
+      k: Int,
+      nCentroids: Int = 16,
+      nProbe: Int = 2): DataFrame =
+    topKWith(embeddings, centroids(embeddings, nCentroids), queryVecId, k, nProbe)
 }

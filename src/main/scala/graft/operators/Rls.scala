@@ -24,4 +24,11 @@ object Rls {
   /** Enforce: only rows belonging to `tenant` are visible. */
   def withTenant(df: DataFrame, tenant: Long, symbolCol: String = "symbol"): DataFrame =
     df.filter(tenantOf(col(symbolCol)) === tenant)
+
+  /** Multi-tenant membership: only rows belonging to ANY of the session's
+    * tenants are visible — the reference's `get_user_tenants()` array
+    * policy (`sql/timescaledb_schema.sql:425-436`: `tenant_id = ANY(...)`).
+    */
+  def withTenants(df: DataFrame, tenants: Seq[Long], symbolCol: String = "symbol"): DataFrame =
+    df.filter(tenantOf(col(symbolCol)).isInCollection(tenants))
 }

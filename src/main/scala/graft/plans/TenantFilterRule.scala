@@ -1,7 +1,7 @@
 package graft.plans
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Literal, Pmod}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, In, Literal, Pmod}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.trees.TreeNodeTag
@@ -31,12 +31,20 @@ class TenantFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan =
     spark.conf.getOption(TenantConfKey) match {
       case None => plan
-      case Some(tenant) =>
+      case Some(tenantCsv) =>
+        // single tenant ("1") or membership list ("0,2") — the reference's
+        // `tenant_id = ANY(get_user_tenants())` membership shape
+        val tenants = tenantCsv.split(",").map(_.trim.toLong).toSeq
         plan.transformUp {
           case rel: LogicalRelation if isTradeSource(rel) && rel.getTagValue(Applied).isEmpty =>
             rel.setTagValue(Applied, true)
             val userId = rel.output.find(_.name == "user_id").get
-            Filter(EqualTo(Pmod(userId, Literal(3L)), Literal(tenant.toLong)), rel)
+            val tenantOf = Pmod(userId, Literal(3L))
+            val pred = tenants match {
+              case Seq(one) => EqualTo(tenantOf, Literal(one))
+              case many     => In(tenantOf, many.map(Literal(_)))
+            }
+            Filter(pred, rel)
         }
     }
 
@@ -57,8 +65,13 @@ object TenantFilterRule {
   /** Install the rule on a live session (also injectable at build time via
     * [[GraftExtensions]]) and scope the session to `tenant`.
     */
-  def enable(spark: SparkSession, tenant: Long): Unit = {
-    spark.conf.set(TenantConfKey, tenant.toString)
+  def enable(spark: SparkSession, tenant: Long): Unit = enable(spark, Seq(tenant))
+
+  /** Multi-tenant session: the scan predicate becomes a membership filter
+    * over all of the session's tenants (`get_user_tenants()` semantics).
+    */
+  def enable(spark: SparkSession, tenants: Seq[Long]): Unit = {
+    spark.conf.set(TenantConfKey, tenants.mkString(","))
     val already = spark.experimental.extraOptimizations.exists(_.isInstanceOf[TenantFilterRule])
     if (!already)
       spark.experimental.extraOptimizations =

@@ -1,21 +1,29 @@
 package graft.quality
 
 import graft.functions.Quantize
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Two-sample Kolmogorov–Smirnov distribution-shift test, distributed:
   * D = max over observed values of |ECDF₁ − ECDF₂|, with the α=0.05
-  * large-sample rejection threshold c·sqrt((n₁+n₂)/(n₁·n₂)), c = 1.358.
+  * large-sample rejection threshold c·sqrt((n₁+n₂)/(n₁·n₂)), c = 1.358,
+  * PLUS the asymptotic p-value and the reference's severity tiers.
   *
   * Reference: `src/quality/great_expectations_setup.py:319-340` (scipy
-  * `ks_2samp`, reject at p < 0.05 — equivalent to D above the threshold).
+  * `ks_2samp` p-value; severity `critical` at p < 0.01, `warning` at
+  * p < 0.05 — `:333-339`).
+  *
+  * p-value: the Kolmogorov limit distribution (scipy's `mode='asymp'`),
+  * p = Q(λ) = 2 Σ_{k≥1} (−1)^{k−1} e^{−2k²λ²} with λ = √(n₁n₂/(n₁+n₂))·D,
+  * truncated at k = 100 (terms decay doubly-exponentially; for λ → 0 the
+  * truncated alternating sum tends to ½ so 2·sum → 1, the correct limit)
+  * and clamped to [0, 1]. The identical truncated series runs in the DuckDB
+  * oracle, so `q_ks_test` stays hash-gated end to end.
   *
   * Shape: group by value (exact counts — ECDFs are step functions evaluated
   * after ties), one running-sum window over the distinct-value axis, one
-  * final max-agg. All integer counts and identical-order divisions, so the
-  * result matches any engine bit-for-bit.
+  * final max-agg; the p-value series folds over a single row.
   */
 object KsTest {
 
@@ -47,6 +55,27 @@ object KsTest {
         col("n1"), col("n2"),
         (col("d") > lit(1.358) *
           sqrt((col("n1") + col("n2")).cast("double") / (col("n1") * col("n2")).cast("double")))
-          .as("shifted"))
+          .as("shifted"),
+        pValue(col("d"), col("n1"), col("n2")).as("__p"))
+      .select(
+        col("d_statistic"), col("n1"), col("n2"), col("shifted"),
+        Quantize.r(col("__p"), 6).as("p_value"),
+        when(col("__p") < 0.01, "critical")
+          .when(col("__p") < 0.05, "warning")
+          .otherwise("ok").as("severity"))
+  }
+
+  /** Asymptotic two-sample KS p-value: Kolmogorov Q(λ), λ = √(n₁n₂/(n₁+n₂))·D,
+    * series truncated at k = 100, clamped to [0, 1]. One-row fold — the
+    * interpreted higher-order function is off every hot path.
+    */
+  def pValue(d: Column, n1: Column, n2: Column): Column = {
+    val lam = sqrt((n1 * n2).cast("double") / (n1 + n2).cast("double")) * d
+    val series = aggregate(
+      sequence(lit(1), lit(100)),
+      lit(0.0),
+      (acc, k) => acc + pow(lit(-1.0), k.cast("double") - 1.0) *
+        exp(lit(-2.0) * k.cast("double") * k.cast("double") * lam * lam))
+    least(lit(1.0), greatest(lit(0.0), lit(2.0) * series))
   }
 }

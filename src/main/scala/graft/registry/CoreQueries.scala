@@ -70,8 +70,10 @@ object CoreQueries {
         .limit(10)
     }),
 
-    // Star join: fact × 4 dims — dims are broadcast (no fact shuffle for the
-    // joins; one shuffle for the final group-by).
+    // Star join: fact × 4 dims. Broadcast hints ONLY on the genuinely bounded
+    // dimensions (nation=25, region=5 rows at every SF); customer grows with
+    // SF, so AQE decides that join from runtime stats — a hint there would
+    // force an executor-OOM-sized broadcast at 100×.
     "q_region_revenue" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val ord = Tables.orders(s, d)
@@ -79,7 +81,7 @@ object CoreQueries {
       val nat = Tables.nation(s, d)
       val reg = Tables.region(s, d)
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
         .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")

@@ -114,6 +114,18 @@ object ExtQueries {
       graft.ext.Ivf.topK(embPar(s, d), queryVecId = 0L, k = 20,
         nCentroids = 16, nProbe = 2)),
 
+    // The trained-quantizer variant: deterministic Lloyd k-means (fixed
+    // seeds, 3 iterations, no RNG) refines the coarse centroids before the
+    // same assign/probe/score pipeline — pgvector ivfflat's training step.
+    // Centroid means are engine-specific float folds, so this gates on the
+    // deterministic rows check + the ExtSpec recall assertion rather than a
+    // cross-engine hash.
+    "q_ann_ivf_kmeans" -> ((s, d) => {
+      val emb = embPar(s, d)
+      val cents = graft.ext.Ivf.kmeansCentroids(emb, nCentroids = 16, iters = 3)
+      graft.ext.Ivf.topKWith(emb, cents, queryVecId = 0L, k = 20, nProbe = 4)
+    }),
+
     // Deterministic (md5-keyed) train/valid/test split — per-split × lang
     // counts. No RNG: reproducible across engines/cluster sizes.
     "q_train_split" -> ((s, d) =>

@@ -60,14 +60,12 @@ object FeatureQueries {
     }),
 
     // Online-store read path: the latest feature vector for EVERY symbol at
-    // the corpus "now" (Feast online serving, feature_store.yaml Redis path)
-    // — the same one-shuffle multi-view as-of with a 1-timestamp entity frame.
-    "q_online_features" -> ((s, d) => {
-      val t = trades(s, d)
-      val anchor = t.agg(max(col("time")).as("event_timestamp"))
-      val entities = t.select("symbol").distinct().crossJoin(broadcast(anchor))
-      HistoricalFeatures.retrieve(entities, t)
-    }),
+    // the corpus "now" (Feast online serving, feature_store.yaml Redis path).
+    // A 1-timestamp entity frame degenerates the as-of join to latest-per-key,
+    // so this plans per-view max_by aggregates instead of the union+sort —
+    // same oracle, no corpus-wide sort (HistoricalFeaturesSpec asserts
+    // equality with the retrieve() plan).
+    "q_online_features" -> ((s, d) => HistoricalFeatures.latestFeatures(trades(s, d))),
 
     "q_time_range_scan" -> ((s, d) => {
       val t = trades(s, d)
@@ -105,19 +103,27 @@ object FeatureQueries {
 
     "q_spread_ema" -> ((s, d) => {
       // Final EMA(0.1) of spread per symbol — batch form of the Flink keyed
-      // ValueState monitor (anomaly_detection.py:105-149).
+      // ValueState monitor (anomaly_detection.py:105-149). The recurrence
+      // ema_k = 0.9·ema_{k-1} + 0.1·s_k unrolls to the closed-form weighted
+      // sum  ema_n = 0.9^(n-1)·s_1 + Σ_{i≥2} 0.1·0.9^(n-i)·s_i,  so one
+      // ranked window pass + a hash aggregate replaces buffering each
+      // symbol's full history in a task-local array (weights for old rows
+      // underflow to 0 — no overflow path, bounded memory at any history
+      // length). Ordering ties on time break by spread, matching the
+      // sort_array-struct order of the streaming twin's oracle.
+      val w = Window.partitionBy("symbol").orderBy(col("time"), col("spread"))
       trades(s, d)
         .filter(col("bid").isNotNull && col("ask").isNotNull)
+        .withColumn("spread", col("ask") - col("bid"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("__n", count(lit(1)).over(Window.partitionBy("symbol")))
         .groupBy("symbol")
-        .agg(sort_array(collect_list(struct(col("time"), (col("ask") - col("bid")).as("spread"))))
-          .as("ts"), count(lit(1)).as("n"))
-        .select(col("symbol"),
-          Quantize.r(
-            aggregate(
-              expr("slice(transform(ts, x -> x.spread), 2, size(ts) - 1)"),
-              expr("element_at(transform(ts, x -> x.spread), 1)"),
-              (acc, x) => lit(0.9) * acc + lit(0.1) * x), 6).as("normal_spread"),
-          col("n"))
+        .agg(
+          Quantize.r(sum(
+            when(col("rn") === 1, pow(lit(0.9), col("__n") - 1))
+              .otherwise(lit(0.1) * pow(lit(0.9), col("__n") - col("rn"))) *
+              col("spread")), 6).as("normal_spread"),
+          count(lit(1)).as("n"))
     }),
 
     "q_dedup_exact" -> ((s, d) => {

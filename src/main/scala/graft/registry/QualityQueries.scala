@@ -64,6 +64,12 @@ object QualityQueries {
 
     "q_rls_tenant" -> ((s, d) =>
       Rls.withTenant(trades(s, d), 0L)
+        .groupBy("symbol").agg(count(lit(1)).as("n_trades"))),
+
+    // Multi-tenant membership session (get_user_tenants() semantics): the
+    // session may read tenants {0, 2} — an IN-list predicate at the scan.
+    "q_rls_tenants" -> ((s, d) =>
+      Rls.withTenants(trades(s, d), Seq(0L, 2L))
         .groupBy("symbol").agg(count(lit(1)).as("n_trades"))))
 
   private val ohlcCte =
@@ -112,10 +118,25 @@ object QualityQueries {
         |a AS (
         |  SELECT max(abs(CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS d,
         |         CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
-        |  FROM r)
+        |  FROM r),
+        |pv AS (
+        |  SELECT d, n1, n2,
+        |         least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+        |           CAST(2 AS DOUBLE) * list_reduce(
+        |             list_transform(range(1, 101), k ->
+        |               power(CAST(-1 AS DOUBLE), CAST(k AS DOUBLE) - 1) *
+        |               exp(CAST(-2 AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) *
+        |                   (sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d) *
+        |                   (sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d))),
+        |             (acc, x) -> acc + x))) AS p
+        |  FROM a)
         |SELECT floor(d * 1e6 + 0.5) / 1e6 AS d_statistic, n1, n2,
-        |       d > CAST(1.358 AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS shifted
-        |FROM a""".stripMargin,
+        |       d > CAST(1.358 AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS shifted,
+        |       floor(p * 1e6 + 0.5) / 1e6 AS p_value,
+        |       CASE WHEN p < CAST(0.01 AS DOUBLE) THEN 'critical'
+        |            WHEN p < CAST(0.05 AS DOUBLE) THEN 'warning'
+        |            ELSE 'ok' END AS severity
+        |FROM pv""".stripMargin,
 
     "q_zscore_outliers" ->
       """SELECT l.l_returnflag,
@@ -170,5 +191,10 @@ object QualityQueries {
     "q_rls_tenant" -> withTrades(
       """SELECT symbol, count(*) AS n_trades
         |FROM trades WHERE CAST(symbol AS BIGINT) % 3 = 0
+        |GROUP BY symbol""".stripMargin),
+
+    "q_rls_tenants" -> withTrades(
+      """SELECT symbol, count(*) AS n_trades
+        |FROM trades WHERE CAST(symbol AS BIGINT) % 3 IN (0, 2)
         |GROUP BY symbol""".stripMargin))
 }

@@ -71,16 +71,50 @@ object StreamQueries {
     // seed a STALE materialized OHLC (30 min behind), refresh the trailing
     // 2 h window twice (idempotence), and gate the final table against the
     // full batch recompute — buckets older than the refresh window must
-    // already be correct, newer ones must be corrected by the MERGE.
+    // already be correct, newer ones must be corrected by the MERGE. The
+    // table is date-partitioned; only trailing partitions are rewritten.
     "q_ohlc_refresh" -> ((s, d) => {
+      val out = seedStale(s, d, "ohlc", graft.features.Ohlc.compute(_))
       val t = Tables.trades(s, d)
-      val out = Files.createTempDirectory("graft_ohlc_refresh_").toString + "/t"
-      val mx = t.agg(max(col("time"))).collect()(0).getTimestamp(0)
-      val cutoff = new java.sql.Timestamp(mx.getTime - 30L * 60 * 1000)
-      graft.features.Ohlc.compute(t.filter(col("time") <= lit(cutoff)))
-        .write.mode("overwrite").parquet(out)
       StreamingFeatures.refreshOhlcAggregate(s, t, out, startOffsetSec = 7200)
       StreamingFeatures.refreshOhlcAggregate(s, t, out, startOffsetSec = 7200)
+    }),
+
+    // The same refresh-policy machinery generalized over the other three
+    // reference continuous aggregates (`sql/timescaledb_schema.sql:154-159`
+    // volatility, `:173-178` vwap, `:233-238` imbalance) — each seeded stale,
+    // refreshed twice, and hash-gated against its full recompute.
+    "q_vwap_refresh" -> ((s, d) => {
+      val out = seedStale(s, d, "vwap", graft.features.Vwap.compute(_))
+      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+        StreamingFeatures.sliced(graft.features.Vwap.compute(_)),
+        bucketSec = 300, startOffsetSec = 7200)
+      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+        StreamingFeatures.sliced(graft.features.Vwap.compute(_)),
+        bucketSec = 300, startOffsetSec = 7200)
+    }),
+
+    "q_imbalance_refresh" -> ((s, d) => {
+      val out = seedStale(s, d, "imb", graft.features.Imbalance.compute(_))
+      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+        StreamingFeatures.sliced(graft.features.Imbalance.compute(_)),
+        bucketSec = 300, startOffsetSec = 7200)
+      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+        StreamingFeatures.sliced(graft.features.Imbalance.compute(_)),
+        bucketSec = 300, startOffsetSec = 7200)
+    }),
+
+    // Volatility's lag crosses bucket edges, so its ComputeWindow warms the
+    // slice with the last pre-window (time, price) per symbol — see
+    // Volatility.computeWindowed.
+    "q_volatility_refresh" -> ((s, d) => {
+      val out = seedStale(s, d, "vol", graft.features.Volatility.compute(_))
+      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+        graft.features.Volatility.computeWindowed(3600),
+        bucketSec = 3600, startOffsetSec = 7200)
+      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+        graft.features.Volatility.computeWindowed(3600),
+        bucketSec = 3600, startOffsetSec = 7200)
     }),
 
     // Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)
@@ -100,6 +134,21 @@ object StreamQueries {
         count(col("side")).as("n_sided"))
     }))
 
+  /** Seed a stale materialized aggregate (30 min behind the newest event)
+    * through the partitioned MERGE path, so refresh queries start from the
+    * same date-partitioned layout they maintain.
+    */
+  private def seedStale(s: SparkSession, d: String, tag: String,
+      compute: DataFrame => DataFrame): String = {
+    val t = Tables.trades(s, d)
+    val out = Files.createTempDirectory(s"graft_${tag}_refresh_").toString + "/t"
+    val mx = t.agg(max(col("time"))).collect()(0).getTimestamp(0)
+    val cutoff = new java.sql.Timestamp(mx.getTime - 30L * 60 * 1000)
+    StreamingFeatures.mergeIntoKeyed(s, out,
+      compute(t.filter(col("time") <= lit(cutoff))), Seq("bucket", "symbol"))
+    out
+  }
+
   private val ohlcSql =
     """SELECT time_bucket(INTERVAL '1 minute', time) AS bucket, symbol,
       |       arg_min(price, time) AS open, max(price) AS high, min(price) AS low,
@@ -111,6 +160,33 @@ object StreamQueries {
     "q_stream_ohlc" -> withTrades(ohlcSql),
 
     "q_ohlc_refresh" -> withTrades(ohlcSql),
+
+    // Refresh oracles are the FULL recompute of each aggregate: the stale
+    // seed plus the trailing-window merge must reconstruct it exactly.
+    "q_vwap_refresh" -> withTrades(
+      """SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+        |       floor((sum(price * volume) / nullif(sum(volume), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS vwap_5m,
+        |       sum(volume) AS total_volume
+        |FROM trades GROUP BY 1, 2""".stripMargin),
+
+    "q_imbalance_refresh" -> withTrades(
+      """SELECT bucket, symbol, buy_volume, sell_volume,
+        |       floor(((buy_volume - sell_volume) / nullif(buy_volume + sell_volume, CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS imbalance
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+        |         sum(CASE WHEN side = 'buy' THEN volume ELSE CAST(0 AS DOUBLE) END) AS buy_volume,
+        |         sum(CASE WHEN side = 'sell' THEN volume ELSE CAST(0 AS DOUBLE) END) AS sell_volume
+        |  FROM trades WHERE side IS NOT NULL GROUP BY 1, 2)""".stripMargin),
+
+    "q_volatility_refresh" -> withTrades(
+      """SELECT time_bucket(INTERVAL '1 hour', time) AS bucket, symbol,
+        |       floor((stddev_samp(log_return)) * 1e6 + 0.5) / 1e6 AS volatility_1h,
+        |       count(log_return) AS sample_count
+        |FROM (
+        |  SELECT time, symbol,
+        |         ln(nullif(price, CAST(0 AS DOUBLE)) / nullif(lag(price, 1) OVER (PARTITION BY symbol ORDER BY time), CAST(0 AS DOUBLE))) AS log_return
+        |  FROM trades)
+        |GROUP BY 1, 2""".stripMargin),
 
     "q_stream_merge" -> withTrades(
       "SELECT time, symbol, trade_id, price, volume FROM trades"),

@@ -22,10 +22,22 @@ import org.apache.spark.sql.streaming.Trigger
   * its `schedule_interval`. In production the trigger is ProcessingTime
   * (10 s ingest / 1 min OHLC); tests use Trigger.AvailableNow for a bounded,
   * deterministic replay of the same code path.
+  *
+  * **Storage layout.** Materialized keyed tables are parquet directories
+  * partitioned by `part_date = to_date(<event-time column>)`. Every MERGE
+  * computes the set of dates its batch touches and rewrites ONLY those
+  * partitions (dynamic partition overwrite) — a refresh tick or micro-batch
+  * costs O(touched partitions), not O(table). Untouched partitions' files are
+  * never read or written (asserted byte-identical in PlanSpec). This is the
+  * same layout a Delta/Iceberg MERGE INTO would use for data skipping; the
+  * call sites do not change when swapping the table format in.
   */
 object StreamingFeatures {
 
   private val runId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** Partition column added to every materialized keyed table. */
+  val PartCol = "part_date"
 
   /** Run the streaming 1-min OHLC over a bounded file source and return the
     * final result (complete-mode memory sink — the streaming state store does
@@ -80,45 +92,97 @@ object StreamingFeatures {
     spark.table(name).select("time", "symbol", "trade_id", "price", "volume")
   }
 
-  /** Idempotent MERGE sink: upsert a micro-batch into a parquet "table" dir
-    * keyed on (time, symbol, trade_id) — the Spark analogue of the
-    * reference's `INSERT ... ON CONFLICT DO UPDATE` JDBC sink
+  /** The event-time column used to derive the table's date partition:
+    * `bucket` for aggregate tables, `time` for raw-row tables, none when the
+    * frame carries no event time (the merge then degrades to a single
+    * unpartitioned rewrite — correct, just not incremental).
+    */
+  private def partitionTimeCol(batch: DataFrame): Option[String] =
+    Seq("bucket", "time").find(batch.columns.contains)
+
+  /** Read a materialized keyed table WITHOUT the internal partition column. */
+  def readKeyedTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val df = spark.read.parquet(tablePath)
+    if (df.columns.contains(PartCol)) df.drop(PartCol) else df
+  }
+
+  /** Idempotent MERGE sink: upsert a micro-batch into a date-partitioned
+    * parquet "table" dir keyed on (time, symbol, trade_id) — the Spark
+    * analogue of the reference's `INSERT ... ON CONFLICT DO UPDATE` JDBC sink
     * (`enhanced_anomaly_detection.py:176-201`) and its DB-unique-key
     * exactly-once backstop (`ARCHITECTURE.md:49-55`). Replays of the same
     * batch (crash/restart) leave the table unchanged.
     *
-    * Single-node parquet rewrite here; on a cluster this is a Delta/Iceberg
-    * MERGE INTO with the same key — the call site does not change.
+    * Scale shape: the batch's touched `part_date`s are collected (a handful
+    * of dates — the only driver-side value), the existing table is read
+    * partition-pruned to those dates, merged, and written back with DYNAMIC
+    * partition overwrite — so a refresh tick rewrites O(touched partitions)
+    * bytes while every other partition's files stay untouched on disk. On a
+    * cluster this is a Delta/Iceberg MERGE INTO with the same key and the
+    * same date partitioning — the call site does not change.
     */
   def mergeIntoKeyed(spark: SparkSession, tablePath: String, batch: DataFrame,
       keys: Seq[String] = Seq("time", "symbol", "trade_id")): Unit = {
-    val existing =
-      if (new java.io.File(tablePath).exists()) Some(spark.read.parquet(tablePath)) else None
     // MERGE precedence must be deterministic: the incoming batch WINS on key
     // collision (upsert semantics, like `ON CONFLICT DO UPDATE`). A
     // dropDuplicates over the union would keep an arbitrary row — fine for
     // identical replays, wrong for refresh-style updates where stale and
     // fresh rows differ. So: keep existing rows only where no fresh row
     // shares the key (left_anti), then union the batch.
-    val merged = existing match {
-      case Some(e) =>
-        val b = batch.select(e.columns.map(col): _*).dropDuplicates(keys)
-        // null-SAFE key equality (<=>): a plain equi-anti-join never matches
-        // NULL keys, so a replayed batch row with a NULL key column would be
-        // appended again on every replay, breaking idempotence
-        val bk = b.select(keys.map(k => col(k).as(s"__k_$k")): _*)
-        val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-        e.join(bk, cond, "left_anti").unionByName(b)
-      case None => batch.dropDuplicates(keys)
+    val deduped = batch.dropDuplicates(keys)
+    val withPart = partitionTimeCol(batch) match {
+      case Some(tc) if !batch.columns.contains(PartCol) =>
+        deduped.withColumn(PartCol, to_date(col(tc)))
+      case _ => deduped
     }
-    val tmp = tablePath + "_tmp"
-    merged.write.mode("overwrite").parquet(tmp)
-    val target = new java.io.File(tablePath)
-    if (target.exists()) {
-      import scala.reflect.io.Directory
-      new Directory(target).deleteRecursively()
+    val partitioned = withPart.columns.contains(PartCol)
+    val exists = new java.io.File(tablePath).exists()
+
+    val merged = if (!exists) {
+      withPart
+    } else {
+      val existingAll = spark.read.parquet(tablePath)
+      // Partition pruning: only the dates the batch touches are read (and
+      // later rewritten). The collect is a handful of date scalars.
+      val existing =
+        if (partitioned && existingAll.columns.contains(PartCol)) {
+          val touched = withPart.select(PartCol).distinct().collect().map(_.get(0))
+          val nonNull = touched.filter(_ != null).toSeq
+          val base =
+            if (nonNull.isEmpty) lit(false) else col(PartCol).isin(nonNull: _*)
+          // isin never matches NULL — a null event time lands in the default
+          // partition and must be merged null-safely too
+          val pred = if (touched.contains(null)) base || col(PartCol).isNull else base
+          existingAll.filter(pred)
+        } else existingAll
+      val b = withPart.select(existing.columns.map(col): _*)
+      // null-SAFE key equality (<=>): a plain equi-anti-join never matches
+      // NULL keys, so a replayed batch row with a NULL key column would be
+      // appended again on every replay, breaking idempotence
+      val bk = b.select(keys.map(k => col(k).as(s"__k_$k")): _*)
+      val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
+      existing.join(bk, cond, "left_anti").unionByName(b)
     }
-    new java.io.File(tmp).renameTo(target)
+
+    if (partitioned) {
+      // Dynamic overwrite: only partitions present in `merged` (= the touched
+      // dates) are replaced; all other partition directories are untouched.
+      merged.write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy(PartCol)
+        .parquet(tablePath)
+    } else {
+      // No event-time column: single-partition table, full rewrite (staged
+      // through a temp dir so a crash never leaves a half-written table).
+      val tmp = tablePath + "_tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      val target = new java.io.File(tablePath)
+      if (target.exists()) {
+        import scala.reflect.io.Directory
+        new Directory(target).deleteRecursively()
+      }
+      new java.io.File(tmp).renameTo(target)
+    }
   }
 
   /** Production two-query topology builder — the reference's streaming main
@@ -149,27 +213,50 @@ object StreamingFeatures {
     (rawQ, barsQ)
   }
 
+  /** A window-compute function for [[refreshAggregate]]: given the FULL
+    * source and the refresh window `[loMicros, hiEndMicros)` (both already
+    * bucket-aligned), return the fresh aggregate rows for that window.
+    */
+  type ComputeWindow = (DataFrame, Long, Long) => DataFrame
+
+  /** Adapt a whole-frame aggregate (trades => bars) into a [[ComputeWindow]]
+    * by slicing the source to the refresh window. Correct for aggregates
+    * whose buckets depend only on rows INSIDE the bucket (OHLC, VWAP,
+    * imbalance); aggregates with cross-bucket lookback (volatility's lag)
+    * need a custom ComputeWindow that warms the lookback — see
+    * [[graft.features.Volatility.computeWindowed]].
+    */
+  def sliced(compute: DataFrame => DataFrame, timeCol: String = "time"): ComputeWindow =
+    (src, lo, hiEnd) =>
+      compute(src.filter(
+        unix_micros(col(timeCol)) >= lo && unix_micros(col(timeCol)) < hiEnd))
+
   /** Incremental refresh of a continuous aggregate — the batch-scheduled
     * analogue of TimescaleDB's refresh policies
     * (`sql/timescaledb_schema.sql:60-65,154-159,173-178,233-238`:
-    * start_offset/end_offset/schedule_interval). Recomputes only the bars in
-    * `[anchor − startOffset, anchor − endOffset]` (anchor = newest event
-    * time, deterministic) and MERGEs them into the feature table keyed
-    * (bucket, symbol) — older bars stay untouched, re-runs are idempotent.
+    * start_offset/end_offset/schedule_interval), generalized over the
+    * aggregate like `add_continuous_aggregate_policy` is. Recomputes only the
+    * bars in `[anchor − startOffset, anchor − endOffset]` (anchor = newest
+    * event time, deterministic) and MERGEs them into the date-partitioned
+    * feature table — only the touched date partitions are rewritten, older
+    * bars stay byte-untouched on disk, re-runs are idempotent.
     */
-  def refreshOhlcAggregate(
+  def refreshAggregate(
       spark: SparkSession,
-      trades: org.apache.spark.sql.DataFrame,
+      source: DataFrame,
       tablePath: String,
+      computeWindow: ComputeWindow,
+      bucketSec: Long,
+      keys: Seq[String] = Seq("bucket", "symbol"),
       startOffsetSec: Long = 3600,
       endOffsetSec: Long = 0,
-      bucketSec: Long = 60): org.apache.spark.sql.DataFrame = {
+      timeCol: String = "time"): DataFrame = {
     // single scalar to the driver — the only driver-side value in the op
-    val anchorRow = trades.agg(max(unix_micros(col("time")))).collect()(0)
+    val anchorRow = source.agg(max(unix_micros(col(timeCol)))).collect()(0)
     if (anchorRow.isNullAt(0)) {
       // empty source (fresh deployment / upstream outage): refresh is a no-op
-      return if (new java.io.File(tablePath).exists()) spark.read.parquet(tablePath)
-      else Ohlc.compute(trades) // empty frame with the table schema
+      return if (new java.io.File(tablePath).exists()) readKeyedTable(spark, tablePath)
+      else computeWindow(source, 0L, 0L) // empty frame with the table schema
     }
     val anchorMicros = anchorRow.getLong(0)
     // Snap BOTH window edges outward to bucket boundaries (TimescaleDB
@@ -187,12 +274,24 @@ object StreamingFeatures {
     // bucketSec drives BOTH the edge snapping and the bar width — if they
     // disagreed, a snapped edge could still land mid-bar and recreate the
     // partial-boundary-bar corruption the snapping prevents
-    val fresh = Ohlc.compute(
-      trades.filter(unix_micros(col("time")) >= lo && unix_micros(col("time")) < hiEnd),
-      bucket = s"$bucketSec seconds")
-    mergeIntoKeyed(spark, tablePath, fresh, keys = Seq("bucket", "symbol"))
-    spark.read.parquet(tablePath)
+    val fresh = computeWindow(source, lo, hiEnd)
+    mergeIntoKeyed(spark, tablePath, fresh, keys = keys)
+    readKeyedTable(spark, tablePath)
   }
+
+  /** OHLC instantiation of [[refreshAggregate]] — the reference's
+    * `ohlc_1min` refresh policy (`sql/timescaledb_schema.sql:60-65`).
+    */
+  def refreshOhlcAggregate(
+      spark: SparkSession,
+      trades: org.apache.spark.sql.DataFrame,
+      tablePath: String,
+      startOffsetSec: Long = 3600,
+      endOffsetSec: Long = 0,
+      bucketSec: Long = 60): org.apache.spark.sql.DataFrame =
+    refreshAggregate(spark, trades, tablePath,
+      sliced(Ohlc.compute(_, s"$bucketSec seconds")),
+      bucketSec, Seq("bucket", "symbol"), startOffsetSec, endOffsetSec)
 
   /** Stream the events file into a keyed parquet table via foreachBatch
     * MERGE, then replay the whole input once more to prove idempotence, and
@@ -212,6 +311,6 @@ object StreamingFeatures {
     // Simulated at-least-once replay: the whole input delivered again.
     mergeIntoKeyed(spark, outDir, StreamSources.projectTrades(
       graft.core.Tables.table(spark, new java.io.File(eventsPath).getParent, "events")))
-    spark.read.parquet(outDir)
+    readKeyedTable(spark, outDir)
   }
 }
