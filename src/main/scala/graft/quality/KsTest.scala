@@ -76,6 +76,12 @@ object KsTest {
       lit(0.0),
       (acc, k) => acc + pow(lit(-1.0), k.cast("double") - 1.0) *
         exp(lit(-2.0) * k.cast("double") * k.cast("double") * lam * lam))
-    least(lit(1.0), greatest(lit(0.0), lit(2.0) * series))
+    // For λ → 0 the terms stop decaying within the truncation and the
+    // alternating partial sum collapses toward 0 (at λ = 0 it IS 0) — the
+    // true Q(λ) there is 1 to far beyond double precision (Q(0.1) ≈
+    // 1 − 3e-87), so branch on λ < 0.1. λ is computed by the identical
+    // IEEE ops in the DuckDB oracle, so both engines take the same branch.
+    when(lam < 0.1, lit(1.0))
+      .otherwise(least(lit(1.0), greatest(lit(0.0), lit(2.0) * series)))
   }
 }

@@ -121,14 +121,16 @@ object QualityQueries {
         |  FROM r),
         |pv AS (
         |  SELECT d, n1, n2,
-        |         least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+        |         CASE WHEN sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d < CAST(0.1 AS DOUBLE)
+        |              THEN CAST(1 AS DOUBLE)
+        |              ELSE least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
         |           CAST(2 AS DOUBLE) * list_reduce(
         |             list_transform(range(1, 101), k ->
         |               power(CAST(-1 AS DOUBLE), CAST(k AS DOUBLE) - 1) *
         |               exp(CAST(-2 AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) *
         |                   (sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d) *
         |                   (sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d))),
-        |             (acc, x) -> acc + x))) AS p
+        |             (acc, x) -> acc + x))) END AS p
         |  FROM a)
         |SELECT floor(d * 1e6 + 0.5) / 1e6 AS d_statistic, n1, n2,
         |       d > CAST(1.358 AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS shifted,

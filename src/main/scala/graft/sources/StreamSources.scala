@@ -75,57 +75,94 @@ object StreamSources {
   def rawTradesStream(spark: SparkSession, rawDir: String): DataFrame =
     spark.readStream.schema(tradesSchema).parquet(rawDir)
 
+  /** Option assembly for the Kafka source (reference
+    * `spark/streaming_feature_updates.py:55-62`; Flink exactly-once variant
+    * reads committed only, `enhanced_anomaly_detection.py:231-260`). Pure —
+    * unit-tested in StreamingSpec even though no broker exists in this image.
+    */
+  def kafkaSourceOptions(
+      bootstrapServers: String,
+      topics: Seq[String],
+      startingOffsets: String = "latest",
+      readCommitted: Boolean = true): Map[String, String] = {
+    val base = Map(
+      "kafka.bootstrap.servers" -> bootstrapServers,
+      "subscribe" -> topics.mkString(","),
+      "startingOffsets" -> startingOffsets,
+      "failOnDataLoss" -> "false")
+    if (readCommitted) base + ("kafka.isolation.level" -> "read_committed") else base
+  }
+
+  /** Option assembly for the Kafka sink (transactional anomaly publisher,
+    * `enhanced_anomaly_detection.py:267-281`). Pure — unit-tested.
+    */
+  def kafkaSinkOptions(
+      bootstrapServers: String,
+      topic: String,
+      checkpointLocation: String): Map[String, String] = Map(
+    "kafka.bootstrap.servers" -> bootstrapServers,
+    "topic" -> topic,
+    "checkpointLocation" -> checkpointLocation)
+
+  /** Wire schema of the JSON trade messages: `time` arrives as epoch MILLIS
+    * (`streaming_feature_updates.py:64-75`).
+    */
+  val kafkaWireSchema: StructType = StructType(Seq(
+    StructField("time", LongType), StructField("symbol", StringType),
+    StructField("price", DoubleType), StructField("volume", DoubleType),
+    StructField("trade_id", StringType), StructField("side", StringType),
+    StructField("bid", DoubleType), StructField("ask", DoubleType)))
+
+  /** Deserialize a Kafka-shaped frame (`value` bytes/string + `timestamp`)
+    * into the trades view: JSON parse + epoch-millis → timestamp. Pure
+    * column transform — unit-tested on literal frames (corrupt JSON rows
+    * yield all-NULL payloads, ready for DLQ routing).
+    */
+  def parseKafkaWire(raw: DataFrame): DataFrame =
+    raw
+      .select(from_json(col("value").cast("string"), kafkaWireSchema).as("data"),
+        col("timestamp").as("kafka_timestamp"))
+      .select(col("data.*"), col("kafka_timestamp"))
+      .withColumn("time", to_timestamp(col("time") / 1000))
+
+  /** Serialize a trades-shaped frame to Kafka key/value: key = symbol,
+    * value = the full row as JSON. Pure column transform — unit-tested.
+    */
+  def toKafkaJson(df: DataFrame): DataFrame =
+    df.select(
+      col("symbol").cast("string").as("key"),
+      to_json(struct(df.columns.map(col): _*)).as("value"))
+
   /** Kafka sink builder: anomaly records serialized to JSON and published to
     * a topic — the reference's transactional anomaly sink
     * (`flink-jobs/market-realtime/anomaly_detection.py:199-215`,
     * idempotent/transactional variant `enhanced_anomaly_detection.py:267-281`).
-    * NOT runnable here (no broker/connector jar); production code path.
+    * NOT startable here (no broker/connector jar); the value/key transform
+    * and option assembly are the tested pieces.
     */
   def kafkaJsonSink(
       df: DataFrame,
       bootstrapServers: String,
       topic: String,
       checkpointLocation: String): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
-    df.select(
-      col("symbol").cast("string").as("key"),
-      to_json(struct(df.columns.map(col): _*)).as("value"))
+    toKafkaJson(df)
       .writeStream
       .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("topic", topic)
-      .option("checkpointLocation", checkpointLocation)
+      .options(kafkaSinkOptions(bootstrapServers, topic, checkpointLocation))
 
-  /** Kafka source builder (reference `spark/streaming_feature_updates.py:55-62`;
-    * Flink variant with read_committed,
-    * `enhanced_anomaly_detection.py:231-260`). NOT runnable here — no broker
-    * and no kafka connector jar in the image; kept as the production
-    * code path.
+  /** Kafka source builder. NOT runnable here — no broker and no kafka
+    * connector jar in the image; kept as the production code path, with the
+    * option assembly and wire deserialization unit-tested separately.
     */
   def kafkaJsonStream(
       spark: SparkSession,
       bootstrapServers: String,
       topic: String,
       startingOffsets: String = "latest",
-      readCommitted: Boolean = true): DataFrame = {
-    val reader = spark.readStream
-      .format("kafka")
-      .option("kafka.bootstrap.servers", bootstrapServers)
-      .option("subscribe", topic)
-      .option("startingOffsets", startingOffsets)
-      .option("failOnDataLoss", "false")
-    val withIso =
-      if (readCommitted) reader.option("kafka.isolation.level", "read_committed") else reader
-    // JSON value parse + epoch-millis → timestamp, as in the reference
-    // (`streaming_feature_updates.py:64-75`): time arrives as epoch millis.
-    val wireSchema = StructType(Seq(
-      StructField("time", LongType), StructField("symbol", StringType),
-      StructField("price", DoubleType), StructField("volume", DoubleType),
-      StructField("trade_id", StringType), StructField("side", StringType),
-      StructField("bid", DoubleType), StructField("ask", DoubleType)))
-    withIso.load()
-      .select(from_json(col("value").cast("string"), wireSchema).as("data"),
-        col("timestamp").as("kafka_timestamp"))
-      .select(col("data.*"), col("kafka_timestamp"))
-      .withColumn("time", to_timestamp(col("time") / 1000))
-  }
+      readCommitted: Boolean = true): DataFrame =
+    parseKafkaWire(
+      spark.readStream
+        .format("kafka")
+        .options(kafkaSourceOptions(bootstrapServers, Seq(topic), startingOffsets, readCommitted))
+        .load())
 }

@@ -216,6 +216,45 @@ class ExtSpec extends SparkTestBase {
     assert(d1.getAs[Boolean]("shifted"))
   }
 
+  test("KS p-value and severity: identical → p=1/ok; disjoint → p≈0/critical") {
+    import spark.implicits._
+    val same = Seq.tabulate(100)(i => (i % 10 * 1.0, if ((i / 10) % 2 == 0) "a" else "b"))
+      .toDF("value", "event_type")
+    val r0 = KsTest.dStatistic(same, "value", "event_type", "a", "b").collect()(0)
+    assert(r0.getAs[Double]("p_value") === 1.0)
+    assert(r0.getAs[String]("severity") === "ok")
+    val disjoint = (Seq.tabulate(50)(i => (i * 1.0, "a")) ++
+      Seq.tabulate(50)(i => (1000.0 + i, "b"))).toDF("value", "event_type")
+    val r1 = KsTest.dStatistic(disjoint, "value", "event_type", "a", "b").collect()(0)
+    assert(r1.getAs[Double]("p_value") < 0.01)
+    assert(r1.getAs[String]("severity") === "critical")
+    // moderate shift lands between the tiers deterministically
+    val shifted = (Seq.tabulate(60)(i => (i * 1.0, "a")) ++
+      Seq.tabulate(60)(i => (i * 1.0 + 14.0, "b"))).toDF("value", "event_type")
+    val r2 = KsTest.dStatistic(shifted, "value", "event_type", "a", "b").collect()(0)
+    val p2 = r2.getAs[Double]("p_value")
+    assert(p2 > 0.0 && p2 < 1.0)
+    assert(Seq("ok", "warning", "critical").contains(r2.getAs[String]("severity")))
+  }
+
+  test("k-means IVF: deterministic centroids, recall meets the placeholder path") {
+    val emb = Tables.embeddings(spark, sf0001)
+    def centMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getAs[Long]("centroid_id") ->
+        r.getAs[Seq[Double]]("centroid")).toMap
+    val c1 = centMap(graft.ext.Ivf.kmeansCentroids(emb, 16, iters = 3))
+    val c2 = centMap(graft.ext.Ivf.kmeansCentroids(emb, 16, iters = 3))
+    assert(c1 === c2, "k-means must be run-to-run deterministic (no RNG)")
+    assert(c1.size === 16)
+
+    val brute = Similarity.topK(emb, 0L, 20).collect().map(_.getAs[Long]("vec_id")).toSet
+    val trained = graft.ext.Ivf
+      .topKWith(emb, graft.ext.Ivf.kmeansCentroids(emb, 16, iters = 3), 0L, 20, nProbe = 4)
+      .collect().map(_.getAs[Long]("vec_id")).toSet
+    assert((brute intersect trained).size >= 10,
+      s"recall@20 too low: ${(brute intersect trained).size}/20")
+  }
+
   test("RLS: tenants see disjoint, covering symbol sets") {
     val t = Tables.trades(spark, sf0001)
     val counts = (0L to 2L).map(ten =>

@@ -348,4 +348,87 @@ class PlanSpec extends SparkTestBase {
     assert(bad.isLeft)
     assert(bad.left.toOption.get.feature === "ohlc_1m")
   }
+
+  test("incremental refresh rewrites ONLY trailing date partitions; older files byte-untouched") {
+    import java.nio.file.Files
+    val t = Tables.trades(spark, sf0001)
+    val path = Files.createTempDirectory("graft_partmerge_").toString + "/t"
+    graft.streaming.StreamingFeatures.mergeIntoKeyed(
+      spark, path, graft.features.Ohlc.compute(t), Seq("bucket", "symbol"))
+
+    def snapshot(): Map[String, (Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(path)).filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getAbsolutePath -> (f.length(), f.lastModified())).toMap
+    }
+    val before = snapshot()
+    assert(before.keys.exists(_.contains("part_date=")),
+      "materialized table must be date-partitioned")
+
+    val mx = t.agg(max(col("time"))).collect()(0).getTimestamp(0)
+    graft.streaming.StreamingFeatures
+      .refreshOhlcAggregate(spark, t, path, startOffsetSec = 3600)
+    val after = snapshot()
+
+    // any date the 1h refresh window (+ snap slack) could touch
+    val touchable = (0L to 1L).map { back =>
+      java.time.Instant.ofEpochMilli(mx.getTime - back * 24 * 3600 * 1000L)
+        .atZone(java.time.ZoneOffset.UTC).toLocalDate.toString
+    }.map(d => s"part_date=$d").toSet
+    val untouched = before.keys.filterNot(p => touchable.exists(p.contains))
+    assert(untouched.nonEmpty, "fixture must have partitions outside the refresh window")
+    untouched.foreach { p =>
+      assert(after.get(p).contains(before(p)),
+        s"file outside the refresh window was rewritten: $p")
+    }
+    // and the refreshed table still equals the full recompute
+    val full = graft.features.Ohlc.compute(t)
+    val refreshed = graft.streaming.StreamingFeatures.readKeyedTable(spark, path)
+    assert(refreshed.exceptAll(full).count() === 0)
+    assert(full.exceptAll(refreshed).count() === 0)
+  }
+
+  test("batch spread-EMA plans as a window sum — no full-history collect_list buffering") {
+    val plan = registry.FeatureQueries.queries("q_spread_ema")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("collect_list"), s"plan:\n$plan")
+    // and it matches the streaming twin's sequential-fold semantics
+    val batch = registry.FeatureQueries.queries("q_spread_ema")(spark, sf0001)
+    val streamed = registry.StreamQueries.queries("q_stream_spread_ema")(spark, sf0001)
+    assert(batch.exceptAll(streamed).count() === 0)
+    assert(streamed.exceptAll(batch).count() === 0)
+  }
+
+  test("TenantFilterRule multi-tenant membership (IN-list) filters at the scan") {
+    import graft.plans.TenantFilterRule
+    TenantFilterRule.enable(spark, Seq(0L, 2L))
+    try {
+      val visible = Tables.events(spark, sf0001).count()
+      val expected = {
+        TenantFilterRule.disable(spark)
+        Tables.events(spark, sf0001)
+          .filter(pmod(col("user_id"), lit(3L)).isInCollection(Seq(0L, 2L))).count()
+      }
+      assert(visible === expected)
+      TenantFilterRule.enable(spark, Seq(0L, 2L))
+      val plan = Tables.events(spark, sf0001).queryExecution.optimizedPlan.toString
+      assert(plan.contains("pmod"), s"membership predicate missing from plan:\n$plan")
+    } finally TenantFilterRule.disable(spark)
+  }
+
+  test("online features fast path equals the as-of retrieve over a 1-timestamp frame") {
+    val t = Tables.trades(spark, sf0001)
+    val anchor = t.agg(max(col("time")).as("event_timestamp"))
+    val entities = t.select("symbol").distinct().crossJoin(broadcast(anchor))
+    val viaAsOf = graft.asof.HistoricalFeatures.retrieve(entities, t)
+    val fast = graft.asof.HistoricalFeatures.latestFeatures(t)
+    assert(fast.exceptAll(viaAsOf).count() === 0)
+    assert(viaAsOf.exceptAll(fast).count() === 0)
+    // scale shape: the fast path must not sort the trade corpus — its only
+    // window/sort work is inside the SMA feature view (sort by time within
+    // symbol); assert no union of tagged frames (the as-of signature)
+    val plan = fast.queryExecution.executedPlan.toString
+    assert(!plan.contains("__tag"), s"fast path still plans the union as-of:\n$plan")
+  }
 }

@@ -228,4 +228,57 @@ class StreamingSpec extends SparkTestBase {
     // spread_bounded violations exist in this corpus by construction
     assert(dlq.filter(array_contains(col("violations"), "spread_bounded")).count() > 0)
   }
+
+  test("kafka source/sink option assembly: subscribe list, offsets, isolation, checkpoint") {
+    import graft.sources.StreamSources
+    val src = StreamSources.kafkaSourceOptions(
+      "b1:9092,b2:9092", Seq("trades", "quotes"), "earliest", readCommitted = true)
+    assert(src("kafka.bootstrap.servers") === "b1:9092,b2:9092")
+    assert(src("subscribe") === "trades,quotes")
+    assert(src("startingOffsets") === "earliest")
+    assert(src("failOnDataLoss") === "false")
+    assert(src("kafka.isolation.level") === "read_committed")
+    val atLeastOnce = StreamSources.kafkaSourceOptions("b:9092", Seq("t"), readCommitted = false)
+    assert(!atLeastOnce.contains("kafka.isolation.level"))
+    assert(atLeastOnce("startingOffsets") === "latest")
+
+    val sink = StreamSources.kafkaSinkOptions("b:9092", "anomalies", "/ckpt/anomalies")
+    assert(sink("kafka.bootstrap.servers") === "b:9092")
+    assert(sink("topic") === "anomalies")
+    assert(sink("checkpointLocation") === "/ckpt/anomalies")
+    // the sink builder assembles on a real streaming frame without a broker
+    // (never started here — no connector jar in the image)
+    StreamSources.kafkaJsonSink(
+      StreamSources.tradeFileStream(spark, s"$sf0001/events.parquet"),
+      "b:9092", "anomalies", "/ckpt/a")
+  }
+
+  test("kafka wire deserialization: JSON trades parse, epoch millis land as timestamps, corrupt rows null out") {
+    import spark.implicits._
+    import graft.sources.StreamSources
+    val kts = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    val good =
+      """{"time":1704067200000,"symbol":"7","price":10.5,"volume":2.0,
+        |"trade_id":"42","side":"buy","bid":10.4,"ask":10.6}""".stripMargin.replace("\n", "")
+    val raw = Seq((good, kts), ("{not json", kts)).toDF("value", "timestamp")
+    val parsed = StreamSources.parseKafkaWire(raw).orderBy(col("trade_id").asc_nulls_last)
+    val rows = parsed.collect()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[java.sql.Timestamp]("time") ===
+      java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    assert(rows(0).getAs[String]("symbol") === "7")
+    assert(rows(0).getAs[Double]("ask") === 10.6)
+    assert(rows(0).getAs[java.sql.Timestamp]("kafka_timestamp") === kts)
+    assert(rows(1).isNullAt(rows(1).fieldIndex("symbol")), "corrupt row → null payload (DLQ-ready)")
+
+    // and the sink serialization roundtrips through the source deserialization
+    val trades = Tables.trades(spark, sf0001).limit(50)
+      .withColumn("time", timestamp_millis(unix_millis(col("time"))))
+    val wire = StreamSources.toKafkaJson(
+      trades.withColumn("time", unix_millis(col("time"))))
+      .withColumn("timestamp", lit(kts))
+    val back = StreamSources.parseKafkaWire(wire).drop("kafka_timestamp")
+    assert(back.exceptAll(trades).count() === 0)
+    assert(trades.exceptAll(back).count() === 0)
+  }
 }
