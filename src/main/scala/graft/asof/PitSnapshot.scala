@@ -52,6 +52,35 @@ object PitSnapshot {
   def validateAsOf(asOf: Timestamp, now: Timestamp): Either[String, Timestamp] =
     if (asOf.after(now)) Left(s"as_of_ts $asOf is in the future (now=$now)") else Right(asOf)
 
+  /** Serving-layer handle: ONE symbol's history pinned once, then any number
+    * of `at(asOf)` snapshot calls filter the cached frame instead of
+    * re-scanning and re-caching per call. This is where the cache lifecycle
+    * belongs — the handle owns it explicitly (`close()` releases), instead of
+    * the library operator holding session state. The reference's analogue is
+    * a prepared `feature_pit_snapshot` plpgsql call against the symbol's
+    * partitions.
+    */
+  final class PreparedSnapshot private[asof] (
+      private val base: DataFrame,
+      val symbol: String) extends AutoCloseable {
+
+    /** PIT snapshot at `asOf` over the pinned history (must be ≤ the
+      * history's load horizon — later ticks were never loaded).
+      */
+    def at(asOf: Timestamp): DataFrame =
+      assemble(base.filter(col("time") <= lit(asOf)), symbol, asOf)
+
+    override def close(): Unit = base.unpersist(blocking = false)
+  }
+
+  /** Pin `symbol`'s history once for repeated serving reads. */
+  def prepare(trades: DataFrame, symbol: String): PreparedSnapshot =
+    new PreparedSnapshot(
+      trades.filter(col("symbol") === symbol)
+        .repartition(1)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK),
+      symbol)
+
   def snapshot(spark: SparkSession, trades: DataFrame, symbol: String, asOf: Timestamp): DataFrame = {
     val asOfCol = lit(asOf)
     // The PIT guard: the single most important filter in the engine.
@@ -60,8 +89,8 @@ object PitSnapshot {
     // symbol's history ≤ ts — bounded and small at any corpus scale (the
     // reference's feature_pit_snapshot is likewise a point lookup over one
     // symbol's partitions). Callers serving many snapshots per session
-    // should snapshot several symbols per retrieval (HistoricalFeatures)
-    // rather than loop this entry point.
+    // should use [[prepare]] (explicit handle) or snapshot several symbols
+    // per retrieval (HistoricalFeatures) rather than loop this entry point.
     // repartition(1): the scan/filter stays parallel, then the surviving
     // rows collapse to one cached partition — the 9 downstream aggregates
     // each run as ~2 tasks instead of (input partitions + 1), which is what
@@ -76,7 +105,12 @@ object PitSnapshot {
     // cache; an un-executed earlier snapshot recomputes its bounded lineage.
     PitSnapshot.sweepStopped()
     Option(PitSnapshot.lastBase.put(spark, base)).foreach(_.unpersist(blocking = false))
+    assemble(base, symbol, asOf)
+  }
 
+  /** The 9-branch single-record assembly over an already-guarded base. */
+  private def assemble(base: DataFrame, symbol: String, asOf: Timestamp): DataFrame = {
+    val asOfCol = lit(asOf)
     // Latest 1-minute OHLC bar <= ts (bar may be partial — correct PIT view).
     val ohlc = Ohlc.compute(base).agg(
       max_by(col("open"), col("bucket")).as("open"),

@@ -417,6 +417,21 @@ class PlanSpec extends SparkTestBase {
     } finally TenantFilterRule.disable(spark)
   }
 
+  test("PreparedSnapshot handle serves snapshots equal to the one-shot entry and releases on close") {
+    val t = Tables.trades(spark, sf0001)
+    val asOf1 = java.sql.Timestamp.valueOf("2024-01-20 00:00:00")
+    val asOf2 = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val handle = graft.asof.PitSnapshot.prepare(t, "7")
+    try {
+      Seq(asOf1, asOf2).foreach { ts =>
+        val viaHandle = handle.at(ts)
+        val oneShot = graft.asof.PitSnapshot.snapshot(spark, t, "7", ts)
+        assert(viaHandle.exceptAll(oneShot).count() === 0)
+        assert(oneShot.exceptAll(viaHandle).count() === 0)
+      }
+    } finally handle.close()
+  }
+
   test("online features fast path equals the as-of retrieve over a 1-timestamp frame") {
     val t = Tables.trades(spark, sf0001)
     val anchor = t.agg(max(col("time")).as("event_timestamp"))
