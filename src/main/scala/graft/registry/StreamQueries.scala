@@ -132,6 +132,22 @@ object StreamQueries {
         sum(col("volume")).as("sum_volume"),
         graft.functions.Quantize.r(sum(col("price")), 4).as("sum_price"),
         count(col("side")).as("n_sided"))
+    }),
+
+    // Schema-Registry wire path: register the writer schema, frame every
+    // message magic+id+payload, decode by resolving the writer schema from
+    // the frame id — the reference producer's registry-framed Avro
+    // (`market_data_producer.py:38-59`). Same oracle as the raw roundtrip:
+    // framing must be value-transparent.
+    "q_avro_registry" -> ((s, d) => {
+      val reg = new graft.sources.SchemaRegistry
+      val rt = AvroCodec.decodeFramed(
+        AvroCodec.encodeFramed(Tables.trades(s, d), reg), reg)
+      rt.groupBy("symbol").agg(
+        count(lit(1)).as("n"),
+        sum(col("volume")).as("sum_volume"),
+        graft.functions.Quantize.r(sum(col("price")), 4).as("sum_price"),
+        count(col("side")).as("n_sided"))
     }))
 
   /** Seed a stale materialized aggregate (30 min behind the newest event)
@@ -209,6 +225,12 @@ object StreamQueries {
         |WHERE large_trades_5m >= 3""".stripMargin),
 
     "q_avro_roundtrip" -> withTrades(
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price,
+        |       count(side) AS n_sided
+        |FROM trades GROUP BY symbol""".stripMargin),
+
+    "q_avro_registry" -> withTrades(
       """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
         |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price,
         |       count(side) AS n_sided

@@ -80,6 +80,63 @@ object AvroCodec extends Serializable {
       }.toDF("trade_id", "avro_value")
   }
 
+  /** Registry-framed encode: register the writer schema under `subject`
+    * (compat-gated), then ship magic+id-framed Avro — the reference
+    * producer's wire path (`market_data_producer.py:38-59`). The header is a
+    * per-run constant, so the framing itself is a codegen'd binary concat —
+    * no second pass over the payload bytes.
+    */
+  def encodeFramed(
+      trades: DataFrame,
+      registry: SchemaRegistry,
+      subject: String = "market-data-value"): DataFrame = {
+    val id = registry.register(subject, SchemaJson)
+    encode(trades).select(
+      col("trade_id"),
+      concat(lit(SchemaRegistry.header(id)), col("avro_value")).as("avro_value"))
+  }
+
+  /** Registry-framed decode with schema RESOLUTION: each frame's writer
+    * schema is looked up by its id (from the registry snapshot shipped in
+    * the closure) and read against `readerSchemaJson` — old frames stay
+    * readable after evolution, added-with-default fields fill in.
+    */
+  def decodeFramed(
+      frames: DataFrame,
+      registry: SchemaRegistry,
+      readerSchemaJson: String = SchemaJson,
+      valueCol: String = "avro_value"): DataFrame = {
+    val spark = frames.sparkSession
+    import spark.implicits._
+    val byId = registry.snapshot
+    frames.select(col(valueCol)).as[Array[Byte]]
+      .mapPartitions { it =>
+        val reader = new Schema.Parser().parse(readerSchemaJson)
+        val writerCache = scala.collection.mutable.Map[Int, GenericDatumReader[GenericRecord]]()
+        it.map { framed =>
+          val (id, bytes) = SchemaRegistry.unframe(framed)
+          val datumReader = writerCache.getOrElseUpdate(id, {
+            val writerJson = byId.getOrElse(id,
+              throw new IllegalArgumentException(s"unknown schema id $id"))
+            new GenericDatumReader[GenericRecord](
+              new Schema.Parser().parse(writerJson), reader)
+          })
+          val dec = DecoderFactory.get().binaryDecoder(bytes, null)
+          val rec = datumReader.read(null, dec)
+          val side = Option(rec.get("side")).map(_.toString)
+          (rec.get("time").asInstanceOf[Long],
+            rec.get("symbol").toString,
+            bytesToDecimal(rec.get("price").asInstanceOf[ByteBuffer], 8).doubleValue(),
+            bytesToDecimal(rec.get("volume").asInstanceOf[ByteBuffer], 2).doubleValue(),
+            rec.get("trade_id").toString,
+            side)
+        }
+      }.toDF("time_millis", "symbol", "price", "volume", "trade_id", "side")
+      .select(
+        timestamp_millis(col("time_millis")).as("time"),
+        col("symbol"), col("price"), col("volume"), col("trade_id"), col("side"))
+  }
+
   /** (key, avro binary) → trades columns — partition-parallel decode. */
   def decode(frames: DataFrame, valueCol: String = "avro_value"): DataFrame = {
     val spark = frames.sparkSession
