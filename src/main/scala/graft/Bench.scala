@@ -54,7 +54,11 @@ object Bench {
 
     // Stateful/streaming pipelines last; light queries first, alphabetical
     // within each group for stable comparisons across rounds.
+    // SPARK_GRAFT_BENCH_ONLY=q_a,q_b restricts the run (local iteration).
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val all = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     val (heavy, light) = all.partition { case (n, _) =>
       n.startsWith("q_stream_") || n.endsWith("_refresh")
     }
@@ -95,8 +99,11 @@ object Bench {
         "prepared_p95_sec" -> pct(prepared, 95),
         "n" -> iters.toDouble)
     }
-    val pitWarm = warmStats("q_pit_snapshot", 20)
-    val onlineWarm = warmStats("q_online_features", 10)
+    // filtered local runs skip the serving-path sweeps
+    val pitWarm = if (only.isEmpty) warmStats("q_pit_snapshot", 20)
+      else Map("p50_sec" -> -1.0, "p95_sec" -> -1.0,
+        "prepared_p50_sec" -> -1.0, "prepared_p95_sec" -> -1.0, "n" -> 0.0)
+    val onlineWarm = if (only.isEmpty) warmStats("q_online_features", 10) else pitWarm
 
     // 3-significant-digit values keep the stdout line inside small tail
     // captures; the full-precision copy goes to BENCH_FULL.json.

@@ -130,14 +130,30 @@ object StreamingFeatures {
     // fresh rows differ. So: keep existing rows only where no fresh row
     // shares the key (left_anti), then union the batch.
     val deduped = batch.dropDuplicates(keys)
-    val withPart = partitionTimeCol(batch) match {
+    val withPart0 = partitionTimeCol(batch) match {
       case Some(tc) if !batch.columns.contains(PartCol) =>
         deduped.withColumn(PartCol, to_date(col(tc)))
       case _ => deduped
     }
-    val partitioned = withPart.columns.contains(PartCol)
+    val partitioned = withPart0.columns.contains(PartCol)
     val exists = new java.io.File(tablePath).exists()
+    // The batch executes twice on the partitioned path (touched-dates
+    // collect, then the write) — pin it so the upstream aggregation runs
+    // once. A micro-batch/refresh window is bounded, so this is small.
+    val withPart =
+      if (partitioned && exists)
+        withPart0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      else withPart0
+    try {
+      mergeAndWrite(spark, tablePath, withPart, keys, partitioned, exists)
+    } finally {
+      if (withPart ne withPart0) withPart.unpersist(blocking = false)
+    }
+  }
 
+  private def mergeAndWrite(spark: SparkSession, tablePath: String,
+      withPart: DataFrame, keys: Seq[String], partitioned: Boolean,
+      exists: Boolean): Unit = {
     val merged = if (!exists) {
       withPart
     } else {
