@@ -49,7 +49,11 @@ object Bench {
     def median(xs: Seq[Double]): Double = {
       val ok = xs.filter(_ >= 0)
       if (ok.isEmpty) -1.0
-      else ok.sorted.apply((ok.length - 1) / 2)
+      else {
+        val s = ok.sorted
+        val n = s.length
+        if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
+      }
     }
 
     // Stateful/streaming pipelines last; light queries first, alphabetical

@@ -26,23 +26,28 @@ object HistoricalFeatures {
   /** Attach OHLC close, SMA-20 and 5-min VWAP to an entity frame — all three
     * feature views resolved in ONE shuffle via [[AsOfJoin.backwardMulti]].
     */
+  /** The three served feature views — single source of truth shared by the
+    * as-of [[retrieve]] plan and the latest-per-key [[latestFeatures]] plan
+    * (so the two paths cannot drift apart).
+    */
+  private final case class ViewSpec(
+      df: DataFrame, timeCol: String, prefix: String, valueCols: Seq[String])
+
+  private def viewSpecs(trades: DataFrame): Seq[ViewSpec] = Seq(
+    ViewSpec(Ohlc.compute(trades).select("bucket", "symbol", "close"),
+      "bucket", "ohlc_", Seq("close")),
+    ViewSpec(Sma.compute(trades).select("time", "symbol", "sma_20"),
+      "time", "sma_", Seq("sma_20")),
+    ViewSpec(Vwap.compute(trades).select("bucket", "symbol", "vwap_5m"),
+      "bucket", "vwap_", Seq("vwap_5m")))
+
   def retrieve(
       entities: DataFrame,
       trades: DataFrame,
       entityTime: String = "event_timestamp",
       ttlSeconds: Option[Long] = Some(7L * 24 * 3600)): DataFrame = {
-
-    val views = Seq(
-      AsOfJoin.FeatureView(
-        Ohlc.compute(trades).select("bucket", "symbol", "close"),
-        "bucket", "ohlc_", ttlSeconds),
-      AsOfJoin.FeatureView(
-        Sma.compute(trades).select("time", "symbol", "sma_20"),
-        "time", "sma_", ttlSeconds),
-      AsOfJoin.FeatureView(
-        Vwap.compute(trades).select("bucket", "symbol", "vwap_5m"),
-        "bucket", "vwap_", ttlSeconds))
-
+    val views = viewSpecs(trades).map(v =>
+      AsOfJoin.FeatureView(v.df, v.timeCol, v.prefix, ttlSeconds))
     AsOfJoin.backwardMulti(entities, views, Seq("symbol"), entityTime)
   }
 
@@ -66,33 +71,28 @@ object HistoricalFeatures {
     val entities = trades.select("symbol").distinct().crossJoin(broadcast(anchor))
 
     // Latest row per symbol of a feature view: max_by over (time, values) —
-    // values included in the ordering key so ties break deterministically.
-    def latest(view: DataFrame, timeCol: String, prefix: String,
-        valueCols: Seq[String]): DataFrame =
-      view.groupBy("symbol").agg(
+    // values included in the ordering key so a (symbol, time) tie breaks
+    // deterministically by value. (The as-of path's carry-forward picks the
+    // partition-order-last duplicate under such a tie; the served views have
+    // unique (symbol, time) rows, which the shared oracle relies on.)
+    def latest(v: ViewSpec): DataFrame =
+      v.df.groupBy("symbol").agg(
         max_by(
-          struct(col(timeCol).as("__rt") +: valueCols.map(col): _*),
-          struct(col(timeCol) +: valueCols.map(col): _*)).as(s"__m_$prefix"))
+          struct(col(v.timeCol).as("__rt") +: v.valueCols.map(col): _*),
+          struct(col(v.timeCol) +: v.valueCols.map(col): _*)).as(s"__m_${v.prefix}"))
 
-    val views = Seq(
-      (latest(Ohlc.compute(trades).select("bucket", "symbol", "close"),
-        "bucket", "ohlc_", Seq("close")), "bucket", "ohlc_", Seq("close")),
-      (latest(Sma.compute(trades).select("time", "symbol", "sma_20"),
-        "time", "sma_", Seq("sma_20")), "time", "sma_", Seq("sma_20")),
-      (latest(Vwap.compute(trades).select("bucket", "symbol", "vwap_5m"),
-        "bucket", "vwap_", Seq("vwap_5m")), "bucket", "vwap_", Seq("vwap_5m")))
-
-    val joined = views.foldLeft(entities) { case (acc, (v, _, _, _)) =>
-      acc.join(v, Seq("symbol"), "left_outer")
+    val specs = viewSpecs(trades)
+    val joined = specs.foldLeft(entities) { (acc, v) =>
+      acc.join(latest(v), Seq("symbol"), "left_outer")
     }
     val outCols = col("symbol") +: col("event_timestamp") +:
-      views.flatMap { case (_, timeCol, prefix, valueCols) =>
-        val m = col(s"__m_$prefix")
+      specs.flatMap { v =>
+        val m = col(s"__m_${v.prefix}")
         val ttlOk = m.isNotNull &&
           unix_micros(col("event_timestamp")) - unix_micros(m.getField("__rt")) <=
             ttlSeconds * 1000000L
-        when(ttlOk, m.getField("__rt")).as(s"${prefix}matched_$timeCol") +:
-          valueCols.map(c => when(ttlOk, m.getField(c)).as(s"$prefix$c"))
+        when(ttlOk, m.getField("__rt")).as(s"${v.prefix}matched_${v.timeCol}") +:
+          v.valueCols.map(c => when(ttlOk, m.getField(c)).as(s"${v.prefix}$c"))
       }
     joined.select(outCols: _*)
   }

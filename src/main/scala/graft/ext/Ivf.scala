@@ -45,8 +45,12 @@ object Ivf {
   /** Deterministic k-means (Lloyd) refinement of the seed centroids —
     * pgvector ivfflat's training step (`lists` k-means on a sample). No RNG:
     * init = the lowest-vec_id seeds, a FIXED number of iterations, ties on
-    * assignment to the smallest centroid id — the same corpus always yields
-    * the same centroids.
+    * assignment to the smallest centroid id. Determinism caveat: the
+    * re-centering means are floating-point sums whose partial-aggregate
+    * merge order follows the physical partitioning — bit-stable on a fixed
+    * plan/partitioning (the tested setting), but last-ULP drift is possible
+    * across differing cluster layouts; anything consuming centroids across
+    * heterogeneous deployments should persist them rather than retrain.
     *
     * Scale shape per iteration: assignment is the same broadcast-centroids
     * narrow map as [[assign]]; the re-centering is one `(centroid_id, dim)`

@@ -55,8 +55,8 @@ object Volatility {
     * slicing the full recompute to the window (`q_volatility_refresh` is
     * hash-gated on that).
     */
-  def computeWindowed(bucketSec: Long)(
-      src: DataFrame, loMicros: Long, hiEndMicros: Long): DataFrame = {
+  def computeWindowed(
+      src: DataFrame, loMicros: Long, hiEndMicros: Long, bucketSec: Long): DataFrame = {
     val m = unix_micros(col("time"))
     val cols = Seq("time", "symbol", "price")
     val slice = src.filter(m >= loMicros && m < hiEndMicros)

@@ -33,14 +33,18 @@ class TenantFilterRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case None => plan
       case Some(tenantCsv) =>
         // single tenant ("1") or membership list ("0,2") — the reference's
-        // `tenant_id = ANY(get_user_tenants())` membership shape
-        val tenants = tenantCsv.split(",").map(_.trim.toLong).toSeq
+        // `tenant_id = ANY(get_user_tenants())` membership shape. An empty
+        // list (a user with NO tenants — get_user_tenants() can legitimately
+        // return none) must deny everything, not blow up the optimizer.
+        val tenants = tenantCsv.split(",").map(_.trim).filter(_.nonEmpty)
+          .map(_.toLong).toSeq
         plan.transformUp {
           case rel: LogicalRelation if isTradeSource(rel) && rel.getTagValue(Applied).isEmpty =>
             rel.setTagValue(Applied, true)
             val userId = rel.output.find(_.name == "user_id").get
             val tenantOf = Pmod(userId, Literal(3L))
             val pred = tenants match {
+              case Seq()    => Literal.FalseLiteral
               case Seq(one) => EqualTo(tenantOf, Literal(one))
               case many     => In(tenantOf, many.map(Literal(_)))
             }

@@ -59,10 +59,14 @@ object KsTest {
         pValue(col("d"), col("n1"), col("n2")).as("__p"))
       .select(
         col("d_statistic"), col("n1"), col("n2"), col("shifted"),
-        Quantize.r(col("__p"), 6).as("p_value"),
-        when(col("__p") < 0.01, "critical")
-          .when(col("__p") < 0.05, "warning")
-          .otherwise("ok").as("severity"))
+        Quantize.r(col("__p"), 6).as("p_value"))
+      // severity tiers compare the QUANTIZED p: both engines tier the exact
+      // same 1e-6-rounded double, so an ULP difference in exp() between
+      // libms cannot flip critical/warning across the oracle boundary
+      .withColumn("severity",
+        when(col("p_value") < 0.01, "critical")
+          .when(col("p_value") < 0.05, "warning")
+          .otherwise("ok"))
   }
 
   /** Asymptotic two-sample KS p-value: Kolmogorov Q(λ), λ = √(n₁n₂/(n₁+n₂))·D,

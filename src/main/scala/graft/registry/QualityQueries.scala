@@ -132,13 +132,15 @@ object QualityQueries {
         |                   (sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d))),
         |             (acc, x) -> acc + x))) END AS p
         |  FROM a)
-        |SELECT floor(d * 1e6 + 0.5) / 1e6 AS d_statistic, n1, n2,
-        |       d > CAST(1.358 AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS shifted,
-        |       floor(p * 1e6 + 0.5) / 1e6 AS p_value,
-        |       CASE WHEN p < CAST(0.01 AS DOUBLE) THEN 'critical'
-        |            WHEN p < CAST(0.05 AS DOUBLE) THEN 'warning'
+        |SELECT d_statistic, n1, n2, shifted, p_value,
+        |       CASE WHEN p_value < CAST(0.01 AS DOUBLE) THEN 'critical'
+        |            WHEN p_value < CAST(0.05 AS DOUBLE) THEN 'warning'
         |            ELSE 'ok' END AS severity
-        |FROM pv""".stripMargin,
+        |FROM (
+        |  SELECT floor(d * 1e6 + 0.5) / 1e6 AS d_statistic, n1, n2,
+        |         d > CAST(1.358 AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS shifted,
+        |         floor(p * 1e6 + 0.5) / 1e6 AS p_value
+        |  FROM pv)""".stripMargin,
 
     "q_zscore_outliers" ->
       """SELECT l.l_returnflag,

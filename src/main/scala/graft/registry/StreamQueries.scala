@@ -87,20 +87,20 @@ object StreamQueries {
     "q_vwap_refresh" -> ((s, d) => {
       val out = seedStale(s, d, "vwap", graft.features.Vwap.compute(_))
       StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        StreamingFeatures.sliced(graft.features.Vwap.compute(_)),
+        StreamingFeatures.sliced(graft.features.Vwap.compute),
         bucketSec = 300, startOffsetSec = 7200)
       StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        StreamingFeatures.sliced(graft.features.Vwap.compute(_)),
+        StreamingFeatures.sliced(graft.features.Vwap.compute),
         bucketSec = 300, startOffsetSec = 7200)
     }),
 
     "q_imbalance_refresh" -> ((s, d) => {
       val out = seedStale(s, d, "imb", graft.features.Imbalance.compute(_))
       StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        StreamingFeatures.sliced(graft.features.Imbalance.compute(_)),
+        StreamingFeatures.sliced(graft.features.Imbalance.compute),
         bucketSec = 300, startOffsetSec = 7200)
       StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        StreamingFeatures.sliced(graft.features.Imbalance.compute(_)),
+        StreamingFeatures.sliced(graft.features.Imbalance.compute),
         bucketSec = 300, startOffsetSec = 7200)
     }),
 
@@ -110,10 +110,10 @@ object StreamQueries {
     "q_volatility_refresh" -> ((s, d) => {
       val out = seedStale(s, d, "vol", graft.features.Volatility.compute(_))
       StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        graft.features.Volatility.computeWindowed(3600),
+        graft.features.Volatility.computeWindowed,
         bucketSec = 3600, startOffsetSec = 7200)
       StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        graft.features.Volatility.computeWindowed(3600),
+        graft.features.Volatility.computeWindowed,
         bucketSec = 3600, startOffsetSec = 7200)
     }),
 

@@ -130,13 +130,24 @@ object StreamingFeatures {
     // fresh rows differ. So: keep existing rows only where no fresh row
     // shares the key (left_anti), then union the batch.
     val deduped = batch.dropDuplicates(keys)
-    val withPart0 = partitionTimeCol(batch) match {
-      case Some(tc) if !batch.columns.contains(PartCol) =>
-        deduped.withColumn(PartCol, to_date(col(tc)))
-      case _ => deduped
-    }
-    val partitioned = withPart0.columns.contains(PartCol)
     val exists = new java.io.File(tablePath).exists()
+    // The EXISTING table's layout wins: a legacy/unpartitioned table keeps
+    // merging unpartitioned (schema-stable for its readers — migrate with
+    // one explicit partitioned rewrite), and a partitioned table accepts a
+    // batch without an event-time column by parking those rows in the null
+    // partition (degenerate: no pruning possible, whole table read).
+    val existingHasPart = exists &&
+      spark.read.parquet(tablePath).columns.contains(PartCol)
+    val batchPartable =
+      batch.columns.contains(PartCol) || partitionTimeCol(batch).isDefined
+    val partitioned = if (exists) existingHasPart else batchPartable
+    val withPart0 =
+      if (!partitioned) deduped
+      else if (batch.columns.contains(PartCol)) deduped
+      else partitionTimeCol(batch) match {
+        case Some(tc) => deduped.withColumn(PartCol, to_date(col(tc)))
+        case None     => deduped.withColumn(PartCol, lit(null).cast("date"))
+      }
     // The batch executes twice on the partitioned path (touched-dates
     // collect, then the write) — pin it so the upstream aggregation runs
     // once. A micro-batch/refresh window is bounded, so this is small.
@@ -144,8 +155,12 @@ object StreamingFeatures {
       if (partitioned && exists)
         withPart0.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       else withPart0
+    // A null-parked batch (no event-time column) may collide with keys in
+    // ANY date partition — pruning is only sound when the batch's dates are
+    // real.
+    val prune = batchPartable
     try {
-      mergeAndWrite(spark, tablePath, withPart, keys, partitioned, exists)
+      mergeAndWrite(spark, tablePath, withPart, keys, partitioned, exists, prune)
     } finally {
       if (withPart ne withPart0) withPart.unpersist(blocking = false)
     }
@@ -153,7 +168,7 @@ object StreamingFeatures {
 
   private def mergeAndWrite(spark: SparkSession, tablePath: String,
       withPart: DataFrame, keys: Seq[String], partitioned: Boolean,
-      exists: Boolean): Unit = {
+      exists: Boolean, prune: Boolean): Unit = {
     val merged = if (!exists) {
       withPart
     } else {
@@ -161,7 +176,7 @@ object StreamingFeatures {
       // Partition pruning: only the dates the batch touches are read (and
       // later rewritten). The collect is a handful of date scalars.
       val existing =
-        if (partitioned && existingAll.columns.contains(PartCol)) {
+        if (partitioned && prune && existingAll.columns.contains(PartCol)) {
           val touched = withPart.select(PartCol).distinct().collect().map(_.get(0))
           val nonNull = touched.filter(_ != null).toSeq
           val base =
@@ -230,22 +245,28 @@ object StreamingFeatures {
   }
 
   /** A window-compute function for [[refreshAggregate]]: given the FULL
-    * source and the refresh window `[loMicros, hiEndMicros)` (both already
-    * bucket-aligned), return the fresh aggregate rows for that window.
+    * source, the refresh window `[loMicros, hiEndMicros)` (both already
+    * bucket-aligned) and the bar width in seconds, return the fresh
+    * aggregate rows for that window. `bucketSec` arrives from
+    * [[refreshAggregate]] itself, so edge snapping and bar width cannot be
+    * configured apart — a disagreement would recreate the partial-
+    * boundary-bar corruption the snapping prevents.
     */
-  type ComputeWindow = (DataFrame, Long, Long) => DataFrame
+  type ComputeWindow = (DataFrame, Long, Long, Long) => DataFrame
 
-  /** Adapt a whole-frame aggregate (trades => bars) into a [[ComputeWindow]]
-    * by slicing the source to the refresh window. Correct for aggregates
-    * whose buckets depend only on rows INSIDE the bucket (OHLC, VWAP,
-    * imbalance); aggregates with cross-bucket lookback (volatility's lag)
-    * need a custom ComputeWindow that warms the lookback — see
-    * [[graft.features.Volatility.computeWindowed]].
+  /** Adapt a bucketed aggregate (trades, interval string => bars) into a
+    * [[ComputeWindow]] by slicing the source to the refresh window. Correct
+    * for aggregates whose buckets depend only on rows INSIDE the bucket
+    * (OHLC, VWAP, imbalance); aggregates with cross-bucket lookback
+    * (volatility's lag) need a custom ComputeWindow that warms the lookback
+    * — see [[graft.features.Volatility.computeWindowed]].
     */
-  def sliced(compute: DataFrame => DataFrame, timeCol: String = "time"): ComputeWindow =
-    (src, lo, hiEnd) =>
+  def sliced(compute: (DataFrame, String) => DataFrame,
+      timeCol: String = "time"): ComputeWindow =
+    (src, lo, hiEnd, bucketSec) =>
       compute(src.filter(
-        unix_micros(col(timeCol)) >= lo && unix_micros(col(timeCol)) < hiEnd))
+        unix_micros(col(timeCol)) >= lo && unix_micros(col(timeCol)) < hiEnd),
+        s"$bucketSec seconds")
 
   /** Incremental refresh of a continuous aggregate — the batch-scheduled
     * analogue of TimescaleDB's refresh policies
@@ -272,7 +293,7 @@ object StreamingFeatures {
     if (anchorRow.isNullAt(0)) {
       // empty source (fresh deployment / upstream outage): refresh is a no-op
       return if (new java.io.File(tablePath).exists()) readKeyedTable(spark, tablePath)
-      else computeWindow(source, 0L, 0L) // empty frame with the table schema
+      else computeWindow(source, 0L, 0L, bucketSec) // empty frame, table schema
     }
     val anchorMicros = anchorRow.getLong(0)
     // Snap BOTH window edges outward to bucket boundaries (TimescaleDB
@@ -287,10 +308,9 @@ object StreamingFeatures {
     val rawHi = anchorMicros - endOffsetSec * 1000000L
     val lo = Math.floorDiv(rawLo, bucketMicros) * bucketMicros
     val hiEnd = (Math.floorDiv(rawHi, bucketMicros) + 1) * bucketMicros
-    // bucketSec drives BOTH the edge snapping and the bar width — if they
-    // disagreed, a snapped edge could still land mid-bar and recreate the
-    // partial-boundary-bar corruption the snapping prevents
-    val fresh = computeWindow(source, lo, hiEnd)
+    // bucketSec drives the edge snapping AND (through ComputeWindow) the
+    // bar width, so they cannot disagree
+    val fresh = computeWindow(source, lo, hiEnd, bucketSec)
     mergeIntoKeyed(spark, tablePath, fresh, keys = keys)
     readKeyedTable(spark, tablePath)
   }
@@ -305,8 +325,7 @@ object StreamingFeatures {
       startOffsetSec: Long = 3600,
       endOffsetSec: Long = 0,
       bucketSec: Long = 60): org.apache.spark.sql.DataFrame =
-    refreshAggregate(spark, trades, tablePath,
-      sliced(Ohlc.compute(_, s"$bucketSec seconds")),
+    refreshAggregate(spark, trades, tablePath, sliced(Ohlc.compute),
       bucketSec, Seq("bucket", "symbol"), startOffsetSec, endOffsetSec)
 
   /** Stream the events file into a keyed parquet table via foreachBatch

@@ -417,6 +417,31 @@ class PlanSpec extends SparkTestBase {
     } finally TenantFilterRule.disable(spark)
   }
 
+  test("merge into a legacy unpartitioned table keeps its layout and semantics") {
+    import java.nio.file.Files
+    val path = Files.createTempDirectory("graft_legacy_").toString + "/t"
+    val t = Tables.trades(spark, sf0001)
+    val stale = graft.features.Ohlc.compute(
+      t.filter(col("time") < lit(java.sql.Timestamp.valueOf("2024-01-15 00:00:00"))))
+    // legacy layout: plain parquet written before date partitioning existed
+    stale.write.mode("overwrite").parquet(path)
+    val full = graft.features.Ohlc.compute(t)
+    // the merge must respect the existing layout (no part_date), not crash
+    graft.streaming.StreamingFeatures.mergeIntoKeyed(
+      spark, path, full, Seq("bucket", "symbol"))
+    val readBack = spark.read.parquet(path)
+    assert(!readBack.columns.contains("part_date"))
+    assert(readBack.exceptAll(full).count() === 0)
+    assert(full.exceptAll(readBack).count() === 0)
+  }
+
+  test("empty tenant list denies every row instead of poisoning the optimizer") {
+    import graft.plans.TenantFilterRule
+    TenantFilterRule.enable(spark, Seq.empty[Long])
+    try assert(Tables.events(spark, sf0001).count() === 0)
+    finally TenantFilterRule.disable(spark)
+  }
+
   test("schema registry: framing, idempotent ids, compat gate, writer/reader resolution") {
     import graft.sources.{AvroCodec, SchemaRegistry}
     import org.apache.avro.SchemaBuilder
