@@ -142,6 +142,13 @@ object ExtQueries {
     "q_doc_chunks" -> ((s, d) =>
       graft.ext.Curation.chunk(docsPar(s, d), chunkTokens = 50)),
 
+    // Winnowing (MOSS) passage fingerprints: candidate pairs sharing >= 5
+    // selected k-gram minima. Engine-portable integer hashing, so unlike
+    // MinHash/SimHash this near-dup tier is FULLY hash-checked in DuckDB.
+    "q_winnow_pairs" -> ((s, d) =>
+      graft.ext.Winnow.candidatePairs(docsPar(s, d),
+        k = 16, w = 8, minShared = 5, maxBucketSize = 100)),
+
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.fakeDecode(Multimodal.payloads(s, d))
         .select(col("media_id"), col("source"),
@@ -233,6 +240,29 @@ object ExtQueries {
       """SELECT md5(text) AS fingerprint, count(*) AS n_docs,
         |       min(doc_id) AS keep_doc_id, max(doc_id) AS dup_doc_id
         |FROM documents GROUP BY 1 HAVING count(*) > 1""".stripMargin,
+
+    // Mirrors Winnow.fingerprints exactly: polynomial k-gram hash mod 1e9+7
+    // (list_reduce seeded via list_prepend 0), w-window minima, distinct.
+    "q_winnow_pairs" ->
+      """WITH h AS (
+        |  SELECT doc_id, list_transform(range(1, length(text) - 16 + 2), i ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |        list_transform(range(i, i + 16), j -> unicode(substr(text, CAST(j AS INT), 1)))),
+        |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS hs
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, CASE
+        |    WHEN len(hs) >= 8 THEN list_sort(list_distinct(list_transform(
+        |      range(1, len(hs) - 8 + 2), j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 7 AS INT))))))
+        |    WHEN len(hs) >= 1 THEN [list_min(hs)]
+        |    ELSE CAST([] AS BIGINT[]) END AS fps
+        |  FROM h),
+        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+        |keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 100)
+        |SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS shared_fps
+        |FROM e e1 JOIN keep k ON e1.fp = k.fp
+        |JOIN e e2 ON e1.fp = e2.fp AND e1.doc_id < e2.doc_id
+        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
 
     "q_ngram_jaccard" -> s"""WITH $shinglesCte,
       |q AS (SELECT sh AS qsh FROM s WHERE doc_id = 0)

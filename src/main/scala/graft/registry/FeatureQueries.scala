@@ -3,7 +3,7 @@ package graft.registry
 import graft.functions.Quantize
 import java.sql.Timestamp
 
-import graft.asof.{AsOfJoin, HistoricalFeatures, PitSnapshot}
+import graft.asof.{AsOfJoin, HistoricalFeatures, PitSnapshot, RangeJoin}
 import graft.core.Tables
 import graft.features._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -193,6 +193,41 @@ object FeatureQueries {
         .select(col("window.start").as("w_start"), col("symbol"),
           Quantize.r(col("pv") / nullif(col("vol"), lit(0.0)), 6).as("vwap_10m"),
           col("vol").as("total_volume"))),
+
+    // Time-weighted average price over irregular ticks (bucket-local carry).
+    "q_twap_1h" -> ((s, d) => Twap.compute(trades(s, d))),
+
+    // Bounded interval join (bucketed epsilon-join, never all-pairs): every
+    // large trade paired with ALL quotes in its trailing hour. Streaming twin
+    // q_stream_interval_join shares this oracle — the streaming/batch
+    // equivalence invariant applied to a two-sided join.
+    "q_range_join" -> ((s, d) => {
+      val t = trades(s, d)
+      val lt = t.join(broadcast(LargeTrades.thresholds(t)), Seq("symbol"))
+        .filter(col("volume") > col("percentile_95"))
+        .select("time", "symbol", "trade_id")
+      val quotes = t.filter(col("bid").isNotNull && col("ask").isNotNull)
+        .select(col("time").as("quote_time"), col("symbol"),
+          Quantize.r((col("bid") + col("ask")) / 2, 6).as("mid"))
+      RangeJoin.within(lt, quotes, Seq("symbol"),
+        leftTime = "time", rightTime = "quote_time", lookbackSec = 3600,
+        rightPrefix = "", joinType = "inner")
+    }),
+
+    // left_outer range join + per-entity aggregation: recent-news context
+    // (count + mean sentiment over the trailing 24 h) attached to EVERY
+    // trade, unmatched trades kept with n_news = 0.
+    "q_range_context" -> ((s, d) => {
+      val news = NewsSentiment.newsEvents(s, d)
+        .select(col("time").as("news_time"), col("symbol"),
+          col("news_id"), col("sentiment_score"))
+      RangeJoin.within(trades(s, d).select("time", "symbol", "trade_id"), news,
+        Seq("symbol"), leftTime = "time", rightTime = "news_time",
+        lookbackSec = 24 * 3600, rightPrefix = "n_", joinType = "left_outer")
+        .groupBy("time", "symbol", "trade_id")
+        .agg(count(col("n_news_id")).as("n_news"),
+          Quantize.r(avg(col("n_sentiment_score")), 6).as("avg_sentiment"))
+    }),
 
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
@@ -484,6 +519,45 @@ object FeatureQueries {
         |         ntile(4) OVER (PARTITION BY symbol ORDER BY volume, trade_id) AS quartile
         |  FROM trades)
         |GROUP BY symbol, quartile""".stripMargin),
+
+    "q_twap_1h" -> withTrades(
+      """SELECT bucket, symbol,
+        |       floor((sum(price * w) / nullif(CAST(sum(w) AS DOUBLE), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS twap_1h,
+        |       CAST(sum(w) AS BIGINT) AS active_micros,
+        |       count(*) AS n_trades
+        |FROM (
+        |  SELECT time_bucket(INTERVAL '1 hour', time) AS bucket, symbol, price,
+        |         least(coalesce(epoch_us(lead(time) OVER (PARTITION BY symbol ORDER BY time, trade_id)),
+        |                        epoch_us(time_bucket(INTERVAL '1 hour', time)) + 3600000000),
+        |               epoch_us(time_bucket(INTERVAL '1 hour', time)) + 3600000000) - epoch_us(time) AS w
+        |  FROM trades)
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_range_join" -> withTradesAnd(
+      """thr AS (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1)""",
+      """SELECT t.time, t.symbol, t.trade_id, q.time AS quote_time,
+        |       floor(((q.bid + q.ask) / 2) * 1e6 + 0.5) / 1e6 AS mid
+        |FROM trades t
+        |JOIN thr ON t.symbol = thr.symbol
+        |JOIN trades q ON q.symbol = t.symbol
+        |  AND q.bid IS NOT NULL AND q.ask IS NOT NULL
+        |  AND q.time >= t.time - INTERVAL 1 HOUR AND q.time <= t.time
+        |WHERE t.volume > thr.p95""".stripMargin),
+
+    "q_range_context" -> withTradesAnd(
+      """news AS (
+        |  SELECT TIMESTAMP '2024-01-01 00:00:00' + INTERVAL (vec_id) HOUR AS time,
+        |         CAST(vec_id % 15 AS VARCHAR) AS symbol,
+        |         CAST(vec_id AS VARCHAR) AS news_id,
+        |         (CAST(label AS DOUBLE) - CAST(4.5 AS DOUBLE)) / CAST(4.5 AS DOUBLE) AS score
+        |  FROM embeddings)""".stripMargin,
+      """SELECT t.time, t.symbol, t.trade_id,
+        |       count(n.news_id) AS n_news,
+        |       floor((avg(n.score)) * 1e6 + 0.5) / 1e6 AS avg_sentiment
+        |FROM trades t
+        |LEFT JOIN news n ON n.symbol = t.symbol
+        |  AND n.time >= t.time - INTERVAL 24 HOUR AND n.time <= t.time
+        |GROUP BY 1, 2, 3""".stripMargin),
 
     "q_sharpe" -> withTrades(
       """SELECT symbol,

@@ -117,6 +117,13 @@ object StreamQueries {
         bucketSec = 3600, startOffsetSec = 7200)
     }),
 
+    // Stream-stream interval join (dual watermarks, time-range state
+    // eviction): large trades × trailing-hour quotes. Same oracle as the
+    // batch epsilon-join twin q_range_join.
+    "q_stream_interval_join" -> ((s, d) =>
+      StreamingFeatures.streamingIntervalJoinOnce(s, s"$d/events.parquet",
+        LargeTrades.thresholds(Tables.trades(s, d)))),
+
     // Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)
     // over an at-least-once duplicated delivery; equals batch DISTINCT.
     "q_stream_dedup" -> ((s, d) =>
@@ -212,6 +219,17 @@ object StreamQueries {
         |FROM (SELECT * FROM trades
         |      UNION ALL
         |      SELECT * FROM trades WHERE CAST(trade_id AS BIGINT) % 10 = 0)""".stripMargin),
+
+    "q_stream_interval_join" -> OracleSql.withTradesAnd(
+      """thr AS (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1)""",
+      """SELECT t.time, t.symbol, t.trade_id, q.time AS quote_time,
+        |       floor(((q.bid + q.ask) / 2) * 1e6 + 0.5) / 1e6 AS mid
+        |FROM trades t
+        |JOIN thr ON t.symbol = thr.symbol
+        |JOIN trades q ON q.symbol = t.symbol
+        |  AND q.bid IS NOT NULL AND q.ask IS NOT NULL
+        |  AND q.time >= t.time - INTERVAL 1 HOUR AND q.time <= t.time
+        |WHERE t.volume > thr.p95""".stripMargin),
 
     "q_stream_cep" -> withTrades(
       """SELECT time, symbol, large_trades_5m FROM (

@@ -92,6 +92,59 @@ object StreamingFeatures {
     spark.table(name).select("time", "symbol", "trade_id", "price", "volume")
   }
 
+  /** Stream-stream interval join with watermarks on BOTH sides: every large
+    * trade (stream A, thresholds broadcast from a batch frame) paired with
+    * all quotes (stream B) in its trailing `lookbackSec` window — the Flink
+    * interval-join enrichment (`flink-jobs/market-realtime/
+    * anomaly_detection.py`) on Spark's stream-stream join machinery.
+    *
+    * The time-range predicate is written directly on the event-time columns
+    * (`quote_time BETWEEN time - W AND time`) so the engine derives state
+    * watermarks from it: buffered rows older than `watermark + W` are evicted
+    * — state is O(rate × (watermark + W)) per key, never unbounded. (Wrapping
+    * the condition in `unix_micros` would defeat the range extraction and
+    * buffer both streams forever — the stream-stream analogue of losing
+    * predicate pushdown.)
+    *
+    * Batch twin: [[graft.asof.RangeJoin.within]] over the same inputs —
+    * `q_range_join` and `q_stream_interval_join` share one DuckDB oracle, the
+    * streaming/batch equivalence invariant applied to a two-stream operator.
+    */
+  def streamingIntervalJoinOnce(
+      spark: SparkSession,
+      eventsPath: String,
+      thresholds: DataFrame,
+      lookbackSec: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val largeTrades = StreamSources.tradeFileStream(spark, eventsPath)
+      .join(broadcast(thresholds), Seq("symbol"))
+      .filter(col("volume") > col("percentile_95"))
+      .select(col("time"), col("symbol"), col("trade_id"))
+      .withWatermark("time", watermark)
+    val quotes = StreamSources.tradeFileStream(spark, eventsPath)
+      .filter(col("bid").isNotNull && col("ask").isNotNull)
+      .select(col("time").as("quote_time"), col("symbol").as("q_symbol"),
+        graft.functions.Quantize.r((col("bid") + col("ask")) / 2, 6).as("mid"))
+      .withWatermark("quote_time", watermark)
+    val joined = largeTrades.join(
+      quotes,
+      col("symbol") === col("q_symbol") &&
+        col("quote_time") >= col("time") - expr(s"INTERVAL $lookbackSec SECONDS") &&
+        col("quote_time") <= col("time"),
+      "inner")
+    val name = s"stream_ij_${runId.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(name).select("time", "symbol", "trade_id", "quote_time", "mid")
+  }
+
   /** The event-time column used to derive the table's date partition:
     * `bucket` for aggregate tables, `time` for raw-row tables, none when the
     * frame carries no event time (the merge then degrades to a single

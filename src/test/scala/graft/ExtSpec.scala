@@ -261,4 +261,45 @@ class ExtSpec extends SparkTestBase {
       graft.operators.Rls.withTenant(t, ten).count())
     assert(counts.sum === t.count())
   }
+
+  test("winnowing guarantee: a shared passage of length >= k+w-1 yields a shared fingerprint") {
+    import graft.ext.Winnow
+    val k = 16; val w = 8
+    // two documents sharing one long passage embedded in unrelated noise
+    val passage = "the quick brown fox jumps over the lazy dog near the riverbank"
+    val docs = spark.createDataFrame(Seq(
+      (0L, s"alpha beta gamma delta $passage epsilon zeta"),
+      (1L, s"one two three four five six seven $passage eight nine"),
+      (2L, "completely unrelated content with no overlap whatsoever here")
+    )).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), Winnow.fingerprints(col("text"), k, w).as("fps"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[collection.Seq[Long]]("fps").toSet)
+      .toMap
+    assert((fps(0L) intersect fps(1L)).nonEmpty,
+      "shared passage longer than k+w-1 must share at least one fingerprint")
+    // every non-empty text gets >= 1 fingerprint (boundary rule)
+    assert(fps.values.forall(_.nonEmpty))
+    // candidate pairs surface the sharing pair and score it above noise
+    val pairs = Winnow.candidatePairs(docs, k, w, minShared = 2, maxBucketSize = 10)
+      .collect().map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    assert(pairs.contains((0L, 1L)))
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
+  test("winnow fingerprints: short-text boundary cases") {
+    import graft.ext.Winnow
+    val docs = spark.createDataFrame(Seq(
+      (0L, "tiny"),                 // shorter than k -> no k-grams
+      (1L, "exactly sixteen!!"),    // length 17 -> 2 hashes, < w -> global min
+      (2L, "")                      // empty
+    )).toDF("doc_id", "text")
+    val fps = docs.select(col("doc_id"), Winnow.fingerprints(col("text"), 16, 8).as("fps"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[collection.Seq[Long]]("fps"))
+      .toMap
+    assert(fps(0L).isEmpty)
+    assert(fps(1L).length === 1)
+    assert(fps(2L).isEmpty)
+  }
 }

@@ -74,4 +74,60 @@ class FeatureSpec extends SparkTestBase {
     val lt = LargeTrades.compute(core.Tables.trades(spark, sf0001))
     assert(lt.filter(col("volume") <= col("percentile_95")).count() === 0)
   }
+
+  test("TWAP on the ramp: even per-minute spacing makes TWAP the segment mean") {
+    // 25 ticks one minute apart starting on the hour, all inside hour 0:
+    // ticks 0..23 each hold 60 s, the last tick holds from minute 24 to the
+    // hour end (2160 s). TWAP = (Σ_{i<24} 60·p_i + 2160·p_24) / 3600.
+    val twap = Twap.compute(rampTrades(25)).collect()
+    assert(twap.length === 1)
+    val expected = ((0 until 24).map(i => 60.0 * (150.0 + 0.1 * i)).sum +
+      2160.0 * (150.0 + 0.1 * 24)) / 3600.0
+    val got = twap(0).getAs[Double]("twap_1h")
+    assert(math.abs(got - math.floor(expected * 1e6 + 0.5) / 1e6) < 1e-9)
+    assert(twap(0).getAs[Long]("active_micros") === 3600L * 1000000L)
+  }
+
+  test("TWAP weights a price by holding time, not trade count") {
+    import org.apache.spark.sql.functions.{expr => e}
+    // two trades in one hour: price 100 held 1 s, price 200 held the rest —
+    // a count-weighted mean (150) would be far off the time-weighted 199.97
+    val t = spark.range(2).select(
+      e("timestamp_micros(CAST(1704067200000000 + id * 1000000 AS BIGINT))").as("time"),
+      lit("X").as("symbol"),
+      (lit(100.0) + col("id") * 100.0).as("price"),
+      lit(1.0).as("volume"), col("id").cast("string").as("trade_id"),
+      lit("buy").as("side"), lit(null).cast("double").as("bid"),
+      lit(null).cast("double").as("ask"))
+    val got = Twap.compute(t).collect()(0).getAs[Double]("twap_1h")
+    val expected = (100.0 * 1 + 200.0 * 3599) / 3600.0
+    assert(math.abs(got - math.floor(expected * 1e6 + 0.5) / 1e6) < 1e-9)
+  }
+
+  test("bucketed range join equals the naive theta-join (inner and left_outer)") {
+    val t = core.Tables.trades(spark, sf0001)
+    val left = t.select("time", "symbol", "trade_id")
+    val right = t.filter(col("bid").isNotNull)
+      .select(col("time").as("rt"), col("symbol"), col("bid"))
+    val viaBucket = asof.RangeJoin.within(left, right, Seq("symbol"),
+      leftTime = "time", rightTime = "rt", lookbackSec = 1800, rightPrefix = "")
+    val naive = left.as("l").join(right.as("r"),
+      col("l.symbol") === col("r.symbol") &&
+        col("r.rt") <= col("l.time") &&
+        col("r.rt") >= col("l.time") - e2("INTERVAL 30 MINUTES"),
+      "inner")
+      .select(col("l.time"), col("l.symbol"), col("l.trade_id"), col("rt"), col("bid"))
+    assert(viaBucket.exceptAll(naive).count() === 0)
+    assert(naive.exceptAll(viaBucket).count() === 0)
+    // left_outer: every left row surfaces, unmatched exactly once
+    val lo = asof.RangeJoin.within(left, right, Seq("symbol"),
+      leftTime = "time", rightTime = "rt", lookbackSec = 1800, rightPrefix = "",
+      joinType = "left_outer")
+    val matchedOrNot = lo.groupBy("trade_id").count()
+    assert(matchedOrNot.count() === left.count())
+    assert(lo.filter(col("rt").isNull).join(
+      naive.select("trade_id").distinct(), Seq("trade_id"), "left_semi").count() === 0)
+  }
+
+  private def e2(s: String) = expr(s)
 }

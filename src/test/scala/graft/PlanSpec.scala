@@ -417,6 +417,21 @@ class PlanSpec extends SparkTestBase {
     } finally TenantFilterRule.disable(spark)
   }
 
+  test("range join plans as an equi-join on (key, bucket) — never a nested loop") {
+    val t = Tables.trades(spark, sf0001)
+    val left = t.select("time", "symbol", "trade_id")
+    val right = t.filter(col("bid").isNotNull)
+      .select(col("time").as("rt"), col("symbol"), col("bid"))
+    val plan = graft.asof.RangeJoin
+      .within(left, right, Seq("symbol"), leftTime = "time", rightTime = "rt",
+        lookbackSec = 1800)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"),
+      s"epsilon-join must not degrade to a nested loop:\n$plan")
+    assert(plan.contains("SortMergeJoin") || plan.contains("BroadcastHashJoin") ||
+      plan.contains("ShuffledHashJoin"), s"expected an equi-join:\n$plan")
+  }
+
   test("merge into a legacy unpartitioned table keeps its layout and semantics") {
     import java.nio.file.Files
     val path = Files.createTempDirectory("graft_legacy_").toString + "/t"
