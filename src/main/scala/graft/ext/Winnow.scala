@@ -16,11 +16,13 @@ import org.apache.spark.sql.functions._
   * 64-bit sketch, winnowing detects shared CONTIGUOUS passages (plagiarism /
   * boilerplate / quote detection in a training corpus).
   *
-  * Everything here is built from engine-portable integer arithmetic
-  * (polynomial rolling hash mod 1e9+7 over code points) — unlike the
-  * xxhash64-based MinHash/SimHash, the DuckDB oracle replays it exactly, so
-  * `q_winnow_pairs` gets a full hash-checked oracle rather than a rows-only
-  * check.
+  * Everything here is engine-portable integer arithmetic (polynomial hash
+  * mod 1e9+7 over character codes) — unlike the xxhash64-based
+  * MinHash/SimHash, the DuckDB oracle replays it exactly, so `q_winnow_pairs`
+  * gets a full hash-checked oracle rather than a rows-only check. The hot
+  * path is the native [[graft.plans.TextHashing.WinnowFp]] expression (one
+  * primitive loop per row); [[Hof]] keeps the higher-order-function form as
+  * the executable spec, equivalence-tested in ExtSpec.
   *
   * Scale shape: fingerprinting is a narrow per-row map; candidate pairing is
   * the same bucketed never-all-pairs discipline as MinHash-LSH — explode to
@@ -31,38 +33,13 @@ import org.apache.spark.sql.functions._
   */
 object Winnow {
 
-  /** Polynomial hash of every character k-gram: h = fold (h*131 + code) mod
-    * 1e9+7. Empty when the text is shorter than k.
-    */
-  def kgramHashes(text: C, k: Int): C = {
-    val n = length(text) - (k - 1)
-    when(n >= 1,
-      transform(sequence(lit(1), n),
-        i => aggregate(sequence(i, i + (k - 1)), lit(0L),
-          (acc, j) => (acc * 131L + ascii(text.substr(j, lit(1)))) % 1000000007L)))
-      .otherwise(array().cast("array<bigint>"))
-  }
-
-  /** The winnowed fingerprint set: distinct minima of each w-window of k-gram
-    * hashes, sorted. Texts with fewer than w hashes keep their global min, so
-    * every non-empty text has ≥ 1 fingerprint (the paper's boundary rule).
-    *
-    * The hash array is bound through a single-element `transform` lambda so
-    * the k-gram pass is evaluated ONCE per row — `CollapseProject` would
-    * otherwise inline the subtree into each of the three CASE branches (the
-    * same duplication [[graft.plans.TextHashing.MinHashBands]] fuses away).
+  /** The winnowed fingerprint set (native expression): distinct minima of
+    * each w-window of k-gram hashes, sorted. Texts with fewer than w hashes
+    * keep their global min, so every text of length ≥ k has ≥ 1 fingerprint
+    * (the paper's boundary rule).
     */
   def fingerprints(text: C, k: Int, w: Int): C =
-    element_at(
-      transform(array(kgramHashes(text, k)), { hs =>
-        val n = size(hs)
-        when(n >= w,
-          array_sort(array_distinct(
-            transform(sequence(lit(1), n - (w - 1)),
-              j => array_min(slice(hs, j, lit(w)))))))
-          .when(n >= 1, array(array_min(hs)))
-          .otherwise(array().cast("array<bigint>"))
-      }), 1)
+    graft.plans.TextHashing.winnow(text, k, w)
 
   /** Candidate near-dup pairs with the number of shared fingerprints — pairs
     * sharing ≥ `minShared` fingerprints share ≥ minShared distinct protected
@@ -90,4 +67,37 @@ object Winnow {
       .select(col("doc_id"), explode(fingerprints(col("text"), k, w)).as("fp"))
       .groupBy("fp")
       .agg(collect_list(col("doc_id")).as("ids"))
+
+  /** Higher-order-function forms — the executable spec the native expression
+    * is equivalence-tested against (same pattern as [[Dedup.Hof]]). Not used
+    * on hot paths.
+    */
+  object Hof {
+
+    /** Polynomial hash of every character k-gram. */
+    def kgramHashes(text: C, k: Int): C = {
+      val n = length(text) - (k - 1)
+      when(n >= 1,
+        transform(sequence(lit(1), n),
+          i => aggregate(sequence(i, i + (k - 1)), lit(0L),
+            (acc, j) => (acc * 131L + ascii(text.substr(j, lit(1)))) % 1000000007L)))
+        .otherwise(array().cast("array<bigint>"))
+    }
+
+    /** The hash array is bound through a single-element `transform` lambda so
+      * the k-gram pass evaluates ONCE per row — `CollapseProject` would
+      * otherwise inline the subtree into each CASE branch.
+      */
+    def fingerprints(text: C, k: Int, w: Int): C =
+      element_at(
+        transform(array(kgramHashes(text, k)), { hs =>
+          val n = size(hs)
+          when(n >= w,
+            array_sort(array_distinct(
+              transform(sequence(lit(1), n - (w - 1)),
+                j => array_min(slice(hs, j, lit(w)))))))
+            .when(n >= 1, array(array_min(hs)))
+            .otherwise(array().cast("array<bigint>"))
+        }), 1)
+  }
 }

@@ -260,6 +260,86 @@ object TextHashing {
       copy(child = newChild)
   }
 
+  /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): polynomial hash
+    * of every character k-gram (`h = fold (h*131 + code) mod 1e9+7`), sliding
+    * w-window minima, distinct + sorted. Value-identical to
+    * [[graft.ext.Winnow.Hof.fingerprints]] — `code` is the first byte of each
+    * character (Spark `ascii(substring(text, j, 1))` semantics; equals the
+    * code point on ASCII corpora, which is what the DuckDB oracle's
+    * `unicode()` assumes).
+    *
+    * One tight primitive pass per row: the interpreted HOF form allocates a
+    * lambda frame per character (O(L·k) boxed steps) and re-slices the hash
+    * array per window.
+    */
+  case class WinnowFp(child: Expression, k: Int, w: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(k >= 1 && w >= 1, s"k and w must be >= 1, got k=$k w=$w")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_winnow expects STRING, got ${dt.simpleString}")
+    }
+
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val bytes = input.asInstanceOf[UTF8String].getBytes
+      // first byte of each character = Spark ascii() of that character
+      var nChars = 0
+      var b = 0
+      while (b < bytes.length) {
+        if ((bytes(b) & 0xc0) != 0x80) nChars += 1
+        b += 1
+      }
+      val codes = new Array[Int](nChars)
+      var ci = 0
+      b = 0
+      while (b < bytes.length) {
+        if ((bytes(b) & 0xc0) != 0x80) { codes(ci) = bytes(b).toInt; ci += 1 }
+        b += 1
+      }
+      val n = nChars - k + 1
+      if (n <= 0) return new GenericArrayData(Array.empty[Any])
+      val hs = new Array[Long](n)
+      var i = 0
+      while (i < n) {
+        var h = 0L
+        var j = i
+        val end = i + k
+        while (j < end) { h = (h * 131L + codes(j)) % 1000000007L; j += 1 }
+        hs(i) = h
+        i += 1
+      }
+      val sel = new java.util.TreeSet[java.lang.Long]
+      if (n < w) {
+        var m = hs(0)
+        i = 1
+        while (i < n) { if (hs(i) < m) m = hs(i); i += 1 }
+        sel.add(m)
+      } else {
+        i = 0
+        while (i <= n - w) {
+          var m = hs(i)
+          var j = i + 1
+          val end = i + w
+          while (j < end) { if (hs(j) < m) m = hs(j); j += 1 }
+          sel.add(m)
+          i += 1
+        }
+      }
+      val out = new Array[Any](sel.size)
+      val it = sel.iterator()
+      var o = 0
+      while (it.hasNext) { out(o) = it.next().longValue(); o += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   // ---- Column builders (no registration needed) --------------------------
 
   private def e(c: Column): Expression = ColumnBridge.expression(c)
@@ -278,6 +358,9 @@ object TextHashing {
 
   def simhash(text: Column): Column =
     ColumnBridge.column(SimHash64(e(text)))
+
+  def winnow(text: Column, k: Int, w: Int): Column =
+    ColumnBridge.column(WinnowFp(e(text), k, w))
 
   // ---- SQL registration (parity with cosine_sim) -------------------------
 
@@ -302,5 +385,7 @@ object TextHashing {
       ex => MinHashBands(ex.head, intLit(ex(1), "numHashes"), intLit(ex(2), "bands")))
     reg("graft_jaccard", ex => JaccardSim(ex.head, ex(1)))
     reg("graft_simhash", ex => SimHash64(ex.head))
+    reg("graft_winnow",
+      ex => WinnowFp(ex.head, intLit(ex(1), "k"), intLit(ex(2), "w")))
   }
 }

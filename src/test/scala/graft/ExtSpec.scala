@@ -287,6 +287,14 @@ class ExtSpec extends SparkTestBase {
     assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L))
   }
 
+  test("winnow fingerprints: native expression equals the HOF spec on the corpus") {
+    import graft.ext.Winnow
+    val d = docs.select(col("doc_id"),
+      Winnow.fingerprints(col("text"), 16, 8).as("native"),
+      Winnow.Hof.fingerprints(col("text"), 16, 8).as("hof"))
+    assert(d.filter(not(col("native") === col("hof"))).count() === 0)
+  }
+
   test("winnow fingerprints: short-text boundary cases") {
     import graft.ext.Winnow
     val docs = spark.createDataFrame(Seq(
