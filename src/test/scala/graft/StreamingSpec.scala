@@ -281,4 +281,53 @@ class StreamingSpec extends SparkTestBase {
     assert(back.exceptAll(trades).count() === 0)
     assert(trades.exceptAll(back).count() === 0)
   }
+
+  test("observed metrics ride the batch query: counts, nulls, freshness bounds") {
+    import graft.quality.Observability
+    val t = core.Tables.trades(spark, sf0001)
+    val listener = Observability.register(spark)
+    try {
+      Observability.observeTrades(t, "dq_trades")
+        .write.format("noop").mode("overwrite").save()
+      // listener callbacks are asynchronous — poll briefly
+      val deadline = System.nanoTime() + 10000000000L
+      var m: Option[org.apache.spark.sql.Row] = None
+      while (m.isEmpty && System.nanoTime() < deadline) {
+        m = listener.get("dq_trades")
+        if (m.isEmpty) Thread.sleep(50)
+      }
+      assert(m.nonEmpty, "observed metrics never arrived")
+      val row = m.get
+      assert(row.getAs[Long]("n_rows") === t.count())
+      assert(row.getAs[Long]("null_side") === t.filter(col("side").isNull).count())
+      val mx = t.agg(max(unix_micros(col("time")))).collect()(0).getLong(0)
+      assert(row.getAs[Long]("max_time_micros") === mx)
+      assert(Observability.ageMicros(row, mx + 5000000L) === 5000000L)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  test("stream health: progress carries throughput, state size and observed metrics") {
+    import graft.quality.Observability
+    import graft.sources.StreamSources
+    val stream = Observability.observeTrades(
+      StreamSources.tradeFileStream(spark, s"$sf0001/events.parquet"), "dq_stream")
+    val bars = Ohlc.compute(stream.withWatermark("time", "1 minute"))
+    val name = s"obs_health_${System.nanoTime()}"
+    val q = bars.writeStream.format("memory").queryName(name)
+      .outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    // AvailableNow leaves progress in recentProgress after termination
+    val health = q.recentProgress.reverseIterator
+      .map(p => (p, Option(p.observedMetrics.get("dq_stream"))))
+      .collectFirst { case (p, Some(row)) => (p, row) }
+    assert(health.nonEmpty, "no progress carried the observed metrics")
+    val (prog, row) = health.get
+    val n = core.Tables.trades(spark, sf0001).count()
+    assert(row.getAs[Long]("n_rows") === n)
+    assert(prog.numInputRows === n)
+    assert(prog.stateOperators.map(_.numRowsTotal).sum > 0, "windowed agg keeps state")
+  }
 }
