@@ -49,6 +49,13 @@ object RangeJoin {
     require(lookbackSec > 0, "lookbackSec must be positive")
     require(joinType == "inner" || joinType == "left_outer",
       s"unsupported joinType: $joinType")
+    // the rename-wholesale disambiguation only holds if the prefixed right
+    // value columns are actually disjoint from the left side's columns
+    val clash = right.columns.filterNot(keys.contains)
+      .map(rightPrefix + _).toSet intersect left.columns.toSet
+    require(clash.isEmpty,
+      s"right value columns collide with left columns after prefixing: " +
+        s"${clash.mkString(", ")} — choose a distinct rightPrefix or rename")
     val wMicros = lookbackSec * 1000000L
 
     def bucketOf(t: Column): Column = floor(unix_micros(t) / wMicros).cast("long")

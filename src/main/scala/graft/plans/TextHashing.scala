@@ -263,10 +263,12 @@ object TextHashing {
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): polynomial hash
     * of every character k-gram (`h = fold (h*131 + code) mod 1e9+7`), sliding
     * w-window minima, distinct + sorted. Value-identical to
-    * [[graft.ext.Winnow.Hof.fingerprints]] — `code` is the first byte of each
-    * character (Spark `ascii(substring(text, j, 1))` semantics; equals the
-    * code point on ASCII corpora, which is what the DuckDB oracle's
-    * `unicode()` assumes).
+    * [[graft.ext.Winnow.Hof.fingerprints]] — `code` is the Unicode CODE
+    * POINT of each character, the value Spark's
+    * `ascii(substring(text, j, 1))` returns (`Ascii` evaluates
+    * `codePointAt(0)` of the sliced character) and the value the DuckDB
+    * oracle's `unicode()` returns, so all three forms agree on any text, not
+    * just ASCII.
     *
     * One tight primitive pass per row: the interpreted HOF form allocates a
     * lambda frame per character (O(L·k) boxed steps) and re-slices the hash
@@ -285,20 +287,18 @@ object TextHashing {
     override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
     override def nullSafeEval(input: Any): Any = {
-      val bytes = input.asInstanceOf[UTF8String].getBytes
-      // first byte of each character = Spark ascii() of that character
-      var nChars = 0
-      var b = 0
-      while (b < bytes.length) {
-        if ((bytes(b) & 0xc0) != 0x80) nChars += 1
-        b += 1
-      }
+      val s = input.asInstanceOf[UTF8String].toString
+      // one code point per Spark "character" (substring slices whole code
+      // points; a surrogate pair is one character both there and here)
+      val nChars = s.codePointCount(0, s.length)
       val codes = new Array[Int](nChars)
       var ci = 0
-      b = 0
-      while (b < bytes.length) {
-        if ((bytes(b) & 0xc0) != 0x80) { codes(ci) = bytes(b).toInt; ci += 1 }
-        b += 1
+      var si = 0
+      while (si < s.length) {
+        val cp = s.codePointAt(si)
+        codes(ci) = cp
+        ci += 1
+        si += Character.charCount(cp)
       }
       val n = nChars - k + 1
       if (n <= 0) return new GenericArrayData(Array.empty[Any])

@@ -36,10 +36,14 @@ object Observability {
       sum(col("volume")).as("sum_volume"))
 
   /** Freshness age in microseconds from an observed-metrics row, against a
-    * reference "now" — the SLA age the reference alerts on.
+    * reference "now" — the SLA age the reference alerts on. `None` when the
+    * observed batch was empty (max_time_micros NULL): "no data" must stay
+    * distinguishable from "56-years stale" for any SLA consumer.
     */
-  def ageMicros(metrics: Row, nowMicros: Long): Long =
-    nowMicros - metrics.getAs[Long]("max_time_micros")
+  def ageMicros(metrics: Row, nowMicros: Long): Option[Long] = {
+    val i = metrics.fieldIndex("max_time_micros")
+    if (metrics.isNullAt(i)) None else Some(nowMicros - metrics.getLong(i))
+  }
 
   /** Collects observed metrics from batch query executions, keyed by the
     * observation name. Register once per session; thread-safe.

@@ -295,6 +295,19 @@ class ExtSpec extends SparkTestBase {
     assert(d.filter(not(col("native") === col("hof"))).count() === 0)
   }
 
+  test("winnow fingerprints: native equals HOF on non-ASCII text (code points, not bytes)") {
+    import graft.ext.Winnow
+    val d = spark.createDataFrame(Seq(
+      (0L, "le café est prêt — naïve façade, déjà vu, über alles, smörgåsbord"),
+      (1L, "日本語のテキストと emoji 😀🚀 mixed with ascii words here"),
+      (2L, "ASCII only control sample for the same parameters and sizes")
+    )).toDF("doc_id", "text")
+    val cmp = d.select(
+      Winnow.fingerprints(col("text"), 8, 4).as("native"),
+      Winnow.Hof.fingerprints(col("text"), 8, 4).as("hof"))
+    assert(cmp.filter(not(col("native") === col("hof"))).count() === 0)
+  }
+
   test("winnow fingerprints: short-text boundary cases") {
     import graft.ext.Winnow
     val docs = spark.createDataFrame(Seq(

@@ -129,5 +129,15 @@ class FeatureSpec extends SparkTestBase {
       naive.select("trade_id").distinct(), Seq("trade_id"), "left_semi").count() === 0)
   }
 
+  test("range join rejects colliding output columns instead of failing at analysis") {
+    val t = core.Tables.trades(spark, sf0001)
+    val left = t.select("time", "symbol", "trade_id")
+    val right = t.select(col("time"), col("symbol"), col("bid"))
+    val ex = intercept[IllegalArgumentException] {
+      asof.RangeJoin.within(left, right, Seq("symbol"), rightPrefix = "")
+    }
+    assert(ex.getMessage.contains("collide"))
+  }
+
   private def e2(s: String) = expr(s)
 }

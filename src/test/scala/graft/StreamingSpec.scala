@@ -302,7 +302,20 @@ class StreamingSpec extends SparkTestBase {
       assert(row.getAs[Long]("null_side") === t.filter(col("side").isNull).count())
       val mx = t.agg(max(unix_micros(col("time")))).collect()(0).getLong(0)
       assert(row.getAs[Long]("max_time_micros") === mx)
-      assert(Observability.ageMicros(row, mx + 5000000L) === 5000000L)
+      assert(Observability.ageMicros(row, mx + 5000000L) === Some(5000000L))
+      // empty observed batch: age must be None, not "56 years stale"
+      listener.clear()
+      Observability.observeTrades(t.filter(lit(false)), "dq_empty")
+        .write.format("noop").mode("overwrite").save()
+      val deadline2 = System.nanoTime() + 10000000000L
+      var m2: Option[org.apache.spark.sql.Row] = None
+      while (m2.isEmpty && System.nanoTime() < deadline2) {
+        m2 = listener.get("dq_empty")
+        if (m2.isEmpty) Thread.sleep(50)
+      }
+      assert(m2.nonEmpty)
+      assert(m2.get.getAs[Long]("n_rows") === 0L)
+      assert(Observability.ageMicros(m2.get, 123L) === None)
     } finally spark.listenerManager.unregister(listener)
   }
 
