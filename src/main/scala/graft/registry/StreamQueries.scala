@@ -117,6 +117,31 @@ object StreamQueries {
         bucketSec = 3600, startOffsetSec = 7200)
     }),
 
+    // CUSUM drift detector (mapGroupsWithState): standardized deviations
+    // (per-symbol mu/sigma broadcast from batch stats), slack 0.5,
+    // threshold 5. z pre-quantized so the fold replays bit-identically in
+    // the DuckDB oracle.
+    "q_stream_cusum" -> ((s, d) => {
+      val out = Files.createTempDirectory("graft_cusum_").toString + "/t"
+      val stats = Tables.trades(s, d).groupBy("symbol").agg(
+        avg(col("price")).as("mu"), stddev_samp(col("price")).as("sigma"))
+      val obs = StreamSources.tradeFileStream(s, s"$d/events.parquet")
+        .join(broadcast(stats), Seq("symbol"))
+        .select(col("time"), col("trade_id"), col("symbol"),
+          graft.functions.Quantize.r(
+            (col("price") - col("mu")) / col("sigma"), 6).as("z"))
+      val results = Cep.CusumMonitor.monitor(obs)
+      val q = results.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Cep.CusumResult], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out).select("symbol", "cusum_pos", "cusum_neg", "n_alerts")
+    }),
+
     // Stream-stream interval join (dual watermarks, time-range state
     // eviction): large trades × trailing-hour quotes. Same oracle as the
     // batch epsilon-join twin q_range_join.
@@ -219,6 +244,34 @@ object StreamQueries {
         |FROM (SELECT * FROM trades
         |      UNION ALL
         |      SELECT * FROM trades WHERE CAST(trade_id AS BIGINT) % 10 = 0)""".stripMargin),
+
+    // CUSUM fold in DuckDB: list_reduce over [z,0,0] triples with the
+    // running [pos,neg,alerts] as the accumulator (prepended [0,0,0] seed);
+    // z quantized identically to the Spark side so the folds agree bit-wise.
+    "q_stream_cusum" -> OracleSql.withTradesAnd(
+      """stats AS (
+        |  SELECT symbol, avg(price) AS mu, stddev_samp(price) AS sigma
+        |  FROM trades GROUP BY 1),
+        |folded AS (
+        |  SELECT t.symbol,
+        |    list_reduce(
+        |      list_prepend(CAST([0, 0, 0] AS DOUBLE[]),
+        |        list_transform(list(t.price ORDER BY t.time, t.trade_id),
+        |          x -> [floor(((x - s.mu) / s.sigma) * 1e6 + 0.5) / 1e6,
+        |                CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+        |      (acc, e) -> [
+        |        greatest(CAST(0 AS DOUBLE), acc[1] + e[1] - CAST(0.5 AS DOUBLE)),
+        |        greatest(CAST(0 AS DOUBLE), acc[2] - e[1] - CAST(0.5 AS DOUBLE)),
+        |        acc[3] + CASE WHEN greatest(CAST(0 AS DOUBLE), acc[1] + e[1] - CAST(0.5 AS DOUBLE)) > CAST(5 AS DOUBLE)
+        |                        OR greatest(CAST(0 AS DOUBLE), acc[2] - e[1] - CAST(0.5 AS DOUBLE)) > CAST(5 AS DOUBLE)
+        |                      THEN 1 ELSE 0 END]) AS st
+        |  FROM trades t JOIN stats s ON t.symbol = s.symbol
+        |  GROUP BY t.symbol, s.mu, s.sigma)""".stripMargin,
+      """SELECT symbol,
+        |       floor(st[1] * 1e6 + 0.5) / 1e6 AS cusum_pos,
+        |       floor(st[2] * 1e6 + 0.5) / 1e6 AS cusum_neg,
+        |       CAST(st[3] AS BIGINT) AS n_alerts
+        |FROM folded""".stripMargin),
 
     "q_stream_interval_join" -> OracleSql.withTradesAnd(
       """thr AS (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1)""",

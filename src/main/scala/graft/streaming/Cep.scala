@@ -71,6 +71,57 @@ object Cep {
     }
   }
 
+  final case class CusumObs(timeMicros: Long, tradeId: String, symbol: String, z: Double)
+  final case class CusumState(pos: Double, neg: Double, alerts: Long)
+  final case class CusumResult(
+      symbol: String, cusum_pos: Double, cusum_neg: Double, n_alerts: Long)
+
+  /** Tabular CUSUM drift detector over standardized price deviations — the
+    * sequential-change-detection complement to the batch KS test
+    * (`src/quality/great_expectations_setup.py` drift monitoring; Flink-side
+    * anomaly monitors `enhanced_anomaly_detection.py:133-173`):
+    * `s⁺ = max(0, s⁺ + z − k)`, `s⁻ = max(0, s⁻ − z − k)` with slack k=0.5,
+    * alert while either side exceeds h=5. O(1) state per key; `z` arrives
+    * pre-standardized (per-symbol μ/σ broadcast from a batch frame, the
+    * stream-static shape) and pre-quantized to 1e-6 so the fold is
+    * bit-reproducible cross-engine — the DuckDB oracle replays it exactly
+    * (`q_stream_cusum`).
+    */
+  object CusumMonitor {
+
+    val Slack = 0.5
+    val Threshold = 5.0
+
+    def processGroup(
+        symbol: String,
+        it: Iterator[CusumObs],
+        state: GroupState[CusumState]): CusumResult = {
+      var s = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L))
+      it.toSeq.sortBy(o => (o.timeMicros, o.tradeId)).foreach { o =>
+        val pos = math.max(0.0, s.pos + o.z - Slack)
+        val neg = math.max(0.0, s.neg - o.z - Slack)
+        val alert = pos > Threshold || neg > Threshold
+        s = CusumState(pos, neg, s.alerts + (if (alert) 1L else 0L))
+      }
+      state.update(s)
+      CusumResult(symbol,
+        math.floor(s.pos * 1e6 + 0.5) / 1e6,
+        math.floor(s.neg * 1e6 + 0.5) / 1e6, s.alerts)
+    }
+
+    /** Apply over a (streaming) frame carrying (time, trade_id, symbol, z). */
+    def monitor(obs: DataFrame): Dataset[CusumResult] = {
+      val spark = obs.sparkSession
+      import spark.implicits._
+      obs
+        .select(unix_micros(col("time")).as("timeMicros"),
+          col("trade_id").as("tradeId"), col("symbol"), col("z"))
+        .as[CusumObs]
+        .groupByKey(_.symbol)
+        .mapGroupsWithState(GroupStateTimeout.NoTimeout)(processGroup)
+    }
+  }
+
   /** Keyed EMA(α=0.1) of the spread; counts alerts where an observation
     * exceeds 3× the running normal. Emits one row per key per batch with the
     * final state (Update semantics, like the Flink job's per-event emit of

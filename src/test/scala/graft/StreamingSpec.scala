@@ -282,6 +282,23 @@ class StreamingSpec extends SparkTestBase {
     assert(trades.exceptAll(back).count() === 0)
   }
 
+  test("CUSUM monitor flags an injected level shift and stays quiet on a flat series") {
+    // z pre-standardized: FLAT holds at 0 (never accumulates past the 0.5
+    // slack); DRIFT jumps to +3σ after 100 ticks — s⁺ grows by 2.5/tick,
+    // crosses the h=5 threshold on the 3rd shifted tick, alerts thereafter.
+    val rows =
+      (0 until 150).map(i => (i.toLong, f"$i%05d", "FLAT", 0.0)) ++
+      (0 until 150).map(i => (i.toLong, f"$i%05d", "DRIFT", if (i < 100) 0.0 else 3.0))
+    val obs = spark.createDataFrame(rows).toDF("micros", "trade_id", "symbol", "z")
+      .withColumn("time", expr("timestamp_micros(micros)")).drop("micros")
+    val res = Cep.CusumMonitor.monitor(obs).collect()
+      .map(r => r.symbol -> r).toMap
+    assert(res("FLAT").n_alerts === 0L)
+    assert(res("FLAT").cusum_pos === 0.0)
+    assert(res("DRIFT").n_alerts === 48L) // ticks 102..149: 2.5·3 = 7.5 > 5
+    assert(res("DRIFT").cusum_pos === math.floor(2.5 * 50 * 1e6 + 0.5) / 1e6)
+  }
+
   test("observed metrics ride the batch query: counts, nulls, freshness bounds") {
     import graft.quality.Observability
     val t = core.Tables.trades(spark, sf0001)
