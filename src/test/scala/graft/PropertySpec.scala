@@ -86,4 +86,47 @@ class PropertySpec extends SparkTestBase {
       assert(graft.ext.Dedup.exact(once, Seq("time", "symbol", "trade_id")).count() === once.count())
     }
   }
+
+  test("property: bucketed range join equals the theta-join for random windows") {
+    forAll(Gen.zip(tradeGen, Gen.oneOf(60L, 600L, 3600L, 86400L))) {
+      case ((n, seed), w) =>
+        val t = genTrades(n, seed)
+        val left = t.select("time", "symbol", "trade_id")
+        val right = t.select(col("time").as("rt"), col("symbol"), col("price"))
+        val bucketed = graft.asof.RangeJoin.within(
+          left, right, Seq("symbol"), leftTime = "time", rightTime = "rt",
+          lookbackSec = w, rightPrefix = "")
+        val naive = left.as("l").join(right.as("r"),
+          col("l.symbol") === col("r.symbol") &&
+            unix_micros(col("r.rt")) <= unix_micros(col("l.time")) &&
+            unix_micros(col("r.rt")) >= unix_micros(col("l.time")) - w * 1000000L)
+          .select(col("l.time"), col("l.symbol"), col("l.trade_id"),
+            col("rt"), col("price"))
+        assert(bucketed.exceptAll(naive).count() === 0)
+        assert(naive.exceptAll(bucketed).count() === 0)
+    }
+  }
+
+  test("property: TWAP is bounded by bucket price extremes; weights tile the active span") {
+    forAll(tradeGen) { case (n, seed) =>
+      val t = genTrades(n, seed)
+      val twap = Twap.compute(t)
+      // a time-weighted mean is a convex combination of in-bucket prices
+      val bars = Ohlc.compute(t, "1 hour")
+        .select(col("bucket"), col("symbol"), col("low"), col("high"))
+      val joined = twap.join(bars, Seq("bucket", "symbol"))
+      assert(joined.filter(
+        col("twap_1h") < col("low") - 1e-6 || col("twap_1h") > col("high") + 1e-6)
+        .count() === 0)
+      // active span = (bucket end − first tick), exactly
+      val spans = t
+        .groupBy(window(col("time"), "1 hour"), col("symbol"))
+        .agg(min(unix_micros(col("time"))).as("first_t"))
+        .select(col("window.start").as("bucket"), col("symbol"), col("first_t"))
+      val chk = twap.join(spans, Seq("bucket", "symbol"))
+        .filter(col("active_micros") =!=
+          unix_micros(col("bucket")) + 3600000000L - col("first_t"))
+      assert(chk.count() === 0)
+    }
+  }
 }
