@@ -28,6 +28,30 @@ object QualityQueries {
     "q_ks_test" -> ((s, d) =>
       KsTest.dStatistic(Tables.events(s, d), "value", "event_type", "view", "click")),
 
+    // Observed metrics under the correctness gate: the DQ bundle rides the
+    // noop write via Dataset.observe (no second scan), is captured by the
+    // listener, and must equal DuckDB's direct aggregation of the table.
+    "q_observe_dq" -> ((s, d) => {
+      val listener = graft.quality.Observability.register(s)
+      try {
+        graft.quality.Observability.observeTrades(trades(s, d), "dq_gate")
+          .write.format("noop").mode("overwrite").save()
+        val deadline = System.nanoTime() + 30000000000L
+        var m: Option[org.apache.spark.sql.Row] = None
+        while (m.isEmpty && System.nanoTime() < deadline) {
+          m = listener.get("dq_gate")
+          if (m.isEmpty) Thread.sleep(20)
+        }
+        val row = m.getOrElse(sys.error("observed metrics never arrived"))
+        import s.implicits._
+        Seq((row.getAs[Long]("n_rows"), row.getAs[Long]("null_side"),
+          row.getAs[Long]("min_time_micros"), row.getAs[Long]("max_time_micros"),
+          row.getAs[Double]("sum_volume")))
+          .toDF("n_rows", "null_side", "min_time_micros", "max_time_micros",
+            "sum_volume")
+      } finally s.listenerManager.unregister(listener)
+    }),
+
     "q_zscore_outliers" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
       val stats = li.groupBy("l_returnflag")
@@ -102,6 +126,14 @@ object QualityQueries {
         |       timeliness,
         |       floor(((completeness + consistency + accuracy + timeliness) / CAST(4 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS overall
         |FROM raw""".stripMargin),
+
+    "q_observe_dq" -> withTrades(
+      """SELECT count(*) AS n_rows,
+        |       count(CASE WHEN side IS NULL THEN 1 END) AS null_side,
+        |       CAST(epoch_us(min(time)) AS BIGINT) AS min_time_micros,
+        |       CAST(epoch_us(max(time)) AS BIGINT) AS max_time_micros,
+        |       sum(volume) AS sum_volume
+        |FROM trades""".stripMargin),
 
     "q_ks_test" ->
       """WITH pts AS (
