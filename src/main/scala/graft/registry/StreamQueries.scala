@@ -117,6 +117,27 @@ object StreamQueries {
         bucketSec = 3600, startOffsetSec = 7200)
     }),
 
+    // Streaming session windows (dynamic-gap state: a session closes only
+    // when the watermark passes its gap) — the streaming twin of the batch
+    // q_session_stats, same oracle. Complete-mode memory sink for the
+    // bounded replay, as q_stream_ohlc.
+    "q_stream_sessions" -> ((s, d) => {
+      val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
+        .withWatermark("time", "1 minute")
+        .groupBy(session_window(col("time"), "1 hour"), col("symbol"))
+        .agg(count(lit(1)).as("n_trades"), sum(col("volume")).as("session_volume"))
+        .select(col("session_window.start").as("session_start"),
+          col("session_window.end").as("session_end"),
+          col("symbol"), col("n_trades"), col("session_volume"))
+      val name = s"stream_sessions_${System.nanoTime()}"
+      val q = stream.writeStream.format("memory").queryName(name)
+        .outputMode("complete").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }),
+
     // CUSUM drift detector (mapGroupsWithState): standardized deviations
     // (per-symbol mu/sigma broadcast from batch stats), slack 0.5,
     // threshold 5. z pre-quantized so the fold replays bit-identically in
@@ -244,6 +265,23 @@ object StreamQueries {
         |FROM (SELECT * FROM trades
         |      UNION ALL
         |      SELECT * FROM trades WHERE CAST(trade_id AS BIGINT) % 10 = 0)""".stripMargin),
+
+    // The batch q_session_stats oracle verbatim: lag-gap grouping is the
+    // SQL expression of session_window semantics.
+    "q_stream_sessions" -> withTrades(
+      """SELECT min(time) AS session_start, max(time) + INTERVAL 1 HOUR AS session_end,
+        |       symbol, count(*) AS n_trades, sum(volume) AS session_volume
+        |FROM (
+        |  SELECT symbol, time, volume,
+        |         sum(brk) OVER (PARTITION BY symbol ORDER BY time
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+        |  FROM (
+        |    SELECT symbol, time, volume,
+        |           CASE WHEN lag(time) OVER (PARTITION BY symbol ORDER BY time) IS NULL
+        |                  OR time - lag(time) OVER (PARTITION BY symbol ORDER BY time) >= INTERVAL 1 HOUR
+        |                THEN 1 ELSE 0 END AS brk
+        |    FROM trades))
+        |GROUP BY symbol, grp""".stripMargin),
 
     // CUSUM fold in DuckDB: list_reduce over [z,0,0] triples with the
     // running [pos,neg,alerts] as the accumulator (prepended [0,0,0] seed);
