@@ -229,6 +229,13 @@ object FeatureQueries {
           Quantize.r(avg(col("n_sentiment_score")), 6).as("avg_sentiment"))
     }),
 
+    // Gap-filled dense close series: TimescaleDB time_bucket_gapfill + locf.
+    "q_gapfill_close" -> ((s, d) => {
+      val bars = Ohlc.compute(trades(s, d), "5 minutes")
+        .select(col("bucket"), col("symbol"), col("close"))
+      GapFill.locf(bars, bucketSec = 300, valueCols = Seq("close"))
+    }),
+
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
       trades(s, d)
@@ -519,6 +526,25 @@ object FeatureQueries {
         |         ntile(4) OVER (PARTITION BY symbol ORDER BY volume, trade_id) AS quartile
         |  FROM trades)
         |GROUP BY symbol, quartile""".stripMargin),
+
+    "q_gapfill_close" -> withTrades(
+      """SELECT g.symbol, g.bucket,
+        |       last_value(b.close IGNORE NULLS) OVER (
+        |         PARTITION BY g.symbol ORDER BY g.bucket
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS close,
+        |       b.close IS NULL AS filled
+        |FROM (
+        |  SELECT s.symbol,
+        |         make_timestamp(unnest(range(CAST(epoch_us(s.lo) AS BIGINT),
+        |           CAST(epoch_us(s.hi) AS BIGINT) + 1, 300000000))) AS bucket
+        |  FROM (SELECT symbol, min(bucket) AS lo, max(bucket) AS hi
+        |        FROM (SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol
+        |              FROM trades GROUP BY 1, 2) GROUP BY 1) s) g
+        |LEFT JOIN (
+        |  SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+        |         arg_max(price, time) AS close
+        |  FROM trades GROUP BY 1, 2) b
+        |  ON g.symbol = b.symbol AND g.bucket = b.bucket""".stripMargin),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,
