@@ -55,4 +55,42 @@ object GapFill {
         valueCols.map(col) :+
         (col("__bm") =!= col("__orig")).as("filled"): _*)
   }
+
+  /** Densify like [[locf]] but LINEARLY INTERPOLATE `valueCols` across each
+    * gap — TimescaleDB's `interpolate()` mode. Same narrow shape: the one
+    * `lead` pass also carries the NEXT bar's values, so every synthesized
+    * row computes `v + (next_v - v) * gap_fraction` locally; no join, no
+    * dense shuffle. All arithmetic is plain IEEE double ops in a fixed
+    * order, so a SQL oracle evaluating the same tree reproduces the values
+    * bit for bit (quantize downstream with [[graft.functions.Quantize]] as
+    * usual). The grid ends at each key's last observed bucket, so the
+    * "no next point" tail Timescale leaves NULL never materializes here.
+    */
+  def interpolate(
+      bars: DataFrame,
+      bucketSec: Long,
+      valueCols: Seq[String],
+      keyCol: String = "symbol",
+      bucketCol: String = "bucket"): DataFrame = {
+    require(valueCols.nonEmpty, "valueCols must be non-empty")
+    val micros = bucketSec * 1000000L
+    val w = Window.partitionBy(keyCol).orderBy(bucketCol)
+    val led = bars
+      .withColumn("__orig", unix_micros(col(bucketCol)))
+      .select(col("*") +: (lead(col("__orig"), 1).over(w).as("__next") +:
+        valueCols.map(c => lead(col(c), 1).over(w).as(s"__n_$c"))): _*)
+    val dense = led
+      .withColumn("__end",
+        greatest(coalesce(col("__next") - lit(micros), col("__orig")), col("__orig")))
+      .withColumn("__bm", explode(sequence(col("__orig"), col("__end"), lit(micros))))
+    val frac = (col("__bm") - col("__orig")).cast("double") /
+      (col("__next") - col("__orig")).cast("double")
+    val outVals = valueCols.map { c =>
+      (col(c) + coalesce((col(s"__n_$c") - col(c)) * frac, lit(0.0))).as(c)
+    }
+    dense.select(
+      Seq(col(keyCol), timestamp_micros(col("__bm")).as(bucketCol)) ++
+        outVals :+
+        (col("__bm") =!= col("__orig")).as("filled"): _*)
+  }
 }

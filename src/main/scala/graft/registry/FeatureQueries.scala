@@ -236,6 +236,15 @@ object FeatureQueries {
       GapFill.locf(bars, bucketSec = 300, valueCols = Seq("close"))
     }),
 
+    // Linear interpolation across gaps: TimescaleDB interpolate() mode.
+    "q_gapfill_interp" -> ((s, d) => {
+      val bars = Ohlc.compute(trades(s, d), "5 minutes")
+        .select(col("bucket"), col("symbol"), col("close"))
+      GapFill.interpolate(bars, bucketSec = 300, valueCols = Seq("close"))
+        .select(col("symbol"), col("bucket"),
+          Quantize.r(col("close"), 6).as("close"), col("filled"))
+    }),
+
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
       trades(s, d)
@@ -545,6 +554,25 @@ object FeatureQueries {
         |         arg_max(price, time) AS close
         |  FROM trades GROUP BY 1, 2) b
         |  ON g.symbol = b.symbol AND g.bucket = b.bucket""".stripMargin),
+
+    "q_gapfill_interp" -> withTrades(
+      """SELECT symbol, make_timestamp(bm) AS bucket,
+        |       floor((close + COALESCE((nclose - close) *
+        |         (CAST(bm - orig AS DOUBLE) / CAST(nxt - orig AS DOUBLE)),
+        |         CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS close,
+        |       bm <> orig AS filled
+        |FROM (
+        |  SELECT symbol, orig, close, nxt, nclose,
+        |         unnest(range(orig, COALESCE(nxt - 300000000, orig) + 1,
+        |                      300000000)) AS bm
+        |  FROM (
+        |    SELECT symbol, CAST(epoch_us(bucket) AS BIGINT) AS orig, close,
+        |           lead(CAST(epoch_us(bucket) AS BIGINT)) OVER w AS nxt,
+        |           lead(close) OVER w AS nclose
+        |    FROM (SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket,
+        |                 symbol, arg_max(price, time) AS close
+        |          FROM trades GROUP BY 1, 2)
+        |    WINDOW w AS (PARTITION BY symbol ORDER BY bucket)))""".stripMargin),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,

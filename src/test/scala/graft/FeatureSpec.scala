@@ -155,6 +155,22 @@ class FeatureSpec extends SparkTestBase {
       ("A", 900L, 13.0, false), ("B", 300L, 20.0, false), ("B", 600L, 21.0, false)))
   }
 
+  test("gapfill interpolate fills gaps on the line between neighboring bars") {
+    import spark.implicits._
+    val bars = Seq(
+      ("A", 0L, 10.0), ("A", 900L, 13.0),    // gaps at 300, 600
+      ("B", 300L, 20.0)                      // single bar: no gaps, no next
+    ).toDF("symbol", "sec", "close")
+      .select(col("symbol"), timestamp_seconds(col("sec")).as("bucket"), col("close"))
+    val out = GapFill.interpolate(bars, bucketSec = 300, valueCols = Seq("close"))
+      .select(col("symbol"), unix_seconds(col("bucket")).as("sec"), col("close"), col("filled"))
+      .orderBy("symbol", "sec").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    assert(out.toSeq === Seq(
+      ("A", 0L, 10.0, false), ("A", 300L, 11.0, true), ("A", 600L, 12.0, true),
+      ("A", 900L, 13.0, false), ("B", 300L, 20.0, false)))
+  }
+
   test("gapfill grid is bounded per key: no buckets outside a key's own [min, max]") {
     val t = core.Tables.trades(spark, sf0001)
     val bars = Ohlc.compute(t, "5 minutes").select(col("bucket"), col("symbol"), col("close"))
