@@ -270,6 +270,26 @@ object FeatureQueries {
       |         TIMESTAMP '2024-01-02 00:00:00' + INTERVAL (t.i * 6) HOUR AS event_timestamp
       |  FROM (SELECT DISTINCT symbol FROM trades) s CROSS JOIN range(100) t(i))""".stripMargin
 
+  /** Lag-gap session grouping — the SQL expression of `session_window`
+    * semantics. Shared by the batch q_session_stats oracle and the
+    * streaming twin q_stream_sessions (StreamQueries), so the two can
+    * never silently diverge.
+    */
+  private[registry] val sessionStatsSql =
+    """SELECT min(time) AS session_start, max(time) + INTERVAL 1 HOUR AS session_end,
+      |       symbol, count(*) AS n_trades, sum(volume) AS session_volume
+      |FROM (
+      |  SELECT symbol, time, volume,
+      |         sum(brk) OVER (PARTITION BY symbol ORDER BY time
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
+      |  FROM (
+      |    SELECT symbol, time, volume,
+      |           CASE WHEN lag(time) OVER (PARTITION BY symbol ORDER BY time) IS NULL
+      |                  OR time - lag(time) OVER (PARTITION BY symbol ORDER BY time) >= INTERVAL 1 HOUR
+      |                THEN 1 ELSE 0 END AS brk
+      |    FROM trades))
+      |GROUP BY symbol, grp""".stripMargin
+
   private val ohlcSelect =
     """SELECT time_bucket(INTERVAL '1 minute', time) AS bucket, symbol,
       |       arg_min(price, time) AS open, max(price) AS high, min(price) AS low,
@@ -504,20 +524,7 @@ object FeatureQueries {
         |         sum(price * volume) AS pv, sum(volume) AS vol
         |  FROM trades GROUP BY 1, 2)""".stripMargin),
 
-    "q_session_stats" -> withTrades(
-      """SELECT min(time) AS session_start, max(time) + INTERVAL 1 HOUR AS session_end,
-        |       symbol, count(*) AS n_trades, sum(volume) AS session_volume
-        |FROM (
-        |  SELECT symbol, time, volume,
-        |         sum(brk) OVER (PARTITION BY symbol ORDER BY time
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-        |  FROM (
-        |    SELECT symbol, time, volume,
-        |           CASE WHEN lag(time) OVER (PARTITION BY symbol ORDER BY time) IS NULL
-        |                  OR time - lag(time) OVER (PARTITION BY symbol ORDER BY time) >= INTERVAL 1 HOUR
-        |                THEN 1 ELSE 0 END AS brk
-        |    FROM trades))
-        |GROUP BY symbol, grp""".stripMargin),
+    "q_session_stats" -> withTrades(sessionStatsSql),
 
     "q_price_volume_corr" -> withTrades(
       """SELECT symbol,

@@ -140,12 +140,19 @@ object StreamQueries {
 
     // CUSUM drift detector (mapGroupsWithState): standardized deviations
     // (per-symbol mu/sigma broadcast from batch stats), slack 0.5,
-    // threshold 5. z pre-quantized so the fold replays bit-identically in
-    // the DuckDB oracle.
+    // threshold 5. mu/sigma are quantized BEFORE forming z — a recursive
+    // fold amplifies any last-ulp avg/stddev disagreement between engines
+    // into divergent sums, so every input to the fold must already be the
+    // same double on both sides. Symbols with null or zero sigma (single
+    // trade, constant price) are excluded on both sides: their z is
+    // undefined (null / ±Inf) and would crash the non-nullable encoder or
+    // saturate the fold.
     "q_stream_cusum" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_cusum_").toString + "/t"
       val stats = Tables.trades(s, d).groupBy("symbol").agg(
-        avg(col("price")).as("mu"), stddev_samp(col("price")).as("sigma"))
+          graft.functions.Quantize.r(avg(col("price")), 6).as("mu"),
+          graft.functions.Quantize.r(stddev_samp(col("price")), 6).as("sigma"))
+        .filter(col("sigma").isNotNull && col("sigma") > 0)
       val obs = StreamSources.tradeFileStream(s, s"$d/events.parquet")
         .join(broadcast(stats), Seq("symbol"))
         .select(col("time"), col("trade_id"), col("symbol"),
@@ -266,30 +273,22 @@ object StreamQueries {
         |      UNION ALL
         |      SELECT * FROM trades WHERE CAST(trade_id AS BIGINT) % 10 = 0)""".stripMargin),
 
-    // The batch q_session_stats oracle verbatim: lag-gap grouping is the
-    // SQL expression of session_window semantics.
-    "q_stream_sessions" -> withTrades(
-      """SELECT min(time) AS session_start, max(time) + INTERVAL 1 HOUR AS session_end,
-        |       symbol, count(*) AS n_trades, sum(volume) AS session_volume
-        |FROM (
-        |  SELECT symbol, time, volume,
-        |         sum(brk) OVER (PARTITION BY symbol ORDER BY time
-        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS grp
-        |  FROM (
-        |    SELECT symbol, time, volume,
-        |           CASE WHEN lag(time) OVER (PARTITION BY symbol ORDER BY time) IS NULL
-        |                  OR time - lag(time) OVER (PARTITION BY symbol ORDER BY time) >= INTERVAL 1 HOUR
-        |                THEN 1 ELSE 0 END AS brk
-        |    FROM trades))
-        |GROUP BY symbol, grp""".stripMargin),
+    // The batch q_session_stats oracle, shared by reference: lag-gap
+    // grouping is the SQL expression of session_window semantics.
+    "q_stream_sessions" -> withTrades(FeatureQueries.sessionStatsSql),
 
     // CUSUM fold in DuckDB: list_reduce over [z,0,0] triples with the
     // running [pos,neg,alerts] as the accumulator (prepended [0,0,0] seed);
-    // z quantized identically to the Spark side so the folds agree bit-wise.
+    // mu/sigma and z quantized identically to the Spark side so the folds
+    // agree bit-wise; null/zero-sigma symbols excluded identically.
     "q_stream_cusum" -> OracleSql.withTradesAnd(
       """stats AS (
-        |  SELECT symbol, avg(price) AS mu, stddev_samp(price) AS sigma
-        |  FROM trades GROUP BY 1),
+        |  SELECT * FROM (
+        |    SELECT symbol,
+        |           floor(avg(price) * 1e6 + 0.5) / 1e6 AS mu,
+        |           floor(stddev_samp(price) * 1e6 + 0.5) / 1e6 AS sigma
+        |    FROM trades GROUP BY 1)
+        |  WHERE sigma IS NOT NULL AND sigma > 0),
         |folded AS (
         |  SELECT t.symbol,
         |    list_reduce(
