@@ -236,6 +236,13 @@ object FeatureQueries {
       GapFill.locf(bars, bucketSec = 300, valueCols = Seq("close"))
     }),
 
+    // Technical indicators: same one-shuffle per-symbol window family.
+    "q_bollinger" -> ((s, d) => Indicators.bollinger(trades(s, d))),
+
+    "q_drawdown" -> ((s, d) => Indicators.maxDrawdown(trades(s, d))),
+
+    "q_rsi14" -> ((s, d) => Indicators.rsi(trades(s, d))),
+
     // Linear interpolation across gaps: TimescaleDB interpolate() mode.
     "q_gapfill_interp" -> ((s, d) => {
       val bars = Ohlc.compute(trades(s, d), "5 minutes")
@@ -561,6 +568,39 @@ object FeatureQueries {
         |         arg_max(price, time) AS close
         |  FROM trades GROUP BY 1, 2) b
         |  ON g.symbol = b.symbol AND g.bucket = b.bucket""".stripMargin),
+
+    "q_bollinger" -> withTrades(
+      """SELECT time, symbol, price,
+        |       floor((avg(price) OVER w) * 1e6 + 0.5) / 1e6 AS bb_mid,
+        |       floor((avg(price) OVER w + CAST(2 AS DOUBLE) * stddev_samp(price) OVER w) * 1e6 + 0.5) / 1e6 AS bb_upper,
+        |       floor((avg(price) OVER w - CAST(2 AS DOUBLE) * stddev_samp(price) OVER w) * 1e6 + 0.5) / 1e6 AS bb_lower
+        |FROM trades
+        |WINDOW w AS (PARTITION BY symbol ORDER BY time
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    "q_drawdown" -> withTrades(
+      """SELECT symbol,
+        |       floor(min(dd) * 1e6 + 0.5) / 1e6 AS max_drawdown
+        |FROM (
+        |  SELECT symbol,
+        |         (price - max(price) OVER w) / max(price) OVER w AS dd
+        |  FROM trades
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY time
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        |GROUP BY symbol""".stripMargin),
+
+    "q_rsi14" -> withTrades(
+      """SELECT time, symbol,
+        |       floor((CAST(100 AS DOUBLE) - CAST(100 AS DOUBLE) /
+        |         (CAST(1 AS DOUBLE) + avg(gain) OVER w /
+        |           nullif(avg(loss) OVER w, CAST(0 AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS rsi
+        |FROM (
+        |  SELECT time, symbol,
+        |         greatest(price - COALESCE(lag(price, 1) OVER (PARTITION BY symbol ORDER BY time), price), CAST(0 AS DOUBLE)) AS gain,
+        |         greatest(-(price - COALESCE(lag(price, 1) OVER (PARTITION BY symbol ORDER BY time), price)), CAST(0 AS DOUBLE)) AS loss
+        |  FROM trades)
+        |WINDOW w AS (PARTITION BY symbol ORDER BY time
+        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin),
 
     "q_gapfill_interp" -> withTrades(
       """SELECT symbol, make_timestamp(bm) AS bucket,

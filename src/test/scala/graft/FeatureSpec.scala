@@ -182,5 +182,27 @@ class FeatureSpec extends SparkTestBase {
     assert(out.filter(col("close").isNull).count() === 0)
   }
 
+  test("indicators: drawdown, bollinger and rsi on a tiny deterministic tape") {
+    import spark.implicits._
+    val t = Seq((0L, 10.0), (1L, 12.0), (2L, 9.0), (3L, 11.0))
+      .toDF("sec", "price")
+      .select(timestamp_seconds(col("sec")).as("time"), lit("A").as("symbol"), col("price"))
+    // peak-to-trough: (9 - 12) / 12 = -0.25
+    val dd = Indicators.maxDrawdown(t).collect()
+    assert(dd.length === 1 && dd(0).getDouble(1) === -0.25)
+    // bollinger mid over whole prefix; first row's stddev_samp is null bands
+    val bb = Indicators.bollinger(t, n = 4).orderBy("time").collect()
+    assert(bb(0).isNullAt(4) && bb(0).isNullAt(5))
+    assert(math.abs(bb(3).getDouble(3) - 10.5) < 1e-9)  // mean(10,12,9,11)
+    // rsi: gains 2+2=4 over 3 moves, losses 3; ratio 4/3
+    val rsi = Indicators.rsi(t, n = 4).orderBy("time").collect()
+    val expected = 100.0 - 100.0 / (1.0 + (4.0 / 4) / (3.0 / 4))
+    assert(math.abs(rsi(3).getDouble(2) - expected) < 1e-6)
+    // all-gain tape: zero average loss is an undefined ratio -> null
+    val up = Seq((0L, 10.0), (1L, 11.0)).toDF("sec", "price")
+      .select(timestamp_seconds(col("sec")).as("time"), lit("A").as("symbol"), col("price"))
+    assert(Indicators.rsi(up, n = 4).orderBy("time").collect().forall(_.isNullAt(2)))
+  }
+
   private def e2(s: String) = expr(s)
 }
