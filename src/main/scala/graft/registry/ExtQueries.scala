@@ -149,6 +149,14 @@ object ExtQueries {
       graft.ext.Winnow.candidatePairs(docsPar(s, d),
         k = 16, w = 8, minShared = 5, maxBucketSize = 100)),
 
+    // Duplicate-cluster resolution over the winnow pair graph: connected
+    // components collapse each duplicate family to its min-id canonical
+    // doc. Full DuckDB oracle (recursive CTE over the identical pairs).
+    "q_dup_clusters" -> ((s, d) =>
+      graft.ext.DupClusters.connectedComponents(
+        graft.ext.Winnow.candidatePairs(docsPar(s, d),
+          k = 16, w = 8, minShared = 5, maxBucketSize = 100))),
+
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.fakeDecode(Multimodal.payloads(s, d))
         .select(col("media_id"), col("source"),
@@ -158,6 +166,33 @@ object ExtQueries {
 
     "q_frame_sample" -> ((s, d) =>
       Multimodal.sampleFrames(Multimodal.fakeDecode(Multimodal.payloads(s, d)))))
+
+  /** The q_winnow_pairs oracle, split so q_dup_clusters can build its
+    * recursive component walk on the IDENTICAL pair set (shared constants,
+    * not a copy — same discipline as the session-oracle twins).
+    */
+  private val winnowCtes =
+    """h AS (
+      |  SELECT doc_id, list_transform(range(1, length(text) - 16 + 2), i ->
+      |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+      |        list_transform(range(i, i + 16), j -> unicode(substr(text, CAST(j AS INT), 1)))),
+      |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS hs
+      |  FROM documents),
+      |f AS (
+      |  SELECT doc_id, CASE
+      |    WHEN len(hs) >= 8 THEN list_sort(list_distinct(list_transform(
+      |      range(1, len(hs) - 8 + 2), j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 7 AS INT))))))
+      |    WHEN len(hs) >= 1 THEN [list_min(hs)]
+      |    ELSE CAST([] AS BIGINT[]) END AS fps
+      |  FROM h),
+      |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
+      |keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 100)""".stripMargin
+
+  private val winnowPairsSelect =
+    """SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS shared_fps
+      |FROM e e1 JOIN keep k ON e1.fp = k.fp
+      |JOIN e e2 ON e1.fp = e2.fp AND e1.doc_id < e2.doc_id
+      |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
 
   private val shinglesCte =
     """s AS (
@@ -243,26 +278,26 @@ object ExtQueries {
 
     // Mirrors Winnow.fingerprints exactly: polynomial k-gram hash mod 1e9+7
     // (list_reduce seeded via list_prepend 0), w-window minima, distinct.
-    "q_winnow_pairs" ->
-      """WITH h AS (
-        |  SELECT doc_id, list_transform(range(1, length(text) - 16 + 2), i ->
-        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
-        |        list_transform(range(i, i + 16), j -> unicode(substr(text, CAST(j AS INT), 1)))),
-        |      (acc, c) -> (acc * 131 + c) % 1000000007)) AS hs
-        |  FROM documents),
-        |f AS (
-        |  SELECT doc_id, CASE
-        |    WHEN len(hs) >= 8 THEN list_sort(list_distinct(list_transform(
-        |      range(1, len(hs) - 8 + 2), j -> list_min(list_slice(hs, CAST(j AS INT), CAST(j + 7 AS INT))))))
-        |    WHEN len(hs) >= 1 THEN [list_min(hs)]
-        |    ELSE CAST([] AS BIGINT[]) END AS fps
-        |  FROM h),
-        |e AS (SELECT doc_id, unnest(fps) AS fp FROM f),
-        |keep AS (SELECT fp FROM e GROUP BY fp HAVING count(*) BETWEEN 2 AND 100)
-        |SELECT e1.doc_id AS doc_a, e2.doc_id AS doc_b, count(*) AS shared_fps
-        |FROM e e1 JOIN keep k ON e1.fp = k.fp
-        |JOIN e e2 ON e1.fp = e2.fp AND e1.doc_id < e2.doc_id
-        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin,
+    "q_winnow_pairs" -> s"WITH $winnowCtes\n$winnowPairsSelect",
+
+    // Connected components of the winnow pair graph via a recursive CTE:
+    // labels reach every node a walk can, min per node = component id —
+    // the declarative twin of DupClusters' min-label propagation.
+    "q_dup_clusters" ->
+      s"""WITH RECURSIVE $winnowCtes,
+        |pairs AS ($winnowPairsSelect),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+        |          UNION SELECT doc_b, doc_a FROM pairs),
+        |walk(node, lbl) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+        |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+        |         FROM walk GROUP BY node)
+        |SELECT doc_id, cluster_id,
+        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+        |       doc_id = cluster_id AS is_canonical
+        |FROM comp""".stripMargin,
 
     "q_ngram_jaccard" -> s"""WITH $shinglesCte,
       |q AS (SELECT sh AS qsh FROM s WHERE doc_id = 0)

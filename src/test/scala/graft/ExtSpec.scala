@@ -323,4 +323,23 @@ class ExtSpec extends SparkTestBase {
     assert(fps(1L).length === 1)
     assert(fps(2L).isEmpty)
   }
+
+  test("dup clusters: min-label components over a chain and a disjoint pair") {
+    import graft.ext.DupClusters
+    // chain 1-2-3-4 (diameter 3, forces multi-round propagation) + {10,11}
+    val pairs = spark.createDataFrame(Seq(
+      (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)
+    )).toDF("doc_a", "doc_b")
+    val out = DupClusters.connectedComponents(pairs).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+      .toMap
+    assert(out === Map(
+      1L -> (1L, 4L, true), 2L -> (1L, 4L, false), 3L -> (1L, 4L, false),
+      4L -> (1L, 4L, false), 10L -> (10L, 2L, true), 11L -> (10L, 2L, false)))
+    // empty pair set resolves to an empty (correctly-typed) frame
+    val empty = DupClusters.connectedComponents(pairs.limit(0))
+    assert(empty.columns.toSeq ===
+      Seq("doc_id", "cluster_id", "cluster_size", "is_canonical"))
+    assert(empty.count() === 0)
+  }
 }
