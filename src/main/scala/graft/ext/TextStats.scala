@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.functions.Quantize
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis over a `documents(doc_id, text, lang, source, n_chars)`
@@ -87,6 +88,36 @@ object TextStats {
         Quantize.r(avg(size(col("toks")).cast("double")), 6).as("avg_tokens"),
         Quantize.r(avg(col("n_chars").cast("double") / size(col("toks")).cast("double")), 6)
           .as("avg_chars_per_token"))
+
+  /** Top-k TF-IDF terms per document — the classic keyword-extraction /
+    * featurization pass. Exact whitespace tokens (no lowercasing: case
+    * folding is locale-dependent and not engine-portable), smoothed
+    * idf = ln((N+1)/(df+1)). Shape: one explode + two keyed aggregations
+    * (term-frequency, then document-frequency) + a per-doc top-k window —
+    * every stage map-side combined, the corpus count a 1-row broadcast
+    * cross join, never a driver-side collect. Ranking and emitted score
+    * both use the QUANTIZED score (tie-broken by term), so cross-engine
+    * rank flips cannot outrun value agreement.
+    */
+  def tfIdfTopK(documents: DataFrame, k: Int = 5): DataFrame = {
+    val n = documents.agg(count(lit(1)).as("n_docs"))
+    val toks = documents
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .filter(length(col("term")) > 0)
+    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"),
+        Quantize.r(col("tf").cast("double") *
+          log((col("n_docs").cast("double") + lit(1.0)) /
+            (col("df").cast("double") + lit(1.0))), 6).as("tfidf"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("tfidf").desc, col("term"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("term"), col("tf"), col("tfidf"), col("rank"))
+  }
 
   /** Per-document quality record. */
   def docQuality(documents: DataFrame): DataFrame =

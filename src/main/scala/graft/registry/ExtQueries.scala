@@ -149,6 +149,9 @@ object ExtQueries {
       graft.ext.Winnow.candidatePairs(docsPar(s, d),
         k = 16, w = 8, minShared = 5, maxBucketSize = 100)),
 
+    // Top-5 TF-IDF terms per doc: keyword extraction / featurization.
+    "q_tfidf_top" -> ((s, d) => TextStats.tfIdfTopK(docsPar(s, d), k = 5)),
+
     // Duplicate-cluster resolution over the winnow pair graph: connected
     // components collapse each duplicate family to its min-id canonical
     // doc. Full DuckDB oracle (recursive CTE over the identical pairs).
@@ -279,6 +282,27 @@ object ExtQueries {
     // Mirrors Winnow.fingerprints exactly: polynomial k-gram hash mod 1e9+7
     // (list_reduce seeded via list_prepend 0), w-window minima, distinct.
     "q_winnow_pairs" -> s"WITH $winnowCtes\n$winnowPairsSelect",
+
+    // TF-IDF with smoothed ln idf; rank and score share the quantized
+    // value (ln cross-engine agreement: same precedent as q_volatility_1h).
+    "q_tfidf_top" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |t AS (SELECT doc_id, term, count(*) AS tf
+        |      FROM toks WHERE length(term) > 0 GROUP BY 1, 2),
+        |d AS (SELECT term, count(*) AS df FROM t GROUP BY 1),
+        |n AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (
+        |  SELECT t.doc_id, t.term, t.tf,
+        |         floor((CAST(t.tf AS DOUBLE) *
+        |           ln((CAST(n.n_docs AS DOUBLE) + CAST(1 AS DOUBLE)) /
+        |              (CAST(d.df AS DOUBLE) + CAST(1 AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS tfidf
+        |  FROM t JOIN d USING (term) CROSS JOIN n)
+        |SELECT doc_id, term, tf, tfidf, rank FROM (
+        |  SELECT *, row_number() OVER (PARTITION BY doc_id
+        |            ORDER BY tfidf DESC, term) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     // Connected components of the winnow pair graph via a recursive CTE:
     // labels reach every node a walk can, min per node = component id —

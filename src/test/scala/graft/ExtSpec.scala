@@ -324,6 +324,17 @@ class ExtSpec extends SparkTestBase {
     assert(fps(2L).isEmpty)
   }
 
+  test("tf-idf ranks a document's distinctive term above ubiquitous ones") {
+    import graft.ext.TextStats
+    val docs = spark.createDataFrame(Seq(
+      (0L, "the cat sat"), (1L, "the dog sat"), (2L, "the bird flew")
+    )).toDF("doc_id", "text")
+    val top = TextStats.tfIdfTopK(docs, k = 1).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // "the" appears in all docs (idf ln(4/4)=0); the unique nouns win
+    assert(top === Map(0L -> "cat", 1L -> "dog", 2L -> "bird"))
+  }
+
   test("dup clusters: min-label components over a chain and a disjoint pair") {
     import graft.ext.DupClusters
     // chain 1-2-3-4 (diameter 3, forces multi-round propagation) + {10,11}
