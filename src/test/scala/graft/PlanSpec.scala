@@ -530,4 +530,32 @@ class PlanSpec extends SparkTestBase {
     val plan = fast.queryExecution.executedPlan.toString
     assert(!plan.contains("__tag"), s"fast path still plans the union as-of:\n$plan")
   }
+
+  test("gapfill never joins or re-shuffles the dense grid: no Join, one Exchange") {
+    val bars = graft.features.Ohlc.compute(Tables.trades(spark, sf0001), "5 minutes")
+      .select(col("bucket"), col("symbol"), col("close"))
+    for (df <- Seq(
+        graft.features.GapFill.locf(bars, 300, Seq("close")),
+        graft.features.GapFill.interpolate(bars, 300, Seq("close")))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Join"), s"gapfill plans a join:\n$plan")
+      // one shuffle for the bar aggregation, one for the window lead pass —
+      // and nothing after the explode (the dense output stays narrow)
+      val explodeIdx = plan.indexOf("Generate explode")
+      assert(explodeIdx >= 0, s"plan:\n$plan")
+      assert(!plan.substring(0, explodeIdx).contains("Exchange"),
+        s"work above the explode shuffles the dense grid:\n$plan")
+    }
+  }
+
+  test("indicator windows reuse one symbol shuffle: exactly one Exchange") {
+    val t = Tables.trades(spark, sf0001)
+    for (df <- Seq(
+        graft.features.Indicators.bollinger(t),
+        graft.features.Indicators.rsi(t))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges === 1, s"expected one symbol shuffle:\n$plan")
+    }
+  }
 }
