@@ -11,18 +11,25 @@ import org.apache.spark.storage.StorageLevel
   * behavior lives in its dedup tier; clustering is how every production
   * corpus dedup actually applies it).
   *
-  * Algorithm: min-label propagation to a fixpoint — each node repeatedly
-  * takes the min label among itself and its neighbors. Deterministic
-  * (min is order-insensitive), converges in O(component diameter)
-  * rounds; near-dup clusters are dense and shallow (diameter 2-3 in
-  * practice), so 3-4 shuffle rounds settle real corpora. Each round is
-  * one equi-join (edges × labels) + one map-side-combined min — no
-  * all-pairs, no driver-side graph. For adversarial chain-shaped graphs
-  * at 100 TB, swap the body for alternating large-star/small-star
-  * (O(log n) rounds, same join primitives); the API doesn't change.
-  * Lineage is truncated per round (`localCheckpoint`) so Catalyst plans
-  * stay O(1) deep instead of growing with iterations — at cluster scale
-  * use reliable checkpointing, same call shape.
+  * Two tiers, threshold-gated like a broadcast join:
+  *
+  *  - **Bounded graph** (≤ `driverEdgeLimit` edges, the overwhelmingly
+  *    common case — pairs are rare relative to the corpus, that's why
+  *    they're dups): collect the EDGE LIST ONLY (never documents) and run
+  *    union-find with path compression on the driver. Millions of edges
+  *    resolve in milliseconds; the driver memory bound is explicit and
+  *    checked, exactly like `broadcast()` bounds a dimension table.
+  *  - **Giant graph**: distributed min-label propagation with pointer
+  *    jumping — each round every node takes the min label among itself
+  *    and its neighbors, then hops once to its label's own label (path
+  *    compression), so convergence is O(log diameter) rounds. Each round
+  *    is two equi-joins + a map-side-combined min; lineage is truncated
+  *    per round (`localCheckpoint`) so plans stay O(1) deep. At cluster
+  *    scale swap local for reliable checkpointing, same call shape.
+  *
+  * Both tiers are deterministic (min is order-insensitive; DSU output is
+  * canonicalized by component-min after the fact) and produce identical
+  * results — the unit test pins them equal on the same graph.
   */
 object DupClusters {
 
@@ -36,8 +43,51 @@ object DupClusters {
       pairs: DataFrame,
       aCol: String = "doc_a",
       bCol: String = "doc_b",
-      maxIter: Int = 50): DataFrame = {
+      maxIter: Int = 50,
+      driverEdgeLimit: Long = 4000000L): DataFrame = {
     val dir = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val out =
+      if (dir.count() <= driverEdgeLimit) driverDsu(dir)
+      else distributedLabels(dir, maxIter)
+    dir.unpersist()
+    out
+  }
+
+  /** Bounded tier: union-find over the collected edge list. */
+  private def driverDsu(dir: DataFrame): DataFrame = {
+    val spark = dir.sparkSession
+    import spark.implicits._
+    val es = dir.as[(Long, Long)].collect()
+    val parent = scala.collection.mutable.HashMap.empty[Long, Long]
+    def find(x0: Long): Long = {
+      var x = x0
+      while (parent.getOrElse(x, x) != x) {
+        val p = parent(x)
+        parent(x) = parent.getOrElse(p, p) // halve the path as we walk
+        x = parent(x)
+      }
+      x
+    }
+    es.foreach { case (a, b) =>
+      parent.getOrElseUpdate(a, a); parent.getOrElseUpdate(b, b)
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb) // min-root union
+    }
+    val rows = parent.keys.toSeq.map(id => (find(id), id))
+      .groupBy(_._1).valuesIterator.flatMap { members =>
+        val ids = members.map(_._2)
+        val cid = ids.min
+        val size = ids.size.toLong
+        ids.map(id => (id, cid, size, id == cid))
+      }.toSeq
+    spark.createDataFrame(rows)
+      .toDF("doc_id", "cluster_id", "cluster_size", "is_canonical")
+  }
+
+  /** Giant tier: min-label propagation + pointer jumping. */
+  private def distributedLabels(dir: DataFrame, maxIter: Int): DataFrame = {
     val edges = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -50,13 +100,20 @@ object DupClusters {
       val byDst = labels.select(col("id").as("dst"), col("lbl").as("dlbl"))
       val nmin = edges.join(byDst, Seq("dst"))
         .groupBy("src").agg(min(col("dlbl")).as("nmin"))
-      val next = labels
+      val stepped = labels
         .join(nmin.select(col("src").as("id"), col("nmin")), Seq("id"), "left_outer")
-        .select(col("id"), least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+        .select(col("id"), col("lbl").as("old"),
+          least(col("lbl"), coalesce(col("nmin"), col("lbl"))).as("lbl"))
+      // pointer jump: hop to the label's own label, compressing chains.
+      // The change flag rides through the checkpoint so the convergence
+      // count is a cheap scan of materialized rows, not a second join.
+      val parents = stepped.select(col("id").as("lbl"), col("lbl").as("plbl"))
+      val next = stepped.join(parents, Seq("lbl"), "left_outer")
+        .select(col("id"), coalesce(col("plbl"), col("lbl")).as("lbl"),
+          (coalesce(col("plbl"), col("lbl")) < col("old")).as("chg"))
         .localCheckpoint(true)
-      changed = next.join(labels.select(col("id"), col("lbl").as("old")), Seq("id"))
-        .filter(col("lbl") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("chg")).count()
+      labels = next.select("id", "lbl")
       i += 1
     }
     edges.unpersist()

@@ -341,12 +341,18 @@ class ExtSpec extends SparkTestBase {
     val pairs = spark.createDataFrame(Seq(
       (1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)
     )).toDF("doc_a", "doc_b")
-    val out = DupClusters.connectedComponents(pairs).collect()
-      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
-      .toMap
-    assert(out === Map(
+    val expected = Map(
       1L -> (1L, 4L, true), 2L -> (1L, 4L, false), 3L -> (1L, 4L, false),
-      4L -> (1L, 4L, false), 10L -> (10L, 2L, true), 11L -> (10L, 2L, false)))
+      4L -> (1L, 4L, false), 10L -> (10L, 2L, true), 11L -> (10L, 2L, false))
+    // both tiers — driver DSU (default) and the distributed label loop
+    // (forced via a zero edge budget) — must produce identical clusters
+    for (limit <- Seq(4000000L, 0L)) {
+      val out = DupClusters.connectedComponents(pairs, driverEdgeLimit = limit)
+        .collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getBoolean(3)))
+        .toMap
+      assert(out === expected, s"driverEdgeLimit=$limit")
+    }
     // empty pair set resolves to an empty (correctly-typed) frame
     val empty = DupClusters.connectedComponents(pairs.limit(0))
     assert(empty.columns.toSeq ===
