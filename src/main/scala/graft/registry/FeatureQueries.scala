@@ -236,6 +236,33 @@ object FeatureQueries {
       GapFill.locf(bars, bucketSec = 300, valueCols = Seq("close"))
     }),
 
+    // Cross-symbol return correlation matrix: bucketed close returns,
+    // self-joined per bucket (sym_a < sym_b). O(K² · buckets) where K is
+    // the symbol UNIVERSE (a bounded dimension, thousands at most) — never
+    // corpus-scale. Returns quantized BEFORE the corr fold so both engines
+    // accumulate identical doubles.
+    "q_pair_corr" -> ((s, d) => {
+      val rets = bucketReturns(s, d)
+      rets.as("a").join(rets.as("b"),
+          col("a.bucket") === col("b.bucket") && col("a.symbol") < col("b.symbol"))
+        .groupBy(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"))
+        .agg(Quantize.r(corr(col("a.ret"), col("b.ret")), 6).as("ret_corr"),
+          count(lit(1)).as("n_buckets"))
+    }),
+
+    // Market beta per symbol: covar(r_i, r_mkt) / var(r_mkt) against the
+    // equal-weight market return (quantized before the second fold).
+    "q_beta" -> ((s, d) => {
+      val rets = bucketReturns(s, d)
+      val mkt = rets.groupBy("bucket")
+        .agg(Quantize.r(avg(col("ret")), 6).as("mret"))
+      rets.join(mkt, Seq("bucket"))
+        .groupBy("symbol")
+        .agg(Quantize.r(covar_samp(col("ret"), col("mret")) /
+          var_samp(col("mret")), 6).as("beta"),
+          count(lit(1)).as("n_buckets"))
+    }),
+
     // Technical indicators: same one-shuffle per-symbol window family.
     "q_bollinger" -> ((s, d) => Indicators.bollinger(trades(s, d))),
 
@@ -276,6 +303,28 @@ object FeatureQueries {
       |  SELECT s.symbol,
       |         TIMESTAMP '2024-01-02 00:00:00' + INTERVAL (t.i * 6) HOUR AS event_timestamp
       |  FROM (SELECT DISTINCT symbol FROM trades) s CROSS JOIN range(100) t(i))""".stripMargin
+
+  /** 5-minute close-to-close returns per symbol, quantized at the source so
+    * downstream correlation/covariance folds see identical doubles in both
+    * engines. Null first-bucket returns are dropped.
+    */
+  private def bucketReturns(s: SparkSession, d: String): DataFrame = {
+    val bars = Ohlc.compute(trades(s, d), "5 minutes")
+      .select(col("bucket"), col("symbol"), col("close"))
+    val w = Window.partitionBy("symbol").orderBy("bucket")
+    bars.select(col("bucket"), col("symbol"),
+        Quantize.r(col("close") / lag(col("close"), 1).over(w) - lit(1.0), 6).as("ret"))
+      .filter(col("ret").isNotNull)
+  }
+
+  private val bucketReturnsSql =
+    """rets AS (
+      |  SELECT bucket, symbol,
+      |         floor((close / lag(close) OVER (PARTITION BY symbol ORDER BY bucket)
+      |                - CAST(1 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ret
+      |  FROM (SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+      |               arg_max(price, time) AS close
+      |        FROM trades GROUP BY 1, 2))""".stripMargin
 
   /** Lag-gap session grouping — the SQL expression of `session_window`
     * semantics. Shared by the batch q_session_stats oracle and the
@@ -568,6 +617,25 @@ object FeatureQueries {
         |         arg_max(price, time) AS close
         |  FROM trades GROUP BY 1, 2) b
         |  ON g.symbol = b.symbol AND g.bucket = b.bucket""".stripMargin),
+
+    "q_pair_corr" -> withTradesAnd(bucketReturnsSql,
+      """SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+        |       floor(corr(a.ret, b.ret) * 1e6 + 0.5) / 1e6 AS ret_corr,
+        |       count(*) AS n_buckets
+        |FROM (SELECT * FROM rets WHERE ret IS NOT NULL) a
+        |JOIN (SELECT * FROM rets WHERE ret IS NOT NULL) b
+        |  ON a.bucket = b.bucket AND a.symbol < b.symbol
+        |GROUP BY 1, 2""".stripMargin),
+
+    "q_beta" -> withTradesAnd(bucketReturnsSql,
+      """SELECT r.symbol,
+        |       floor((covar_samp(r.ret, m.mret) / var_samp(m.mret)) * 1e6 + 0.5) / 1e6 AS beta,
+        |       count(*) AS n_buckets
+        |FROM (SELECT * FROM rets WHERE ret IS NOT NULL) r
+        |JOIN (SELECT bucket, floor(avg(ret) * 1e6 + 0.5) / 1e6 AS mret
+        |      FROM rets WHERE ret IS NOT NULL GROUP BY 1) m
+        |  ON r.bucket = m.bucket
+        |GROUP BY 1""".stripMargin),
 
     "q_bollinger" -> withTrades(
       """SELECT time, symbol, price,
