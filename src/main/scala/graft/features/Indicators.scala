@@ -42,8 +42,10 @@ object Indicators {
     val w = Window.partitionBy("symbol").orderBy("time")
       .rowsBetween(Window.unboundedPreceding, 0)
     val peak = max(col("price")).over(w)
+    // nullif guards a zero peak (a leading zero price) from ANSI-mode
+    // divide-by-zero; such rows contribute null, not -Inf
     trades
-      .select(col("symbol"), ((col("price") - peak) / peak).as("dd"))
+      .select(col("symbol"), ((col("price") - peak) / nullif(peak, lit(0.0))).as("dd"))
       .groupBy("symbol")
       .agg(Quantize.r(min(col("dd")), 6).as("max_drawdown"))
   }

@@ -259,7 +259,7 @@ object FeatureQueries {
       rets.join(mkt, Seq("bucket"))
         .groupBy("symbol")
         .agg(Quantize.r(covar_samp(col("ret"), col("mret")) /
-          var_samp(col("mret")), 6).as("beta"),
+          nullif(var_samp(col("mret")), lit(0.0)), 6).as("beta"),
           count(lit(1)).as("n_buckets"))
     }),
 
@@ -313,14 +313,14 @@ object FeatureQueries {
       .select(col("bucket"), col("symbol"), col("close"))
     val w = Window.partitionBy("symbol").orderBy("bucket")
     bars.select(col("bucket"), col("symbol"),
-        Quantize.r(col("close") / lag(col("close"), 1).over(w) - lit(1.0), 6).as("ret"))
+        Quantize.r(col("close") / nullif(lag(col("close"), 1).over(w), lit(0.0)) - lit(1.0), 6).as("ret"))
       .filter(col("ret").isNotNull)
   }
 
   private val bucketReturnsSql =
     """rets AS (
       |  SELECT bucket, symbol,
-      |         floor((close / lag(close) OVER (PARTITION BY symbol ORDER BY bucket)
+      |         floor((close / nullif(lag(close) OVER (PARTITION BY symbol ORDER BY bucket), CAST(0 AS DOUBLE))
       |                - CAST(1 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ret
       |  FROM (SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
       |               arg_max(price, time) AS close
@@ -629,7 +629,7 @@ object FeatureQueries {
 
     "q_beta" -> withTradesAnd(bucketReturnsSql,
       """SELECT r.symbol,
-        |       floor((covar_samp(r.ret, m.mret) / var_samp(m.mret)) * 1e6 + 0.5) / 1e6 AS beta,
+        |       floor((covar_samp(r.ret, m.mret) / nullif(var_samp(m.mret), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS beta,
         |       count(*) AS n_buckets
         |FROM (SELECT * FROM rets WHERE ret IS NOT NULL) r
         |JOIN (SELECT bucket, floor(avg(ret) * 1e6 + 0.5) / 1e6 AS mret
@@ -651,7 +651,7 @@ object FeatureQueries {
         |       floor(min(dd) * 1e6 + 0.5) / 1e6 AS max_drawdown
         |FROM (
         |  SELECT symbol,
-        |         (price - max(price) OVER w) / max(price) OVER w AS dd
+        |         (price - max(price) OVER w) / nullif(max(price) OVER w, CAST(0 AS DOUBLE)) AS dd
         |  FROM trades
         |  WINDOW w AS (PARTITION BY symbol ORDER BY time
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
