@@ -3,7 +3,7 @@ package graft.registry
 import graft.core.Tables
 import graft.features.Ohlc
 import graft.operators.Rls
-import graft.quality.{DqScore, Expectations, KsTest}
+import graft.quality.{DqScore, Expectations, KsTest, Psi}
 import graft.sources.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -27,6 +27,10 @@ object QualityQueries {
 
     "q_ks_test" -> ((s, d) =>
       KsTest.dStatistic(Tables.events(s, d), "value", "event_type", "view", "click")),
+
+    // Binned drift magnitude alongside the KS shift decision.
+    "q_psi" -> ((s, d) =>
+      Psi.psi(Tables.events(s, d), "value", "event_type", "view", "click")),
 
     // Observed metrics under the correctness gate: the DQ bundle rides the
     // noop write via Dataset.observe (no second scan), is captured by the
@@ -173,6 +177,42 @@ object QualityQueries {
         |         d > CAST(1.358 AS DOUBLE) * sqrt(CAST(n1 + n2 AS DOUBLE) / CAST(n1 * n2 AS DOUBLE)) AS shifted,
         |         floor(p * 1e6 + 0.5) / 1e6 AS p_value
         |  FROM pv)""".stripMargin,
+
+    // PSI mirrors Psi.psi: fixed-width bins off exact [min,max], add-one
+    // smoothing (exact integer ratios), terms folded IN BIN ORDER.
+    "q_psi" ->
+      """WITH f AS (
+        |  SELECT value AS v, event_type AS g FROM events
+        |  WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
+        |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM f),
+        |b AS (
+        |  SELECT COALESCE(least(9, CAST(floor((v - lo) /
+        |           nullif((hi - lo) / CAST(10 AS DOUBLE), CAST(0 AS DOUBLE))) AS INT)), 0) AS bin,
+        |         g
+        |  FROM f, ext),
+        |c AS (
+        |  SELECT bin,
+        |         count(CASE WHEN g = 'view' THEN 1 END) AS c1,
+        |         count(CASE WHEN g = 'click' THEN 1 END) AS c2
+        |  FROM b GROUP BY 1),
+        |n AS (SELECT sum(c1) AS n1, sum(c2) AS n2 FROM c),
+        |t AS (
+        |  SELECT bin, n1, n2,
+        |         (CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE) -
+        |          CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 10 AS DOUBLE)) *
+        |         ln((CAST(c1 + 1 AS DOUBLE) / CAST(n1 + 10 AS DOUBLE)) /
+        |            (CAST(c2 + 1 AS DOUBLE) / CAST(n2 + 10 AS DOUBLE))) AS term
+        |  FROM c, n),
+        |folded AS (
+        |  SELECT floor(list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list(term ORDER BY bin)), (acc, x) -> acc + x) * 1e6 + 0.5) / 1e6 AS psi,
+        |         CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+        |  FROM t)
+        |SELECT psi, n1, n2,
+        |       CASE WHEN psi >= CAST(0.25 AS DOUBLE) THEN 'major'
+        |            WHEN psi >= CAST(0.1 AS DOUBLE) THEN 'moderate'
+        |            ELSE 'stable' END AS drift
+        |FROM folded""".stripMargin,
 
     "q_zscore_outliers" ->
       """SELECT l.l_returnflag,

@@ -324,6 +324,21 @@ class ExtSpec extends SparkTestBase {
     assert(fps(2L).isEmpty)
   }
 
+  test("PSI: identical samples are stable near zero; disjoint samples drift major") {
+    import spark.implicits._
+    import graft.quality.Psi
+    val same = Seq.tabulate(100)(i => (i % 10 * 1.0, if ((i / 10) % 2 == 0) "a" else "b"))
+      .toDF("value", "event_type")
+    val r0 = Psi.psi(same, "value", "event_type", "a", "b").collect()(0)
+    assert(math.abs(r0.getAs[Double]("psi")) < 1e-9)
+    assert(r0.getAs[String]("drift") === "stable")
+    val disjoint = (Seq.tabulate(50)(i => (i * 1.0, "a")) ++
+      Seq.tabulate(50)(i => (1000.0 + i, "b"))).toDF("value", "event_type")
+    val r1 = Psi.psi(disjoint, "value", "event_type", "a", "b").collect()(0)
+    assert(r1.getAs[Double]("psi") > 0.25)
+    assert(r1.getAs[String]("drift") === "major")
+  }
+
   test("tf-idf ranks a document's distinctive term above ubiquitous ones") {
     import graft.ext.TextStats
     val docs = spark.createDataFrame(Seq(
