@@ -117,6 +117,12 @@ object DupClusters {
       i += 1
     }
     edges.unpersist()
+    // A label set that is still moving when the iteration budget runs out is
+    // NOT a component labeling — failing loudly beats silently-wrong
+    // cluster_ids downstream (dedup would keep/drop the wrong canonicals).
+    require(changed == 0,
+      s"dup-cluster label propagation did not converge in $maxIter iterations " +
+        s"($changed labels still changing); raise maxIter")
     val sizes = labels.groupBy("lbl").agg(count(lit(1)).as("cluster_size"))
     labels.join(sizes, Seq("lbl"))
       .select(col("id").as("doc_id"), col("lbl").as("cluster_id"),

@@ -29,13 +29,16 @@ object Psi {
       g1: String, g2: String, bins: Int = 10): DataFrame = {
     val f = df.filter(col(groupCol).isInCollection(Seq(g1, g2)) && col(valueCol).isNotNull)
     val ext = f.agg(min(col(valueCol)).as("lo"), max(col(valueCol)).as("hi"))
+    // coalesce INSIDE least: in the degenerate hi==lo case the division is
+    // NULL, and least() skips NULLs in both engines — so the coalesce must
+    // run first for every row to land in bin 0 as documented.
     val binned = f.crossJoin(broadcast(ext))
       .select(
-        coalesce(
-          least(lit(bins - 1),
+        least(lit(bins - 1),
+          coalesce(
             floor((col(valueCol) - col("lo")) /
-              nullif((col("hi") - col("lo")) / lit(bins.toDouble), lit(0.0))).cast("int")),
-          lit(0)).as("bin"),
+              nullif((col("hi") - col("lo")) / lit(bins.toDouble), lit(0.0))).cast("int"),
+            lit(0))).as("bin"),
         col(groupCol).as("g"))
     val counts = binned.groupBy("bin").agg(
       count(when(col("g") === g1, 1)).as("c1"),

@@ -20,6 +20,11 @@ object FeatureQueries {
   private val PitSymbol = "7"
   private val PitAsOf   = "2024-01-20 00:00:00"
 
+  /** Trailing-window bound for the batch spread-EMA fold: 0.9^400 ≈ 5e-19,
+    * so anything older contributes below the 1e-6 output quantum.
+    */
+  private val SpreadEmaTrailingK = 400
+
   type Q = (SparkSession, String) => DataFrame
 
   def trades(s: SparkSession, dir: String): DataFrame = Tables.trades(s, dir)
@@ -103,27 +108,40 @@ object FeatureQueries {
 
     "q_spread_ema" -> ((s, d) => {
       // Final EMA(0.1) of spread per symbol — batch form of the Flink keyed
-      // ValueState monitor (anomaly_detection.py:105-149). The recurrence
-      // ema_k = 0.9·ema_{k-1} + 0.1·s_k unrolls to the closed-form weighted
-      // sum  ema_n = 0.9^(n-1)·s_1 + Σ_{i≥2} 0.1·0.9^(n-i)·s_i,  so one
-      // ranked window pass + a hash aggregate replaces buffering each
-      // symbol's full history in a task-local array (weights for old rows
-      // underflow to 0 — no overflow path, bounded memory at any history
-      // length). Ordering ties on time break by spread, matching the
-      // sort_array-struct order of the streaming twin's oracle.
-      val w = Window.partitionBy("symbol").orderBy(col("time"), col("spread"))
-      trades(s, d)
+      // ValueState monitor (anomaly_detection.py:105-149). Cross-engine
+      // bit-exactness demands the SAME sequence of IEEE ops as the oracle's
+      // recursive fold — a pow()-weighted SUM is accumulation-order-dependent
+      // and pow vs repeated-multiply drifts in the low bits. So: fold the
+      // TRAILING K observations in event-time order with the recurrence
+      // itself (seed = oldest of the K), exactly as the oracle does.
+      // Contributions older than K decay by 0.9^K (K=400 → ~5e-19, far
+      // below the 1e-6 output quantum), so memory stays bounded at K
+      // structs per symbol at any history length.
+      val K = SpreadEmaTrailingK
+      val wDesc = Window.partitionBy("symbol")
+        .orderBy(col("time").desc, col("spread").desc)
+      val folded = trades(s, d)
         .filter(col("bid").isNotNull && col("ask").isNotNull)
         .withColumn("spread", col("ask") - col("bid"))
-        .withColumn("rn", row_number().over(w))
+        .withColumn("rnd", row_number().over(wDesc))
         .withColumn("__n", count(lit(1)).over(Window.partitionBy("symbol")))
+        .filter(col("rnd") <= K)
         .groupBy("symbol")
         .agg(
-          Quantize.r(sum(
-            when(col("rn") === 1, pow(lit(0.9), col("__n") - 1))
-              .otherwise(lit(0.1) * pow(lit(0.9), col("__n") - col("rn"))) *
-              col("spread")), 6).as("normal_spread"),
-          count(lit(1)).as("n"))
+          // sort desc on rnd = oldest..newest (rnd 1 is the latest row)
+          sort_array(collect_list(struct(col("rnd"), col("spread"))), asc = false)
+            .as("obs"),
+          max(col("__n")).as("n"))
+        .withColumn("sp", transform(col("obs"), o => o.getField("spread")))
+      folded.select(
+        col("symbol"),
+        Quantize.r(
+          aggregate(
+            slice(col("sp"), lit(2), greatest(size(col("sp")) - 1, lit(0))),
+            element_at(col("sp"), 1),
+            (acc, x) => lit(0.9) * acc + lit(0.1) * x),
+          6).as("normal_spread"),
+        col("n"))
     }),
 
     "q_dedup_exact" -> ((s, d) => {
@@ -521,13 +539,19 @@ object FeatureQueries {
         |  WHERE t.volume > thr.p95)
         |WHERE large_trades_5m >= 3""".stripMargin),
 
+    // Trailing-K fold mirror of the Spark side: slice the last K spreads in
+    // (time, spread) order and seed list_reduce with the oldest of them —
+    // identical FP op sequence, bit-exact cross-engine.
     "q_spread_ema" -> withTrades(
-      """SELECT symbol,
-        |       floor((list_reduce(list(ask - bid ORDER BY time),
+      s"""SELECT symbol,
+        |       floor((list_reduce(
+        |             array_slice(l, greatest(1, len(l) - ${SpreadEmaTrailingK - 1}), len(l)),
         |             (acc, x) -> CAST(0.9 AS DOUBLE) * acc + CAST(0.1 AS DOUBLE) * x)) * 1e6 + 0.5) / 1e6 AS normal_spread,
-        |       count(*) AS n
-        |FROM trades WHERE bid IS NOT NULL AND ask IS NOT NULL
-        |GROUP BY symbol""".stripMargin),
+        |       n
+        |FROM (SELECT symbol, list(ask - bid ORDER BY time, ask - bid) AS l,
+        |             count(*) AS n
+        |      FROM trades WHERE bid IS NOT NULL AND ask IS NOT NULL
+        |      GROUP BY symbol)""".stripMargin),
 
     "q_dedup_exact" -> withTrades(
       """SELECT DISTINCT time, symbol, trade_id, price, volume

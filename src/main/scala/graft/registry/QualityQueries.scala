@@ -186,8 +186,8 @@ object QualityQueries {
         |  WHERE event_type IN ('view', 'click') AND value IS NOT NULL),
         |ext AS (SELECT min(v) AS lo, max(v) AS hi FROM f),
         |b AS (
-        |  SELECT COALESCE(least(9, CAST(floor((v - lo) /
-        |           nullif((hi - lo) / CAST(10 AS DOUBLE), CAST(0 AS DOUBLE))) AS INT)), 0) AS bin,
+        |  SELECT least(9, COALESCE(CAST(floor((v - lo) /
+        |           nullif((hi - lo) / CAST(10 AS DOUBLE), CAST(0 AS DOUBLE))) AS INT), 0)) AS bin,
         |         g
         |  FROM f, ext),
         |c AS (

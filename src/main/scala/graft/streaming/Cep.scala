@@ -72,7 +72,8 @@ object Cep {
   }
 
   final case class CusumObs(timeMicros: Long, tradeId: String, symbol: String, z: Double)
-  final case class CusumState(pos: Double, neg: Double, alerts: Long)
+  final case class CusumState(
+      pos: Double, neg: Double, alerts: Long, maxTimeMicros: Long = Long.MinValue)
   final case class CusumResult(
       symbol: String, cusum_pos: Double, cusum_neg: Double, n_alerts: Long)
 
@@ -86,6 +87,15 @@ object Cep {
     * stream-static shape) and pre-quantized to 1e-6 so the fold is
     * bit-reproducible cross-engine — the DuckDB oracle replays it exactly
     * (`q_stream_cusum`).
+    *
+    * ORDERING CONTRACT: the CUSUM recursion is order-sensitive, and this
+    * monitor sorts by (event time, trade_id) only WITHIN a micro-batch —
+    * across batches it folds in arrival order. The bounded-replay harness
+    * satisfies this by construction (Trigger.AvailableNow with no
+    * maxFilesPerTrigger delivers the whole corpus as one batch). A source
+    * that splits out-of-order data across batches violates it; the state
+    * carries the max folded event time and a violation logs a warning per
+    * offending batch instead of passing silently.
     */
   object CusumMonitor {
 
@@ -97,11 +107,19 @@ object Cep {
         it: Iterator[CusumObs],
         state: GroupState[CusumState]): CusumResult = {
       var s = state.getOption.getOrElse(CusumState(0.0, 0.0, 0L))
-      it.toSeq.sortBy(o => (o.timeMicros, o.tradeId)).foreach { o =>
+      val batch = it.toSeq.sortBy(o => (o.timeMicros, o.tradeId))
+      batch.headOption.foreach { h =>
+        if (h.timeMicros < s.maxTimeMicros)
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"CUSUM[$symbol]: batch starts at ${h.timeMicros} < max folded " +
+              s"time ${s.maxTimeMicros}; cross-batch fold order violated")
+      }
+      batch.foreach { o =>
         val pos = math.max(0.0, s.pos + o.z - Slack)
         val neg = math.max(0.0, s.neg - o.z - Slack)
         val alert = pos > Threshold || neg > Threshold
-        s = CusumState(pos, neg, s.alerts + (if (alert) 1L else 0L))
+        s = CusumState(pos, neg, s.alerts + (if (alert) 1L else 0L),
+          math.max(s.maxTimeMicros, o.timeMicros))
       }
       state.update(s)
       CusumResult(symbol,

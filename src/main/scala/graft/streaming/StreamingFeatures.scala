@@ -251,10 +251,21 @@ object StreamingFeatures {
     if (partitioned) {
       // Dynamic overwrite: only partitions present in `merged` (= the touched
       // dates) are replaced; all other partition directories are untouched.
-      merged.write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy(PartCol)
-        .parquet(tablePath)
+      // `merged` lazily reads tablePath itself, so materialize the touched
+      // rows (bounded: only the batch's date partitions) BEFORE the
+      // overwrite starts deleting what they're read from. Crash atomicity
+      // is still per-partition (a mid-commit failure can leave a subset of
+      // touched dates rewritten) — weaker than the staged single-dir branch
+      // below; refresh re-runs repair it because the merge is idempotent.
+      val materialized = merged.localCheckpoint(true)
+      try {
+        materialized.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy(PartCol)
+          .parquet(tablePath)
+      } finally {
+        materialized.unpersist(blocking = false)
+      }
     } else {
       // No event-time column: single-partition table, full rewrite (staged
       // through a temp dir so a crash never leaves a half-written table).
