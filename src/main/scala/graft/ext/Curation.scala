@@ -57,6 +57,30 @@ object Curation {
       .drop("rn")
   }
 
+  /** End-to-end curation funnel — the composed shape a training-data prep
+    * job runs per corpus drop: language gate ([[TextStats.langId]] == "en"),
+    * rule-based quality pass ([[QualityRules]]), exact-dedup canonical
+    * (min doc_id per content hash), then the deterministic hash split.
+    * Stage order puts the narrow filters before the shuffling stages so the
+    * dedup/quality aggregations see only surviving rows. The doc_id
+    * equi-joins are unhinted — the filtered sides are unbounded at corpus
+    * scale, so AQE picks the strategy (broadcast only when a side is
+    * actually small at runtime).
+    */
+  def curate(documents: DataFrame): DataFrame = {
+    val en = documents
+      .filter(TextStats.langId(col("text")) === "en")
+      .select("doc_id")
+    val pass = QualityRules.compute(documents)
+      .filter(col("passes")).select("doc_id")
+    val canon = documents
+      .groupBy(md5(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+    hashSplit(en.join(pass, Seq("doc_id")).join(canon, Seq("doc_id")), "doc_id")
+      .select("doc_id", "split")
+  }
+
   /** Context-window chunking: split each document's whitespace tokens into
     * consecutive windows of `chunkTokens`, one output row per chunk. A
     * narrow map + explode — no shuffle; chunk count per doc is

@@ -1,0 +1,56 @@
+package graft.quality
+
+import graft.functions.Quantize
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** One-pass column profiler — the schema-level completeness/cardinality
+  * summary a dataset lands with before expectations are written against it
+  * (the reference profiles tables to seed its expectation suites,
+  * `src/quality/great_expectations_setup.py:60-120`).
+  *
+  * One wide aggregate row computes every column's null count, exact distinct
+  * count, and min/max, then unpivots to one row per column. Multiple exact
+  * COUNT(DISTINCT) aggregates plan through Catalyst's Expand (input rows
+  * duplicated ×|cols| before the hash agg — still a single scan). At the
+  * 100 TB tier swap `count_distinct` for `approx_count_distinct` (HLL): the
+  * Expand multiplier disappears and the agg state is O(1) per column; exact
+  * counts are kept here because the DuckDB oracle hash-checks them.
+  *
+  * min/max surface as typed pairs (`*_num` for numerics, `*_str` for
+  * strings) — min/max of a column is one of its VALUES, no arithmetic, so
+  * doubles compare exactly cross-engine with no quantization.
+  */
+object Profiler {
+
+  /** `cols` maps column name → true if numeric (profiled into `*_num`). */
+  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+    val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap {
+      case (c, _) =>
+        Seq(
+          sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
+          count_distinct(col(c)).as(s"__nd_$c"),
+          min(col(c)).as(s"__min_$c"),
+          max(col(c)).as(s"__max_$c"))
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { case (c, numeric) =>
+      struct(
+        lit(c).as("column"),
+        col("__n").as("n_rows"),
+        col(s"__nn_$c").as("n_nulls"),
+        Quantize.r(col(s"__nn_$c").cast("double") / col("__n").cast("double"), 6)
+          .as("null_fraction"),
+        col(s"__nd_$c").as("n_distinct"),
+        (if (numeric) col(s"__min_$c").cast("double") else lit(null).cast("double"))
+          .as("min_num"),
+        (if (numeric) col(s"__max_$c").cast("double") else lit(null).cast("double"))
+          .as("max_num"),
+        (if (numeric) lit(null).cast("string") else col(s"__min_$c").cast("string"))
+          .as("min_str"),
+        (if (numeric) lit(null).cast("string") else col(s"__max_$c").cast("string"))
+          .as("max_str"))
+    }
+    wide.select(explode(array(rows: _*)).as("p")).select(col("p.*"))
+  }
+}

@@ -1,7 +1,7 @@
 package graft.registry
 
 import graft.core.Tables
-import graft.ext.{Dedup, Multimodal, Similarity, TextStats}
+import graft.ext.{Dedup, Multimodal, QualityRules, Similarity, TextStats}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -30,6 +30,11 @@ object ExtQueries {
     "q_text_stats" -> ((s, d) => TextStats.corpusStats(Tables.documents(s, d))),
 
     "q_text_quality" -> ((s, d) => TextStats.docQuality(docsPar(s, d))),
+
+    "q_quality_rules" -> ((s, d) => QualityRules.compute(docsPar(s, d))),
+
+    "q_curation_pipeline" -> ((s, d) =>
+      graft.ext.Curation.curate(docsPar(s, d))),
 
     "q_lang_id" -> ((s, d) =>
       Tables.documents(s, d)
@@ -205,6 +210,41 @@ object ExtQueries {
       |                     i -> t[i] || ' ' || t[i+1])) END AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))""".stripMargin
 
+  /** Shared CTE block mirroring [[graft.ext.QualityRules.compute]] —
+    * `rules(doc_id, n_words, mean_word_len, stopword_ratio,
+    * dup_bigram_fraction, top_word_fraction, passes)`. Metrics quantized,
+    * flags decided on the quantized values.
+    */
+  private val qualityRuleCtes =
+    """base AS (
+      |  SELECT doc_id, string_split(text, ' ') AS l, text FROM documents),
+      |narrow AS (
+      |  SELECT doc_id,
+      |         CAST(len(l) AS BIGINT) AS n_words,
+      |         floor((CAST(length(replace(text, ' ', '')) AS DOUBLE) / CAST(len(l) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_word_len,
+      |         floor((CAST(len(list_filter(l, t -> list_contains(['the','a','of','and','to','in','is','on','for','with'], t))) AS DOUBLE) / CAST(len(l) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS stopword_ratio,
+      |         floor((CASE WHEN len(l) > 1 THEN
+      |             CAST(1 AS DOUBLE) - CAST(len(list_distinct(list_transform(
+      |               list_zip(l[1:len(l)-1], l[2:len(l)]), p -> p[1] || ' ' || p[2]))) AS DOUBLE) /
+      |               CAST(len(l) - 1 AS DOUBLE)
+      |           ELSE CAST(0 AS DOUBLE) END) * 1e6 + 0.5) / 1e6 AS dup_bigram_fraction
+      |  FROM base),
+      |tw AS (
+      |  SELECT doc_id, max(c) AS topc FROM (
+      |    SELECT doc_id, tok, count(*) AS c
+      |    FROM (SELECT doc_id, unnest(l) AS tok FROM base) GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |rules AS (
+      |  SELECT n.doc_id, n.n_words, n.mean_word_len, n.stopword_ratio,
+      |         n.dup_bigram_fraction,
+      |         floor((CAST(tw.topc AS DOUBLE) / CAST(n.n_words AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS top_word_fraction,
+      |         (n.n_words >= 30 AND
+      |          n.mean_word_len BETWEEN CAST(3 AS DOUBLE) AND CAST(10 AS DOUBLE) AND
+      |          n.stopword_ratio >= CAST(0.02 AS DOUBLE) AND
+      |          n.dup_bigram_fraction <= CAST(0.10 AS DOUBLE) AND
+      |          floor((CAST(tw.topc AS DOUBLE) / CAST(n.n_words AS DOUBLE)) * 1e6 + 0.5) / 1e6 <= CAST(0.20 AS DOUBLE)) AS passes
+      |  FROM narrow n JOIN tw ON n.doc_id = tw.doc_id)""".stripMargin
+
   /** DuckDB cosine with the identical left-to-right double fold as
     * [[graft.plans.CosineSimilarity]] — bit-stable across engines.
     */
@@ -261,6 +301,36 @@ object ExtQueries {
         |         greatest(CAST(len(list_filter(t, x -> list_contains(['the','a','of','and','to','in','is','on','for','with'], x))) AS DOUBLE) / CAST(len(t) AS DOUBLE) - CAST(0.4 AS DOUBLE), CAST(0 AS DOUBLE)),
         |         CAST(1 AS DOUBLE)), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS quality_score
         |FROM (SELECT doc_id, text, string_split(text, ' ') AS t FROM documents)""".stripMargin,
+
+    // Mirrors QualityRules.compute: bigrams via slice-zip, quantized metrics,
+    // pass flags decided on the QUANTIZED values (tier-flip-safe).
+    "q_quality_rules" ->
+      s"""WITH $qualityRuleCtes
+        |SELECT doc_id, n_words, mean_word_len, stopword_ratio,
+        |       dup_bigram_fraction, top_word_fraction, passes
+        |FROM rules""".stripMargin,
+
+    // Mirrors the composed curation pipeline: en lang-ID ∧ quality pass ∧
+    // exact-dedup canonical, then the md5 hash split.
+    "q_curation_pipeline" ->
+      s"""WITH $qualityRuleCtes,
+        |en AS (
+        |  SELECT doc_id FROM (SELECT doc_id, ' ' || text || ' ' AS p FROM documents)
+        |  WHERE contains(p, ' the ') OR contains(p, ' and ')),
+        |canon AS (
+        |  SELECT min(doc_id) AS doc_id FROM documents GROUP BY md5(text))
+        |SELECT r.doc_id,
+        |       CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+        |            WHEN u < CAST(0.9 AS DOUBLE) THEN 'valid'
+        |            ELSE 'test' END AS split
+        |FROM (
+        |  SELECT rules.doc_id,
+        |         CAST(('0x' || substr(md5(CAST(rules.doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |           / CAST(4294967296 AS DOUBLE) AS u
+        |  FROM rules
+        |  JOIN en ON rules.doc_id = en.doc_id
+        |  JOIN canon ON rules.doc_id = canon.doc_id
+        |  WHERE rules.passes) r""".stripMargin,
 
     "q_lang_id" ->
       """SELECT lang,

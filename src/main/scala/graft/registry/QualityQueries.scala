@@ -3,7 +3,7 @@ package graft.registry
 import graft.core.Tables
 import graft.features.Ohlc
 import graft.operators.Rls
-import graft.quality.{DqScore, Expectations, KsTest, Psi}
+import graft.quality.{DqScore, Expectations, KsTest, Profiler, Psi}
 import graft.sources.Ingest
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -31,6 +31,13 @@ object QualityQueries {
     // Binned drift magnitude alongside the KS shift decision.
     "q_psi" -> ((s, d) =>
       Psi.psi(Tables.events(s, d), "value", "event_type", "view", "click")),
+
+    // One-pass schema profile of the trades surface (nulls, cardinality,
+    // ranges) — the landing summary expectations are seeded from.
+    "q_profile" -> ((s, d) =>
+      Profiler.profile(trades(s, d), Seq(
+        "symbol" -> false, "side" -> false, "trade_id" -> false,
+        "price" -> true, "volume" -> true, "bid" -> true, "ask" -> true))),
 
     // Observed metrics under the correctness gate: the DQ bundle rides the
     // noop write via Dataset.observe (no second scan), is captured by the
@@ -213,6 +220,29 @@ object QualityQueries {
         |            WHEN psi >= CAST(0.1 AS DOUBLE) THEN 'moderate'
         |            ELSE 'stable' END AS drift
         |FROM folded""".stripMargin,
+
+    // Mirrors Profiler.profile over trades: per-column null/distinct/range,
+    // typed min/max pairs (values, not arithmetic — exact cross-engine).
+    "q_profile" -> withTrades({
+      def strCol(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       floor((CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS null_fraction,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(NULL AS DOUBLE) AS min_num, CAST(NULL AS DOUBLE) AS max_num,
+           |       CAST(min($c) AS VARCHAR) AS min_str, CAST(max($c) AS VARCHAR) AS max_str
+           |FROM trades""".stripMargin
+      def numCol(c: String) =
+        s"""SELECT '$c' AS "column", count(*) AS n_rows,
+           |       CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+           |       floor((CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS null_fraction,
+           |       count(DISTINCT $c) AS n_distinct,
+           |       CAST(min($c) AS DOUBLE) AS min_num, CAST(max($c) AS DOUBLE) AS max_num,
+           |       CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+           |FROM trades""".stripMargin
+      (Seq("symbol", "side", "trade_id").map(strCol) ++
+        Seq("price", "volume", "bid", "ask").map(numCol)).mkString("\nUNION ALL\n")
+    }),
 
     "q_zscore_outliers" ->
       """SELECT l.l_returnflag,
