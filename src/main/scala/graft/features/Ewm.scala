@@ -37,4 +37,38 @@ object Ewm {
       col("time"), col("symbol"), col("price"),
       Quantize.r(ewmOverArray(collect_list(col("price")).over(w), alpha), 6).as("ewm_12"))
   }
+
+  /** Final EMA state per symbol via a bounded trailing-window ordered fold:
+    * the last `k` values of `valueCol` (event-time order, ties broken by
+    * value) fold through `s = (1−α)·s + α·v`, seeded at the oldest of the k.
+    * Contributions older than k decay by (1−α)^k — pick k so that bound
+    * sits below the output quantum (α=0.1, k=400 → ~5e-19 ≪ 1e-6) and the
+    * trailing fold is indistinguishable from the full-history recursion
+    * while task memory stays at k structs per symbol. The fold replays the
+    * identical IEEE op sequence as a DuckDB `list_reduce` over the same
+    * trailing slice — bit-exact cross-engine, unlike any closed-form
+    * weighted SUM (accumulation-order-dependent).
+    *
+    * Output: symbol, `<outCol>` (quantized 1e-6), n (full per-symbol count).
+    */
+  def trailingEmaFinal(df: DataFrame, valueCol: String, alpha: Double, k: Int,
+      outCol: String): DataFrame = {
+    val wDesc = Window.partitionBy("symbol")
+      .orderBy(col("time").desc, col(valueCol).desc)
+    df
+      .withColumn("rnd", row_number().over(wDesc))
+      .withColumn("__n", count(lit(1)).over(Window.partitionBy("symbol")))
+      .filter(col("rnd") <= k)
+      .groupBy("symbol")
+      .agg(
+        // sort desc on rnd = oldest..newest (rnd 1 is the latest row)
+        sort_array(collect_list(struct(col("rnd"), col(valueCol))), asc = false)
+          .as("obs"),
+        max(col("__n")).as("n"))
+      .withColumn("sp", transform(col("obs"), o => o.getField(valueCol)))
+      .select(
+        col("symbol"),
+        Quantize.r(ewmOverArray(col("sp"), alpha), 6).as(outCol),
+        col("n"))
+  }
 }

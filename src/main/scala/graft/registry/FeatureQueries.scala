@@ -106,43 +106,15 @@ object FeatureQueries {
         .select("time", "symbol", "large_trades_5m")
     }),
 
-    "q_spread_ema" -> ((s, d) => {
+    "q_spread_ema" -> ((s, d) =>
       // Final EMA(0.1) of spread per symbol — batch form of the Flink keyed
-      // ValueState monitor (anomaly_detection.py:105-149). Cross-engine
-      // bit-exactness demands the SAME sequence of IEEE ops as the oracle's
-      // recursive fold — a pow()-weighted SUM is accumulation-order-dependent
-      // and pow vs repeated-multiply drifts in the low bits. So: fold the
-      // TRAILING K observations in event-time order with the recurrence
-      // itself (seed = oldest of the K), exactly as the oracle does.
-      // Contributions older than K decay by 0.9^K (K=400 → ~5e-19, far
-      // below the 1e-6 output quantum), so memory stays bounded at K
-      // structs per symbol at any history length.
-      val K = SpreadEmaTrailingK
-      val wDesc = Window.partitionBy("symbol")
-        .orderBy(col("time").desc, col("spread").desc)
-      val folded = trades(s, d)
-        .filter(col("bid").isNotNull && col("ask").isNotNull)
-        .withColumn("spread", col("ask") - col("bid"))
-        .withColumn("rnd", row_number().over(wDesc))
-        .withColumn("__n", count(lit(1)).over(Window.partitionBy("symbol")))
-        .filter(col("rnd") <= K)
-        .groupBy("symbol")
-        .agg(
-          // sort desc on rnd = oldest..newest (rnd 1 is the latest row)
-          sort_array(collect_list(struct(col("rnd"), col("spread"))), asc = false)
-            .as("obs"),
-          max(col("__n")).as("n"))
-        .withColumn("sp", transform(col("obs"), o => o.getField("spread")))
-      folded.select(
-        col("symbol"),
-        Quantize.r(
-          aggregate(
-            slice(col("sp"), lit(2), greatest(size(col("sp")) - 1, lit(0))),
-            element_at(col("sp"), 1),
-            (acc, x) => lit(0.9) * acc + lit(0.1) * x),
-          6).as("normal_spread"),
-        col("n"))
-    }),
+      // ValueState monitor (anomaly_detection.py:105-149), as the bounded
+      // trailing-window bit-exact fold (see Ewm.trailingEmaFinal).
+      Ewm.trailingEmaFinal(
+        trades(s, d)
+          .filter(col("bid").isNotNull && col("ask").isNotNull)
+          .withColumn("spread", col("ask") - col("bid")),
+        "spread", alpha = 0.1, k = SpreadEmaTrailingK, outCol = "normal_spread")),
 
     "q_dedup_exact" -> ((s, d) => {
       val t = trades(s, d)
@@ -296,6 +268,12 @@ object FeatureQueries {
         .select(col("symbol"), col("bucket"),
           Quantize.r(col("close"), 6).as("close"), col("filled"))
     }),
+
+    "q_stochastic" -> ((s, d) => Indicators.stochastic(trades(s, d))),
+
+    "q_atr" -> ((s, d) => Indicators.atr(trades(s, d))),
+
+    "q_macd" -> ((s, d) => Indicators.macdFinal(trades(s, d))),
 
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
@@ -712,6 +690,65 @@ object FeatureQueries {
         |                 symbol, arg_max(price, time) AS close
         |          FROM trades GROUP BY 1, 2)
         |    WINDOW w AS (PARTITION BY symbol ORDER BY bucket)))""".stripMargin),
+
+    "q_stochastic" -> withTrades(
+      """SELECT time, symbol,
+        |       floor(k_raw * 1e6 + 0.5) / 1e6 AS stoch_k,
+        |       floor((avg(k_raw) OVER wd) * 1e6 + 0.5) / 1e6 AS stoch_d
+        |FROM (
+        |  SELECT time, symbol,
+        |         CAST(100 AS DOUBLE) * (price - min(price) OVER wn) /
+        |           nullif(max(price) OVER wn - min(price) OVER wn, CAST(0 AS DOUBLE)) AS k_raw
+        |  FROM trades
+        |  WINDOW wn AS (PARTITION BY symbol ORDER BY time
+        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
+        |WINDOW wd AS (PARTITION BY symbol ORDER BY time
+        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // Mirrors Indicators.atr: first bar's prev close coalesces to its own
+    // close so TR degrades to high-low without greatest-over-null semantics.
+    "q_atr" -> withTradesAnd(
+      s"""bars AS ($ohlcSelect)""",
+      """SELECT bucket, symbol,
+        |       floor(tr * 1e6 + 0.5) / 1e6 AS true_range,
+        |       floor((avg(tr) OVER wn) * 1e6 + 0.5) / 1e6 AS atr_14
+        |FROM (
+        |  SELECT bucket, symbol,
+        |         greatest(high - low,
+        |                  abs(high - coalesce(lag(close) OVER w, close)),
+        |                  abs(low  - coalesce(lag(close) OVER w, close))) AS tr
+        |  FROM bars
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY bucket))
+        |WINDOW wn AS (PARTITION BY symbol ORDER BY bucket
+        |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // Joint (ema12, ema26, signal) fold over the trailing-400 ticks; state
+    // encoded as DOUBLE[] so list_reduce's acc/element types line up, and the
+    // smoothing constants written as the same division expressions the Spark
+    // side embeds — identical IEEE op sequence, bit-exact cross-engine.
+    "q_macd" -> withTrades(
+      """SELECT symbol,
+        |       floor((m[1] - m[2]) * 1e6 + 0.5) / 1e6 AS macd,
+        |       floor(m[3] * 1e6 + 0.5) / 1e6 AS macd_signal,
+        |       floor(((m[1] - m[2]) - m[3]) * 1e6 + 0.5) / 1e6 AS macd_hist,
+        |       n
+        |FROM (
+        |  SELECT symbol, n,
+        |         list_reduce(
+        |           list_prepend([sl[1], sl[1], CAST(0 AS DOUBLE)],
+        |             list_transform(array_slice(sl, 2, len(sl)), p -> [p])),
+        |           (acc, x) -> [
+        |             CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE) * x[1] + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE)) * acc[1],
+        |             CAST(2 AS DOUBLE)/CAST(27 AS DOUBLE) * x[1] + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(27 AS DOUBLE)) * acc[2],
+        |             CAST(2 AS DOUBLE)/CAST(10 AS DOUBLE) *
+        |               ((CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE) * x[1] + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE)) * acc[1]) -
+        |                (CAST(2 AS DOUBLE)/CAST(27 AS DOUBLE) * x[1] + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(27 AS DOUBLE)) * acc[2])) +
+        |             (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(10 AS DOUBLE)) * acc[3]]) AS m
+        |  FROM (
+        |    SELECT symbol, n, array_slice(l, greatest(1, len(l) - 399), len(l)) AS sl
+        |    FROM (SELECT symbol, list(price ORDER BY time, trade_id) AS l,
+        |                 count(*) AS n
+        |          FROM trades GROUP BY symbol)))""".stripMargin),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,

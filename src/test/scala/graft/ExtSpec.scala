@@ -1,7 +1,7 @@
 package graft
 
 import graft.core.Tables
-import graft.ext.{Dedup, Similarity, TextStats}
+import graft.ext.{Dedup, QualityRules, Similarity, TextStats}
 import graft.quality.{DqScore, KsTest}
 import org.apache.spark.sql.functions._
 
@@ -373,5 +373,65 @@ class ExtSpec extends SparkTestBase {
     assert(empty.columns.toSeq ===
       Seq("doc_id", "cluster_id", "cluster_size", "is_canonical"))
     assert(empty.count() === 0)
+  }
+
+  test("quality rules: repetition fails, a normal doc passes, flags match thresholds") {
+    import spark.implicits._
+    val clean = "the quick brown fox jumps over lazy dogs while seven wizards " +
+      "brew potions under ancient oaks near silver rivers flowing past small " +
+      "stone towers where owls watch distant ships sail home"
+    val loop = Seq.fill(20)("spam eggs spam").mkString(" ")
+    val docs = Seq((1L, clean), (2L, loop)).toDF("doc_id", "text")
+    val out = QualityRules.compute(docs).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Boolean]("passes"),
+      s"clean doc should pass: ${out(1L)}")
+    assert(!out(2L).getAs[Boolean]("passes"), "repetitive doc must fail")
+    assert(out(2L).getAs[Double]("dup_bigram_fraction") > 0.9)
+    assert(out(2L).getAs[Double]("top_word_fraction") > 0.2)
+    assert(out(1L).getAs[Long]("n_words") >= 30)
+  }
+
+  test("curation funnel keeps only en + passing + canonical docs and splits deterministically") {
+    import spark.implicits._
+    val en = "the quick brown fox jumps over lazy dogs while seven wizards " +
+      "brew potions under ancient oaks near silver rivers flowing past small " +
+      "stone towers where owls watch distant ships sail home"
+    val docs = Seq(
+      (1L, en),                                  // kept
+      (2L, en),                                  // exact dup of 1 -> dropped
+      (3L, Seq.fill(20)("spam eggs spam").mkString(" ")),  // fails quality
+      (4L, "der hund und die katze laufen schnell durch den park heute")  // not en
+    ).toDF("doc_id", "text")
+    val out = graft.ext.Curation.curate(docs).collect()
+    assert(out.map(_.getAs[Long]("doc_id")).toSet === Set(1L))
+    assert(Set("train", "valid", "test").contains(out.head.getAs[String]("split")))
+    // deterministic: same input, same assignment
+    val again = graft.ext.Curation.curate(docs).collect()
+    assert(out.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      again.map(r => (r.getLong(0), r.getString(1))).toSeq)
+  }
+
+  test("profiler reports exact nulls, cardinality and typed ranges per column") {
+    import spark.implicits._
+    val df = Seq(
+      ("a", Some(1.0)), ("b", Some(3.5)), ("a", None), ("c", Some(-2.0))
+    ).toDF("name", "score")
+    val out = graft.quality.Profiler.profile(
+      df, Seq("name" -> false, "score" -> true)).collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val nameR = out("name")
+    assert(nameR.getAs[Long]("n_rows") === 4L)
+    assert(nameR.getAs[Long]("n_nulls") === 0L)
+    assert(nameR.getAs[Long]("n_distinct") === 3L)
+    assert(nameR.getAs[String]("min_str") === "a")
+    assert(nameR.getAs[String]("max_str") === "c")
+    assert(nameR.isNullAt(nameR.fieldIndex("min_num")))
+    val scoreR = out("score")
+    assert(scoreR.getAs[Long]("n_nulls") === 1L)
+    assert(scoreR.getAs[Long]("n_distinct") === 3L)
+    assert(scoreR.getAs[Double]("min_num") === -2.0)
+    assert(scoreR.getAs[Double]("max_num") === 3.5)
+    assert(scoreR.getAs[Double]("null_fraction") === 0.25)
   }
 }

@@ -204,5 +204,65 @@ class FeatureSpec extends SparkTestBase {
     assert(Indicators.rsi(up, n = 4).orderBy("time").collect().forall(_.isNullAt(2)))
   }
 
+  test("trailing-K EMA: truncation branch matches an exact scalar replay past K") {
+    // 450 varying spreads for one symbol — exercises the rnd <= K filter and
+    // the slice/seed mechanics that gate-SF data (< K rows/symbol) never hits.
+    val n = 450
+    val df = spark.range(n).select(
+      expr("timestamp_micros(CAST(1704067200000000 + id * 60000000 AS BIGINT))").as("time"),
+      lit("X").as("symbol"),
+      (lit(1.0) + sin(col("id").cast("double")) * lit(0.5)).as("spread"))
+    val row = Ewm.trailingEmaFinal(df, "spread", alpha = 0.1, k = 400, outCol = "ema")
+      .collect().head
+    val vals = (0 until n).map(i => 1.0 + math.sin(i.toDouble) * 0.5)
+    val tail = vals.takeRight(400)
+    var acc = tail.head
+    tail.tail.foreach(x => acc = 0.9 * acc + 0.1 * x)
+    assert(row.getAs[Double]("ema") === math.floor(acc * 1e6 + 0.5) / 1e6)
+    assert(row.getAs[Long]("n") === n)
+    // and the trailing fold is below the output quantum from the full fold
+    var full = vals.head
+    vals.tail.foreach(x => full = 0.9 * full + 0.1 * x)
+    assert(math.abs(full - acc) < 1e-9)
+  }
+
+  test("MACD joint fold matches an exact scalar replay past the trailing window") {
+    val row = Indicators.macdFinal(rampTrades(450)).collect().head
+    val prices = (0 until 450).map(i => 150.0 + 0.1 * i)
+    val tail = prices.takeRight(400)
+    val a12 = 2.0 / 13.0; val b12 = 1.0 - a12
+    val a26 = 2.0 / 27.0; val b26 = 1.0 - a26
+    val a9 = 2.0 / 10.0; val b9 = 1.0 - a9
+    var e12 = tail.head; var e26 = tail.head; var sig = 0.0
+    tail.tail.foreach { p =>
+      val n12 = a12 * p + b12 * e12
+      val n26 = a26 * p + b26 * e26
+      sig = a9 * (n12 - n26) + b9 * sig
+      e12 = n12; e26 = n26
+    }
+    def q(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(row.getAs[Double]("macd") === q(e12 - e26))
+    assert(row.getAs[Double]("macd_signal") === q(sig))
+    assert(row.getAs[Double]("macd_hist") === q((e12 - e26) - sig))
+    assert(row.getAs[Long]("n") === 450L)
+  }
+
+  test("stochastic %K on a ramp pins to 100 after warmup; ATR first bar equals high-low") {
+    // strictly increasing ramp: price is always the frame max -> %K = 100
+    val st = Indicators.stochastic(rampTrades(30)).orderBy("time").collect()
+    assert(st.drop(14).forall(_.getAs[Double]("stoch_k") === 100.0))
+    val atr = Indicators.atr(core.Tables.trades(spark, sf0001))
+    assert(atr.filter(col("true_range") < 0 || col("atr_14") < 0).count() === 0)
+    // first bar per symbol: TR = high - low exactly
+    import org.apache.spark.sql.expressions.Window
+    val firstBars = atr.withColumn("rn",
+      row_number().over(Window.partitionBy("symbol").orderBy("bucket")))
+      .filter(col("rn") === 1)
+    val bars = Ohlc.compute(core.Tables.trades(spark, sf0001))
+    val joined = firstBars.join(bars, Seq("bucket", "symbol"))
+    assert(joined.filter(
+      abs(col("true_range") - (col("high") - col("low"))) > 1e-6).count() === 0)
+  }
+
   private def e2(s: String) = expr(s)
 }

@@ -389,10 +389,13 @@ class PlanSpec extends SparkTestBase {
     assert(full.exceptAll(refreshed).count() === 0)
   }
 
-  test("batch spread-EMA plans as a window sum — no full-history collect_list buffering") {
+  test("batch spread-EMA buffers only the bounded trailing window, never full history") {
     val plan = registry.FeatureQueries.queries("q_spread_ema")(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(!plan.contains("collect_list"), s"plan:\n$plan")
+    // the collect_list is gated behind the trailing-K row_number filter, so
+    // per-symbol task state is bounded at K structs regardless of history
+    assert(plan.contains("collect_list"), s"plan:\n$plan")
+    assert(plan.contains("<= 400"), s"trailing-K filter missing from plan:\n$plan")
     // and it matches the streaming twin's sequential-fold semantics
     val batch = registry.FeatureQueries.queries("q_spread_ema")(spark, sf0001)
     val streamed = registry.StreamQueries.queries("q_stream_spread_ema")(spark, sf0001)
