@@ -131,6 +131,47 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("n_docs") > 1)
 
+  /** LSH candidate pairs over the PORTABLE polynomial hash, with the number
+    * of shared bands per pair — the oracle-checkable twin of
+    * [[minhashCandidates]] (see [[TextHashing.MinHashBandsPoly]]: same
+    * banding topology, but every hash is a char-code fold DuckDB replays
+    * bit-for-bit). Same scale discipline: bucketed, capped, never all-pairs.
+    */
+  def portableMinhashPairs(
+      documents: DataFrame,
+      shingleN: Int = 3,
+      numHashes: Int = 32,
+      bands: Int = 8,
+      maxBucketSize: Int = 1000): DataFrame =
+    documents
+      .select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0)
+      .select(col("doc_id"),
+        posexplode(TextHashing.minhashBandsPoly(col("sh"), numHashes, bands)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "key")
+      .groupBy("band", "key")
+      .agg(collect_list(col("doc_id")).as("ids"))
+      .filter(size(col("ids")) > 1 && size(col("ids")) <= maxBucketSize)
+      .select(posexplode(col("ids")).as(Seq("i", "a")), col("ids"))
+      .select(col("a"), explode(slice(col("ids"), col("i") + 2, size(col("ids")))).as("b"))
+      .select(least(col("a"), col("b")).as("doc_a"), greatest(col("a"), col("b")).as("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_shared_bands"))
+
+  /** SimHash dup groups over the portable 30-bit hash — oracle-checkable
+    * twin of [[simhashDups]]; doc_ids surface as a sorted CSV string so the
+    * cross-engine compare is a plain string equality.
+    */
+  def portableSimhashDups(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), TextHashing.simhashPoly(col("text")).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"),
+        array_join(
+          transform(sort_array(collect_list(col("doc_id"))), _.cast("string")),
+          ",").as("doc_ids"))
+      .filter(col("n_docs") > 1)
+
   /** The original higher-order-function forms. Value-identical to the native
     * expressions (ExtSpec asserts it); kept as the executable spec and
     * cross-check, NOT used on hot paths.

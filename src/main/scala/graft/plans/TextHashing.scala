@@ -260,6 +260,122 @@ object TextHashing {
       copy(child = newChild)
   }
 
+  /** Engine-portable polynomial string hash — the same char-code fold as
+    * [[WinnowFp]] (`h = fold (h*131 + codePoint) mod 1e9+7`), applied to a
+    * whole string. A DuckDB `list_reduce` over `unicode(substr(...))`
+    * replays it exactly, which xxhash64 (engine-specific) cannot offer.
+    */
+  private[plans] def polyHash(s: UTF8String): Long = {
+    val str = s.toString
+    var h = 0L
+    var si = 0
+    while (si < str.length) {
+      val cp = str.codePointAt(si)
+      h = (h * 131L + cp) % 1000000007L
+      si += Character.charCount(cp)
+    }
+    h
+  }
+
+  /** MinHash+LSH band keys over the PORTABLE polynomial hash: per shingle
+    * base hash `polyHash`, per signature slot i the min over shingles of
+    * `((2i+1)·h + i) mod 1e9+7`, banded exactly like [[MinHashBands]].
+    * Same fused single-pass shape (signature never re-evaluated per band);
+    * exists so the near-dup tier has a bit-exact DuckDB oracle — the
+    * xxhash64 variant stays the default (its 64-bit space has ~2^-34 the
+    * accidental-collision rate of this 30-bit one).
+    */
+  case class MinHashBandsPoly(child: Expression, numHashes: Int, bands: Int)
+      extends UnaryExpression with CodegenFallback {
+    require(numHashes % bands == 0, s"bands $bands must divide numHashes $numHashes")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case ArrayType(StringType, _) => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_minhash_bands_poly expects ARRAY<STRING>, got ${dt.simpleString}")
+    }
+
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+    override def nullSafeEval(input: Any): Any = {
+      val arr = input.asInstanceOf[ArrayData]
+      val mins = Array.fill(numHashes)(Long.MaxValue)
+      var j = 0
+      while (j < arr.numElements()) {
+        val base = polyHash(arr.getUTF8String(j))
+        var i = 0
+        while (i < numHashes) {
+          val h = ((2L * i + 1L) * base + i) % 1000000007L
+          if (h < mins(i)) mins(i) = h
+          i += 1
+        }
+        j += 1
+      }
+      val rows = numHashes / bands
+      val out = new Array[Any](bands)
+      val sb = new java.lang.StringBuilder
+      var b = 0
+      while (b < bands) {
+        sb.setLength(0)
+        var r = 0
+        while (r < rows) {
+          if (r > 0) sb.append(',')
+          sb.append(mins(b * rows + r))
+          r += 1
+        }
+        out(b) = UTF8String.fromString(sb.toString)
+        b += 1
+      }
+      new GenericArrayData(out)
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
+  /** 30-bit SimHash over the portable polynomial token hash (1e9+7 < 2^30,
+    * so bits 0..29 of the base hash are uniform): bit j set when
+    * `2·count(tokens with bit j set) >= n_tokens` — the same vote rule as
+    * [[SimHash64]], replayable in DuckDB with integer div/mod.
+    */
+  case class SimHashPoly(child: Expression, bits: Int = 30)
+      extends UnaryExpression with CodegenFallback {
+    require(bits >= 1 && bits <= 30, s"bits must be in [1,30], got $bits")
+
+    override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case dt => TypeCheckResult.TypeCheckFailure(
+        s"graft_simhash_poly expects STRING, got ${dt.simpleString}")
+    }
+
+    override def dataType: DataType = LongType
+
+    override def nullSafeEval(input: Any): Any = {
+      val toks = splitTokens(input.asInstanceOf[UTF8String])
+      val counts = new Array[Int](bits)
+      var i = 0
+      while (i < toks.length) {
+        val h = polyHash(UTF8String.fromString(toks(i)))
+        var j = 0
+        while (j < bits) {
+          counts(j) += ((h >>> j) & 1L).toInt
+          j += 1
+        }
+        i += 1
+      }
+      var out = 0L
+      var j = 0
+      while (j < bits) {
+        if (counts(j) * 2 >= toks.length) out |= 1L << j
+        j += 1
+      }
+      out
+    }
+
+    override protected def withNewChildInternal(newChild: Expression): Expression =
+      copy(child = newChild)
+  }
+
   /** Winnowing fingerprints (Schleimer et al., SIGMOD 2003): polynomial hash
     * of every character k-gram (`h = fold (h*131 + code) mod 1e9+7`), sliding
     * w-window minima, distinct + sorted. Value-identical to
@@ -362,6 +478,12 @@ object TextHashing {
   def winnow(text: Column, k: Int, w: Int): Column =
     ColumnBridge.column(WinnowFp(e(text), k, w))
 
+  def minhashBandsPoly(sh: Column, numHashes: Int, bands: Int): Column =
+    ColumnBridge.column(MinHashBandsPoly(e(sh), numHashes, bands))
+
+  def simhashPoly(text: Column): Column =
+    ColumnBridge.column(SimHashPoly(e(text)))
+
   // ---- SQL registration (parity with cosine_sim) -------------------------
 
   private def intLit(ex: Expression, what: String): Int = ex match {
@@ -387,5 +509,8 @@ object TextHashing {
     reg("graft_simhash", ex => SimHash64(ex.head))
     reg("graft_winnow",
       ex => WinnowFp(ex.head, intLit(ex(1), "k"), intLit(ex(2), "w")))
+    reg("graft_minhash_bands_poly",
+      ex => MinHashBandsPoly(ex.head, intLit(ex(1), "numHashes"), intLit(ex(2), "bands")))
+    reg("graft_simhash_poly", ex => SimHashPoly(ex.head))
   }
 }

@@ -70,6 +70,15 @@ object ExtQueries {
         .select(col("simhash"), col("n_docs"),
           to_json(col("doc_ids")).as("doc_ids"))),
 
+    // Portable-polynomial-hash twins of the two rows-only queries above:
+    // identical LSH/vote topology, every hash replayable in DuckDB — the
+    // near-dup tier's full cross-engine oracle.
+    "q_minhash_portable" -> ((s, d) =>
+      Dedup.portableMinhashPairs(docsPar(s, d))),
+
+    "q_simhash_portable" -> ((s, d) =>
+      Dedup.portableSimhashDups(docsPar(s, d))),
+
     "q_cosine_topk" -> ((s, d) => Similarity.topK(embPar(s, d), 0L, 20)),
 
     // Same top-k through the native codegen'd Catalyst expression — must be
@@ -245,6 +254,16 @@ object ExtQueries {
       |          floor((CAST(tw.topc AS DOUBLE) / CAST(n.n_words AS DOUBLE)) * 1e6 + 0.5) / 1e6 <= CAST(0.20 AS DOUBLE)) AS passes
       |  FROM narrow n JOIN tw ON n.doc_id = tw.doc_id)""".stripMargin
 
+  /** The portable polynomial string hash as DuckDB SQL — the same
+    * char-code fold as [[graft.plans.TextHashing.polyHash]]:
+    * `h = fold (h*131 + codePoint) mod 1e9+7` (winnow-oracle precedent).
+    */
+  private def polyHashSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(range(1, length($s) + 1), " +
+      s"j -> CAST(unicode(substr($s, CAST(j AS INT), 1)) AS BIGINT))), " +
+      s"(acc, c) -> (acc * 131 + c) % 1000000007)"
+
   /** DuckDB cosine with the identical left-to-right double fold as
     * [[graft.plans.CosineSimilarity]] — bit-stable across engines.
     */
@@ -352,6 +371,55 @@ object ExtQueries {
     // Mirrors Winnow.fingerprints exactly: polynomial k-gram hash mod 1e9+7
     // (list_reduce seeded via list_prepend 0), w-window minima, distinct.
     "q_winnow_pairs" -> s"WITH $winnowCtes\n$winnowPairsSelect",
+
+    // Mirrors Dedup.portableMinhashPairs: 3-word shingles -> poly base hash
+    // -> 32 affine hashes ((2i+1)h+i mod 1e9+7), min per slot, 8 bands of 4
+    // rendered as CSV keys, bucket join capped at 1000, shared-band counts.
+    "q_minhash_portable" ->
+      s"""WITH sh0 AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |hs AS (
+        |  SELECT doc_id, list_transform(sh, s -> ${polyHashSql("s")}) AS hs
+        |  FROM sh0 WHERE len(sh) > 0),
+        |sig AS (
+        |  SELECT doc_id, list_transform(range(0, 32), i ->
+        |           list_min(list_transform(hs, h -> ((2*i + 1) * h + i) % 1000000007))) AS sig
+        |  FROM hs),
+        |keys AS (
+        |  SELECT doc_id, unnest(range(0, 8)) AS band,
+        |         unnest(list_transform(range(0, 8), b -> array_to_string(
+        |           list_transform(range(b*4 + 1, b*4 + 5), r -> CAST(sig[r] AS VARCHAR)), ','))) AS key
+        |  FROM sig),
+        |ok AS (
+        |  SELECT band, key FROM keys GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 1000)
+        |SELECT k1.doc_id AS doc_a, k2.doc_id AS doc_b, count(*) AS n_shared_bands
+        |FROM keys k1
+        |JOIN keys k2 ON k1.band = k2.band AND k1.key = k2.key AND k1.doc_id < k2.doc_id
+        |JOIN ok ON ok.band = k1.band AND ok.key = k1.key
+        |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors Dedup.portableSimhashDups: 30-bit vote over poly token hashes,
+    // bit j set when 2*count >= n; doc_ids as a sorted CSV string.
+    "q_simhash_portable" ->
+      s"""SELECT simhash, count(*) AS n_docs,
+        |       array_to_string(list_transform(list_sort(list(doc_id)),
+        |         d -> CAST(d AS VARCHAR)), ',') AS doc_ids
+        |FROM (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(0, 30), j ->
+        |             CASE WHEN 2 * len(list_filter(hs, h ->
+        |                    (h // (CAST(1 AS BIGINT) << j)) % 2 = 1)) >= len(hs)
+        |                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+        |           (a, b) -> a + b) AS simhash
+        |  FROM (SELECT doc_id,
+        |               list_transform(string_split(text, ' '), tok -> ${polyHashSql("tok")}) AS hs
+        |        FROM documents))
+        |GROUP BY simhash HAVING count(*) > 1""".stripMargin,
 
     // TF-IDF with smoothed ln idf; rank and score share the quantized
     // value (ln cross-engine agreement: same precedent as q_volatility_1h).

@@ -375,6 +375,19 @@ class ExtSpec extends SparkTestBase {
     assert(empty.count() === 0)
   }
 
+  test("portable minhash pairs contain every exact-duplicate pair; simhash-poly groups are near-identical") {
+    val exact = docs.as("a").join(docs.as("b"),
+        col("a.text") === col("b.text") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val pairs = Dedup.portableMinhashPairs(docs)
+    assert(exact.exceptAll(pairs.select("doc_a", "doc_b")).count() === 0)
+    // identical docs share every band
+    val full = pairs.join(exact, Seq("doc_a", "doc_b"))
+    assert(full.filter(col("n_shared_bands") =!= 8).count() === 0)
+    val groups = Dedup.portableSimhashDups(docs)
+    assert(groups.count() > 0, "planted dups must collide")
+  }
+
   test("quality rules: repetition fails, a normal doc passes, flags match thresholds") {
     import spark.implicits._
     val clean = "the quick brown fox jumps over lazy dogs while seven wizards " +
