@@ -5,7 +5,7 @@ import java.nio.file.Files
 import graft.core.Tables
 import graft.features.LargeTrades
 import graft.sources.{AvroCodec, StreamSources}
-import graft.streaming.{Cep, StreamingFeatures}
+import graft.streaming.{Cep, OrderedCusum, StreamingFeatures}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -170,6 +170,54 @@ object StreamQueries {
       s.read.parquet(out).select("symbol", "cusum_pos", "cusum_neg", "n_alerts")
     }),
 
+    // The ORDERED CUSUM on transformWithState (Spark 4.x arbitrary state):
+    // buffers rows in ListState until the event-time watermark covers them,
+    // folds in (time, trade_id) order, flushes the tail via an event-time
+    // timer in the post-advance no-data batch. Robust to multi-batch
+    // replays (StreamingSpec proves it against a 3-file split); shares
+    // q_stream_cusum's full-fold DuckDB oracle.
+    "q_stream_cusum_ordered" -> ((s, d) => {
+      val out = Files.createTempDirectory("graft_cusum_ord_").toString + "/t"
+      val stats = Tables.trades(s, d).groupBy("symbol").agg(
+          graft.functions.Quantize.r(avg(col("price")), 6).as("mu"),
+          graft.functions.Quantize.r(stddev_samp(col("price")), 6).as("sigma"))
+        .filter(col("sigma").isNotNull && col("sigma") > 0)
+      val obs = StreamSources.tradeFileStream(s, s"$d/events.parquet")
+        .join(broadcast(stats), Seq("symbol"))
+        .select(col("time"), col("trade_id"), col("symbol"),
+          graft.functions.Quantize.r(
+            (col("price") - col("mu")) / col("sigma"), 6).as("z"))
+      // transformWithState needs the multi-column-family state store
+      // (ListState + ValueState + timers); scope the RocksDB provider to
+      // this query and restore the session default after
+      val providerKey = "spark.sql.streaming.stateStore.providerClass"
+      val prevProvider = s.conf.getOption(providerKey)
+      s.conf.set(providerKey,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try {
+        val q = OrderedCusum.monitor(obs).writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[OrderedCusum.FoldRow], _: Long) =>
+            batch.write.mode("append").parquet(out)
+          }
+          .outputMode("update").trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+          .start()
+        q.awaitTermination()
+      } finally {
+        prevProvider match {
+          case Some(p) => s.conf.set(providerKey, p)
+          case None => s.conf.unset(providerKey)
+        }
+      }
+      s.read.parquet(out)
+        .groupBy("symbol")
+        .agg(max_by(
+          struct(col("cusum_pos"), col("cusum_neg"), col("n_alerts")),
+          col("n_folded")).as("r"))
+        .select(col("symbol"), col("r.cusum_pos"), col("r.cusum_neg"),
+          col("r.n_alerts"))
+    }),
+
     // Stream-stream interval join (dual watermarks, time-range state
     // eviction): large trades × trailing-hour quotes. Same oracle as the
     // batch epsilon-join twin q_range_join.
@@ -232,6 +280,42 @@ object StreamQueries {
       |       count(*) AS trade_count
       |FROM trades GROUP BY 1, 2""".stripMargin
 
+  /** CUSUM fold in DuckDB: list_reduce over [z,0,0] triples with the running
+    * [pos,neg,alerts] as the accumulator (prepended [0,0,0] seed); mu/sigma
+    * and z quantized identically to the Spark side so the folds agree
+    * bit-wise; null/zero-sigma symbols excluded identically. Shared by the
+    * arrival-order monitor (single-batch contract) and the ordered TWS
+    * variant — both end a bounded replay at the same full ordered fold.
+    */
+  private val cusumOracleSql: String = OracleSql.withTradesAnd(
+    """stats AS (
+      |  SELECT * FROM (
+      |    SELECT symbol,
+      |           floor(avg(price) * 1e6 + 0.5) / 1e6 AS mu,
+      |           floor(stddev_samp(price) * 1e6 + 0.5) / 1e6 AS sigma
+      |    FROM trades GROUP BY 1)
+      |  WHERE sigma IS NOT NULL AND sigma > 0),
+      |folded AS (
+      |  SELECT t.symbol,
+      |    list_reduce(
+      |      list_prepend(CAST([0, 0, 0] AS DOUBLE[]),
+      |        list_transform(list(t.price ORDER BY t.time, t.trade_id),
+      |          x -> [floor(((x - s.mu) / s.sigma) * 1e6 + 0.5) / 1e6,
+      |                CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
+      |      (acc, e) -> [
+      |        greatest(CAST(0 AS DOUBLE), acc[1] + e[1] - CAST(0.5 AS DOUBLE)),
+      |        greatest(CAST(0 AS DOUBLE), acc[2] - e[1] - CAST(0.5 AS DOUBLE)),
+      |        acc[3] + CASE WHEN greatest(CAST(0 AS DOUBLE), acc[1] + e[1] - CAST(0.5 AS DOUBLE)) > CAST(5 AS DOUBLE)
+      |                        OR greatest(CAST(0 AS DOUBLE), acc[2] - e[1] - CAST(0.5 AS DOUBLE)) > CAST(5 AS DOUBLE)
+      |                      THEN 1 ELSE 0 END]) AS st
+      |  FROM trades t JOIN stats s ON t.symbol = s.symbol
+      |  GROUP BY t.symbol, s.mu, s.sigma)""".stripMargin,
+    """SELECT symbol,
+      |       floor(st[1] * 1e6 + 0.5) / 1e6 AS cusum_pos,
+      |       floor(st[2] * 1e6 + 0.5) / 1e6 AS cusum_neg,
+      |       CAST(st[3] AS BIGINT) AS n_alerts
+      |FROM folded""".stripMargin)
+
   val oracles: Map[String, String] = Map(
     "q_stream_ohlc" -> withTrades(ohlcSql),
 
@@ -277,38 +361,11 @@ object StreamQueries {
     // grouping is the SQL expression of session_window semantics.
     "q_stream_sessions" -> withTrades(FeatureQueries.sessionStatsSql),
 
-    // CUSUM fold in DuckDB: list_reduce over [z,0,0] triples with the
-    // running [pos,neg,alerts] as the accumulator (prepended [0,0,0] seed);
-    // mu/sigma and z quantized identically to the Spark side so the folds
-    // agree bit-wise; null/zero-sigma symbols excluded identically.
-    "q_stream_cusum" -> OracleSql.withTradesAnd(
-      """stats AS (
-        |  SELECT * FROM (
-        |    SELECT symbol,
-        |           floor(avg(price) * 1e6 + 0.5) / 1e6 AS mu,
-        |           floor(stddev_samp(price) * 1e6 + 0.5) / 1e6 AS sigma
-        |    FROM trades GROUP BY 1)
-        |  WHERE sigma IS NOT NULL AND sigma > 0),
-        |folded AS (
-        |  SELECT t.symbol,
-        |    list_reduce(
-        |      list_prepend(CAST([0, 0, 0] AS DOUBLE[]),
-        |        list_transform(list(t.price ORDER BY t.time, t.trade_id),
-        |          x -> [floor(((x - s.mu) / s.sigma) * 1e6 + 0.5) / 1e6,
-        |                CAST(0 AS DOUBLE), CAST(0 AS DOUBLE)])),
-        |      (acc, e) -> [
-        |        greatest(CAST(0 AS DOUBLE), acc[1] + e[1] - CAST(0.5 AS DOUBLE)),
-        |        greatest(CAST(0 AS DOUBLE), acc[2] - e[1] - CAST(0.5 AS DOUBLE)),
-        |        acc[3] + CASE WHEN greatest(CAST(0 AS DOUBLE), acc[1] + e[1] - CAST(0.5 AS DOUBLE)) > CAST(5 AS DOUBLE)
-        |                        OR greatest(CAST(0 AS DOUBLE), acc[2] - e[1] - CAST(0.5 AS DOUBLE)) > CAST(5 AS DOUBLE)
-        |                      THEN 1 ELSE 0 END]) AS st
-        |  FROM trades t JOIN stats s ON t.symbol = s.symbol
-        |  GROUP BY t.symbol, s.mu, s.sigma)""".stripMargin,
-      """SELECT symbol,
-        |       floor(st[1] * 1e6 + 0.5) / 1e6 AS cusum_pos,
-        |       floor(st[2] * 1e6 + 0.5) / 1e6 AS cusum_neg,
-        |       CAST(st[3] AS BIGINT) AS n_alerts
-        |FROM folded""".stripMargin),
+    "q_stream_cusum" -> cusumOracleSql,
+
+    // the ordered TWS variant ends fully folded on a bounded replay, so the
+    // final per-key rows equal the same full ordered fold
+    "q_stream_cusum_ordered" -> cusumOracleSql,
 
     "q_stream_interval_join" -> OracleSql.withTradesAnd(
       """thr AS (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1)""",

@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.streaming.Cep.{CusumMonitor, CusumObs}
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming._
+
+/** Event-time-ORDERED CUSUM monitor on the `transformWithState` arbitrary-
+  * state API (Spark 4.x) — the ordering-tolerant form of
+  * [[Cep.CusumMonitor]].
+  *
+  * The plain monitor folds in arrival order across micro-batches, so its
+  * ordering contract holds only for single-batch replays. This processor
+  * restores the contract under ANY batching: observations buffer in
+  * `ListState` until the event-time watermark passes them, then fold in
+  * (event time, trade_id) order. Rows later than the watermark allows are
+  * dropped by the watermark operator itself — the standard trade: the
+  * watermark delay is the disorder tolerance, and state is O(rows inside
+  * the delay window) per key, not O(history).
+  *
+  * Mechanics: each batch appends its rows and folds the prefix the CURRENT
+  * watermark already covers; a timer registered at watermark+1 ms makes the
+  * post-advance no-data batch flush the remainder (with delay 0 that is the
+  * entire tail, so a bounded replay ends fully folded — same final rows as
+  * the batch oracle). Watermarks are millisecond-granular, so ripeness is
+  * judged against the last covered whole millisecond (wm·1000 + 999 μs) and
+  * same-millisecond observations always fold together, keeping the
+  * (time, trade_id) sort globally consistent across fold boundaries.
+  *
+  * Emits one row per key per fold with a monotone `n_folded`; readers keep
+  * the max-`n_folded` row per key (the bounded-replay harness does exactly
+  * that).
+  */
+object OrderedCusum {
+
+  final case class OState(
+      pos: Double, neg: Double, alerts: Long, maxTimeMicros: Long, n: Long)
+
+  final case class FoldRow(
+      symbol: String, cusum_pos: Double, cusum_neg: Double, n_alerts: Long,
+      n_folded: Long)
+
+  class Processor extends StatefulProcessor[String, CusumObs, FoldRow] {
+    @transient private var st: ValueState[OState] = _
+    @transient private var pending: ListState[CusumObs] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      st = getHandle.getValueState[OState](
+        "cusum", Encoders.product[OState], TTLConfig.NONE)
+      pending = getHandle.getListState[CusumObs](
+        "pending", Encoders.product[CusumObs], TTLConfig.NONE)
+    }
+
+    private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+
+    /** Fold every buffered observation the watermark covers; emit the new
+      * state when anything folded.
+      */
+    private def foldRipe(symbol: String, wmMs: Long): Iterator[FoldRow] = {
+      val ripeBound = wmMs * 1000L + 999L
+      val all = pending.get().toArray
+      val (ripe, rest) = all.partition(_.timeMicros <= ripeBound)
+      if (ripe.isEmpty) Iterator.empty
+      else {
+        pending.clear()
+        if (rest.nonEmpty) pending.put(rest)
+        var s =
+          if (st.exists()) st.get()
+          else OState(0.0, 0.0, 0L, Long.MinValue, 0L)
+        ripe.sortBy(o => (o.timeMicros, o.tradeId)).foreach { o =>
+          val pos = math.max(0.0, s.pos + o.z - CusumMonitor.Slack)
+          val neg = math.max(0.0, s.neg - o.z - CusumMonitor.Slack)
+          val alert = pos > CusumMonitor.Threshold || neg > CusumMonitor.Threshold
+          s = OState(pos, neg, s.alerts + (if (alert) 1L else 0L),
+            math.max(s.maxTimeMicros, o.timeMicros), s.n + 1L)
+        }
+        st.update(s)
+        Iterator.single(FoldRow(symbol, q6(s.pos), q6(s.neg), s.alerts, s.n))
+      }
+    }
+
+    override def handleInputRows(
+        symbol: String,
+        rows: Iterator[CusumObs],
+        timerValues: TimerValues): Iterator[FoldRow] = {
+      rows.foreach(pending.appendValue)
+      // fire on the first batch where the watermark has advanced past the
+      // current one — the no-data batch after the final file flushes the tail
+      getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1L)
+      foldRipe(symbol, timerValues.getCurrentWatermarkInMs())
+    }
+
+    override def handleExpiredTimer(
+        symbol: String,
+        timerValues: TimerValues,
+        expiredTimerInfo: ExpiredTimerInfo): Iterator[FoldRow] =
+      foldRipe(symbol, timerValues.getCurrentWatermarkInMs())
+  }
+
+  /** Apply over a streaming frame carrying (time, trade_id, symbol, z).
+    * `delay` is the allowed event-time disorder ACROSS batches (rows later
+    * than it are dropped by the watermark, as in any event-time operator).
+    */
+  def monitor(obs: DataFrame, delay: String = "0 seconds"): Dataset[FoldRow] = {
+    val spark = obs.sparkSession
+    import spark.implicits._
+    obs
+      .withWatermark("time", delay)
+      .select(unix_micros(col("time")).as("timeMicros"),
+        col("trade_id").as("tradeId"), col("symbol"), col("z"))
+      .as[CusumObs]
+      .groupByKey(_.symbol)
+      .transformWithState(
+        new Processor, TimeMode.EventTime(), OutputMode.Update(),
+        Encoders.product[FoldRow])
+  }
+}

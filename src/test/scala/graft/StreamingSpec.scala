@@ -299,6 +299,87 @@ class StreamingSpec extends SparkTestBase {
     assert(res("DRIFT").cusum_pos === math.floor(2.5 * 50 * 1e6 + 0.5) / 1e6)
   }
 
+  test("ordered CUSUM on transformWithState survives a 3-batch chronological replay") {
+    import graft.streaming.OrderedCusum
+    import org.apache.spark.sql.streaming.Trigger
+    // split events into 3 chronological files -> 3 micro-batches
+    // (maxFilesPerTrigger=1); the arrival-order monitor's single-batch
+    // contract does NOT hold here, the TWS buffer-until-watermark fold must
+    // still produce the exact global (time, trade_id)-ordered fold.
+    val srcDir = Files.createTempDirectory("graft_cusum_src_").toString
+    val ev = spark.read.schema(graft.sources.StreamSources.eventsSchema)
+      .parquet(s"$sf0001/events.parquet").orderBy("ts")
+    val n = ev.count()
+    val parts = ev.collect().grouped((n / 3 + 1).toInt).toSeq
+    parts.zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory("graft_cusum_part_").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        graft.sources.StreamSources.eventsSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      // the file stream lists FLAT files — surface the single part file as
+      // srcDir/f<i>.parquet (file mtime/name order = chronological order)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file written under $tmp"))
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$srcDir/f$i.parquet"))
+    }
+    val stats = Tables.trades(spark, sf0001).groupBy("symbol").agg(
+        graft.functions.Quantize.r(avg(col("price")), 6).as("mu"),
+        graft.functions.Quantize.r(stddev_samp(col("price")), 6).as("sigma"))
+      .filter(col("sigma").isNotNull && col("sigma") > 0)
+    val raw = spark.readStream
+      .schema(graft.sources.StreamSources.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+    val obs = graft.sources.StreamSources.projectTrades(raw)
+      .join(broadcast(stats), Seq("symbol"))
+      .select(col("time"), col("trade_id"), col("symbol"),
+        graft.functions.Quantize.r(
+          (col("price") - col("mu")) / col("sigma"), 6).as("z"))
+    val out = Files.createTempDirectory("graft_cusum_ord_t_").toString + "/t"
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(providerKey)
+    spark.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = OrderedCusum.monitor(obs).writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[OrderedCusum.FoldRow], _: Long) =>
+          b.write.mode("append").parquet(out)
+        }
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+    } finally {
+      prev match {
+        case Some(p) => spark.conf.set(providerKey, p)
+        case None => spark.conf.unset(providerKey)
+      }
+    }
+    val multi = spark.read.parquet(out)
+      .groupBy("symbol")
+      .agg(max_by(struct(col("cusum_pos"), col("cusum_neg"), col("n_alerts")),
+        col("n_folded")).as("r"), max(col("n_folded")).as("n_folded"))
+      .select(col("symbol"), col("r.cusum_pos"), col("r.cusum_neg"),
+        col("r.n_alerts"), col("n_folded"))
+    // reference: the single-batch arrival-order fold (contract holds there)
+    val single = registry.StreamQueries.queries("q_stream_cusum")(spark, sf0001)
+    val joined = multi.join(single.withColumnRenamed("cusum_pos", "sp")
+        .withColumnRenamed("cusum_neg", "sn").withColumnRenamed("n_alerts", "sa"),
+      Seq("symbol"))
+    assert(joined.count() === single.count(), "every symbol folded")
+    assert(joined.filter(
+      col("cusum_pos") =!= col("sp") || col("cusum_neg") =!= col("sn") ||
+        col("n_alerts") =!= col("sa")).count() === 0,
+      "3-batch ordered fold must equal the single-batch fold")
+    // nothing left pending: every observation folded
+    val nObs = Tables.trades(spark, sf0001)
+      .join(stats, Seq("symbol"), "left_semi").count()
+    assert(multi.agg(sum(col("n_folded"))).collect().head.getLong(0) === nObs)
+  }
+
   test("observed metrics ride the batch query: counts, nulls, freshness bounds") {
     import graft.quality.Observability
     val t = core.Tables.trades(spark, sf0001)
