@@ -68,16 +68,19 @@ object Curation {
     * actually small at runtime).
     */
   def curate(documents: DataFrame): DataFrame = {
-    val en = documents
-      .filter(TextStats.langId(col("text")) === "en")
-      .select("doc_id")
-    val pass = QualityRules.compute(documents)
+    // the narrow language gate runs FIRST so the quality and dedup
+    // aggregations shuffle only surviving rows; restricting dedup to the
+    // en slice is semantics-preserving (exact dups share text, hence
+    // language), so canonicals are identical to a full-corpus dedup
+    val en = documents.filter(TextStats.langId(col("text")) === "en")
+    val pass = QualityRules.compute(en)
       .filter(col("passes")).select("doc_id")
-    val canon = documents
+    val canon = en
       .groupBy(md5(col("text")).as("fp"))
       .agg(min(col("doc_id")).as("doc_id"))
       .select("doc_id")
-    hashSplit(en.join(pass, Seq("doc_id")).join(canon, Seq("doc_id")), "doc_id")
+    hashSplit(en.select("doc_id").join(pass, Seq("doc_id")).join(canon, Seq("doc_id")),
+      "doc_id")
       .select("doc_id", "split")
   }
 

@@ -33,16 +33,22 @@ object QualityRules {
   val MaxDupBigramFrac  = 0.10
   val MaxTopWordFrac    = 0.20
 
-  private def toks: Column = split(col("text"), " ")
-
   /** doc_id, metrics (quantized), passes. */
   def compute(docs: DataFrame): DataFrame = {
-    val l = toks
+    // Tokenize ONCE into a projected column and reference it by attribute:
+    // embedding split(text) inside the bigram lambda would re-tokenize the
+    // document per bigram (Catalyst does not CSE through higher-order
+    // functions — the documented Curation.chunk pitfall, O(tokens²) per
+    // doc), and CollapseProject keeps the alias because it is referenced
+    // more than once by non-cheap consumers.
+    val base = docs.select(col("doc_id"), col("text"),
+      split(col("text"), " ").as("toks"))
+    val l = col("toks")
     val n = size(l)
     // bigram i pairs slice-element i (= l[i+1], 1-based) with l[i+2]
     val bigrams = transform(
       slice(l, lit(1), n - 1), (t, i) => concat(t, lit(" "), element_at(l, i + lit(2))))
-    val narrow = docs.select(
+    val narrow = base.select(
       col("doc_id"),
       n.cast("long").as("n_words"),
       Quantize.r(length(translate(col("text"), " ", "")).cast("double") /
@@ -53,7 +59,7 @@ object QualityRules {
           lit(1.0) - size(array_distinct(bigrams)).cast("double") /
             (n - 1).cast("double"))
           .otherwise(lit(0.0)), 6).as("dup_bigram_fraction"))
-    val top = docs
+    val top = base
       .select(col("doc_id"), explode(l).as("tok"))
       .groupBy("doc_id", "tok").agg(count(lit(1)).as("c"))
       .groupBy("doc_id").agg(max(col("c")).as("topc"))

@@ -21,6 +21,63 @@ object StreamQueries {
 
   type Q = (SparkSession, String) => DataFrame
 
+  /** Standardized CUSUM observations over any trades-shaped stream: batch
+    * mu/sigma broadcast, z quantized BEFORE the fold (cross-engine bit
+    * agreement), null/zero-sigma symbols excluded. The single construction
+    * both CUSUM queries, the StreamingSpec replays, and the shared
+    * `cusumOracleSql` depend on bit-for-bit.
+    */
+  def cusumZ(s: SparkSession, d: String, tradesStream: DataFrame): DataFrame = {
+    val stats = Tables.trades(s, d).groupBy("symbol").agg(
+        graft.functions.Quantize.r(avg(col("price")), 6).as("mu"),
+        graft.functions.Quantize.r(stddev_samp(col("price")), 6).as("sigma"))
+      .filter(col("sigma").isNotNull && col("sigma") > 0)
+    tradesStream
+      .join(broadcast(stats), Seq("symbol"))
+      .select(col("time"), col("trade_id"), col("symbol"),
+        graft.functions.Quantize.r(
+          (col("price") - col("mu")) / col("sigma"), 6).as("z"))
+  }
+
+  /** Bounded replay of the ordered TWS CUSUM into `out`, with the RocksDB
+    * state store (transformWithState needs multi-column-family support)
+    * scoped to the query and the session default restored after.
+    */
+  def runOrderedCusum(s: SparkSession, obs: DataFrame, out: String): Unit = {
+    val providerKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = s.conf.getOption(providerKey)
+    s.conf.set(providerKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = OrderedCusum.monitor(obs).writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[OrderedCusum.FoldRow], _: Long) =>
+          batch.write.mode("append").parquet(out)
+        }
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+    } finally {
+      prevProvider match {
+        case Some(p) => s.conf.set(providerKey, p)
+        case None => s.conf.unset(providerKey)
+      }
+    }
+  }
+
+  /** Last emission per key from an ordered-CUSUM replay dump: total consumed
+    * (`n_folded + n_late`) is strictly monotone per emission, so max_by on it
+    * is the final state.
+    */
+  def lastOrderedCusumRows(dump: DataFrame): DataFrame =
+    dump.groupBy("symbol")
+      .agg(max_by(
+        struct(col("cusum_pos"), col("cusum_neg"), col("n_alerts"),
+          col("n_folded"), col("n_late")),
+        col("n_folded") + col("n_late")).as("r"))
+      .select(col("symbol"), col("r.cusum_pos"), col("r.cusum_neg"),
+        col("r.n_alerts"), col("r.n_folded"), col("r.n_late"))
+
   val queries: Map[String, Q] = Map(
     // Streaming OHLC (watermark + tumbling window + memory sink).
     "q_stream_ohlc" -> ((s, d) =>
@@ -149,15 +206,7 @@ object StreamQueries {
     // saturate the fold.
     "q_stream_cusum" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_cusum_").toString + "/t"
-      val stats = Tables.trades(s, d).groupBy("symbol").agg(
-          graft.functions.Quantize.r(avg(col("price")), 6).as("mu"),
-          graft.functions.Quantize.r(stddev_samp(col("price")), 6).as("sigma"))
-        .filter(col("sigma").isNotNull && col("sigma") > 0)
-      val obs = StreamSources.tradeFileStream(s, s"$d/events.parquet")
-        .join(broadcast(stats), Seq("symbol"))
-        .select(col("time"), col("trade_id"), col("symbol"),
-          graft.functions.Quantize.r(
-            (col("price") - col("mu")) / col("sigma"), 6).as("z"))
+      val obs = cusumZ(s, d, StreamSources.tradeFileStream(s, s"$d/events.parquet"))
       val results = Cep.CusumMonitor.monitor(obs)
       val q = results.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[Cep.CusumResult], _: Long) =>
@@ -178,44 +227,11 @@ object StreamQueries {
     // q_stream_cusum's full-fold DuckDB oracle.
     "q_stream_cusum_ordered" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_cusum_ord_").toString + "/t"
-      val stats = Tables.trades(s, d).groupBy("symbol").agg(
-          graft.functions.Quantize.r(avg(col("price")), 6).as("mu"),
-          graft.functions.Quantize.r(stddev_samp(col("price")), 6).as("sigma"))
-        .filter(col("sigma").isNotNull && col("sigma") > 0)
-      val obs = StreamSources.tradeFileStream(s, s"$d/events.parquet")
-        .join(broadcast(stats), Seq("symbol"))
-        .select(col("time"), col("trade_id"), col("symbol"),
-          graft.functions.Quantize.r(
-            (col("price") - col("mu")) / col("sigma"), 6).as("z"))
-      // transformWithState needs the multi-column-family state store
-      // (ListState + ValueState + timers); scope the RocksDB provider to
-      // this query and restore the session default after
-      val providerKey = "spark.sql.streaming.stateStore.providerClass"
-      val prevProvider = s.conf.getOption(providerKey)
-      s.conf.set(providerKey,
-        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-      try {
-        val q = OrderedCusum.monitor(obs).writeStream
-          .foreachBatch { (batch: org.apache.spark.sql.Dataset[OrderedCusum.FoldRow], _: Long) =>
-            batch.write.mode("append").parquet(out)
-          }
-          .outputMode("update").trigger(Trigger.AvailableNow())
-          .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
-          .start()
-        q.awaitTermination()
-      } finally {
-        prevProvider match {
-          case Some(p) => s.conf.set(providerKey, p)
-          case None => s.conf.unset(providerKey)
-        }
-      }
+      val obs = cusumZ(s, d, StreamSources.tradeFileStream(s, s"$d/events.parquet"))
+      runOrderedCusum(s, obs, out)
       s.read.parquet(out)
-        .groupBy("symbol")
-        .agg(max_by(
-          struct(col("cusum_pos"), col("cusum_neg"), col("n_alerts")),
-          col("n_folded")).as("r"))
-        .select(col("symbol"), col("r.cusum_pos"), col("r.cusum_neg"),
-          col("r.n_alerts"))
+        .transform(lastOrderedCusumRows)
+        .select("symbol", "cusum_pos", "cusum_neg", "n_alerts")
     }),
 
     // Stream-stream interval join (dual watermarks, time-range state

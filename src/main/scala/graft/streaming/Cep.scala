@@ -72,6 +72,10 @@ object Cep {
   }
 
   final case class CusumObs(timeMicros: Long, tradeId: String, symbol: String, z: Double)
+  // NOTE: adding maxTimeMicros changed the mapGroupsWithState state-encoder
+  // schema (3 -> 4 fields); checkpoints written by earlier builds do not
+  // restore against it — a deployment migrating across that boundary must
+  // start from a fresh checkpoint (standard Spark state-schema rule).
   final case class CusumState(
       pos: Double, neg: Double, alerts: Long, maxTimeMicros: Long = Long.MinValue)
   final case class CusumResult(

@@ -13,32 +13,39 @@ import org.apache.spark.sql.streaming._
   * ordering contract holds only for single-batch replays. This processor
   * restores the contract under ANY batching: observations buffer in
   * `ListState` until the event-time watermark passes them, then fold in
-  * (event time, trade_id) order. Rows later than the watermark allows are
-  * dropped by the watermark operator itself — the standard trade: the
-  * watermark delay is the disorder tolerance, and state is O(rows inside
-  * the delay window) per key, not O(history).
+  * (event time, trade_id) order. The watermark delay is the disorder
+  * tolerance, and state is O(rows inside the delay window) per key, not
+  * O(history).
+  *
+  * Late-row discipline is enforced IN the processor: `groupByKey` strips
+  * the event-time metadata column, so Spark's own stateful-operator late
+  * filtering never sees these rows — the state therefore carries
+  * `foldedUpToMicros` (the last watermark-covered microsecond already
+  * folded) and any arrival at or below it is counted in `n_late` and
+  * dropped, never folded out of order. Watermarks are millisecond-granular,
+  * so ripeness is judged against the last covered whole millisecond
+  * (wm·1000 + 999 μs): same-millisecond observations fold together when
+  * they arrive together, and a straggler into an already-folded
+  * millisecond is late by construction.
   *
   * Mechanics: each batch appends its rows and folds the prefix the CURRENT
   * watermark already covers; a timer registered at watermark+1 ms makes the
   * post-advance no-data batch flush the remainder (with delay 0 that is the
   * entire tail, so a bounded replay ends fully folded — same final rows as
-  * the batch oracle). Watermarks are millisecond-granular, so ripeness is
-  * judged against the last covered whole millisecond (wm·1000 + 999 μs) and
-  * same-millisecond observations always fold together, keeping the
-  * (time, trade_id) sort globally consistent across fold boundaries.
-  *
-  * Emits one row per key per fold with a monotone `n_folded`; readers keep
-  * the max-`n_folded` row per key (the bounded-replay harness does exactly
+  * the batch oracle). Emits one row per key per consuming fold; readers
+  * keep the row with max `n_folded + n_late` per key (total consumed is
+  * strictly monotone per emission; the bounded-replay harness does exactly
   * that).
   */
 object OrderedCusum {
 
   final case class OState(
-      pos: Double, neg: Double, alerts: Long, maxTimeMicros: Long, n: Long)
+      pos: Double, neg: Double, alerts: Long, foldedUpToMicros: Long,
+      n: Long, nLate: Long)
 
   final case class FoldRow(
       symbol: String, cusum_pos: Double, cusum_neg: Double, n_alerts: Long,
-      n_folded: Long)
+      n_folded: Long, n_late: Long)
 
   class Processor extends StatefulProcessor[String, CusumObs, FoldRow] {
     @transient private var st: ValueState[OState] = _
@@ -53,29 +60,37 @@ object OrderedCusum {
 
     private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
-    /** Fold every buffered observation the watermark covers; emit the new
-      * state when anything folded.
+    /** Consume every buffered observation the watermark covers — fold the
+      * in-order ones, count the late ones — and emit the new state when
+      * anything was consumed.
       */
     private def foldRipe(symbol: String, wmMs: Long): Iterator[FoldRow] = {
       val ripeBound = wmMs * 1000L + 999L
       val all = pending.get().toArray
-      val (ripe, rest) = all.partition(_.timeMicros <= ripeBound)
-      if (ripe.isEmpty) Iterator.empty
+      val (consumed, rest) = all.partition(_.timeMicros <= ripeBound)
+      if (consumed.isEmpty) Iterator.empty
       else {
         pending.clear()
         if (rest.nonEmpty) pending.put(rest)
         var s =
           if (st.exists()) st.get()
-          else OState(0.0, 0.0, 0L, Long.MinValue, 0L)
+          else OState(0.0, 0.0, 0L, Long.MinValue, 0L, 0L)
+        // anything at or below the already-folded bound would fold out of
+        // (time, trade_id) order — that is a late arrival, dropped & counted
+        val (late, ripe) = consumed.partition(_.timeMicros <= s.foldedUpToMicros)
+        var pos = s.pos; var neg = s.neg; var alerts = s.alerts; var n = s.n
         ripe.sortBy(o => (o.timeMicros, o.tradeId)).foreach { o =>
-          val pos = math.max(0.0, s.pos + o.z - CusumMonitor.Slack)
-          val neg = math.max(0.0, s.neg - o.z - CusumMonitor.Slack)
-          val alert = pos > CusumMonitor.Threshold || neg > CusumMonitor.Threshold
-          s = OState(pos, neg, s.alerts + (if (alert) 1L else 0L),
-            math.max(s.maxTimeMicros, o.timeMicros), s.n + 1L)
+          pos = math.max(0.0, pos + o.z - CusumMonitor.Slack)
+          neg = math.max(0.0, neg - o.z - CusumMonitor.Slack)
+          if (pos > CusumMonitor.Threshold || neg > CusumMonitor.Threshold)
+            alerts += 1L
+          n += 1L
         }
+        s = OState(pos, neg, alerts,
+          math.max(s.foldedUpToMicros, ripeBound), n, s.nLate + late.length)
         st.update(s)
-        Iterator.single(FoldRow(symbol, q6(s.pos), q6(s.neg), s.alerts, s.n))
+        Iterator.single(FoldRow(symbol, q6(s.pos), q6(s.neg), s.alerts, s.n,
+          s.nLate))
       }
     }
 
@@ -98,8 +113,9 @@ object OrderedCusum {
   }
 
   /** Apply over a streaming frame carrying (time, trade_id, symbol, z).
-    * `delay` is the allowed event-time disorder ACROSS batches (rows later
-    * than it are dropped by the watermark, as in any event-time operator).
+    * `delay` is the allowed event-time disorder ACROSS batches; rows
+    * arriving below the already-folded watermark bound surface in `n_late`
+    * and never perturb the fold.
     */
   def monitor(obs: DataFrame, delay: String = "0 seconds"): Dataset[FoldRow] = {
     val spark = obs.sparkSession

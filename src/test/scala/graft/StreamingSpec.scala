@@ -324,46 +324,16 @@ class StreamingSpec extends SparkTestBase {
         .getOrElse(fail(s"no part file written under $tmp"))
       Files.move(part.toPath, java.nio.file.Paths.get(s"$srcDir/f$i.parquet"))
     }
-    val stats = Tables.trades(spark, sf0001).groupBy("symbol").agg(
-        graft.functions.Quantize.r(avg(col("price")), 6).as("mu"),
-        graft.functions.Quantize.r(stddev_samp(col("price")), 6).as("sigma"))
-      .filter(col("sigma").isNotNull && col("sigma") > 0)
     val raw = spark.readStream
       .schema(graft.sources.StreamSources.eventsSchema)
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
       .parquet(srcDir)
-    val obs = graft.sources.StreamSources.projectTrades(raw)
-      .join(broadcast(stats), Seq("symbol"))
-      .select(col("time"), col("trade_id"), col("symbol"),
-        graft.functions.Quantize.r(
-          (col("price") - col("mu")) / col("sigma"), 6).as("z"))
+    val obs = registry.StreamQueries.cusumZ(spark, sf0001,
+      graft.sources.StreamSources.projectTrades(raw))
     val out = Files.createTempDirectory("graft_cusum_ord_t_").toString + "/t"
-    val providerKey = "spark.sql.streaming.stateStore.providerClass"
-    val prev = spark.conf.getOption(providerKey)
-    spark.conf.set(providerKey,
-      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
-    try {
-      val q = OrderedCusum.monitor(obs).writeStream
-        .foreachBatch { (b: org.apache.spark.sql.Dataset[OrderedCusum.FoldRow], _: Long) =>
-          b.write.mode("append").parquet(out)
-        }
-        .outputMode("update").trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
-        .start()
-      q.awaitTermination()
-    } finally {
-      prev match {
-        case Some(p) => spark.conf.set(providerKey, p)
-        case None => spark.conf.unset(providerKey)
-      }
-    }
-    val multi = spark.read.parquet(out)
-      .groupBy("symbol")
-      .agg(max_by(struct(col("cusum_pos"), col("cusum_neg"), col("n_alerts")),
-        col("n_folded")).as("r"), max(col("n_folded")).as("n_folded"))
-      .select(col("symbol"), col("r.cusum_pos"), col("r.cusum_neg"),
-        col("r.n_alerts"), col("n_folded"))
+    registry.StreamQueries.runOrderedCusum(spark, obs, out)
+    val multi = registry.StreamQueries.lastOrderedCusumRows(spark.read.parquet(out))
     // reference: the single-batch arrival-order fold (contract holds there)
     val single = registry.StreamQueries.queries("q_stream_cusum")(spark, sf0001)
     val joined = multi.join(single.withColumnRenamed("cusum_pos", "sp")
@@ -374,10 +344,59 @@ class StreamingSpec extends SparkTestBase {
       col("cusum_pos") =!= col("sp") || col("cusum_neg") =!= col("sn") ||
         col("n_alerts") =!= col("sa")).count() === 0,
       "3-batch ordered fold must equal the single-batch fold")
-    // nothing left pending: every observation folded
-    val nObs = Tables.trades(spark, sf0001)
-      .join(stats, Seq("symbol"), "left_semi").count()
+    // a chronological replay drops nothing and folds every observation
+    val nObs = registry.StreamQueries.cusumZ(spark, sf0001,
+      Tables.trades(spark, sf0001)).count()
+    assert(multi.agg(sum(col("n_late"))).collect().head.getLong(0) === 0L)
     assert(multi.agg(sum(col("n_folded"))).collect().head.getLong(0) === nObs)
+  }
+
+  test("ordered CUSUM drops late arrivals below the folded bound instead of folding out of order") {
+    // Lateness needs a fold BETWEEN a range's coverage and its arrival:
+    // fA (first third + the globally-latest row) advances the watermark to
+    // the corpus max at batch 2, where fA∪fB fold; fC's rows then arrive at
+    // batch 3 entirely below the folded bound — every one must surface in
+    // n_late and never perturb the fold.
+    val srcDir = Files.createTempDirectory("graft_cusum_late_").toString
+    val rows = spark.read.schema(graft.sources.StreamSources.eventsSchema)
+      .parquet(s"$sf0001/events.parquet").orderBy("ts").collect()
+    val n = rows.length
+    val maxRow = rows.last
+    val fA = rows.slice(0, n / 3) :+ maxRow
+    val fB = rows.slice(n / 3, 2 * n / 3)
+    val fC = rows.slice(2 * n / 3, n - 1)
+    def subsetObsCount(part: Array[org.apache.spark.sql.Row]): Long =
+      registry.StreamQueries.cusumZ(spark, sf0001,
+        graft.sources.StreamSources.projectTrades(
+          spark.createDataFrame(
+            spark.sparkContext.parallelize(part.toSeq, 1),
+            graft.sources.StreamSources.eventsSchema))).count()
+    Seq(fA, fB, fC).zipWithIndex.foreach { case (part, i) =>
+      val tmp = Files.createTempDirectory("graft_cusum_part_").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(part.toSeq, 1),
+        graft.sources.StreamSources.eventsSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val partFile = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file written under $tmp"))
+      Files.move(partFile.toPath, java.nio.file.Paths.get(s"$srcDir/f$i.parquet"))
+    }
+    val raw = spark.readStream
+      .schema(graft.sources.StreamSources.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+    val obs = registry.StreamQueries.cusumZ(spark, sf0001,
+      graft.sources.StreamSources.projectTrades(raw))
+    val out = Files.createTempDirectory("graft_cusum_late_t_").toString + "/t"
+    registry.StreamQueries.runOrderedCusum(spark, obs, out)
+    val result = registry.StreamQueries.lastOrderedCusumRows(spark.read.parquet(out))
+    val nLateObs = result.agg(sum(col("n_late"))).collect().head.getLong(0)
+    val nFolded = result.agg(sum(col("n_folded"))).collect().head.getLong(0)
+    assert(nLateObs === subsetObsCount(fC),
+      "rows arriving after their range folded are late, all of them")
+    assert(nFolded === subsetObsCount(fA) + subsetObsCount(fB))
   }
 
   test("observed metrics ride the batch query: counts, nulls, freshness bounds") {
