@@ -229,28 +229,69 @@ object FeatureQueries {
     // Cross-symbol return correlation matrix: bucketed close returns,
     // self-joined per bucket (sym_a < sym_b). O(K² · buckets) where K is
     // the symbol UNIVERSE (a bounded dimension, thousands at most) — never
-    // corpus-scale. Returns quantized BEFORE the corr fold so both engines
-    // accumulate identical doubles.
+    // corpus-scale. Like q_beta, a correlation is a cancellation-sensitive
+    // ratio of covariance sums, so every sum folds in BUCKET ORDER over the
+    // pair's (bounded) shared-bucket list — corr() aggregates are
+    // accumulation-order-dependent and can flip the 1e-6 quantum between
+    // engines. r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)).
     "q_pair_corr" -> ((s, d) => {
       val rets = bucketReturns(s, d)
-      rets.as("a").join(rets.as("b"),
+      val obs = rets.as("a").join(rets.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.symbol") < col("b.symbol"))
         .groupBy(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"))
-        .agg(Quantize.r(corr(col("a.ret"), col("b.ret")), 6).as("ret_corr"),
-          count(lit(1)).as("n_buckets"))
+        .agg(sort_array(collect_list(struct(
+          col("a.bucket").as("bucket"), col("a.ret").as("ra"),
+          col("b.ret").as("rb")))).as("obs"))
+      val n = size(col("obs")).cast("double")
+      def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(col("obs"), lit(0.0), (acc, x) => acc + f(x))
+      val sx = fold(_.getField("ra"))
+      val sy = fold(_.getField("rb"))
+      val sxy = fold(x => x.getField("ra") * x.getField("rb"))
+      val sx2 = fold(x => x.getField("ra") * x.getField("ra"))
+      val sy2 = fold(x => x.getField("rb") * x.getField("rb"))
+      obs.select(col("sym_a"), col("sym_b"),
+        // FP cancellation can leave a variance term at -1e-20: clamp to 0
+        // (NaN-from-sqrt semantics differ between engines), null via nullif
+        Quantize.r(
+          (n * sxy - sx * sy) /
+            nullif(sqrt(greatest(n * sx2 - sx * sx, lit(0.0))) *
+              sqrt(greatest(n * sy2 - sy * sy, lit(0.0))), lit(0.0)),
+          6).as("ret_corr"),
+        size(col("obs")).cast("long").as("n_buckets"))
     }),
 
     // Market beta per symbol: covar(r_i, r_mkt) / var(r_mkt) against the
-    // equal-weight market return (quantized before the second fold).
+    // equal-weight market return. Every float sum here is an ORDERED fold
+    // (mret over symbols per bucket, the four moment sums over buckets per
+    // symbol): covar_samp/var_samp/avg aggregates are accumulation-order-
+    // dependent, and at sf0.1 two symbols flipped across the 1e-6 quantum
+    // against the oracle. Arrays are bounded by #symbols per bucket /
+    // #buckets per symbol. beta = (n·Σxy − Σx·Σy) / (n·Σy² − (Σy)²), the
+    // same ratio as covar_samp/var_samp, computed identically both sides.
     "q_beta" -> ((s, d) => {
       val rets = bucketReturns(s, d)
       val mkt = rets.groupBy("bucket")
-        .agg(Quantize.r(avg(col("ret")), 6).as("mret"))
-      rets.join(mkt, Seq("bucket"))
+        .agg(sort_array(collect_list(struct(col("symbol"), col("ret")))).as("rs"))
+        .select(col("bucket"),
+          Quantize.r(
+            aggregate(col("rs"), lit(0.0), (acc, x) => acc + x.getField("ret")) /
+              size(col("rs")).cast("double"), 6).as("mret"))
+      val obs = rets.join(mkt, Seq("bucket"))
         .groupBy("symbol")
-        .agg(Quantize.r(covar_samp(col("ret"), col("mret")) /
-          nullif(var_samp(col("mret")), lit(0.0)), 6).as("beta"),
-          count(lit(1)).as("n_buckets"))
+        .agg(sort_array(collect_list(struct(col("bucket"), col("ret"), col("mret"))))
+          .as("obs"))
+      val n = size(col("obs")).cast("double")
+      def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+        aggregate(col("obs"), lit(0.0), (acc, x) => acc + f(x))
+      val sx = fold(_.getField("ret"))
+      val sy = fold(_.getField("mret"))
+      val sxy = fold(x => x.getField("ret") * x.getField("mret"))
+      val sy2 = fold(x => x.getField("mret") * x.getField("mret"))
+      obs.select(col("symbol"),
+        Quantize.r(
+          (n * sxy - sx * sy) / nullif(n * sy2 - sy * sy, lit(0.0)), 6).as("beta"),
+        size(col("obs")).cast("long").as("n_buckets"))
     }),
 
     // Technical indicators: same one-shuffle per-symbol window family.
@@ -620,24 +661,68 @@ object FeatureQueries {
         |  FROM trades GROUP BY 1, 2) b
         |  ON g.symbol = b.symbol AND g.bucket = b.bucket""".stripMargin),
 
-    "q_pair_corr" -> withTradesAnd(bucketReturnsSql,
-      """SELECT a.symbol AS sym_a, b.symbol AS sym_b,
-        |       floor(corr(a.ret, b.ret) * 1e6 + 0.5) / 1e6 AS ret_corr,
-        |       count(*) AS n_buckets
-        |FROM (SELECT * FROM rets WHERE ret IS NOT NULL) a
-        |JOIN (SELECT * FROM rets WHERE ret IS NOT NULL) b
-        |  ON a.bucket = b.bucket AND a.symbol < b.symbol
-        |GROUP BY 1, 2""".stripMargin),
+    // Mirrors the ordered-fold pair correlation: moment sums in bucket
+    // order, variance terms clamped at 0 before sqrt.
+    "q_pair_corr" -> withTradesAnd(bucketReturnsSql +
+      """,
+        |r0 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+        |pobs AS (
+        |  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
+        |         list(a.ret ORDER BY a.bucket) AS la,
+        |         list(b.ret ORDER BY a.bucket) AS lb,
+        |         count(*) AS nb
+        |  FROM r0 a JOIN r0 b
+        |    ON a.bucket = b.bucket AND a.symbol < b.symbol
+        |  GROUP BY 1, 2),
+        |pmom AS (
+        |  SELECT sym_a, sym_b, nb, CAST(nb AS DOUBLE) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), la), (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), lb), (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, len(la) + 1), i -> la[i] * lb[i])), (a, x) -> a + x) AS sxy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(la, x -> x * x)), (a, x) -> a + x) AS sx2,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(lb, x -> x * x)), (a, x) -> a + x) AS sy2
+        |  FROM pobs)""".stripMargin,
+      """SELECT sym_a, sym_b,
+        |       floor(((n * sxy - sx * sy) /
+        |              nullif(sqrt(greatest(n * sx2 - sx * sx, CAST(0 AS DOUBLE))) *
+        |                     sqrt(greatest(n * sy2 - sy * sy, CAST(0 AS DOUBLE))), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS ret_corr,
+        |       nb AS n_buckets
+        |FROM pmom""".stripMargin),
 
-    "q_beta" -> withTradesAnd(bucketReturnsSql,
-      """SELECT r.symbol,
-        |       floor((covar_samp(r.ret, m.mret) / nullif(var_samp(m.mret), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS beta,
-        |       count(*) AS n_buckets
-        |FROM (SELECT * FROM rets WHERE ret IS NOT NULL) r
-        |JOIN (SELECT bucket, floor(avg(ret) * 1e6 + 0.5) / 1e6 AS mret
-        |      FROM rets WHERE ret IS NOT NULL GROUP BY 1) m
-        |  ON r.bucket = m.bucket
-        |GROUP BY 1""".stripMargin),
+    // Mirrors the ordered-fold beta: mret summed in symbol order, the four
+    // moment sums in bucket order — identical IEEE op sequences.
+    "q_beta" -> withTradesAnd(bucketReturnsSql +
+      """,
+        |r0 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+        |mkt AS (
+        |  SELECT bucket,
+        |         floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                  list(ret ORDER BY symbol)), (a, x) -> a + x)
+        |                / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mret
+        |  FROM r0 GROUP BY bucket),
+        |obs AS (
+        |  SELECT r.symbol,
+        |         list(r.ret ORDER BY r.bucket) AS lr,
+        |         list(m.mret ORDER BY r.bucket) AS lm,
+        |         count(*) AS nb
+        |  FROM r0 r JOIN mkt m ON r.bucket = m.bucket
+        |  GROUP BY r.symbol),
+        |mom AS (
+        |  SELECT symbol, nb, CAST(nb AS DOUBLE) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), lr), (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), lm), (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, len(lr) + 1), i -> lr[i] * lm[i])), (a, x) -> a + x) AS sxy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(lm, x -> x * x)), (a, x) -> a + x) AS sy2
+        |  FROM obs)""".stripMargin,
+      """SELECT symbol,
+        |       floor(((n * sxy - sx * sy) / nullif(n * sy2 - sy * sy, CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS beta,
+        |       nb AS n_buckets
+        |FROM mom""".stripMargin),
 
     "q_bollinger" -> withTrades(
       """SELECT time, symbol, price,
