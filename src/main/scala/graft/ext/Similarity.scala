@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.functions.Quantize
-import graft.plans.{CosineSimilarity, SrpBucket}
+import graft.plans.{CosineSimilarity, SrpBucket, SrpBucketPoly}
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.{Column => C}
 import org.apache.spark.sql.functions._
@@ -67,6 +67,22 @@ object Similarity {
   def nearDupPairs(embeddings: DataFrame, planes: Int = 12, threshold: Double = 0.4): DataFrame = {
     val sig = embeddings.select(col("vec_id"), col("embedding"),
       lshBucket(col("embedding"), planes).as("bucket"))
+    sig.as("a").join(sig.as("b"), Seq("bucket"))
+      .filter(col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        Quantize.r(cosineNative(col("a.embedding"), col("b.embedding")), 6).as("cosine"))
+      .filter(col("cosine") >= threshold)
+  }
+
+  /** Portable twin of [[nearDupPairs]] over md5-parity hyperplane signs
+    * ([[graft.plans.SrpBucketPoly]]) — same bucket-join-then-verify
+    * topology, every hash and fold DuckDB-replayable, so the embedding
+    * near-dup tier carries a full cross-engine oracle like the text tiers.
+    */
+  def portableNearDupPairs(
+      embeddings: DataFrame, planes: Int = 8, threshold: Double = 0.3): DataFrame = {
+    val sig = embeddings.select(col("vec_id"), col("embedding"),
+      SrpBucketPoly(col("embedding"), planes).as("bucket"))
     sig.as("a").join(sig.as("b"), Seq("bucket"))
       .filter(col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),

@@ -96,3 +96,82 @@ object SrpBucket {
   def apply(emb: Column, planes: Int): Column =
     ColumnBridge.column(SrpBucket(ColumnBridge.expression(emb), planes))
 }
+
+/** Portable twin of [[SrpBucket]]: the hyperplane sign for (plane, dim) is
+  * the parity of the first hex digit of `md5("<p>_<i>")` — md5 is shared
+  * bit-for-bit by every engine (the [[graft.ext.Curation.hashUniform]]
+  * precedent), so a DuckDB oracle replays the buckets exactly, which the
+  * xxhash64-seeded signs cannot offer. Projections fold in index order
+  * (identical IEEE sequence to the oracle's `list_reduce`); signs are
+  * precomputed once per expression instance like the parent.
+  */
+case class SrpBucketPoly(child: Expression, planes: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(planes >= 1 && planes <= 63, s"planes must be in [1, 63], got $planes")
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) | ArrayType(FloatType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case dt => TypeCheckResult.TypeCheckFailure(
+      s"srp_bucket_poly expects ARRAY<DOUBLE> or ARRAY<FLOAT>, got ${dt.simpleString}")
+  }
+
+  override def dataType: DataType = LongType
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  private def sign(p: Long, i: Long): Double = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val d = md.digest(s"${p}_${i}".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    // first hex digit = high nibble of byte 0; even -> +1, odd -> -1
+    if (((d(0) >>> 4) & 1) == 0) 1.0 else -1.0
+  }
+
+  @transient private lazy val signCache =
+    new java.util.concurrent.atomic.AtomicReference[Array[Array[Double]]](
+      Array.fill(planes)(Array.emptyDoubleArray))
+
+  private def signsFor(dims: Int): Array[Array[Double]] = {
+    val cur = signCache.get()
+    if (cur(0).length >= dims) cur
+    else {
+      val grown = Array.tabulate(planes) { p =>
+        Array.tabulate(dims)(i => sign(p.toLong, i.toLong))
+      }
+      signCache.compareAndSet(cur, grown)
+      grown
+    }
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val signs = signsFor(n)
+    var bucket = 0L
+    var p = 0
+    while (p < planes) {
+      val sp = signs(p)
+      var proj = 0.0
+      var i = 0
+      while (i < n) {
+        val x = if (isFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
+        proj += x * sp(i)
+        i += 1
+      }
+      if (proj >= 0) bucket |= 1L << p
+      p += 1
+    }
+    bucket
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+object SrpBucketPoly {
+  def apply(emb: Column, planes: Int): Column =
+    ColumnBridge.column(SrpBucketPoly(ColumnBridge.expression(emb), planes))
+}

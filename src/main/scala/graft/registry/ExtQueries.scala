@@ -102,6 +102,11 @@ object ExtQueries {
       Similarity.nearDupPairs(embPar(s, d), planes = 8, threshold = 0.3)
         .orderBy("vec_a", "vec_b")),
 
+    // Portable md5-parity hyperplanes: the embedding near-dup tier's
+    // oracle-checked twin (same topology as q_embed_neardup).
+    "q_embed_portable" -> ((s, d) =>
+      Similarity.portableNearDupPairs(embPar(s, d), planes = 8, threshold = 0.3)),
+
     // Edit-distance near-dup verify over a deterministic candidate set
     // (adjacent doc_ids) — the fuzzy-match tier below n-gram Jaccard.
     // Levenshtein is O(len²) per pair: at scale it runs ONLY on LSH/exact
@@ -401,6 +406,30 @@ object ExtQueries {
         |JOIN keys k2 ON k1.band = k2.band AND k1.key = k2.key AND k1.doc_id < k2.doc_id
         |JOIN ok ON ok.band = k1.band AND ok.key = k1.key
         |GROUP BY 1, 2""".stripMargin,
+
+    // Mirrors Similarity.portableNearDupPairs: SRP bucket = Σ 2^p over
+    // planes whose index-order projection fold is >= 0, signs from the
+    // parity of md5("p_i")'s first hex digit; bucket join, cosine verify
+    // on the shared left-to-right fold, threshold on the quantized value.
+    "q_embed_portable" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 8), p ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(range(1, len(v) + 1), i -> v[i] *
+        |               (CASE WHEN CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+        |                     THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))),
+        |             (a, x) -> a + x) >= CAST(0 AS DOUBLE)
+        |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, x) -> a + x) AS bucket
+        |  FROM e)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |         floor(${cosSql("a.v", "b2.v")} * 1e6 + 0.5) / 1e6 AS cosine
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |WHERE cosine >= CAST(0.3 AS DOUBLE)""".stripMargin,
 
     // Mirrors Dedup.portableSimhashDups: 30-bit vote over poly token hashes,
     // bit j set when 2*count >= n; doc_ids as a sorted CSV string.

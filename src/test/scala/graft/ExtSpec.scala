@@ -388,6 +388,16 @@ class ExtSpec extends SparkTestBase {
     assert(groups.count() > 0, "planted dups must collide")
   }
 
+  test("portable SRP near-dup pairs: deterministic, ordered, verified above threshold") {
+    val emb = Tables.embeddings(spark, sf0001)
+    val pairs = Similarity.portableNearDupPairs(emb).collect()
+    assert(pairs.nonEmpty, "synthetic corpus has cosine>=0.3 bucket-mates")
+    assert(pairs.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    assert(pairs.forall(_.getAs[Double]("cosine") >= 0.3))
+    val again = Similarity.portableNearDupPairs(emb).collect()
+    assert(pairs.map(_.toString).sorted.toSeq === again.map(_.toString).sorted.toSeq)
+  }
+
   test("quality rules: repetition fails, a normal doc passes, flags match thresholds") {
     import spark.implicits._
     val clean = "the quick brown fox jumps over lazy dogs while seven wizards " +
