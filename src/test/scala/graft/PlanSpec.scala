@@ -403,6 +403,18 @@ class PlanSpec extends SparkTestBase {
     assert(streamed.exceptAll(batch).count() === 0)
   }
 
+  test("quality rules tokenize once — the split is never inlined per bigram") {
+    val plan = registry.ExtQueries.queries("q_quality_rules")(spark, sf0001)
+      .queryExecution.optimizedPlan.toString
+    // a handful of splits total (one per consuming join branch) is fine;
+    // the O(tokens^2) hazard is the split INLINED INTO the bigram lambda,
+    // where it would re-tokenize per element via element_at(split(...))
+    val occurrences = "split\\(".r.findAllIn(plan).length
+    assert(occurrences <= 4, s"split() duplicated $occurrences times:\n$plan")
+    assert(!plan.contains("element_at(split("),
+      s"split inlined into the bigram lambda:\n$plan")
+  }
+
   test("TenantFilterRule multi-tenant membership (IN-list) filters at the scan") {
     import graft.plans.TenantFilterRule
     TenantFilterRule.enable(spark, Seq(0L, 2L))
