@@ -1,4 +1,8 @@
 ThisBuild / scalaVersion := "2.13.17"
+// Keep sbt's "[success] Total time" trailer off stdout: the bench harness's
+// final JSON line must be the last thing captured by tail-limited runners.
+Global / showSuccess := false
+Global / excludeLintKeys += showSuccess
 ThisBuild / version := "0.1.0"
 name := "opensourcefinancialtimeseriesdatapipelinearchitecturespark"
 // Spark jars ship with the image at /opt/spark/jars (zero-egress):

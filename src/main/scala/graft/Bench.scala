@@ -135,6 +135,18 @@ object Bench {
     }
 
     println(line(sig3, new java.io.File(sfDir).getName))
+    // The full per-query line above can overflow small stdout tail captures
+    // (its head gets cut, making it unparseable). Emit a LAST line that is
+    // always short: headline total + warm stats + only the 10 slowest
+    // queries; the complete per-query map lives in BENCH_FULL.json.
+    val slowest = results.filter(_._2 >= 0).sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + sig3(v) }.mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${sig3(total)},"unit":"sec","reps":$reps,""" +
+        s""""n_queries":${results.length},"queries":$slowest,""" +
+        s""""pit_warm":${warmJson(pitWarm, sig3)},""" +
+        s""""online_warm":${warmJson(onlineWarm, sig3)},""" +
+        s""""sf":"${new java.io.File(sfDir).getName}","queries_full":"BENCH_FULL.json"}""")
     spark.stop()
   }
 }

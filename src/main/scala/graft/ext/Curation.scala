@@ -84,6 +84,22 @@ object Curation {
       .select("doc_id", "split")
   }
 
+  /** Domain-mixture sampling: keep each row with a per-source probability
+    * (the "sample web at 10%, books at 80%" training-mix step), decided by
+    * the deterministic md5 uniform of (source, key) — reproducible across
+    * runs, engines, and cluster sizes, and re-runnable per-partition with
+    * no RNG state. `rates` rows are (source, rate); unknown sources fall
+    * back to `defaultRate`. Narrow map + a BROADCAST join against the rate
+    * table (a mixture config is bounded by the number of domains).
+    */
+  def mixtureSample(df: DataFrame, rates: DataFrame, keyCol: String,
+      sourceCol: String = "source", defaultRate: Double = 1.0): DataFrame = {
+    val u = hashUniform(concat_ws(":", col(sourceCol), col(keyCol).cast("string")))
+    df.join(broadcast(rates), Seq(sourceCol), "left")
+      .filter(u < coalesce(col("rate"), lit(defaultRate)))
+      .drop("rate")
+  }
+
   /** Context-window chunking: split each document's whitespace tokens into
     * consecutive windows of `chunkTokens`, one output row per chunk. A
     * narrow map + explode — no shuffle; chunk count per doc is

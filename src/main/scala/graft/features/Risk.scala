@@ -1,0 +1,115 @@
+package graft.features
+
+import graft.functions.Quantize
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Risk / volatility analytics beyond the close-to-close base: range-based
+  * volatility estimators (Parkinson, Garman-Klass) computed from OHLC bars,
+  * on-balance volume, Donchian channels, and historical VaR/CVaR — the
+  * portfolio-risk tier a finance user layers on the reference's
+  * volatility/Sharpe features (`spark/batch_feature_calculation.py` window
+  * idioms).
+  *
+  * Plan shapes: range volatility is two hash aggregations (bars, then
+  * symbol-day) — both map-side combined, no windows; OBV/Donchian are the
+  * standard one-shuffle per-symbol window pass; VaR/CVaR is one window
+  * rank over per-symbol returns (the sort is bounded per symbol) feeding a
+  * keyed aggregation.
+  */
+object Risk {
+
+  private val Ln2 = 0.6931471805599453 // math.log(2), correctly rounded
+
+  /** Parkinson and Garman-Klass daily volatility per symbol from
+    * intra-day bars: range-based estimators that extract ~5x more
+    * efficiency from the same bar count than close-to-close stddev.
+    * Composes [[Ohlc.compute]]; both estimators are per-bar terms averaged
+    * per symbol-day (plain aggregates — no ordered fold, quantized once at
+    * the end). Bars with a zero/degenerate edge contribute null terms
+    * (nullif), matching SQL aggregate null-skipping on both engines.
+    */
+  def rangeVolatility(trades: DataFrame, bucket: String = "1 minute"): DataFrame = {
+    val bars = Ohlc.compute(trades, bucket)
+    val x = pow(log(col("high") / nullif(col("low"), lit(0.0))), 2)
+    val y = pow(log(col("close") / nullif(col("open"), lit(0.0))), 2)
+    val gkTerm = lit(0.5) * x - lit(2 * Ln2 - 1) * y
+    bars
+      .select(date_trunc("DAY", col("bucket")).as("day"), col("symbol"),
+        x.as("x"), gkTerm.as("gk_term"))
+      .groupBy("day", "symbol")
+      .agg(
+        count(col("x")).as("n_bars"),
+        Quantize.r(sqrt(avg(col("x")) / lit(4 * Ln2)), 6).as("parkinson"),
+        Quantize.r(
+          when(avg(col("gk_term")) >= 0, sqrt(avg(col("gk_term"))))
+            .otherwise(lit(null)), 6).as("garman_klass"))
+  }
+
+  /** On-balance volume: running sum of sign(Δprice)·volume per symbol in
+    * (time, trade_id) order. Volume is integer-valued in this schema, so
+    * the accumulation runs in BIGINT — bit-exact on every engine, no
+    * quantization needed (the reason OBV is the canonical cumulative
+    * indicator to hash-gate cross-engine).
+    */
+  def obv(trades: DataFrame): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    val cum = Window.partitionBy("symbol").orderBy("time", "trade_id")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val step = (signum(col("price") - lag(col("price"), 1).over(w))
+      .cast("bigint") * col("volume").cast("bigint"))
+    trades
+      .select(col("time"), col("symbol"), col("trade_id"),
+        coalesce(step, lit(0L)).as("step"))
+      .select(col("time"), col("symbol"), col("trade_id"),
+        sum(col("step")).over(cum).as("obv"))
+  }
+
+  /** Donchian channel: n-tick rolling high/low (+ quantized mid) per
+    * symbol. Order-exact min/max — engine-portable without intermediate
+    * rounding.
+    */
+  def donchian(trades: DataFrame, n: Int = 20): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+      .rowsBetween(-(n - 1), 0)
+    val hi = max(col("price")).over(w)
+    val lo = min(col("price")).over(w)
+    trades.select(
+      col("time"), col("symbol"), col("price"),
+      hi.as("dc_high"), lo.as("dc_low"),
+      Quantize.r((hi + lo) / 2, 6).as("dc_mid"))
+  }
+
+  /** Historical VaR/CVaR at confidence `alpha` (left tail) per symbol, on
+    * quantized per-trade log returns. The tail cut is NEAREST-RANK by
+    * construction — rank k = ceil(alpha·n) over (return, trade_id) order —
+    * not an interpolated percentile, so the cut row is an actual
+    * observation both engines pick identically (interpolation arithmetic
+    * differs across engines in the last ulp; a rank doesn't). CVaR averages
+    * the rows AT OR BELOW the rank (tie-broken by trade_id), again
+    * identical on both sides.
+    */
+  def varCvar(trades: DataFrame, alpha: Double = 0.05): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    val r = Quantize.r(
+      log(nullif(col("price"), lit(0.0)) /
+        nullif(lag(col("price"), 1).over(ord), lit(0.0))), 6)
+    val rets = trades
+      .select(col("symbol"), col("trade_id"), r.as("r"))
+      .filter(col("r").isNotNull)
+    val rankW = Window.partitionBy("symbol").orderBy("r", "trade_id")
+    val nW = Window.partitionBy("symbol")
+    val ranked = rets.select(
+      col("symbol"), col("r"),
+      row_number().over(rankW).as("rn"),
+      ceil(lit(alpha) * count(lit(1)).over(nW)).as("k"))
+    ranked
+      .filter(col("rn") <= col("k"))
+      .groupBy("symbol")
+      .agg(
+        max_by(col("r"), col("rn")).as("var_95"),
+        Quantize.r(avg(col("r")), 6).as("cvar_95"),
+        count(lit(1)).as("n_tail"))
+  }
+}

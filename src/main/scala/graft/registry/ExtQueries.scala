@@ -161,6 +161,45 @@ object ExtQueries {
     "q_doc_chunks" -> ((s, d) =>
       graft.ext.Curation.chunk(docsPar(s, d), chunkTokens = 50)),
 
+    // PII audit + redaction. The synthetic corpus contains no PII, so the
+    // query injects a deterministic email/IP/card per document first
+    // (keeps the check non-vacuous); the audit itself is corpus-agnostic.
+    "q_pii_redact" -> ((s, d) =>
+      graft.ext.Scrub.piiAudit(
+        Tables.documents(s, d).select(col("doc_id"),
+          concat(col("text"),
+            lit(" contact user"), col("doc_id").cast("string"),
+            lit("@example.com from 10.0."),
+            (col("doc_id") % 256).cast("string"),
+            lit(".7 card 4111111111111111")).as("text")))),
+
+    // Eval-set decontamination: every 50th doc plays the benchmark suite;
+    // train docs sharing any 8-token gram with it are flagged.
+    "q_decontaminate" -> ((s, d) => {
+      val docs = docsPar(s, d)
+      graft.ext.Scrub.decontaminate(
+        docs.filter(col("doc_id") % 50 =!= 0),
+        docs.filter(col("doc_id") % 50 === 0), k = 8)
+    }),
+
+    // Cross-document boilerplate: 5-grams shared by >= 3 distinct docs,
+    // per-doc boilerplate fraction (passage-level line-dedup analogue).
+    "q_boilerplate" -> ((s, d) =>
+      graft.ext.Scrub.boilerplate(docsPar(s, d), k = 5, minDocs = 3)),
+
+    // Domain-mixture sampling: per-source keep rates (0.2/0.4/0.6/0.8 by
+    // source index), decided by the deterministic md5 uniform — the
+    // "sample web at 10%, books at 80%" training-mix step.
+    "q_source_mix" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val rates = docs.select(col("source")).distinct()
+        .select(col("source"),
+          ((substring(col("source"), 4, 10).cast("int") % 4 + 1) * lit(0.2))
+            .as("rate"))
+      graft.ext.Curation.mixtureSample(docs, rates, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_kept"))
+    }),
+
     // Winnowing (MOSS) passage fingerprints: candidate pairs sharing >= 5
     // selected k-gram minima. Engine-portable integer hashing, so unlike
     // MinHash/SimHash this near-dup tier is FULLY hash-checked in DuckDB.
@@ -569,5 +608,78 @@ object ExtQueries {
         |  SELECT doc_id AS media_id, 1 + doc_id % 8 AS n_frames,
         |         unnest(range(0, 1 + doc_id % 8)) AS frame_idx
         |  FROM documents)
-        |WHERE frame_idx % 2 = 0""".stripMargin)
+        |WHERE frame_idx % 2 = 0""".stripMargin,
+
+    // Mirrors Scrub.piiAudit over the same deterministically-augmented
+    // text; RE2 patterns are identical to the Java-regex ones (no
+    // backtracking-only constructs), replacement with the 'g' flag.
+    "q_pii_redact" ->
+      """SELECT doc_id,
+        |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |       CAST(len(regexp_extract_all(text, '\b\d{13,19}\b')) AS INTEGER) AS n_longnums,
+        |       md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |             '\b\d{13,19}\b', '<NUM>', 'g')) AS redacted_fp
+        |FROM (
+        |  SELECT doc_id,
+        |         text || ' contact user' || CAST(doc_id AS VARCHAR) ||
+        |         '@example.com from 10.0.' || CAST(doc_id % 256 AS VARCHAR) ||
+        |         '.7 card 4111111111111111' AS text
+        |  FROM documents)""".stripMargin,
+
+    // Mirrors Scrub.decontaminate: identical md5 gram hashes, train =
+    // doc_id % 50 <> 0, eval = the rest; left join restores 0-overlap docs.
+    "q_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 8
+        |           THEN list_transform(range(1, len(t) - 6),
+        |                  i -> md5(array_to_string(t[i:i+7], ' ')))
+        |           ELSE [] END) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)),
+        |tg AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 50 <> 0),
+        |eg AS (SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0),
+        |shared AS (
+        |  SELECT doc_id, count(*) AS n_shared FROM tg
+        |  WHERE g IN (SELECT g FROM eg) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(s.n_shared, 0) AS n_shared,
+        |       COALESCE(s.n_shared, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+        |LEFT JOIN shared s USING (doc_id)""".stripMargin,
+
+    // Mirrors Scrub.boilerplate (k=5, minDocs=3). Docs shorter than k
+    // tokens have no grams and are absent on both sides.
+    "q_boilerplate" ->
+      """WITH dg AS (
+        |  SELECT DISTINCT doc_id, g FROM (
+        |    SELECT doc_id,
+        |           unnest(CASE WHEN len(t) >= 5
+        |             THEN list_transform(range(1, len(t) - 3),
+        |                    i -> md5(array_to_string(t[i:i+4], ' ')))
+        |             ELSE [] END) AS g
+        |    FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents))),
+        |boiler AS (
+        |  SELECT g FROM dg GROUP BY g HAVING count(*) >= 3),
+        |flagged AS (
+        |  SELECT doc_id, count(*) AS n_boiler FROM dg
+        |  WHERE g IN (SELECT g FROM boiler) GROUP BY doc_id)
+        |SELECT dg.doc_id, count(*) AS n_grams,
+        |       COALESCE(max(f.n_boiler), 0) AS n_boiler,
+        |       floor((CAST(COALESCE(max(f.n_boiler), 0) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS boilerplate_frac
+        |FROM dg LEFT JOIN flagged f USING (doc_id)
+        |GROUP BY dg.doc_id""".stripMargin,
+
+    // Mirrors Curation.mixtureSample + the per-source rate config.
+    "q_source_mix" ->
+      """SELECT source, count(*) AS n_kept FROM (
+        |  SELECT source FROM (
+        |    SELECT source,
+        |           CAST(('0x' || substr(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |             / CAST(4294967296 AS DOUBLE) AS u,
+        |           (CAST(substr(source, 4, 10) AS INT) % 4 + 1) * CAST(0.2 AS DOUBLE) AS rate
+        |    FROM documents)
+        |  WHERE u < rate)
+        |GROUP BY source""".stripMargin)
 }

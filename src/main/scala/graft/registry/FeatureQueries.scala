@@ -316,6 +316,21 @@ object FeatureQueries {
 
     "q_macd" -> ((s, d) => Indicators.macdFinal(trades(s, d))),
 
+    // Range-based daily volatility (Parkinson / Garman-Klass) from 1-min
+    // bars: two hash aggregations, no windows.
+    "q_range_vol" -> ((s, d) => Risk.rangeVolatility(trades(s, d))),
+
+    // On-balance volume: BIGINT cumulative fold — bit-exact cross-engine.
+    "q_obv" -> ((s, d) => Risk.obv(trades(s, d))),
+
+    // Donchian 20-tick channel: order-exact rolling extrema.
+    "q_donchian" -> ((s, d) => Risk.donchian(trades(s, d))),
+
+    // Historical VaR/CVaR, nearest-rank tail cut (no interpolated
+    // percentile — the cut row is an actual observation both engines pick
+    // identically).
+    "q_var_cvar" -> ((s, d) => Risk.varCvar(trades(s, d))),
+
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
       trades(s, d)
@@ -834,6 +849,64 @@ object FeatureQueries {
         |    FROM (SELECT symbol, list(price ORDER BY time, trade_id) AS l,
         |                 count(*) AS n
         |          FROM trades GROUP BY symbol)))""".stripMargin),
+
+    // Mirrors Risk.rangeVolatility: per-bar terms from the shared 1-min
+    // bars CTE, averaged per symbol-day. Constants are the correctly
+    // rounded doubles of 4·ln2 and 2·ln2−1 (identical on both engines).
+    "q_range_vol" -> withTradesAnd(
+      s"""bars AS ($ohlcSelect)""",
+      """SELECT date_trunc('day', bucket) AS day, symbol,
+        |       count(x) AS n_bars,
+        |       floor(sqrt(avg(x) / CAST(2.772588722239781 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS parkinson,
+        |       CASE WHEN avg(gk_term) >= 0
+        |            THEN floor(sqrt(avg(gk_term)) * 1e6 + 0.5) / 1e6 END AS garman_klass
+        |FROM (
+        |  SELECT bucket, symbol,
+        |         pow(ln(high / nullif(low, CAST(0 AS DOUBLE))), 2) AS x,
+        |         CAST(0.5 AS DOUBLE) * pow(ln(high / nullif(low, CAST(0 AS DOUBLE))), 2)
+        |           - CAST(0.3862943611198906 AS DOUBLE) * pow(ln(close / nullif(open, CAST(0 AS DOUBLE))), 2) AS gk_term
+        |  FROM bars)
+        |GROUP BY 1, 2""".stripMargin),
+
+    // Mirrors Risk.obv: BIGINT accumulation — no floats anywhere.
+    "q_obv" -> withTrades(
+      """SELECT time, symbol, trade_id,
+        |       sum(step) OVER (PARTITION BY symbol ORDER BY time, trade_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+        |FROM (
+        |  SELECT time, symbol, trade_id,
+        |         COALESCE(CAST(sign(price - lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id)) AS BIGINT)
+        |                  * CAST(volume AS BIGINT), 0) AS step
+        |  FROM trades)""".stripMargin),
+
+    "q_donchian" -> withTrades(
+      """SELECT time, symbol, price,
+        |       max(price) OVER w AS dc_high, min(price) OVER w AS dc_low,
+        |       floor(((max(price) OVER w + min(price) OVER w) / 2) * 1e6 + 0.5) / 1e6 AS dc_mid
+        |FROM trades
+        |WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id
+        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
+
+    // Mirrors Risk.varCvar: quantized returns, nearest-rank tail cut at
+    // ceil(0.05·n) over (r, trade_id) order — the cut row is an actual
+    // observation, so no interpolation arithmetic to disagree on.
+    "q_var_cvar" -> withTradesAnd(
+      """rets AS (
+        |  SELECT symbol, trade_id,
+        |         floor(ln(nullif(price, CAST(0 AS DOUBLE)) /
+        |               nullif(lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r
+        |  FROM trades),
+        |ranked AS (
+        |  SELECT symbol, r, trade_id,
+        |         row_number() OVER (PARTITION BY symbol ORDER BY r, trade_id) AS rn,
+        |         CAST(ceil(CAST(0.05 AS DOUBLE) * count(*) OVER (PARTITION BY symbol)) AS BIGINT) AS k
+        |  FROM rets WHERE r IS NOT NULL)""".stripMargin,
+      """SELECT symbol,
+        |       arg_max(r, rn) AS var_95,
+        |       floor(avg(r) * 1e6 + 0.5) / 1e6 AS cvar_95,
+        |       count(*) AS n_tail
+        |FROM ranked WHERE rn <= k
+        |GROUP BY symbol""".stripMargin),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,

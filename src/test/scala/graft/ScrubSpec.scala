@@ -1,0 +1,127 @@
+package graft
+
+import graft.ext.{Curation, Scrub}
+import graft.features.Risk
+import org.apache.spark.sql.functions._
+
+/** Unit semantics for the corpus-scrubbing tier (Scrub/mixture sampling)
+  * and the risk analytics (Risk) on hand-built fixtures — the DuckDB hash
+  * gate covers the corpus-scale behavior; these pin the edge cases.
+  */
+class ScrubSpec extends SparkTestBase {
+
+  import spark.implicits._
+
+  test("redact replaces every PII category and leaves clean text unchanged") {
+    val rows = Seq(
+      (1L, "mail me at jane.doe+x@corp.example.org today"),
+      (2L, "server 192.168.0.1 and card 4111111111111111"),
+      (3L, "clean text with no pii at all"))
+      .toDF("doc_id", "text")
+    val out = rows.select(col("doc_id"), Scrub.redact(col("text")).as("r"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out(1L) === "mail me at <EMAIL> today")
+    assert(out(2L) === "server <IP> and card <NUM>")
+    assert(out(3L) === "clean text with no pii at all")
+    val audit = Scrub.piiAudit(rows).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"), r.getAs[Int]("n_longnums"))).toMap
+    assert(audit(1L) === ((1, 0, 0)))
+    assert(audit(2L) === ((0, 1, 1)))
+    assert(audit(3L) === ((0, 0, 0)))
+  }
+
+  test("decontaminate flags exactly the docs sharing a k-gram with the eval set") {
+    val train = Seq(
+      (1L, "a b c d e f g h i j"),      // contains eval 8-gram a..h
+      (2L, "z y x w v u t s r q"),      // disjoint
+      (3L, "one two three"))            // shorter than k: no grams
+      .toDF("doc_id", "text")
+    val eval_ = Seq((100L, "a b c d e f g h")).toDF("doc_id", "text")
+    val out = Scrub.decontaminate(train, eval_, k = 8).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_shared"), r.getAs[Boolean]("contaminated"))).toMap
+    assert(out(1L) === ((1L, true)))
+    assert(out(2L) === ((0L, false)))
+    assert(out(3L) === ((0L, false)), "short docs have no grams but stay in the output")
+    assert(out.size === 3)
+  }
+
+  test("boilerplate counts grams shared across >= minDocs distinct docs") {
+    val docs = Seq(
+      (1L, "shared header line one unique1 tail"),
+      (2L, "shared header line one unique2 tail"),
+      (3L, "shared header line one unique3 tail"),
+      (4L, "totally different words here now"))
+      .toDF("doc_id", "text")
+    val out = Scrub.boilerplate(docs, k = 4, minDocs = 3).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boiler")).toMap
+    // "shared header line one" appears in docs 1-3 (>= 3 docs); the grams
+    // crossing the uniqueN token are per-doc only.
+    assert(out(1L) === 1L && out(2L) === 1L && out(3L) === 1L)
+    assert(out(4L) === 0L)
+  }
+
+  test("mixtureSample is deterministic, respects rate 0 and rate 1") {
+    val docs = (0L until 200L).map(i => (i, if (i % 2 == 0) "keep" else "drop"))
+      .toDF("doc_id", "source")
+    val rates = Seq(("keep", 1.0), ("drop", 0.0)).toDF("source", "rate")
+    val kept = Curation.mixtureSample(docs, rates, "doc_id").collect()
+    assert(kept.length === 100)
+    assert(kept.forall(_.getAs[String]("source") == "keep"))
+    // determinism: same input -> same rows
+    val again = Curation.mixtureSample(docs, rates, "doc_id")
+      .agg(sum("doc_id")).collect()(0).getLong(0)
+    assert(again === kept.map(_.getAs[Long]("doc_id")).sum)
+  }
+
+  test("obv accumulates signed integer volume in order") {
+    // prices 1,2,1,1,3 -> steps 0,+v,-v,0,+v
+    val t = Seq(
+      (1L, 1.0, 10.0), (2L, 2.0, 20.0), (3L, 1.0, 5.0), (4L, 1.0, 7.0), (5L, 3.0, 2.0))
+      .map { case (i, p, v) =>
+        (new java.sql.Timestamp(1704067200000L + i * 60000), "S", f"$i%03d", p, v)
+      }
+      .toDF("time", "symbol", "trade_id", "price", "volume")
+    val obv = Risk.obv(t).orderBy("time").collect().map(_.getAs[Long]("obv")).toSeq
+    assert(obv === Seq(0L, 20L, 15L, 15L, 17L))
+  }
+
+  test("varCvar nearest-rank cut: var is an actual observation, cvar averages the tail") {
+    // 20 returns per the ramp fixture -> n = 24 non-null? use explicit data:
+    // returns engineered via prices: 100 * exp(r_i) chain is overkill —
+    // just check rank math on a symbol with 20 returns: k = ceil(0.05*20)=1,
+    // so var = min return and cvar = that same value.
+    val prices = Seq(100.0, 99.0, 100.0, 98.0, 100.0, 97.0, 100.0, 96.0, 100.0,
+      95.0, 100.0, 94.0, 100.0, 93.0, 100.0, 92.0, 100.0, 91.0, 100.0, 90.0, 100.0)
+    val t = prices.zipWithIndex.map { case (p, i) =>
+      (new java.sql.Timestamp(1704067200000L + i * 60000L), "S", f"$i%03d", p, 1.0)
+    }.toDF("time", "symbol", "trade_id", "price", "volume")
+    val r = Risk.varCvar(t).collect()(0)
+    assert(r.getAs[Long]("n_tail") === 1L)
+    // worst return = ln(90/100), quantized at 1e-6
+    val worst = math.floor(math.log(90.0 / 100.0) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Double]("var_95") === worst)
+    assert(r.getAs[Double]("cvar_95") === worst)
+  }
+
+  test("rangeVolatility: constant-price bars give zero parkinson and gk") {
+    val flat = rampTrades(30).withColumn("price", lit(100.0))
+    val out = Risk.rangeVolatility(flat).collect()
+    assert(out.nonEmpty)
+    assert(out.forall(r => r.getAs[Double]("parkinson") === 0.0))
+    assert(out.forall(r => r.getAs[Double]("garman_klass") === 0.0))
+  }
+
+  test("donchian channel brackets the price and uses the n-tick frame") {
+    val out = Risk.donchian(rampTrades(30), n = 5).orderBy("time").collect()
+    assert(out.forall { r =>
+      r.getAs[Double]("dc_low") <= r.getAs[Double]("price") &&
+        r.getAs[Double]("price") <= r.getAs[Double]("dc_high")
+    })
+    // ramp: dc_high = current price, dc_low = price 4 ticks back (clamped)
+    val last = out.last
+    assert(last.getAs[Double]("dc_high") === last.getAs[Double]("price"))
+    assert(math.abs(last.getAs[Double]("dc_low") - (last.getAs[Double]("price") - 0.4)) < 1e-9)
+  }
+}
