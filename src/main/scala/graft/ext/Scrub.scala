@@ -83,9 +83,12 @@ object Scrub {
     * combine. The left join at the end restores zero-overlap docs.
     */
   def decontaminate(train: DataFrame, eval_ : DataFrame, k: Int = 8): DataFrame = {
+    // within-doc gram dedup is a NARROW array_distinct before the explode —
+    // a corpus-wide (doc_id, g) DISTINCT shuffle would be redundant work,
+    // since per-doc uniqueness is all the downstream count needs
     val trainGrams = train
-      .select(col("doc_id"), explode(gramHashes(col("text"), k)).as("g"))
-      .distinct()
+      .select(col("doc_id"),
+        explode(array_distinct(gramHashes(col("text"), k))).as("g"))
     val evalGrams = eval_
       .select(explode(gramHashes(col("text"), k)).as("g"))
       .distinct()
@@ -116,21 +119,23 @@ object Scrub {
     * carries (doc_id, 32-byte gram hash) rows.
     */
   def boilerplate(documents: DataFrame, k: Int = 5, minDocs: Int = 3): DataFrame = {
-    val docGrams = documents
-      .select(col("doc_id"), explode(gramHashes(col("text"), k)).as("g"))
-      .distinct()
-    val gramDocCounts = docGrams.groupBy("g")
-      .agg(count(lit(1)).as("n_docs_with"))
-    val flagged = docGrams
-      .join(gramDocCounts.filter(col("n_docs_with") >= minDocs), Seq("g"), "left_semi")
-      .groupBy("doc_id").agg(count(lit(1)).as("n_boiler"))
-    docGrams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
-      .join(flagged, Seq("doc_id"), "left")
+    // Single-pass shape: within-doc dedup is a narrow array_distinct (no
+    // corpus-wide DISTINCT shuffle), the per-gram doc count is ONE window
+    // over the gram key, and the per-doc rollup is ONE keyed aggregation —
+    // the (doc, gram) rows are never recomputed or self-joined. Two
+    // exchanges total (by g, then by doc_id), both on 32-byte hashes.
+    val docGrams = documents.select(col("doc_id"),
+      explode(array_distinct(gramHashes(col("text"), k))).as("g"))
+    val perGram = org.apache.spark.sql.expressions.Window.partitionBy("g")
+    docGrams
+      .withColumn("n_docs_with", count(lit(1)).over(perGram))
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_grams"),
+        count(when(col("n_docs_with") >= minDocs, 1)).as("n_boiler"))
       .select(
-        col("doc_id"), col("n_grams"),
-        coalesce(col("n_boiler"), lit(0L)).as("n_boiler"),
-        Quantize.r(
-          coalesce(col("n_boiler"), lit(0L)).cast("double") / col("n_grams"), 6)
+        col("doc_id"), col("n_grams"), col("n_boiler"),
+        Quantize.r(col("n_boiler").cast("double") / col("n_grams"), 6)
           .as("boilerplate_frac"))
   }
 }
