@@ -573,4 +573,55 @@ class PlanSpec extends SparkTestBase {
       assert(exchanges === 1, s"expected one symbol shuffle:\n$plan")
     }
   }
+
+  test("scrub plans: PII audit is a pure narrow map; boilerplate is two exchanges") {
+    val docs = Tables.documents(spark, sf0001)
+    val piiPlan = graft.ext.Scrub.piiAudit(docs)
+      .queryExecution.executedPlan.toString
+    assert(!piiPlan.contains("Exchange"), s"piiAudit must not shuffle:\n$piiPlan")
+
+    // single-pass shape: by-gram window + by-doc rollup, nothing recomputed
+    val bpPlan = graft.ext.Scrub.boilerplate(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = bpPlan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 2, s"boilerplate = exactly two exchanges (g, doc_id):\n$bpPlan")
+    assert(bpPlan.split("\n").count(_.contains("Generate explode")) === 1,
+      s"grams must be exploded exactly once:\n$bpPlan")
+  }
+
+  test("decontaminate broadcasts the eval grams and never cross-joins the corpus") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = graft.ext.Scrub.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"),
+      s"eval gram set must broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"no all-pairs:\n$plan")
+  }
+
+  test("mixture sampling broadcasts the rate config and stays otherwise narrow") {
+    val docs = Tables.documents(spark, sf0001)
+    import spark.implicits._
+    val rates = Seq(("src0", 0.5), ("src1", 0.9)).toDF("source", "rate")
+    val plan = graft.ext.Curation.mixtureSample(docs, rates, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastExchange"), s"rate table must broadcast:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"sampling itself must not shuffle the corpus:\n$plan")
+  }
+
+  test("risk plans: OBV and Donchian pay one symbol shuffle; range vol two hash aggs") {
+    val t = Tables.trades(spark, sf0001)
+    for (df <- Seq(graft.features.Risk.obv(t), graft.features.Risk.donchian(t))) {
+      val plan = df.queryExecution.executedPlan.toString
+      val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+      assert(exchanges === 1, s"expected one symbol shuffle:\n$plan")
+    }
+    val rvPlan = graft.features.Risk.rangeVolatility(t)
+      .queryExecution.executedPlan.toString
+    val rvExchanges = rvPlan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(rvExchanges === 2, s"bars agg + day agg = two exchanges:\n$rvPlan")
+    assert(!rvPlan.contains("Window"), s"range vol needs no window pass:\n$rvPlan")
+  }
 }
