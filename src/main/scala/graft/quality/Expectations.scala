@@ -60,13 +60,37 @@ object Expectations {
     val name = s"${column}_increasing"
   }
 
+  /** Completeness expectation (`data_contracts.py:46-51`): non-null
+    * fraction of `column` must reach `minFraction`. The fraction is one
+    * count/count division — a single deterministic IEEE op, identical on
+    * every engine, so the pass flag cannot flip cross-engine.
+    */
+  final case class Completeness(column: String, minFraction: Double) extends Expectation {
+    val name = s"${column}_completeness"
+  }
+
+  /** Schema expectation (`data_contracts.py:22-31`): the column must exist
+    * with the expected Spark SQL simple type (e.g. "string", "double").
+    * Resolved against the DataFrame schema at plan time — emitted as a
+    * constant pass flag so the contract report carries it alongside the
+    * data-driven checks.
+    */
+  final case class TypeIs(column: String, simpleType: String) extends Expectation {
+    val name = s"${column}_type_ok"
+  }
+
   /** Evaluate a suite. Row expectations share one agg; Unique/Increasing each
     * add one keyed pass. Returns a single row of violation counts (column per
     * expectation) plus total row count.
     */
   def evaluate(df: DataFrame, suite: Seq[Expectation]): DataFrame = {
-    val rowAggs = suite.collect { case e: RowExpectation =>
-      count(when(e.violated, 1)).as(e.name)
+    val rowAggs = suite.collect {
+      case e: RowExpectation => count(when(e.violated, 1)).as(e.name)
+      case c @ Completeness(column, _) =>
+        (count(col(column)).cast("double") / count(lit(1))).as(c.name)
+      case t @ TypeIs(column, simpleType) =>
+        lit(df.schema.find(_.name == column)
+          .exists(_.dataType.simpleString == simpleType)).as(t.name)
     }
     val base = df.agg(count(lit(1)).as("n_rows"), rowAggs: _*)
 
@@ -84,6 +108,31 @@ object Expectations {
       case (acc, _) => acc
     }
   }
+
+  /** The reference's full market-data contract
+    * (`data_contracts.py:64-96`): schema types, price/volume ranges, 100%
+    * completeness on the key columns, trade_id uniqueness, side ∈
+    * {buy, sell, NULL}. One shared agg pass + the uniqueness keyed pass.
+    */
+  def marketDataContract: Seq[Expectation] = Seq(
+    TypeIs("symbol", "string"), TypeIs("price", "double"),
+    TypeIs("volume", "double"), TypeIs("trade_id", "string"),
+    Between("price", 0.01, 1000000.0), Between("volume", 0.0, 1e12),
+    Completeness("symbol", 1.0), Completeness("price", 1.0),
+    Completeness("volume", 1.0), Completeness("trade_id", 1.0),
+    Unique(Seq("trade_id")), InSet("side", Seq("buy", "sell")))
+
+  /** Overall contract verdict (`validate_data_contract`,
+    * `data_contracts.py:127-175`): every violation count zero, every
+    * completeness at its floor, every type check true. Decided on the
+    * report columns, so the flag is as engine-portable as they are.
+    */
+  def withVerdict(report: DataFrame, suite: Seq[Expectation]): DataFrame =
+    report.withColumn("passed", suite.map {
+      case Completeness(c, f) => col(s"${c}_completeness") >= f
+      case t: TypeIs          => col(t.name)
+      case e                  => col(e.name) === 0
+    }.reduce(_ && _))
 
   /** `expect_column_values_to_be_increasing` over an explicit order column
     * (`great_expectations_validator.py:101-107`): counts rows where `column`

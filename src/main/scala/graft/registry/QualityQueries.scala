@@ -86,6 +86,28 @@ object QualityQueries {
         Increasing("price", "time", Seq("symbol"))))
     }),
 
+    // The reference's full market-data contract report + overall verdict
+    // (`data_contracts.py:64-96,127-175`): schema types, ranges, 100%
+    // completeness, trade_id uniqueness, side set membership.
+    "q_data_contract" -> ((s, d) => {
+      import Expectations._
+      withVerdict(evaluate(trades(s, d), marketDataContract), marketDataContract)
+    }),
+
+    // Field-level encryption roundtrip (`rls_encryption_audit.py:122-160`
+    // EncryptionManager): AES-encrypt the symbol per row, decrypt, and
+    // aggregate — framing must be value-transparent, like the Avro twin.
+    // The IV is random per row (GCM), so only the ROUNDTRIP is
+    // deterministic — which is exactly what the oracle checks.
+    "q_field_encrypt" -> ((s, d) =>
+      trades(s, d)
+        .withColumn("enc", expr(
+          "aes_encrypt(cast(symbol as binary), '0123456789abcdef')"))
+        .withColumn("dec", expr(
+          "cast(aes_decrypt(enc, '0123456789abcdef') as string)"))
+        .groupBy(col("dec").as("symbol"))
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"))),
+
     "q_increasing_check" -> ((s, d) =>
       Expectations.increasingViolations(trades(s, d), "price", "time", Seq("symbol"))),
 
@@ -275,6 +297,45 @@ object QualityQueries {
       """SELECT count(CASE WHEN prev > price THEN 1 END) AS price_increasing_violations
         |FROM (SELECT price, lag(price, 1) OVER (PARTITION BY symbol ORDER BY time) AS prev
         |      FROM trades)""".stripMargin),
+
+    // Mirrors Expectations.marketDataContract + withVerdict. The type
+    // checks are plan-time constants on the Spark side (the trades schema
+    // IS string/double/double/string), so the oracle emits TRUE; the
+    // completeness fractions are one count/count division each (single
+    // IEEE op — no quantization needed); the verdict repeats the same
+    // predicates the Spark side folds over the report columns.
+    "q_data_contract" -> withTrades(
+      """SELECT count(*) AS n_rows,
+        |       TRUE AS symbol_type_ok, TRUE AS price_type_ok,
+        |       TRUE AS volume_type_ok, TRUE AS trade_id_type_ok,
+        |       count(CASE WHEN price IS NOT NULL AND NOT (price >= 0.01 AND price <= 1000000.0) THEN 1 END) AS price_between,
+        |       count(CASE WHEN volume IS NOT NULL AND NOT (volume >= 0.0 AND volume <= 1e12) THEN 1 END) AS volume_between,
+        |       CAST(count(symbol) AS DOUBLE) / count(*) AS symbol_completeness,
+        |       CAST(count(price) AS DOUBLE) / count(*) AS price_completeness,
+        |       CAST(count(volume) AS DOUBLE) / count(*) AS volume_completeness,
+        |       CAST(count(trade_id) AS DOUBLE) / count(*) AS trade_id_completeness,
+        |       (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |          (SELECT count(*) AS c FROM trades GROUP BY trade_id
+        |           HAVING count(*) > 1)) AS trade_id_unique,
+        |       count(CASE WHEN side IS NOT NULL AND side NOT IN ('buy', 'sell') THEN 1 END) AS side_in_set,
+        |       count(CASE WHEN price IS NOT NULL AND NOT (price >= 0.01 AND price <= 1000000.0) THEN 1 END) = 0
+        |         AND count(CASE WHEN volume IS NOT NULL AND NOT (volume >= 0.0 AND volume <= 1e12) THEN 1 END) = 0
+        |         AND CAST(count(symbol) AS DOUBLE) / count(*) >= 1.0
+        |         AND CAST(count(price) AS DOUBLE) / count(*) >= 1.0
+        |         AND CAST(count(volume) AS DOUBLE) / count(*) >= 1.0
+        |         AND CAST(count(trade_id) AS DOUBLE) / count(*) >= 1.0
+        |         AND (SELECT CAST(coalesce(sum(c - 1), 0) AS BIGINT) FROM
+        |                (SELECT count(*) AS c FROM trades GROUP BY trade_id
+        |                 HAVING count(*) > 1)) = 0
+        |         AND count(CASE WHEN side IS NOT NULL AND side NOT IN ('buy', 'sell') THEN 1 END) = 0
+        |         AS passed
+        |FROM trades""".stripMargin),
+
+    // Roundtrip transparency: decrypt(encrypt(x)) == x, so the aggregate
+    // equals the plain per-symbol aggregation of the source rows.
+    "q_field_encrypt" -> withTrades(
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume
+        |FROM trades GROUP BY symbol""".stripMargin),
 
     "q_ingest_dlq" -> withTrades(
       """SELECT count(CASE WHEN price IS NULL OR price <= 0 THEN 1 END) AS price_positive,

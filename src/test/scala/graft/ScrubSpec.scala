@@ -113,6 +113,36 @@ class ScrubSpec extends SparkTestBase {
     assert(out.forall(r => r.getAs[Double]("garman_klass") === 0.0))
   }
 
+  test("data contract verdict fails on dirty data and pinpoints the failing checks") {
+    import graft.quality.Expectations
+    import graft.quality.Expectations._
+    // dirty: null symbol (completeness<1), duplicate trade_id, price out of range
+    val dirty = Seq(
+      (Some("A"), 5.0, 10.0, "t1", Some("buy")),
+      (None, 0.001, 10.0, "t2", Some("sell")),
+      (Some("B"), 7.0, 10.0, "t2", None))
+      .toDF("symbol", "price", "volume", "trade_id", "side")
+    val row = Expectations.withVerdict(
+      Expectations.evaluate(dirty, marketDataContract), marketDataContract).collect()(0)
+    assert(!row.getAs[Boolean]("passed"))
+    assert(row.getAs[Long]("price_between") === 1L)            // 0.001 < 0.01
+    assert(math.abs(row.getAs[Double]("symbol_completeness") - 2.0 / 3) < 1e-12)
+    assert(row.getAs[Long]("trade_id_unique") === 1L)
+    assert(row.getAs[Boolean]("symbol_type_ok"))
+    // wrong declared type flips the type flag and the verdict independently
+    val typed = Expectations.evaluate(dirty, Seq(TypeIs("price", "string")))
+    assert(!typed.collect()(0).getAs[Boolean]("price_type_ok"))
+  }
+
+  test("aes field encryption roundtrips values exactly") {
+    val t = rampTrades(10)
+      .withColumn("enc", expr("aes_encrypt(cast(symbol as binary), '0123456789abcdef')"))
+      .withColumn("dec", expr("cast(aes_decrypt(enc, '0123456789abcdef') as string)"))
+    assert(t.filter(col("dec") =!= col("symbol")).count() === 0)
+    // ciphertext is NOT the plaintext (it actually encrypts)
+    assert(t.filter(expr("cast(enc as string)") === col("symbol")).count() === 0)
+  }
+
   test("donchian channel brackets the price and uses the n-tick frame") {
     val out = Risk.donchian(rampTrades(30), n = 5).orderBy("time").collect()
     assert(out.forall { r =>
