@@ -119,6 +119,12 @@ object QualityQueries {
       trades(s, d).agg(aggs.head, aggs.tail: _*)
     }),
 
+    // Storage-lifecycle tier census (S3 lifecycle analogue,
+    // `s3_lifecycle.py:11-78`): every day of data classified
+    // hot/warm/cold/expired by age against the newest event.
+    "q_storage_tiers" -> ((s, d) =>
+      graft.operators.Lifecycle.tierReport(trades(s, d))),
+
     "q_rls_tenant" -> ((s, d) =>
       Rls.withTenant(trades(s, d), 0L)
         .groupBy("symbol").agg(count(lit(1)).as("n_trades"))),
@@ -336,6 +342,22 @@ object QualityQueries {
     "q_field_encrypt" -> withTrades(
       """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume
         |FROM trades GROUP BY symbol""".stripMargin),
+
+    // Mirrors Lifecycle.tierReport: whole-day age against max(time)'s date.
+    "q_storage_tiers" -> withTrades(
+      """SELECT tier, count(*) AS n_rows, count(DISTINCT d) AS n_days,
+        |       min(d) AS oldest, max(d) AS newest
+        |FROM (
+        |  SELECT CASE WHEN age < 7 THEN 'hot'
+        |              WHEN age < 14 THEN 'warm'
+        |              WHEN age < 21 THEN 'cold'
+        |              ELSE 'expired' END AS tier, d
+        |  FROM (
+        |    SELECT date_diff('day', CAST(time AS DATE),
+        |             (SELECT max(CAST(time AS DATE)) FROM trades)) AS age,
+        |           CAST(time AS DATE) AS d
+        |    FROM trades))
+        |GROUP BY tier""".stripMargin),
 
     "q_ingest_dlq" -> withTrades(
       """SELECT count(CASE WHEN price IS NULL OR price <= 0 THEN 1 END) AS price_positive,

@@ -143,6 +143,38 @@ class ScrubSpec extends SparkTestBase {
     assert(t.filter(expr("cast(enc as string)") === col("symbol")).count() === 0)
   }
 
+  test("retention drops only expired date partitions; survivors stay byte-identical") {
+    import graft.streaming.StreamingFeatures
+    val t = core.Tables.trades(spark, sf0001)
+    val out = java.nio.file.Files.createTempDirectory("graft_retention_").toString + "/t"
+    StreamingFeatures.mergeIntoKeyed(spark, out, t, Seq("time", "symbol", "trade_id"))
+    val anchor = t.agg(max(to_date(col("time")))).collect()(0)
+      .getDate(0).toLocalDate
+    def partDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part_date=")).sortBy(_.getName)
+    val before = partDirs.map(_.getName)
+    assert(before.length > 21, "fixture spans a month of partitions")
+    // fingerprint surviving partitions' files before the drop
+    def fileBytes(dir: java.io.File): Map[String, Long] =
+      dir.listFiles().filter(_.isFile).map(f => f.getName -> f.length()).toMap
+    val keepDays = 21
+    val cutoff = anchor.minusDays(keepDays.toLong - 1)
+    val surviving = partDirs.filter(d =>
+      !java.time.LocalDate.parse(d.getName.stripPrefix("part_date=")).isBefore(cutoff))
+    val fingerprints = surviving.map(d => d.getName -> fileBytes(d)).toMap
+
+    val dropped = graft.operators.Lifecycle.applyRetention(spark, out, keepDays, anchor)
+    assert(dropped.nonEmpty, "a month-long table must have expired partitions")
+    val after = partDirs.map(_.getName)
+    assert(after.toSet === before.toSet -- dropped.map("part_date=" + _))
+    // survivors untouched on disk
+    surviving.foreach(d => assert(fileBytes(d) === fingerprints(d.getName)))
+    // the table still reads, now only within the retention window
+    val minDate = StreamingFeatures.readKeyedTable(spark, out)
+      .agg(min(to_date(col("time")))).collect()(0).getDate(0).toLocalDate
+    assert(!minDate.isBefore(cutoff))
+  }
+
   test("donchian channel brackets the price and uses the n-tick frame") {
     val out = Risk.donchian(rampTrades(30), n = 5).orderBy("time").collect()
     assert(out.forall { r =>
