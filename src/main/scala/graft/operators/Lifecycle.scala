@@ -67,4 +67,35 @@ object Lifecycle {
     }
     expired.map(_.getName.stripPrefix("part_date=")).toSeq.sorted
   }
+
+  /** Compact FRAGMENTED partitions of a date-partitioned keyed table: any
+    * `part_date=` dir holding more than `maxFilesPerPartition` data files
+    * is rewritten coalesced (staged to a temp dir, then swapped); every
+    * other partition is never read or written. Micro-batch MERGE sinks
+    * fragment hot partitions over time (one file set per touched batch ×
+    * shuffle partition) — compaction restores scan efficiency at
+    * O(fragmented partitions) cost, the same maintenance Delta's OPTIMIZE
+    * or a Hive concatenate runs. Returns the compacted partition values.
+    */
+  def compactPartitions(spark: SparkSession, tablePath: String,
+      maxFilesPerPartition: Int = 1): Seq[String] = {
+    val root = new java.io.File(tablePath)
+    val parts = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("part_date="))
+    val fragmented = parts.filter { dir =>
+      dir.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")) >
+        maxFilesPerPartition
+    }
+    fragmented.foreach { dir =>
+      val tmp = dir.getPath + "__compact_tmp"
+      spark.read.parquet(dir.getPath)
+        .coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      import scala.reflect.io.Directory
+      new Directory(dir).deleteRecursively()
+      if (!new java.io.File(tmp).renameTo(dir))
+        throw new java.io.IOException(s"compaction swap failed for $dir")
+    }
+    fragmented.map(_.getName.stripPrefix("part_date=")).toSeq.sorted
+  }
 }

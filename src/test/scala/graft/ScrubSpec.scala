@@ -175,6 +175,32 @@ class ScrubSpec extends SparkTestBase {
     assert(!minDate.isBefore(cutoff))
   }
 
+  test("compaction collapses fragmented partitions and preserves data exactly") {
+    import graft.streaming.StreamingFeatures
+    val t = core.Tables.trades(spark, sf0001)
+    val out = java.nio.file.Files.createTempDirectory("graft_compact_").toString + "/t"
+    // two merges fragment the touched partitions (one file set per pass)
+    StreamingFeatures.mergeIntoKeyed(spark, out, t, Seq("time", "symbol", "trade_id"))
+    StreamingFeatures.mergeIntoKeyed(spark, out, t, Seq("time", "symbol", "trade_id"))
+    def dataFiles(dir: java.io.File) =
+      dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val partDirs = new java.io.File(out).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("part_date="))
+    assert(partDirs.exists(dataFiles(_).length > 1), "merges must fragment")
+    val beforeRows = StreamingFeatures.readKeyedTable(spark, out)
+      .orderBy("time", "symbol", "trade_id").collect()
+
+    val compacted = graft.operators.Lifecycle.compactPartitions(spark, out)
+    assert(compacted.nonEmpty)
+    partDirs.foreach(d => assert(dataFiles(d).length === 1,
+      s"${d.getName} still fragmented"))
+    val afterRows = StreamingFeatures.readKeyedTable(spark, out)
+      .orderBy("time", "symbol", "trade_id").collect()
+    assert(afterRows.toSeq === beforeRows.toSeq)
+    // idempotent: a second pass finds nothing to do
+    assert(graft.operators.Lifecycle.compactPartitions(spark, out).isEmpty)
+  }
+
   test("donchian channel brackets the price and uses the n-tick frame") {
     val out = Risk.donchian(rampTrades(30), n = 5).orderBy("time").collect()
     assert(out.forall { r =>
