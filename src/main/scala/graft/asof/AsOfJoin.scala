@@ -85,6 +85,64 @@ object AsOfJoin {
         valueCols.map(c => when(ttlOk, col(s"__m.$c")).as(s"$rightPrefix$c")): _*)
   }
 
+  /** FORWARD as-of join: for every left row, the EARLIEST right row with
+    * `rightTime >= leftTime` within the key (optionally within a TTL) —
+    * the "next quote after the order" / reaction-window direction that
+    * complements [[backward]]. Exact mirror: one union, one shuffle, a
+    * forward-looking `first(payload, ignoreNulls)` frame. Left rows get
+    * tag 0 and right rows tag 1, so a contemporaneous right row
+    * (rightTime == leftTime) sits inside the frame — `>=` semantics, the
+    * reflection of backward's `<=`.
+    */
+  def forward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String = "time",
+      rightTime: String = "time",
+      ttlSeconds: Option[Long] = None,
+      rightPrefix: String = ""): DataFrame = {
+
+    val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
+    val leftCols  = left.columns.toSeq
+
+    val payload     = struct(col(rightTime).as("__rt") +: valueCols.map(col): _*)
+    val payloadType = right.select(payload).schema.head.dataType
+    val lrowType    = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
+
+    val rTagged = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(1).as("__tag"),
+        payload.as("__payload"),
+        lit(null).cast(lrowType).as("__lrow")): _*)
+
+    val lTagged = left.select(
+      keys.map(col) ++ Seq(
+        col(leftTime).as("__t"), lit(0).as("__tag"),
+        lit(null).cast(payloadType).as("__payload"),
+        struct(leftCols.map(col): _*).as("__lrow")): _*)
+
+    val w = Window
+      .partitionBy(keys.map(col): _*)
+      .orderBy(col("__t").asc, col("__tag").asc)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+
+    val withMatch = rTagged.unionByName(lTagged)
+      .withColumn("__m", first(col("__payload"), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 0)
+
+    val ttlOk: Column = ttlSeconds match {
+      case Some(s) => col("__m").isNotNull &&
+        unix_micros(col("__m.__rt")) - unix_micros(col("__t")) <= s * 1000000L
+      case None => col("__m").isNotNull
+    }
+
+    withMatch.select(
+      leftCols.map(c => col(s"__lrow.$c").as(c)) ++
+        Seq(when(ttlOk, col("__m.__rt")).as(s"${rightPrefix}matched_$rightTime")) ++
+        valueCols.map(c => when(ttlOk, col(s"__m.$c")).as(s"$rightPrefix$c")): _*)
+  }
+
   /** The contract's literal equi+theta formulation
     * (`sql/smartdb_contract.md:154-167`): equi-join on keys plus the
     * `rightTime <= leftTime` inequality, then keep the latest right row per

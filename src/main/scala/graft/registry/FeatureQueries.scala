@@ -64,6 +64,29 @@ object FeatureQueries {
       HistoricalFeatures.retrieve(entityGrid(s, t), t)
     }),
 
+    // FORWARD as-of: next quote at-or-after each trade within 1 h — the
+    // reaction-window direction (one shuffle, mirror of q_asof_sma).
+    "q_asof_forward" -> ((s, d) => {
+      val t = trades(s, d)
+      val quotes = t.filter(col("bid").isNotNull && col("ask").isNotNull)
+        .select(col("time"), col("symbol"),
+          Quantize.r((col("bid") + col("ask")) / 2, 6).as("mid"))
+      AsOfJoin.forward(
+        t.select("time", "symbol", "trade_id"), quotes,
+        Seq("symbol"), ttlSeconds = Some(3600L))
+    }),
+
+    // Salted skew join under the gate: the deterministic-salt spread must
+    // be value-transparent vs the plain equi-join (PlanSpec asserts the
+    // salt topology; this asserts the values at corpus scale).
+    "q_salted_join" -> ((s, d) => {
+      val t = trades(s, d)
+      graft.operators.Salting.saltedJoin(
+        t, LargeTrades.thresholds(t), "symbol", n = 8, saltSource = "trade_id")
+        .filter(col("volume") > col("percentile_95"))
+        .groupBy("symbol").agg(count(lit(1)).as("n_large"))
+    }),
+
     // Online-store read path: the latest feature vector for EVERY symbol at
     // the corpus "now" (Feast online serving, feature_store.yaml Redis path).
     // A 1-timestamp entity frame degenerates the as-of join to latest-per-key,
@@ -471,6 +494,30 @@ object FeatureQueries {
 
     "q_pit_snapshot" ->
       s"WITH ${OracleSql.tradesCte},\n${pitSnapshotSql(PitSymbol, PitAsOf)}",
+
+    // Forward as-of mirror: earliest quote at-or-after each trade, nulled
+    // past the 1 h TTL. Correlated min is sound because (symbol, time) is
+    // unique in the corpus (the same invariant every arg_min oracle uses).
+    "q_asof_forward" -> withTradesAnd(
+      """q AS (SELECT time, symbol,
+        |         floor(((bid + ask) / 2) * 1e6 + 0.5) / 1e6 AS mid
+        |  FROM trades WHERE bid IS NOT NULL AND ask IS NOT NULL)""".stripMargin,
+      """SELECT time, symbol, trade_id, nq AS matched_time,
+        |       (SELECT q.mid FROM q WHERE q.symbol = t.symbol AND q.time = t.nq) AS mid
+        |FROM (
+        |  SELECT t0.time, t0.symbol, t0.trade_id,
+        |         (SELECT min(q.time) FROM q
+        |          WHERE q.symbol = t0.symbol AND q.time >= t0.time
+        |            AND q.time <= t0.time + INTERVAL 1 HOUR) AS nq
+        |  FROM trades t0) t""".stripMargin),
+
+    // The salt must be value-transparent: oracle is the PLAIN equi-join.
+    "q_salted_join" -> withTradesAnd(
+      """thr AS (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1)""",
+      """SELECT t.symbol, count(*) AS n_large
+        |FROM trades t JOIN thr ON t.symbol = thr.symbol
+        |WHERE t.volume > thr.p95
+        |GROUP BY t.symbol""".stripMargin),
 
     "q_asof_sma" -> withTradesAnd(
       entityGridSql + """,

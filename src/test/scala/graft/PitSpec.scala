@@ -70,6 +70,28 @@ class PitSpec extends SparkTestBase {
     assert(out(1).isNullAt(0))
   }
 
+  test("forward as-of: earliest at-or-after match, >= semantics, TTL nulls far matches") {
+    import spark.implicits._
+    val feature = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 10:00:00"), 1.0),
+      ("A", Timestamp.valueOf("2024-01-01 11:00:00"), 2.0),
+      ("A", Timestamp.valueOf("2024-01-01 15:00:00"), 3.0))
+      .toDF("symbol", "time", "v")
+    val entity = Seq(
+      ("A", Timestamp.valueOf("2024-01-01 09:30:00")), // next is #1
+      ("A", Timestamp.valueOf("2024-01-01 11:00:00")), // exactly at #2 (>= visible)
+      ("A", Timestamp.valueOf("2024-01-01 11:30:00")), // next is #3, 3.5 h away
+      ("A", Timestamp.valueOf("2024-01-01 16:00:00"))) // nothing after
+      .toDF("symbol", "ts")
+    val out = AsOfJoin.forward(
+      entity, feature, Seq("symbol"), "ts", "time", ttlSeconds = Some(3600))
+      .orderBy("ts").select("v").collect()
+    assert(out(0).getDouble(0) === 1.0)
+    assert(out(1).getDouble(0) === 2.0, ">= must see the contemporaneous row")
+    assert(out(2).isNullAt(0), "next match beyond TTL is nulled")
+    assert(out(3).isNullAt(0), "no future row at all")
+  }
+
   test("historical features sweep produces a value for every in-range entity row") {
     val t = trades
     val entities = t.select("symbol").distinct().limit(3)
