@@ -317,6 +317,38 @@ object FeatureQueries {
         size(col("obs")).cast("long").as("n_buckets"))
     }),
 
+    // Lag-1 return autocorrelation per symbol (momentum/mean-reversion
+    // signal) — same ordered-moment-fold discipline as q_beta: quantized
+    // returns, sorted per-symbol array (bounded by buckets-per-symbol),
+    // every sum folded in bucket order so both engines run the identical
+    // IEEE sequence.
+    "q_autocorr" -> ((s, d) => {
+      val obs = bucketReturns(s, d)
+        .groupBy("symbol")
+        .agg(sort_array(collect_list(struct(col("bucket"), col("ret")))).as("obs"))
+      val withRs = obs.select(col("symbol"),
+        transform(col("obs"), x => x.getField("ret")).as("rs"))
+      val rs = col("rs")
+      val withPairs = withRs.select(col("symbol"),
+        when(size(rs) >= 2,
+          transform(sequence(lit(2), size(rs)), i =>
+            struct(element_at(rs, i).as("x"), element_at(rs, i - 1).as("y"))))
+          .otherwise(array().cast("array<struct<x:double,y:double>>")).as("ps"))
+      val m = size(col("ps")).cast("double")
+      def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+        aggregate(col("ps"), lit(0.0), (acc, p) => acc + f(p))
+      val sx = fold(_.getField("x"))
+      val sy = fold(_.getField("y"))
+      val sxy = fold(p => p.getField("x") * p.getField("y"))
+      val sx2 = fold(p => p.getField("x") * p.getField("x"))
+      val sy2 = fold(p => p.getField("y") * p.getField("y"))
+      val denom = (m * sx2 - sx * sx) * (m * sy2 - sy * sy)
+      withPairs.select(col("symbol"),
+        Quantize.r(
+          when(denom > 0, (m * sxy - sx * sy) / sqrt(denom)), 6).as("autocorr_1"),
+        size(col("ps")).cast("long").as("n_pairs"))
+    }),
+
     // Technical indicators: same one-shuffle per-symbol window family.
     "q_bollinger" -> ((s, d) => Indicators.bollinger(trades(s, d))),
 
@@ -725,6 +757,41 @@ object FeatureQueries {
 
     // Mirrors the ordered-fold pair correlation: moment sums in bucket
     // order, variance terms clamped at 0 before sqrt.
+    // Mirrors q_autocorr: per-symbol bucket-ordered return list, lagged
+    // pairs [r_i, r_{i-1}], moment sums folded left-to-right in the same
+    // order Spark's aggregate() folds the pair array.
+    "q_autocorr" -> withTradesAnd(bucketReturnsSql +
+      """,
+        |obs AS (
+        |  SELECT symbol, list(ret ORDER BY bucket) AS rs
+        |  FROM rets WHERE ret IS NOT NULL GROUP BY symbol),
+        |pairs AS (
+        |  SELECT symbol,
+        |         CASE WHEN len(rs) >= 2
+        |           THEN list_transform(range(2, len(rs) + 1), i -> [rs[i], rs[i-1]])
+        |           ELSE CAST([] AS DOUBLE[][]) END AS ps
+        |  FROM obs),
+        |amom AS (
+        |  SELECT symbol, CAST(len(ps) AS DOUBLE) AS m, len(ps) AS n_pairs,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ps, p -> p[1])), (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ps, p -> p[2])), (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ps, p -> p[1] * p[2])), (a, x) -> a + x) AS sxy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ps, p -> p[1] * p[1])), (a, x) -> a + x) AS sx2,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ps, p -> p[2] * p[2])), (a, x) -> a + x) AS sy2
+        |  FROM pairs)""".stripMargin,
+      """SELECT symbol,
+        |       CASE WHEN (m * sx2 - sx * sx) * (m * sy2 - sy * sy) > 0
+        |            THEN floor(((m * sxy - sx * sy) /
+        |                   sqrt((m * sx2 - sx * sx) * (m * sy2 - sy * sy))) * 1e6 + 0.5) / 1e6
+        |       END AS autocorr_1,
+        |       n_pairs
+        |FROM amom""".stripMargin),
+
     "q_pair_corr" -> withTradesAnd(bucketReturnsSql +
       """,
         |r0 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
