@@ -5,7 +5,9 @@ import graft.features.Ohlc
 import graft.operators.Rls
 import graft.quality.{DqScore, Expectations, KsTest, Profiler, Psi}
 import graft.sources.Ingest
+import graft.functions.Quantize
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-quality, validation, RLS and ingest-contract queries, mirroring the
@@ -72,6 +74,39 @@ object QualityQueries {
         .groupBy("l_returnflag")
         .agg(
           count(when(abs((col("l_extendedprice") - col("mu")) / nullif(col("sigma"), lit(0.0))) > 3, 1))
+            .as("n_outliers"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Robust (MAD-based) outliers — the z-score's median sibling, immune
+    // to the outliers inflating their own threshold. Median and MAD are
+    // NEAREST-RANK picks (rank ceil(n/2) over (value, trade_id) order —
+    // the q_var_cvar discipline): actual observations both engines select
+    // identically, so the d > 3·1.4826·MAD cut compares bit-identical
+    // doubles. Two rank passes + one broadcast of the 1-row-per-symbol
+    // stats; the fact table shuffles once per rank pass.
+    "q_mad_outliers" -> ((s, d) => {
+      val t = trades(s, d)
+      def rankPick(df: DataFrame, valueCol: String): DataFrame = {
+        val rw = Window.partitionBy("symbol").orderBy(col(valueCol), col("trade_id"))
+        val nw = Window.partitionBy("symbol")
+        df.select(col("symbol"), col(valueCol),
+            row_number().over(rw).as("rn"),
+            ceil(count(lit(1)).over(nw).cast("double") / 2).as("k"))
+          .filter(col("rn") === col("k"))
+          .select(col("symbol"), col(valueCol))
+      }
+      val med = rankPick(t.select(col("symbol"), col("trade_id"), col("price")), "price")
+        .withColumnRenamed("price", "med")
+      val devs = t.join(broadcast(med), Seq("symbol"))
+        .select(col("symbol"), col("trade_id"), abs(col("price") - col("med")).as("dev"))
+      val mad = rankPick(devs, "dev").withColumnRenamed("dev", "mad")
+      devs.join(broadcast(med), Seq("symbol")).join(broadcast(mad), Seq("symbol"))
+        .groupBy("symbol")
+        .agg(
+          Quantize.r(max(col("med")), 6).as("med"),
+          Quantize.r(max(col("mad")), 6).as("mad"),
+          count(when(col("dev") > lit(3.0) * lit(1.4826) * col("mad"), 1))
             .as("n_outliers"),
           count(lit(1)).as("n"))
     }),
@@ -282,6 +317,34 @@ object QualityQueries {
         |      FROM lineitem GROUP BY 1) s
         |  ON l.l_returnflag = s.l_returnflag
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    // Mirrors q_mad_outliers: nearest-rank median and MAD (rank ceil(n/2)
+    // over (value, trade_id)), cut at 3·1.4826·MAD on bit-identical values.
+    "q_mad_outliers" -> withTradesAnd(
+      """med AS (
+        |  SELECT symbol, price AS med FROM (
+        |    SELECT symbol, price,
+        |           row_number() OVER (PARTITION BY symbol ORDER BY price, trade_id) AS rn,
+        |           CAST(ceil(CAST(count(*) OVER (PARTITION BY symbol) AS DOUBLE) / 2) AS BIGINT) AS k
+        |    FROM trades)
+        |  WHERE rn = k),
+        |devs AS (
+        |  SELECT t.symbol, t.trade_id, abs(t.price - m.med) AS dev
+        |  FROM trades t JOIN med m ON t.symbol = m.symbol),
+        |mad AS (
+        |  SELECT symbol, dev AS mad FROM (
+        |    SELECT symbol, dev,
+        |           row_number() OVER (PARTITION BY symbol ORDER BY dev, trade_id) AS rn,
+        |           CAST(ceil(CAST(count(*) OVER (PARTITION BY symbol) AS DOUBLE) / 2) AS BIGINT) AS k
+        |    FROM devs)
+        |  WHERE rn = k)""".stripMargin,
+      """SELECT d.symbol,
+        |       floor(max(m.med) * 1e6 + 0.5) / 1e6 AS med,
+        |       floor(max(a.mad) * 1e6 + 0.5) / 1e6 AS mad,
+        |       count(CASE WHEN d.dev > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * a.mad THEN 1 END) AS n_outliers,
+        |       count(*) AS n
+        |FROM devs d JOIN med m ON d.symbol = m.symbol JOIN mad a ON d.symbol = a.symbol
+        |GROUP BY d.symbol""".stripMargin),
 
     "q_expectations" -> withTrades(
       """SELECT count(*) AS n_rows,
