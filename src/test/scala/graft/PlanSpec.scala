@@ -574,6 +574,20 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("forward as-of pays one shuffle and never explodes to a theta join") {
+    val t = Tables.trades(spark, sf0001)
+    val quotes = t.filter(col("bid").isNotNull && col("ask").isNotNull)
+      .select(col("time"), col("symbol"), ((col("bid") + col("ask")) / 2).as("mid"))
+    val plan = AsOfJoin.forward(
+      t.select("time", "symbol", "trade_id"), quotes, Seq("symbol"),
+      ttlSeconds = Some(3600L))
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 1, s"union+window = one key shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("CartesianProduct"),
+      s"no join, no explosion:\n$plan")
+  }
+
   test("scrub plans: PII audit is a pure narrow map; boilerplate is two exchanges") {
     val docs = Tables.documents(spark, sf0001)
     val piiPlan = graft.ext.Scrub.piiAudit(docs)
