@@ -43,7 +43,25 @@ object AsOfJoin {
       leftTime: String = "time",
       rightTime: String = "time",
       ttlSeconds: Option[Long] = None,
-      rightPrefix: String = ""): DataFrame = {
+      rightPrefix: String = ""): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, ttlSeconds, rightPrefix,
+      lookForward = false)
+
+  /** Shared union+window machinery for both directions. Direction decides:
+    * the tag pair (the RIGHT side must sort inside the frame at equal
+    * timestamps — before left rows for `<=`, after them for `>=`), the
+    * frame (trailing `last` vs leading `first`), and the TTL subtraction
+    * order (staleness vs lead time).
+    */
+  private def asOf(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTime: String,
+      rightTime: String,
+      ttlSeconds: Option[Long],
+      rightPrefix: String,
+      lookForward: Boolean): DataFrame = {
 
     val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
     val leftCols  = left.columns.toSeq
@@ -52,30 +70,41 @@ object AsOfJoin {
     val payloadType = right.select(payload).schema.head.dataType
     val lrowType    = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
 
+    val (rightTag, leftTag) = if (lookForward) (1, 0) else (0, 1)
+
     val rTagged = right.select(
       keys.map(col) ++ Seq(
-        col(rightTime).as("__t"), lit(0).as("__tag"),
+        col(rightTime).as("__t"), lit(rightTag).as("__tag"),
         payload.as("__payload"),
         lit(null).cast(lrowType).as("__lrow")): _*)
 
     val lTagged = left.select(
       keys.map(col) ++ Seq(
-        col(leftTime).as("__t"), lit(1).as("__tag"),
+        col(leftTime).as("__t"), lit(leftTag).as("__tag"),
         lit(null).cast(payloadType).as("__payload"),
         struct(leftCols.map(col): _*).as("__lrow")): _*)
 
-    val w = Window
+    val ordered = Window
       .partitionBy(keys.map(col): _*)
       .orderBy(col("__t").asc, col("__tag").asc)
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val (w, pick) =
+      if (lookForward)
+        (ordered.rowsBetween(Window.currentRow, Window.unboundedFollowing),
+          first(col("__payload"), ignoreNulls = true))
+      else
+        (ordered.rowsBetween(Window.unboundedPreceding, Window.currentRow),
+          last(col("__payload"), ignoreNulls = true))
 
     val withMatch = rTagged.unionByName(lTagged)
-      .withColumn("__m", last(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 1)
+      .withColumn("__m", pick.over(w))
+      .filter(col("__tag") === leftTag)
 
     val ttlOk: Column = ttlSeconds match {
-      case Some(s) => col("__m").isNotNull &&
-        unix_micros(col("__t")) - unix_micros(col("__m.__rt")) <= s * 1000000L
+      case Some(s) =>
+        val gap =
+          if (lookForward) unix_micros(col("__m.__rt")) - unix_micros(col("__t"))
+          else unix_micros(col("__t")) - unix_micros(col("__m.__rt"))
+        col("__m").isNotNull && gap <= s * 1000000L
       case None => col("__m").isNotNull
     }
 
@@ -101,47 +130,9 @@ object AsOfJoin {
       leftTime: String = "time",
       rightTime: String = "time",
       ttlSeconds: Option[Long] = None,
-      rightPrefix: String = ""): DataFrame = {
-
-    val valueCols = right.columns.filterNot(c => keys.contains(c) || c == rightTime).toSeq
-    val leftCols  = left.columns.toSeq
-
-    val payload     = struct(col(rightTime).as("__rt") +: valueCols.map(col): _*)
-    val payloadType = right.select(payload).schema.head.dataType
-    val lrowType    = left.select(struct(leftCols.map(col): _*)).schema.head.dataType
-
-    val rTagged = right.select(
-      keys.map(col) ++ Seq(
-        col(rightTime).as("__t"), lit(1).as("__tag"),
-        payload.as("__payload"),
-        lit(null).cast(lrowType).as("__lrow")): _*)
-
-    val lTagged = left.select(
-      keys.map(col) ++ Seq(
-        col(leftTime).as("__t"), lit(0).as("__tag"),
-        lit(null).cast(payloadType).as("__payload"),
-        struct(leftCols.map(col): _*).as("__lrow")): _*)
-
-    val w = Window
-      .partitionBy(keys.map(col): _*)
-      .orderBy(col("__t").asc, col("__tag").asc)
-      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-
-    val withMatch = rTagged.unionByName(lTagged)
-      .withColumn("__m", first(col("__payload"), ignoreNulls = true).over(w))
-      .filter(col("__tag") === 0)
-
-    val ttlOk: Column = ttlSeconds match {
-      case Some(s) => col("__m").isNotNull &&
-        unix_micros(col("__m.__rt")) - unix_micros(col("__t")) <= s * 1000000L
-      case None => col("__m").isNotNull
-    }
-
-    withMatch.select(
-      leftCols.map(c => col(s"__lrow.$c").as(c)) ++
-        Seq(when(ttlOk, col("__m.__rt")).as(s"${rightPrefix}matched_$rightTime")) ++
-        valueCols.map(c => when(ttlOk, col(s"__m.$c")).as(s"$rightPrefix$c")): _*)
-  }
+      rightPrefix: String = ""): DataFrame =
+    asOf(left, right, keys, leftTime, rightTime, ttlSeconds, rightPrefix,
+      lookForward = true)
 
   /** The contract's literal equi+theta formulation
     * (`sql/smartdb_contract.md:154-167`): equi-join on keys plus the

@@ -26,12 +26,14 @@ import org.apache.spark.sql.functions._
 object Scrub {
 
   /** RE2-safe PII patterns (identical semantics in Java regex and DuckDB's
-    * RE2): email, dotted-quad IP, 13-19 digit account/card numbers. Order
-    * matters when redacting (emails contain digits; run email first), but
-    * the patterns cannot overlap-match each other's replacements because
-    * the placeholder tokens contain no `@` or digits.
+    * RE2): email (case-insensitive — a redactor that misses
+    * `John@Example.COM` leaks PII), dotted-quad IP, 13-19 digit
+    * account/card numbers. Order matters when redacting (emails contain
+    * digits; run email first), but the patterns cannot overlap-match each
+    * other's replacements because the placeholder tokens contain no `@`
+    * or digits.
     */
-  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val EmailRe = "(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
   val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
   val LongNumRe = "\\b\\d{13,19}\\b"
 

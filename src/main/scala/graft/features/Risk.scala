@@ -91,6 +91,8 @@ object Risk {
     * identical on both sides.
     */
   def varCvar(trades: DataFrame, alpha: Double = 0.05): DataFrame = {
+    // confidence level in the output names: var_95/cvar_95 for alpha=0.05
+    val conf = math.round((1 - alpha) * 100)
     val ord = Window.partitionBy("symbol").orderBy("time", "trade_id")
     val r = Quantize.r(
       log(nullif(col("price"), lit(0.0)) /
@@ -108,8 +110,8 @@ object Risk {
       .filter(col("rn") <= col("k"))
       .groupBy("symbol")
       .agg(
-        max_by(col("r"), col("rn")).as("var_95"),
-        Quantize.r(avg(col("r")), 6).as("cvar_95"),
+        max_by(col("r"), col("rn")).as(s"var_$conf"),
+        Quantize.r(avg(col("r")), 6).as(s"cvar_$conf"),
         count(lit(1)).as("n_tail"))
   }
 }

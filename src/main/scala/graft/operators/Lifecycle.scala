@@ -45,25 +45,35 @@ object Lifecycle {
         max(col("d")).as("newest"))
   }
 
+  /** The table's `part_date=` partition dirs. Names that fail to parse as
+    * dates (e.g. a crashed writer's leftover) are surfaced by callers that
+    * care; this listing itself is pure metadata.
+    */
+  private def partDirs(tablePath: String): Array[java.io.File] =
+    Option(new java.io.File(tablePath).listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && f.getName.startsWith("part_date="))
+
+  private def partDate(dir: java.io.File): Option[java.time.LocalDate] = {
+    val v = dir.getName.stripPrefix("part_date=")
+    try Some(java.time.LocalDate.parse(v)) catch { case _: Exception => None }
+  }
+
   /** Drop `part_date=` partitions older than `keepDays` against
     * `anchorDate`. Pure partition-directory operation: lists the table's
     * partition dirs (O(partitions) metadata), deletes the expired ones,
-    * touches nothing else. Returns the dropped partition values.
+    * touches nothing else. Unparseable partition values (the null
+    * partition, foreign dirs) are left alone. Returns the dropped
+    * partition values.
     */
-  def applyRetention(spark: SparkSession, tablePath: String, keepDays: Int,
+  def applyRetention(tablePath: String, keepDays: Int,
       anchorDate: java.time.LocalDate): Seq[String] = {
     val cutoff = anchorDate.minusDays(keepDays.toLong - 1)
-    val root = new java.io.File(tablePath)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("part_date="))
-    val expired = parts.filter { dir =>
-      val v = dir.getName.stripPrefix("part_date=")
-      v != "__HIVE_DEFAULT_PARTITION__" &&
-        java.time.LocalDate.parse(v).isBefore(cutoff)
-    }
+    val expired = partDirs(tablePath)
+      .filter(dir => partDate(dir).exists(_.isBefore(cutoff)))
     expired.foreach { dir =>
       import scala.reflect.io.Directory
-      new Directory(dir).deleteRecursively()
+      if (!new Directory(dir).deleteRecursively())
+        throw new java.io.IOException(s"retention could not delete $dir")
     }
     expired.map(_.getName.stripPrefix("part_date=")).toSeq.sorted
   }
@@ -76,25 +86,36 @@ object Lifecycle {
     * shuffle partition) — compaction restores scan efficiency at
     * O(fragmented partitions) cost, the same maintenance Delta's OPTIMIZE
     * or a Hive concatenate runs. Returns the compacted partition values.
+    *
+    * Crash safety: staging/trash dirs are DOT-prefixed siblings (Spark's
+    * readers ignore hidden paths, and they can never be mistaken for a
+    * `part_date=` partition by retention or partition inference). The swap
+    * is rename → rename: a crash leaves either the original partition
+    * intact (before the first rename) or the full data in the hidden trash
+    * dir (between renames) — never a half-deleted partition.
     */
   def compactPartitions(spark: SparkSession, tablePath: String,
       maxFilesPerPartition: Int = 1): Seq[String] = {
-    val root = new java.io.File(tablePath)
-    val parts = Option(root.listFiles()).getOrElse(Array.empty)
-      .filter(f => f.isDirectory && f.getName.startsWith("part_date="))
-    val fragmented = parts.filter { dir =>
+    val fragmented = partDirs(tablePath).filter { dir =>
       dir.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")) >
         maxFilesPerPartition
     }
     fragmented.foreach { dir =>
-      val tmp = dir.getPath + "__compact_tmp"
+      val tmp = new java.io.File(dir.getParent, s".compact_tmp_${dir.getName}")
+      val trash = new java.io.File(dir.getParent, s".compact_gc_${dir.getName}")
       spark.read.parquet(dir.getPath)
         .coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      import scala.reflect.io.Directory
-      new Directory(dir).deleteRecursively()
-      if (!new java.io.File(tmp).renameTo(dir))
+        .write.mode("overwrite").parquet(tmp.getPath)
+      if (!dir.renameTo(trash))
+        throw new java.io.IOException(s"compaction could not stage $dir aside")
+      if (!tmp.renameTo(dir)) {
+        trash.renameTo(dir) // roll back; original data was never touched
         throw new java.io.IOException(s"compaction swap failed for $dir")
+      }
+      import scala.reflect.io.Directory
+      if (!new Directory(trash).deleteRecursively())
+        throw new java.io.IOException(
+          s"compaction succeeded but could not remove $trash (hidden leftover)")
     }
     fragmented.map(_.getName.stripPrefix("part_date=")).toSeq.sorted
   }

@@ -615,11 +615,11 @@ object ExtQueries {
     // backtracking-only constructs), replacement with the 'g' flag.
     "q_pii_redact" ->
       """SELECT doc_id,
-        |       CAST(len(regexp_extract_all(text, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
         |       CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
         |       CAST(len(regexp_extract_all(text, '\b\d{13,19}\b')) AS INTEGER) AS n_longnums,
         |       md5(regexp_replace(regexp_replace(regexp_replace(text,
-        |             '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |             '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g'),
         |             '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |             '\b\d{13,19}\b', '<NUM>', 'g')) AS redacted_fp
         |FROM (

@@ -16,19 +16,22 @@ class ScrubSpec extends SparkTestBase {
     val rows = Seq(
       (1L, "mail me at jane.doe+x@corp.example.org today"),
       (2L, "server 192.168.0.1 and card 4111111111111111"),
-      (3L, "clean text with no pii at all"))
+      (3L, "clean text with no pii at all"),
+      (4L, "Contact John.Doe@Example.COM please"))
       .toDF("doc_id", "text")
     val out = rows.select(col("doc_id"), Scrub.redact(col("text")).as("r"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(out(1L) === "mail me at <EMAIL> today")
     assert(out(2L) === "server <IP> and card <NUM>")
     assert(out(3L) === "clean text with no pii at all")
+    assert(out(4L) === "Contact <EMAIL> please", "mixed case must not leak")
     val audit = Scrub.piiAudit(rows).collect()
       .map(r => r.getAs[Long]("doc_id") ->
         (r.getAs[Int]("n_emails"), r.getAs[Int]("n_ips"), r.getAs[Int]("n_longnums"))).toMap
     assert(audit(1L) === ((1, 0, 0)))
     assert(audit(2L) === ((0, 1, 1)))
     assert(audit(3L) === ((0, 0, 0)))
+    assert(audit(4L) === ((1, 0, 0)))
   }
 
   test("decontaminate flags exactly the docs sharing a k-gram with the eval set") {
@@ -163,7 +166,7 @@ class ScrubSpec extends SparkTestBase {
       !java.time.LocalDate.parse(d.getName.stripPrefix("part_date=")).isBefore(cutoff))
     val fingerprints = surviving.map(d => d.getName -> fileBytes(d)).toMap
 
-    val dropped = graft.operators.Lifecycle.applyRetention(spark, out, keepDays, anchor)
+    val dropped = graft.operators.Lifecycle.applyRetention(out, keepDays, anchor)
     assert(dropped.nonEmpty, "a month-long table must have expired partitions")
     val after = partDirs.map(_.getName)
     assert(after.toSet === before.toSet -- dropped.map("part_date=" + _))
