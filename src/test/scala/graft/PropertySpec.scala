@@ -129,4 +129,53 @@ class PropertySpec extends SparkTestBase {
       assert(chk.count() === 0)
     }
   }
+
+  test("property: risk invariants — CVaR <= VaR, OBV telescopes, Donchian brackets") {
+    forAll(tradeGen) { case (n, seed) =>
+      val t = genTrades(n, seed)
+      // the tail mean can never exceed the tail cut
+      assert(Risk.varCvar(t)
+        .filter(col("cvar_95") > col("var_95") + 1e-9).count() === 0)
+      // final OBV per symbol equals the naive sum of signed volumes
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("symbol").orderBy("time", "trade_id")
+      val naive = t
+        .select(col("symbol"),
+          coalesce(signum(col("price") - lag(col("price"), 1).over(w))
+            .cast("bigint") * col("volume").cast("bigint"), lit(0L)).as("step"))
+        .groupBy("symbol").agg(sum(col("step")).as("expect"))
+      val last = Risk.obv(t)
+        .groupBy("symbol").agg(max_by(col("obv"), struct(col("time"), col("trade_id"))).as("got"))
+      assert(last.join(naive, Seq("symbol"))
+        .filter(col("got") =!= col("expect")).count() === 0)
+      // channel brackets every price
+      assert(Risk.donchian(t)
+        .filter(col("price") > col("dc_high") || col("price") < col("dc_low"))
+        .count() === 0)
+    }
+  }
+
+  test("property: self-decontamination flags every doc with >= k tokens") {
+    forAll(Gen.choose(0L, 100000L)) { seed =>
+      val docs = spark.range(12).select(
+        col("id").as("doc_id"),
+        expr(s"array_join(transform(sequence(1, 10 + CAST(pmod(xxhash64(id, $seed), 5) AS INT)), " +
+          s"i -> concat('w', pmod(xxhash64(i + id * 31, $seed), 20))), ' ')").as("text"))
+      val out = graft.ext.Scrub.decontaminate(docs, docs, k = 8)
+      // every train doc shares ALL its grams with the eval copy of itself
+      assert(out.filter(!col("contaminated")).count() === 0)
+      assert(out.count() === 12)
+    }
+  }
+
+  test("property: boilerplate fraction is 1 when every doc is identical, 0 when all disjoint") {
+    val same = spark.range(6).select(col("id").as("doc_id"),
+      lit("alpha beta gamma delta epsilon zeta eta").as("text"))
+    val sameOut = graft.ext.Scrub.boilerplate(same, k = 5, minDocs = 3)
+    assert(sameOut.filter(col("boilerplate_frac") =!= 1.0).count() === 0)
+    val disjoint = spark.range(6).select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(1, 8), i -> concat('d', id, 'w', i)), ' ')").as("text"))
+    val disOut = graft.ext.Scrub.boilerplate(disjoint, k = 5, minDocs = 2)
+    assert(disOut.filter(col("boilerplate_frac") =!= 0.0).count() === 0)
+  }
 }
