@@ -81,6 +81,37 @@ object Risk {
       Quantize.r((hi + lo) / 2, 6).as("dc_mid"))
   }
 
+  /** Hampel filter — rolling-median tick cleaning: a price farther than
+    * `k·1.4826·MAD` from its trailing-n rolling median is flagged and
+    * replaced by that median (the standard outlier-repair pass run before
+    * feature computation on raw ticks). All statistics are NEAREST-RANK
+    * picks from the sorted frame array, so every emitted value is an
+    * actual observation both engines select identically — no averaging,
+    * no interpolation, nothing to quantize.
+    *
+    * Shape: ONE per-symbol window pass carrying an O(n) frame array per
+    * row (n = 21 ticks — constant, bounded state; the trailing frame
+    * keeps it causal/streaming-compatible).
+    */
+  def hampel(trades: DataFrame, n: Int = 21, k: Double = 3.0): DataFrame = {
+    val w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+      .rowsBetween(-(n - 1), 0)
+    val frame = collect_list(col("price")).over(w)
+    val base = trades.select(col("time"), col("symbol"), col("trade_id"),
+      col("price"), frame.as("a"))
+    val m = size(col("a"))
+    val mid = ceil(m.cast("double") / 2).cast("int")
+    val withMed = base.select(col("time"), col("symbol"), col("trade_id"),
+      col("price"), col("a"), element_at(array_sort(col("a")), mid).as("med"))
+    val mad = element_at(
+      array_sort(transform(col("a"), x => abs(x - col("med")))), mid)
+    val outlier = abs(col("price") - col("med")) > lit(k) * lit(1.4826) * mad
+    withMed.select(
+      col("time"), col("symbol"), col("price"), col("med"),
+      outlier.as("is_outlier"),
+      when(outlier, col("med")).otherwise(col("price")).as("cleaned"))
+  }
+
   /** Historical VaR/CVaR at confidence `alpha` (left tail) per symbol, on
     * quantized per-trade log returns. The tail cut is NEAREST-RANK by
     * construction — rank k = ceil(alpha·n) over (return, trade_id) order —

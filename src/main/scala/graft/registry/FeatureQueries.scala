@@ -386,6 +386,11 @@ object FeatureQueries {
     // identically).
     "q_var_cvar" -> ((s, d) => Risk.varCvar(trades(s, d))),
 
+    // Hampel tick cleaning: rolling-median/MAD outlier repair, every
+    // statistic an actual observation (nearest-rank from the sorted
+    // frame) — nothing to quantize.
+    "q_hampel" -> ((s, d) => Risk.hampel(trades(s, d))),
+
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
       trades(s, d)
@@ -1021,6 +1026,25 @@ object FeatureQueries {
         |       count(*) AS n_tail
         |FROM ranked WHERE rn <= k
         |GROUP BY symbol""".stripMargin),
+
+    // Mirrors Risk.hampel: nearest-rank median/MAD from the sorted
+    // trailing-21 frame list; identical index arithmetic on both engines.
+    "q_hampel" -> withTrades(
+      """SELECT time, symbol, price, med,
+        |       abs(price - med) > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad AS is_outlier,
+        |       CASE WHEN abs(price - med) > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+        |            THEN med ELSE price END AS cleaned
+        |FROM (
+        |  SELECT time, symbol, price, med,
+        |         list_sort(list_transform(a, x -> abs(x - med)))[CAST(ceil(CAST(len(a) AS DOUBLE) / 2) AS INT)] AS mad
+        |  FROM (
+        |    SELECT time, symbol, price, a,
+        |           list_sort(a)[CAST(ceil(CAST(len(a) AS DOUBLE) / 2) AS INT)] AS med
+        |    FROM (
+        |      SELECT time, symbol, price,
+        |             list(price) OVER (PARTITION BY symbol ORDER BY time, trade_id
+        |                               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS a
+        |      FROM trades)))""".stripMargin),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,

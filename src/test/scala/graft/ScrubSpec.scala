@@ -204,6 +204,24 @@ class ScrubSpec extends SparkTestBase {
     assert(graft.operators.Lifecycle.compactPartitions(spark, out).isEmpty)
   }
 
+  test("hampel repairs a planted spike and leaves the clean series untouched") {
+    // flat series with one spike: the spike is flagged and replaced by the
+    // rolling median; every other row passes through unchanged
+    val prices = Seq.fill(10)(100.0) ++ Seq(500.0) ++ Seq.fill(10)(100.0)
+    val t = prices.zipWithIndex.map { case (p, i) =>
+      (new java.sql.Timestamp(1704067200000L + i * 60000L), "S", f"$i%03d", p, 1.0)
+    }.toDF("time", "symbol", "trade_id", "price", "volume")
+    val out = Risk.hampel(t, n = 21).orderBy("time").collect()
+    val spike = out(10)
+    assert(spike.getAs[Boolean]("is_outlier"))
+    assert(spike.getAs[Double]("cleaned") === 100.0)
+    assert(out.zipWithIndex.count { case (r, i) =>
+      i != 10 && r.getAs[Boolean]("is_outlier")
+    } === 0, "no false positives on the flat series")
+    assert(out.forall(r => r.getAs[Double]("cleaned") === 100.0 ||
+      r.getAs[Boolean]("is_outlier") === false))
+  }
+
   test("donchian channel brackets the price and uses the n-tick frame") {
     val out = Risk.donchian(rampTrades(30), n = 5).orderBy("time").collect()
     assert(out.forall { r =>
