@@ -187,6 +187,39 @@ object ExtQueries {
     "q_boilerplate" -> ((s, d) =>
       graft.ext.Scrub.boilerplate(docsPar(s, d), k = 5, minDocs = 3)),
 
+    // The COMPOSED pre-training funnel — every curation-tier operator
+    // chained the way a corpus drop actually flows: language gate →
+    // quality rules → PII redaction → exact-dedup canonical (on the
+    // REDACTED text — scrub before hashing) → eval-set decontamination →
+    // deterministic split. Output is the funnel report: survivors per
+    // stage plus final split sizes. Narrow stages run first so every
+    // shuffle sees only survivors.
+    "q_pretrain_pipeline" -> ((s, d) => {
+      val docs = docsPar(s, d)
+      val en = docs.filter(TextStats.langId(col("text")) === "en")
+      val pass = QualityRules.compute(en).filter(col("passes")).select("doc_id")
+      val redacted = en.select(col("doc_id"),
+        graft.ext.Scrub.redact(col("text")).as("text"))
+      val canon = redacted.groupBy(md5(col("text")).as("fp"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val clean = graft.ext.Scrub.decontaminate(
+        redacted.filter(col("doc_id") % 50 =!= 0),
+        redacted.filter(col("doc_id") % 50 === 0), k = 8)
+        .filter(!col("contaminated")).select("doc_id")
+      val surv = en.select("doc_id")
+        .join(pass, Seq("doc_id")).join(canon, Seq("doc_id"))
+        .join(clean, Seq("doc_id"))
+      def stage(name: String, df: DataFrame) =
+        df.agg(count(lit(1)).as("n")).select(lit(name).as("stage"), col("n"))
+      stage("input", docs)
+        .unionByName(stage("lang_en", en))
+        .unionByName(stage("quality_pass", pass))
+        .unionByName(stage("canonical", canon))
+        .unionByName(stage("decontaminated", clean))
+        .unionByName(graft.ext.Curation.hashSplit(surv, "doc_id")
+          .groupBy(col("split").as("stage")).agg(count(lit(1)).as("n")))
+    }),
+
     // Domain-mixture sampling: per-source keep rates (0.2/0.4/0.6/0.8 by
     // source index), decided by the deterministic md5 uniform — the
     // "sample web at 10%, books at 80%" training-mix step.
@@ -670,6 +703,57 @@ object ExtQueries {
         |       floor((CAST(COALESCE(max(f.n_boiler), 0) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS boilerplate_frac
         |FROM dg LEFT JOIN flagged f USING (doc_id)
         |GROUP BY dg.doc_id""".stripMargin,
+
+    // Mirrors the composed funnel stage by stage; quality rules are
+    // per-doc metrics, so computing them corpus-wide and joining the en
+    // slice equals computing them on the slice.
+    "q_pretrain_pipeline" ->
+      s"""WITH $qualityRuleCtes,
+        |en AS (
+        |  SELECT doc_id, text FROM (SELECT doc_id, text, ' ' || text || ' ' AS p FROM documents)
+        |  WHERE contains(p, ' the ') OR contains(p, ' and ')),
+        |red AS (
+        |  SELECT doc_id,
+        |         regexp_replace(regexp_replace(regexp_replace(text,
+        |           '(?i)[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}', '<EMAIL>', 'g'),
+        |           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+        |           '\\b\\d{13,19}\\b', '<NUM>', 'g') AS text
+        |  FROM en),
+        |canon AS (SELECT min(doc_id) AS doc_id FROM red GROUP BY md5(text)),
+        |pgrams AS (
+        |  SELECT doc_id,
+        |         unnest(CASE WHEN len(t) >= 8
+        |           THEN list_distinct(list_transform(range(1, len(t) - 6),
+        |                  i -> md5(array_to_string(t[i:i+7], ' '))))
+        |           ELSE [] END) AS g
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM red)),
+        |ptg AS (SELECT doc_id, g FROM pgrams WHERE doc_id % 50 <> 0),
+        |peg AS (SELECT DISTINCT g FROM pgrams WHERE doc_id % 50 = 0),
+        |pclean AS (
+        |  SELECT d.doc_id FROM (SELECT doc_id FROM red WHERE doc_id % 50 <> 0) d
+        |  LEFT JOIN (SELECT doc_id, count(*) AS ns FROM ptg
+        |             WHERE g IN (SELECT g FROM peg) GROUP BY doc_id) s
+        |    USING (doc_id)
+        |  WHERE COALESCE(s.ns, 0) = 0),
+        |surv AS (
+        |  SELECT e.doc_id FROM en e
+        |  JOIN (SELECT doc_id FROM rules WHERE passes) q USING (doc_id)
+        |  JOIN canon USING (doc_id)
+        |  JOIN pclean USING (doc_id))
+        |SELECT 'input' AS stage, count(*) AS n FROM documents
+        |UNION ALL SELECT 'lang_en', count(*) FROM en
+        |UNION ALL SELECT 'quality_pass', count(*) FROM rules r
+        |          WHERE r.passes AND r.doc_id IN (SELECT doc_id FROM en)
+        |UNION ALL SELECT 'canonical', count(*) FROM canon
+        |UNION ALL SELECT 'decontaminated', count(*) FROM pclean
+        |UNION ALL
+        |SELECT CASE WHEN u < CAST(0.8 AS DOUBLE) THEN 'train'
+        |            WHEN u < CAST(0.9 AS DOUBLE) THEN 'valid'
+        |            ELSE 'test' END AS stage, count(*) AS n
+        |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+        |             / CAST(4294967296 AS DOUBLE) AS u
+        |      FROM surv)
+        |GROUP BY 1""".stripMargin,
 
     // Mirrors Curation.mixtureSample + the per-source rate config.
     "q_source_mix" ->
