@@ -81,6 +81,65 @@ object Risk {
       Quantize.r((hi + lo) / 2, 6).as("dc_mid"))
   }
 
+  /** Amihud illiquidity per symbol-day: mean of |return| / dollar volume
+    * (×10⁶ for readability) — the standard price-impact proxy. Plain
+    * aggregates over quantized per-trade returns; one window pass for the
+    * returns, one keyed aggregation.
+    */
+  def amihud(trades: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    val r = Quantize.r(
+      log(nullif(col("price"), lit(0.0)) /
+        nullif(lag(col("price"), 1).over(ord), lit(0.0))), 6)
+    trades
+      .select(to_date(col("time")).as("day"), col("symbol"),
+        r.as("r"), (col("price") * col("volume")).as("dollar_vol"))
+      .filter(col("r").isNotNull && col("dollar_vol") > 0)
+      .groupBy("day", "symbol")
+      .agg(
+        Quantize.r(avg(abs(col("r")) / col("dollar_vol") * lit(1e6)), 6)
+          .as("amihud_illiq"),
+        count(lit(1)).as("n_trades"))
+  }
+
+  /** Roll's implied spread per symbol: 2·√(−cov(Δp_t, Δp_{t−1})) from the
+    * serial covariance of price changes (Roll 1984) — the microstructure
+    * estimate of the effective bid-ask spread from trade prices alone.
+    * Null when the autocovariance is non-negative (the model's no-spread
+    * regime). Ordered moment folds (the q_autocorr discipline): the
+    * per-symbol change list is sorted by (time, trade_id) and every sum
+    * folds left-to-right — bit-identical cross-engine.
+    */
+  def rollSpread(trades: DataFrame): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy("time", "trade_id")
+    val dp = Quantize.r(col("price") - lag(col("price"), 1).over(ord), 6)
+    val obs = trades
+      .select(col("symbol"), col("time"), col("trade_id"), dp.as("dp"))
+      .filter(col("dp").isNotNull)
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(
+        struct(col("time"), col("trade_id"), col("dp")))).as("obs"))
+    val withDs = obs.select(col("symbol"),
+      transform(col("obs"), x => x.getField("dp")).as("ds"))
+    val ds = col("ds")
+    val withPairs = withDs.select(col("symbol"),
+      when(size(ds) >= 2,
+        transform(sequence(lit(2), size(ds)), i =>
+          struct(element_at(ds, i).as("x"), element_at(ds, i - 1).as("y"))))
+        .otherwise(array().cast("array<struct<x:double,y:double>>")).as("ps"))
+    val m = size(col("ps")).cast("double")
+    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(col("ps"), lit(0.0), (acc, p) => acc + f(p))
+    val sx = fold(_.getField("x"))
+    val sy = fold(_.getField("y"))
+    val sxy = fold(p => p.getField("x") * p.getField("y"))
+    val cov = (m * sxy - sx * sy) / (m * m)
+    withPairs.select(col("symbol"),
+      Quantize.r(when(m >= 2 && cov < 0, lit(2.0) * sqrt(-cov)), 6)
+        .as("roll_spread"),
+      size(col("ps")).cast("long").as("n_pairs"))
+  }
+
   /** Hampel filter — rolling-median tick cleaning: a price farther than
     * `k·1.4826·MAD` from its trailing-n rolling median is flagged and
     * replaced by that median (the standard outlier-repair pass run before

@@ -391,6 +391,12 @@ object FeatureQueries {
     // frame) — nothing to quantize.
     "q_hampel" -> ((s, d) => Risk.hampel(trades(s, d))),
 
+    // Amihud illiquidity: |return|/dollar-volume price-impact proxy.
+    "q_amihud" -> ((s, d) => Risk.amihud(trades(s, d))),
+
+    // Roll's implied bid-ask spread from trade-price autocovariance.
+    "q_roll_spread" -> ((s, d) => Risk.rollSpread(trades(s, d))),
+
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
       trades(s, d)
@@ -1026,6 +1032,52 @@ object FeatureQueries {
         |       count(*) AS n_tail
         |FROM ranked WHERE rn <= k
         |GROUP BY symbol""".stripMargin),
+
+    // Mirrors Risk.amihud: quantized per-trade returns, plain aggregates.
+    "q_amihud" -> withTrades(
+      """SELECT CAST(time AS DATE) AS day, symbol,
+        |       floor((avg(abs(r) / dv * CAST(1000000 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS amihud_illiq,
+        |       count(*) AS n_trades
+        |FROM (
+        |  SELECT time, symbol,
+        |         floor(ln(nullif(price, CAST(0 AS DOUBLE)) /
+        |               nullif(lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r,
+        |         price * volume AS dv
+        |  FROM trades)
+        |WHERE r IS NOT NULL AND dv > 0
+        |GROUP BY 1, 2""".stripMargin),
+
+    // Mirrors Risk.rollSpread: ordered Δp pairs, moment folds, population
+    // covariance (m·sxy − sx·sy)/m², spread only when cov < 0.
+    "q_roll_spread" -> withTradesAnd(
+      """dps AS (
+        |  SELECT symbol, time, trade_id,
+        |         floor((price - lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id)) * 1e6 + 0.5) / 1e6 AS dp
+        |  FROM trades),
+        |robs AS (
+        |  SELECT symbol, list(dp ORDER BY time, trade_id) AS ds
+        |  FROM dps WHERE dp IS NOT NULL GROUP BY symbol),
+        |rpairs AS (
+        |  SELECT symbol,
+        |         CASE WHEN len(ds) >= 2
+        |           THEN list_transform(range(2, len(ds) + 1), i -> [ds[i], ds[i-1]])
+        |           ELSE CAST([] AS DOUBLE[][]) END AS ps
+        |  FROM robs),
+        |rmom AS (
+        |  SELECT symbol, CAST(len(ps) AS DOUBLE) AS m, len(ps) AS n_pairs,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ps, p -> p[1])), (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ps, p -> p[2])), (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(ps, p -> p[1] * p[2])), (a, x) -> a + x) AS sxy
+        |  FROM rpairs)""".stripMargin,
+      """SELECT symbol,
+        |       CASE WHEN m >= 2 AND (m * sxy - sx * sy) / (m * m) < 0
+        |            THEN floor((CAST(2 AS DOUBLE) * sqrt(-((m * sxy - sx * sy) / (m * m)))) * 1e6 + 0.5) / 1e6
+        |       END AS roll_spread,
+        |       n_pairs
+        |FROM rmom""".stripMargin),
 
     // Mirrors Risk.hampel: nearest-rank median/MAD from the sorted
     // trailing-21 frame list; identical index arithmetic on both engines.

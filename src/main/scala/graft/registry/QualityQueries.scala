@@ -78,6 +78,46 @@ object QualityQueries {
           count(lit(1)).as("n"))
     }),
 
+    // Chi-squared categorical drift: the PSI/KS sibling for CATEGORICAL
+    // columns — has the side distribution shifted between the first and
+    // second half of the time range? Cell counts are integers, expected
+    // counts one division each, and the statistic folds over the cells in
+    // (period, side) order — deterministic cross-engine. Severity tiers on
+    // the QUANTIZED statistic at the dof=1 critical values (3.841/6.635),
+    // the same tier-flip-safe discipline as KS/PSI.
+    "q_chi2_drift" -> ((s, d) => {
+      val t = trades(s, d).filter(col("side").isNotNull)
+      val bounds = t.agg(
+        min(unix_micros(col("time"))).as("lo"),
+        max(unix_micros(col("time"))).as("hi"))
+      val cells = t.crossJoin(broadcast(bounds))
+        .select(
+          when(unix_micros(col("time")) <= col("lo") + (col("hi") - col("lo")) / 2,
+            "p1").otherwise("p2").as("period"),
+          col("side"))
+        .groupBy("period", "side").agg(count(lit(1)).as("o"))
+      val withMargins = cells
+        .withColumn("rt", sum(col("o")).over(Window.partitionBy("period")))
+        .withColumn("ct", sum(col("o")).over(Window.partitionBy("side")))
+        .withColumn("g", sum(col("o")).over(Window.partitionBy()))
+        .withColumn("e", col("rt").cast("double") * col("ct") / col("g"))
+        .withColumn("term",
+          (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
+      val stat = withMargins
+        .agg(sort_array(collect_list(
+          struct(col("period"), col("side"), col("term")))).as("cells"),
+          countDistinct(col("period")).as("np"),
+          countDistinct(col("side")).as("ns"))
+        .select(
+          Quantize.r(aggregate(col("cells"), lit(0.0),
+            (acc, c) => acc + c.getField("term")), 6).as("chi2"),
+          ((col("np") - 1) * (col("ns") - 1)).as("dof"))
+      stat.withColumn("severity",
+        when(col("chi2") > 6.635, "critical")
+          .when(col("chi2") > 3.841, "warning")
+          .otherwise("ok"))
+    }),
+
     // Robust (MAD-based) outliers — the z-score's median sibling, immune
     // to the outliers inflating their own threshold. Median and MAD are
     // NEAREST-RANK picks (rank ceil(n/2) over (value, trade_id) order —
@@ -317,6 +357,38 @@ object QualityQueries {
         |      FROM lineitem GROUP BY 1) s
         |  ON l.l_returnflag = s.l_returnflag
         |GROUP BY l.l_returnflag""".stripMargin,
+
+    // Mirrors q_chi2_drift: integer cell counts, one expected-count
+    // division per cell, statistic folded over (period, side)-ordered
+    // cells, severity on the quantized statistic.
+    "q_chi2_drift" -> withTradesAnd(
+      """b AS (
+        |  SELECT min(epoch_us(time)) AS lo, max(epoch_us(time)) AS hi
+        |  FROM trades WHERE side IS NOT NULL),
+        |cells AS (
+        |  SELECT CASE WHEN epoch_us(time) <= lo + (hi - lo) / 2
+        |              THEN 'p1' ELSE 'p2' END AS period,
+        |         side, count(*) AS o
+        |  FROM trades, b WHERE side IS NOT NULL
+        |  GROUP BY 1, 2),
+        |mm AS (
+        |  SELECT period, side, o,
+        |         CAST(sum(o) OVER (PARTITION BY period) AS DOUBLE) *
+        |           (sum(o) OVER (PARTITION BY side)) /
+        |           (sum(o) OVER ()) AS e
+        |  FROM cells),
+        |tt AS (
+        |  SELECT period, side, (o - e) * (o - e) / e AS term FROM mm),
+        |st AS (
+        |  SELECT floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |           list(term ORDER BY period, side)), (a, x) -> a + x)) * 1e6 + 0.5) / 1e6 AS chi2,
+        |         (count(DISTINCT period) - 1) * (count(DISTINCT side) - 1) AS dof
+        |  FROM tt)""".stripMargin,
+      """SELECT chi2, dof,
+        |       CASE WHEN chi2 > CAST(6.635 AS DOUBLE) THEN 'critical'
+        |            WHEN chi2 > CAST(3.841 AS DOUBLE) THEN 'warning'
+        |            ELSE 'ok' END AS severity
+        |FROM st""".stripMargin),
 
     // Mirrors q_mad_outliers: nearest-rank median and MAD (rank ceil(n/2)
     // over (value, trade_id)), cut at 3·1.4826·MAD on bit-identical values.
