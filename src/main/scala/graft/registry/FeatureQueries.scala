@@ -449,6 +449,27 @@ object FeatureQueries {
     * streaming twin q_stream_sessions (StreamQueries), so the two can
     * never silently diverge.
     */
+  /** Hampel oracle: nearest-rank median/MAD from the sorted trailing-21
+    * frame list. Shared by the batch q_hampel and its streaming twin
+    * q_stream_hampel (StreamQueries) — the two can never silently diverge.
+    */
+  private[registry] val hampelSql =
+    """SELECT time, symbol, price, med,
+      |       abs(price - med) > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad AS is_outlier,
+      |       CASE WHEN abs(price - med) > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
+      |            THEN med ELSE price END AS cleaned
+      |FROM (
+      |  SELECT time, symbol, price, med,
+      |         list_sort(list_transform(a, x -> abs(x - med)))[CAST(ceil(CAST(len(a) AS DOUBLE) / 2) AS INT)] AS mad
+      |  FROM (
+      |    SELECT time, symbol, price, a,
+      |           list_sort(a)[CAST(ceil(CAST(len(a) AS DOUBLE) / 2) AS INT)] AS med
+      |    FROM (
+      |      SELECT time, symbol, price,
+      |             list(price) OVER (PARTITION BY symbol ORDER BY time, trade_id
+      |                               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS a
+      |      FROM trades)))""".stripMargin
+
   private[registry] val sessionStatsSql =
     """SELECT min(time) AS session_start, max(time) + INTERVAL 1 HOUR AS session_end,
       |       symbol, count(*) AS n_trades, sum(volume) AS session_volume
@@ -1081,22 +1102,7 @@ object FeatureQueries {
 
     // Mirrors Risk.hampel: nearest-rank median/MAD from the sorted
     // trailing-21 frame list; identical index arithmetic on both engines.
-    "q_hampel" -> withTrades(
-      """SELECT time, symbol, price, med,
-        |       abs(price - med) > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad AS is_outlier,
-        |       CASE WHEN abs(price - med) > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
-        |            THEN med ELSE price END AS cleaned
-        |FROM (
-        |  SELECT time, symbol, price, med,
-        |         list_sort(list_transform(a, x -> abs(x - med)))[CAST(ceil(CAST(len(a) AS DOUBLE) / 2) AS INT)] AS mad
-        |  FROM (
-        |    SELECT time, symbol, price, a,
-        |           list_sort(a)[CAST(ceil(CAST(len(a) AS DOUBLE) / 2) AS INT)] AS med
-        |    FROM (
-        |      SELECT time, symbol, price,
-        |             list(price) OVER (PARTITION BY symbol ORDER BY time, trade_id
-        |                               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS a
-        |      FROM trades)))""".stripMargin),
+    "q_hampel" -> withTrades(hampelSql),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,

@@ -39,18 +39,19 @@ object StreamQueries {
           (col("price") - col("mu")) / col("sigma"), 6).as("z"))
   }
 
-  /** Bounded replay of the ordered TWS CUSUM into `out`, with the RocksDB
-    * state store (transformWithState needs multi-column-family support)
-    * scoped to the query and the session default restored after.
+  /** Bounded replay of a transformWithState dataset into `out`, with the
+    * RocksDB state store (the arbitrary-state API needs multi-column-family
+    * support) scoped to the query and the session default restored after.
     */
-  def runOrderedCusum(s: SparkSession, obs: DataFrame, out: String): Unit = {
+  def runOrderedTws[T](s: SparkSession, ds: org.apache.spark.sql.Dataset[T],
+      out: String): Unit = {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(providerKey)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = OrderedCusum.monitor(obs).writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[OrderedCusum.FoldRow], _: Long) =>
+      val q = ds.writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>
           batch.write.mode("append").parquet(out)
         }
         .outputMode("update").trigger(Trigger.AvailableNow())
@@ -64,6 +65,10 @@ object StreamQueries {
       }
     }
   }
+
+  /** Backwards-compatible alias used by the ordered-CUSUM replays. */
+  def runOrderedCusum(s: SparkSession, obs: DataFrame, out: String): Unit =
+    runOrderedTws(s, OrderedCusum.monitor(obs), out)
 
   /** Last emission per key from an ordered-CUSUM replay dump: total consumed
     * (`n_folded + n_late`) is strictly monotone per emission, so max_by on it
@@ -234,6 +239,20 @@ object StreamQueries {
         .select("symbol", "cusum_pos", "cusum_neg", "n_alerts")
     }),
 
+    // Event-time-ordered STREAMING Hampel cleaning on transformWithState:
+    // in-flight tick repair with the batch operator's exact trailing-21
+    // median/MAD semantics — shares q_hampel's oracle (streaming/batch
+    // equivalence applied to data cleaning). Same ordered-buffer
+    // discipline as the ordered CUSUM.
+    "q_stream_hampel" -> ((s, d) => {
+      val out = Files.createTempDirectory("graft_shampel_").toString + "/t"
+      val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
+      runOrderedTws(s, graft.streaming.OrderedHampel.clean(stream), out)
+      s.read.parquet(out)
+        .select(timestamp_micros(col("timeMicros")).as("time"), col("symbol"),
+          col("price"), col("med"), col("is_outlier"), col("cleaned"))
+    }),
+
     // Stream-stream interval join (dual watermarks, time-range state
     // eviction): large trades × trailing-hour quotes. Same oracle as the
     // batch epsilon-join twin q_range_join.
@@ -376,6 +395,10 @@ object StreamQueries {
     // The batch q_session_stats oracle, shared by reference: lag-gap
     // grouping is the SQL expression of session_window semantics.
     "q_stream_sessions" -> withTrades(FeatureQueries.sessionStatsSql),
+
+    // a bounded replay ends fully folded in event-time order, so the
+    // cleaned stream equals the batch Hampel row for row
+    "q_stream_hampel" -> withTrades(FeatureQueries.hampelSql),
 
     "q_stream_cusum" -> cusumOracleSql,
 

@@ -61,33 +61,27 @@ object OrderedCusum {
     private def q6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
 
     /** Consume every buffered observation the watermark covers — fold the
-      * in-order ones, count the late ones — and emit the new state when
-      * anything was consumed.
+      * in-order ones, count the late ones (shared [[OrderedBuffer]]
+      * mechanics) — and emit the new state when anything was consumed.
       */
     private def foldRipe(symbol: String, wmMs: Long): Iterator[FoldRow] = {
-      val ripeBound = wmMs * 1000L + 999L
-      val all = pending.get().toArray
-      val (consumed, rest) = all.partition(_.timeMicros <= ripeBound)
-      if (consumed.isEmpty) Iterator.empty
+      val s0 =
+        if (st.exists()) st.get()
+        else OState(0.0, 0.0, 0L, Long.MinValue, 0L, 0L)
+      val c = OrderedBuffer.consume[CusumObs](
+        pending, wmMs, s0.foldedUpToMicros, _.timeMicros, _.tradeId)
+      if (!c.consumedAny) Iterator.empty
       else {
-        pending.clear()
-        if (rest.nonEmpty) pending.put(rest)
-        var s =
-          if (st.exists()) st.get()
-          else OState(0.0, 0.0, 0L, Long.MinValue, 0L, 0L)
-        // anything at or below the already-folded bound would fold out of
-        // (time, trade_id) order — that is a late arrival, dropped & counted
-        val (late, ripe) = consumed.partition(_.timeMicros <= s.foldedUpToMicros)
-        var pos = s.pos; var neg = s.neg; var alerts = s.alerts; var n = s.n
-        ripe.sortBy(o => (o.timeMicros, o.tradeId)).foreach { o =>
+        var pos = s0.pos; var neg = s0.neg; var alerts = s0.alerts; var n = s0.n
+        c.ripe.foreach { o =>
           pos = math.max(0.0, pos + o.z - CusumMonitor.Slack)
           neg = math.max(0.0, neg - o.z - CusumMonitor.Slack)
           if (pos > CusumMonitor.Threshold || neg > CusumMonitor.Threshold)
             alerts += 1L
           n += 1L
         }
-        s = OState(pos, neg, alerts,
-          math.max(s.foldedUpToMicros, ripeBound), n, s.nLate + late.length)
+        val s = OState(pos, neg, alerts,
+          math.max(s0.foldedUpToMicros, c.ripeBound), n, s0.nLate + c.nLate)
         st.update(s)
         Iterator.single(FoldRow(symbol, q6(s.pos), q6(s.neg), s.alerts, s.n,
           s.nLate))

@@ -299,6 +299,45 @@ class StreamingSpec extends SparkTestBase {
     assert(res("DRIFT").cusum_pos === math.floor(2.5 * 50 * 1e6 + 0.5) / 1e6)
   }
 
+  test("ordered streaming Hampel equals the batch filter across a 3-batch replay") {
+    import org.apache.spark.sql.streaming.Trigger
+    // same 3-chronological-file split as the ordered-CUSUM test: the
+    // streaming cleaner must reproduce the batch trailing-21 median/MAD
+    // repair row for row even when the fold spans micro-batches.
+    val srcDir = Files.createTempDirectory("graft_shampel_src_").toString
+    val ev = spark.read.schema(graft.sources.StreamSources.eventsSchema)
+      .parquet(s"$sf0001/events.parquet").orderBy("ts")
+    val n = ev.count()
+    ev.collect().grouped((n / 3 + 1).toInt).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory("graft_shampel_part_").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1),
+        graft.sources.StreamSources.eventsSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file written under $tmp"))
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$srcDir/f$i.parquet"))
+    }
+    val raw = spark.readStream
+      .schema(graft.sources.StreamSources.eventsSchema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+    val out = Files.createTempDirectory("graft_shampel_t_").toString + "/t"
+    registry.StreamQueries.runOrderedTws(spark,
+      graft.streaming.OrderedHampel.clean(
+        graft.sources.StreamSources.projectTrades(raw)), out)
+    val streamed = spark.read.parquet(out)
+      .select(expr("timestamp_micros(timeMicros)").as("time"), col("symbol"),
+        col("price"), col("med"), col("is_outlier"), col("cleaned"))
+    val batch = graft.features.Risk.hampel(Tables.trades(spark, sf0001))
+    assert(streamed.count() === batch.count(), "every row cleaned exactly once")
+    assert(streamed.exceptAll(batch).count() === 0 &&
+      batch.exceptAll(streamed).count() === 0,
+      "multi-batch streaming Hampel must equal the batch filter row for row")
+  }
+
   test("ordered CUSUM on transformWithState survives a 3-batch chronological replay") {
     import graft.streaming.OrderedCusum
     import org.apache.spark.sql.streaming.Trigger
