@@ -77,6 +77,37 @@ object TextStats {
   def normalize(text: Column): Column =
     trim(regexp_replace(regexp_replace(lower(text), "[^a-z0-9 ]", " "), " +", " "))
 
+  /** Per-document unigram cross-entropy against the corpus unigram model —
+    * the cheap proxy for LM-perplexity quality filtering (CCNet trains a
+    * 5-gram LM; the unigram tier is the engine-native first cut): docs
+    * whose tokens are all corpus-frequent score low, rare-token soup
+    * scores high. logp(token) = ln(count/total) over the whole corpus.
+    *
+    * Engine-portable by the ordered-fold discipline: each token's logp is
+    * quantized, the per-doc sum folds in token-position order (never a
+    * partition-order-dependent SUM), and only the final mean is divided.
+    * Shape: one explode + token-count aggregation (map-side combined, the
+    * model is one row per distinct token), a broadcast-friendly join back,
+    * then a per-doc sorted-array fold.
+    */
+  def unigramCrossEntropy(documents: DataFrame): DataFrame = {
+    val toks = documents.select(col("doc_id"),
+      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .crossJoin(broadcast(total))
+      .select(col("tok"),
+        Quantize.r(-log(col("c").cast("double") / col("total")), 6).as("nll"))
+    toks.join(model, Seq("tok"))
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("pos"), col("nll")))).as("obs"))
+      .select(col("doc_id"),
+        size(col("obs")).cast("long").as("n_tokens"),
+        Quantize.r(
+          aggregate(col("obs"), lit(0.0), (acc, x) => acc + x.getField("nll")) /
+            size(col("obs")).cast("double"), 6).as("unigram_ce"))
+  }
+
   /** Per-language corpus stats — one agg pass. */
   def corpusStats(documents: DataFrame): DataFrame =
     documents

@@ -243,6 +243,11 @@ object ExtQueries {
     // Top-5 TF-IDF terms per doc: keyword extraction / featurization.
     "q_tfidf_top" -> ((s, d) => TextStats.tfIdfTopK(docsPar(s, d), k = 5)),
 
+    // Unigram cross-entropy vs the corpus model — the LM-perplexity
+    // filtering proxy (ordered per-doc fold; quantized per-token nll).
+    "q_unigram_ce" -> ((s, d) =>
+      TextStats.unigramCrossEntropy(docsPar(s, d))),
+
     // Duplicate-cluster resolution over the winnow pair graph: connected
     // components collapse each duplicate family to its min-id canonical
     // doc. Full DuckDB oracle (recursive CTE over the identical pairs).
@@ -703,6 +708,25 @@ object ExtQueries {
         |       floor((CAST(COALESCE(max(f.n_boiler), 0) AS DOUBLE) / count(*)) * 1e6 + 0.5) / 1e6 AS boilerplate_frac
         |FROM dg LEFT JOIN flagged f USING (doc_id)
         |GROUP BY dg.doc_id""".stripMargin,
+
+    // Mirrors unigramCrossEntropy: zipped parallel unnests give (pos, tok),
+    // per-token nll quantized in the model, per-doc fold in position order.
+    "q_unigram_ce" ->
+      """WITH base AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |toks AS (
+        |  SELECT doc_id, unnest(range(1, len(t) + 1)) AS pos, unnest(t) AS tok
+        |  FROM base),
+        |model AS (
+        |  SELECT tok,
+        |         floor((-ln(CAST(count(*) AS DOUBLE) / (SELECT count(*) FROM toks))) * 1e6 + 0.5) / 1e6 AS nll
+        |  FROM toks GROUP BY tok)
+        |SELECT doc_id, CAST(len(l) AS BIGINT) AS n_tokens,
+        |       floor((list_reduce(list_prepend(CAST(0 AS DOUBLE), l), (a, x) -> a + x)
+        |              / len(l)) * 1e6 + 0.5) / 1e6 AS unigram_ce
+        |FROM (
+        |  SELECT t.doc_id, list(m.nll ORDER BY t.pos) AS l
+        |  FROM toks t JOIN model m ON t.tok = m.tok
+        |  GROUP BY t.doc_id)""".stripMargin,
 
     // Mirrors the composed funnel stage by stage; quality rules are
     // per-doc metrics, so computing them corpus-wide and joining the en
