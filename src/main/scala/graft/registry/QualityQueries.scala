@@ -85,38 +85,8 @@ object QualityQueries {
     // (period, side) order — deterministic cross-engine. Severity tiers on
     // the QUANTIZED statistic at the dof=1 critical values (3.841/6.635),
     // the same tier-flip-safe discipline as KS/PSI.
-    "q_chi2_drift" -> ((s, d) => {
-      val t = trades(s, d).filter(col("side").isNotNull)
-      val bounds = t.agg(
-        min(unix_micros(col("time"))).as("lo"),
-        max(unix_micros(col("time"))).as("hi"))
-      val cells = t.crossJoin(broadcast(bounds))
-        .select(
-          when(unix_micros(col("time")) <= col("lo") + (col("hi") - col("lo")) / 2,
-            "p1").otherwise("p2").as("period"),
-          col("side"))
-        .groupBy("period", "side").agg(count(lit(1)).as("o"))
-      val withMargins = cells
-        .withColumn("rt", sum(col("o")).over(Window.partitionBy("period")))
-        .withColumn("ct", sum(col("o")).over(Window.partitionBy("side")))
-        .withColumn("g", sum(col("o")).over(Window.partitionBy()))
-        .withColumn("e", col("rt").cast("double") * col("ct") / col("g"))
-        .withColumn("term",
-          (col("o") - col("e")) * (col("o") - col("e")) / col("e"))
-      val stat = withMargins
-        .agg(sort_array(collect_list(
-          struct(col("period"), col("side"), col("term")))).as("cells"),
-          countDistinct(col("period")).as("np"),
-          countDistinct(col("side")).as("ns"))
-        .select(
-          Quantize.r(aggregate(col("cells"), lit(0.0),
-            (acc, c) => acc + c.getField("term")), 6).as("chi2"),
-          ((col("np") - 1) * (col("ns") - 1)).as("dof"))
-      stat.withColumn("severity",
-        when(col("chi2") > 6.635, "critical")
-          .when(col("chi2") > 3.841, "warning")
-          .otherwise("ok"))
-    }),
+    "q_chi2_drift" -> ((s, d) =>
+      graft.quality.Chi2Drift.compute(trades(s, d), "time", "side")),
 
     // Robust (MAD-based) outliers — the z-score's median sibling, immune
     // to the outliers inflating their own threshold. Median and MAD are

@@ -222,6 +222,29 @@ class ScrubSpec extends SparkTestBase {
       r.getAs[Boolean]("is_outlier") === false))
   }
 
+  test("chi2 drift tiers: flat series is ok, planted flip is critical") {
+    import graft.quality.Chi2Drift
+    def frame(secondHalfBuys: Int, secondHalfSells: Int) = {
+      val firstHalf = (0 until 100).map(i =>
+        (new java.sql.Timestamp(1704067200000L + i * 1000L),
+          if (i % 2 == 0) "buy" else "sell"))
+      val secondHalf =
+        (0 until secondHalfBuys).map(i =>
+          (new java.sql.Timestamp(1704067200000L + 200000L + i * 1000L), "buy")) ++
+          (0 until secondHalfSells).map(i =>
+            (new java.sql.Timestamp(1704067200000L + 200000L + (secondHalfBuys + i) * 1000L), "sell"))
+      (firstHalf ++ secondHalf).toDF("time", "side")
+    }
+    // same 50/50 mix in both halves: no drift
+    val flat = Chi2Drift.compute(frame(50, 50), "time", "side").collect()(0)
+    assert(flat.getAs[String]("severity") === "ok")
+    assert(flat.getAs[Long]("dof") === 1L)
+    // buy-only second half: maximal categorical drift
+    val flipped = Chi2Drift.compute(frame(100, 0), "time", "side").collect()(0)
+    assert(flipped.getAs[String]("severity") === "critical")
+    assert(flipped.getAs[Double]("chi2") > 6.635)
+  }
+
   test("donchian channel brackets the price and uses the n-tick frame") {
     val out = Risk.donchian(rampTrades(30), n = 5).orderBy("time").collect()
     assert(out.forall { r =>
