@@ -67,18 +67,30 @@ object Curation {
     * scale, so AQE picks the strategy (broadcast only when a side is
     * actually small at runtime).
     */
+  /** The funnel's shared stage builders — used by [[curate]] and by the
+    * composed pre-training pipeline (which inserts redaction between the
+    * gate and the canonical), so the two funnels cannot silently diverge.
+    */
+  def langGate(documents: DataFrame, lang: String = "en"): DataFrame =
+    documents.filter(TextStats.langId(col("text")) === lang)
+
+  def qualityPass(docs: DataFrame): DataFrame =
+    QualityRules.compute(docs).filter(col("passes")).select("doc_id")
+
+  /** Exact-dedup canonical: min doc_id per content hash of `textCol`. */
+  def dedupCanonical(docs: DataFrame, textCol: String = "text"): DataFrame =
+    docs.groupBy(md5(col(textCol)).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select("doc_id")
+
   def curate(documents: DataFrame): DataFrame = {
     // the narrow language gate runs FIRST so the quality and dedup
     // aggregations shuffle only surviving rows; restricting dedup to the
     // en slice is semantics-preserving (exact dups share text, hence
     // language), so canonicals are identical to a full-corpus dedup
-    val en = documents.filter(TextStats.langId(col("text")) === "en")
-    val pass = QualityRules.compute(en)
-      .filter(col("passes")).select("doc_id")
-    val canon = en
-      .groupBy(md5(col("text")).as("fp"))
-      .agg(min(col("doc_id")).as("doc_id"))
-      .select("doc_id")
+    val en = langGate(documents)
+    val pass = qualityPass(en)
+    val canon = dedupCanonical(en)
     hashSplit(en.select("doc_id").join(pass, Seq("doc_id")).join(canon, Seq("doc_id")),
       "doc_id")
       .select("doc_id", "split")

@@ -93,8 +93,11 @@ object TextStats {
   def unigramCrossEntropy(documents: DataFrame): DataFrame = {
     val toks = documents.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-    val total = toks.agg(count(lit(1)).as("total"))
-    val model = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    // the corpus total is the sum of the model's counts — one row per
+    // distinct token — so it never costs a second corpus explode
+    val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("total"))
+    val model = counts
       .crossJoin(broadcast(total))
       .select(col("tok"),
         Quantize.r(-log(col("c").cast("double") / col("total")), 6).as("nll"))

@@ -82,9 +82,11 @@ object Risk {
   }
 
   /** Amihud illiquidity per symbol-day: mean of |return| / dollar volume
-    * (×10⁶ for readability) — the standard price-impact proxy. Plain
-    * aggregates over quantized per-trade returns; one window pass for the
-    * returns, one keyed aggregation.
+    * (×10⁶ for readability) — the standard price-impact proxy. The mean
+    * folds QUANTIZED per-trade ratios in (time, trade_id) order (sorted
+    * per-group array, bounded by trades-per-symbol-day) — the ordered-fold
+    * discipline, so the cross-engine hash cannot flip on a
+    * float-accumulation-order boundary.
     */
   def amihud(trades: DataFrame): DataFrame = {
     val ord = Window.partitionBy("symbol").orderBy("time", "trade_id")
@@ -93,13 +95,19 @@ object Risk {
         nullif(lag(col("price"), 1).over(ord), lit(0.0))), 6)
     trades
       .select(to_date(col("time")).as("day"), col("symbol"),
-        r.as("r"), (col("price") * col("volume")).as("dollar_vol"))
+        col("time"), col("trade_id"), r.as("r"),
+        (col("price") * col("volume")).as("dollar_vol"))
       .filter(col("r").isNotNull && col("dollar_vol") > 0)
+      .select(col("day"), col("symbol"), col("time"), col("trade_id"),
+        Quantize.r(abs(col("r")) / col("dollar_vol") * lit(1e6), 6).as("x"))
       .groupBy("day", "symbol")
-      .agg(
-        Quantize.r(avg(abs(col("r")) / col("dollar_vol") * lit(1e6)), 6)
-          .as("amihud_illiq"),
-        count(lit(1)).as("n_trades"))
+      .agg(sort_array(collect_list(
+        struct(col("time"), col("trade_id"), col("x")))).as("obs"))
+      .select(col("day"), col("symbol"),
+        Quantize.r(
+          aggregate(col("obs"), lit(0.0), (acc, o) => acc + o.getField("x")) /
+            size(col("obs")).cast("double"), 6).as("amihud_illiq"),
+        size(col("obs")).cast("long").as("n_trades"))
   }
 
   /** Roll's implied spread per symbol: 2·√(−cov(Δp_t, Δp_{t−1})) from the

@@ -45,6 +45,34 @@ object Lifecycle {
         max(col("d")).as("newest"))
   }
 
+  /** Recover a previous compaction's crash artifacts before doing anything
+    * else. A `.compact_gc_<part>` dir with NO live partition is the
+    * between-renames crash (the original data, staged aside) — restore it;
+    * with a live partition it is a post-swap leftover — delete it. A
+    * `.compact_tmp_<part>` dir is always safe to delete once any gc
+    * restore ran (it is written before any destructive step). This is what
+    * makes the rename→rename swap actually crash-safe rather than merely
+    * crash-localized.
+    */
+  def recoverCompactionArtifacts(tablePath: String): Unit = {
+    val root = new java.io.File(tablePath)
+    val hidden = Option(root.listFiles()).getOrElse(Array.empty)
+      .filter(_.isDirectory)
+    import scala.reflect.io.Directory
+    hidden.filter(_.getName.startsWith(".compact_gc_")).foreach { gc =>
+      val live = new java.io.File(root, gc.getName.stripPrefix(".compact_gc_"))
+      if (!live.exists()) {
+        if (!gc.renameTo(live))
+          throw new java.io.IOException(s"could not restore $gc to $live")
+      } else if (!new Directory(gc).deleteRecursively())
+        throw new java.io.IOException(s"could not remove stale $gc")
+    }
+    hidden.filter(_.getName.startsWith(".compact_tmp_")).foreach { tmp =>
+      if (tmp.exists() && !new Directory(tmp).deleteRecursively())
+        throw new java.io.IOException(s"could not remove stale $tmp")
+    }
+  }
+
   /** The table's `part_date=` partition dirs. Names that fail to parse as
     * dates (e.g. a crashed writer's leftover) are surfaced by callers that
     * care; this listing itself is pure metadata.
@@ -96,6 +124,7 @@ object Lifecycle {
     */
   def compactPartitions(spark: SparkSession, tablePath: String,
       maxFilesPerPartition: Int = 1): Seq[String] = {
+    recoverCompactionArtifacts(tablePath)
     val fragmented = partDirs(tablePath).filter { dir =>
       dir.listFiles().count(f => f.isFile && f.getName.endsWith(".parquet")) >
         maxFilesPerPartition

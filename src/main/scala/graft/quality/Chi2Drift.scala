@@ -49,8 +49,11 @@ object Chi2Drift {
         countDistinct(col("period")).as("np"),
         countDistinct(col("cat")).as("ns"))
       .select(
-        Quantize.r(aggregate(col("cells"), lit(0.0),
-          (acc, c) => acc + c.getField("term")), 6).as("chi2"),
+        // empty input (no non-null categories): null chi2, matching SQL
+        // aggregate semantics (DuckDB's list() over zero rows is NULL)
+        when(size(col("cells")) > 0,
+          Quantize.r(aggregate(col("cells"), lit(0.0),
+            (acc, c) => acc + c.getField("term")), 6)).as("chi2"),
         ((col("np") - 1) * (col("ns") - 1)).as("dof"))
       .withColumn("severity",
         when(col("chi2") > critAt, "critical")

@@ -196,12 +196,11 @@ object ExtQueries {
     // shuffle sees only survivors.
     "q_pretrain_pipeline" -> ((s, d) => {
       val docs = docsPar(s, d)
-      val en = docs.filter(TextStats.langId(col("text")) === "en")
-      val pass = QualityRules.compute(en).filter(col("passes")).select("doc_id")
+      val en = graft.ext.Curation.langGate(docs)
+      val pass = graft.ext.Curation.qualityPass(en)
       val redacted = en.select(col("doc_id"),
         graft.ext.Scrub.redact(col("text")).as("text"))
-      val canon = redacted.groupBy(md5(col("text")).as("fp"))
-        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val canon = graft.ext.Curation.dedupCanonical(redacted)
       val clean = graft.ext.Scrub.decontaminate(
         redacted.filter(col("doc_id") % 50 =!= 0),
         redacted.filter(col("doc_id") % 50 === 0), k = 8)

@@ -1054,19 +1054,25 @@ object FeatureQueries {
         |FROM ranked WHERE rn <= k
         |GROUP BY symbol""".stripMargin),
 
-    // Mirrors Risk.amihud: quantized per-trade returns, plain aggregates.
+    // Mirrors Risk.amihud: quantized per-trade ratios folded in
+    // (time, trade_id) order — the ordered-fold discipline.
     "q_amihud" -> withTrades(
-      """SELECT CAST(time AS DATE) AS day, symbol,
-        |       floor((avg(abs(r) / dv * CAST(1000000 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS amihud_illiq,
-        |       count(*) AS n_trades
+      """SELECT day, symbol,
+        |       floor((list_reduce(list_prepend(CAST(0 AS DOUBLE), l), (a, x) -> a + x)
+        |              / len(l)) * 1e6 + 0.5) / 1e6 AS amihud_illiq,
+        |       CAST(len(l) AS BIGINT) AS n_trades
         |FROM (
-        |  SELECT time, symbol,
-        |         floor(ln(nullif(price, CAST(0 AS DOUBLE)) /
-        |               nullif(lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r,
-        |         price * volume AS dv
-        |  FROM trades)
-        |WHERE r IS NOT NULL AND dv > 0
-        |GROUP BY 1, 2""".stripMargin),
+        |  SELECT CAST(time AS DATE) AS day, symbol,
+        |         list(floor((abs(r) / dv * CAST(1000000 AS DOUBLE)) * 1e6 + 0.5) / 1e6
+        |              ORDER BY time, trade_id) AS l
+        |  FROM (
+        |    SELECT time, trade_id, symbol,
+        |           floor(ln(nullif(price, CAST(0 AS DOUBLE)) /
+        |                 nullif(lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r,
+        |           price * volume AS dv
+        |    FROM trades)
+        |  WHERE r IS NOT NULL AND dv > 0
+        |  GROUP BY 1, 2)""".stripMargin),
 
     // Mirrors Risk.rollSpread: ordered Δp pairs, moment folds, population
     // covariance (m·sxy − sx·sy)/m², spread only when cov < 0.

@@ -250,7 +250,8 @@ object StreamQueries {
       runOrderedTws(s, graft.streaming.OrderedHampel.clean(stream), out)
       s.read.parquet(out)
         .select(timestamp_micros(col("timeMicros")).as("time"), col("symbol"),
-          col("price"), col("med"), col("is_outlier"), col("cleaned"))
+          col("price"), col("med"), col("is_outlier"), col("cleaned"),
+          col("n_late"))
     }),
 
     // Stream-stream interval join (dual watermarks, time-range state
@@ -397,8 +398,10 @@ object StreamQueries {
     "q_stream_sessions" -> withTrades(FeatureQueries.sessionStatsSql),
 
     // a bounded replay ends fully folded in event-time order, so the
-    // cleaned stream equals the batch Hampel row for row
-    "q_stream_hampel" -> withTrades(FeatureQueries.hampelSql),
+    // cleaned stream equals the batch Hampel row for row — with zero
+    // late-dropped rows (the n_late observability column)
+    "q_stream_hampel" -> withTrades(
+      s"SELECT *, CAST(0 AS BIGINT) AS n_late FROM (\n${FeatureQueries.hampelSql})"),
 
     "q_stream_cusum" -> cusumOracleSql,
 

@@ -28,11 +28,18 @@ object OrderedHampel {
   final case class PriceObs(
       timeMicros: Long, tradeId: String, symbol: String, price: Double)
 
-  final case class HState(window: Seq[Double], foldedUpToMicros: Long)
+  final case class HState(
+      window: Seq[Double], foldedUpToMicros: Long, nLate: Long)
 
+  /** `n_late` is the key's cumulative dropped-late count AT EMISSION TIME —
+    * a row arriving below the folded bound can no longer be cleaned in
+    * order, so it is dropped, but the loss stays OBSERVABLE in every
+    * subsequent output row (0 throughout an in-order replay, which is what
+    * the shared batch oracle asserts).
+    */
   final case class CleanRow(
       symbol: String, timeMicros: Long, price: Double, med: Double,
-      is_outlier: Boolean, cleaned: Double)
+      is_outlier: Boolean, cleaned: Double, n_late: Long)
 
   /** Nearest-rank pick at ceil(m/2) from the sorted frame — the identical
     * index arithmetic the batch operator and the DuckDB oracle use.
@@ -52,11 +59,13 @@ object OrderedHampel {
     }
 
     private def foldRipe(symbol: String, wmMs: Long): Iterator[CleanRow] = {
-      val s0 = if (st.exists()) st.get() else HState(Vector.empty, Long.MinValue)
+      val s0 =
+        if (st.exists()) st.get() else HState(Vector.empty, Long.MinValue, 0L)
       val c = OrderedBuffer.consume[PriceObs](
         pending, wmMs, s0.foldedUpToMicros, _.timeMicros, _.tradeId)
       if (!c.consumedAny) Iterator.empty
       else {
+        val nLate = s0.nLate + c.nLate
         var win = s0.window.toVector
         val out = Vector.newBuilder[CleanRow]
         c.ripe.foreach { o =>
@@ -65,11 +74,11 @@ object OrderedHampel {
           val mad = rankMid(frame.map(x => math.abs(x - med)).sorted.toArray)
           val outlier = math.abs(o.price - med) > K * mad
           out += CleanRow(symbol, o.timeMicros, o.price, med, outlier,
-            if (outlier) med else o.price)
+            if (outlier) med else o.price, nLate)
           win = frame // the trailing window INCLUDES the raw observed price
         }
         st.update(HState(win.takeRight(N - 1),
-          math.max(s0.foldedUpToMicros, c.ripeBound)))
+          math.max(s0.foldedUpToMicros, c.ripeBound), nLate))
         out.result().iterator
       }
     }

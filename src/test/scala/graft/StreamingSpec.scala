@@ -330,8 +330,10 @@ class StreamingSpec extends SparkTestBase {
         graft.sources.StreamSources.projectTrades(raw)), out)
     val streamed = spark.read.parquet(out)
       .select(expr("timestamp_micros(timeMicros)").as("time"), col("symbol"),
-        col("price"), col("med"), col("is_outlier"), col("cleaned"))
+        col("price"), col("med"), col("is_outlier"), col("cleaned"),
+        col("n_late"))
     val batch = graft.features.Risk.hampel(Tables.trades(spark, sf0001))
+      .withColumn("n_late", lit(0L))
     assert(streamed.count() === batch.count(), "every row cleaned exactly once")
     assert(streamed.exceptAll(batch).count() === 0 &&
       batch.exceptAll(streamed).count() === 0,
