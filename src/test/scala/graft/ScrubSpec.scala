@@ -222,6 +222,28 @@ class ScrubSpec extends SparkTestBase {
       r.getAs[Boolean]("is_outlier") === false))
   }
 
+  test("compaction recovers crash artifacts: orphaned trash restored, stale trash removed") {
+    import graft.streaming.StreamingFeatures
+    val t = core.Tables.trades(spark, sf0001)
+    val out = java.nio.file.Files.createTempDirectory("graft_recover_").toString + "/t"
+    StreamingFeatures.mergeIntoKeyed(spark, out, t, Seq("time", "symbol", "trade_id"))
+    val root = new java.io.File(out)
+    val parts = root.listFiles().filter(_.getName.startsWith("part_date=")).sortBy(_.getName)
+    val victim = parts.head
+    val rowsBefore = spark.read.parquet(out).count()
+    // simulate the between-renames crash: partition staged aside, swap never happened
+    val gc = new java.io.File(root, s".compact_gc_${victim.getName}")
+    assert(victim.renameTo(gc))
+    // and a stale trash next to a LIVE partition (post-swap crash)
+    val live = parts(1)
+    val staleGc = new java.io.File(root, s".compact_gc_${live.getName}")
+    assert(staleGc.mkdir())
+    graft.operators.Lifecycle.recoverCompactionArtifacts(out)
+    assert(victim.exists(), "orphaned trash must be restored as the live partition")
+    assert(!gc.exists() && !staleGc.exists(), "no hidden leftovers after recovery")
+    assert(spark.read.parquet(out).count() === rowsBefore, "no rows lost")
+  }
+
   test("chi2 drift tiers: flat series is ok, planted flip is critical") {
     import graft.quality.Chi2Drift
     def frame(secondHalfBuys: Int, secondHalfSells: Int) = {
