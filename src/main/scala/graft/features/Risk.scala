@@ -204,12 +204,20 @@ object Risk {
       col("symbol"), col("r"),
       row_number().over(rankW).as("rn"),
       ceil(lit(alpha) * count(lit(1)).over(nW)).as("k"))
+    // CVaR folds the tail in RANK order (sorted bounded array — the tail
+    // is ceil(alpha·n) rows), never a partition-order-dependent avg: at
+    // sf0.1 one symbol's tail mean landed exactly on a 0.5e-6 rounding
+    // boundary and flipped the quantized value between engines.
     ranked
       .filter(col("rn") <= col("k"))
       .groupBy("symbol")
       .agg(
         max_by(col("r"), col("rn")).as(s"var_$conf"),
-        Quantize.r(avg(col("r")), 6).as(s"cvar_$conf"),
-        count(lit(1)).as("n_tail"))
+        sort_array(collect_list(struct(col("rn"), col("r")))).as("tail"))
+      .select(col("symbol"), col(s"var_$conf"),
+        Quantize.r(
+          aggregate(col("tail"), lit(0.0), (acc, t) => acc + t.getField("r")) /
+            size(col("tail")).cast("double"), 6).as(s"cvar_$conf"),
+        size(col("tail")).cast("long").as("n_tail"))
   }
 }

@@ -1049,7 +1049,8 @@ object FeatureQueries {
         |  FROM rets WHERE r IS NOT NULL)""".stripMargin,
       """SELECT symbol,
         |       arg_max(r, rn) AS var_95,
-        |       floor(avg(r) * 1e6 + 0.5) / 1e6 AS cvar_95,
+        |       floor((list_reduce(list_prepend(CAST(0 AS DOUBLE), list(r ORDER BY rn)), (a, x) -> a + x)
+        |              / count(*)) * 1e6 + 0.5) / 1e6 AS cvar_95,
         |       count(*) AS n_tail
         |FROM ranked WHERE rn <= k
         |GROUP BY symbol""".stripMargin),
