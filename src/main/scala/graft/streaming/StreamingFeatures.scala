@@ -153,9 +153,14 @@ object StreamingFeatures {
   private def partitionTimeCol(batch: DataFrame): Option[String] =
     Seq("bucket", "time").find(batch.columns.contains)
 
-  /** Read a materialized keyed table WITHOUT the internal partition column. */
+  /** Read a materialized keyed table WITHOUT the internal partition column.
+    * `mergeSchema` makes additively-evolved tables (see [[mergeIntoKeyed]])
+    * surface columns that only newer partitions carry — the O(file-footers)
+    * cost a table format's central schema would avoid; the call site is
+    * unchanged when one is swapped in.
+    */
   def readKeyedTable(spark: SparkSession, tablePath: String): DataFrame = {
-    val df = spark.read.parquet(tablePath)
+    val df = spark.read.option("mergeSchema", "true").parquet(tablePath)
     if (df.columns.contains(PartCol)) df.drop(PartCol) else df
   }
 
@@ -225,7 +230,9 @@ object StreamingFeatures {
     val merged = if (!exists) {
       withPart
     } else {
-      val existingAll = spark.read.parquet(tablePath)
+      // mergeSchema: an evolved column that only newer partitions carry
+      // must be visible to the merge, whichever file Spark samples first
+      val existingAll = spark.read.option("mergeSchema", "true").parquet(tablePath)
       // Partition pruning: only the dates the batch touches are read (and
       // later rewritten). The collect is a handful of date scalars.
       val existing =
@@ -239,13 +246,21 @@ object StreamingFeatures {
           val pred = if (touched.contains(null)) base || col(PartCol).isNull else base
           existingAll.filter(pred)
         } else existingAll
-      val b = withPart.select(existing.columns.map(col): _*)
+      // ADDITIVE schema evolution (table-format semantics): a batch may
+      // bring NEW columns — kept, with existing rows null-filled — but must
+      // cover every existing column (a shrunken batch fails LOUDLY instead
+      // of silently nulling table data).
+      val missing = existing.columns.diff(withPart.columns)
+      require(missing.isEmpty,
+        s"merge batch is missing table columns: ${missing.mkString(", ")}")
+      val b = withPart
       // null-SAFE key equality (<=>): a plain equi-anti-join never matches
       // NULL keys, so a replayed batch row with a NULL key column would be
       // appended again on every replay, breaking idempotence
       val bk = b.select(keys.map(k => col(k).as(s"__k_$k")): _*)
       val cond = keys.map(k => col(k) <=> col(s"__k_$k")).reduce(_ && _)
-      existing.join(bk, cond, "left_anti").unionByName(b)
+      existing.join(bk, cond, "left_anti")
+        .unionByName(b, allowMissingColumns = true)
     }
 
     if (partitioned) {

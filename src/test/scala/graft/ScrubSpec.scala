@@ -244,6 +244,29 @@ class ScrubSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === rowsBefore, "no rows lost")
   }
 
+  test("merge evolves the schema additively and rejects shrunken batches loudly") {
+    import graft.streaming.StreamingFeatures
+    val t = core.Tables.trades(spark, sf0001).limit(200)
+    val out = java.nio.file.Files.createTempDirectory("graft_evolve_").toString + "/t"
+    StreamingFeatures.mergeIntoKeyed(spark, out, t, Seq("time", "symbol", "trade_id"))
+    val n0 = StreamingFeatures.readKeyedTable(spark, out).count()
+    // evolve: the next batch carries a NEW column
+    val evolved = t.limit(50).withColumn("venue", lit("X"))
+    StreamingFeatures.mergeIntoKeyed(spark, out, evolved, Seq("time", "symbol", "trade_id"))
+    val table = StreamingFeatures.readKeyedTable(spark, out)
+    assert(table.columns.contains("venue"), "new column must survive the merge")
+    assert(table.count() === n0, "upsert, not append")
+    assert(table.filter(col("venue") === "X").count() === 50)
+    assert(table.filter(col("venue").isNull).count() === n0 - 50,
+      "pre-evolution rows read as null for the new column")
+    // a batch MISSING an existing column must fail loudly, not null table data
+    val shrunk = t.limit(10).drop("price")
+    val e = intercept[IllegalArgumentException] {
+      StreamingFeatures.mergeIntoKeyed(spark, out, shrunk, Seq("time", "symbol", "trade_id"))
+    }
+    assert(e.getMessage.contains("price"))
+  }
+
   test("chi2 drift tiers: flat series is ok, planted flip is critical") {
     import graft.quality.Chi2Drift
     def frame(secondHalfBuys: Int, secondHalfSells: Int) = {
