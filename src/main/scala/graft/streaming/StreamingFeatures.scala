@@ -375,16 +375,30 @@ object StreamingFeatures {
       else computeWindow(source, 0L, 0L, bucketSec) // empty frame, table schema
     }
     val anchorMicros = anchorRow.getLong(0)
-    // Snap BOTH window edges outward to bucket boundaries (TimescaleDB
-    // refresh policies do the same): a mid-bucket edge would recompute its
-    // boundary bucket from only part of that bucket's rows and merge the
-    // partial bar over a complete one. Lower edge floors; upper edge
-    // extends to the END of the bucket containing `hi`, so the boundary
-    // bucket is recomputed from all of its rows (with endOffsetSec = 0 this
-    // is everything ≤ anchor, unchanged).
+    backfillRange(spark, source, tablePath, computeWindow, bucketSec, keys,
+      anchorMicros - startOffsetSec * 1000000L,
+      anchorMicros - endOffsetSec * 1000000L)
+  }
+
+  /** Targeted BACKFILL: recompute an explicit `[rawLo, rawHi]` (micros)
+    * slice of a continuous aggregate and MERGE it in — the repair path for
+    * a corrupted/lost range of history, and the shared core
+    * [[refreshAggregate]]'s anchor-relative policy reduces to. Both window
+    * edges snap OUTWARD to bucket boundaries (a mid-bucket edge would
+    * recompute its boundary bucket from only part of that bucket's rows
+    * and merge a partial bar over a complete one); cost is
+    * O(touched partitions) like every keyed merge.
+    */
+  def backfillRange(
+      spark: SparkSession,
+      source: DataFrame,
+      tablePath: String,
+      computeWindow: ComputeWindow,
+      bucketSec: Long,
+      keys: Seq[String],
+      rawLo: Long,
+      rawHi: Long): DataFrame = {
     val bucketMicros = bucketSec * 1000000L
-    val rawLo = anchorMicros - startOffsetSec * 1000000L
-    val rawHi = anchorMicros - endOffsetSec * 1000000L
     val lo = Math.floorDiv(rawLo, bucketMicros) * bucketMicros
     val hiEnd = (Math.floorDiv(rawHi, bucketMicros) + 1) * bucketMicros
     // bucketSec drives the edge snapping AND (through ComputeWindow) the

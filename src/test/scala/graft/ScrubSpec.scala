@@ -244,6 +244,39 @@ class ScrubSpec extends SparkTestBase {
     assert(spark.read.parquet(out).count() === rowsBefore, "no rows lost")
   }
 
+  test("backfill repairs a deleted date partition and touches nothing else") {
+    import graft.streaming.StreamingFeatures
+    val t = core.Tables.trades(spark, sf0001)
+    val out = java.nio.file.Files.createTempDirectory("graft_backfill_").toString + "/t"
+    val full = graft.features.Ohlc.compute(t)
+    StreamingFeatures.mergeIntoKeyed(spark, out, full, Seq("bucket", "symbol"))
+    val expect = StreamingFeatures.readKeyedTable(spark, out)
+      .orderBy("bucket", "symbol").collect()
+    // destroy a middle partition
+    val root = new java.io.File(out)
+    val parts = root.listFiles().filter(_.getName.startsWith("part_date=")).sortBy(_.getName)
+    val victim = parts(parts.length / 2)
+    val victimDate = java.time.LocalDate.parse(victim.getName.stripPrefix("part_date="))
+    import scala.reflect.io.Directory
+    assert(new Directory(victim).deleteRecursively())
+    // fingerprint every surviving partition's files
+    def files(d: java.io.File) = d.listFiles().filter(_.isFile).map(f => f.getName -> f.length()).toMap
+    val survivors = parts.filterNot(_ == victim).map(d => d.getName -> files(d)).toMap
+    // backfill exactly the lost day
+    val lo = victimDate.atStartOfDay(java.time.ZoneOffset.UTC).toInstant
+    StreamingFeatures.backfillRange(spark, t, out,
+      StreamingFeatures.sliced(graft.features.Ohlc.compute(_, _)),
+      bucketSec = 60, keys = Seq("bucket", "symbol"),
+      rawLo = lo.getEpochSecond * 1000000L,
+      rawHi = lo.getEpochSecond * 1000000L + 86400L * 1000000L - 1)
+    val repaired = StreamingFeatures.readKeyedTable(spark, out)
+      .orderBy("bucket", "symbol").collect()
+    assert(repaired.toSeq === expect.toSeq, "backfill must restore the table exactly")
+    survivors.foreach { case (name, fp) =>
+      assert(files(new java.io.File(root, name)) === fp, s"$name must stay byte-untouched")
+    }
+  }
+
   test("merge evolves the schema additively and rejects shrunken batches loudly") {
     import graft.streaming.StreamingFeatures
     val t = core.Tables.trades(spark, sf0001).limit(200)
