@@ -148,6 +148,58 @@ object Risk {
       size(col("ps")).cast("long").as("n_pairs"))
   }
 
+  /** VPIN order-flow toxicity (Easley/López de Prado) — simplified volume
+    * clock: trades bucket by CUMULATIVE VOLUME (each trade assigned to
+    * bucket ⌊cum-before / V⌋, the standard whole-trade simplification),
+    * per-bucket toxicity = |buy − sell| / (buy + sell) over side-tagged
+    * volume, VPIN = trailing-`window` mean of bucket toxicities.
+    *
+    * Engine-exact by construction: volumes are integer-valued so the
+    * cumulative clock and the per-bucket sums run in BIGINT (integer sums
+    * are order-independent — no float hazard anywhere before the final
+    * ratio), and the trailing mean folds quantized toxicities in bucket
+    * order. Null-side trades advance the volume clock but join neither
+    * side, like [[Imbalance]].
+    */
+  def vpin(trades: DataFrame, bucketVolume: Long = 2000, window: Int = 50): DataFrame = {
+    val ord = Window.partitionBy("symbol").orderBy("time", "trade_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val v = col("volume").cast("bigint")
+    val bucketed = trades
+      .select(col("symbol"), col("time"), col("trade_id"), col("side"), v.as("v"))
+      .withColumn("cum_before", coalesce(sum(col("v")).over(ord), lit(0L)))
+      // integral division (div), NOT double `/` + cast: Spark's cast
+      // truncates where DuckDB's rounds — div//// floor-divide identically
+      .withColumn("vb", expr(s"cum_before div ${bucketVolume}L"))
+    val buckets = bucketed
+      .groupBy("symbol", "vb")
+      .agg(
+        sum(when(col("side") === "buy", col("v")).otherwise(lit(0L))).as("buy_v"),
+        sum(when(col("side") === "sell", col("v")).otherwise(lit(0L))).as("sell_v"))
+      .select(col("symbol"), col("vb"),
+        Quantize.r(
+          abs(col("buy_v") - col("sell_v")).cast("double") /
+            nullif((col("buy_v") + col("sell_v")).cast("double"), lit(0.0)), 6)
+          .as("toxicity"))
+    // trailing-window mean folded in bucket order (bounded per-symbol array)
+    val obs = buckets
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(struct(col("vb"), col("toxicity")))).as("obs"))
+    val o = col("obs")
+    obs.select(col("symbol"), explode(
+        transform(sequence(lit(1), size(o)), i =>
+          struct(
+            element_at(o, i).getField("vb").as("vb"),
+            element_at(o, i).getField("toxicity").as("toxicity"),
+            slice(o, greatest(i - (window - 1), lit(1)),
+              least(i, lit(window))).as("w")))).as("r"))
+      .select(col("symbol"), col("r.vb"), col("r.toxicity"),
+        Quantize.r(
+          aggregate(col("r.w"), lit(0.0),
+            (acc, x) => acc + coalesce(x.getField("toxicity"), lit(0.0))) /
+            size(col("r.w")).cast("double"), 6).as("vpin"))
+  }
+
   /** Hampel filter — rolling-median tick cleaning: a price farther than
     * `k·1.4826·MAD` from its trailing-n rolling median is flagged and
     * replaced by that median (the standard outlier-repair pass run before

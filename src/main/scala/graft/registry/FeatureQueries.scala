@@ -397,6 +397,10 @@ object FeatureQueries {
     // Roll's implied bid-ask spread from trade-price autocovariance.
     "q_roll_spread" -> ((s, d) => Risk.rollSpread(trades(s, d))),
 
+    // VPIN order-flow toxicity on a volume clock — BIGINT bucket sums,
+    // ordered trailing-mean fold.
+    "q_vpin" -> ((s, d) => Risk.vpin(trades(s, d))),
+
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
       trades(s, d)
@@ -1110,6 +1114,34 @@ object FeatureQueries {
     // Mirrors Risk.hampel: nearest-rank median/MAD from the sorted
     // trailing-21 frame list; identical index arithmetic on both engines.
     "q_hampel" -> withTrades(hampelSql),
+
+    // Mirrors Risk.vpin: BIGINT volume clock (// = div, both floor),
+    // BIGINT bucket sums, quantized toxicity, trailing-50 ordered fold.
+    "q_vpin" -> withTradesAnd(
+      """vbkt AS (
+        |  SELECT symbol, vb,
+        |         floor((CAST(abs(buy_v - sell_v) AS DOUBLE) /
+        |                nullif(CAST(buy_v + sell_v AS DOUBLE), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS toxicity
+        |  FROM (
+        |    SELECT symbol, cum_before // 2000 AS vb,
+        |           sum(CASE WHEN side = 'buy' THEN v ELSE 0 END) AS buy_v,
+        |           sum(CASE WHEN side = 'sell' THEN v ELSE 0 END) AS sell_v
+        |    FROM (
+        |      SELECT symbol, side, CAST(volume AS BIGINT) AS v,
+        |             COALESCE(sum(CAST(volume AS BIGINT)) OVER (
+        |               PARTITION BY symbol ORDER BY time, trade_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        |      FROM trades)
+        |    GROUP BY 1, 2)),
+        |vobs AS (
+        |  SELECT symbol, list(vb ORDER BY vb) AS lv, list(toxicity ORDER BY vb) AS lt
+        |  FROM vbkt GROUP BY symbol)""".stripMargin,
+      """SELECT symbol, lv[i] AS vb, lt[i] AS toxicity,
+        |       floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |                list_transform(lt[greatest(i - 49, 1):i], x -> COALESCE(x, CAST(0 AS DOUBLE)))),
+        |                (a, x) -> a + x)
+        |              / len(lt[greatest(i - 49, 1):i])) * 1e6 + 0.5) / 1e6 AS vpin
+        |FROM (SELECT symbol, lv, lt, unnest(range(1, len(lv) + 1)) AS i FROM vobs)""".stripMargin),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,
