@@ -181,11 +181,16 @@ object Risk {
           abs(col("buy_v") - col("sell_v")).cast("double") /
             nullif((col("buy_v") + col("sell_v")).cast("double"), lit(0.0)), 6)
           .as("toxicity"))
-    // trailing-window mean folded in bucket order (bounded per-symbol array)
+    // Trailing-window mean folded in bucket order (bounded per-symbol
+    // array). Buckets with NO side-tagged volume have NULL toxicity and
+    // are SKIPPED by the mean — SQL aggregate null semantics, not scored
+    // as "perfectly balanced" zero; a window of only unknown buckets
+    // yields null VPIN.
     val obs = buckets
       .groupBy("symbol")
       .agg(sort_array(collect_list(struct(col("vb"), col("toxicity")))).as("obs"))
     val o = col("obs")
+    val acc0 = struct(lit(0.0).as("s"), lit(0.0).as("n"))
     obs.select(col("symbol"), explode(
         transform(sequence(lit(1), size(o)), i =>
           struct(
@@ -194,10 +199,16 @@ object Risk {
             slice(o, greatest(i - (window - 1), lit(1)),
               least(i, lit(window))).as("w")))).as("r"))
       .select(col("symbol"), col("r.vb"), col("r.toxicity"),
-        Quantize.r(
-          aggregate(col("r.w"), lit(0.0),
-            (acc, x) => acc + coalesce(x.getField("toxicity"), lit(0.0))) /
-            size(col("r.w")).cast("double"), 6).as("vpin"))
+        aggregate(col("r.w"), acc0, (acc, x) =>
+          struct(
+            (acc.getField("s") +
+              coalesce(x.getField("toxicity"), lit(0.0))).as("s"),
+            (acc.getField("n") +
+              when(x.getField("toxicity").isNotNull, lit(1.0))
+                .otherwise(lit(0.0))).as("n"))).as("st"))
+      .select(col("symbol"), col("vb"), col("toxicity"),
+        when(col("st.n") > 0,
+          Quantize.r(col("st.s") / col("st.n"), 6)).as("vpin"))
   }
 
   /** Hampel filter — rolling-median tick cleaning: a price farther than

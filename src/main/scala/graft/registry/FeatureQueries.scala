@@ -1136,12 +1136,17 @@ object FeatureQueries {
         |vobs AS (
         |  SELECT symbol, list(vb ORDER BY vb) AS lv, list(toxicity ORDER BY vb) AS lt
         |  FROM vbkt GROUP BY symbol)""".stripMargin,
-      """SELECT symbol, lv[i] AS vb, lt[i] AS toxicity,
-        |       floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |                list_transform(lt[greatest(i - 49, 1):i], x -> COALESCE(x, CAST(0 AS DOUBLE)))),
-        |                (a, x) -> a + x)
-        |              / len(lt[greatest(i - 49, 1):i])) * 1e6 + 0.5) / 1e6 AS vpin
-        |FROM (SELECT symbol, lv, lt, unnest(range(1, len(lv) + 1)) AS i FROM vobs)""".stripMargin),
+      """SELECT symbol, vb, toxicity,
+        |       CASE WHEN st[2] > 0
+        |            THEN floor((st[1] / st[2]) * 1e6 + 0.5) / 1e6 END AS vpin
+        |FROM (
+        |  SELECT symbol, lv[i] AS vb, lt[i] AS toxicity,
+        |         list_reduce(list_prepend(CAST([0, 0] AS DOUBLE[]),
+        |           list_transform(lt[greatest(i - 49, 1):i], x ->
+        |             [COALESCE(x, CAST(0 AS DOUBLE)),
+        |              CASE WHEN x IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END])),
+        |           (a, e) -> [a[1] + e[1], a[2] + e[2]]) AS st
+        |  FROM (SELECT symbol, lv, lt, unnest(range(1, len(lv) + 1)) AS i FROM vobs))""".stripMargin),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,

@@ -153,14 +153,38 @@ object StreamingFeatures {
   private def partitionTimeCol(batch: DataFrame): Option[String] =
     Seq("bucket", "time").find(batch.columns.contains)
 
+  /** Central-schema sidecar (`_schema.json`, underscore-prefixed so parquet
+    * readers ignore it): written after every merge, it plays the role a
+    * table format's metastore schema does — readers and merges see
+    * additively-evolved columns WITHOUT an O(all-file-footers) mergeSchema
+    * pass, keeping each merge O(touched partitions) regardless of table
+    * age. Tables written before the sidecar existed fall back to
+    * mergeSchema once; their next merge writes the sidecar.
+    */
+  private def sidecarFile(tablePath: String) =
+    new java.io.File(tablePath, "_schema.json")
+
+  private def writeSchemaSidecar(tablePath: String,
+      schema: org.apache.spark.sql.types.StructType): Unit =
+    java.nio.file.Files.write(sidecarFile(tablePath).toPath,
+      schema.json.getBytes("UTF-8"))
+
+  private def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+    val sc = sidecarFile(tablePath)
+    if (sc.exists()) {
+      val schema = org.apache.spark.sql.types.DataType
+        .fromJson(new String(java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+      spark.read.schema(schema).parquet(tablePath)
+    } else spark.read.option("mergeSchema", "true").parquet(tablePath)
+  }
+
   /** Read a materialized keyed table WITHOUT the internal partition column.
-    * `mergeSchema` makes additively-evolved tables (see [[mergeIntoKeyed]])
-    * surface columns that only newer partitions carry — the O(file-footers)
-    * cost a table format's central schema would avoid; the call site is
-    * unchanged when one is swapped in.
+    * Evolved columns resolve through the schema sidecar (O(1)), not a
+    * footer sweep.
     */
   def readKeyedTable(spark: SparkSession, tablePath: String): DataFrame = {
-    val df = spark.read.option("mergeSchema", "true").parquet(tablePath)
+    val df = readTable(spark, tablePath)
     if (df.columns.contains(PartCol)) df.drop(PartCol) else df
   }
 
@@ -200,7 +224,12 @@ object StreamingFeatures {
       batch.columns.contains(PartCol) || partitionTimeCol(batch).isDefined
     val partitioned = if (exists) existingHasPart else batchPartable
     val withPart0 =
-      if (!partitioned) deduped
+      // An UNPARTITIONED table must never absorb the internal partition
+      // column as data (a batch read back from a partitioned sibling table
+      // carries it): kept, it would flip the NEXT merge's layout detection
+      // to partitioned and orphan the root-level files. Strip it — the
+      // additive-evolution path is for USER columns only.
+      if (!partitioned) deduped.drop(PartCol)
       else if (batch.columns.contains(PartCol)) deduped
       else partitionTimeCol(batch) match {
         case Some(tc) => deduped.withColumn(PartCol, to_date(col(tc)))
@@ -230,9 +259,10 @@ object StreamingFeatures {
     val merged = if (!exists) {
       withPart
     } else {
-      // mergeSchema: an evolved column that only newer partitions carry
-      // must be visible to the merge, whichever file Spark samples first
-      val existingAll = spark.read.option("mergeSchema", "true").parquet(tablePath)
+      // sidecar schema (or a one-time mergeSchema fallback): an evolved
+      // column that only newer partitions carry must be visible to the
+      // merge, whichever file Spark would sample first
+      val existingAll = readTable(spark, tablePath)
       // Partition pruning: only the dates the batch touches are read (and
       // later rewritten). The collect is a handful of date scalars.
       val existing =
@@ -278,6 +308,7 @@ object StreamingFeatures {
           .option("partitionOverwriteMode", "dynamic")
           .partitionBy(PartCol)
           .parquet(tablePath)
+        writeSchemaSidecar(tablePath, materialized.schema)
       } finally {
         materialized.unpersist(blocking = false)
       }
@@ -292,6 +323,7 @@ object StreamingFeatures {
         new Directory(target).deleteRecursively()
       }
       new java.io.File(tmp).renameTo(target)
+      writeSchemaSidecar(tablePath, merged.schema)
     }
   }
 

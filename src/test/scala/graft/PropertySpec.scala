@@ -161,11 +161,20 @@ class PropertySpec extends SparkTestBase {
       val v = Risk.vpin(t, bucketVolume = 200, window = 5)
       assert(v.filter(
         (col("toxicity").isNotNull && (col("toxicity") < 0 || col("toxicity") > 1)) ||
-          col("vpin") < 0 || col("vpin") > 1).count() === 0)
-      // every trade lands in exactly one bucket: bucket volume sums to total
-      val total = t.agg(sum(col("volume").cast("bigint"))).collect()(0).getLong(0)
-      val clocked = Risk.vpin(t, bucketVolume = 200, window = 5).count()
-      assert(clocked > 0 && total > 0)
+          (col("vpin").isNotNull && (col("vpin") < 0 || col("vpin") > 1)))
+        .count() === 0)
+      // volume clock totality, derived INDEPENDENTLY: trade volumes are
+      // < bucket size, so no bucket index is skipped and the count per
+      // symbol must be (total - last trade's volume) div V + 1
+      val expect = t.groupBy("symbol").agg(
+        sum(col("volume").cast("bigint")).as("tot"),
+        max_by(col("volume").cast("bigint"),
+          struct(col("time"), col("trade_id"))).as("lastv"))
+        .select(col("symbol"), (expr("(tot - lastv) div 200L") + 1).as("nb"))
+      val got = v.groupBy("symbol").agg(count(lit(1)).as("got"))
+      assert(got.join(expect, Seq("symbol"))
+        .filter(col("got") =!= col("nb")).count() === 0,
+        "bucket count must match the independent volume-clock derivation")
     }
   }
 
