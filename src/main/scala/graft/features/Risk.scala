@@ -148,6 +148,46 @@ object Risk {
       size(col("ps")).cast("long").as("n_pairs"))
   }
 
+  /** Kyle's lambda per symbol — the price-impact SLOPE: regress the
+    * 5-minute bucket price change Δp on the bucket's signed volume
+    * (buy − sell), λ = cov(Δp, q)/var(q). Completes the microstructure
+    * family (Amihud = impact proxy, Roll = spread, VPIN = toxicity).
+    *
+    * Every regression input is exact before the fold: Δp = close − open
+    * (ordered min_by/max_by picks, one subtraction), signed volume is a
+    * BIGINT sum. The moment sums fold over the bucket-sorted array (the
+    * beta discipline); only λ quantizes.
+    */
+  def kyleLambda(trades: DataFrame, bucket: String = "5 minutes"): DataFrame = {
+    val perBucket = trades
+      .groupBy(window(col("time"), bucket), col("symbol"))
+      .agg(
+        (max_by(col("price"), col("time")) - min_by(col("price"), col("time")))
+          .as("dp"),
+        (sum(when(col("side") === "buy", col("volume").cast("bigint"))
+          .otherwise(lit(0L))) -
+          sum(when(col("side") === "sell", col("volume").cast("bigint"))
+            .otherwise(lit(0L)))).as("q"))
+      .select(col("window.start").as("bucket"), col("symbol"),
+        col("dp"), col("q").cast("double").as("q"))
+    val obs = perBucket
+      .groupBy("symbol")
+      .agg(sort_array(collect_list(struct(col("bucket"), col("dp"), col("q"))))
+        .as("obs"))
+    val n = size(col("obs")).cast("double")
+    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
+      aggregate(col("obs"), lit(0.0), (acc, x) => acc + f(x))
+    val sx = fold(_.getField("q"))
+    val sy = fold(_.getField("dp"))
+    val sxy = fold(x => x.getField("q") * x.getField("dp"))
+    val sx2 = fold(x => x.getField("q") * x.getField("q"))
+    obs.select(col("symbol"),
+      Quantize.r(
+        (n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, lit(0.0)), 6)
+        .as("kyle_lambda"),
+      size(col("obs")).cast("long").as("n_buckets"))
+  }
+
   /** VPIN order-flow toxicity (Easley/López de Prado) — simplified volume
     * clock: trades bucket by CUMULATIVE VOLUME (each trade assigned to
     * bucket ⌊cum-before / V⌋, the standard whole-trade simplification),

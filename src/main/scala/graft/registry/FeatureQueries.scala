@@ -401,6 +401,10 @@ object FeatureQueries {
     // ordered trailing-mean fold.
     "q_vpin" -> ((s, d) => Risk.vpin(trades(s, d))),
 
+    // Kyle's lambda: price-impact slope, exact regression inputs, ordered
+    // moment folds (the beta discipline).
+    "q_kyle_lambda" -> ((s, d) => Risk.kyleLambda(trades(s, d))),
+
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
       trades(s, d)
@@ -1114,6 +1118,33 @@ object FeatureQueries {
     // Mirrors Risk.hampel: nearest-rank median/MAD from the sorted
     // trailing-21 frame list; identical index arithmetic on both engines.
     "q_hampel" -> withTrades(hampelSql),
+
+    // Mirrors Risk.kyleLambda: exact Δp/signed-volume per bucket, moment
+    // sums folded in bucket order, only λ quantized.
+    "q_kyle_lambda" -> withTradesAnd(
+      """kb AS (
+        |  SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+        |         arg_max(price, time) - arg_min(price, time) AS dp,
+        |         CAST(sum(CASE WHEN side = 'buy' THEN CAST(volume AS BIGINT) ELSE 0 END) -
+        |              sum(CASE WHEN side = 'sell' THEN CAST(volume AS BIGINT) ELSE 0 END) AS DOUBLE) AS q
+        |  FROM trades GROUP BY 1, 2),
+        |kobs AS (
+        |  SELECT symbol, list(dp ORDER BY bucket) AS ld,
+        |         list(q ORDER BY bucket) AS lq, count(*) AS nb
+        |  FROM kb GROUP BY symbol),
+        |kmom AS (
+        |  SELECT symbol, nb, CAST(nb AS DOUBLE) AS n,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), lq), (a, x) -> a + x) AS sx,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), ld), (a, x) -> a + x) AS sy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(range(1, len(lq) + 1), i -> lq[i] * ld[i])), (a, x) -> a + x) AS sxy,
+        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |      list_transform(lq, x -> x * x)), (a, x) -> a + x) AS sx2
+        |  FROM kobs)""".stripMargin,
+      """SELECT symbol,
+        |       floor(((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS kyle_lambda,
+        |       nb AS n_buckets
+        |FROM kmom""".stripMargin),
 
     // Mirrors Risk.vpin: BIGINT volume clock (// = div, both floor),
     // BIGINT bucket sums, quantized toxicity, trailing-50 ordered fold.
