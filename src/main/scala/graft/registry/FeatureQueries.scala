@@ -1025,8 +1025,8 @@ object FeatureQueries {
     // Mirrors Risk.obv: BIGINT accumulation — no floats anywhere.
     "q_obv" -> withTrades(
       """SELECT time, symbol, trade_id,
-        |       sum(step) OVER (PARTITION BY symbol ORDER BY time, trade_id
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS obv
+        |       CAST(sum(step) OVER (PARTITION BY symbol ORDER BY time, trade_id
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
         |FROM (
         |  SELECT time, symbol, trade_id,
         |         COALESCE(CAST(sign(price - lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id)) AS BIGINT)
@@ -1154,7 +1154,7 @@ object FeatureQueries {
         |         floor((CAST(abs(buy_v - sell_v) AS DOUBLE) /
         |                nullif(CAST(buy_v + sell_v AS DOUBLE), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS toxicity
         |  FROM (
-        |    SELECT symbol, cum_before // 2000 AS vb,
+        |    SELECT symbol, CAST(cum_before // 2000 AS BIGINT) AS vb,
         |           sum(CASE WHEN side = 'buy' THEN v ELSE 0 END) AS buy_v,
         |           sum(CASE WHEN side = 'sell' THEN v ELSE 0 END) AS sell_v
         |    FROM (
