@@ -114,38 +114,46 @@ object Risk {
     * serial covariance of price changes (Roll 1984) — the microstructure
     * estimate of the effective bid-ask spread from trade prices alone.
     * Null when the autocovariance is non-negative (the model's no-spread
-    * regime). Ordered moment folds (the q_autocorr discipline): the
-    * per-symbol change list is sorted by (time, trade_id) and every sum
-    * folds left-to-right — bit-identical cross-engine.
+    * regime).
+    *
+    * Scaled-integer exact moments (no arrays, no ordered fold): the
+    * quantized Δp is an exact 1e-6 multiple, so its 1e6-scaled BIGINT
+    * image folds with plain order-independent SUMs — Σx, Σy, Σxy stay
+    * exact integers (DECIMAL(38,0) accumulation; integer addition is
+    * associative-commutative), the covariance ratio and √ run once per
+    * symbol on identical doubles in both engines, and per-group state is
+    * O(1) instead of the full price history — the 100×-scale-safe shape.
     */
   def rollSpread(trades: DataFrame): DataFrame = {
     val ord = Window.partitionBy("symbol").orderBy("time", "trade_id")
     val dp = Quantize.r(col("price") - lag(col("price"), 1).over(ord), 6)
-    val obs = trades
+    val dec = "decimal(38,0)"
+    // second window pass over the non-null changes pairs each Δp with its
+    // predecessor; first-change rows carry a null `y` and join no pair
+    val agged = trades
       .select(col("symbol"), col("time"), col("trade_id"), dp.as("dp"))
       .filter(col("dp").isNotNull)
+      .select(col("symbol"), col("time"), col("trade_id"),
+        Quantize.i(col("dp")).as("x"))
+      .select(col("symbol"), col("x"),
+        lag(col("x"), 1).over(ord).as("y"))
       .groupBy("symbol")
-      .agg(sort_array(collect_list(
-        struct(col("time"), col("trade_id"), col("dp")))).as("obs"))
-    val withDs = obs.select(col("symbol"),
-      transform(col("obs"), x => x.getField("dp")).as("ds"))
-    val ds = col("ds")
-    val withPairs = withDs.select(col("symbol"),
-      when(size(ds) >= 2,
-        transform(sequence(lit(2), size(ds)), i =>
-          struct(element_at(ds, i).as("x"), element_at(ds, i - 1).as("y"))))
-        .otherwise(array().cast("array<struct<x:double,y:double>>")).as("ps"))
-    val m = size(col("ps")).cast("double")
-    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      aggregate(col("ps"), lit(0.0), (acc, p) => acc + f(p))
-    val sx = fold(_.getField("x"))
-    val sy = fold(_.getField("y"))
-    val sxy = fold(p => p.getField("x") * p.getField("y"))
-    val cov = (m * sxy - sx * sy) / (m * m)
-    withPairs.select(col("symbol"),
-      Quantize.r(when(m >= 2 && cov < 0, lit(2.0) * sqrt(-cov)), 6)
+      .agg(
+        count(col("y")).as("n_pairs"),
+        sum(when(col("y").isNotNull, col("x")).cast(dec)).as("sxd"),
+        sum(col("y").cast(dec)).as("syd"),
+        // DECIMAL multiply: 64-bit x·y can overflow on outlier Δp images
+        sum(col("x").cast("decimal(19,0)") * col("y").cast("decimal(19,0)"))
+          .as("sxyd"))
+    val m = col("n_pairs").cast("double")
+    val sx = col("sxd").cast("double")
+    val sy = col("syd").cast("double")
+    val sxy = col("sxyd").cast("double")
+    val cov = (m * sxy - sx * sy) / (m * m) // 1e12-scaled covariance
+    agged.select(col("symbol"),
+      Quantize.r(when(m >= 2 && cov < 0, lit(2.0) * sqrt(-cov) / lit(1e6)), 6)
         .as("roll_spread"),
-      size(col("ps")).cast("long").as("n_pairs"))
+      col("n_pairs"))
   }
 
   /** Kyle's lambda per symbol — the price-impact SLOPE: regress the
@@ -153,10 +161,14 @@ object Risk {
     * (buy − sell), λ = cov(Δp, q)/var(q). Completes the microstructure
     * family (Amihud = impact proxy, Roll = spread, VPIN = toxicity).
     *
-    * Every regression input is exact before the fold: Δp = close − open
-    * (ordered min_by/max_by picks, one subtraction), signed volume is a
-    * BIGINT sum. The moment sums fold over the bucket-sorted array (the
-    * beta discipline); only λ quantizes.
+    * Every regression input is exact before aggregation: Δp = close − open
+    * (ordered min_by/max_by picks, one subtraction) quantized to its
+    * 1e6-scaled BIGINT image, signed volume is a BIGINT sum. The moment
+    * sums are plain order-independent DECIMAL(38,0) SUMs of exact integers
+    * (products multiplied as decimals so no 64-bit overflow at scale) —
+    * O(1) state per symbol, hash-stable with no per-group arrays; only the
+    * final λ ratio runs in doubles (÷1e6 undoes the Δp scaling) and
+    * quantizes.
     */
   def kyleLambda(trades: DataFrame, bucket: String = "5 minutes"): DataFrame = {
     val perBucket = trades
@@ -168,24 +180,27 @@ object Risk {
           .otherwise(lit(0L))) -
           sum(when(col("side") === "sell", col("volume").cast("bigint"))
             .otherwise(lit(0L)))).as("q"))
-      .select(col("window.start").as("bucket"), col("symbol"),
-        col("dp"), col("q").cast("double").as("q"))
-    val obs = perBucket
+      .select(col("symbol"), Quantize.i(col("dp")).as("dpi"), col("q"))
+    val d19 = "decimal(19,0)"
+    val dec = "decimal(38,0)"
+    val mom = perBucket
       .groupBy("symbol")
-      .agg(sort_array(collect_list(struct(col("bucket"), col("dp"), col("q"))))
-        .as("obs"))
-    val n = size(col("obs")).cast("double")
-    def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-      aggregate(col("obs"), lit(0.0), (acc, x) => acc + f(x))
-    val sx = fold(_.getField("q"))
-    val sy = fold(_.getField("dp"))
-    val sxy = fold(x => x.getField("q") * x.getField("dp"))
-    val sx2 = fold(x => x.getField("q") * x.getField("q"))
-    obs.select(col("symbol"),
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("q").cast(dec)).as("sxd"),
+        sum(col("dpi").cast(dec)).as("syd"),
+        sum(col("q").cast(d19) * col("dpi").cast(d19)).as("sxyd"),
+        sum(col("q").cast(d19) * col("q").cast(d19)).as("sx2d"))
+    val n = col("n_buckets").cast("double")
+    val sx = col("sxd").cast("double")
+    val sy = col("syd").cast("double")
+    val sxy = col("sxyd").cast("double")
+    val sx2 = col("sx2d").cast("double")
+    mom.select(col("symbol"),
       Quantize.r(
-        (n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, lit(0.0)), 6)
+        (n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, lit(0.0)) / lit(1e6), 6)
         .as("kyle_lambda"),
-      size(col("obs")).cast("long").as("n_buckets"))
+      col("n_buckets"))
   }
 
   /** VPIN order-flow toxicity (Easley/López de Prado) — simplified volume
@@ -197,9 +212,12 @@ object Risk {
     * Engine-exact by construction: volumes are integer-valued so the
     * cumulative clock and the per-bucket sums run in BIGINT (integer sums
     * are order-independent — no float hazard anywhere before the final
-    * ratio), and the trailing mean folds quantized toxicities in bucket
-    * order. Null-side trades advance the volume clock but join neither
-    * side, like [[Imbalance]].
+    * ratio), and the trailing mean sums the 1e6-scaled BIGINT toxicity
+    * image over a plain ROWS-49-PRECEDING frame — integer window sums are
+    * association-independent, so the segment-tree vs running-sum window
+    * implementations of different engines agree exactly, with O(window)
+    * state instead of the full bucket history. Null-side trades advance
+    * the volume clock but join neither side, like [[Imbalance]].
     */
   def vpin(trades: DataFrame, bucketVolume: Long = 2000, window: Int = 50): DataFrame = {
     val ord = Window.partitionBy("symbol").orderBy("time", "trade_id")
@@ -221,34 +239,21 @@ object Risk {
           abs(col("buy_v") - col("sell_v")).cast("double") /
             nullif((col("buy_v") + col("sell_v")).cast("double"), lit(0.0)), 6)
           .as("toxicity"))
-    // Trailing-window mean folded in bucket order (bounded per-symbol
-    // array). Buckets with NO side-tagged volume have NULL toxicity and
-    // are SKIPPED by the mean — SQL aggregate null semantics, not scored
-    // as "perfectly balanced" zero; a window of only unknown buckets
-    // yields null VPIN.
-    val obs = buckets
-      .groupBy("symbol")
-      .agg(sort_array(collect_list(struct(col("vb"), col("toxicity")))).as("obs"))
-    val o = col("obs")
-    val acc0 = struct(lit(0.0).as("s"), lit(0.0).as("n"))
-    obs.select(col("symbol"), explode(
-        transform(sequence(lit(1), size(o)), i =>
-          struct(
-            element_at(o, i).getField("vb").as("vb"),
-            element_at(o, i).getField("toxicity").as("toxicity"),
-            slice(o, greatest(i - (window - 1), lit(1)),
-              least(i, lit(window))).as("w")))).as("r"))
-      .select(col("symbol"), col("r.vb"), col("r.toxicity"),
-        aggregate(col("r.w"), acc0, (acc, x) =>
-          struct(
-            (acc.getField("s") +
-              coalesce(x.getField("toxicity"), lit(0.0))).as("s"),
-            (acc.getField("n") +
-              when(x.getField("toxicity").isNotNull, lit(1.0))
-                .otherwise(lit(0.0))).as("n"))).as("st"))
+    // Trailing-window mean over the 1e6-scaled BIGINT toxicity image.
+    // Buckets with NO side-tagged volume have NULL toxicity and are
+    // SKIPPED by the mean — SQL aggregate null semantics, not scored as
+    // "perfectly balanced" zero; a window of only unknown buckets yields
+    // null VPIN.
+    val w50 = Window.partitionBy("symbol").orderBy("vb")
+      .rowsBetween(-(window - 1), 0)
+    buckets
+      .withColumn("toxi", Quantize.i(col("toxicity")))
+      .withColumn("s", sum(col("toxi")).over(w50))
+      .withColumn("cnt", count(col("toxi")).over(w50))
       .select(col("symbol"), col("vb"), col("toxicity"),
-        when(col("st.n") > 0,
-          Quantize.r(col("st.s") / col("st.n"), 6)).as("vpin"))
+        when(col("cnt") > 0,
+          Quantize.r(col("s").cast("double") / col("cnt").cast("double") / lit(1e6), 6))
+          .as("vpin"))
   }
 
   /** Hampel filter — rolling-median tick cleaning: a price farther than
@@ -307,20 +312,23 @@ object Risk {
       col("symbol"), col("r"),
       row_number().over(rankW).as("rn"),
       ceil(lit(alpha) * count(lit(1)).over(nW)).as("k"))
-    // CVaR folds the tail in RANK order (sorted bounded array — the tail
-    // is ceil(alpha·n) rows), never a partition-order-dependent avg: at
-    // sf0.1 one symbol's tail mean landed exactly on a 0.5e-6 rounding
-    // boundary and flipped the quantized value between engines.
+    // CVaR sums the tail's 1e6-scaled BIGINT return images — exact
+    // order-independent integer sums (never a partition-order-dependent
+    // float avg: at sf0.1 one symbol's tail mean landed exactly on a
+    // 0.5e-6 rounding boundary and flipped between engines). O(1) state
+    // per symbol instead of materializing the 5%-of-history tail array.
+    val dec = "decimal(38,0)"
     ranked
       .filter(col("rn") <= col("k"))
       .groupBy("symbol")
       .agg(
         max_by(col("r"), col("rn")).as(s"var_$conf"),
-        sort_array(collect_list(struct(col("rn"), col("r")))).as("tail"))
+        sum(Quantize.i(col("r")).cast(dec)).as("sd"),
+        count(lit(1)).as("n_tail"))
       .select(col("symbol"), col(s"var_$conf"),
         Quantize.r(
-          aggregate(col("tail"), lit(0.0), (acc, t) => acc + t.getField("r")) /
-            size(col("tail")).cast("double"), 6).as(s"cvar_$conf"),
-        size(col("tail")).cast("long").as("n_tail"))
+          col("sd").cast("double") / col("n_tail").cast("double") / lit(1e6), 6)
+          .as(s"cvar_$conf"),
+        col("n_tail"))
   }
 }

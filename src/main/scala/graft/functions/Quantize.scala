@@ -22,6 +22,21 @@ object Quantize {
     floor(c * lit(p) + lit(0.5)) / lit(p)
   }
 
+  /** The integer quantum of [[r]]: floor(x·10^scale + 0.5) as BIGINT.
+    *
+    * This is the scale-safe form of the ordered-fold discipline: once a
+    * value is an exact integer, plain SUM aggregates are
+    * associative-commutative-EXACT, so moment sums (Σx, Σx², Σxy) are
+    * order-independent and hash-stable cross-engine with no per-group
+    * arrays and no ordered fold at all. Applying [[i]] to a value already
+    * quantized by [[r]] recovers the same integer exactly (the recovery
+    * error is ≤ a few ulps, far below the 0.5 slack in the floor).
+    */
+  def i(c: Column, scale: Int = 6): Column = {
+    val p = math.pow(10.0, scale)
+    floor(c * lit(p) + lit(0.5)).cast("long")
+  }
+
   /** SQL-side twin of [[r]] for oracle fragments. */
   def sql(inner: String, scale: Int = 6): String = {
     val p = s"1e$scale"

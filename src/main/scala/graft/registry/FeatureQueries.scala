@@ -252,101 +252,116 @@ object FeatureQueries {
     // Cross-symbol return correlation matrix: bucketed close returns,
     // self-joined per bucket (sym_a < sym_b). O(K² · buckets) where K is
     // the symbol UNIVERSE (a bounded dimension, thousands at most) — never
-    // corpus-scale. Like q_beta, a correlation is a cancellation-sensitive
-    // ratio of covariance sums, so every sum folds in BUCKET ORDER over the
-    // pair's (bounded) shared-bucket list — corr() aggregates are
-    // accumulation-order-dependent and can flip the 1e-6 quantum between
-    // engines. r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)).
+    // corpus-scale. A correlation is a cancellation-sensitive ratio of
+    // covariance sums, and corr()/covar float aggregates are accumulation-
+    // order-dependent — so the moment sums run over the 1e6-scaled BIGINT
+    // image of the quantized returns: integer sums are order-independent
+    // and EXACT (DECIMAL(38,0) accumulation), the join output aggregates
+    // with map-side combine into K² rows (no per-pair arrays — the
+    // round-5 collect_list shape was 12× slower and grew linearly with the
+    // time range), and the 1e6 scaling cancels in the correlation ratio.
+    // r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)).
     "q_pair_corr" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val d19 = "decimal(19,0)"
       val rets = bucketReturns(s, d)
-      val obs = rets.as("a").join(rets.as("b"),
+        .select(col("bucket"), col("symbol"), Quantize.i(col("ret")).as("ri"))
+      val mom = rets.as("a").join(rets.as("b"),
           col("a.bucket") === col("b.bucket") && col("a.symbol") < col("b.symbol"))
-        .groupBy(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"))
-        .agg(sort_array(collect_list(struct(
-          col("a.bucket").as("bucket"), col("a.ret").as("ra"),
-          col("b.ret").as("rb")))).as("obs"))
-      val n = size(col("obs")).cast("double")
-      def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        aggregate(col("obs"), lit(0.0), (acc, x) => acc + f(x))
-      val sx = fold(_.getField("ra"))
-      val sy = fold(_.getField("rb"))
-      val sxy = fold(x => x.getField("ra") * x.getField("rb"))
-      val sx2 = fold(x => x.getField("ra") * x.getField("ra"))
-      val sy2 = fold(x => x.getField("rb") * x.getField("rb"))
-      obs.select(col("sym_a"), col("sym_b"),
+        .select(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"),
+          col("a.ri").as("ra"), col("b.ri").as("rb"))
+        .groupBy("sym_a", "sym_b")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("ra").cast(dec)).as("sxd"),
+          sum(col("rb").cast(dec)).as("syd"),
+          // products as DECIMAL(19,0)×DECIMAL(19,0): 64-bit multiply can
+          // overflow on outlier returns (ri ~1e9 ⇒ ri² ~1e18+)
+          sum(col("ra").cast(d19) * col("rb").cast(d19)).as("sxyd"),
+          sum(col("ra").cast(d19) * col("ra").cast(d19)).as("sx2d"),
+          sum(col("rb").cast(d19) * col("rb").cast(d19)).as("sy2d"))
+      val n = col("n_buckets").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      mom.select(col("sym_a"), col("sym_b"),
         // FP cancellation can leave a variance term at -1e-20: clamp to 0
         // (NaN-from-sqrt semantics differ between engines), null via nullif
         Quantize.r(
-          (n * sxy - sx * sy) /
-            nullif(sqrt(greatest(n * sx2 - sx * sx, lit(0.0))) *
-              sqrt(greatest(n * sy2 - sy * sy, lit(0.0))), lit(0.0)),
+          (n * dbl("sxyd") - dbl("sxd") * dbl("syd")) /
+            nullif(sqrt(greatest(n * dbl("sx2d") - dbl("sxd") * dbl("sxd"), lit(0.0))) *
+              sqrt(greatest(n * dbl("sy2d") - dbl("syd") * dbl("syd"), lit(0.0))), lit(0.0)),
           6).as("ret_corr"),
-        size(col("obs")).cast("long").as("n_buckets"))
+        col("n_buckets"))
     }),
 
     // Market beta per symbol: covar(r_i, r_mkt) / var(r_mkt) against the
-    // equal-weight market return. Every float sum here is an ORDERED fold
-    // (mret over symbols per bucket, the four moment sums over buckets per
-    // symbol): covar_samp/var_samp/avg aggregates are accumulation-order-
-    // dependent, and at sf0.1 two symbols flipped across the 1e-6 quantum
-    // against the oracle. Arrays are bounded by #symbols per bucket /
-    // #buckets per symbol. beta = (n·Σxy − Σx·Σy) / (n·Σy² − (Σy)²), the
-    // same ratio as covar_samp/var_samp, computed identically both sides.
+    // equal-weight market return. covar_samp/var_samp/avg float aggregates
+    // are accumulation-order-dependent (at sf0.1 two symbols flipped
+    // across the 1e-6 quantum against the oracle), so everything runs on
+    // 1e6-scaled BIGINT return images: the market return is itself an
+    // integer (floor(Σri/K + 0.5) — the quantized equal-weight mean), the
+    // four moment sums are exact DECIMAL(38,0) integer sums, and the 1e6
+    // scaling cancels in beta = (n·Σxy − Σx·Σy) / (n·Σy² − (Σy)²). No
+    // per-group arrays — two hash aggregations and a join, map-side
+    // combined, O(1) group state at any scale.
     "q_beta" -> ((s, d) => {
+      val dec = "decimal(38,0)"
       val rets = bucketReturns(s, d)
+        .select(col("bucket"), col("symbol"), Quantize.i(col("ret")).as("ri"))
       val mkt = rets.groupBy("bucket")
-        .agg(sort_array(collect_list(struct(col("symbol"), col("ret")))).as("rs"))
+        .agg(sum(col("ri").cast(dec)).as("smd"), count(lit(1)).as("k"))
         .select(col("bucket"),
-          Quantize.r(
-            aggregate(col("rs"), lit(0.0), (acc, x) => acc + x.getField("ret")) /
-              size(col("rs")).cast("double"), 6).as("mret"))
-      val obs = rets.join(mkt, Seq("bucket"))
+          floor(col("smd").cast("double") / col("k").cast("double") + lit(0.5))
+            .cast("long").as("mi"))
+      val d19 = "decimal(19,0)"
+      val mom = rets.join(mkt, Seq("bucket"))
         .groupBy("symbol")
-        .agg(sort_array(collect_list(struct(col("bucket"), col("ret"), col("mret"))))
-          .as("obs"))
-      val n = size(col("obs")).cast("double")
-      def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-        aggregate(col("obs"), lit(0.0), (acc, x) => acc + f(x))
-      val sx = fold(_.getField("ret"))
-      val sy = fold(_.getField("mret"))
-      val sxy = fold(x => x.getField("ret") * x.getField("mret"))
-      val sy2 = fold(x => x.getField("mret") * x.getField("mret"))
-      obs.select(col("symbol"),
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("ri").cast(dec)).as("sxd"),
+          sum(col("mi").cast(dec)).as("syd"),
+          sum(col("ri").cast(d19) * col("mi").cast(d19)).as("sxyd"),
+          sum(col("mi").cast(d19) * col("mi").cast(d19)).as("sy2d"))
+      val n = col("n_buckets").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      mom.select(col("symbol"),
         Quantize.r(
-          (n * sxy - sx * sy) / nullif(n * sy2 - sy * sy, lit(0.0)), 6).as("beta"),
-        size(col("obs")).cast("long").as("n_buckets"))
+          (n * dbl("sxyd") - dbl("sxd") * dbl("syd")) /
+            nullif(n * dbl("sy2d") - dbl("syd") * dbl("syd"), lit(0.0)), 6).as("beta"),
+        col("n_buckets"))
     }),
 
     // Lag-1 return autocorrelation per symbol (momentum/mean-reversion
-    // signal) — same ordered-moment-fold discipline as q_beta: quantized
-    // returns, sorted per-symbol array (bounded by buckets-per-symbol),
-    // every sum folded in bucket order so both engines run the identical
-    // IEEE sequence.
+    // signal) — same scaled-integer exact-moment discipline as q_beta:
+    // each return pairs with its bucket-order predecessor via lag(), the
+    // five moment sums run over 1e6-scaled BIGINT images (exact, order-
+    // independent, O(1) group state), and the scaling cancels in the
+    // correlation ratio. First-bucket rows carry a null predecessor and
+    // join no pair, so single-return symbols still emit (n_pairs = 0).
     "q_autocorr" -> ((s, d) => {
-      val obs = bucketReturns(s, d)
+      val dec = "decimal(38,0)"
+      val d19 = "decimal(19,0)"
+      val w = Window.partitionBy("symbol").orderBy("bucket")
+      val mom = bucketReturns(s, d)
+        .select(col("bucket"), col("symbol"), Quantize.i(col("ret")).as("x"))
+        .select(col("symbol"), col("x"), lag(col("x"), 1).over(w).as("y"))
         .groupBy("symbol")
-        .agg(sort_array(collect_list(struct(col("bucket"), col("ret")))).as("obs"))
-      val withRs = obs.select(col("symbol"),
-        transform(col("obs"), x => x.getField("ret")).as("rs"))
-      val rs = col("rs")
-      val withPairs = withRs.select(col("symbol"),
-        when(size(rs) >= 2,
-          transform(sequence(lit(2), size(rs)), i =>
-            struct(element_at(rs, i).as("x"), element_at(rs, i - 1).as("y"))))
-          .otherwise(array().cast("array<struct<x:double,y:double>>")).as("ps"))
-      val m = size(col("ps")).cast("double")
-      def fold(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column) =
-        aggregate(col("ps"), lit(0.0), (acc, p) => acc + f(p))
-      val sx = fold(_.getField("x"))
-      val sy = fold(_.getField("y"))
-      val sxy = fold(p => p.getField("x") * p.getField("y"))
-      val sx2 = fold(p => p.getField("x") * p.getField("x"))
-      val sy2 = fold(p => p.getField("y") * p.getField("y"))
-      val denom = (m * sx2 - sx * sx) * (m * sy2 - sy * sy)
-      withPairs.select(col("symbol"),
+        .agg(
+          count(col("y")).as("n_pairs"),
+          sum(when(col("y").isNotNull, col("x")).cast(dec)).as("sxd"),
+          sum(col("y").cast(dec)).as("syd"),
+          sum(col("x").cast(d19) * col("y").cast(d19)).as("sxyd"),
+          sum(when(col("y").isNotNull,
+            col("x").cast(d19) * col("x").cast(d19))).as("sx2d"),
+          sum(col("y").cast(d19) * col("y").cast(d19)).as("sy2d"))
+      val m = col("n_pairs").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val denom = (m * dbl("sx2d") - dbl("sxd") * dbl("sxd")) *
+        (m * dbl("sy2d") - dbl("syd") * dbl("syd"))
+      mom.select(col("symbol"),
         Quantize.r(
-          when(denom > 0, (m * sxy - sx * sy) / sqrt(denom)), 6).as("autocorr_1"),
-        size(col("ps")).cast("long").as("n_pairs"))
+          when(denom > 0, (m * dbl("sxyd") - dbl("sxd") * dbl("syd")) / sqrt(denom)),
+          6).as("autocorr_1"),
+        col("n_pairs"))
     }),
 
     // Technical indicators: same one-shuffle per-symbol window family.
@@ -802,28 +817,19 @@ object FeatureQueries {
     // order Spark's aggregate() folds the pair array.
     "q_autocorr" -> withTradesAnd(bucketReturnsSql +
       """,
-        |obs AS (
-        |  SELECT symbol, list(ret ORDER BY bucket) AS rs
-        |  FROM rets WHERE ret IS NOT NULL GROUP BY symbol),
-        |pairs AS (
-        |  SELECT symbol,
-        |         CASE WHEN len(rs) >= 2
-        |           THEN list_transform(range(2, len(rs) + 1), i -> [rs[i], rs[i-1]])
-        |           ELSE CAST([] AS DOUBLE[][]) END AS ps
-        |  FROM obs),
+        |ri AS (
+        |  SELECT symbol, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS x,
+        |         lag(CAST(floor(ret * 1e6 + 0.5) AS BIGINT))
+        |           OVER (PARTITION BY symbol ORDER BY bucket) AS y
+        |  FROM rets WHERE ret IS NOT NULL),
         |amom AS (
-        |  SELECT symbol, CAST(len(ps) AS DOUBLE) AS m, len(ps) AS n_pairs,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ps, p -> p[1])), (a, x) -> a + x) AS sx,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ps, p -> p[2])), (a, x) -> a + x) AS sy,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ps, p -> p[1] * p[2])), (a, x) -> a + x) AS sxy,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ps, p -> p[1] * p[1])), (a, x) -> a + x) AS sx2,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ps, p -> p[2] * p[2])), (a, x) -> a + x) AS sy2
-        |  FROM pairs)""".stripMargin,
+        |  SELECT symbol, count(y) AS n_pairs, CAST(count(y) AS DOUBLE) AS m,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x END) AS DOUBLE) AS sx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS sy2
+        |  FROM ri GROUP BY symbol)""".stripMargin,
       """SELECT symbol,
         |       CASE WHEN (m * sx2 - sx * sx) * (m * sy2 - sy * sy) > 0
         |            THEN floor(((m * sxy - sx * sy) /
@@ -834,26 +840,19 @@ object FeatureQueries {
 
     "q_pair_corr" -> withTradesAnd(bucketReturnsSql +
       """,
-        |r0 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
-        |pobs AS (
+        |r0 AS (SELECT bucket, symbol, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS ri
+        |       FROM rets WHERE ret IS NOT NULL),
+        |pmom AS (
         |  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
-        |         list(a.ret ORDER BY a.bucket) AS la,
-        |         list(b.ret ORDER BY a.bucket) AS lb,
-        |         count(*) AS nb
+        |    count(*) AS nb, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(a.ri) AS DOUBLE) AS sx,
+        |    CAST(sum(b.ri) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(a.ri AS HUGEINT) * b.ri) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(a.ri AS HUGEINT) * a.ri) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(b.ri AS HUGEINT) * b.ri) AS DOUBLE) AS sy2
         |  FROM r0 a JOIN r0 b
         |    ON a.bucket = b.bucket AND a.symbol < b.symbol
-        |  GROUP BY 1, 2),
-        |pmom AS (
-        |  SELECT sym_a, sym_b, nb, CAST(nb AS DOUBLE) AS n,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), la), (a, x) -> a + x) AS sx,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), lb), (a, x) -> a + x) AS sy,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(range(1, len(la) + 1), i -> la[i] * lb[i])), (a, x) -> a + x) AS sxy,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(la, x -> x * x)), (a, x) -> a + x) AS sx2,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(lb, x -> x * x)), (a, x) -> a + x) AS sy2
-        |  FROM pobs)""".stripMargin,
+        |  GROUP BY 1, 2)""".stripMargin,
       """SELECT sym_a, sym_b,
         |       floor(((n * sxy - sx * sy) /
         |              nullif(sqrt(greatest(n * sx2 - sx * sx, CAST(0 AS DOUBLE))) *
@@ -861,33 +860,24 @@ object FeatureQueries {
         |       nb AS n_buckets
         |FROM pmom""".stripMargin),
 
-    // Mirrors the ordered-fold beta: mret summed in symbol order, the four
-    // moment sums in bucket order — identical IEEE op sequences.
+    // Mirrors the scaled-integer beta: integer market mean per bucket,
+    // exact integer moment sums, scaling cancels in the ratio.
     "q_beta" -> withTradesAnd(bucketReturnsSql +
       """,
-        |r0 AS (SELECT * FROM rets WHERE ret IS NOT NULL),
+        |r0 AS (SELECT bucket, symbol, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS ri
+        |       FROM rets WHERE ret IS NOT NULL),
         |mkt AS (
         |  SELECT bucket,
-        |         floor((list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |                  list(ret ORDER BY symbol)), (a, x) -> a + x)
-        |                / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mret
+        |         CAST(floor(CAST(sum(ri) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mi
         |  FROM r0 GROUP BY bucket),
-        |obs AS (
-        |  SELECT r.symbol,
-        |         list(r.ret ORDER BY r.bucket) AS lr,
-        |         list(m.mret ORDER BY r.bucket) AS lm,
-        |         count(*) AS nb
-        |  FROM r0 r JOIN mkt m ON r.bucket = m.bucket
-        |  GROUP BY r.symbol),
         |mom AS (
-        |  SELECT symbol, nb, CAST(nb AS DOUBLE) AS n,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), lr), (a, x) -> a + x) AS sx,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), lm), (a, x) -> a + x) AS sy,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(range(1, len(lr) + 1), i -> lr[i] * lm[i])), (a, x) -> a + x) AS sxy,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(lm, x -> x * x)), (a, x) -> a + x) AS sy2
-        |  FROM obs)""".stripMargin,
+        |  SELECT r.symbol, count(*) AS nb, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(r.ri) AS DOUBLE) AS sx,
+        |    CAST(sum(m.mi) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(r.ri AS HUGEINT) * m.mi) AS DOUBLE) AS sxy,
+        |    CAST(sum(CAST(m.mi AS HUGEINT) * m.mi) AS DOUBLE) AS sy2
+        |  FROM r0 r JOIN mkt m ON r.bucket = m.bucket
+        |  GROUP BY r.symbol)""".stripMargin,
       """SELECT symbol,
         |       floor(((n * sxy - sx * sy) / nullif(n * sy2 - sy * sy, CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS beta,
         |       nb AS n_buckets
@@ -1057,8 +1047,8 @@ object FeatureQueries {
         |  FROM rets WHERE r IS NOT NULL)""".stripMargin,
       """SELECT symbol,
         |       arg_max(r, rn) AS var_95,
-        |       floor((list_reduce(list_prepend(CAST(0 AS DOUBLE), list(r ORDER BY rn)), (a, x) -> a + x)
-        |              / count(*)) * 1e6 + 0.5) / 1e6 AS cvar_95,
+        |       floor((CAST(sum(CAST(floor(r * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
+        |              / CAST(count(*) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS cvar_95,
         |       count(*) AS n_tail
         |FROM ranked WHERE rn <= k
         |GROUP BY symbol""".stripMargin),
@@ -1083,34 +1073,28 @@ object FeatureQueries {
         |  WHERE r IS NOT NULL AND dv > 0
         |  GROUP BY 1, 2)""".stripMargin),
 
-    // Mirrors Risk.rollSpread: ordered Δp pairs, moment folds, population
-    // covariance (m·sxy − sx·sy)/m², spread only when cov < 0.
+    // Mirrors Risk.rollSpread: lag-paired 1e6-scaled BIGINT Δp images,
+    // exact integer moment sums (no arrays), population covariance
+    // (m·sxy − sx·sy)/m² (1e12-scaled), spread = 2·√(−cov)/1e6 when < 0.
     "q_roll_spread" -> withTradesAnd(
       """dps AS (
         |  SELECT symbol, time, trade_id,
         |         floor((price - lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id)) * 1e6 + 0.5) / 1e6 AS dp
         |  FROM trades),
-        |robs AS (
-        |  SELECT symbol, list(dp ORDER BY time, trade_id) AS ds
-        |  FROM dps WHERE dp IS NOT NULL GROUP BY symbol),
-        |rpairs AS (
-        |  SELECT symbol,
-        |         CASE WHEN len(ds) >= 2
-        |           THEN list_transform(range(2, len(ds) + 1), i -> [ds[i], ds[i-1]])
-        |           ELSE CAST([] AS DOUBLE[][]) END AS ps
-        |  FROM robs),
+        |dpi AS (
+        |  SELECT symbol, CAST(floor(dp * 1e6 + 0.5) AS BIGINT) AS x,
+        |         lag(CAST(floor(dp * 1e6 + 0.5) AS BIGINT))
+        |           OVER (PARTITION BY symbol ORDER BY time, trade_id) AS y
+        |  FROM dps WHERE dp IS NOT NULL),
         |rmom AS (
-        |  SELECT symbol, CAST(len(ps) AS DOUBLE) AS m, len(ps) AS n_pairs,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ps, p -> p[1])), (a, x) -> a + x) AS sx,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ps, p -> p[2])), (a, x) -> a + x) AS sy,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(ps, p -> p[1] * p[2])), (a, x) -> a + x) AS sxy
-        |  FROM rpairs)""".stripMargin,
+        |  SELECT symbol, count(y) AS n_pairs, CAST(count(y) AS DOUBLE) AS m,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x END) AS DOUBLE) AS sx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
+        |  FROM dpi GROUP BY symbol)""".stripMargin,
       """SELECT symbol,
         |       CASE WHEN m >= 2 AND (m * sxy - sx * sy) / (m * m) < 0
-        |            THEN floor((CAST(2 AS DOUBLE) * sqrt(-((m * sxy - sx * sy) / (m * m)))) * 1e6 + 0.5) / 1e6
+        |            THEN floor((CAST(2 AS DOUBLE) * sqrt(-((m * sxy - sx * sy) / (m * m))) / 1e6) * 1e6 + 0.5) / 1e6
         |       END AS roll_spread,
         |       n_pairs
         |FROM rmom""".stripMargin),
@@ -1119,35 +1103,32 @@ object FeatureQueries {
     // trailing-21 frame list; identical index arithmetic on both engines.
     "q_hampel" -> withTrades(hampelSql),
 
-    // Mirrors Risk.kyleLambda: exact Δp/signed-volume per bucket, moment
-    // sums folded in bucket order, only λ quantized.
+    // Mirrors Risk.kyleLambda: exact Δp image / BIGINT signed volume per
+    // bucket, exact integer moment sums (HUGEINT products ↔ the Spark
+    // side's DECIMAL(38,0) — both exact), only λ quantized.
     "q_kyle_lambda" -> withTradesAnd(
       """kb AS (
-        |  SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
-        |         arg_max(price, time) - arg_min(price, time) AS dp,
+        |  SELECT symbol,
+        |         CAST(floor((arg_max(price, time) - arg_min(price, time)) * 1e6 + 0.5) AS BIGINT) AS dpi,
         |         CAST(sum(CASE WHEN side = 'buy' THEN CAST(volume AS BIGINT) ELSE 0 END) -
-        |              sum(CASE WHEN side = 'sell' THEN CAST(volume AS BIGINT) ELSE 0 END) AS DOUBLE) AS q
-        |  FROM trades GROUP BY 1, 2),
-        |kobs AS (
-        |  SELECT symbol, list(dp ORDER BY bucket) AS ld,
-        |         list(q ORDER BY bucket) AS lq, count(*) AS nb
-        |  FROM kb GROUP BY symbol),
+        |              sum(CASE WHEN side = 'sell' THEN CAST(volume AS BIGINT) ELSE 0 END) AS HUGEINT) AS q
+        |  FROM trades GROUP BY time_bucket(INTERVAL '5 minutes', time), symbol),
         |kmom AS (
-        |  SELECT symbol, nb, CAST(nb AS DOUBLE) AS n,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), lq), (a, x) -> a + x) AS sx,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE), ld), (a, x) -> a + x) AS sy,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(range(1, len(lq) + 1), i -> lq[i] * ld[i])), (a, x) -> a + x) AS sxy,
-        |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
-        |      list_transform(lq, x -> x * x)), (a, x) -> a + x) AS sx2
-        |  FROM kobs)""".stripMargin,
+        |  SELECT symbol, count(*) AS nb, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(q) AS DOUBLE) AS sx,
+        |    CAST(sum(dpi) AS DOUBLE) AS sy,
+        |    CAST(sum(q * dpi) AS DOUBLE) AS sxy,
+        |    CAST(sum(q * q) AS DOUBLE) AS sx2
+        |  FROM kb GROUP BY symbol)""".stripMargin,
       """SELECT symbol,
-        |       floor(((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS kyle_lambda,
+        |       floor(((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, CAST(0 AS DOUBLE)) / 1e6) * 1e6 + 0.5) / 1e6 AS kyle_lambda,
         |       nb AS n_buckets
         |FROM kmom""".stripMargin),
 
     // Mirrors Risk.vpin: BIGINT volume clock (// = div, both floor),
-    // BIGINT bucket sums, quantized toxicity, trailing-50 ordered fold.
+    // BIGINT bucket sums, quantized toxicity, trailing-50 integer window
+    // sum of the 1e6-scaled toxicity image (order/association-independent
+    // — no fold, no arrays).
     "q_vpin" -> withTradesAnd(
       """vbkt AS (
         |  SELECT symbol, vb,
@@ -1163,21 +1144,18 @@ object FeatureQueries {
         |               PARTITION BY symbol ORDER BY time, trade_id
         |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
         |      FROM trades)
-        |    GROUP BY 1, 2)),
-        |vobs AS (
-        |  SELECT symbol, list(vb ORDER BY vb) AS lv, list(toxicity ORDER BY vb) AS lt
-        |  FROM vbkt GROUP BY symbol)""".stripMargin,
+        |    GROUP BY 1, 2))""".stripMargin,
       """SELECT symbol, vb, toxicity,
-        |       CASE WHEN st[2] > 0
-        |            THEN floor((st[1] / st[2]) * 1e6 + 0.5) / 1e6 END AS vpin
+        |       CASE WHEN cnt > 0
+        |            THEN floor((CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 END AS vpin
         |FROM (
-        |  SELECT symbol, lv[i] AS vb, lt[i] AS toxicity,
-        |         list_reduce(list_prepend(CAST([0, 0] AS DOUBLE[]),
-        |           list_transform(lt[greatest(i - 49, 1):i], x ->
-        |             [COALESCE(x, CAST(0 AS DOUBLE)),
-        |              CASE WHEN x IS NULL THEN CAST(0 AS DOUBLE) ELSE CAST(1 AS DOUBLE) END])),
-        |           (a, e) -> [a[1] + e[1], a[2] + e[2]]) AS st
-        |  FROM (SELECT symbol, lv, lt, unnest(range(1, len(lv) + 1)) AS i FROM vobs))""".stripMargin),
+        |  SELECT symbol, vb, toxicity,
+        |         sum(toxi) OVER w AS s, count(toxi) OVER w AS cnt
+        |  FROM (SELECT symbol, vb, toxicity,
+        |               CAST(floor(toxicity * 1e6 + 0.5) AS BIGINT) AS toxi
+        |        FROM vbkt)
+        |  WINDOW w AS (PARTITION BY symbol ORDER BY vb
+        |               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))""".stripMargin),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,
