@@ -87,8 +87,13 @@ object Curation {
     // the narrow language gate runs FIRST so the quality and dedup
     // aggregations shuffle only surviving rows; restricting dedup to the
     // en slice is semantics-preserving (exact dups share text, hence
-    // language), so canonicals are identical to a full-corpus dedup
-    val en = langGate(documents)
+    // language), so canonicals are identical to a full-corpus dedup.
+    // The gated slice feeds THREE consumers (join spine, quality pass,
+    // dedup canonical) — materialize it once (lazy localCheckpoint, the
+    // staging-table idiom) so the n-gram language ID runs ONE corpus scan
+    // instead of three, and AQE sees exact sizes for the funnel joins.
+    val en = langGate(documents).select("doc_id", "text")
+      .localCheckpoint(eager = false)
     val pass = qualityPass(en)
     val canon = dedupCanonical(en)
     hashSplit(en.select("doc_id").join(pass, Seq("doc_id")).join(canon, Seq("doc_id")),

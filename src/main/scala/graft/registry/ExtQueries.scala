@@ -196,10 +196,17 @@ object ExtQueries {
     // shuffle sees only survivors.
     "q_pretrain_pipeline" -> ((s, d) => {
       val docs = docsPar(s, d)
+      // the gated slice feeds the quality pass, the redaction branch, the
+      // join spine AND a stage count; the redacted slice feeds dedup and
+      // both decontamination sides — stage each once (lazy localCheckpoint,
+      // the staging-table idiom) so language ID and redaction regexes run
+      // one corpus scan apiece instead of re-evaluating per consumer
       val en = graft.ext.Curation.langGate(docs)
+        .select("doc_id", "text").localCheckpoint(eager = false)
       val pass = graft.ext.Curation.qualityPass(en)
       val redacted = en.select(col("doc_id"),
         graft.ext.Scrub.redact(col("text")).as("text"))
+        .localCheckpoint(eager = false)
       val canon = graft.ext.Curation.dedupCanonical(redacted)
       val clean = graft.ext.Scrub.decontaminate(
         redacted.filter(col("doc_id") % 50 =!= 0),

@@ -544,6 +544,12 @@ class PlanSpec extends SparkTestBase {
     // symbol); assert no union of tagged frames (the as-of signature)
     val plan = fast.queryExecution.executedPlan.toString
     assert(!plan.contains("__tag"), s"fast path still plans the union as-of:\n$plan")
+    // regression pin (r5 benched 4.5s under collect_list GC pressure): the
+    // latest-per-key path stays a per-view max_by HASH aggregate — never a
+    // per-group array materialization
+    assert(!plan.contains("collect_list"), s"fast path materializes arrays:\n$plan")
+    assert("max_by".r.findAllIn(plan).size >= 3,
+      s"fast path lost the per-view max_by aggregates:\n$plan")
   }
 
   test("gapfill never joins or re-shuffles the dense grid: no Join, one Exchange") {
