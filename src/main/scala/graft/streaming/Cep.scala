@@ -100,6 +100,12 @@ object Cep {
     * that splits out-of-order data across batches violates it; the state
     * carries the max folded event time and a violation logs a warning per
     * offending batch instead of passing silently.
+    *
+    * LEGACY SHAPE: for sources that cannot guarantee per-key chronological
+    * arrival, use [[graft.streaming.OrderedCusum]] (transformWithState,
+    * buffer-until-watermark) — it produces the exact global ordered fold
+    * across any batch split. StreamingSpec pins both this monitor's
+    * out-of-order divergence and OrderedCusum's 3-batch equivalence.
     */
   object CusumMonitor {
 

@@ -299,6 +299,38 @@ class StreamingSpec extends SparkTestBase {
     assert(res("DRIFT").cusum_pos === math.floor(2.5 * 50 * 1e6 + 0.5) / 1e6)
   }
 
+  test("legacy CUSUM monitor DIVERGES under out-of-order batches — the documented bound") {
+    // Pins the single-batch ordering contract from the CusumMonitor
+    // Scaladoc: the arrival-order fold is only the exact (time, trade_id)
+    // fold when each key's data arrives chronologically across batches.
+    // Feed the level-shift series as two SWAPPED micro-batches (shifted
+    // tail first) via TestGroupState: the fold must differ from the
+    // chronological fold — the divergence OrderedCusum exists to remove.
+    // (q_stream_cusum runs under Trigger.AvailableNow single-batch replay
+    // where the contract holds; q_stream_cusum_ordered is the
+    // arrival-order-robust path proven by the 3-batch tests below.)
+    import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
+    import org.apache.spark.api.java.Optional
+    def obs(i: Int, z: Double) = Cep.CusumObs(i.toLong, f"$i%05d", "DRIFT", z)
+    val early = (0 until 100).map(obs(_, 0.0))   // flat prefix
+    val late = (100 until 150).map(obs(_, 3.0))  // +3σ level shift
+    def freshState = TestGroupState.create[Cep.CusumState](
+      Optional.empty[Cep.CusumState](), GroupStateTimeout.NoTimeout, 0L,
+      Optional.empty[Long](), hasTimedOut = false)
+    // chronological single batch — the contract-holding reference
+    val ref = Cep.CusumMonitor.processGroup(
+      "DRIFT", (early ++ late).iterator, freshState)
+    // shifted tail arrives a batch EARLY (out of order across batches)
+    val st = freshState
+    Cep.CusumMonitor.processGroup("DRIFT", late.iterator, st)
+    val swapped = Cep.CusumMonitor.processGroup("DRIFT", early.iterator, st)
+    // s⁺ climbs to 125 then decays 0.5/tick over the 100 flat ticks -> 75
+    assert(ref.cusum_pos === math.floor(2.5 * 50 * 1e6 + 0.5) / 1e6)
+    assert(swapped.cusum_pos === math.floor((2.5 * 50 - 0.5 * 100) * 1e6 + 0.5) / 1e6)
+    assert(swapped.cusum_pos !== ref.cusum_pos,
+      "arrival-order fold must visibly diverge when the contract is violated")
+  }
+
   test("ordered streaming Hampel equals the batch filter across a 3-batch replay") {
     import org.apache.spark.sql.streaming.Trigger
     // same 3-chronological-file split as the ordered-CUSUM test: the
