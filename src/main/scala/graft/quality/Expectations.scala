@@ -89,8 +89,15 @@ object Expectations {
       case c @ Completeness(column, _) =>
         (count(col(column)).cast("double") / count(lit(1))).as(c.name)
       case t @ TypeIs(column, simpleType) =>
-        lit(df.schema.find(_.name == column)
-          .exists(_.dataType.simpleString == simpleType)).as(t.name)
+        // resolve like the analyzer: case-insensitive by default (a 'Price'
+        // column must match a 'price' expectation, not silently fail), and
+        // a column that does not exist at all errors loudly like every
+        // other expectation's unresolved-column path would
+        val field = df.schema.fields.find(f =>
+          df.sparkSession.sessionState.conf.resolver(f.name, column))
+        require(field.isDefined,
+          s"TypeIs: column '$column' not found in ${df.schema.fieldNames.mkString(", ")}")
+        lit(field.exists(_.dataType.simpleString == simpleType)).as(t.name)
     }
     val base = df.agg(count(lit(1)).as("n_rows"), rowAggs: _*)
 

@@ -164,19 +164,38 @@ object StreamingFeatures {
   private def sidecarFile(tablePath: String) =
     new java.io.File(tablePath, "_schema.json")
 
+  /** Write-to-temp-then-rename: a crash mid-write must never leave a
+    * truncated sidecar (readers would then throw on every read until it is
+    * hand-deleted — the one failure mode worse than no sidecar at all).
+    * POSIX rename within a directory is atomic; object stores get the same
+    * effect from their PUT semantics.
+    */
   private def writeSchemaSidecar(tablePath: String,
-      schema: org.apache.spark.sql.types.StructType): Unit =
-    java.nio.file.Files.write(sidecarFile(tablePath).toPath,
-      schema.json.getBytes("UTF-8"))
+      schema: org.apache.spark.sql.types.StructType): Unit = {
+    val target = sidecarFile(tablePath).toPath
+    val tmp = target.resolveSibling("._schema.json.tmp")
+    java.nio.file.Files.write(tmp, schema.json.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp, target,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 
   private def readTable(spark: SparkSession, tablePath: String): DataFrame = {
     val sc = sidecarFile(tablePath)
-    if (sc.exists()) {
-      val schema = org.apache.spark.sql.types.DataType
-        .fromJson(new String(java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8"))
-        .asInstanceOf[org.apache.spark.sql.types.StructType]
-      spark.read.schema(schema).parquet(tablePath)
-    } else spark.read.option("mergeSchema", "true").parquet(tablePath)
+    val sidecarSchema =
+      if (!sc.exists()) None
+      else
+        // A corrupt/truncated sidecar (pre-atomic-write crash artifact)
+        // must degrade to the mergeSchema path, not poison every read.
+        scala.util.Try {
+          org.apache.spark.sql.types.DataType
+            .fromJson(new String(java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8"))
+            .asInstanceOf[org.apache.spark.sql.types.StructType]
+        }.toOption
+    sidecarSchema match {
+      case Some(schema) => spark.read.schema(schema).parquet(tablePath)
+      case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
+    }
   }
 
   /** Read a materialized keyed table WITHOUT the internal partition column.

@@ -300,6 +300,39 @@ class ScrubSpec extends SparkTestBase {
     assert(e.getMessage.contains("price"))
   }
 
+  test("corrupt schema sidecar degrades to mergeSchema instead of poisoning reads") {
+    import graft.streaming.StreamingFeatures
+    val t = core.Tables.trades(spark, sf0001).limit(100)
+    val out = java.nio.file.Files.createTempDirectory("graft_sidecar_").toString + "/t"
+    StreamingFeatures.mergeIntoKeyed(spark, out, t, Seq("time", "symbol", "trade_id"))
+    val n0 = StreamingFeatures.readKeyedTable(spark, out).count()
+    // simulate the pre-atomic-write crash artifact: a truncated sidecar
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "_schema.json"), "{\"type\":\"str".getBytes("UTF-8"))
+    assert(StreamingFeatures.readKeyedTable(spark, out).count() === n0,
+      "reads must fall back to mergeSchema on a corrupt sidecar")
+    // the next merge heals the sidecar atomically (no temp residue)
+    StreamingFeatures.mergeIntoKeyed(spark, out, t.limit(10), Seq("time", "symbol", "trade_id"))
+    assert(StreamingFeatures.readKeyedTable(spark, out).count() === n0)
+    assert(!new java.io.File(out, "._schema.json.tmp").exists(),
+      "sidecar temp file must be renamed away")
+    assert(spark.read.schema(core.Tables.trades(spark, sf0001).schema).json(
+      s"$out/_schema.json").count() >= 0) // healed sidecar parses again
+  }
+
+  test("TypeIs resolves case-insensitively and errors loudly on a missing column") {
+    import graft.quality.Expectations
+    import graft.quality.Expectations.TypeIs
+    val df = spark.range(3).selectExpr("CAST(id AS DOUBLE) AS Price")
+    // analyzer-style resolution: 'price' must match the 'Price' column
+    val row = Expectations.evaluate(df, Seq(TypeIs("price", "double"))).collect()(0)
+    assert(row.getAs[Boolean]("price_type_ok"))
+    val miss = intercept[IllegalArgumentException] {
+      Expectations.evaluate(df, Seq(TypeIs("nope", "double")))
+    }
+    assert(miss.getMessage.contains("nope"))
+  }
+
   test("chi2 drift tiers: flat series is ok, planted flip is critical") {
     import graft.quality.Chi2Drift
     def frame(secondHalfBuys: Int, secondHalfSells: Int) = {
