@@ -18,12 +18,15 @@ import org.apache.spark.sql.functions._
   * `:200-201`); tested by `tests/test_pit_correctness.py:38-79`.
   *
   * Spark-first shape: one partition-pruned filtered scan of the fact table
-  * (`symbol = ? AND time <= ts` — predicate pushes to parquet), then each
-  * feature reduces to a 0/1-row aggregate (`max_by` over its bucket — exact
-  * analogue of the SQL `ORDER BY time DESC LIMIT 1` under the same filter).
-  * The 1-row frames are cross-joined like the reference's `LEFT JOIN ... ON
-  * TRUE` (`sql/timescaledb_schema.sql:401-409`) — cartesians of singleton
-  * frames, so the "join" is free. Nothing here collects to the driver.
+  * (`symbol = ? AND time <= ts` — predicate pushes to parquet), then the
+  * reference's nine "latest <= ts" lookups FUSE into six 0/1-row aggregate
+  * branches (`max_by` over a bucket is the exact analogue of the SQL
+  * `ORDER BY time DESC LIMIT 1` under the same filter; the three order-limit
+  * features share one top-20 frame, and the scalar lookups share one
+  * conditional aggregate). The 1-row frames are cross-joined like the
+  * reference's `LEFT JOIN ... ON TRUE` (`sql/timescaledb_schema.sql:401-409`)
+  * — cartesians of singleton frames, so the "join" is free. Nothing here
+  * collects to the driver.
   */
 object PitSnapshot {
 
@@ -118,15 +121,20 @@ object PitSnapshot {
       max_by(col("low"), col("bucket")).as("low"),
       max_by(col("close"), col("bucket")).as("close"))
 
-    // SMA-20: mean of the last 20 prices <= ts.
-    val sma = base.orderBy(col("time").desc).limit(20)
-      .agg(Quantize.r(avg(col("price")), 6).as("sma_20"))
-
-    // EWM-12: recursive fold over the last 12 prices ascending (spec form,
-    // SURVEY §7.4 item 1).
-    val ewm = base.orderBy(col("time").desc).limit(12)
-      .agg(sort_array(collect_list(struct(col("time"), col("price")))).as("tp"))
-      .select(Quantize.r(Ewm.ewmOverArray(expr("transform(tp, x -> x.price)")), 6).as("ewm_12"))
+    // ONE top-20 frame feeds SMA-20, the raw SMA the regime tag compares
+    // against, and the EWM-12 fold (last 12 of the ascending-sorted 20) —
+    // three of the reference's nine lookups collapsed into a single
+    // order-limit aggregate, trimming cold-plan stages (serving latency is
+    // made of stage scheduling, not data volume, at snapshot cardinality).
+    val topk = base.orderBy(col("time").desc).limit(20)
+      .agg(
+        Quantize.r(avg(col("price")), 6).as("sma_20"),
+        avg(col("price")).as("sma_raw"),
+        sort_array(collect_list(struct(col("time"), col("price")))).as("tp"))
+      .select(col("sma_20"), col("sma_raw"),
+        Quantize.r(Ewm.ewmOverArray(expr(
+          "transform(slice(tp, greatest(1, size(tp) - 11), 12), x -> x.price)")), 6)
+          .as("ewm_12"))
 
     // Latest 1-hour volatility bucket <= ts with a defined value (a
     // single-sample bucket has NULL stddev; the DuckDB oracle's arg_max
@@ -139,46 +147,44 @@ object PitSnapshot {
     val vwap = Vwap.compute(base).agg(
       max_by(col("vwap_5m"), col("bucket")).as("vwap_5m"))
 
-    // Large-trade flag of the latest tick, against the Q95 of visible volume.
-    val large = base
-      .agg(percentile(col("volume"), lit(0.95)).as("p95"),
-        max_by(col("volume"), col("time")).as("last_volume"))
+    // Large-trade flag, latest bid/ask tick, and latest price fused into
+    // ONE scalar aggregate over the base: max_by skips rows whose ordering
+    // key is null, so the "latest tick carrying both bid and ask" keeps
+    // its filtered semantics via conditional keys.
+    val quoted = col("bid").isNotNull && col("ask").isNotNull
+    val scalars = base
+      .agg(
+        percentile(col("volume"), lit(0.95)).as("p95"),
+        max_by(col("volume"), col("time")).as("last_volume"),
+        max_by(when(quoted, col("bid")), when(quoted, col("time"))).as("b"),
+        max_by(when(quoted, col("ask")), when(quoted, col("time"))).as("a"),
+        max_by(col("price"), col("time")).as("last_price"))
       .select(
         (col("last_volume") > col("p95")).as("large_trade_flag"),
-        Quantize.r(col("p95"), 6).as("percentile_95"))
-
-    // Latest tick carrying both bid and ask.
-    val spread = base.filter(col("bid").isNotNull && col("ask").isNotNull)
-      .agg(
-        max_by(col("bid"), col("time")).as("b"),
-        max_by(col("ask"), col("time")).as("a"))
-      .select(
+        Quantize.r(col("p95"), 6).as("percentile_95"),
         Quantize.r(col("b"), 6).as("bid"), Quantize.r(col("a"), 6).as("ask"),
-        Quantize.r(col("a") - col("b"), 6).as("bidask_spread"))
+        Quantize.r(col("a") - col("b"), 6).as("bidask_spread"),
+        col("last_price"))
 
     // Latest 5-minute imbalance bucket <= ts.
     val imb = Imbalance.compute(base).agg(
       max_by(col("imbalance"), col("bucket")).as("trade_imbalance_5m"))
 
     // Regime: latest price vs SMA-20 at ts (the implicit "regime join",
-    // sql/timescaledb_schema.sql:241-255, collapsed onto the snapshot).
-    val lastPrice = base.agg(max_by(col("price"), col("time")).as("last_price"))
-      .crossJoin(base.orderBy(col("time").desc).limit(20)
-        .agg(avg(col("price")).as("sma_raw")))
-      .select(
-        when(col("last_price") > col("sma_raw"), "up")
-          .when(col("last_price") < col("sma_raw"), "down")
-          .when(col("last_price").isNotNull, "neutral").as("regime_tag"))
-
+    // sql/timescaledb_schema.sql:241-255, collapsed onto the snapshot) —
+    // computed in the final projection from the fused branches.
     ohlc
-      .crossJoin(sma).crossJoin(ewm).crossJoin(vol).crossJoin(vwap)
-      .crossJoin(large).crossJoin(spread).crossJoin(imb).crossJoin(lastPrice)
+      .crossJoin(topk).crossJoin(vol).crossJoin(vwap)
+      .crossJoin(scalars).crossJoin(imb)
       .select(
         lit(symbol).as("symbol"), asOfCol.as("as_of_ts"),
         col("open"), col("high"), col("low"), col("close"),
         col("sma_20"), col("ewm_12"), col("volatility_1h"), col("vwap_5m"),
         col("large_trade_flag"), col("percentile_95"),
         col("bid"), col("ask"), col("bidask_spread"),
-        col("trade_imbalance_5m"), col("regime_tag"))
+        col("trade_imbalance_5m"),
+        when(col("last_price") > col("sma_raw"), "up")
+          .when(col("last_price") < col("sma_raw"), "down")
+          .when(col("last_price").isNotNull, "neutral").as("regime_tag"))
   }
 }
