@@ -26,15 +26,24 @@ object Verify {
       val unknown = names -- SparkEntry.queries.keySet
       require(unknown.isEmpty, s"SPARK_GRAFT_VERIFY_ONLY names not in registry: $unknown")
     }
+    // Per-query OpenLineage-style records (inputs resolved from the actual
+    // analyzed plan, output path, schema facet hash) — the reference's
+    // openlineage_tracker.py surface, emitted by the runner itself.
+    val lineage = new StringBuilder
     SparkEntry.queries
       .filter { case (n, _) => only.forall(_.contains(n)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
+      try {
+        val df = fn(spark, sfDir)
+        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        lineage.append(graft.quality.Lineage.toJson(
+          graft.quality.Lineage.capture(name, df, s"$outDir/$name"))).append('\n')
+      }
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
     }
+    Files.writeString(Paths.get(s"$outDir/lineage.jsonl"), lineage.toString)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

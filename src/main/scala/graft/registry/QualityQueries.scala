@@ -41,6 +41,20 @@ object QualityQueries {
         "symbol" -> false, "side" -> false, "trade_id" -> false,
         "price" -> true, "volume" -> true, "bid" -> true, "ask" -> true))),
 
+    // Prometheus alert-rule evaluation as a query (monitoring/
+    // prometheus-alerts.yml:8-46 shapes): p95-latency and consumer-lag
+    // metrics on a 30-min evaluation grid, `for:` hold duration via
+    // integer gaps-and-islands — one row per firing alert.
+    "q_alert_rules" -> ((s, d) => {
+      import graft.quality.AlertRules
+      AlertRules.evaluate(
+        AlertRules.eventMetrics(trades(s, d), intervalSec = 1800),
+        Seq(
+          AlertRules.Rule("FlinkHighLatency", "p95_latency", 250.0, 1),
+          AlertRules.Rule("KafkaHighConsumerLag", "ingest_rate_ratio", 1.5, 2)),
+        intervalSec = 1800)
+    }),
+
     // Observed metrics under the correctness gate: the DQ bundle rides the
     // noop write via Dataset.observe (no second scan), is captured by the
     // listener, and must equal DuckDB's direct aggregation of the table.
@@ -210,6 +224,36 @@ object QualityQueries {
         |       timeliness,
         |       floor(((completeness + consistency + accuracy + timeliness) / CAST(4 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS overall
         |FROM raw""".stripMargin),
+
+    // Mirrors AlertRules: quantized grid metrics, VALUES rule table,
+    // bucket-index-minus-rank islands (pure integer arithmetic), HAVING on
+    // the hold duration.
+    "q_alert_rules" -> withTradesAnd(
+      """b AS (
+        |  SELECT time_bucket(INTERVAL '30 minutes', time) AS bucket,
+        |         floor(quantile_cont(price, 0.95) * 1e6 + 0.5) / 1e6 AS p95_latency,
+        |         count(*) AS n
+        |  FROM trades GROUP BY 1),
+        |mstat AS (SELECT CAST(sum(n) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_n FROM b),
+        |metrics AS (
+        |  SELECT bucket, 'p95_latency' AS metric, p95_latency AS value FROM b
+        |  UNION ALL
+        |  SELECT bucket, 'ingest_rate_ratio' AS metric,
+        |         floor((CAST(n AS DOUBLE) / mean_n) * 1e6 + 0.5) / 1e6 AS value
+        |  FROM b CROSS JOIN mstat),
+        |rules(alert, metric, threshold, for_intervals) AS (
+        |  VALUES ('FlinkHighLatency', 'p95_latency', CAST(250 AS DOUBLE), 1),
+        |         ('KafkaHighConsumerLag', 'ingest_rate_ratio', CAST(1.5 AS DOUBLE), 2)),
+        |viol AS (
+        |  SELECT alert, bucket, value, for_intervals,
+        |         epoch_us(bucket) // 1800000000 -
+        |           row_number() OVER (PARTITION BY alert ORDER BY bucket) AS island
+        |  FROM metrics JOIN rules USING (metric)
+        |  WHERE value > threshold)""".stripMargin,
+      """SELECT alert, min(bucket) AS starts_at, max(bucket) AS ends_at,
+        |       count(*) AS n_intervals, max(value) AS peak
+        |FROM viol GROUP BY alert, island
+        |HAVING count(*) >= max(for_intervals)""".stripMargin),
 
     "q_observe_dq" -> withTrades(
       """SELECT count(*) AS n_rows,

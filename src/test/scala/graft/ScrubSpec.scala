@@ -300,6 +300,47 @@ class ScrubSpec extends SparkTestBase {
     assert(e.getMessage.contains("price"))
   }
 
+  test("alert rules: for-duration holds, gaps break islands, boundary values do not fire") {
+    import graft.quality.AlertRules
+    // 30-min grid: minutes 0,30,60 violated (one island of 3), minute 120
+    // violated after a healthy gap (island of 1), minute 150 at the
+    // threshold exactly (not violated — Prometheus `>` semantics)
+    val rows = Seq(
+      (0, 10.0), (30, 10.0), (60, 10.0), (90, 1.0), (120, 10.0), (150, 5.0))
+      .map { case (m, v) => (java.sql.Timestamp.valueOf(
+        f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00"), "lat", v) }
+    val metrics = rows.toDF("bucket", "metric", "value")
+    val fired = AlertRules.evaluate(metrics,
+      Seq(AlertRules.Rule("HighLat", "lat", 5.0, 2)), 1800)
+      .collect()
+    assert(fired.length === 1, "only the 3-bucket island sustains for >= 2")
+    assert(fired(0).getAs[Long]("n_intervals") === 3L)
+    assert(fired(0).getAs[java.sql.Timestamp]("starts_at").toString
+      .startsWith("2024-01-01 00:00"))
+    assert(fired(0).getAs[java.sql.Timestamp]("ends_at").toString
+      .startsWith("2024-01-01 01:00"))
+    // for: 1 also fires the isolated spike, never the boundary value
+    val all = AlertRules.evaluate(metrics,
+      Seq(AlertRules.Rule("HighLat", "lat", 5.0, 1)), 1800).collect()
+    assert(all.length === 2)
+  }
+
+  test("lineage captures actual plan inputs and a schema-change-sensitive hash") {
+    import graft.quality.Lineage
+    val t = core.Tables.trades(spark, sf0001)
+    val agg = t.groupBy("symbol").agg(count(lit(1)).as("n"))
+    val e = Lineage.capture("q_test", agg, "/tmp/out/q_test")
+    assert(e.inputs.exists(_.contains("events.parquet")),
+      "input resolved from the analyzed plan, not declared")
+    assert(e.columns === Seq("symbol" -> "string", "n" -> "bigint"))
+    val e2 = Lineage.capture("q_test", agg.withColumn("x", lit(1)), "/tmp/out/q_test")
+    assert(e.schemaHash !== e2.schemaHash, "schema facet hash detects evolution")
+    val json = Lineage.toJson(e)
+    assert(json.contains("\"eventType\":\"COMPLETE\"") && json.contains("q_test"))
+    // emitted line is valid JSON for any downstream shipper
+    assert(spark.read.json(Seq(json).toDS).columns.nonEmpty)
+  }
+
   test("corrupt schema sidecar degrades to mergeSchema instead of poisoning reads") {
     import graft.streaming.StreamingFeatures
     val t = core.Tables.trades(spark, sf0001).limit(100)
