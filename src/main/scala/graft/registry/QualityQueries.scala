@@ -55,6 +55,21 @@ object QualityQueries {
         intervalSec = 1800)
     }),
 
+    // Shadow/canary evaluation (triton_canary.py rules): two signal models
+    // over the same ticks, integer-exact PnL simulation via secondary-sort
+    // mapPartitions (O(1) state per symbol), promote/reject per the
+    // |dPnL| > 10% / p95 > 1.2x rollback thresholds.
+    "q_canary_eval" -> ((s, d) => graft.serving.Canary.evaluate(trades(s, d))),
+
+    // Cost-budget monitoring (cost_budget.py): corpus metered into cost
+    // lines at exact binary-fraction rates, rolled up against the monthly
+    // budget with per-component enforcement actions.
+    "q_cost_budget" -> ((s, d) =>
+      graft.operators.CostBudget.evaluate(
+        graft.operators.CostBudget.meterCorpus(
+          Tables.events(s, d), Tables.documents(s, d)),
+        monthlyBudget = 3000.0)),
+
     // Observed metrics under the correctness gate: the DQ bundle rides the
     // noop write via Dataset.observe (no second scan), is captured by the
     // listener, and must equal DuckDB's direct aggregation of the table.
@@ -254,6 +269,97 @@ object QualityQueries {
         |       count(*) AS n_intervals, max(value) AS peak
         |FROM viol GROUP BY alert, island
         |HAVING count(*) >= max(for_intervals)""".stripMargin),
+
+    // Mirrors Canary.evaluate: identical quantized signals, the trade
+    // simulation replayed as an integer list_reduce in (time, trade_id)
+    // order (exact BIGINT arithmetic — order-deterministic by construction).
+    "q_canary_eval" -> withTradesAnd(
+      """ticks AS (
+        |  SELECT symbol, time, trade_id,
+        |         CAST(floor(price * 1e6 + 0.5) AS BIGINT) AS pi,
+        |         CAST(sign(floor((price - avg(price) OVER w20) * 1e6 + 0.5) / 1e6) AS INT) AS pb,
+        |         CAST(sign(floor((price - avg(price) OVER w5) * 1e6 + 0.5) / 1e6) AS INT) AS pc
+        |  FROM trades
+        |  WINDOW w20 AS (PARTITION BY symbol ORDER BY time, trade_id
+        |                 ROWS BETWEEN 19 PRECEDING AND CURRENT ROW),
+        |         w5 AS (PARTITION BY symbol ORDER BY time, trade_id
+        |                ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)),
+        |obs AS (
+        |  SELECT symbol,
+        |         list(struct_pack(pi := pi, pb := pb, pc := pc)
+        |              ORDER BY time, trade_id) AS l
+        |  FROM ticks GROUP BY symbol),
+        |sim AS (
+        |  SELECT symbol,
+        |    list_reduce(
+        |      list_prepend(CAST([0, 0, 0, 0] AS BIGINT[]),
+        |        list_transform(l[1:len(l) - 1],
+        |          x -> CAST([x.pi, x.pb, x.pc, 0] AS BIGINT[]))),
+        |      (a, x) -> [
+        |        a[1] + CASE WHEN x[2] > 0 THEN -x[1]
+        |                    WHEN x[2] < 0 AND a[2] > 0 THEN x[1] ELSE 0 END,
+        |        a[2] + CASE WHEN x[2] > 0 THEN 1
+        |                    WHEN x[2] < 0 AND a[2] > 0 THEN -1 ELSE 0 END,
+        |        a[3] + CASE WHEN x[3] > 0 THEN -x[1]
+        |                    WHEN x[3] < 0 AND a[4] > 0 THEN x[1] ELSE 0 END,
+        |        a[4] + CASE WHEN x[3] > 0 THEN 1
+        |                    WHEN x[3] < 0 AND a[4] > 0 THEN -1 ELSE 0 END]) AS s,
+        |    l[len(l)].pi AS last_pi
+        |  FROM obs),
+        |pnls AS (
+        |  SELECT symbol,
+        |         CAST(s[1] + last_pi * s[2] AS DOUBLE) / 1e6 AS pnl_b,
+        |         CAST(s[3] + last_pi * s[4] AS DOUBLE) / 1e6 AS pnl_c
+        |  FROM sim),
+        |lat AS (
+        |  SELECT symbol,
+        |    floor(quantile_cont(CAST(50 + CAST(trade_id AS BIGINT) % 20 AS DOUBLE), 0.95) * 1e6 + 0.5) / 1e6 AS baseline_latency_p95,
+        |    floor(quantile_cont(CAST(55 + CAST(trade_id AS BIGINT) % 25 AS DOUBLE), 0.95) * 1e6 + 0.5) / 1e6 AS canary_latency_p95
+        |  FROM trades GROUP BY symbol)""".stripMargin,
+      """SELECT *,
+        |       CASE WHEN abs(pnl_diff_pct) > CAST(10 AS DOUBLE) OR
+        |                 canary_latency_p95 > baseline_latency_p95 * CAST(1.2 AS DOUBLE)
+        |            THEN 'reject' ELSE 'promote' END AS status
+        |FROM (
+        |  SELECT p.symbol,
+        |         floor(pnl_b * 1e6 + 0.5) / 1e6 AS baseline_pnl,
+        |         floor(pnl_c * 1e6 + 0.5) / 1e6 AS canary_pnl,
+        |         CASE WHEN abs(pnl_b) < CAST(0.01 AS DOUBLE) THEN CAST(0 AS DOUBLE)
+        |              ELSE floor((CAST(100 AS DOUBLE) * (pnl_c - pnl_b) / abs(pnl_b)) * 1e6 + 0.5) / 1e6 END AS pnl_diff_pct,
+        |         baseline_latency_p95, canary_latency_p95,
+        |         floor((CAST(100 AS DOUBLE) * (canary_latency_p95 - baseline_latency_p95) / baseline_latency_p95) * 1e6 + 0.5) / 1e6 AS latency_increase_pct
+        |  FROM pnls p JOIN lat USING (symbol))""".stripMargin),
+
+    // Mirrors CostBudget: group-then-rate lines, one rollup against the
+    // budget — exact binary-fraction rates make every sum order-exact.
+    "q_cost_budget" ->
+      """WITH ev AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
+        |rates(event_type, rate) AS (
+        |  VALUES ('purchase', CAST(0.5 AS DOUBLE)), ('click', CAST(0.25 AS DOUBLE)),
+        |         ('view', CAST(0.125 AS DOUBLE)), ('error', CAST(1.0 AS DOUBLE)),
+        |         ('signup', CAST(0.25 AS DOUBLE))),
+        |lines AS (
+        |  SELECT 'ingest_' || ev.event_type AS component, 'compute' AS clazz,
+        |         CAST(n AS DOUBLE) * COALESCE(rate, CAST(0.25 AS DOUBLE)) AS cost
+        |  FROM ev LEFT JOIN rates ON ev.event_type = rates.event_type
+        |  UNION ALL
+        |  SELECT 'store_' || source, 'storage',
+        |         CAST(sum(n_chars) AS DOUBLE) * CAST(0.000244140625 AS DOUBLE)
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(cost) AS total FROM lines)
+        |SELECT component, clazz,
+        |       floor(cost * 1e6 + 0.5) / 1e6 AS cost,
+        |       floor((CAST(100 AS DOUBLE) * cost / total) * 1e6 + 0.5) / 1e6 AS share_pct,
+        |       floor(total * 1e6 + 0.5) / 1e6 AS total_cost,
+        |       CAST(3000 AS DOUBLE) AS budget,
+        |       floor((CAST(100 AS DOUBLE) * total / CAST(3000 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS utilization_pct,
+        |       total > CAST(3000 AS DOUBLE) AS violated,
+        |       floor((CAST(3000 AS DOUBLE) - total) * 1e6 + 0.5) / 1e6 AS remaining,
+        |       CASE WHEN NOT total > CAST(3000 AS DOUBLE) THEN 'none'
+        |            WHEN clazz = 'compute' THEN 'scale_down'
+        |            WHEN clazz = 'storage' THEN 'tier_to_glacier'
+        |            ELSE 'hold' END AS action
+        |FROM lines CROSS JOIN tot""".stripMargin,
 
     "q_observe_dq" -> withTrades(
       """SELECT count(*) AS n_rows,

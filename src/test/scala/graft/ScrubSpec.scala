@@ -341,6 +341,33 @@ class ScrubSpec extends SparkTestBase {
     assert(spark.read.json(Seq(json).toDS).columns.nonEmpty)
   }
 
+  test("canary PnL simulation: buy/hold/sell ledger matches the reference by hand") {
+    // 5 ticks, baseline signal path: buy@100, buy@101, sell@102, buy@103,
+    // last tick's signal IGNORED (reference acts on range(len-1)), residual
+    // 2 positions close at the last price 104.
+    // ledger: -100 - 101 + 102 - 103 + 2·104 = +6. Canary never signals -> 0.
+    val rows = Seq(
+      (0L, "00", 100.0, 1, 0), (60L, "01", 101.0, 1, 0), (120L, "02", 102.0, -1, 0),
+      (180L, "03", 103.0, 1, 0), (240L, "04", 104.0, -1, 0))
+    val ticks = rows.map { case (mi, id, p, pb, pc) =>
+      graft.serving.Canary.Tick("A", mi, id, math.round(p * 1e6), pb, pc)
+    }
+    // sell with no position must be a no-op: canary sells first
+    val ticksB = Seq(
+      graft.serving.Canary.Tick("B", 0L, "00", 50000000L, 0, -1),
+      graft.serving.Canary.Tick("B", 60L, "01", 51000000L, 0, 1),
+      graft.serving.Canary.Tick("B", 120L, "02", 52000000L, 0, 0))
+    val ds = spark.createDataset(ticks ++ ticksB)(
+      org.apache.spark.sql.Encoders.product[graft.serving.Canary.Tick])
+    val out = graft.serving.Canary.simulateForTest(ds).collect()
+      .map(p => p.symbol -> p).toMap
+    assert(out("A").pnlBaseQ === 6000000L, "ledger -100-101+102-103+208 scaled 1e6")
+    assert(out("A").pnlCanaryQ === 0L)
+    // B: canary sell@50 ignored (no position), buy@51, close@52 -> +1
+    assert(out("B").pnlCanaryQ === 1000000L)
+    assert(out("B").pnlBaseQ === 0L)
+  }
+
   test("corrupt schema sidecar degrades to mergeSchema instead of poisoning reads") {
     import graft.streaming.StreamingFeatures
     val t = core.Tables.trades(spark, sf0001).limit(100)
