@@ -552,6 +552,25 @@ class PlanSpec extends SparkTestBase {
       s"fast path lost the per-view max_by aggregates:\n$plan")
   }
 
+  test("moment-statistic plans carry no per-group arrays — the round-6 discipline") {
+    // the scaled-integer exact-moment rewrite must never regress to the
+    // sort_array(collect_list) shape: a group's full history as one array
+    // row is the engine's one executor-OOM hazard at 100x scale
+    val family = Seq("q_pair_corr", "q_beta", "q_autocorr", "q_roll_spread",
+      "q_kyle_lambda", "q_var_cvar", "q_vpin", "q_amihud")
+    for (q <- family.filterNot(_ == "q_amihud")) {
+      val plan = registry.FeatureQueries.queries(q)(spark, sf0001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
+        s"$q plans a per-group array:\n${plan.take(2000)}")
+    }
+    // amihud's fold is BOUNDED (per symbol-day) — allowed, but pin that the
+    // grouping key keeps the day so the bound cannot silently widen
+    val amihud = registry.FeatureQueries.queries("q_amihud")(spark, sf0001)
+      .queryExecution.analyzed.toString
+    assert(amihud.contains("day"), "amihud must stay bounded per symbol-day")
+  }
+
   test("gapfill never joins or re-shuffles the dense grid: no Join, one Exchange") {
     val bars = graft.features.Ohlc.compute(Tables.trades(spark, sf0001), "5 minutes")
       .select(col("bucket"), col("symbol"), col("close"))

@@ -130,6 +130,31 @@ class PropertySpec extends SparkTestBase {
     }
   }
 
+  test("integer-moment correlations agree with Spark's float corr/covar to 1e-6") {
+    // the scaled-integer exact-moment forms are an ENGINE-EXACTNESS device,
+    // not a different statistic: on real data they must match the built-in
+    // float aggregates to within the quantization error
+    val rets = graft.registry.FeatureQueries.queries("q_pair_corr")(spark, sf0001)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("symbol").orderBy("bucket")
+    val bars = Ohlc.compute(core.Tables.trades(spark, sf0001), "5 minutes")
+      .select(col("bucket"), col("symbol"), col("close"))
+    val r = bars.select(col("bucket"), col("symbol"),
+        graft.functions.Quantize.r(
+          col("close") / nullif(lag(col("close"), 1).over(w), lit(0.0)) - lit(1.0),
+          6).as("ret"))
+      .filter(col("ret").isNotNull)
+    val ref = r.as("a").join(r.as("b"),
+        col("a.bucket") === col("b.bucket") && col("a.symbol") < col("b.symbol"))
+      .groupBy(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"))
+      .agg(corr(col("a.ret"), col("b.ret")).as("ref_corr"), count(lit(1)).as("n"))
+    val joined = rets.join(ref, Seq("sym_a", "sym_b"))
+      .filter(col("n") >= 2 && col("ret_corr").isNotNull && col("ref_corr").isNotNull)
+    assert(joined.count() > 0, "need comparable pairs")
+    assert(joined.filter(abs(col("ret_corr") - col("ref_corr")) > 1e-5).count() === 0,
+      "integer-moment corr must equal float corr within quantization error")
+  }
+
   test("property: risk invariants — CVaR <= VaR, OBV telescopes, Donchian brackets") {
     forAll(tradeGen) { case (n, seed) =>
       val t = genTrades(n, seed)
