@@ -102,14 +102,16 @@ object Canary {
 
     // deterministic per-arm serving latencies (ms): the reference records
     // real Triton timings; this sandbox derives them from the event id so
-    // the oracle can reproduce the percentile inputs exactly
-    val lat = trades
-      .select(col("symbol"), col("trade_id").cast("long").as("eid"))
+    // the oracle can reproduce the percentile inputs exactly. Aggregated
+    // from the ticks frame, not a second trades scan — the window pass
+    // already partitioned by symbol, so this groupBy adds no Exchange.
+    val eid = col("tradeId").cast("long")
+    val lat = ticks
       .groupBy("symbol")
       .agg(
-        Quantize.r(percentile((lit(50) + col("eid") % 20).cast("double"),
+        Quantize.r(percentile((lit(50) + eid % 20).cast("double"),
           lit(0.95)), 6).as("baseline_latency_p95"),
-        Quantize.r(percentile((lit(55) + col("eid") % 25).cast("double"),
+        Quantize.r(percentile((lit(55) + eid % 25).cast("double"),
           lit(0.95)), 6).as("canary_latency_p95"))
 
     val pnlB = col("pnlBaseQ").cast("double") / lit(1e6)
