@@ -49,6 +49,31 @@ object Lineage {
     Event(job, inputsOf(df), output, schemaHash(df),
       df.schema.fields.map(f => (f.name, f.dataType.simpleString)).toSeq)
 
+  /** Reproducibility fingerprint of a dataset — the reference's training
+    * provenance hashes (`src/modeling/train_reproducible.py:53-82`:
+    * `compute_data_hash` + `compute_schema_hash`) as a one-row query:
+    * (dataset, n_rows, content_hash, schema_hash).
+    *
+    * The content hash must be ORDER-INDEPENDENT (partitioning and task
+    * order are not reproducible; the data is): each row's caller-provided
+    * canonical key string hashes to a 60-bit integer (first 15 md5 hex
+    * digits — positive in a BIGINT on every engine) and rows combine with
+    * BIT_XOR, which is associative-commutative-exact. The key must be
+    * built from engine-portable atoms (strings, integers, 1e6-scaled
+    * quantized images — never raw float-to-string casts, whose formatting
+    * is engine-specific).
+    */
+  def datasetFingerprint(df: DataFrame, name: String,
+      key: org.apache.spark.sql.Column): DataFrame = {
+    import org.apache.spark.sql.functions._
+    df.select(
+        conv(substring(md5(key), 1, 15), 16, 10).cast("long").as("h"))
+      .agg(count(lit(1)).as("n_rows"),
+        org.apache.spark.sql.functions.expr("bit_xor(h)").as("content_hash"))
+      .select(lit(name).as("dataset"), col("n_rows"), col("content_hash"),
+        lit(schemaHash(df)).as("schema_hash"))
+  }
+
   /** One OpenLineage-flavoured JSON line (COMPLETE run event subset). */
   def toJson(e: Event): String = {
     def q(s: String): String = "\"" + s.flatMap {

@@ -70,6 +70,29 @@ object QualityQueries {
           Tables.events(s, d), Tables.documents(s, d)),
         monthlyBudget = 3000.0)),
 
+    // Reproducibility fingerprints (train_reproducible.py data/schema
+    // hashes): order-independent 60-bit md5 content hash per dataset plus
+    // the schema-contract hash — a drifted schema or a single changed row
+    // flips the record and the gate.
+    "q_repro_fingerprint" -> ((s, d) => {
+      import graft.quality.Lineage
+      val t = trades(s, d)
+      val nul = lit("~null~")
+      val tKey = concat_ws("|",
+        col("symbol"), col("trade_id"), coalesce(col("side"), nul),
+        unix_micros(col("time")).cast("string"),
+        Quantize.i(col("price")).cast("string"),
+        Quantize.i(col("volume")).cast("string"),
+        coalesce(Quantize.i(col("bid")).cast("string"), nul),
+        coalesce(Quantize.i(col("ask")).cast("string"), nul))
+      val docs = Tables.documents(s, d)
+      val dKey = concat_ws("|",
+        col("doc_id").cast("string"), col("text"), col("lang"),
+        col("source"), col("n_chars").cast("string"))
+      Lineage.datasetFingerprint(t, "trades", tKey)
+        .unionByName(Lineage.datasetFingerprint(docs, "documents", dKey))
+    }),
+
     // Observed metrics under the correctness gate: the DQ bundle rides the
     // noop write via Dataset.observe (no second scan), is captured by the
     // listener, and must equal DuckDB's direct aggregation of the table.
@@ -332,6 +355,32 @@ object QualityQueries {
 
     // Mirrors CostBudget: group-then-rate lines, one rollup against the
     // budget — exact binary-fraction rates make every sum order-exact.
+    // Mirrors Lineage.datasetFingerprint: identical canonical row keys
+    // (engine-portable atoms only), 60-bit md5 images, BIT_XOR combine
+    // (order-independent), schema-contract literals md5'd in-query.
+    "q_repro_fingerprint" -> withTradesAnd(
+      """tk AS (
+        |  SELECT concat_ws('|', symbol, trade_id, COALESCE(side, '~null~'),
+        |    CAST(epoch_us(time) AS VARCHAR),
+        |    CAST(CAST(floor(price * 1e6 + 0.5) AS BIGINT) AS VARCHAR),
+        |    CAST(CAST(floor(volume * 1e6 + 0.5) AS BIGINT) AS VARCHAR),
+        |    COALESCE(CAST(CAST(floor(bid * 1e6 + 0.5) AS BIGINT) AS VARCHAR), '~null~'),
+        |    COALESCE(CAST(CAST(floor(ask * 1e6 + 0.5) AS BIGINT) AS VARCHAR), '~null~')) AS k
+        |  FROM trades),
+        |dk AS (
+        |  SELECT concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source,
+        |    CAST(n_chars AS VARCHAR)) AS k
+        |  FROM documents)""".stripMargin,
+      """SELECT 'trades' AS dataset, count(*) AS n_rows,
+        |  bit_xor(CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT)) AS content_hash,
+        |  md5('time:timestamp,symbol:string,price:double,volume:double,trade_id:string,side:string,bid:double,ask:double') AS schema_hash
+        |FROM tk
+        |UNION ALL
+        |SELECT 'documents', count(*),
+        |  bit_xor(CAST(('0x' || substr(md5(k), 1, 15)) AS BIGINT)),
+        |  md5('doc_id:bigint,text:string,lang:string,source:string,n_chars:bigint')
+        |FROM dk""".stripMargin),
+
     "q_cost_budget" ->
       """WITH ev AS (SELECT event_type, count(*) AS n FROM events GROUP BY 1),
         |rates(event_type, rate) AS (
