@@ -172,6 +172,73 @@ object Dedup {
           ",").as("doc_ids"))
       .filter(col("n_docs") > 1)
 
+  /** Exact repeated-substring spans across documents — the substring-level
+    * exact-dedup shape (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better"): find every maximal run of >= `minLen` tokens
+    * shared verbatim between two documents, with its position in both. The
+    * reference's content-hash dedup (`sql/timescaledb_schema.sql:24` natural
+    * key; doc fingerprints) only catches whole-record dups; this catches the
+    * quoted-passage / template-prefix overlap that whole-doc hashing misses.
+    *
+    * Spark-first plan, suffix-array semantics without the suffix array:
+    *  1. one narrow projection explodes each doc into positional k-gram
+    *     md5 fingerprints (the slice is bounded by k — no per-doc arrays
+    *     beyond the tokenizer's);
+    *  2. ONE aggregation by gram collects hit lists, gated to grams seen in
+    *     >= 2 distinct docs and <= `maxHits` total occurrences (the explicit
+    *     budget that keeps boilerplate grams from exploding the pair join —
+    *     corpus-frequent grams are [[graft.ext.Scrub.boilerplate]]'s job);
+    *  3. in-bucket pair expansion (posexplode + slice, as
+    *     [[portableMinhashPairs]]) — never an all-pairs corpus join;
+    *  4. matches at the same diagonal (pos_a - pos_b) merge into maximal
+    *     spans with the classic gaps-and-islands fold: run_id =
+    *     pos_a - row_number() per (pair, diagonal) — one window, no arrays.
+    *
+    * Widest exchange carries (gram-hash, bounded hit list) rows; every
+    * later stage is proportional to true cross-doc overlap, not corpus².
+    */
+  def repeatedSpans(
+      documents: DataFrame,
+      k: Int = 5,
+      maxHits: Int = 64,
+      minLen: Int = 10): DataFrame = {
+    val toks = documents
+      .select(col("doc_id"), split(col("text"), " ").as("tok"))
+      .filter(size(col("tok")) >= k)
+    val grams = toks.select(col("doc_id"),
+      explode(transform(
+        sequence(lit(0), size(col("tok")) - k),
+        i => struct(i.cast("long").as("pos"),
+          md5(concat_ws(" ", slice(col("tok"), i + 1, lit(k)))).as("g")))).as("pg"))
+      .select(col("doc_id"), col("pg.pos").as("pos"), col("pg.g").as("g"))
+    val buckets = grams
+      .groupBy("g")
+      .agg(collect_list(struct(col("doc_id"), col("pos"))).as("hits"))
+      .filter(size(col("hits")) <= maxHits &&
+        size(array_distinct(col("hits.doc_id"))) >= 2)
+    val swap = col("x.doc_id") > col("y.doc_id")
+    val pairs = buckets
+      .select(posexplode(col("hits")).as(Seq("i", "x")), col("hits"))
+      .select(col("x"),
+        explode(slice(col("hits"), col("i") + 2, size(col("hits")))).as("y"))
+      .filter(col("x.doc_id") =!= col("y.doc_id"))
+      .select(
+        when(swap, col("y.doc_id")).otherwise(col("x.doc_id")).as("doc_a"),
+        when(swap, col("x.doc_id")).otherwise(col("y.doc_id")).as("doc_b"),
+        when(swap, col("y.pos")).otherwise(col("x.pos")).as("pos_a"),
+        when(swap, col("x.pos")).otherwise(col("y.pos")).as("pos_b"))
+    val diag = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_a", "doc_b", "delta").orderBy("pos_a")
+    pairs
+      .withColumn("delta", col("pos_a") - col("pos_b"))
+      .withColumn("run_id", col("pos_a") - row_number().over(diag))
+      .groupBy("doc_a", "doc_b", "delta", "run_id")
+      .agg(min(col("pos_a")).as("start_a"), min(col("pos_b")).as("start_b"),
+        (max(col("pos_a")) - min(col("pos_a")) + k).as("span_tokens"))
+      .filter(col("span_tokens") >= minLen)
+      .select("doc_a", "doc_b", "start_a", "start_b", "span_tokens")
+  }
+
   /** The original higher-order-function forms. Value-identical to the native
     * expressions (ExtSpec asserts it); kept as the executable spec and
     * cross-check, NOT used on hot paths.

@@ -262,6 +262,14 @@ object ExtQueries {
         graft.ext.Winnow.candidatePairs(docsPar(s, d),
           k = 16, w = 8, minShared = 5, maxBucketSize = 100))),
 
+    // Exact repeated-substring spans (Lee et al. 2022 substring dedup):
+    // maximal >= 10-token runs shared verbatim between two docs, located
+    // in both. Positional 5-gram md5 inversion -> capped bucket pair
+    // expansion -> gaps-and-islands diagonal merge; full DuckDB oracle.
+    "q_repeated_spans" -> ((s, d) =>
+      graft.ext.Dedup.repeatedSpans(docsPar(s, d), k = 5, maxHits = 64,
+        minLen = 10)),
+
     "q_multimodal_meta" -> ((s, d) =>
       Multimodal.fakeDecode(Multimodal.payloads(s, d))
         .select(col("media_id"), col("source"),
@@ -459,6 +467,32 @@ object ExtQueries {
     // Mirrors Winnow.fingerprints exactly: polynomial k-gram hash mod 1e9+7
     // (list_reduce seeded via list_prepend 0), w-window minima, distinct.
     "q_winnow_pairs" -> s"WITH $winnowCtes\n$winnowPairsSelect",
+
+    // Mirrors Dedup.repeatedSpans: positional 5-gram md5, grams gated to
+    // <= 64 occurrences and >= 2 distinct docs, cross-doc position pairs,
+    // diagonal gaps-and-islands merge to maximal spans >= 10 tokens.
+    "q_repeated_spans" ->
+      """WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents
+        |             WHERE len(string_split(text, ' ')) >= 5),
+        |grams AS (
+        |  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+        |         md5(array_to_string(t[i+1:i+5], ' ')) AS g
+        |  FROM tok, unnest(range(0, len(t) - 5 + 1)) AS r(i)),
+        |keep AS (SELECT g FROM grams GROUP BY g
+        |         HAVING count(*) <= 64 AND count(DISTINCT doc_id) >= 2),
+        |hits AS (SELECT doc_id, pos, g FROM grams WHERE g IN (SELECT g FROM keep)),
+        |pairs AS (
+        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pos_a, b.pos AS pos_b
+        |  FROM hits a JOIN hits b USING (g) WHERE a.doc_id < b.doc_id),
+        |runs AS (
+        |  SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS delta,
+        |         pos_a - row_number() OVER (
+        |           PARTITION BY doc_a, doc_b, pos_a - pos_b ORDER BY pos_a) AS run_id
+        |  FROM pairs)
+        |SELECT doc_a, doc_b, min(pos_a) AS start_a, min(pos_b) AS start_b,
+        |       CAST(max(pos_a) - min(pos_a) + 5 AS BIGINT) AS span_tokens
+        |FROM runs GROUP BY doc_a, doc_b, delta, run_id
+        |HAVING span_tokens >= 10""".stripMargin,
 
     // Mirrors Dedup.portableMinhashPairs: 3-word shingles -> poly base hash
     // -> 32 affine hashes ((2i+1)h+i mod 1e9+7), min per slot, 8 bands of 4

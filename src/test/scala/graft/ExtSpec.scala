@@ -457,4 +457,47 @@ class ExtSpec extends SparkTestBase {
     assert(scoreR.getAs[Double]("max_num") === 3.5)
     assert(scoreR.getAs[Double]("null_fraction") === 0.25)
   }
+
+  test("repeated spans: maximal shared runs located exactly, singletons ignored") {
+    import spark.implicits._
+    // docs 1 and 2 share tokens 0..10 (11 tokens) then diverge; doc 3 is
+    // disjoint; doc 4 repeats doc 1's tokens 4..8 (5 tokens) mid-document.
+    val shared = (0 to 10).map(i => s"w$i").mkString(" ")
+    val df = Seq(
+      (1L, shared + " x1 x2 x3"),
+      (2L, shared + " y1 y2 y3"),
+      (3L, "z0 z1 z2 z3 z4 z5 z6 z7 z8 z9 z10 z11"),
+      (4L, "p0 p1 w4 w5 w6 w7 w8 q0 q1 q2")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.repeatedSpans(df, k = 3, maxHits = 64, minLen = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // (1,2): the full 11-token prefix, not fragments; (1,4)/(2,4): the
+    // 5-token excerpt at its true offsets. Nothing touches doc 3.
+    assert(spans === Set(
+      (1L, 2L, 0L, 0L, 11L), (1L, 4L, 4L, 2L, 5L), (2L, 4L, 4L, 2L, 5L)))
+  }
+
+  test("repeated spans on the corpus are verbatim and left/right maximal") {
+    val spans = Dedup.repeatedSpans(docs, k = 5, maxHits = 64, minLen = 10)
+    val toks = docs.select(col("doc_id"), split(col("text"), " ").as("tok"))
+    val joined = spans
+      .join(toks.select(col("doc_id").as("doc_a"), col("tok").as("tok_a")), "doc_a")
+      .join(toks.select(col("doc_id").as("doc_b"), col("tok").as("tok_b")), "doc_b")
+    assert(joined.count() > 0, "sf0.001 corpus contains planted duplicate passages")
+    // verbatim: the claimed token range matches exactly in both documents
+    val mismatched = joined.filter(
+      slice(col("tok_a"), col("start_a") + 1, col("span_tokens")) =!=
+        slice(col("tok_b"), col("start_b") + 1, col("span_tokens")))
+    assert(mismatched.count() === 0, "every reported span must match verbatim")
+    // maximal: the span cannot be extended by one token on either side
+    val extendableLeft = joined.filter(col("start_a") > 0 && col("start_b") > 0 &&
+      try_element_at(col("tok_a"), col("start_a").cast("int")) ===
+        try_element_at(col("tok_b"), col("start_b").cast("int")))
+    val extendableRight = joined.filter(
+      try_element_at(col("tok_a"), (col("start_a") + col("span_tokens") + 1).cast("int")) ===
+        try_element_at(col("tok_b"), (col("start_b") + col("span_tokens") + 1).cast("int")))
+    assert(extendableLeft.count() === 0, "no span may extend left")
+    assert(extendableRight.count() === 0, "no span may extend right")
+  }
 }

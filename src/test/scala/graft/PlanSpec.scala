@@ -628,6 +628,18 @@ class PlanSpec extends SparkTestBase {
       s"grams must be exploded exactly once:\n$bpPlan")
   }
 
+  test("repeated spans: two exchanges, in-bucket pairing, no join anywhere") {
+    val docs = Tables.documents(spark, sf0001)
+    val plan = graft.ext.Dedup.repeatedSpans(docs)
+      .queryExecution.executedPlan.toString
+    val exchanges = plan.split("\n").count(_.contains("Exchange hashpartitioning"))
+    assert(exchanges === 2,
+      s"gram inversion + diagonal window, final rollup reuses the window shuffle:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("BroadcastHashJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"pair expansion must stay inside the gram bucket, never a corpus join:\n$plan")
+  }
+
   test("decontaminate broadcasts the eval grams and never cross-joins the corpus") {
     val docs = Tables.documents(spark, sf0001)
     val plan = graft.ext.Scrub.decontaminate(
