@@ -76,6 +76,16 @@ object FeatureQueries {
         Seq("symbol"), ttlSeconds = Some(3600L))
     }),
 
+    // Corporate-action back-adjustment: deterministic split calendar,
+    // cumulative power-of-two divisor via ONE reverse running sum over the
+    // tiny action dim (exact BIGINT shift, no float products), applied to
+    // every tick with the single-shuffle forward as-of join.
+    "q_split_adjust" -> ((s, d) => {
+      val t = trades(s, d)
+      graft.features.CorporateActions.backwardAdjust(
+        t, graft.features.CorporateActions.syntheticActions(t))
+    }),
+
     // Salted skew join under the gate: the deterministic-salt spread must
     // be value-transparent vs the plain equi-join (PlanSpec asserts the
     // salt topology; this asserts the values at corpus scale).
@@ -597,6 +607,23 @@ object FeatureQueries {
         |          WHERE q.symbol = t0.symbol AND q.time >= t0.time
         |            AND q.time <= t0.time + INTERVAL 1 HOUR) AS nq
         |  FROM trades t0) t""".stripMargin),
+
+    // Independent derivation, not a mirror: with at most two calendar
+    // actions the in-force divisor is a pure scalar of (symbol, time) —
+    // 2^(1 if the Jan-10 2:1 split is still ahead, +2 if the Jan-20 4:1
+    // is) — so the oracle checks the as-of machinery against closed form.
+    "q_split_adjust" -> withTrades(
+      """SELECT time, symbol, trade_id, price,
+        |       dv AS adj_divisor,
+        |       floor(price / dv * 1e6 + 0.5) / 1e6 AS price_adj
+        |FROM (
+        |  SELECT *, (CAST(1 AS BIGINT) <<
+        |      ((CASE WHEN CAST(symbol AS INT) % 5 = 0
+        |              AND time <= TIMESTAMP '2024-01-10 00:00:00' THEN 1 ELSE 0 END)
+        |     + (CASE WHEN CAST(symbol AS INT) % 7 = 3
+        |              AND time <= TIMESTAMP '2024-01-20 00:00:00' THEN 2 ELSE 0 END)))
+        |    AS dv
+        |  FROM trades) x""".stripMargin),
 
     // The salt must be value-transparent: oracle is the PLAIN equi-join.
     "q_salted_join" -> withTradesAnd(

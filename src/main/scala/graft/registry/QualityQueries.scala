@@ -61,6 +61,22 @@ object QualityQueries {
     // |dPnL| > 10% / p95 > 1.2x rollback thresholds.
     "q_canary_eval" -> ((s, d) => graft.serving.Canary.evaluate(trades(s, d))),
 
+    // Cross-source reconciliation: primary feed vs a derived backup feed
+    // (every 13th record missing, every 17th price-drifted by +0.01, every
+    // 23rd duplicated under a foreign key) — full-outer key join, row
+    // classification, per-symbol report. The desk's two-vendor diff query.
+    "q_feed_reconcile" -> ((s, d) => {
+      val a = trades(s, d)
+      val tid = col("trade_id").cast("bigint")
+      val b = a.filter(tid % 13 =!= 0)
+        .withColumn("price",
+          when(tid % 17 === 0, col("price") + 0.01).otherwise(col("price")))
+        .unionByName(a.filter(tid % 23 === 0)
+          .withColumn("trade_id", concat(lit("b"), col("trade_id"))))
+      graft.quality.Reconcile.report(a, b, Seq("trade_id"), "symbol",
+        Seq("price", "volume", "side"))
+    }),
+
     // Cost-budget monitoring (cost_budget.py): corpus metered into cost
     // lines at exact binary-fraction rates, rolled up against the monthly
     // budget with per-component enforcement actions.
@@ -262,6 +278,35 @@ object QualityQueries {
         |       timeliness,
         |       floor(((completeness + consistency + accuracy + timeliness) / CAST(4 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS overall
         |FROM raw""".stripMargin),
+
+    // Mirrors the derived backup feed, then classifies via the key-join:
+    // missing key -> only_a/only_b, IS DISTINCT FROM on the compare
+    // columns -> mismatch.
+    "q_feed_reconcile" -> withTradesAnd(
+      """b AS (
+        |  SELECT trade_id, symbol,
+        |         CASE WHEN CAST(trade_id AS BIGINT) % 17 = 0
+        |              THEN price + 0.01 ELSE price END AS price,
+        |         volume, side
+        |  FROM trades WHERE CAST(trade_id AS BIGINT) % 13 <> 0
+        |  UNION ALL
+        |  SELECT 'b' || trade_id, symbol, price, volume, side
+        |  FROM trades WHERE CAST(trade_id AS BIGINT) % 23 = 0)""".stripMargin,
+      """SELECT symbol,
+        |       count(CASE WHEN status = 'only_a' THEN 1 END) AS n_only_a,
+        |       count(CASE WHEN status = 'only_b' THEN 1 END) AS n_only_b,
+        |       count(CASE WHEN status = 'mismatch' THEN 1 END) AS n_mismatch,
+        |       count(CASE WHEN status = 'match' THEN 1 END) AS n_match
+        |FROM (
+        |  SELECT coalesce(a.symbol, b.symbol) AS symbol,
+        |         CASE WHEN b.trade_id IS NULL THEN 'only_a'
+        |              WHEN a.trade_id IS NULL THEN 'only_b'
+        |              WHEN a.price IS DISTINCT FROM b.price
+        |                OR a.volume IS DISTINCT FROM b.volume
+        |                OR a.side IS DISTINCT FROM b.side THEN 'mismatch'
+        |              ELSE 'match' END AS status
+        |  FROM trades a FULL OUTER JOIN b ON a.trade_id = b.trade_id) x
+        |GROUP BY symbol""".stripMargin),
 
     // Mirrors AlertRules: quantized grid metrics, VALUES rule table,
     // bucket-index-minus-rank islands (pure integer arithmetic), HAVING on

@@ -264,5 +264,53 @@ class FeatureSpec extends SparkTestBase {
       abs(col("true_range") - (col("high") - col("low"))) > 1e-6).count() === 0)
   }
 
+  test("split back-adjustment: divisor steps down through the action calendar") {
+    import graft.features.CorporateActions
+    val t = core.Tables.trades(spark, sf0001)
+    val adj = CorporateActions.backwardAdjust(t, CorporateActions.syntheticActions(t))
+    assert(adj.count() === t.count(), "one output row per tick, none dropped")
+    val jan10 = to_timestamp(lit("2024-01-10 00:00:00"))
+    val jan20 = to_timestamp(lit("2024-01-20 00:00:00"))
+    val symI = col("symbol").cast("int")
+    // closed-form expected divisor, independent of the as-of machinery
+    val expected = expr("shiftleft(CAST(1 AS BIGINT), " +
+      "IF(CAST(symbol AS INT) % 5 = 0 AND time <= TIMESTAMP '2024-01-10 00:00:00', 1, 0) + " +
+      "IF(CAST(symbol AS INT) % 7 = 3 AND time <= TIMESTAMP '2024-01-20 00:00:00', 2, 0))")
+    assert(adj.filter(col("adj_divisor") =!= expected).count() === 0)
+    // the calendar really bites: both step levels occur, and untouched
+    // symbols stay at divisor 1 throughout
+    assert(adj.filter(symI % 5 === 0 && col("time") <= jan10)
+      .filter(col("adj_divisor") % 2 =!= 0).count() === 0)
+    assert(adj.filter(col("adj_divisor") > 1).count() > 0)
+    assert(adj.filter(symI % 5 =!= 0 && symI % 7 =!= 3 && col("adj_divisor") =!= 1)
+      .count() === 0)
+    // adjusted price is exactly price / divisor, quantized
+    assert(adj.filter(col("price_adj") =!=
+      graft.functions.Quantize.r(col("price") / col("adj_divisor"), 6)).count() === 0)
+  }
+
+  test("feed reconciliation classifies missing, extra, drifted and matching rows") {
+    import spark.implicits._
+    val a = Seq(
+      ("t1", "A", 10.0, Some("buy")),
+      ("t2", "A", 11.0, None),
+      ("t3", "B", 12.0, Some("sell")),
+      ("t4", "B", 13.0, Some("buy"))
+    ).toDF("trade_id", "symbol", "price", "side")
+    val b = Seq(
+      ("t1", "A", 10.0, Some("buy")),   // match
+      ("t2", "A", 11.5, None),          // price drift -> mismatch
+      // t3 missing -> only_a
+      ("t4", "B", 13.0, None),          // side drift -> mismatch (null-safe)
+      ("t9", "B", 99.0, Some("buy"))    // extra -> only_b
+    ).toDF("trade_id", "symbol", "price", "side")
+    val rep = graft.quality.Reconcile
+      .report(a, b, Seq("trade_id"), "symbol", Seq("price", "side"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(rep("A") === ((0L, 0L, 1L, 1L)))
+    assert(rep("B") === ((1L, 1L, 1L, 0L)))
+  }
+
   private def e2(s: String) = expr(s)
 }
