@@ -374,6 +374,46 @@ object FeatureQueries {
         col("n_pairs"))
     }),
 
+    // Return-distribution shape per symbol: skewness + excess kurtosis
+    // (fat-tail screening — the risk desk's normality check on every
+    // symbol's return stream). Same scaled-integer discipline pushed to
+    // 3rd/4th powers: returns are winsorized at ±1000% (the standard
+    // moment-stability clamp; a 6000× print from a near-zero close is a
+    // data artifact, and it also bounds x⁴ ≤ 1e28 so Σx⁴ accumulates
+    // exactly in DECIMAL(38,0)/INT128 at any corpus size), both
+    // statistics are scale-invariant ratios so the 1e6 cancels, and
+    // m2^1.5 is spelled den·√den (sqrt is correctly-rounded IEEE
+    // everywhere; pow(x, 1.5) is not). One map-side-combined shuffle.
+    "q_higher_moments" -> ((s, d) => {
+      val dec = "decimal(38,0)"
+      val d19 = "decimal(19,0)"
+      val x = col("x").cast(d19)
+      val mom = bucketReturns(s, d)
+        .select(col("symbol"),
+          least(greatest(Quantize.i(col("ret")), lit(-10000000L)),
+            lit(10000000L)).as("x"))
+        .groupBy("symbol")
+        .agg(
+          count(lit(1)).as("n_buckets"),
+          sum(col("x").cast(dec)).as("s1"),
+          sum(x * x).as("s2"),
+          sum(x * x * x).as("s3"),
+          sum(x * x * x * x).as("s4"))
+      val n = col("n_buckets").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val den2 = n * dbl("s2") - dbl("s1") * dbl("s1")
+      mom.select(col("symbol"), col("n_buckets"),
+        Quantize.r(when(den2 > 0,
+          (n * n * dbl("s3") - lit(3.0) * n * dbl("s1") * dbl("s2") +
+            lit(2.0) * dbl("s1") * dbl("s1") * dbl("s1")) /
+            (den2 * sqrt(den2))), 6).as("skewness"),
+        Quantize.r(when(den2 > 0,
+          (n * n * n * dbl("s4") - lit(4.0) * n * n * dbl("s1") * dbl("s3") +
+            lit(6.0) * n * dbl("s1") * dbl("s1") * dbl("s2") -
+            lit(3.0) * dbl("s1") * dbl("s1") * dbl("s1") * dbl("s1")) /
+            (den2 * den2) - lit(3.0)), 6).as("ex_kurtosis"))
+    }),
+
     // Technical indicators: same one-shuffle per-symbol window family.
     "q_bollinger" -> ((s, d) => Indicators.bollinger(trades(s, d))),
 
@@ -864,6 +904,32 @@ object FeatureQueries {
         |       END AS autocorr_1,
         |       n_pairs
         |FROM amom""".stripMargin),
+
+    // Mirrors the scaled-integer higher moments: HUGEINT power sums, the
+    // identical double expression tree (den·√den, not pow), CASE-guarded.
+    "q_higher_moments" -> withTradesAnd(bucketReturnsSql +
+      """,
+        |r0 AS (SELECT symbol,
+        |         least(greatest(CAST(floor(ret * 1e6 + 0.5) AS BIGINT),
+        |                        -10000000), 10000000) AS x
+        |       FROM rets WHERE ret IS NOT NULL),
+        |hmom AS (
+        |  SELECT symbol, count(*) AS n_buckets, CAST(count(*) AS DOUBLE) AS n,
+        |    CAST(sum(x) AS DOUBLE) AS s1,
+        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
+        |    CAST(sum(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
+        |    CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE) AS s4
+        |  FROM r0 GROUP BY symbol),
+        |hden AS (SELECT *, n * s2 - s1 * s1 AS den2 FROM hmom)""".stripMargin,
+      """SELECT symbol, n_buckets,
+        |       floor((CASE WHEN den2 > 0 THEN
+        |           (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1) /
+        |             (den2 * sqrt(den2)) END) * 1e6 + 0.5) / 1e6 AS skewness,
+        |       floor((CASE WHEN den2 > 0 THEN
+        |           (n * n * n * s4 - 4.0 * n * n * s1 * s3 +
+        |              6.0 * n * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1) /
+        |             (den2 * den2) - 3.0 END) * 1e6 + 0.5) / 1e6 AS ex_kurtosis
+        |FROM hden""".stripMargin),
 
     "q_pair_corr" -> withTradesAnd(bucketReturnsSql +
       """,
