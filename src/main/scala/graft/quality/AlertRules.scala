@@ -82,6 +82,9 @@ object AlertRules {
     */
   def eventMetrics(ticks: DataFrame, intervalSec: Long,
       valueCol: String = "price", timeCol: String = "time"): DataFrame = {
+    // staged once (lazy localCheckpoint): both the corpus-mean aggregate
+    // and the metric join below consume the grid — without staging, the
+    // full percentile aggregation over the raw ticks runs twice
     val bucketed = ticks
       .groupBy(window(col(timeCol), s"$intervalSec seconds").getField("start")
         .as("bucket"))
@@ -89,6 +92,7 @@ object AlertRules {
         graft.functions.Quantize.r(percentile(col(valueCol), lit(0.95)), 6)
           .as("p95_latency"),
         count(lit(1)).as("n"))
+      .localCheckpoint(eager = false)
     val mean = bucketed.agg(
       (sum(col("n")).cast("double") / count(lit(1)).cast("double")).as("mean_n"))
     bucketed.crossJoin(broadcast(mean))
