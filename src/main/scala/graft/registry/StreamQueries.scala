@@ -261,6 +261,20 @@ object StreamQueries {
       StreamingFeatures.streamingIntervalJoinOnce(s, s"$d/events.parquet",
         LargeTrades.thresholds(Tables.trades(s, d)))),
 
+    // Stream-stream LEFT OUTER interval join: every large trade emits, with
+    // null quote columns when no quote fell in its lookback hour. Gated on
+    // the closed region of the stream (watermark + lookback behind max
+    // event time) where outer results are final; the batch LEFT JOIN twin
+    // oracle applies the same gate.
+    "q_stream_interval_left" -> ((s, d) => {
+      val t = Tables.trades(s, d)
+      val cut = broadcast(t.agg(
+        (max(col("time")) - expr("INTERVAL 3 HOURS")).as("__cut")))
+      StreamingFeatures.streamingIntervalLeftJoinOnce(s, s"$d/events.parquet",
+        LargeTrades.thresholds(t))
+        .crossJoin(cut).filter(col("time") < col("__cut")).drop("__cut")
+    }),
+
     // Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)
     // over an at-least-once duplicated delivery; equals batch DISTINCT.
     "q_stream_dedup" -> ((s, d) =>
@@ -419,6 +433,21 @@ object StreamQueries {
         |  AND q.bid IS NOT NULL AND q.ask IS NOT NULL
         |  AND q.time >= t.time - INTERVAL 1 HOUR AND q.time <= t.time
         |WHERE t.volume > thr.p95""".stripMargin),
+
+    // The streaming left-outer twin: batch LEFT JOIN over the closed
+    // region (3 h = watermark + lookback behind max event time).
+    "q_stream_interval_left" -> OracleSql.withTradesAnd(
+      """thr AS (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1),
+        |mx AS (SELECT max(time) - INTERVAL 3 HOURS AS cut FROM trades)""".stripMargin,
+      """SELECT t.time, t.symbol, t.trade_id, q.time AS quote_time,
+        |       floor(((q.bid + q.ask) / 2) * 1e6 + 0.5) / 1e6 AS mid
+        |FROM trades t
+        |JOIN thr ON t.symbol = thr.symbol
+        |CROSS JOIN mx
+        |LEFT JOIN trades q ON q.symbol = t.symbol
+        |  AND q.bid IS NOT NULL AND q.ask IS NOT NULL
+        |  AND q.time >= t.time - INTERVAL 1 HOUR AND q.time <= t.time
+        |WHERE t.volume > thr.p95 AND t.time < mx.cut""".stripMargin),
 
     "q_stream_cep" -> withTrades(
       """SELECT time, symbol, large_trades_5m FROM (

@@ -145,6 +145,55 @@ object StreamingFeatures {
     spark.table(name).select("time", "symbol", "trade_id", "quote_time", "mid")
   }
 
+  /** Stream-stream LEFT OUTER interval join: as
+    * [[streamingIntervalJoinOnce]], but large trades with NO qualifying
+    * quote in their lookback window still emit — with null quote columns —
+    * once the watermark passes their window (Spark holds an unmatched left
+    * row in state until no future right row could match it). This is the
+    * semantics the inner join cannot express: "every large trade, with its
+    * context quote IF one existed".
+    *
+    * Watermark caveat, by design: unmatched rows inside the final
+    * (watermark + lookback) tail of a bounded replay are still in state
+    * when the stream ends — exactly as they would be on a live stream
+    * awaiting more data — so consumers (and the oracle) must gate on the
+    * CLOSED region, `time < max(time) - watermark - lookback`.
+    */
+  def streamingIntervalLeftJoinOnce(
+      spark: SparkSession,
+      eventsPath: String,
+      thresholds: DataFrame,
+      lookbackSec: Long = 3600,
+      watermark: String = "2 hours"): DataFrame = {
+    val largeTrades = StreamSources.tradeFileStream(spark, eventsPath)
+      .join(broadcast(thresholds), Seq("symbol"))
+      .filter(col("volume") > col("percentile_95"))
+      .select(col("time"), col("symbol"), col("trade_id"))
+      .withWatermark("time", watermark)
+    val quotes = StreamSources.tradeFileStream(spark, eventsPath)
+      .filter(col("bid").isNotNull && col("ask").isNotNull)
+      .select(col("time").as("quote_time"), col("symbol").as("q_symbol"),
+        graft.functions.Quantize.r((col("bid") + col("ask")) / 2, 6).as("mid"))
+      .withWatermark("quote_time", watermark)
+    val joined = largeTrades.join(
+      quotes,
+      col("symbol") === col("q_symbol") &&
+        col("quote_time") >= col("time") - expr(s"INTERVAL $lookbackSec SECONDS") &&
+        col("quote_time") <= col("time"),
+      "leftOuter")
+    val name = s"stream_ilj_${runId.incrementAndGet()}"
+    val q = joined.writeStream
+      .format("memory")
+      .queryName(name)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(name).select("time", "symbol", "trade_id", "quote_time", "mid")
+  }
+
   /** The event-time column used to derive the table's date partition:
     * `bucket` for aggregate tables, `time` for raw-row tables, none when the
     * frame carries no event time (the merge then degrades to a single
