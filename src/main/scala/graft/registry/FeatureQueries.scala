@@ -414,6 +414,71 @@ object FeatureQueries {
             (den2 * den2) - lit(3.0)), 6).as("ex_kurtosis"))
     }),
 
+    // Cross-sectional momentum: per 5-min bucket, every symbol's return
+    // ranked against the whole universe — the factor-pipeline cross-section
+    // step (rank/quintile assignment before long-short bucketing). Total
+    // order via (ret DESC, symbol) so ranks and quintiles are
+    // deterministic; ONE shuffle on bucket — the cross-section is the
+    // partition, so universe size (thousands) bounds a partition, never
+    // corpus size.
+    "q_cs_momentum" -> ((s, d) => {
+      val w = Window.partitionBy("bucket")
+        .orderBy(col("ret").desc, col("symbol"))
+      val n = Window.partitionBy("bucket")
+      bucketReturns(s, d)
+        .select(col("bucket"), col("symbol"), col("ret"),
+          row_number().over(w).cast("long").as("cs_rank"),
+          count(lit(1)).over(n).as("n_symbols"),
+          ntile(5).over(w).cast("long").as("quintile"))
+    }),
+
+    // Daily bars derived FROM the 1-minute bars, not from the ticks — the
+    // bar-hierarchy re-aggregation a 100 TB deployment depends on (keep
+    // minute bars hot, derive coarser frames without rescanning raw
+    // ticks). min_by/max_by over (bar, bucket) compose exactly: day open =
+    // open of first minute bar, close = close of last. The oracle computes
+    // daily bars DIRECTLY from the ticks, so the hash gate proves the
+    // rollup is lossless, not merely self-consistent.
+    "q_ohlc_daily" -> ((s, d) => {
+      Ohlc.compute(trades(s, d), "1 minute")
+        .groupBy(window(col("bucket"), "1 day"), col("symbol"))
+        .agg(
+          min_by(col("open"), col("bucket")).as("open"),
+          max(col("high")).as("high"),
+          min(col("low")).as("low"),
+          max_by(col("close"), col("bucket")).as("close"),
+          sum(col("volume")).as("volume"),
+          sum(col("trade_count")).as("trade_count"))
+        .select(col("window.start").as("day"), col("symbol"),
+          col("open"), col("high"), col("low"), col("close"),
+          col("volume"), col("trade_count"))
+    }),
+
+    // Transaction-cost analysis: each large trade's slippage (signed bps)
+    // against its 5-minute interval VWAP — the execution-quality report
+    // every desk runs. Buys above VWAP and sells below are adverse
+    // (positive bps). Composes Vwap and LargeTrades; the join is
+    // (bucket, symbol) equi — both sides already aggregated/filtered, so
+    // the shuffle carries bars and large prints, not the tick firehose.
+    "q_slippage" -> ((s, d) => {
+      val t = trades(s, d)
+      val vwap = Vwap.compute(t).select(col("bucket"), col("symbol"),
+        col("vwap_5m").as("vwap"))
+      val large = t
+        .join(broadcast(LargeTrades.thresholds(t)), Seq("symbol"))
+        .filter(col("volume") > col("percentile_95") && col("side").isNotNull)
+        .select(window(col("time"), "5 minutes").getField("start").as("bucket"),
+          col("symbol"), col("trade_id"), col("side"), col("price"))
+      large.join(vwap, Seq("bucket", "symbol"))
+        .filter(col("vwap").isNotNull)
+        .select(col("symbol"), col("trade_id"), col("side"),
+          Quantize.r(
+            when(col("side") === "buy",
+              (col("price") - col("vwap")) / col("vwap") * lit(10000.0))
+              .otherwise((col("vwap") - col("price")) / col("vwap")
+                * lit(10000.0)), 6).as("slippage_bps"))
+    }),
+
     // Technical indicators: same one-shuffle per-symbol window family.
     "q_bollinger" -> ((s, d) => Indicators.bollinger(trades(s, d))),
 
@@ -628,6 +693,44 @@ object FeatureQueries {
         |JOIN (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1) thr
         |  ON t.symbol = thr.symbol
         |WHERE t.volume > thr.p95""".stripMargin),
+
+    // Cross-section over the shared return CTE; the (ret DESC, symbol)
+    // total order makes row_number and ntile engine-exact.
+    "q_cs_momentum" -> withTradesAnd(bucketReturnsSql,
+      """SELECT bucket, symbol, ret,
+        |       CAST(row_number() OVER w AS BIGINT) AS cs_rank,
+        |       count(*) OVER (PARTITION BY bucket) AS n_symbols,
+        |       CAST(ntile(5) OVER w AS BIGINT) AS quintile
+        |FROM rets WHERE ret IS NOT NULL
+        |WINDOW w AS (PARTITION BY bucket ORDER BY ret DESC, symbol)""".stripMargin),
+
+    // Daily bars DIRECTLY from the ticks — hash equality against the
+    // engine's minute-bar rollup proves the bar hierarchy is lossless
+    // (volume stays exact because it is integral-valued).
+    "q_ohlc_daily" -> withTrades(
+      """SELECT time_bucket(INTERVAL '1 day', time) AS day, symbol,
+        |       arg_min(price, time) AS open, max(price) AS high,
+        |       min(price) AS low, arg_max(price, time) AS close,
+        |       sum(volume) AS volume, count(*) AS trade_count
+        |FROM trades GROUP BY 1, 2""".stripMargin),
+
+    // Mirrors the TCA composition: same quantized bucket VWAP, same
+    // signed-bps expression tree.
+    "q_slippage" -> withTradesAnd(
+      """thr AS (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1),
+        |vw AS (SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
+        |         floor((sum(price * volume) / nullif(sum(volume), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS vwap
+        |       FROM trades GROUP BY 1, 2)""".stripMargin,
+      """SELECT t.symbol, t.trade_id, t.side,
+        |       floor((CASE WHEN t.side = 'buy'
+        |              THEN (t.price - vw.vwap) / vw.vwap * 10000.0
+        |              ELSE (vw.vwap - t.price) / vw.vwap * 10000.0 END) * 1e6 + 0.5) / 1e6 AS slippage_bps
+        |FROM trades t
+        |JOIN thr ON t.symbol = thr.symbol
+        |JOIN vw ON vw.bucket = time_bucket(INTERVAL '5 minutes', t.time)
+        |       AND vw.symbol = t.symbol
+        |WHERE t.volume > thr.p95 AND t.side IS NOT NULL
+        |  AND vw.vwap IS NOT NULL""".stripMargin),
 
     "q_pit_snapshot" ->
       s"WITH ${OracleSql.tradesCte},\n${pitSnapshotSql(PitSymbol, PitAsOf)}",
