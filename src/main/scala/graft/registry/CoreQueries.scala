@@ -218,7 +218,66 @@ object CoreQueries {
       Tables.events(s, d).agg(
         approx_count_distinct(col("user_id")).as("approx_users"),
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95"),
-        count(lit(1)).as("n"))))
+        count(lit(1)).as("n"))),
+
+    // Ordered conversion funnel view -> click -> purchase within a user
+    // session (30-min inactivity gap): the product-analytics query the
+    // events table is shaped for. Strict ordering via chained running-max
+    // flags — a click only counts after a view in the SAME session, a
+    // purchase only after such a click — all inside one user-partitioned
+    // sort (the lag-gap sessionization and the three flags share a single
+    // window shuffle; sessions per user are bounded, so no skew).
+    "q_funnel" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables.events(s, d).select(
+        expr("timestamp_micros(ts DIV 1000)").as("t"),
+        col("user_id"), col("event_type"))
+      val byUser = Window.partitionBy("user_id").orderBy("t")
+      val run = Window.partitionBy("user_id").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val sess = ev
+        .withColumn("gap",
+          unix_micros(col("t")) - unix_micros(lag(col("t"), 1).over(byUser)))
+        .withColumn("new_s",
+          when(col("gap").isNull || col("gap") > 1800L * 1000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_id", sum(col("new_s")).over(run))
+      val bySess = Window.partitionBy("user_id", "session_id").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      sess
+        .withColumn("seen_v",
+          max(when(col("event_type") === "view", 1).otherwise(0)).over(bySess))
+        .withColumn("c_after_v",
+          max(when(col("event_type") === "click" && col("seen_v") === 1, 1)
+            .otherwise(0)).over(bySess))
+        .withColumn("p_after_c",
+          max(when(col("event_type") === "purchase" && col("c_after_v") === 1, 1)
+            .otherwise(0)).over(bySess))
+        .groupBy("user_id", "session_id")
+        .agg(max(col("seen_v")).as("v"), max(col("c_after_v")).as("cv"),
+          max(col("p_after_c")).as("pcv"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("v")).as("n_view"),
+          sum(col("cv")).as("n_view_click"),
+          sum(col("pcv")).as("n_view_click_purchase"))
+    }),
+
+    // Weekly cohort retention: users grouped by first-activity week,
+    // counted in every later week they return — the (cohort, offset)
+    // retention matrix. Weeks are pure integer arithmetic from the corpus
+    // epoch (engine-exact; no calendar-anchor ambiguity). Two keyed
+    // aggregations plus one join on user_id — each shuffle carries one row
+    // per (user, week), never raw events.
+    "q_cohort_retention" -> ((s, d) => {
+      val weeks = Tables.events(s, d).select(col("user_id"),
+        floor(datediff(to_date(expr("timestamp_micros(ts DIV 1000)")),
+          lit("2024-01-01")) / lit(7.0)).cast("long").as("week"))
+        .distinct()
+      val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))
+      weeks.join(cohorts, "user_id")
+        .groupBy(col("cohort_week"), (col("week") - col("cohort_week")).as("week_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+    }))
 
   val oracles: Map[String, String] = Map(
     "q_pivot_sides" -> OracleSql.withTrades(
@@ -357,5 +416,55 @@ object CoreQueries {
         |       floor((quantile_cont(value, 0.95)) * 1e6 + 0.5) / 1e6 AS p95,
         |       floor((quantile_cont(value, 0.99)) * 1e6 + 0.5) / 1e6 AS p99,
         |       count(*) AS n
-        |FROM events GROUP BY event_type""".stripMargin)
+        |FROM events GROUP BY event_type""".stripMargin,
+
+    // Mirrors the chained running-max funnel flags; BIGINT casts because
+    // DuckDB's sum(INT) canonicalizes as HUGEINT->float64.
+    "q_funnel" ->
+      """WITH ev AS (SELECT CAST(ts AS TIMESTAMP) AS t, user_id, event_type FROM events),
+        |s1 AS (
+        |  SELECT *, CASE WHEN lag(t) OVER w IS NULL
+        |                   OR epoch_us(t) - epoch_us(lag(t) OVER w) > 1800000000
+        |                 THEN 1 ELSE 0 END AS new_s
+        |  FROM ev WINDOW w AS (PARTITION BY user_id ORDER BY t)),
+        |s2 AS (
+        |  SELECT *, sum(new_s) OVER (PARTITION BY user_id ORDER BY t
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM s1),
+        |f1 AS (
+        |  SELECT *, max(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) OVER ws AS seen_v
+        |  FROM s2 WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f2 AS (
+        |  SELECT *, max(CASE WHEN event_type = 'click' AND seen_v = 1 THEN 1 ELSE 0 END)
+        |            OVER ws AS c_after_v
+        |  FROM f1 WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |f3 AS (
+        |  SELECT *, max(CASE WHEN event_type = 'purchase' AND c_after_v = 1 THEN 1 ELSE 0 END)
+        |            OVER ws AS p_after_c
+        |  FROM f2 WINDOW ws AS (PARTITION BY user_id, session_id ORDER BY t
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        |per AS (
+        |  SELECT user_id, session_id, max(seen_v) AS v, max(c_after_v) AS cv,
+        |         max(p_after_c) AS pcv
+        |  FROM f3 GROUP BY 1, 2)
+        |SELECT count(*) AS n_sessions,
+        |       CAST(sum(v) AS BIGINT) AS n_view,
+        |       CAST(sum(cv) AS BIGINT) AS n_view_click,
+        |       CAST(sum(pcv) AS BIGINT) AS n_view_click_purchase
+        |FROM per""".stripMargin,
+
+    // Integer week arithmetic from the corpus epoch — no calendar anchors.
+    "q_cohort_retention" ->
+      """WITH weeks AS (
+        |  SELECT DISTINCT user_id,
+        |    CAST(floor(datediff('day', DATE '2024-01-01',
+        |           CAST(CAST(ts AS TIMESTAMP) AS DATE)) / 7.0) AS BIGINT) AS week
+        |  FROM events),
+        |coh AS (SELECT user_id, min(week) AS cohort_week FROM weeks GROUP BY 1)
+        |SELECT c.cohort_week, w.week - c.cohort_week AS week_offset,
+        |       count(DISTINCT w.user_id) AS n_users
+        |FROM weeks w JOIN coh c USING (user_id)
+        |GROUP BY 1, 2""".stripMargin)
 }
