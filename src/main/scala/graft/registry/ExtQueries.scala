@@ -107,6 +107,31 @@ object ExtQueries {
     "q_embed_portable" -> ((s, d) =>
       Similarity.portableNearDupPairs(embPar(s, d), planes = 8, threshold = 0.3)),
 
+    // Int8 embedding quantization audit — the ANN storage-compression step
+    // (4x memory/scan reduction for IVF posting lists): symmetric per-vector
+    // max-abs scaling to [-127, 127], then the reconstruction-error report
+    // that decides whether quantized recall is acceptable. Narrow map, no
+    // shuffle; per-row arrays bounded by the embedding dim. Both the
+    // round-trip and the error folds are plain IEEE double ops mirrored in
+    // the oracle.
+    "q_embed_quant" -> ((s, d) => {
+      import org.apache.spark.sql.Column
+      val v = col("embedding").cast("array<double>")
+      val err = (x: Column) => abs(x -
+        floor(x * lit(127.0) / nullif(col("scale"), lit(0.0)) + lit(0.5)) *
+          col("scale") / lit(127.0))
+      Tables.embeddings(s, d)
+        .select(col("vec_id"), v.as("v"),
+          array_max(transform(v, x => abs(x))).as("scale"))
+        .select(col("vec_id"),
+          graft.functions.Quantize.r(col("scale"), 6).as("scale_q"),
+          graft.functions.Quantize.r(
+            array_max(transform(col("v"), err)), 6).as("max_abs_err"),
+          graft.functions.Quantize.r(
+            aggregate(col("v"), lit(0.0), (acc, x) => acc + err(x)) /
+              size(col("v")).cast("double"), 6).as("mean_abs_err"))
+    }),
+
     // Edit-distance near-dup verify over a deterministic candidate set
     // (adjacent doc_ids) — the fuzzy-match tier below n-gram Jaccard.
     // Levenshtein is O(len²) per pair: at scale it runs ONLY on LSH/exact
@@ -528,6 +553,26 @@ object ExtQueries {
     // planes whose index-order projection fold is >= 0, signs from the
     // parity of md5("p_i")'s first hex digit; bucket join, cosine verify
     // on the shared left-to-right fold, threshold on the quantized value.
+    // Mirrors the int8 round-trip: same max-abs scale, same
+    // floor(x*127/scale + 0.5)*scale/127 reconstruction, same left folds.
+    "q_embed_quant" ->
+      """WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (
+        |  SELECT vec_id, v,
+        |         list_max(list_transform(v, x -> abs(x))) AS scale
+        |  FROM e)
+        |SELECT vec_id,
+        |  floor(scale * 1e6 + 0.5) / 1e6 AS scale_q,
+        |  floor((list_max(list_transform(v, x ->
+        |      abs(x - floor(x * 127.0 / nullif(scale, CAST(0 AS DOUBLE)) + 0.5)
+        |            * scale / 127.0)))) * 1e6 + 0.5) / 1e6 AS max_abs_err,
+        |  floor((list_reduce(list_prepend(CAST(0 AS DOUBLE), list_transform(v, x ->
+        |      abs(x - floor(x * 127.0 / nullif(scale, CAST(0 AS DOUBLE)) + 0.5)
+        |            * scale / 127.0))), (acc, x) -> acc + x)
+        |      / CAST(len(v) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS mean_abs_err
+        |FROM s""".stripMargin,
+
     "q_embed_portable" ->
       s"""WITH e AS (
         |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
