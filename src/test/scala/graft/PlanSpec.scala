@@ -640,6 +640,36 @@ class PlanSpec extends SparkTestBase {
       s"pair expansion must stay inside the gram bucket, never a corpus join:\n$plan")
   }
 
+  test("round-6 additions hold their plan floors: funnel, moments, quant, reconcile") {
+    def audit(q: String): String = graft.SparkEntry.queries(q)(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    def hashEx(p: String) = p.split("\n").count(_.contains("Exchange hashpartitioning"))
+
+    // whole funnel in ONE user shuffle: sessionization, all three ordered
+    // flags and the per-session rollup share it; only the final 1-row
+    // global aggregate repartitions
+    val funnel = audit("q_funnel")
+    assert(hashEx(funnel) === 1, s"funnel = one user shuffle:\n$funnel")
+    assert(!funnel.contains("Join"), s"funnel joins nothing:\n$funnel")
+
+    // per-symbol moment rollup reuses the returns window's symbol shuffle
+    val moments = audit("q_higher_moments")
+    assert(hashEx(moments) === 2,
+      s"bar agg + symbol window; the moment groupBy reuses the window shuffle:\n$moments")
+
+    // int8 quantization audit is a pure narrow map
+    val quant = audit("q_embed_quant")
+    assert(!quant.contains("Exchange"), s"embed quant must not shuffle:\n$quant")
+
+    // row-level diff floor: the full-outer join must be a real shuffle
+    // join (no broadcast of a 100 TB feed side), plus the report rollup
+    val rec = audit("q_feed_reconcile")
+    assert((rec.contains("SortMergeJoin") || rec.contains("ShuffledHashJoin")) &&
+      rec.contains("FullOuter"),
+      s"reconcile pays the key shuffle, never broadcasts a feed:\n$rec")
+    assert(!rec.contains("Cartesian"), s"no all-pairs:\n$rec")
+  }
+
   test("decontaminate broadcasts the eval grams and never cross-joins the corpus") {
     val docs = Tables.documents(spark, sf0001)
     val plan = graft.ext.Scrub.decontaminate(
