@@ -479,6 +479,52 @@ object FeatureQueries {
                 * lit(10000.0)), 6).as("slippage_bps"))
     }),
 
+    // Intraday seasonality profile: average activity by (day-of-week,
+    // hour) per symbol — the input an execution scheduler uses to slice a
+    // parent order along the day's expected volume curve. Day-of-week is
+    // pure integer arithmetic from the corpus epoch (2024-01-01 = Monday
+    // = 0), never an engine calendar function. One hash aggregation;
+    // output is bounded by symbols × 168 cells.
+    "q_seasonality" -> ((s, d) =>
+      trades(s, d)
+        .select(col("symbol"),
+          pmod(datediff(to_date(col("time")), lit("2024-01-01")), lit(7))
+            .cast("long").as("dow"),
+          hour(col("time")).cast("long").as("hod"),
+          col("volume"))
+        .groupBy("symbol", "dow", "hod")
+        .agg(count(lit(1)).as("n_trades"),
+          sum(col("volume")).as("total_volume"),
+          Quantize.r(sum(col("volume")) / count(lit(1)).cast("double"), 6)
+            .as("avg_volume"))),
+
+    // Jump-robust realized volatility: per symbol-day, realized variance
+    // Σr² vs bipower variation (π/2)·Σ|r_t||r_t−1| (Barndorff-Nielsen &
+    // Shephard) — BV is immune to a single jump, so rv − bpv isolates the
+    // jump component. Integer discipline: both sums accumulate over the
+    // 1e6-scaled |return| image exactly (order-independent), the only
+    // float steps are the final 1e-12 descale and the π/2 factor — the
+    // same IEEE doubles in both engines, no quantization needed at all.
+    "q_bipower" -> ((s, d) => {
+      val w = Window.partitionBy("symbol", "day").orderBy("bucket")
+      val r = bucketReturns(s, d)
+        .select(col("symbol"), to_date(col("bucket")).as("day"),
+          col("bucket"), abs(Quantize.i(col("ret"))).as("ax"))
+        .withColumn("axp", lag(col("ax"), 1).over(w))
+      r.groupBy("symbol", "day")
+        .agg(count(lit(1)).as("n_rets"),
+          sum(col("ax").cast("decimal(19,0)") * col("ax").cast("decimal(19,0)"))
+            .as("sx2"),
+          sum(col("ax").cast("decimal(19,0)") * col("axp").cast("decimal(19,0)"))
+            .as("sxy"))
+        .select(col("symbol"), col("day"), col("n_rets"),
+          (col("sx2").cast("double") / lit(1e12)).as("rv"),
+          // a single-return day has no adjacent pair: BV contributes 0
+          (lit(math.Pi / 2) * coalesce(col("sxy").cast("double"), lit(0.0)) /
+            lit(1e12)).as("bpv"))
+        .withColumn("jump_var", greatest(lit(0.0), col("rv") - col("bpv")))
+    }),
+
     // Technical indicators: same one-shuffle per-symbol window family.
     "q_bollinger" -> ((s, d) => Indicators.bollinger(trades(s, d))),
 
@@ -1007,6 +1053,39 @@ object FeatureQueries {
         |       END AS autocorr_1,
         |       n_pairs
         |FROM amom""".stripMargin),
+
+    // Integer-exact dow/hod cells; avg as the same sum/count double ratio.
+    "q_seasonality" -> withTrades(
+      """SELECT symbol,
+        |       CAST(datediff('day', DATE '2024-01-01', CAST(time AS DATE)) % 7 AS BIGINT) AS dow,
+        |       CAST(hour(time) AS BIGINT) AS hod,
+        |       count(*) AS n_trades,
+        |       sum(volume) AS total_volume,
+        |       floor((sum(volume) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_volume
+        |FROM trades GROUP BY 1, 2, 3""".stripMargin),
+
+    // Mirrors the bipower fold: HUGEINT |r| products, π/2 and the 1e-12
+    // descale as the only float steps, pair sum coalesced to 0 on
+    // single-return days.
+    "q_bipower" -> withTradesAnd(bucketReturnsSql +
+      """,
+        |r0 AS (SELECT symbol, CAST(bucket AS DATE) AS day, bucket,
+        |         abs(CAST(floor(ret * 1e6 + 0.5) AS BIGINT)) AS ax
+        |       FROM rets WHERE ret IS NOT NULL),
+        |r1 AS (SELECT *, lag(ax) OVER (PARTITION BY symbol, day ORDER BY bucket) AS axp
+        |       FROM r0),
+        |bp AS (
+        |  SELECT symbol, day, count(*) AS n_rets,
+        |    CAST(sum(CAST(ax AS HUGEINT) * ax) AS DOUBLE) AS sx2,
+        |    CAST(sum(CAST(ax AS HUGEINT) * axp) AS DOUBLE) AS sxy
+        |  FROM r1 GROUP BY 1, 2)""".stripMargin,
+      """SELECT symbol, day, n_rets,
+        |       sx2 / 1e12 AS rv,
+        |       pi() / 2 * coalesce(sxy, CAST(0 AS DOUBLE)) / 1e12 AS bpv,
+        |       greatest(0.0,
+        |         sx2 / 1e12 - pi() / 2 * coalesce(sxy, CAST(0 AS DOUBLE)) / 1e12)
+        |         AS jump_var
+        |FROM bp""".stripMargin),
 
     // Mirrors the scaled-integer higher moments: HUGEINT power sums, the
     // identical double expression tree (den·√den, not pow), CASE-guarded.
