@@ -479,6 +479,25 @@ object FeatureQueries {
                 * lit(10000.0)), 6).as("slippage_bps"))
     }),
 
+    // Quote staleness at trade: how old the best-known quote was when each
+    // trade printed — THE market-data-health metric (a feed gap shows up
+    // as a staleness spike long before a volume anomaly). Single-shuffle
+    // backward as-of to the last quote, then per-symbol p95/max staleness
+    // and the count of trades with no quote history at all.
+    "q_quote_staleness" -> ((s, d) => {
+      val t = trades(s, d)
+      val quotes = t.filter(col("bid").isNotNull && col("ask").isNotNull)
+        .select(col("time"), col("symbol"), lit(1).as("q_present"))
+      val stale = unix_micros(col("time")) - unix_micros(col("matched_time"))
+      AsOfJoin.backward(t.select("time", "symbol", "trade_id"), quotes,
+        Seq("symbol"))
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n_trades"),
+          count(when(col("matched_time").isNull, 1)).as("n_no_quote"),
+          Quantize.r(percentile(stale, lit(0.95)), 6).as("p95_staleness_us"),
+          max(stale).as("max_staleness_us"))
+    }),
+
     // Intraday seasonality profile: average activity by (day-of-week,
     // hour) per symbol — the input an execution scheduler uses to slice a
     // parent order along the day's expected volume curve. Day-of-week is
@@ -1053,6 +1072,21 @@ object FeatureQueries {
         |       END AS autocorr_1,
         |       n_pairs
         |FROM amom""".stripMargin),
+
+    // DuckDB's native ASOF mirrors the union+window backward as-of; the
+    // percentile/max aggregates skip null staleness (pre-first-quote
+    // trades) in both engines.
+    "q_quote_staleness" -> withTradesAnd(
+      """q AS (SELECT time, symbol FROM trades
+        |      WHERE bid IS NOT NULL AND ask IS NOT NULL)""".stripMargin,
+      """SELECT t.symbol,
+        |       count(*) AS n_trades,
+        |       count(CASE WHEN q.time IS NULL THEN 1 END) AS n_no_quote,
+        |       floor((quantile_cont(epoch_us(t.time) - epoch_us(q.time), 0.95)) * 1e6 + 0.5) / 1e6 AS p95_staleness_us,
+        |       max(epoch_us(t.time) - epoch_us(q.time)) AS max_staleness_us
+        |FROM trades t
+        |ASOF LEFT JOIN q ON t.symbol = q.symbol AND t.time >= q.time
+        |GROUP BY 1""".stripMargin),
 
     // Integer-exact dow/hod cells; avg as the same sum/count double ratio.
     "q_seasonality" -> withTrades(

@@ -226,4 +226,24 @@ class PropertySpec extends SparkTestBase {
     val disOut = graft.ext.Scrub.boilerplate(disjoint, k = 5, minDocs = 2)
     assert(disOut.filter(col("boilerplate_frac") =!= 0.0).count() === 0)
   }
+
+  test("property: reconciling a feed against itself reports only matches") {
+    val t = graft.core.Tables.trades(spark, sf0001)
+    val rep = graft.quality.Reconcile.report(t, t, Seq("trade_id"), "symbol",
+      Seq("price", "volume", "side", "bid", "ask"))
+    assert(rep.filter(col("n_only_a") =!= 0 || col("n_only_b") =!= 0 ||
+      col("n_mismatch") =!= 0).count() === 0)
+    assert(rep.agg(sum(col("n_match"))).collect()(0).getLong(0) === t.count())
+  }
+
+  test("property: an empty action calendar leaves every price unadjusted") {
+    import graft.features.CorporateActions
+    val t = graft.core.Tables.trades(spark, sf0001)
+    val none = CorporateActions.syntheticActions(t).filter(lit(false))
+    val adj = CorporateActions.backwardAdjust(t, none)
+    assert(adj.filter(col("adj_divisor") =!= 1L).count() === 0)
+    assert(adj.filter(col("price_adj") =!=
+      graft.functions.Quantize.r(col("price"), 6)).count() === 0)
+    assert(adj.count() === t.count())
+  }
 }
