@@ -520,15 +520,19 @@ object FeatureQueries {
     // Jump-robust realized volatility: per symbol-day, realized variance
     // Σr² vs bipower variation (π/2)·Σ|r_t||r_t−1| (Barndorff-Nielsen &
     // Shephard) — BV is immune to a single jump, so rv − bpv isolates the
-    // jump component. Integer discipline: both sums accumulate over the
-    // 1e6-scaled |return| image exactly (order-independent), the only
-    // float steps are the final 1e-12 descale and the π/2 factor — the
-    // same IEEE doubles in both engines, no quantization needed at all.
+    // jump component. Integer discipline: |returns| winsorized at ±100%
+    // (a 2× move inside 5 minutes is a data artifact, and the 1e6 cap
+    // keeps every whole-day Σ|r|² below 2^53 — ABOVE that range Spark's
+    // DECIMAL→double and DuckDB's HUGEINT→double round differently in the
+    // last ulp, the one cross-engine flip the sf0.1 sweep caught), so
+    // both sums accumulate exactly and convert exactly; the only float
+    // steps are the final 1e-12 descale and the π/2 factor.
     "q_bipower" -> ((s, d) => {
       val w = Window.partitionBy("symbol", "day").orderBy("bucket")
       val r = bucketReturns(s, d)
         .select(col("symbol"), to_date(col("bucket")).as("day"),
-          col("bucket"), abs(Quantize.i(col("ret"))).as("ax"))
+          col("bucket"),
+          least(abs(Quantize.i(col("ret"))), lit(1000000L)).as("ax"))
         .withColumn("axp", lag(col("ax"), 1).over(w))
       r.groupBy("symbol", "day")
         .agg(count(lit(1)).as("n_rets"),
@@ -1104,7 +1108,7 @@ object FeatureQueries {
     "q_bipower" -> withTradesAnd(bucketReturnsSql +
       """,
         |r0 AS (SELECT symbol, CAST(bucket AS DATE) AS day, bucket,
-        |         abs(CAST(floor(ret * 1e6 + 0.5) AS BIGINT)) AS ax
+        |         least(abs(CAST(floor(ret * 1e6 + 0.5) AS BIGINT)), 1000000) AS ax
         |       FROM rets WHERE ret IS NOT NULL),
         |r1 AS (SELECT *, lag(ax) OVER (PARTITION BY symbol, day ORDER BY bucket) AS axp
         |       FROM r0),
