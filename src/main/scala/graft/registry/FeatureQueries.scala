@@ -479,6 +479,36 @@ object FeatureQueries {
                 * lit(10000.0)), 6).as("slippage_bps"))
     }),
 
+    // Order-flow persistence: lag-1 autocorrelation of trade SIGNS
+    // (+1 buy / −1 sell) per symbol — the stylized microstructure fact
+    // that order flow clusters (splitting parent orders leaves positive
+    // sign memory). Signs are ±1, so every moment sum is a small exact
+    // BIGINT by construction — no winsorization, no wide decimals — and
+    // the per-symbol rollup reuses the sign-lag window's shuffle.
+    "q_sign_autocorr" -> ((s, d) => {
+      val w = Window.partitionBy("symbol").orderBy("time", "trade_id")
+      val sgn = trades(s, d).filter(col("side").isNotNull)
+        .select(col("symbol"), col("time"), col("trade_id"),
+          when(col("side") === "buy", 1L).otherwise(-1L).as("x"))
+        .withColumn("y", lag(col("x"), 1).over(w))
+      val mom = sgn.groupBy("symbol").agg(
+        count(col("y")).as("n_pairs"),
+        sum(when(col("y").isNotNull, col("x"))).as("sx"),
+        sum(col("y")).as("sy"),
+        sum(col("x") * col("y")).as("sxy"),
+        sum(when(col("y").isNotNull, col("x") * col("x"))).as("sx2"),
+        sum(col("y") * col("y")).as("sy2"))
+      val n = col("n_pairs").cast("double")
+      def dbl(c: String) = col(c).cast("double")
+      val den = (n * dbl("sx2") - dbl("sx") * dbl("sx")) *
+        (n * dbl("sy2") - dbl("sy") * dbl("sy"))
+      mom.select(col("symbol"),
+        Quantize.r(when(den > 0,
+          (n * dbl("sxy") - dbl("sx") * dbl("sy")) / sqrt(den)), 6)
+          .as("sign_autocorr"),
+        col("n_pairs"))
+    }),
+
     // Quote staleness at trade: how old the best-known quote was when each
     // trade printed — THE market-data-health metric (a feed gap shows up
     // as a staleness spike long before a volume anomaly). Single-shuffle
@@ -1076,6 +1106,30 @@ object FeatureQueries {
         |       END AS autocorr_1,
         |       n_pairs
         |FROM amom""".stripMargin),
+
+    // Mirrors the sign-autocorr moments: ±1 integers, identical ratio tree.
+    "q_sign_autocorr" -> withTradesAnd(
+      """sg AS (
+        |  SELECT symbol,
+        |         CASE WHEN side = 'buy' THEN 1 ELSE -1 END AS x,
+        |         lag(CASE WHEN side = 'buy' THEN 1 ELSE -1 END)
+        |           OVER (PARTITION BY symbol ORDER BY time, trade_id) AS y
+        |  FROM trades WHERE side IS NOT NULL),
+        |smom AS (
+        |  SELECT symbol, count(y) AS n_pairs, CAST(count(y) AS DOUBLE) AS n,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x END) AS DOUBLE) AS sx,
+        |    CAST(sum(y) AS DOUBLE) AS sy,
+        |    CAST(sum(x * y) AS DOUBLE) AS sxy,
+        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x * x END) AS DOUBLE) AS sx2,
+        |    CAST(sum(y * y) AS DOUBLE) AS sy2
+        |  FROM sg GROUP BY symbol)""".stripMargin,
+      """SELECT symbol,
+        |       CASE WHEN (n * sx2 - sx * sx) * (n * sy2 - sy * sy) > 0
+        |            THEN floor(((n * sxy - sx * sy) /
+        |                   sqrt((n * sx2 - sx * sx) * (n * sy2 - sy * sy))) * 1e6 + 0.5) / 1e6
+        |       END AS sign_autocorr,
+        |       n_pairs
+        |FROM smom""".stripMargin),
 
     // DuckDB's native ASOF mirrors the union+window backward as-of; the
     // percentile/max aggregates skip null staleness (pre-first-quote
