@@ -479,6 +479,33 @@ object FeatureQueries {
                 * lit(10000.0)), 6).as("slippage_bps"))
     }),
 
+    // Drawdown DURATION (time under water) — the risk complement to
+    // q_drawdown's max depth: how long each symbol stayed below its
+    // running peak, as gaps-and-islands over daily closes (day-index
+    // minus rank, pure integer arithmetic). A fund can survive a deep
+    // drawdown; a multi-quarter one ends it. Per-symbol window + two
+    // keyed rollups; everything after the daily bars is
+    // O(symbols × days).
+    "q_drawdown_duration" -> ((s, d) => {
+      val daily = Ohlc.compute(trades(s, d), "1 day")
+        .select(col("symbol"), col("bucket"), col("close"))
+      val cum = Window.partitionBy("symbol").orderBy("bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val rn = Window.partitionBy("symbol").orderBy("bucket")
+      daily
+        .withColumn("peak", max(col("close")).over(cum))
+        .withColumn("day_idx",
+          datediff(to_date(col("bucket")), lit("2024-01-01")).cast("long"))
+        .filter(col("close") < col("peak"))
+        .withColumn("island",
+          col("day_idx") - row_number().over(rn).cast("long"))
+        .groupBy("symbol", "island").agg(count(lit(1)).as("len"))
+        .groupBy("symbol")
+        .agg(max(col("len")).as("max_underwater_days"),
+          count(lit(1)).as("n_spells"),
+          sum(col("len")).as("total_underwater_days"))
+    }),
+
     // Order-flow persistence: lag-1 autocorrelation of trade SIGNS
     // (+1 buy / −1 sell) per symbol — the stylized microstructure fact
     // that order flow clusters (splitting parent orders leaves positive
@@ -1106,6 +1133,28 @@ object FeatureQueries {
         |       END AS autocorr_1,
         |       n_pairs
         |FROM amom""".stripMargin),
+
+    // Mirrors the underwater islands: running peak over daily closes,
+    // day-index-minus-rank spells, double rollup.
+    "q_drawdown_duration" -> withTrades(
+      """SELECT symbol, max(len) AS max_underwater_days, count(*) AS n_spells,
+        |       CAST(sum(len) AS BIGINT) AS total_underwater_days
+        |FROM (
+        |  SELECT symbol, island, count(*) AS len
+        |  FROM (
+        |    SELECT symbol,
+        |           datediff('day', DATE '2024-01-01', CAST(bucket AS DATE)) -
+        |             row_number() OVER (PARTITION BY symbol ORDER BY bucket) AS island
+        |    FROM (
+        |      SELECT symbol, bucket, close,
+        |             max(close) OVER (PARTITION BY symbol ORDER BY bucket
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS peak
+        |      FROM (SELECT time_bucket(INTERVAL '1 day', time) AS bucket, symbol,
+        |                   arg_max(price, time) AS close
+        |            FROM trades GROUP BY 1, 2)) p
+        |    WHERE close < peak) i
+        |  GROUP BY 1, 2) spells
+        |GROUP BY symbol""".stripMargin),
 
     // Mirrors the sign-autocorr moments: ±1 integers, identical ratio tree.
     "q_sign_autocorr" -> withTradesAnd(
