@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   * q_ohlc_refresh). SPARK_GRAFT_BENCH_REPS>1 reports the per-query MEDIAN of
   * that many runs. The full-precision artifact is also written to
   * BENCH_FULL.json (stdout tail captures can truncate the compact line).
+  *
+  * Attribution: `calibration_sec` is a fixed-work corpus-independent probe
+  * (machine speed that run), `total_per_calib` the machine-normalized
+  * headline, and `plans` a per-query canonicalized-plan fingerprint — a
+  * timing swing with an unchanged fingerprint is environmental, a changed
+  * fingerprint names the plan that moved.
   */
 object Bench {
 
@@ -38,12 +44,38 @@ object Bench {
     // Warm the JVM + FS cache so query 1 doesn't pay session startup.
     graft.core.Tables.lineitem(spark, sfDir).count()
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): Double = {
+    // Fixed-work calibration anchor: a corpus-independent CPU+scheduler probe
+    // (4e9-element hashed sum fanned across the worker threads). Official
+    // bench totals have swung 576 s / 888 s / crash across rounds on
+    // byte-identical binaries; this number attributes such swings — if
+    // calibration_sec moves with the total, the machine moved, not the code.
+    def calibrate(): Double = {
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-        (System.nanoTime() - t0) / 1e9 }
+      spark.range(0L, 4000000000L, 1, cpus.toInt)
+        .selectExpr("sum(id * 2654435761) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    // Per-query (seconds, plan fingerprint). The fingerprint hashes the
+    // canonicalized optimized plan (expression IDs normalized), so a timing
+    // swing with an UNCHANGED fingerprint is environmental, and a changed
+    // fingerprint points at the plan diff — no more unattributable swings.
+    def planHash(df: org.apache.spark.sql.DataFrame): String =
+      try java.security.MessageDigest.getInstance("MD5")
+        .digest(df.queryExecution.optimizedPlan.canonicalized.toString.getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+      catch { case _: Throwable => "unavailable" }
+
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, String) = {
+      val t0 = System.nanoTime()
+      try {
+        val df = fn(spark, sfDir)
+        df.write.format("noop").mode("overwrite").save()
+        val dt = (System.nanoTime() - t0) / 1e9
+        (dt, planHash(df))
+      }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1.0
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1.0, "failed")
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -66,9 +98,13 @@ object Bench {
     val (heavy, light) = all.partition { case (n, _) =>
       n.startsWith("q_stream_") || n.endsWith("_refresh")
     }
-    val results = (light ++ heavy).map { case (name, fn) =>
-      name -> median((1 to reps).map(_ => runOnce(name, fn)))
+    val calibration = median((1 to 3).map(_ => calibrate()))
+    val timed = (light ++ heavy).map { case (name, fn) =>
+      val runs = (1 to reps).map(_ => runOnce(name, fn))
+      (name, median(runs.map(_._1)), runs.last._2)
     }
+    val results = timed.map { case (name, sec, _) => name -> sec }
+    val plans = timed.map { case (name, _, h) => name -> h }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // Warm serving-path latency, the shape the reference benchmarks
@@ -120,8 +156,11 @@ object Bench {
         .mkString("{", ",", "}")
     def line(f: Double => String, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
+      val ps = plans.map { case (k, h) => "\"" + k + "\":\"" + h + "\"" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
-        s""""queries":$qs,"pit_warm":${warmJson(pitWarm, f)},""" +
+        s""""calibration_sec":${f(calibration)},""" +
+        s""""total_per_calib":${f(if (calibration > 0) total / calibration else -1.0)},""" +
+        s""""queries":$qs,"plans":$ps,"pit_warm":${warmJson(pitWarm, f)},""" +
         s""""online_warm":${warmJson(onlineWarm, f)},"sf":"$sf"}"""
     }
 
@@ -143,6 +182,8 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + sig3(v) }.mkString("{", ",", "}")
     println(
       s"""{"metric":"total","value":${sig3(total)},"unit":"sec","reps":$reps,""" +
+        s""""calibration_sec":${sig3(calibration)},""" +
+        s""""total_per_calib":${sig3(if (calibration > 0) total / calibration else -1.0)},""" +
         s""""n_queries":${results.length},"queries":$slowest,""" +
         s""""pit_warm":${warmJson(pitWarm, sig3)},""" +
         s""""online_warm":${warmJson(onlineWarm, sig3)},""" +

@@ -1,7 +1,8 @@
 package graft.core
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Table loaders over the driver-provided parquet corpus, plus the canonical
   * `trades` view that maps the synthetic `events` table onto the reference's
@@ -10,8 +11,9 @@ import org.apache.spark.sql.functions._
   *
   * The mapping is pure, deterministic column arithmetic so the DuckDB oracle can
   * reproduce it bit-for-bit (see [[graft.registry.OracleSql.tradesCte]]):
-  *   - `ts` (int64 nanos) -> `time` truncated to micros, identical to DuckDB's
-  *     `CAST(ts AS TIMESTAMP)` truncation,
+  *   - `ts` -> `time` at microsecond precision, dtype-adaptive ([[eventTime]]):
+  *     native parquet timestamps pass through, epoch-nanos INT64 is truncated
+  *     to micros — both identical to DuckDB's `CAST(ts AS TIMESTAMP)`,
   *   - `user_id` -> `symbol` (string),
   *   - `value` -> `price`,
   *   - `1 + event_id % 100` -> `volume` (deterministic, integral-valued double so
@@ -26,8 +28,9 @@ object Tables {
 
   /** All timestamps in this corpus/engine are event-time in UTC. */
   def configure(spark: SparkSession): Unit = {
-    // events.parquet carries INT64 TIMESTAMP(NANOS) which Spark 4 refuses by
-    // default; read nanos as long and convert explicitly (Tables.trades).
+    // Early fixtures carried INT64 TIMESTAMP(NANOS) which Spark 4 refuses by
+    // default; read nanos as long and let eventTime convert explicitly.
+    // Harmless for the current timestamp[us] fixtures.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
   }
@@ -48,10 +51,63 @@ object Tables {
   def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
   def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
 
-  /** The trade-tick fact stream (event-time ordered per symbol). */
-  def trades(spark: SparkSession, dir: String): DataFrame =
-    events(spark, dir).select(
-      expr("timestamp_micros(ts DIV 1000)").as("time"),
+  /** Dtype-adaptive event-time column over `events.ts`. The storage layer has
+    * shipped `ts` both as epoch-nanos INT64 (early fixtures) and as a native
+    * parquet timestamp[us] (current fixtures, surfaced by Spark as
+    * TIMESTAMP_NTZ); the reference's own jobs tolerate storage-side drift
+    * (`spark/streaming_feature_updates.py:28` schemaInference,
+    * `spark/batch_feature_calculation.py:64` mergeSchema) and this engine must
+    * too. Session TZ is pinned to UTC ([[configure]]), so NTZ→TZ casts are
+    * wall-clock-preserving and match DuckDB's naive-timestamp semantics.
+    * Unsupported dtypes fail LOUDLY here — never a silent misread.
+    */
+  def eventTime(events: DataFrame): Column = {
+    val tsField = events.schema.find(_.name == "ts").getOrElse(
+      throw new IllegalStateException(
+        s"events is missing the `ts` column; schema = ${events.schema.simpleString}"))
+    tsField.dataType match {
+      case LongType | IntegerType => expr("timestamp_micros(ts DIV 1000)")
+      case TimestampType          => col("ts")
+      case TimestampNTZType       => col("ts").cast(TimestampType)
+      case other => throw new IllegalStateException(
+        s"events.ts has unsupported type ${other.simpleString}: expected epoch-nanos " +
+          "INT64 or timestamp — refusing to guess (a wrong guess silently corrupts " +
+          "every event time downstream)")
+    }
+  }
+
+  /** Loud fixture-drift gate: asserts the full events schema is one this
+    * engine knows how to project, naming every offending column. Called once
+    * per [[projectTrades]] construction (plan build, not per row).
+    */
+  def assertEventsSchema(events: DataFrame): Unit = {
+    val expected = Map[String, DataType => Boolean](
+      "event_id" -> (t => t == LongType || t == IntegerType),
+      "ts" -> (t => t == LongType || t == IntegerType ||
+        t == TimestampType || t == TimestampNTZType),
+      "user_id" -> (t => t == LongType || t == IntegerType),
+      "event_type" -> (_ == StringType),
+      "value" -> (_ == DoubleType))
+    val bad = expected.flatMap { case (name, ok) =>
+      events.schema.find(_.name == name) match {
+        case None    => Some(s"$name: MISSING")
+        case Some(f) => if (ok(f.dataType)) None
+                        else Some(s"$name: unsupported ${f.dataType.simpleString}")
+      }
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"events schema drifted beyond what the trades projection supports — " +
+        s"[${bad.mkString("; ")}]; actual schema = ${events.schema.simpleString}")
+  }
+
+  /** The trades projection over any (batch or streaming) events-shaped frame.
+    * Pure deterministic column arithmetic shared by [[trades]] and the
+    * streaming source so batch and stream can never diverge.
+    */
+  def projectTrades(events: DataFrame): DataFrame = {
+    assertEventsSchema(events)
+    events.select(
+      eventTime(events).as("time"),
       col("user_id").cast("string").as("symbol"),
       col("value").as("price"),
       expr("CAST(1 + event_id % 100 AS DOUBLE)").as("volume"),
@@ -62,4 +118,9 @@ object Tables {
         .as("bid"),
       expr("CASE WHEN event_id % 11 <> 0 THEN value + (1 + event_id % 10) / CAST(100 AS DOUBLE) END")
         .as("ask"))
+  }
+
+  /** The trade-tick fact stream (event-time ordered per symbol). */
+  def trades(spark: SparkSession, dir: String): DataFrame =
+    projectTrades(events(spark, dir))
 }

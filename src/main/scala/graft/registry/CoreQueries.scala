@@ -229,8 +229,9 @@ object CoreQueries {
     // window shuffle; sessions per user are bounded, so no skew).
     "q_funnel" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val ev = Tables.events(s, d).select(
-        expr("timestamp_micros(ts DIV 1000)").as("t"),
+      val ev0 = Tables.events(s, d)
+      val ev = ev0.select(
+        Tables.eventTime(ev0).as("t"),
         col("user_id"), col("event_type"))
       val byUser = Window.partitionBy("user_id").orderBy("t")
       val run = Window.partitionBy("user_id").orderBy("t")
@@ -269,8 +270,9 @@ object CoreQueries {
     // aggregations plus one join on user_id — each shuffle carries one row
     // per (user, week), never raw events.
     "q_cohort_retention" -> ((s, d) => {
-      val weeks = Tables.events(s, d).select(col("user_id"),
-        floor(datediff(to_date(expr("timestamp_micros(ts DIV 1000)")),
+      val ev0 = Tables.events(s, d)
+      val weeks = ev0.select(col("user_id"),
+        floor(datediff(to_date(Tables.eventTime(ev0)),
           lit("2024-01-01")) / lit(7.0)).cast("long").as("week"))
         .distinct()
       val cohorts = weeks.groupBy("user_id").agg(min(col("week")).as("cohort_week"))

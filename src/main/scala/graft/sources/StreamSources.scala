@@ -14,7 +14,11 @@ import org.apache.spark.sql.types._
   */
 object StreamSources {
 
-  /** Parquet-long form of the events schema (ts = INT64 nanos on disk). */
+  /** Epoch-nanos long form of the events schema — the EARLY fixture layout,
+    * kept for synthetic long-form test inputs. Never impose this over real
+    * files: [[tradeFileStream]] reads the schema from the parquet footer so
+    * storage-side type evolution (int64 → timestamp[us]) can't be misread.
+    */
   val eventsSchema: StructType = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -24,37 +28,32 @@ object StreamSources {
     StructField("props", StringType)))
 
   /** File-based streaming source over the events parquet, projected to the
-    * trades view — the tested stand-in for the Kafka topic.
+    * trades view — the tested stand-in for the Kafka topic. The streaming
+    * source needs an explicit schema; sniff it from the actual file footers
+    * (a driver-side metadata read, no data scan) instead of hard-coding a
+    * layout — the drift-tolerance posture of the reference's own readers
+    * (`spark/streaming_feature_updates.py:28` schemaInference).
     */
   def tradeFileStream(spark: SparkSession, path: String): DataFrame = {
     Tables.configure(spark)
+    val onDisk = spark.read.parquet(path).schema
     // The file source wants a directory; when handed a single file, stream
     // its parent with a glob pinned to that file name.
     val f = new java.io.File(path)
     val raw =
       if (f.isFile)
-        spark.readStream.schema(eventsSchema)
+        spark.readStream.schema(onDisk)
           .option("pathGlobFilter", f.getName).parquet(f.getParent)
-      else spark.readStream.schema(eventsSchema).parquet(path)
+      else spark.readStream.schema(onDisk).parquet(path)
     projectTrades(raw)
   }
 
   /** The same trades projection as [[Tables.trades]], applicable to any
-    * (batch or streaming) frame with the events schema.
+    * (batch or streaming) frame with the events schema — dtype-adaptive on
+    * `ts` and loud on unsupported drift (see [[Tables.projectTrades]]).
     */
   def projectTrades(events: DataFrame): DataFrame =
-    events.select(
-      expr("timestamp_micros(ts DIV 1000)").as("time"),
-      col("user_id").cast("string").as("symbol"),
-      col("value").as("price"),
-      expr("CAST(1 + event_id % 100 AS DOUBLE)").as("volume"),
-      col("event_id").cast("string").as("trade_id"),
-      expr("CASE WHEN event_type = 'purchase' THEN 'buy' WHEN event_type = 'click' THEN 'sell' END")
-        .as("side"),
-      expr("CASE WHEN event_id % 7 <> 0 THEN value - (1 + event_id % 10) / CAST(100 AS DOUBLE) END")
-        .as("bid"),
-      expr("CASE WHEN event_id % 11 <> 0 THEN value + (1 + event_id % 10) / CAST(100 AS DOUBLE) END")
-        .as("ask"))
+    Tables.projectTrades(events)
 
   /** Schema of the landed trades table (what [[projectTrades]] emits) — used
     * to re-stream the raw directory as a second-stage source, the

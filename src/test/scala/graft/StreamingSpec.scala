@@ -109,10 +109,11 @@ class StreamingSpec extends SparkTestBase {
     // split the corpus into 4 stream files
     Tables.events(spark, sf0001).repartition(4).write.parquet(inDir)
     val expected = Tables.trades(spark, sf0001).count()
+    val inSchema = spark.read.parquet(inDir).schema
 
     def startQuery() = {
       val src = graft.sources.StreamSources.projectTrades(
-        spark.readStream.schema(graft.sources.StreamSources.eventsSchema)
+        spark.readStream.schema(inSchema)
           .option("maxFilesPerTrigger", 1).parquet(inDir))
       src.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
@@ -337,14 +338,13 @@ class StreamingSpec extends SparkTestBase {
     // streaming cleaner must reproduce the batch trailing-21 median/MAD
     // repair row for row even when the fold spans micro-batches.
     val srcDir = Files.createTempDirectory("graft_shampel_src_").toString
-    val ev = spark.read.schema(graft.sources.StreamSources.eventsSchema)
-      .parquet(s"$sf0001/events.parquet").orderBy("ts")
+    val ev = Tables.events(spark, sf0001).orderBy("ts")
+    val evSchema = ev.schema
     val n = ev.count()
     ev.collect().grouped((n / 3 + 1).toInt).zipWithIndex.foreach { case (rows, i) =>
       val tmp = Files.createTempDirectory("graft_shampel_part_").toString
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1),
-        graft.sources.StreamSources.eventsSchema)
+        spark.sparkContext.parallelize(rows.toSeq, 1), evSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -352,7 +352,7 @@ class StreamingSpec extends SparkTestBase {
       Files.move(part.toPath, java.nio.file.Paths.get(s"$srcDir/f$i.parquet"))
     }
     val raw = spark.readStream
-      .schema(graft.sources.StreamSources.eventsSchema)
+      .schema(spark.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
       .parquet(srcDir)
@@ -380,15 +380,14 @@ class StreamingSpec extends SparkTestBase {
     // contract does NOT hold here, the TWS buffer-until-watermark fold must
     // still produce the exact global (time, trade_id)-ordered fold.
     val srcDir = Files.createTempDirectory("graft_cusum_src_").toString
-    val ev = spark.read.schema(graft.sources.StreamSources.eventsSchema)
-      .parquet(s"$sf0001/events.parquet").orderBy("ts")
+    val ev = Tables.events(spark, sf0001).orderBy("ts")
+    val evSchema = ev.schema
     val n = ev.count()
     val parts = ev.collect().grouped((n / 3 + 1).toInt).toSeq
     parts.zipWithIndex.foreach { case (rows, i) =>
       val tmp = Files.createTempDirectory("graft_cusum_part_").toString
       spark.createDataFrame(
-        spark.sparkContext.parallelize(rows.toSeq, 1),
-        graft.sources.StreamSources.eventsSchema)
+        spark.sparkContext.parallelize(rows.toSeq, 1), evSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       // the file stream lists FLAT files — surface the single part file as
       // srcDir/f<i>.parquet (file mtime/name order = chronological order)
@@ -398,7 +397,7 @@ class StreamingSpec extends SparkTestBase {
       Files.move(part.toPath, java.nio.file.Paths.get(s"$srcDir/f$i.parquet"))
     }
     val raw = spark.readStream
-      .schema(graft.sources.StreamSources.eventsSchema)
+      .schema(spark.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
       .parquet(srcDir)
@@ -431,8 +430,9 @@ class StreamingSpec extends SparkTestBase {
     // batch 3 entirely below the folded bound — every one must surface in
     // n_late and never perturb the fold.
     val srcDir = Files.createTempDirectory("graft_cusum_late_").toString
-    val rows = spark.read.schema(graft.sources.StreamSources.eventsSchema)
-      .parquet(s"$sf0001/events.parquet").orderBy("ts").collect()
+    val evLate = Tables.events(spark, sf0001).orderBy("ts")
+    val evSchema = evLate.schema
+    val rows = evLate.collect()
     val n = rows.length
     val maxRow = rows.last
     val fA = rows.slice(0, n / 3) :+ maxRow
@@ -442,13 +442,11 @@ class StreamingSpec extends SparkTestBase {
       registry.StreamQueries.cusumZ(spark, sf0001,
         graft.sources.StreamSources.projectTrades(
           spark.createDataFrame(
-            spark.sparkContext.parallelize(part.toSeq, 1),
-            graft.sources.StreamSources.eventsSchema))).count()
+            spark.sparkContext.parallelize(part.toSeq, 1), evSchema))).count()
     Seq(fA, fB, fC).zipWithIndex.foreach { case (part, i) =>
       val tmp = Files.createTempDirectory("graft_cusum_part_").toString
       spark.createDataFrame(
-        spark.sparkContext.parallelize(part.toSeq, 1),
-        graft.sources.StreamSources.eventsSchema)
+        spark.sparkContext.parallelize(part.toSeq, 1), evSchema)
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val partFile = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
@@ -456,7 +454,7 @@ class StreamingSpec extends SparkTestBase {
       Files.move(partFile.toPath, java.nio.file.Paths.get(s"$srcDir/f$i.parquet"))
     }
     val raw = spark.readStream
-      .schema(graft.sources.StreamSources.eventsSchema)
+      .schema(spark.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", "1")
       .option("latestFirst", "false")
       .parquet(srcDir)
