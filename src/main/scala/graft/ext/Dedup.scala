@@ -131,6 +131,19 @@ object Dedup {
       .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
       .filter(col("n_docs") > 1)
 
+  /** SimHash dup groups over the 60-bit PORTABLE hash
+    * ([[TextHashing.SimHashPoly]] with two affine families): discrimination
+    * comparable to the 64-bit xxhash form ([[simhashDups]], spec-tested),
+    * with every bit replayable in DuckDB — so the flagship registry query
+    * carries a full cross-engine value oracle instead of a rows-only gate.
+    */
+  def simhashDups60(documents: DataFrame): DataFrame =
+    documents
+      .select(col("doc_id"), TextHashing.simhashPoly(col("text"), 60).as("simhash"))
+      .groupBy("simhash")
+      .agg(count(lit(1)).as("n_docs"), sort_array(collect_list(col("doc_id"))).as("doc_ids"))
+      .filter(col("n_docs") > 1)
+
   /** LSH candidate pairs over the PORTABLE polynomial hash, with the number
     * of shared bands per pair — the oracle-checkable twin of
     * [[minhashCandidates]] (see [[TextHashing.MinHashBandsPoly]]: same

@@ -30,9 +30,10 @@ import org.apache.spark.sql.functions._
   * DuckDB oracle, so `q_ann_ivf` is hash-checked end to end (assignment,
   * probe selection, and final top-k all reproduce bit-identically). The
   * k-means path is deterministic too (fixed seeds, fixed iteration count, no
-  * RNG) but its centroid means are engine-specific float folds, so its query
-  * (`q_ann_ivf_kmeans`) gates on the rows check plus the ExtSpec recall
-  * assertion instead of a cross-engine hash.
+  * RNG); with `quantize = true` the per-iteration centroid means are rounded
+  * to 1e-6, absorbing summation-order drift, so the trained pipeline is ALSO
+  * bit-replayable cross-engine — `q_ann_ivf_kmeans` hash-checks against a
+  * DuckDB replay of the same 3 Lloyd iterations.
   */
 object Ivf {
 
@@ -64,7 +65,8 @@ object Ivf {
       embeddings: DataFrame,
       nCentroids: Int,
       iters: Int = 3,
-      sampleMod: Long = 1L): DataFrame = {
+      sampleMod: Long = 1L,
+      quantize: Boolean = false): DataFrame = {
     val train =
       (if (sampleMod > 1) embeddings.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
        else embeddings)
@@ -77,7 +79,14 @@ object Ivf {
         .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
         .groupBy("centroid_id")
         .agg(transform(
-          array_sort(collect_list(struct(col("pos"), (col("sx") / col("cnt")).as("m")))),
+          array_sort(collect_list(struct(col("pos"),
+            // quantize=true rounds each mean component to 1e-6 per
+            // iteration: the quantum absorbs sub-ULP summation-order drift,
+            // making the trained centroids (and everything downstream)
+            // bit-reproducible across engines AND cluster layouts — the
+            // cross-engine-oracle / heterogeneous-deployment mode.
+            (if (quantize) Quantize.r(col("sx") / col("cnt"), 6)
+             else col("sx") / col("cnt")).as("m")))),
           e => e.getField("m")).as("mean"))
       cents = cents
         .join(means, Seq("centroid_id"), "left_outer")

@@ -333,14 +333,20 @@ object TextHashing {
       copy(child = newChild)
   }
 
-  /** 30-bit SimHash over the portable polynomial token hash (1e9+7 < 2^30,
-    * so bits 0..29 of the base hash are uniform): bit j set when
+  /** Portable SimHash over the polynomial token hash (1e9+7 < 2^30, so bits
+    * 0..29 of the base hash are uniform): bit j set when
     * `2·count(tokens with bit j set) >= n_tokens` — the same vote rule as
     * [[SimHash64]], replayable in DuckDB with integer div/mod.
+    *
+    * Up to 60 bits: bits 0..29 come from the base hash, bits 30..59 from the
+    * independent affine rehash `(31·h + 17) mod 1e9+7` (affine maps mod a
+    * prime are bijections, so the second family keeps the base's uniformity
+    * while decorrelating bit positions) — discrimination comparable to the
+    * 64-bit xxhash form with every bit replayable cross-engine.
     */
   case class SimHashPoly(child: Expression, bits: Int = 30)
       extends UnaryExpression with CodegenFallback {
-    require(bits >= 1 && bits <= 30, s"bits must be in [1,30], got $bits")
+    require(bits >= 1 && bits <= 60, s"bits must be in [1,60], got $bits")
 
     override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
       case StringType => TypeCheckResult.TypeCheckSuccess
@@ -356,9 +362,11 @@ object TextHashing {
       var i = 0
       while (i < toks.length) {
         val h = polyHash(UTF8String.fromString(toks(i)))
+        val h2 = (31L * h + 17L) % 1000000007L
         var j = 0
         while (j < bits) {
-          counts(j) += ((h >>> j) & 1L).toInt
+          val src = if (j < 30) h >>> j else h2 >>> (j - 30)
+          counts(j) += (src & 1L).toInt
           j += 1
         }
         i += 1
@@ -481,8 +489,8 @@ object TextHashing {
   def minhashBandsPoly(sh: Column, numHashes: Int, bands: Int): Column =
     ColumnBridge.column(MinHashBandsPoly(e(sh), numHashes, bands))
 
-  def simhashPoly(text: Column): Column =
-    ColumnBridge.column(SimHashPoly(e(text)))
+  def simhashPoly(text: Column, bits: Int = 30): Column =
+    ColumnBridge.column(SimHashPoly(e(text), bits))
 
   // ---- SQL registration (parity with cosine_sim) -------------------------
 

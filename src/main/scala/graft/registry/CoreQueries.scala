@@ -212,13 +212,27 @@ object CoreQueries {
           graft.functions.Quantize.r(percentile(col("value"), lit(0.99)), 6).as("p99"),
           count(lit(1)).as("n"))),
 
-    // Sketch-based approximations (the 100-TB default for distinct/quantile;
-    // engine-specific sketches have no cross-engine oracle -> rows check).
+    // Sketch-based approximations (the 100-TB default for distinct/quantile).
+    // Raw sketch values are engine-specific, so the GATED output is the
+    // engine-invariant derivation: exact n / exact distinct plus accuracy
+    // booleans (HLL within 5% of exact; approx-p95 inside the exact
+    // p94..p96 band). The oracle expects true/true — a sketch regression
+    // flips a boolean and fails the hash, so the gate is real, while every
+    // emitted value is cross-engine reproducible.
     "q_approx_stats" -> ((s, d) =>
       Tables.events(s, d).agg(
-        approx_count_distinct(col("user_id")).as("approx_users"),
-        percentile_approx(col("value"), lit(0.95), lit(10000)).as("approx_p95"),
-        count(lit(1)).as("n"))),
+        // rsd=0.01: the 5% gate below is then a ~5-sigma bound, not a
+        // coin-flip (the default rsd=0.05 fails a 5% bound ~1/3 of the time)
+        approx_count_distinct(col("user_id"), 0.01).as("au"),
+        percentile_approx(col("value"), lit(0.95), lit(10000)).as("ap"),
+        expr("percentile(value, array(0.94, 0.96))").as("band"),
+        countDistinct(col("user_id")).as("exact_users"),
+        count(lit(1)).as("n"))
+        .select(col("n"), col("exact_users"),
+          (abs(col("au") - col("exact_users")) <=
+            col("exact_users") * lit(0.05)).as("hll_ok"),
+          (col("ap") >= element_at(col("band"), 1) &&
+            col("ap") <= element_at(col("band"), 2)).as("p95_ok"))),
 
     // Ordered conversion funnel view -> click -> purchase within a user
     // session (30-min inactivity gap): the product-analytics query the
@@ -282,6 +296,14 @@ object CoreQueries {
     }))
 
   val oracles: Map[String, String] = Map(
+    // The sketches themselves are engine-specific; the gated projection is
+    // engine-invariant (exact counts + accuracy booleans the oracle expects
+    // to be true) — a sketch regression flips a boolean and fails the hash.
+    "q_approx_stats" ->
+      """SELECT count(*) AS n, count(DISTINCT user_id) AS exact_users,
+        |       true AS hll_ok, true AS p95_ok
+        |FROM events""".stripMargin,
+
     "q_pivot_sides" -> OracleSql.withTrades(
       """SELECT symbol,
         |       sum(CASE WHEN side = 'buy' THEN volume END) AS buy,

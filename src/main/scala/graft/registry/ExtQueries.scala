@@ -60,13 +60,23 @@ object ExtQueries {
           graft.functions.Quantize.r(Dedup.jaccard(col("sh"), col("qsh")), 6).as("jaccard"))
     }),
 
-    // Deterministic (seeded xxhash64) but not DuckDB-expressible: rows check.
+    // xxhash64-seeded LSH candidates + exact-Jaccard verify. The ORACLE
+    // replays the PORTABLE polynomial hash family's candidates through the
+    // same exact verify: after verification at threshold 0.5 the two
+    // independent families agree on every surviving pair (each family's
+    // per-pair miss probability at J>=0.5 is independent; the exact-verify
+    // filter makes the output the same "true pairs both LSHes can reach"
+    // set — asserted value-exact at sf0.001/0.01/0.1). A disagreement would
+    // surface as a hash mismatch: a real recall gate, not a rows count.
     "q_minhash_pairs" -> ((s, d) =>
       Dedup.nearDups(docsPar(s, d), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
+    // Flagship SimHash dup groups over the 60-bit portable hash (two affine
+    // polynomial families) — 64-bit-class discrimination with a full DuckDB
+    // value oracle; the xxhash64 form stays spec-tested (ExtSpec).
     "q_simhash_dups" -> ((s, d) =>
-      Dedup.simhashDups(docsPar(s, d))
+      Dedup.simhashDups60(docsPar(s, d))
         .select(col("simhash"), col("n_docs"),
           to_json(col("doc_ids")).as("doc_ids"))),
 
@@ -95,11 +105,13 @@ object ExtQueries {
         .limit(20)
     }),
 
-    // LSH-bucketed near-dup pairs (rows check — seeded hyperplanes). 8
-    // planes / threshold 0.3 tuned to the synthetic corpus (max pairwise
-    // cosine ~0.48) so the check is non-vacuous.
+    // LSH-bucketed near-dup pairs over the portable md5-parity hyperplanes
+    // at a HIGHER-recall operating point than the twin below (6 planes →
+    // coarser buckets → more candidates; threshold 0.25) — fully
+    // value-oracled. The xxhash-seeded plane family (Similarity.nearDupPairs
+    // default) stays spec-tested in ExtSpec.
     "q_embed_neardup" -> ((s, d) =>
-      Similarity.nearDupPairs(embPar(s, d), planes = 8, threshold = 0.3)
+      Similarity.portableNearDupPairs(embPar(s, d), planes = 6, threshold = 0.25)
         .orderBy("vec_a", "vec_b")),
 
     // Portable md5-parity hyperplanes: the embedding near-dup tier's
@@ -161,12 +173,14 @@ object ExtQueries {
     // The trained-quantizer variant: deterministic Lloyd k-means (fixed
     // seeds, 3 iterations, no RNG) refines the coarse centroids before the
     // same assign/probe/score pipeline — pgvector ivfflat's training step.
-    // Centroid means are engine-specific float folds, so this gates on the
-    // deterministic rows check + the ExtSpec recall assertion rather than a
-    // cross-engine hash.
+    // quantize=true rounds each centroid mean to 1e-6 per iteration, which
+    // absorbs summation-order drift and makes the whole train→assign→probe→
+    // score pipeline bit-replayable in DuckDB: the oracle unrolls the same
+    // 3 Lloyd iterations in SQL and must reproduce the exact top-k.
     "q_ann_ivf_kmeans" -> ((s, d) => {
       val emb = embPar(s, d)
-      val cents = graft.ext.Ivf.kmeansCentroids(emb, nCentroids = 16, iters = 3)
+      val cents = graft.ext.Ivf.kmeansCentroids(
+        emb, nCentroids = 16, iters = 3, quantize = true)
       graft.ext.Ivf.topKWith(emb, cents, queryVecId = 0L, k = 20, nProbe = 4)
     }),
 
@@ -393,6 +407,31 @@ object ExtQueries {
       s"nullif(sqrt(list_reduce(list_transform(range(1, len($a) + 1), i -> $a[i] * $a[i]), (x, y) -> x + y)) * " +
       s"sqrt(list_reduce(list_transform(range(1, len($b) + 1), i -> $b[i] * $b[i]), (x, y) -> x + y)), CAST(0 AS DOUBLE)))"
 
+  /** One quantized Lloyd iteration as DuckDB SQL (mirrors
+    * [[graft.ext.Ivf.kmeansCentroids]] with quantize=true): assign every
+    * vector to its max-cosine centroid in `prev` (ties to the smallest id),
+    * re-center as the per-dimension mean quantized to 1e-6, keep the
+    * previous centroid for empty clusters — emitting CTEs a`cur`/m`cur`/`cur`.
+    */
+  private def kmeansIterSql(prev: String, cur: String): String =
+    s"""a$cur AS (
+      |  SELECT vec_id, v, centroid_id FROM (
+      |    SELECT e.vec_id, e.v, c.centroid_id,
+      |           row_number() OVER (PARTITION BY e.vec_id
+      |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+      |    FROM e CROSS JOIN $prev c)
+      |  WHERE rn = 1),
+      |m$cur AS (
+      |  SELECT centroid_id, list(m ORDER BY pos) AS mv FROM (
+      |    SELECT centroid_id, i AS pos,
+      |           floor((sum(v[i]) / count(*)) * 1e6 + 0.5) / 1e6 AS m
+      |    FROM a$cur, unnest(range(1, len(v) + 1)) AS t(i)
+      |    GROUP BY centroid_id, i) mm
+      |  GROUP BY centroid_id),
+      |$cur AS (
+      |  SELECT p.centroid_id, coalesce(m.mv, p.cv) AS cv
+      |  FROM $prev p LEFT JOIN m$cur m USING (centroid_id))""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "q_edit_distance" ->
       """SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
@@ -548,6 +587,119 @@ object ExtQueries {
         |JOIN keys k2 ON k1.band = k2.band AND k1.key = k2.key AND k1.doc_id < k2.doc_id
         |JOIN ok ON ok.band = k1.band AND ok.key = k1.key
         |GROUP BY 1, 2""".stripMargin,
+
+    // Cross-family oracle for the xxhash64 flagship: replay the PORTABLE
+    // polynomial family's 3-shingle LSH candidates through the same exact
+    // Jaccard verify at 0.5 — after verification the two independent hash
+    // families agree on every surviving pair (checked value-exact at
+    // sf0.001/0.01/0.1), so a recall regression in either family fails the
+    // hash compare.
+    "q_minhash_pairs" ->
+      s"""WITH sh3 AS (
+        |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+        |  WHERE len(t) >= 3),
+        |hs AS (
+        |  SELECT doc_id, sh, list_transform(sh, s -> ${polyHashSql("s")}) AS hs
+        |  FROM sh3 WHERE len(sh) > 0),
+        |sig AS (
+        |  SELECT doc_id, sh, list_transform(range(0, 32), i ->
+        |           list_min(list_transform(hs, h -> ((2*i + 1) * h + i) % 1000000007))) AS sig
+        |  FROM hs),
+        |keys AS (
+        |  SELECT doc_id, unnest(range(0, 8)) AS band,
+        |         unnest(list_transform(range(0, 8), b -> array_to_string(
+        |           list_transform(range(b*4 + 1, b*4 + 5), r -> CAST(sig[r] AS VARCHAR)), ','))) AS key
+        |  FROM sig),
+        |ok AS (
+        |  SELECT band, key FROM keys GROUP BY 1, 2
+        |  HAVING count(*) BETWEEN 2 AND 1000),
+        |cand AS (
+        |  SELECT DISTINCT k1.doc_id AS doc_a, k2.doc_id AS doc_b
+        |  FROM keys k1
+        |  JOIN keys k2 ON k1.band = k2.band AND k1.key = k2.key AND k1.doc_id < k2.doc_id
+        |  JOIN ok ON ok.band = k1.band AND ok.key = k1.key)
+        |SELECT doc_a, doc_b, jaccard FROM (
+        |  SELECT c.doc_a, c.doc_b,
+        |         floor((CAST(len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE) /
+        |                nullif(CAST(len(a.sh) + len(b.sh) - len(list_filter(a.sh, x -> list_contains(b.sh, x))) AS DOUBLE), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS jaccard
+        |  FROM cand c JOIN sig a ON a.doc_id = c.doc_a JOIN sig b ON b.doc_id = c.doc_b)
+        |WHERE jaccard >= CAST(0.5 AS DOUBLE)""".stripMargin,
+
+    // Mirrors Dedup.simhashDups60: 60-bit portable simhash — bits 0..29 vote
+    // on the base polynomial hash, bits 30..59 on the affine rehash
+    // (31h+17 mod 1e9+7); doc_ids rendered as the same JSON array string
+    // Spark's to_json emits.
+    "q_simhash_dups" ->
+      s"""SELECT simhash, count(*) AS n_docs,
+        |       '[' || array_to_string(list_transform(list_sort(list(doc_id)),
+        |         d -> CAST(d AS VARCHAR)), ',') || ']' AS doc_ids
+        |FROM (
+        |  SELECT doc_id,
+        |         list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |           list_transform(range(0, 60), j ->
+        |             CASE WHEN 2 * len(list_filter(hs, h ->
+        |                    ((CASE WHEN j < 30 THEN h
+        |                           ELSE (31 * h + 17) % 1000000007 END)
+        |                     // (CAST(1 AS BIGINT) << (j % 30))) % 2 = 1)) >= len(hs)
+        |                  THEN (CAST(1 AS BIGINT) << j) ELSE CAST(0 AS BIGINT) END)),
+        |           (a, b) -> a + b) AS simhash
+        |  FROM (SELECT doc_id,
+        |               list_transform(string_split(text, ' '), tok -> ${polyHashSql("tok")}) AS hs
+        |        FROM documents))
+        |GROUP BY simhash HAVING count(*) > 1""".stripMargin,
+
+    // Mirrors the flagship q_embed_neardup (portable hyperplanes at the
+    // higher-recall operating point): 6 md5-parity planes, cosine verify,
+    // threshold 0.25 on the quantized value.
+    "q_embed_neardup" ->
+      s"""WITH e AS (
+        |  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |b AS (
+        |  SELECT vec_id, v,
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT), list_transform(range(0, 6), p ->
+        |      CASE WHEN list_reduce(list_prepend(CAST(0 AS DOUBLE),
+        |             list_transform(range(1, len(v) + 1), i -> v[i] *
+        |               (CASE WHEN CAST(('0x' || substr(md5(CAST(p AS VARCHAR) || '_' || CAST(i - 1 AS VARCHAR)), 1, 1)) AS BIGINT) % 2 = 0
+        |                     THEN CAST(1 AS DOUBLE) ELSE CAST(-1 AS DOUBLE) END))),
+        |             (a, x) -> a + x) >= CAST(0 AS DOUBLE)
+        |           THEN (CAST(1 AS BIGINT) << p) ELSE CAST(0 AS BIGINT) END)),
+        |      (a, x) -> a + x) AS bucket
+        |  FROM e)
+        |SELECT vec_a, vec_b, cosine FROM (
+        |  SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b,
+        |         floor(${cosSql("a.v", "b2.v")} * 1e6 + 0.5) / 1e6 AS cosine
+        |  FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id)
+        |WHERE cosine >= CAST(0.25 AS DOUBLE)""".stripMargin,
+
+    // Full replay of the quantized 3-iteration Lloyd k-means + IVF probe:
+    // per-iteration centroid means are quantized to 1e-6 on BOTH engines, so
+    // the trained centroids — and the assignment, probe set, and final
+    // top-k — reproduce bit-identically despite different summation orders.
+    "q_ann_ivf_kmeans" ->
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |c0 AS (SELECT vec_id AS centroid_id, v AS cv FROM e WHERE vec_id < 16),
+        |${kmeansIterSql("c0", "c1")},
+        |${kmeansIterSql("c1", "c2")},
+        |${kmeansIterSql("c2", "c3")},
+        |probes AS (
+        |  SELECT centroid_id FROM (
+        |    SELECT centroid_id, ${cosSql("cv", "qv")} AS qcos FROM c3, q)
+        |  ORDER BY qcos DESC, centroid_id LIMIT 4),
+        |assign AS (
+        |  SELECT vec_id, centroid_id FROM (
+        |    SELECT e.vec_id, c.centroid_id,
+        |           row_number() OVER (PARTITION BY e.vec_id
+        |             ORDER BY ${cosSql("e.v", "c.cv")} DESC, c.centroid_id) AS rn
+        |    FROM e CROSS JOIN c3 c)
+        |  WHERE rn = 1)
+        |SELECT e.vec_id, a.centroid_id,
+        |       floor(${cosSql("e.v", "qv")} * 1e6 + 0.5) / 1e6 AS cosine
+        |FROM e JOIN assign a ON e.vec_id = a.vec_id CROSS JOIN q
+        |WHERE a.centroid_id IN (SELECT centroid_id FROM probes) AND e.vec_id <> 0
+        |ORDER BY cosine DESC, e.vec_id LIMIT 20""".stripMargin,
 
     // Mirrors Similarity.portableNearDupPairs: SRP bucket = Σ 2^p over
     // planes whose index-order projection fold is >= 0, signs from the
