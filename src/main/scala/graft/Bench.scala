@@ -51,8 +51,10 @@ object Bench {
     // calibration_sec moves with the total, the machine moved, not the code.
     def calibrate(): Double = {
       val t0 = System.nanoTime()
+      // modulo before multiply keeps every term far from Long range (ANSI
+      // overflow would kill the run)
       spark.range(0L, 4000000000L, 1, cpus.toInt)
-        .selectExpr("sum(id * 2654435761) AS s").collect()
+        .selectExpr("sum((id % 1048576) * 31) AS s").collect()
       (System.nanoTime() - t0) / 1e9
     }
 
@@ -139,11 +141,14 @@ object Bench {
         "prepared_p95_sec" -> pct(prepared, 95),
         "n" -> iters.toDouble)
     }
-    // filtered local runs skip the serving-path sweeps
-    val pitWarm = if (only.isEmpty) warmStats("q_pit_snapshot", 20)
-      else Map("p50_sec" -> -1.0, "p95_sec" -> -1.0,
-        "prepared_p50_sec" -> -1.0, "prepared_p95_sec" -> -1.0, "n" -> 0.0)
-    val onlineWarm = if (only.isEmpty) warmStats("q_online_features", 10) else pitWarm
+    // filtered local runs skip the serving-path sweeps unless the filter
+    // names the serving query itself
+    val skipped = Map("p50_sec" -> -1.0, "p95_sec" -> -1.0,
+      "prepared_p50_sec" -> -1.0, "prepared_p95_sec" -> -1.0, "n" -> 0.0)
+    val pitWarm = if (only.forall(_.contains("q_pit_snapshot")))
+      warmStats("q_pit_snapshot", 20) else skipped
+    val onlineWarm = if (only.forall(_.contains("q_online_features")))
+      warmStats("q_online_features", 10) else skipped
 
     // 3-significant-digit values keep the stdout line inside small tail
     // captures; the full-precision copy goes to BENCH_FULL.json.

@@ -82,11 +82,13 @@ object Risk {
   }
 
   /** Amihud illiquidity per symbol-day: mean of |return| / dollar volume
-    * (×10⁶ for readability) — the standard price-impact proxy. The mean
-    * folds QUANTIZED per-trade ratios in (time, trade_id) order (sorted
-    * per-group array, bounded by trades-per-symbol-day) — the ordered-fold
-    * discipline, so the cross-engine hash cannot flip on a
-    * float-accumulation-order boundary.
+    * (×10⁶ for readability) — the standard price-impact proxy. The fold is
+    * a plain mean, so scaled-BIGINT exact moments apply (the [[rollSpread]]
+    * discipline): each quantized per-trade ratio is an exact 1e-6 multiple,
+    * its 1e6-scaled integer image sums order-independently (exact DECIMAL
+    * accumulation), and the mean runs once per group on identical doubles in
+    * both engines — O(1) per-group state, no per-group array, no ordered
+    * fold.
     */
   def amihud(trades: DataFrame): DataFrame = {
     val ord = Window.partitionBy("symbol").orderBy("time", "trade_id")
@@ -98,16 +100,16 @@ object Risk {
         col("time"), col("trade_id"), r.as("r"),
         (col("price") * col("volume")).as("dollar_vol"))
       .filter(col("r").isNotNull && col("dollar_vol") > 0)
-      .select(col("day"), col("symbol"), col("time"), col("trade_id"),
-        Quantize.r(abs(col("r")) / col("dollar_vol") * lit(1e6), 6).as("x"))
+      .select(col("day"), col("symbol"),
+        Quantize.i(abs(col("r")) / col("dollar_vol") * lit(1e6)).as("xi"))
       .groupBy("day", "symbol")
-      .agg(sort_array(collect_list(
-        struct(col("time"), col("trade_id"), col("x")))).as("obs"))
+      .agg(sum(col("xi").cast("decimal(38,0)")).as("sxi"),
+        count(lit(1)).as("n_trades"))
       .select(col("day"), col("symbol"),
         Quantize.r(
-          aggregate(col("obs"), lit(0.0), (acc, o) => acc + o.getField("x")) /
-            size(col("obs")).cast("double"), 6).as("amihud_illiq"),
-        size(col("obs")).cast("long").as("n_trades"))
+          col("sxi").cast("double") / col("n_trades").cast("double") / lit(1e6), 6)
+          .as("amihud_illiq"),
+        col("n_trades"))
   }
 
   /** Roll's implied spread per symbol: 2·√(−cov(Δp_t, Δp_{t−1})) from the

@@ -1469,17 +1469,18 @@ object FeatureQueries {
         |FROM ranked WHERE rn <= k
         |GROUP BY symbol""".stripMargin),
 
-    // Mirrors Risk.amihud: quantized per-trade ratios folded in
-    // (time, trade_id) order — the ordered-fold discipline.
+    // Mirrors Risk.amihud: 1e6-scaled BIGINT ratio images, exact
+    // order-independent integer sum, one mean per group (the rollSpread
+    // scaled-integer-moment discipline — no per-group array).
     "q_amihud" -> withTrades(
       """SELECT day, symbol,
-        |       floor((list_reduce(list_prepend(CAST(0 AS DOUBLE), l), (a, x) -> a + x)
-        |              / len(l)) * 1e6 + 0.5) / 1e6 AS amihud_illiq,
-        |       CAST(len(l) AS BIGINT) AS n_trades
+        |       floor((CAST(sxi AS DOUBLE) / CAST(n_trades AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
+        |         AS amihud_illiq,
+        |       n_trades
         |FROM (
         |  SELECT CAST(time AS DATE) AS day, symbol,
-        |         list(floor((abs(r) / dv * CAST(1000000 AS DOUBLE)) * 1e6 + 0.5) / 1e6
-        |              ORDER BY time, trade_id) AS l
+        |         sum(CAST(floor((abs(r) / dv * CAST(1000000 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sxi,
+        |         CAST(count(*) AS BIGINT) AS n_trades
         |  FROM (
         |    SELECT time, trade_id, symbol,
         |           floor(ln(nullif(price, CAST(0 AS DOUBLE)) /

@@ -558,14 +558,14 @@ class PlanSpec extends SparkTestBase {
     // row is the engine's one executor-OOM hazard at 100x scale
     val family = Seq("q_pair_corr", "q_beta", "q_autocorr", "q_roll_spread",
       "q_kyle_lambda", "q_var_cvar", "q_vpin", "q_amihud")
-    for (q <- family.filterNot(_ == "q_amihud")) {
+    for (q <- family) {
       val plan = registry.FeatureQueries.queries(q)(spark, sf0001)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("collect_list") && !plan.contains("sort_array"),
         s"$q plans a per-group array:\n${plan.take(2000)}")
     }
-    // amihud's fold is BOUNDED (per symbol-day) — allowed, but pin that the
-    // grouping key keeps the day so the bound cannot silently widen
+    // pin that amihud's grouping key keeps the day so the per-group bound
+    // cannot silently widen
     val amihud = registry.FeatureQueries.queries("q_amihud")(spark, sf0001)
       .queryExecution.analyzed.toString
     assert(amihud.contains("day"), "amihud must stay bounded per symbol-day")
