@@ -3,7 +3,7 @@ package graft.registry
 import graft.core.Tables
 import graft.features.Ohlc
 import graft.operators.Rls
-import graft.quality.{DqScore, Expectations, KsTest, Profiler, Psi}
+import graft.quality.{DqScore, Expectations, KsTest, PipelineHealth, Profiler, Psi}
 import graft.sources.Ingest
 import graft.functions.Quantize
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -29,6 +29,11 @@ object QualityQueries {
 
     "q_ks_test" -> ((s, d) =>
       KsTest.dStatistic(Tables.events(s, d), "value", "event_type", "view", "click")),
+
+    // Component-health rollup: one record per component metric + the
+    // worst-status overall record (health_dashboard.py:37-61,415-427).
+    "q_pipeline_health" -> ((s, d) =>
+      PipelineHealth.compute(trades(s, d), Tables.events(s, d))),
 
     // Binned drift magnitude alongside the KS shift decision.
     "q_psi" -> ((s, d) =>
@@ -278,6 +283,93 @@ object QualityQueries {
         |       timeliness,
         |       floor(((completeness + consistency + accuracy + timeliness) / CAST(4 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS overall
         |FROM raw""".stripMargin),
+
+    // Mirrors PipelineHealth.compute: the DQSOps raw CTE (q_dq_score), the
+    // KS p-value CTE (q_ks_test), one scalar pass over trades, five
+    // component-metric rows UNION ALL the worst-status overall record.
+    "q_pipeline_health" -> withTradesAnd(
+      ohlcCte + """,
+      |stats AS (SELECT avg(close) AS mu, stddev_samp(close) AS sigma FROM ohlc),
+      |anchor AS (SELECT max(time) AS mx FROM trades),
+      |rawdq AS (
+      |  SELECT
+      |    CAST(1 AS DOUBLE) - (count(CASE WHEN open IS NULL THEN 1 END) + count(CASE WHEN high IS NULL THEN 1 END) +
+      |      count(CASE WHEN low IS NULL THEN 1 END) + count(CASE WHEN close IS NULL THEN 1 END) +
+      |      count(CASE WHEN volume IS NULL THEN 1 END)) / CAST(count(*) * 5 AS DOUBLE) AS completeness,
+      |    CAST(1 AS DOUBLE) - CAST(count(CASE WHEN high < low OR low > close THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS consistency,
+      |    CAST(1 AS DOUBLE) - CAST(count(CASE WHEN abs((close - mu) / nullif(sigma, CAST(0 AS DOUBLE))) > 3 THEN 1 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS accuracy,
+      |    CASE WHEN epoch_us(max(mx)) - epoch_us(max(bucket)) <= 60000000 THEN CAST(1.0 AS DOUBLE)
+      |         WHEN epoch_us(max(mx)) - epoch_us(max(bucket)) <= 300000000 THEN CAST(0.8 AS DOUBLE)
+      |         ELSE CAST(0.5 AS DOUBLE) END AS timeliness
+      |  FROM ohlc CROSS JOIN stats CROSS JOIN anchor),
+      |dq AS (
+      |  SELECT floor(((completeness + consistency + accuracy + timeliness) / CAST(4 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS dq_score
+      |  FROM rawdq),
+      |m AS (
+      |  SELECT floor((CAST(count(CASE WHEN price <= 0 OR volume <= 0 THEN 1 END) AS DOUBLE) /
+      |                CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS error_rate,
+      |         floor((CAST(epoch_us(max(time)) - epoch_us(date_trunc('minute', max(time))) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS ca_lag_seconds,
+      |         floor((CAST(count(CASE WHEN bid IS NULL OR ask IS NULL THEN 1 END) AS DOUBLE) /
+      |                CAST(count(*) AS DOUBLE) * CAST(100 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS null_rate_percent
+      |  FROM trades),
+      |pts AS (
+      |  SELECT value AS v,
+      |         count(CASE WHEN event_type = 'view' THEN 1 END) AS c1,
+      |         count(CASE WHEN event_type = 'click' THEN 1 END) AS c2
+      |  FROM events WHERE event_type IN ('view', 'click') AND value IS NOT NULL
+      |  GROUP BY 1),
+      |r AS (
+      |  SELECT sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r1,
+      |         sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS r2,
+      |         sum(c1) OVER () AS n1, sum(c2) OVER () AS n2
+      |  FROM pts),
+      |a AS (
+      |  SELECT max(abs(CAST(r1 AS DOUBLE) / CAST(n1 AS DOUBLE) - CAST(r2 AS DOUBLE) / CAST(n2 AS DOUBLE))) AS d,
+      |         CAST(max(n1) AS BIGINT) AS n1, CAST(max(n2) AS BIGINT) AS n2
+      |  FROM r),
+      |pv AS (
+      |  SELECT d, n1, n2,
+      |         CASE WHEN sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d < CAST(0.1 AS DOUBLE)
+      |              THEN CAST(1 AS DOUBLE)
+      |              ELSE least(CAST(1 AS DOUBLE), greatest(CAST(0 AS DOUBLE),
+      |           CAST(2 AS DOUBLE) * list_reduce(
+      |             list_transform(range(1, 101), k ->
+      |               power(CAST(-1 AS DOUBLE), CAST(k AS DOUBLE) - 1) *
+      |               exp(CAST(-2 AS DOUBLE) * CAST(k AS DOUBLE) * CAST(k AS DOUBLE) *
+      |                   (sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d) *
+      |                   (sqrt(CAST(n1 * n2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE)) * d))),
+      |             (acc, x) -> acc + x))) END AS p
+      |  FROM a),
+      |ksq AS (SELECT floor(p * 1e6 + 0.5) / 1e6 AS p_value FROM pv),
+      |comps AS (
+      |  SELECT 'ingest' AS component, 'error_rate' AS metric,
+      |         error_rate AS value, CAST(0.001 AS DOUBLE) AS threshold,
+      |         CASE WHEN error_rate > CAST(0.001 AS DOUBLE) THEN 'critical' ELSE 'healthy' END AS status
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'storage', 'ca_lag_seconds', ca_lag_seconds, CAST(120 AS DOUBLE),
+      |         CASE WHEN ca_lag_seconds > CAST(120 AS DOUBLE) THEN 'degraded' ELSE 'healthy' END
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'features', 'dq_score', dq_score, CAST(0.8 AS DOUBLE),
+      |         CASE WHEN dq_score < CAST(0.8 AS DOUBLE) THEN 'degraded' ELSE 'healthy' END
+      |  FROM dq
+      |  UNION ALL
+      |  SELECT 'feature_quality', 'null_rate_percent', null_rate_percent, CAST(5 AS DOUBLE),
+      |         CASE WHEN null_rate_percent > CAST(5 AS DOUBLE) THEN 'degraded' ELSE 'healthy' END
+      |  FROM m
+      |  UNION ALL
+      |  SELECT 'feature_quality', 'ks_p_value', p_value, CAST(0.01 AS DOUBLE),
+      |         CASE WHEN p_value < CAST(0.01 AS DOUBLE) THEN 'degraded' ELSE 'healthy' END
+      |  FROM ksq)""".stripMargin,
+      """SELECT component, metric, value, threshold, status FROM comps
+        |UNION ALL
+        |SELECT 'overall', 'worst_status', CAST(p AS DOUBLE), CAST(3 AS DOUBLE),
+        |       CASE WHEN p = 3 THEN 'critical' WHEN p = 2 THEN 'degraded' ELSE 'healthy' END
+        |FROM (
+        |  SELECT max(CASE WHEN status = 'critical' THEN 3
+        |                  WHEN status = 'degraded' THEN 2 ELSE 1 END) AS p
+        |  FROM comps)""".stripMargin),
 
     // Mirrors the derived backup feed, then classifies via the key-join:
     // missing key -> only_a/only_b, IS DISTINCT FROM on the compare

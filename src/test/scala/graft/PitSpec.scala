@@ -36,6 +36,31 @@ class PitSpec extends SparkTestBase {
     assert(PitSnapshot.validateAsOf(Timestamp.valueOf("2024-01-29 00:00:00"), now).isRight)
   }
 
+  test("snapshot JSON export round-trips every feature key (helpers.py:123-147 parity)") {
+    import graft.serving.SnapshotExport
+    val asOf = Timestamp.valueOf("2024-01-15 00:00:00")
+    val snap = PitSnapshot.snapshot(spark, trades, "3", asOf)
+    val out = java.nio.file.Files.createTempDirectory("graft_snapjson_")
+      .resolve("snapshot.json").toString
+    val doc = SnapshotExport.exportToJson(snap, out)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(out)), "UTF-8").trim === doc.trim, "file matches render")
+    val leaves = SnapshotExport.parseLeaves(doc)
+    val row = snap.collect()(0)
+    val expectedKeys = Seq("symbol", "snapshot_time", "ohlc_1m_open",
+      "ohlc_1m_high", "ohlc_1m_low", "ohlc_1m_close", "sma_20", "ewm_12",
+      "volatility_1h", "vwap_5m", "large_trade_flag", "bidask_spread",
+      "trade_imbalance_5m", "regime_tag")
+    assert(expectedKeys.forall(leaves.contains), s"missing keys: ${
+      expectedKeys.filterNot(leaves.contains)}")
+    assert(leaves("symbol") === "3")
+    assert(leaves("snapshot_time") === asOf.toLocalDateTime.toString)
+    assert(leaves("ohlc_1m_close") === row.getAs[Any]("close").toString)
+    assert(leaves("sma_20") === row.getAs[Any]("sma_20").toString)
+    assert(leaves("regime_tag") === row.getAs[String]("regime_tag"))
+    assert(leaves("large_trade_flag") === row.getAs[Boolean]("large_trade_flag").toString)
+  }
+
   test("as-of join: exact-time feature rows are visible (<= semantics), later ones are not") {
     import spark.implicits._
     val feature = Seq(
