@@ -39,12 +39,52 @@ object StreamQueries {
           (col("price") - col("mu")) / col("sigma"), 6).as("z"))
   }
 
+  /** Bounded-replay session tuning: these replays end in ≤ thousands of
+    * rows, so 32 state/shuffle partitions is pure per-batch overhead (32
+    * state-store instances + checkpoint uploads per stateful op). 8 cuts
+    * the fixed cost ~4× with no semantic change (state partitioning is
+    * internal; per-key processing is partition-count-independent), and
+    * RocksDB changelog checkpointing uploads deltas instead of full
+    * snapshots. Restores the session conf after — batch queries keep the
+    * session's parallelism.
+    */
+  def withReplayConf[T](s: SparkSession)(body: => T): T = {
+    val partsKey = "spark.sql.shuffle.partitions"
+    val clogKey =
+      "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+    val prevParts = s.conf.get(partsKey)
+    val prevClog = s.conf.getOption(clogKey)
+    s.conf.set(partsKey, "8")
+    s.conf.set(clogKey, "true")
+    try body
+    finally {
+      s.conf.set(partsKey, prevParts)
+      prevClog match {
+        case Some(v) => s.conf.set(clogKey, v)
+        case None    => s.conf.unset(clogKey)
+      }
+    }
+  }
+
+  /** The arrival-order monitors (CusumMonitor, SpreadEmaMonitor) fold in
+    * delivery order; their fold equals the event-time fold ONLY under
+    * single-batch delivery (each key's rows chronological within a batch).
+    * A single input FILE under AvailableNow with no maxFilesPerTrigger is
+    * exactly one micro-batch — assert that shape LOUDLY instead of letting
+    * a directory input silently change the fold (the ordered
+    * transformWithState variants are the multi-batch-safe path).
+    */
+  private def requireSingleBatchSource(path: String): Unit =
+    require(new java.io.File(path).isFile,
+      s"arrival-order fold requires single-batch delivery: $path must be one " +
+        "file (use the ordered transformWithState variant for multi-batch sources)")
+
   /** Bounded replay of a transformWithState dataset into `out`, with the
     * RocksDB state store (the arbitrary-state API needs multi-column-family
     * support) scoped to the query and the session default restored after.
     */
   def runOrderedTws[T](s: SparkSession, ds: org.apache.spark.sql.Dataset[T],
-      out: String): Unit = {
+      out: String): Unit = withReplayConf(s) {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(providerKey)
     s.conf.set(providerKey,
@@ -85,11 +125,11 @@ object StreamQueries {
 
   val queries: Map[String, Q] = Map(
     // Streaming OHLC (watermark + tumbling window + memory sink).
-    "q_stream_ohlc" -> ((s, d) =>
-      StreamingFeatures.streamingOhlcOnce(s, s"$d/events.parquet")),
+    "q_stream_ohlc" -> ((s, d) => withReplayConf(s) {
+      StreamingFeatures.streamingOhlcOnce(s, s"$d/events.parquet") }),
 
     // Exactly-once ingest: foreachBatch idempotent MERGE + full replay.
-    "q_stream_merge" -> ((s, d) => {
+    "q_stream_merge" -> ((s, d) => withReplayConf(s) {
       val out = Files.createTempDirectory("graft_merge_").toString + "/t"
       StreamingFeatures.exactlyOnceIngest(s, s"$d/events.parquet", out)
         .select("time", "symbol", "trade_id", "price", "volume")
@@ -97,7 +137,8 @@ object StreamQueries {
 
     // Stateful CEP (flatMapGroupsWithState) over a bounded stream; thresholds
     // from a batch percentile broadcast into the stream (stream-static join).
-    "q_stream_cep" -> ((s, d) => {
+    "q_stream_cep" -> ((s, d) => withReplayConf(s) {
+      requireSingleBatchSource(s"$d/events.parquet")
       val thresholds = LargeTrades.thresholds(Tables.trades(s, d))
       val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
         .join(broadcast(thresholds), Seq("symbol"))
@@ -114,7 +155,8 @@ object StreamQueries {
 
     // Stateful EMA monitor (mapGroupsWithState) — final state per symbol,
     // collected via foreachBatch (update-mode sink path).
-    "q_stream_spread_ema" -> ((s, d) => {
+    "q_stream_spread_ema" -> ((s, d) => withReplayConf(s) {
+      requireSingleBatchSource(s"$d/events.parquet")
       val out = Files.createTempDirectory("graft_ema_").toString + "/t"
       val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
       val results = Cep.SpreadEmaMonitor.monitor(stream)
@@ -183,7 +225,7 @@ object StreamQueries {
     // when the watermark passes its gap) — the streaming twin of the batch
     // q_session_stats, same oracle. Complete-mode memory sink for the
     // bounded replay, as q_stream_ohlc.
-    "q_stream_sessions" -> ((s, d) => {
+    "q_stream_sessions" -> ((s, d) => withReplayConf(s) {
       val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
         .withWatermark("time", "1 minute")
         .groupBy(session_window(col("time"), "1 hour"), col("symbol"))
@@ -209,7 +251,8 @@ object StreamQueries {
     // trade, constant price) are excluded on both sides: their z is
     // undefined (null / ±Inf) and would crash the non-nullable encoder or
     // saturate the fold.
-    "q_stream_cusum" -> ((s, d) => {
+    "q_stream_cusum" -> ((s, d) => withReplayConf(s) {
+      requireSingleBatchSource(s"$d/events.parquet")
       val out = Files.createTempDirectory("graft_cusum_").toString + "/t"
       val obs = cusumZ(s, d, StreamSources.tradeFileStream(s, s"$d/events.parquet"))
       val results = Cep.CusumMonitor.monitor(obs)
@@ -257,16 +300,16 @@ object StreamQueries {
     // Stream-stream interval join (dual watermarks, time-range state
     // eviction): large trades × trailing-hour quotes. Same oracle as the
     // batch epsilon-join twin q_range_join.
-    "q_stream_interval_join" -> ((s, d) =>
+    "q_stream_interval_join" -> ((s, d) => withReplayConf(s) {
       StreamingFeatures.streamingIntervalJoinOnce(s, s"$d/events.parquet",
-        LargeTrades.thresholds(Tables.trades(s, d)))),
+        LargeTrades.thresholds(Tables.trades(s, d))) }),
 
     // Stream-stream LEFT OUTER interval join: every large trade emits, with
     // null quote columns when no quote fell in its lookback hour. Gated on
     // the closed region of the stream (watermark + lookback behind max
     // event time) where outer results are final; the batch LEFT JOIN twin
     // oracle applies the same gate.
-    "q_stream_interval_left" -> ((s, d) => {
+    "q_stream_interval_left" -> ((s, d) => withReplayConf(s) {
       val t = Tables.trades(s, d)
       val cut = broadcast(t.agg(
         (max(col("time")) - expr("INTERVAL 3 HOURS")).as("__cut")))
@@ -277,8 +320,8 @@ object StreamQueries {
 
     // Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)
     // over an at-least-once duplicated delivery; equals batch DISTINCT.
-    "q_stream_dedup" -> ((s, d) =>
-      StreamingFeatures.streamingDedupOnce(s, s"$d/events.parquet")),
+    "q_stream_dedup" -> ((s, d) => withReplayConf(s) {
+      StreamingFeatures.streamingDedupOnce(s, s"$d/events.parquet") }),
 
     // Avro wire-format roundtrip (decimal logical types): encode every trade
     // to Avro binary, decode it back, aggregate — must equal the plain SQL
