@@ -219,20 +219,30 @@ object CoreQueries {
     // p94..p96 band). The oracle expects true/true — a sketch regression
     // flips a boolean and fails the hash, so the gate is real, while every
     // emitted value is cross-engine reproducible.
-    "q_approx_stats" -> ((s, d) =>
-      Tables.events(s, d).agg(
+    "q_approx_stats" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      // Sketches in one codegen'd pass. The exact gates run as separate
+      // tiny frames cross-joined in (1-row cartesians, free): folding
+      // countDistinct into the same agg would Expand every input row, and
+      // the exact-percentile band is an interpreted ImperativeAggregate —
+      // keeping both out of the sketch pass keeps it whole-stage-codegen.
+      val sketches = ev.agg(
         // rsd=0.01: the 5% gate below is then a ~5-sigma bound, not a
         // coin-flip (the default rsd=0.05 fails a 5% bound ~1/3 of the time)
         approx_count_distinct(col("user_id"), 0.01).as("au"),
         percentile_approx(col("value"), lit(0.95), lit(10000)).as("ap"),
-        expr("percentile(value, array(0.94, 0.96))").as("band"),
-        countDistinct(col("user_id")).as("exact_users"),
         count(lit(1)).as("n"))
+      val exact = ev.select("user_id").distinct()
+        .agg(count(lit(1)).as("exact_users"))
+      val band = ev.agg(
+        expr("percentile(value, array(0.94, 0.96))").as("band"))
+      sketches.crossJoin(exact).crossJoin(band)
         .select(col("n"), col("exact_users"),
           (abs(col("au") - col("exact_users")) <=
             col("exact_users") * lit(0.05)).as("hll_ok"),
           (col("ap") >= element_at(col("band"), 1) &&
-            col("ap") <= element_at(col("band"), 2)).as("p95_ok"))),
+            col("ap") <= element_at(col("band"), 2)).as("p95_ok"))
+    }),
 
     // Ordered conversion funnel view -> click -> purchase within a user
     // session (30-min inactivity gap): the product-analytics query the
