@@ -177,7 +177,7 @@ object StreamQueries {
     // full batch recompute — buckets older than the refresh window must
     // already be correct, newer ones must be corrected by the MERGE. The
     // table is date-partitioned; only trailing partitions are rewritten.
-    "q_ohlc_refresh" -> ((s, d) => {
+    "q_ohlc_refresh" -> ((s, d) => withReplayConf(s) {
       val out = seedStale(s, d, "ohlc", graft.features.Ohlc.compute(_))
       val t = Tables.trades(s, d)
       StreamingFeatures.refreshOhlcAggregate(s, t, out, startOffsetSec = 7200)
@@ -188,7 +188,7 @@ object StreamQueries {
     // reference continuous aggregates (`sql/timescaledb_schema.sql:154-159`
     // volatility, `:173-178` vwap, `:233-238` imbalance) — each seeded stale,
     // refreshed twice, and hash-gated against its full recompute.
-    "q_vwap_refresh" -> ((s, d) => {
+    "q_vwap_refresh" -> ((s, d) => withReplayConf(s) {
       val out = seedStale(s, d, "vwap", graft.features.Vwap.compute(_))
       StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
         StreamingFeatures.sliced(graft.features.Vwap.compute),
@@ -198,7 +198,7 @@ object StreamQueries {
         bucketSec = 300, startOffsetSec = 7200)
     }),
 
-    "q_imbalance_refresh" -> ((s, d) => {
+    "q_imbalance_refresh" -> ((s, d) => withReplayConf(s) {
       val out = seedStale(s, d, "imb", graft.features.Imbalance.compute(_))
       StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
         StreamingFeatures.sliced(graft.features.Imbalance.compute),
@@ -211,7 +211,7 @@ object StreamQueries {
     // Volatility's lag crosses bucket edges, so its ComputeWindow warms the
     // slice with the last pre-window (time, price) per symbol — see
     // Volatility.computeWindowed.
-    "q_volatility_refresh" -> ((s, d) => {
+    "q_volatility_refresh" -> ((s, d) => withReplayConf(s) {
       val out = seedStale(s, d, "vol", graft.features.Volatility.compute(_))
       StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
         graft.features.Volatility.computeWindowed,
