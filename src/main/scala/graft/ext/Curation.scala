@@ -143,4 +143,35 @@ object Curation {
       .select(col("doc_id"), col("c.chunk_idx"), col("c.chunk_text"),
         col("c.chunk_tokens"))
   }
+
+  /** Corpus-level sequence packing (concat-and-chunk): documents concatenate
+    * in a deterministic md5 order WITHIN each source and split into fixed
+    * `capacityTokens` training windows — the pretraining batch-packing step
+    * (concatenate-then-chunk, which [[chunk]]'s per-document windows
+    * deliberately are not). Emits each document's span in the packed token
+    * stream: its start offset, first/last window, and how many windows it
+    * crosses (the packing-efficiency / boundary-split accounting a data
+    * loader needs).
+    *
+    * Scale shape: ONE running sum per source partition (window cumsum over
+    * the hash order) — per-source streams pack independently and in
+    * parallel, never a global single-partition sort. Deterministic: the md5
+    * order is engine- and cluster-size-independent, so the packing layout
+    * reproduces anywhere.
+    */
+  def packSequences(documents: DataFrame, capacityTokens: Int): DataFrame = {
+    val c = capacityTokens.toLong
+    val ord = Window.partitionBy("source")
+      .orderBy(md5(concat(lit("pack:"), col("doc_id").cast("string"))), col("doc_id"))
+    documents
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("end_tok", sum(col("n_tokens")).over(ord))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        (col("end_tok") - col("n_tokens")).as("start_tok"),
+        expr(s"CAST((end_tok - n_tokens) DIV $c AS BIGINT)").as("start_window"),
+        expr(s"CAST((end_tok - 1) DIV $c AS BIGINT)").as("end_window"))
+      .withColumn("n_windows_spanned",
+        col("end_window") - col("start_window") + lit(1L))
+  }
 }

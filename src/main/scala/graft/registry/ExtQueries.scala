@@ -200,6 +200,12 @@ object ExtQueries {
     "q_doc_chunks" -> ((s, d) =>
       graft.ext.Curation.chunk(docsPar(s, d), chunkTokens = 50)),
 
+    // Corpus-level sequence packing (concat-and-chunk, per-source md5
+    // order): each document's span in the packed 512-token training
+    // windows — the pretraining batch-packing accounting.
+    "q_pack_sequences" -> ((s, d) =>
+      graft.ext.Curation.packSequences(Tables.documents(s, d), capacityTokens = 512)),
+
     // PII audit + redaction. The synthetic corpus contains no PII, so the
     // query injects a deterministic email/IP/card per document first
     // (keeps the check non-vacuous); the audit itself is corpus-agnostic.
@@ -868,6 +874,26 @@ object ExtQueries {
         |       array_to_string(t[(ci*50+1):(ci*50+50)], ' ') AS chunk_text,
         |       CAST(len(t[(ci*50+1):(ci*50+50)]) AS INT) AS chunk_tokens
         |FROM x""".stripMargin,
+
+    // Mirrors Curation.packSequences: per-source md5-ordered token cumsum,
+    // 512-token window spans via integer division.
+    "q_pack_sequences" ->
+      """WITH d AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |         md5('pack:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, source, n_tokens,
+        |         CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY h, doc_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS end_tok
+        |  FROM d)
+        |SELECT doc_id, source, n_tokens,
+        |       end_tok - n_tokens AS start_tok,
+        |       (end_tok - n_tokens) // 512 AS start_window,
+        |       (end_tok - 1) // 512 AS end_window,
+        |       (end_tok - 1) // 512 - (end_tok - n_tokens) // 512 + 1 AS n_windows_spanned
+        |FROM s""".stripMargin,
 
     "q_multimodal_meta" ->
       """SELECT doc_id AS media_id, source,
