@@ -40,6 +40,30 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Loud fixture-drift gate shared by the typed loaders: every column the
+    * engine depends on must exist with a type it knows how to handle, and
+    * anything else fails at PLAN TIME naming the offending columns — never
+    * a silent misread downstream (the events.ts lesson: the storage layer
+    * DOES evolve fixture types between regenerations).
+    */
+  private def assertSchema(df: DataFrame, tableName: String,
+      spec: Seq[(String, DataType => Boolean)]): DataFrame = {
+    val bad = spec.flatMap { case (name, ok) =>
+      df.schema.find(_.name == name) match {
+        case None    => Some(s"$name: MISSING")
+        case Some(f) => if (ok(f.dataType)) None
+                        else Some(s"$name: unsupported ${f.dataType.simpleString}")
+      }
+    }
+    if (bad.nonEmpty) throw new IllegalStateException(
+      s"$tableName schema drifted beyond what the engine supports — " +
+        s"[${bad.mkString("; ")}]; actual schema = ${df.schema.simpleString}")
+    df
+  }
+
+  private val integral: DataType => Boolean =
+    t => t == LongType || t == IntegerType
+
   def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
   def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
   def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
@@ -48,8 +72,21 @@ object Tables {
   def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
   def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
   def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
-  def documents(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "documents")
-  def embeddings(spark: SparkSession, dir: String): DataFrame = table(spark, dir, "embeddings")
+
+  def documents(spark: SparkSession, dir: String): DataFrame =
+    assertSchema(table(spark, dir, "documents"), "documents", Seq(
+      "doc_id" -> integral,
+      "text" -> (_ == StringType),
+      "lang" -> (_ == StringType),
+      "source" -> (_ == StringType)))
+
+  def embeddings(spark: SparkSession, dir: String): DataFrame =
+    assertSchema(table(spark, dir, "embeddings"), "embeddings", Seq(
+      "vec_id" -> integral,
+      "embedding" -> {
+        case ArrayType(FloatType | DoubleType, _) => true
+        case _                                    => false
+      }))
 
   /** Dtype-adaptive event-time column over `events.ts`. The storage layer has
     * shipped `ts` both as epoch-nanos INT64 (early fixtures) and as a native
@@ -81,23 +118,14 @@ object Tables {
     * per [[projectTrades]] construction (plan build, not per row).
     */
   def assertEventsSchema(events: DataFrame): Unit = {
-    val expected = Map[String, DataType => Boolean](
-      "event_id" -> (t => t == LongType || t == IntegerType),
+    assertSchema(events, "events", Seq(
+      "event_id" -> integral,
       "ts" -> (t => t == LongType || t == IntegerType ||
         t == TimestampType || t == TimestampNTZType),
-      "user_id" -> (t => t == LongType || t == IntegerType),
+      "user_id" -> integral,
       "event_type" -> (_ == StringType),
-      "value" -> (_ == DoubleType))
-    val bad = expected.flatMap { case (name, ok) =>
-      events.schema.find(_.name == name) match {
-        case None    => Some(s"$name: MISSING")
-        case Some(f) => if (ok(f.dataType)) None
-                        else Some(s"$name: unsupported ${f.dataType.simpleString}")
-      }
-    }
-    if (bad.nonEmpty) throw new IllegalStateException(
-      s"events schema drifted beyond what the trades projection supports — " +
-        s"[${bad.mkString("; ")}]; actual schema = ${events.schema.simpleString}")
+      "value" -> (_ == DoubleType)))
+    ()
   }
 
   /** The trades projection over any (batch or streaming) events-shaped frame.
