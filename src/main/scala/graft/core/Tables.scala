@@ -63,22 +63,66 @@ object Tables {
 
   private val integral: DataType => Boolean =
     t => t == LongType || t == IntegerType
+  private val dbl: DataType => Boolean = _ == DoubleType
+  private val str: DataType => Boolean = _ == StringType
+  // Dates ship as parquet timestamp[us]; Spark surfaces them as TIMESTAMP or
+  // TIMESTAMP_NTZ depending on isAdjustedToUTC. Both are wall-clock-identical
+  // under the pinned UTC session TZ ([[configure]]).
+  private val ts: DataType => Boolean =
+    t => t == TimestampType || t == TimestampNTZType
+  // events.ts has historically shipped BOTH as epoch-nanos INT64 and as a
+  // native timestamp — [[eventTime]] adapts; the gate admits exactly that set.
+  private val eventTs: DataType => Boolean = t => integral(t) || ts(t)
 
-  def lineitem(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "lineitem")
-  def orders(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "orders")
-  def customer(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "customer")
-  def supplier(spark: SparkSession, dir: String): DataFrame  = table(spark, dir, "supplier")
-  def nation(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "nation")
-  def region(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "region")
-  def part(spark: SparkSession, dir: String): DataFrame      = table(spark, dir, "part")
-  def events(spark: SparkSession, dir: String): DataFrame    = table(spark, dir, "events")
+  /** Every column the engine depends on, per table — the loud drift gate
+    * ([[assertSchema]]) admits exactly the dtypes the query registry and the
+    * DuckDB oracle handle identically; anything else fails AT PLAN TIME with
+    * the column named (rounds 7-8 were lost to a silent fixture retype).
+    */
+  private val tableSpecs: Map[String, Seq[(String, DataType => Boolean)]] = Map(
+    "lineitem" -> Seq(
+      "l_orderkey" -> integral, "l_partkey" -> integral, "l_suppkey" -> integral,
+      "l_linenumber" -> integral, "l_quantity" -> dbl, "l_extendedprice" -> dbl,
+      "l_discount" -> dbl, "l_tax" -> dbl, "l_returnflag" -> str,
+      "l_linestatus" -> str, "l_shipdate" -> ts),
+    "orders" -> Seq(
+      "o_orderkey" -> integral, "o_custkey" -> integral, "o_orderstatus" -> str,
+      "o_totalprice" -> dbl, "o_orderdate" -> ts, "o_orderpriority" -> str),
+    "customer" -> Seq(
+      "c_custkey" -> integral, "c_name" -> str, "c_nationkey" -> integral,
+      "c_acctbal" -> dbl, "c_mktsegment" -> str),
+    "supplier" -> Seq(
+      "s_suppkey" -> integral, "s_name" -> str, "s_nationkey" -> integral,
+      "s_acctbal" -> dbl),
+    "nation" -> Seq(
+      "n_nationkey" -> integral, "n_name" -> str, "n_regionkey" -> integral),
+    "region" -> Seq("r_regionkey" -> integral, "r_name" -> str),
+    "part" -> Seq(
+      "p_partkey" -> integral, "p_name" -> str, "p_brand" -> str,
+      "p_type" -> str, "p_size" -> integral, "p_retailprice" -> dbl),
+    "events" -> Seq(
+      "event_id" -> integral, "ts" -> eventTs, "user_id" -> integral,
+      "event_type" -> str, "value" -> dbl, "props" -> str))
+
+  private def gated(spark: SparkSession, dir: String, name: String): DataFrame =
+    assertSchema(table(spark, dir, name), name, tableSpecs(name))
+
+  def lineitem(spark: SparkSession, dir: String): DataFrame  = gated(spark, dir, "lineitem")
+  def orders(spark: SparkSession, dir: String): DataFrame    = gated(spark, dir, "orders")
+  def customer(spark: SparkSession, dir: String): DataFrame  = gated(spark, dir, "customer")
+  def supplier(spark: SparkSession, dir: String): DataFrame  = gated(spark, dir, "supplier")
+  def nation(spark: SparkSession, dir: String): DataFrame    = gated(spark, dir, "nation")
+  def region(spark: SparkSession, dir: String): DataFrame    = gated(spark, dir, "region")
+  def part(spark: SparkSession, dir: String): DataFrame      = gated(spark, dir, "part")
+  def events(spark: SparkSession, dir: String): DataFrame    = gated(spark, dir, "events")
 
   def documents(spark: SparkSession, dir: String): DataFrame =
     assertSchema(table(spark, dir, "documents"), "documents", Seq(
       "doc_id" -> integral,
       "text" -> (_ == StringType),
       "lang" -> (_ == StringType),
-      "source" -> (_ == StringType)))
+      "source" -> (_ == StringType),
+      "n_chars" -> integral))
 
   def embeddings(spark: SparkSession, dir: String): DataFrame =
     assertSchema(table(spark, dir, "embeddings"), "embeddings", Seq(
@@ -86,7 +130,8 @@ object Tables {
       "embedding" -> {
         case ArrayType(FloatType | DoubleType, _) => true
         case _                                    => false
-      }))
+      },
+      "label" -> integral))
 
   /** Dtype-adaptive event-time column over `events.ts`. The storage layer has
     * shipped `ts` both as epoch-nanos INT64 (early fixtures) and as a native

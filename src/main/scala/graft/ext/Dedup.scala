@@ -171,6 +171,31 @@ object Dedup {
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_shared_bands"))
 
+  /** Near-dup pipeline over the PORTABLE polynomial LSH family: the
+    * [[portableMinhashPairs]] candidates fed through the same exact-Jaccard
+    * verify as [[nearDups]]. Spark and the DuckDB oracle replay the SAME
+    * hash family end-to-end, so the gated compare is immune to the
+    * per-family recall gap in the fragile mid-Jaccard band (with 8 bands x 4
+    * rows, per-family recall at J=0.5 is only ~40% — two independent
+    * families need not catch the same mid-band pair). The xxhash64 family
+    * ([[nearDups]]) stays spec-tested on planted duplicates (ExtSpec).
+    */
+  def nearDupsPortable(documents: DataFrame, threshold: Double = 0.7,
+      shingleN: Int = 3): DataFrame = {
+    val cands = portableMinhashPairs(documents, shingleN)
+      .select(col("doc_a"), col("doc_b"))
+    val candIds = cands.select(col("doc_a").as("doc_id"))
+      .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sets = documents.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
+      .join(candIds, "doc_id", "left_semi")
+    cands
+      .join(sets.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("sh", "sh_a"), "doc_a")
+      .join(sets.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("sh", "sh_b"), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        Quantize.r(jaccard(col("sh_a"), col("sh_b")), 6).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
+  }
+
   /** SimHash dup groups over the portable 30-bit hash — oracle-checkable
     * twin of [[simhashDups]]; doc_ids surface as a sorted CSV string so the
     * cross-engine compare is a plain string equality.

@@ -60,16 +60,15 @@ object ExtQueries {
           graft.functions.Quantize.r(Dedup.jaccard(col("sh"), col("qsh")), 6).as("jaccard"))
     }),
 
-    // xxhash64-seeded LSH candidates + exact-Jaccard verify. The ORACLE
-    // replays the PORTABLE polynomial hash family's candidates through the
-    // same exact verify: after verification at threshold 0.5 the two
-    // independent families agree on every surviving pair (each family's
-    // per-pair miss probability at J>=0.5 is independent; the exact-verify
-    // filter makes the output the same "true pairs both LSHes can reach"
-    // set — asserted value-exact at sf0.001/0.01/0.1). A disagreement would
-    // surface as a hash mismatch: a real recall gate, not a rows count.
+    // SAME-FAMILY oracle: both Spark and DuckDB run the portable polynomial
+    // LSH (candidates) + exact-Jaccard verify at 0.5, so the gate is exact
+    // by construction — not reliant on two independent hash families
+    // coincidentally agreeing (with 8 bands x 4 rows, per-family recall at
+    // J=0.5 is ~40%, so a mid-band pair caught by one family would
+    // spuriously fail a cross-family compare). The xxhash64 family
+    // (Dedup.nearDups) stays spec-tested on planted duplicates (ExtSpec).
     "q_minhash_pairs" -> ((s, d) =>
-      Dedup.nearDups(docsPar(s, d), threshold = 0.5)
+      Dedup.nearDupsPortable(docsPar(s, d), threshold = 0.5)
         .orderBy("doc_a", "doc_b")),
 
     // Flagship SimHash dup groups over the 60-bit portable hash (two affine
@@ -594,12 +593,11 @@ object ExtQueries {
         |JOIN ok ON ok.band = k1.band AND ok.key = k1.key
         |GROUP BY 1, 2""".stripMargin,
 
-    // Cross-family oracle for the xxhash64 flagship: replay the PORTABLE
-    // polynomial family's 3-shingle LSH candidates through the same exact
-    // Jaccard verify at 0.5 — after verification the two independent hash
-    // families agree on every surviving pair (checked value-exact at
-    // sf0.001/0.01/0.1), so a recall regression in either family fails the
-    // hash compare.
+    // Same-family replay of the gated query (Dedup.nearDupsPortable): the
+    // portable polynomial 3-shingle LSH candidates (8 bands x 4 rows,
+    // bucket cap 1000) through the exact Jaccard verify at 0.5 — every hash
+    // is a char-code fold DuckDB reproduces bit-for-bit, so the compare is
+    // exact by construction at any fixture regeneration.
     "q_minhash_pairs" ->
       s"""WITH sh3 AS (
         |  SELECT doc_id, list_distinct(list_transform(range(1, len(t) - 1),

@@ -5,7 +5,7 @@ import java.nio.file.Files
 import graft.core.Tables
 import graft.features.LargeTrades
 import graft.sources.{AvroCodec, StreamSources}
-import graft.streaming.{Cep, OrderedCusum, StreamingFeatures}
+import graft.streaming.{Cep, OrderedCep, OrderedCusum, StreamingFeatures}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -169,6 +169,33 @@ object StreamQueries {
         .start()
       q.awaitTermination()
       s.read.parquet(out).select("symbol", "normal_spread", "n")
+    }),
+
+    // Event-time-ORDERED spread-EMA twin (transformWithState): exact under
+    // any batch split (the reference's Flink path is an unbounded keyed
+    // stream, not a single-batch replay) — shares q_stream_spread_ema's
+    // oracle; StreamingSpec proves 3-batch equivalence.
+    "q_stream_spread_ema_ordered" -> ((s, d) => {
+      val out = Files.createTempDirectory("graft_ema_ord_").toString + "/t"
+      val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
+      runOrderedTws(s, OrderedCep.spreadEma(stream), out)
+      OrderedCep.lastSpreadEmaRows(s.read.parquet(out))
+        .select(col("symbol"), col("normal_spread"), col("n_folded").as("n"))
+    }),
+
+    // Event-time-ORDERED large-trade CEP twin (transformWithState, append
+    // rows) — shares q_stream_cep's oracle.
+    "q_stream_cep_ordered" -> ((s, d) => {
+      val thresholds = LargeTrades.thresholds(Tables.trades(s, d))
+      val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
+        .join(broadcast(thresholds), Seq("symbol"))
+        .filter(col("volume") > col("percentile_95"))
+      val out = Files.createTempDirectory("graft_cep_ord_").toString + "/t"
+      runOrderedTws(s,
+        OrderedCep.largeTrades(stream, 7L * 24 * 3600 * 1000000L), out)
+      s.read.parquet(out)
+        .select(timestamp_micros(col("timeMicros")).as("time"), col("symbol"),
+          col("large_trades_5m"))
     }),
 
     // Continuous-aggregate refresh (TimescaleDB refresh policy analogue):
@@ -514,6 +541,27 @@ object StreamQueries {
         |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price,
         |       count(side) AS n_sided
         |FROM trades GROUP BY symbol""".stripMargin),
+
+    // the ordered TWS twins end fully folded on a bounded replay -> same
+    // final rows as the arrival-order monitors' shared batch oracles
+    "q_stream_spread_ema_ordered" -> withTrades(
+      """SELECT symbol,
+        |       floor((list_reduce(list(ask - bid ORDER BY time),
+        |             (acc, x) -> CAST(0.9 AS DOUBLE) * acc + CAST(0.1 AS DOUBLE) * x)) * 1e6 + 0.5) / 1e6 AS normal_spread,
+        |       count(*) AS n
+        |FROM trades WHERE bid IS NOT NULL AND ask IS NOT NULL
+        |GROUP BY symbol""".stripMargin),
+
+    "q_stream_cep_ordered" -> withTrades(
+      """SELECT time, symbol, large_trades_5m FROM (
+        |  SELECT t.time, t.symbol,
+        |         count(*) OVER (PARTITION BY t.symbol ORDER BY t.time
+        |               RANGE BETWEEN INTERVAL 7 DAY PRECEDING AND CURRENT ROW) AS large_trades_5m
+        |  FROM trades t
+        |  JOIN (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1) thr
+        |    ON t.symbol = thr.symbol
+        |  WHERE t.volume > thr.p95)
+        |WHERE large_trades_5m >= 3""".stripMargin),
 
     "q_stream_spread_ema" -> withTrades(
       """SELECT symbol,

@@ -29,6 +29,10 @@ object SnapshotExport {
   private def jsonValue(v: Any): String = v match {
     case null                => "null"
     case b: Boolean          => b.toString
+    // Bare NaN/Infinity is not valid JSON — a degenerate feature (e.g. a
+    // zero-variance volatility) must render as null, not corrupt the doc.
+    case d: java.lang.Double if d.isNaN || d.isInfinite => "null"
+    case f: java.lang.Float if f.isNaN || f.isInfinite  => "null"
     case n: java.lang.Number => n.toString
     case other               => "\"" + escape(other.toString) + "\""
   }
@@ -50,7 +54,15 @@ object SnapshotExport {
   def render(row: Row): String = {
     val symbol = row.getAs[String]("symbol")
     val asOf = row.getAs[java.sql.Timestamp]("as_of_ts")
-    val iso = asOf.toLocalDateTime.toString
+    // datetime.isoformat() always emits seconds ("...T00:00:00");
+    // LocalDateTime.toString drops them for whole-minute values — format
+    // explicitly, appending fractional seconds only when present.
+    val ldt = asOf.toLocalDateTime
+    val base = ldt.format(
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd'T'HH:mm:ss"))
+    val iso =
+      if (ldt.getNano == 0) base
+      else base + f".${ldt.getNano / 1000}%06d"
     val feats = featureKeys.map { case (key, colName) =>
       s"""    "$key": ${jsonValue(row.get(row.fieldIndex(colName)))}"""
     }.mkString(",\n")

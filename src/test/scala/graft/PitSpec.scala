@@ -54,11 +54,32 @@ class PitSpec extends SparkTestBase {
     assert(expectedKeys.forall(leaves.contains), s"missing keys: ${
       expectedKeys.filterNot(leaves.contains)}")
     assert(leaves("symbol") === "3")
-    assert(leaves("snapshot_time") === asOf.toLocalDateTime.toString)
+    // datetime.isoformat() parity: seconds are ALWAYS present, even for
+    // whole-minute snapshot times (LocalDateTime.toString would drop them).
+    assert(leaves("snapshot_time") === "2024-01-15T00:00:00")
     assert(leaves("ohlc_1m_close") === row.getAs[Any]("close").toString)
     assert(leaves("sma_20") === row.getAs[Any]("sma_20").toString)
     assert(leaves("regime_tag") === row.getAs[String]("regime_tag"))
     assert(leaves("large_trade_flag") === row.getAs[Boolean]("large_trade_flag").toString)
+  }
+
+  test("snapshot JSON: non-finite features render as null; fractional seconds kept") {
+    import graft.serving.SnapshotExport
+    val df = spark.sql(
+      """SELECT 'X' AS symbol, TIMESTAMP '2024-01-15 09:30:00.250000' AS as_of_ts,
+        |  1.0 AS open, 2.0 AS high, 0.5 AS low, 1.5 AS close,
+        |  CAST('NaN' AS DOUBLE) AS sma_20, double('Infinity') AS ewm_12,
+        |  double('-Infinity') AS volatility_1h, 1.25 AS vwap_5m,
+        |  false AS large_trade_flag, CAST(NULL AS DOUBLE) AS bidask_spread,
+        |  0.0 AS trade_imbalance_5m, 'calm' AS regime_tag""".stripMargin)
+    val doc = SnapshotExport.render(df.collect()(0))
+    val leaves = SnapshotExport.parseLeaves(doc)
+    assert(leaves("sma_20") === "null")
+    assert(leaves("ewm_12") === "null")
+    assert(leaves("volatility_1h") === "null")
+    assert(leaves("bidask_spread") === "null")
+    assert(leaves("snapshot_time") === "2024-01-15T09:30:00.250000")
+    assert(!doc.contains("NaN") && !doc.contains("Infinity"), "no bare non-finite tokens")
   }
 
   test("as-of join: exact-time feature rows are visible (<= semantics), later ones are not") {

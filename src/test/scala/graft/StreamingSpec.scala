@@ -495,6 +495,72 @@ class StreamingSpec extends SparkTestBase {
     assert(nFolded === subsetObsCount(fA) + subsetObsCount(fB))
   }
 
+  /** Split sf0.001 events into 3 chronological single-row-group files under
+    * a fresh dir and open it as a maxFilesPerTrigger=1 stream — the shared
+    * fixture of every ordered-TWS 3-batch equivalence test.
+    */
+  private def threeBatchEventStream(): org.apache.spark.sql.DataFrame = {
+    val srcDir = Files.createTempDirectory("graft_3batch_src_").toString
+    val ev = Tables.events(spark, sf0001).orderBy("ts")
+    val evSchema = ev.schema
+    val n = ev.count()
+    ev.collect().grouped((n / 3 + 1).toInt).zipWithIndex.foreach { case (rows, i) =>
+      val tmp = Files.createTempDirectory("graft_3batch_part_").toString
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows.toSeq, 1), evSchema)
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(fail(s"no part file written under $tmp"))
+      Files.move(part.toPath, java.nio.file.Paths.get(s"$srcDir/f$i.parquet"))
+    }
+    spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+  }
+
+  test("ordered spread-EMA on transformWithState survives a 3-batch chronological replay") {
+    import graft.streaming.OrderedCep
+    val stream = graft.sources.StreamSources.projectTrades(threeBatchEventStream())
+    val out = Files.createTempDirectory("graft_ema_ord_t_").toString + "/t"
+    registry.StreamQueries.runOrderedTws(spark, OrderedCep.spreadEma(stream), out)
+    val multi = OrderedCep.lastSpreadEmaRows(spark.read.parquet(out))
+    // reference: the single-batch arrival-order fold (contract holds there)
+    val single = registry.StreamQueries.queries("q_stream_spread_ema")(spark, sf0001)
+    val joined = multi.join(
+      single.withColumnRenamed("normal_spread", "ss").withColumnRenamed("n", "sn"),
+      Seq("symbol"))
+    assert(joined.count() === single.count(), "every symbol folded")
+    assert(joined.filter(
+      col("normal_spread") =!= col("ss") || col("n_folded") =!= col("sn")).count() === 0,
+      "3-batch ordered spread-EMA must equal the single-batch fold")
+    assert(multi.agg(sum(col("n_late"))).collect().head.getLong(0) === 0L,
+      "chronological replay drops nothing")
+  }
+
+  test("ordered large-trade CEP on transformWithState survives a 3-batch chronological replay") {
+    import graft.streaming.OrderedCep
+    val thresholds = LargeTrades.thresholds(Tables.trades(spark, sf0001))
+    val stream = graft.sources.StreamSources.projectTrades(threeBatchEventStream())
+      .join(broadcast(thresholds), Seq("symbol"))
+      .filter(col("volume") > col("percentile_95"))
+    val out = Files.createTempDirectory("graft_cep_ord_t_").toString + "/t"
+    registry.StreamQueries.runOrderedTws(spark,
+      OrderedCep.largeTrades(stream, 7L * 24 * 3600 * 1000000L), out)
+    val multi = spark.read.parquet(out)
+      .select(expr("timestamp_micros(timeMicros)").as("time"), col("symbol"),
+        col("large_trades_5m"))
+    // reference: the single-batch flatMapGroupsWithState detector
+    val single = registry.StreamQueries.queries("q_stream_cep")(spark, sf0001)
+      .select("time", "symbol", "large_trades_5m")
+    assert(multi.count() === single.count(), "same anomaly count across splits")
+    assert(multi.exceptAll(single).count() === 0 &&
+      single.exceptAll(multi).count() === 0,
+      "3-batch ordered CEP must equal the single-batch detector row for row")
+  }
+
   test("observed metrics ride the batch query: counts, nulls, freshness bounds") {
     import graft.quality.Observability
     val t = core.Tables.trades(spark, sf0001)
