@@ -62,6 +62,38 @@ object HistoricalFeatures {
     * included) are identical to [[retrieve]] over that entity frame, and
     * `q_online_features` keeps the same oracle across both plans.
     */
+  /** Session-scoped serving cache over [[latestFeatures]], same discipline as
+    * [[PitSnapshot.snapshotServed]]: the online read path is called in a
+    * tight serving loop with identical arguments, so repeats must hit a
+    * materialized O(|symbols|)-row cache instead of re-running Catalyst
+    * analysis per call (the reference's Redis online store is exactly a
+    * materialized latest-per-key view, `feature_store.yaml` online path).
+    */
+  private val served = new java.util.concurrent.ConcurrentHashMap[
+    (org.apache.spark.sql.SparkSession, String, Long), DataFrame]()
+
+  def latestFeaturesServed(spark: org.apache.spark.sql.SparkSession,
+      trades: => DataFrame, sourceKey: String,
+      ttlSeconds: Long = 7L * 24 * 3600): DataFrame = {
+    served.keySet.forEach { k =>
+      if (k._1.sparkContext.isStopped) served.remove(k)
+    }
+    served.computeIfAbsent((spark, sourceKey, ttlSeconds), _ => {
+      // Materialize to a LocalRelation (O(|symbols|) rows — the online-store
+      // VALUE, like the reference's Redis hash): a hit re-plans a local
+      // frame with no scan and no tasks.
+      val computed = latestFeatures(trades, ttlSeconds)
+      spark.createDataFrame(
+        java.util.Arrays.asList(computed.collect(): _*), computed.schema)
+    })
+  }
+
+  /** Release every online-serving cache entry for `spark`. */
+  def releaseServed(spark: org.apache.spark.sql.SparkSession): Unit =
+    served.keySet.forEach { k =>
+      if (k._1 eq spark) served.remove(k)
+    }
+
   def latestFeatures(
       trades: DataFrame,
       ttlSeconds: Long = 7L * 24 * 3600): DataFrame = {

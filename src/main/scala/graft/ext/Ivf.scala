@@ -67,34 +67,80 @@ object Ivf {
       iters: Int = 3,
       sampleMod: Long = 1L,
       quantize: Boolean = false): DataFrame = {
-    val train =
-      (if (sampleMod > 1) embeddings.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
-       else embeddings)
-        .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+    val train = trainSample(embeddings, sampleMod)
     var cents = centroids(embeddings, nCentroids).localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val means = assignTo(train, cents)
-        .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
-        .groupBy("centroid_id", "pos")
-        .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
-        .groupBy("centroid_id")
-        .agg(transform(
-          array_sort(collect_list(struct(col("pos"),
-            // quantize=true rounds each mean component to 1e-6 per
-            // iteration: the quantum absorbs sub-ULP summation-order drift,
-            // making the trained centroids (and everything downstream)
-            // bit-reproducible across engines AND cluster layouts — the
-            // cross-engine-oracle / heterogeneous-deployment mode.
-            (if (quantize) Quantize.r(col("sx") / col("cnt"), 6)
-             else col("sx") / col("cnt")).as("m")))),
-          e => e.getField("m")).as("mean"))
-      cents = cents
-        .join(means, Seq("centroid_id"), "left_outer")
-        .select(col("centroid_id"),
-          coalesce(col("mean"), col("centroid")).as("centroid"))
-        .localCheckpoint(true)
+      cents = stepCentroids(train, cents, quantize).localCheckpoint(true)
     }
     cents
+  }
+
+  private def trainSample(embeddings: DataFrame, sampleMod: Long): DataFrame =
+    (if (sampleMod > 1) embeddings.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+     else embeddings)
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("embedding"))
+
+  /** One Lloyd re-centering: raw per-(centroid, dim) sums and counts. */
+  private def rawMeans(train: DataFrame, cents: DataFrame): DataFrame =
+    assignTo(train, cents)
+      .select(col("centroid_id"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .groupBy("centroid_id", "pos")
+      .agg(sum(col("x")).as("sx"), count(lit(1)).as("cnt"))
+
+  /** Advance the centroid set by one Lloyd iteration (shared verbatim by
+    * [[kmeansCentroids]] and [[kmeansBoundaryMargin]] so the diagnostic
+    * replays the exact training trajectory).
+    */
+  private def stepCentroids(train: DataFrame, cents: DataFrame,
+      quantize: Boolean): DataFrame = {
+    val means = rawMeans(train, cents)
+      .groupBy("centroid_id")
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"),
+          // quantize=true rounds each mean component to 1e-6 per
+          // iteration: the quantum absorbs sub-ULP summation-order drift,
+          // making the trained centroids (and everything downstream)
+          // bit-reproducible across engines AND cluster layouts — the
+          // cross-engine-oracle / heterogeneous-deployment mode.
+          (if (quantize) Quantize.r(col("sx") / col("cnt"), 6)
+           else col("sx") / col("cnt")).as("m")))),
+        e => e.getField("m")).as("mean"))
+    cents
+      .join(means, Seq("centroid_id"), "left_outer")
+      .select(col("centroid_id"),
+        coalesce(col("mean"), col("centroid")).as("centroid"))
+  }
+
+  /** Fixture-fragility diagnostic for the quantized-Lloyd oracle: the
+    * MINIMUM distance (in units of the 1e-6 quantum, range [0, 0.5]) of any
+    * raw centroid-mean component from its `Quantize.r(·, 6)` rounding
+    * boundary, across the full quantized training trajectory. The
+    * cross-engine oracle is exact only while this margin exceeds the
+    * float-summation error (~1e-10 quanta at fixture scale); a fixture
+    * regeneration that lands a mean near a boundary would flip a rounded
+    * bit and cascade through assignments — IvfSpec asserts a wide margin on
+    * the shipped fixtures so that failure mode surfaces as a NAMED spec
+    * failure, not an opaque downstream hash mismatch.
+    */
+  def kmeansBoundaryMargin(
+      embeddings: DataFrame,
+      nCentroids: Int,
+      iters: Int = 3,
+      sampleMod: Long = 1L): Double = {
+    val train = trainSample(embeddings, sampleMod)
+    var cents = centroids(embeddings, nCentroids).localCheckpoint(true)
+    var margin = 0.5
+    for (_ <- 1 to iters) {
+      val m = rawMeans(train, cents)
+        .select((col("sx") / col("cnt")).as("mean"))
+        // distance of mean*1e6 from the nearest x.5 boundary
+        .select(abs(abs(col("mean") * 1e6 - floor(col("mean") * 1e6)) - 0.5)
+          .as("d"))
+        .agg(min(col("d"))).collect()(0).getDouble(0)
+      margin = math.min(margin, m)
+      cents = stepCentroids(train, cents, quantize = true).localCheckpoint(true)
+    }
+    margin
   }
 
   /** Assign every vector to its max-cosine centroid (smallest id on ties).

@@ -306,6 +306,17 @@ object ExtQueries {
         graft.ext.Winnow.candidatePairs(docsPar(s, d),
           k = 16, w = 8, minShared = 5, maxBucketSize = 100))),
 
+    // The DISTRIBUTED min-label tier of the same operator, forced via
+    // driverEdgeLimit = 0 (every graph takes the >limit path) — the tier a
+    // 100 TB corpus would actually exercise, under the identical
+    // recursive-CTE oracle as the driver-DSU tier above. The two tiers are
+    // pinned equal in ExtSpec; this gates the distributed one cross-engine.
+    "q_dup_clusters_dist" -> ((s, d) =>
+      graft.ext.DupClusters.connectedComponents(
+        graft.ext.Winnow.candidatePairs(docsPar(s, d),
+          k = 16, w = 8, minShared = 5, maxBucketSize = 100),
+        driverEdgeLimit = 0L)),
+
     // Exact repeated-substring spans (Lee et al. 2022 substring dedup):
     // maximal >= 10-token runs shared verbatim between two docs, located
     // in both. Positional 5-gram md5 inversion -> capped bucket pair
@@ -350,6 +361,25 @@ object ExtQueries {
       |FROM e e1 JOIN keep k ON e1.fp = k.fp
       |JOIN e e2 ON e1.fp = e2.fp AND e1.doc_id < e2.doc_id
       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin
+
+  /** Recursive-CTE connected components over the winnow pair graph — the
+    * shared oracle of both DupClusters tiers.
+    */
+  private val dupClustersOracle =
+    s"""WITH RECURSIVE $winnowCtes,
+      |pairs AS ($winnowPairsSelect),
+      |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+      |          UNION SELECT doc_b, doc_a FROM pairs),
+      |walk(node, lbl) AS (
+      |  SELECT DISTINCT src, src FROM edges
+      |  UNION
+      |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
+      |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
+      |         FROM walk GROUP BY node)
+      |SELECT doc_id, cluster_id,
+      |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
+      |       doc_id = cluster_id AS is_canonical
+      |FROM comp""".stripMargin
 
   private val shinglesCte =
     """s AS (
@@ -791,22 +821,11 @@ object ExtQueries {
 
     // Connected components of the winnow pair graph via a recursive CTE:
     // labels reach every node a walk can, min per node = component id —
-    // the declarative twin of DupClusters' min-label propagation.
-    "q_dup_clusters" ->
-      s"""WITH RECURSIVE $winnowCtes,
-        |pairs AS ($winnowPairsSelect),
-        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-        |          UNION SELECT doc_b, doc_a FROM pairs),
-        |walk(node, lbl) AS (
-        |  SELECT DISTINCT src, src FROM edges
-        |  UNION
-        |  SELECT e.dst, w.lbl FROM walk w JOIN edges e ON e.src = w.node),
-        |comp AS (SELECT node AS doc_id, min(lbl) AS cluster_id
-        |         FROM walk GROUP BY node)
-        |SELECT doc_id, cluster_id,
-        |       count(*) OVER (PARTITION BY cluster_id) AS cluster_size,
-        |       doc_id = cluster_id AS is_canonical
-        |FROM comp""".stripMargin,
+    // the declarative twin of DupClusters' min-label propagation. Shared
+    // verbatim by the driver-DSU tier (q_dup_clusters) and the forced
+    // distributed tier (q_dup_clusters_dist).
+    "q_dup_clusters" -> dupClustersOracle,
+    "q_dup_clusters_dist" -> dupClustersOracle,
 
     "q_ngram_jaccard" -> s"""WITH $shinglesCte,
       |q AS (SELECT sh AS qsh FROM s WHERE doc_id = 0)

@@ -255,6 +255,21 @@ class ExtSpec extends SparkTestBase {
       s"recall@20 too low: ${(brute intersect trained).size}/20")
   }
 
+  test("quantized-Lloyd oracle: every centroid-mean component stays far from its rounding boundary") {
+    // The q_ann_ivf_kmeans cross-engine oracle replays the quantized Lloyd
+    // trajectory exactly; it is exact only while no raw mean component sits
+    // within float-summation error of a 0.5e-6 rounding boundary. That
+    // error is ~1e-15 in value = ~1e-9 in quanta (sums of O(100) doubles
+    // around 0.1); require a margin 100x above it so a fixture regeneration
+    // that lands a mean near a boundary fails HERE with a name, not as an
+    // opaque bench hash mismatch. (Shipped fixture measures ~3.8e-5.)
+    val emb = Tables.embeddings(spark, sf0001)
+    val margin = graft.ext.Ivf.kmeansBoundaryMargin(emb, nCentroids = 16, iters = 3)
+    assert(margin > 1e-7,
+      f"centroid-mean component within $margin%.2e quanta of a rounding " +
+        "boundary — the quantized k-means oracle is fragile on this fixture")
+  }
+
   test("RLS: tenants see disjoint, covering symbol sets") {
     val t = Tables.trades(spark, sf0001)
     val counts = (0L to 2L).map(ten =>

@@ -652,10 +652,20 @@ class PlanSpec extends SparkTestBase {
     assert(hashEx(funnel) === 1, s"funnel = one user shuffle:\n$funnel")
     assert(!funnel.contains("Join"), s"funnel joins nothing:\n$funnel")
 
-    // per-symbol moment rollup reuses the returns window's symbol shuffle
+    // the returns frame is memoized+persisted (shared by the 7-query
+    // portfolio family); above the cache boundary the moment rollup may
+    // add at most ONE exchange over the tiny bars-level frame (zero when
+    // the cache was materialized with its symbol partitioning visible) —
+    // and never recomputes the bar agg or the returns window
     val moments = audit("q_higher_moments")
-    assert(hashEx(moments) === 2,
-      s"bar agg + symbol window; the moment groupBy reuses the window shuffle:\n$moments")
+    val aboveCache = moments.split("\n")
+      .takeWhile(l => !l.contains("InMemoryRelation")).mkString("\n")
+    assert(moments.contains("InMemoryTableScan"),
+      s"moments must read the shared cached returns frame:\n$moments")
+    assert(hashEx(aboveCache) <= 1,
+      s"moment rollup: at most one shuffle over the cached returns frame:\n$moments")
+    assert(!aboveCache.contains("Window"),
+      s"the returns window must live in the cache, not be recomputed:\n$moments")
 
     // int8 quantization audit is a pure narrow map
     val quant = audit("q_embed_quant")
