@@ -29,7 +29,14 @@ object FeatureQueries {
 
   def trades(s: SparkSession, dir: String): DataFrame = Tables.trades(s, dir)
 
-  val queries: Map[String, Q] = Map(
+  /** Full feature registry: this file's microstructure/PIT/as-of tier
+    * plus the portfolio and indicator tiers (split by tier in r10 —
+    * pure code motion, identical entries).
+    */
+  lazy val queries: Map[String, Q] =
+    base ++ PortfolioQueries.queries ++ IndicatorQueries.queries
+
+  private val base: Map[String, Q] = Map(
     "q_ohlc_1m" -> ((s, d) => Ohlc.compute(trades(s, d))),
 
     "q_vwap_5m" -> ((s, d) => Vwap.compute(trades(s, d))),
@@ -265,179 +272,6 @@ object FeatureQueries {
       GapFill.locf(bars, bucketSec = 300, valueCols = Seq("close"))
     }),
 
-    // Cross-symbol return correlation matrix: bucketed close returns,
-    // self-joined per bucket (sym_a < sym_b). O(K² · buckets) where K is
-    // the symbol UNIVERSE (a bounded dimension, thousands at most) — never
-    // corpus-scale. A correlation is a cancellation-sensitive ratio of
-    // covariance sums, and corr()/covar float aggregates are accumulation-
-    // order-dependent — so the moment sums run over the 1e6-scaled BIGINT
-    // image of the quantized returns: integer sums are order-independent
-    // and EXACT (DECIMAL(38,0) accumulation), the join output aggregates
-    // with map-side combine into K² rows (no per-pair arrays — the
-    // round-5 collect_list shape was 12× slower and grew linearly with the
-    // time range), and the 1e6 scaling cancels in the correlation ratio.
-    // r = (n·Σxy − Σx·Σy) / (√(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)).
-    "q_pair_corr" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val d19 = "decimal(19,0)"
-      val rets = bucketReturns(s, d)
-        .select(col("bucket"), col("symbol"), Quantize.i(col("ret")).as("ri"))
-      val mom = rets.as("a").join(rets.as("b"),
-          col("a.bucket") === col("b.bucket") && col("a.symbol") < col("b.symbol"))
-        .select(col("a.symbol").as("sym_a"), col("b.symbol").as("sym_b"),
-          col("a.ri").as("ra"), col("b.ri").as("rb"))
-        .groupBy("sym_a", "sym_b")
-        .agg(
-          count(lit(1)).as("n_buckets"),
-          sum(col("ra").cast(dec)).as("sxd"),
-          sum(col("rb").cast(dec)).as("syd"),
-          // products as DECIMAL(19,0)×DECIMAL(19,0): 64-bit multiply can
-          // overflow on outlier returns (ri ~1e9 ⇒ ri² ~1e18+)
-          sum(col("ra").cast(d19) * col("rb").cast(d19)).as("sxyd"),
-          sum(col("ra").cast(d19) * col("ra").cast(d19)).as("sx2d"),
-          sum(col("rb").cast(d19) * col("rb").cast(d19)).as("sy2d"))
-      val n = col("n_buckets").cast("double")
-      def dbl(c: String) = col(c).cast("double")
-      mom.select(col("sym_a"), col("sym_b"),
-        // FP cancellation can leave a variance term at -1e-20: clamp to 0
-        // (NaN-from-sqrt semantics differ between engines), null via nullif
-        Quantize.r(
-          (n * dbl("sxyd") - dbl("sxd") * dbl("syd")) /
-            nullif(sqrt(greatest(n * dbl("sx2d") - dbl("sxd") * dbl("sxd"), lit(0.0))) *
-              sqrt(greatest(n * dbl("sy2d") - dbl("syd") * dbl("syd"), lit(0.0))), lit(0.0)),
-          6).as("ret_corr"),
-        col("n_buckets"))
-    }),
-
-    // Market beta per symbol: covar(r_i, r_mkt) / var(r_mkt) against the
-    // equal-weight market return. covar_samp/var_samp/avg float aggregates
-    // are accumulation-order-dependent (at sf0.1 two symbols flipped
-    // across the 1e-6 quantum against the oracle), so everything runs on
-    // 1e6-scaled BIGINT return images: the market return is itself an
-    // integer (floor(Σri/K + 0.5) — the quantized equal-weight mean), the
-    // four moment sums are exact DECIMAL(38,0) integer sums, and the 1e6
-    // scaling cancels in beta = (n·Σxy − Σx·Σy) / (n·Σy² − (Σy)²). No
-    // per-group arrays — two hash aggregations and a join, map-side
-    // combined, O(1) group state at any scale.
-    "q_beta" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val rets = bucketReturns(s, d)
-        .select(col("bucket"), col("symbol"), Quantize.i(col("ret")).as("ri"))
-      val mkt = rets.groupBy("bucket")
-        .agg(sum(col("ri").cast(dec)).as("smd"), count(lit(1)).as("k"))
-        .select(col("bucket"),
-          floor(col("smd").cast("double") / col("k").cast("double") + lit(0.5))
-            .cast("long").as("mi"))
-      val d19 = "decimal(19,0)"
-      val mom = rets.join(mkt, Seq("bucket"))
-        .groupBy("symbol")
-        .agg(
-          count(lit(1)).as("n_buckets"),
-          sum(col("ri").cast(dec)).as("sxd"),
-          sum(col("mi").cast(dec)).as("syd"),
-          sum(col("ri").cast(d19) * col("mi").cast(d19)).as("sxyd"),
-          sum(col("mi").cast(d19) * col("mi").cast(d19)).as("sy2d"))
-      val n = col("n_buckets").cast("double")
-      def dbl(c: String) = col(c).cast("double")
-      mom.select(col("symbol"),
-        Quantize.r(
-          (n * dbl("sxyd") - dbl("sxd") * dbl("syd")) /
-            nullif(n * dbl("sy2d") - dbl("syd") * dbl("syd"), lit(0.0)), 6).as("beta"),
-        col("n_buckets"))
-    }),
-
-    // Lag-1 return autocorrelation per symbol (momentum/mean-reversion
-    // signal) — same scaled-integer exact-moment discipline as q_beta:
-    // each return pairs with its bucket-order predecessor via lag(), the
-    // five moment sums run over 1e6-scaled BIGINT images (exact, order-
-    // independent, O(1) group state), and the scaling cancels in the
-    // correlation ratio. First-bucket rows carry a null predecessor and
-    // join no pair, so single-return symbols still emit (n_pairs = 0).
-    "q_autocorr" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val d19 = "decimal(19,0)"
-      val w = Window.partitionBy("symbol").orderBy("bucket")
-      val mom = bucketReturns(s, d)
-        .select(col("bucket"), col("symbol"), Quantize.i(col("ret")).as("x"))
-        .select(col("symbol"), col("x"), lag(col("x"), 1).over(w).as("y"))
-        .groupBy("symbol")
-        .agg(
-          count(col("y")).as("n_pairs"),
-          sum(when(col("y").isNotNull, col("x")).cast(dec)).as("sxd"),
-          sum(col("y").cast(dec)).as("syd"),
-          sum(col("x").cast(d19) * col("y").cast(d19)).as("sxyd"),
-          sum(when(col("y").isNotNull,
-            col("x").cast(d19) * col("x").cast(d19))).as("sx2d"),
-          sum(col("y").cast(d19) * col("y").cast(d19)).as("sy2d"))
-      val m = col("n_pairs").cast("double")
-      def dbl(c: String) = col(c).cast("double")
-      val denom = (m * dbl("sx2d") - dbl("sxd") * dbl("sxd")) *
-        (m * dbl("sy2d") - dbl("syd") * dbl("syd"))
-      mom.select(col("symbol"),
-        Quantize.r(
-          when(denom > 0, (m * dbl("sxyd") - dbl("sxd") * dbl("syd")) / sqrt(denom)),
-          6).as("autocorr_1"),
-        col("n_pairs"))
-    }),
-
-    // Return-distribution shape per symbol: skewness + excess kurtosis
-    // (fat-tail screening — the risk desk's normality check on every
-    // symbol's return stream). Same scaled-integer discipline pushed to
-    // 3rd/4th powers: returns are winsorized at ±1000% (the standard
-    // moment-stability clamp; a 6000× print from a near-zero close is a
-    // data artifact, and it also bounds x⁴ ≤ 1e28 so Σx⁴ accumulates
-    // exactly in DECIMAL(38,0)/INT128 at any corpus size), both
-    // statistics are scale-invariant ratios so the 1e6 cancels, and
-    // m2^1.5 is spelled den·√den (sqrt is correctly-rounded IEEE
-    // everywhere; pow(x, 1.5) is not). One map-side-combined shuffle.
-    "q_higher_moments" -> ((s, d) => {
-      val dec = "decimal(38,0)"
-      val d19 = "decimal(19,0)"
-      val x = col("x").cast(d19)
-      val mom = bucketReturns(s, d)
-        .select(col("symbol"),
-          least(greatest(Quantize.i(col("ret")), lit(-10000000L)),
-            lit(10000000L)).as("x"))
-        .groupBy("symbol")
-        .agg(
-          count(lit(1)).as("n_buckets"),
-          sum(col("x").cast(dec)).as("s1"),
-          sum(x * x).as("s2"),
-          sum(x * x * x).as("s3"),
-          sum(x * x * x * x).as("s4"))
-      val n = col("n_buckets").cast("double")
-      def dbl(c: String) = col(c).cast("double")
-      val den2 = n * dbl("s2") - dbl("s1") * dbl("s1")
-      mom.select(col("symbol"), col("n_buckets"),
-        Quantize.r(when(den2 > 0,
-          (n * n * dbl("s3") - lit(3.0) * n * dbl("s1") * dbl("s2") +
-            lit(2.0) * dbl("s1") * dbl("s1") * dbl("s1")) /
-            (den2 * sqrt(den2))), 6).as("skewness"),
-        Quantize.r(when(den2 > 0,
-          (n * n * n * dbl("s4") - lit(4.0) * n * n * dbl("s1") * dbl("s3") +
-            lit(6.0) * n * dbl("s1") * dbl("s1") * dbl("s2") -
-            lit(3.0) * dbl("s1") * dbl("s1") * dbl("s1") * dbl("s1")) /
-            (den2 * den2) - lit(3.0)), 6).as("ex_kurtosis"))
-    }),
-
-    // Cross-sectional momentum: per 5-min bucket, every symbol's return
-    // ranked against the whole universe — the factor-pipeline cross-section
-    // step (rank/quintile assignment before long-short bucketing). Total
-    // order via (ret DESC, symbol) so ranks and quintiles are
-    // deterministic; ONE shuffle on bucket — the cross-section is the
-    // partition, so universe size (thousands) bounds a partition, never
-    // corpus size.
-    "q_cs_momentum" -> ((s, d) => {
-      val w = Window.partitionBy("bucket")
-        .orderBy(col("ret").desc, col("symbol"))
-      val n = Window.partitionBy("bucket")
-      bucketReturns(s, d)
-        .select(col("bucket"), col("symbol"), col("ret"),
-          row_number().over(w).cast("long").as("cs_rank"),
-          count(lit(1)).over(n).as("n_symbols"),
-          ntile(5).over(w).cast("long").as("quintile"))
-    }),
-
     // Daily bars derived FROM the 1-minute bars, not from the ticks — the
     // bar-hierarchy re-aggregation a 100 TB deployment depends on (keep
     // minute bars hot, derive coarser frames without rescanning raw
@@ -580,93 +414,6 @@ object FeatureQueries {
           Quantize.r(sum(col("volume")) / count(lit(1)).cast("double"), 6)
             .as("avg_volume"))),
 
-    // Jump-robust realized volatility: per symbol-day, realized variance
-    // Σr² vs bipower variation (π/2)·Σ|r_t||r_t−1| (Barndorff-Nielsen &
-    // Shephard) — BV is immune to a single jump, so rv − bpv isolates the
-    // jump component. Integer discipline: |returns| winsorized at ±100%
-    // (a 2× move inside 5 minutes is a data artifact, and the 1e6 cap
-    // keeps every whole-day Σ|r|² below 2^53 — ABOVE that range Spark's
-    // DECIMAL→double and DuckDB's HUGEINT→double round differently in the
-    // last ulp, the one cross-engine flip the sf0.1 sweep caught), so
-    // both sums accumulate exactly and convert exactly; the only float
-    // steps are the final 1e-12 descale and the π/2 factor.
-    "q_bipower" -> ((s, d) => {
-      val w = Window.partitionBy("symbol", "day").orderBy("bucket")
-      val r = bucketReturns(s, d)
-        .select(col("symbol"), to_date(col("bucket")).as("day"),
-          col("bucket"),
-          least(abs(Quantize.i(col("ret"))), lit(1000000L)).as("ax"))
-        .withColumn("axp", lag(col("ax"), 1).over(w))
-      r.groupBy("symbol", "day")
-        .agg(count(lit(1)).as("n_rets"),
-          sum(col("ax").cast("decimal(19,0)") * col("ax").cast("decimal(19,0)"))
-            .as("sx2"),
-          sum(col("ax").cast("decimal(19,0)") * col("axp").cast("decimal(19,0)"))
-            .as("sxy"))
-        .select(col("symbol"), col("day"), col("n_rets"),
-          (col("sx2").cast("double") / lit(1e12)).as("rv"),
-          // a single-return day has no adjacent pair: BV contributes 0
-          (lit(math.Pi / 2) * coalesce(col("sxy").cast("double"), lit(0.0)) /
-            lit(1e12)).as("bpv"))
-        .withColumn("jump_var", greatest(lit(0.0), col("rv") - col("bpv")))
-    }),
-
-    // Technical indicators: same one-shuffle per-symbol window family.
-    "q_bollinger" -> ((s, d) => Indicators.bollinger(trades(s, d))),
-
-    "q_drawdown" -> ((s, d) => Indicators.maxDrawdown(trades(s, d))),
-
-    "q_rsi14" -> ((s, d) => Indicators.rsi(trades(s, d))),
-
-    // Linear interpolation across gaps: TimescaleDB interpolate() mode.
-    "q_gapfill_interp" -> ((s, d) => {
-      val bars = Ohlc.compute(trades(s, d), "5 minutes")
-        .select(col("bucket"), col("symbol"), col("close"))
-      GapFill.interpolate(bars, bucketSec = 300, valueCols = Seq("close"))
-        .select(col("symbol"), col("bucket"),
-          Quantize.r(col("close"), 6).as("close"), col("filled"))
-    }),
-
-    "q_stochastic" -> ((s, d) => Indicators.stochastic(trades(s, d))),
-
-    "q_atr" -> ((s, d) => Indicators.atr(trades(s, d))),
-
-    "q_macd" -> ((s, d) => Indicators.macdFinal(trades(s, d))),
-
-    // Range-based daily volatility (Parkinson / Garman-Klass) from 1-min
-    // bars: two hash aggregations, no windows.
-    "q_range_vol" -> ((s, d) => Risk.rangeVolatility(trades(s, d))),
-
-    // On-balance volume: BIGINT cumulative fold — bit-exact cross-engine.
-    "q_obv" -> ((s, d) => Risk.obv(trades(s, d))),
-
-    // Donchian 20-tick channel: order-exact rolling extrema.
-    "q_donchian" -> ((s, d) => Risk.donchian(trades(s, d))),
-
-    // Historical VaR/CVaR, nearest-rank tail cut (no interpolated
-    // percentile — the cut row is an actual observation both engines pick
-    // identically).
-    "q_var_cvar" -> ((s, d) => Risk.varCvar(trades(s, d))),
-
-    // Hampel tick cleaning: rolling-median/MAD outlier repair, every
-    // statistic an actual observation (nearest-rank from the sorted
-    // frame) — nothing to quantize.
-    "q_hampel" -> ((s, d) => Risk.hampel(trades(s, d))),
-
-    // Amihud illiquidity: |return|/dollar-volume price-impact proxy.
-    "q_amihud" -> ((s, d) => Risk.amihud(trades(s, d))),
-
-    // Roll's implied bid-ask spread from trade-price autocovariance.
-    "q_roll_spread" -> ((s, d) => Risk.rollSpread(trades(s, d))),
-
-    // VPIN order-flow toxicity on a volume clock — BIGINT bucket sums,
-    // ordered trailing-mean fold.
-    "q_vpin" -> ((s, d) => Risk.vpin(trades(s, d))),
-
-    // Kyle's lambda: price-impact slope, exact regression inputs, ordered
-    // moment folds (the beta discipline).
-    "q_kyle_lambda" -> ((s, d) => Risk.kyleLambda(trades(s, d))),
-
     // Session windows: trading bursts separated by >= 1 hour of silence.
     "q_session_stats" -> ((s, d) =>
       trades(s, d)
@@ -692,70 +439,11 @@ object FeatureQueries {
       |         TIMESTAMP '2024-01-02 00:00:00' + INTERVAL (t.i * 6) HOUR AS event_timestamp
       |  FROM (SELECT DISTINCT symbol FROM trades) s CROSS JOIN range(100) t(i))""".stripMargin
 
-  /** 5-minute close-to-close returns per symbol, quantized at the source so
-    * downstream correlation/covariance folds see identical doubles in both
-    * engines. Null first-bucket returns are dropped.
-    *
-    * MEMOIZED + persisted per (session, dir): seven portfolio/microstructure
-    * queries fold over this same frame, and re-deriving it (full fact scan →
-    * 5-min OHLC agg → per-symbol lag window) per query dominated their bench
-    * time. The frame is O(symbols × buckets) — an aggregate, not the corpus
-    * — so pinning it is the continuous-aggregate pattern, exactly what a
-    * 100 TB deployment would materialize once and share.
-    */
-  private val retsCache = new java.util.concurrent.ConcurrentHashMap[
-    (SparkSession, String), DataFrame]()
-
-  private def bucketReturns(s: SparkSession, d: String): DataFrame = {
-    retsCache.keySet.forEach { k =>
-      if (k._1.sparkContext.isStopped) retsCache.remove(k)
-    }
-    retsCache.computeIfAbsent((s, d), _ => {
-      val bars = Ohlc.compute(trades(s, d), "5 minutes")
-        .select(col("bucket"), col("symbol"), col("close"))
-      val w = Window.partitionBy("symbol").orderBy("bucket")
-      bars.select(col("bucket"), col("symbol"),
-          Quantize.r(col("close") / nullif(lag(col("close"), 1).over(w), lit(0.0)) - lit(1.0), 6).as("ret"))
-        .filter(col("ret").isNotNull)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    })
-  }
-
-  private val bucketReturnsSql =
-    """rets AS (
-      |  SELECT bucket, symbol,
-      |         floor((close / nullif(lag(close) OVER (PARTITION BY symbol ORDER BY bucket), CAST(0 AS DOUBLE))
-      |                - CAST(1 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS ret
-      |  FROM (SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket, symbol,
-      |               arg_max(price, time) AS close
-      |        FROM trades GROUP BY 1, 2))""".stripMargin
-
   /** Lag-gap session grouping — the SQL expression of `session_window`
     * semantics. Shared by the batch q_session_stats oracle and the
     * streaming twin q_stream_sessions (StreamQueries), so the two can
     * never silently diverge.
     */
-  /** Hampel oracle: nearest-rank median/MAD from the sorted trailing-21
-    * frame list. Shared by the batch q_hampel and its streaming twin
-    * q_stream_hampel (StreamQueries) — the two can never silently diverge.
-    */
-  private[registry] val hampelSql =
-    """SELECT time, symbol, price, med,
-      |       abs(price - med) > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad AS is_outlier,
-      |       CASE WHEN abs(price - med) > CAST(3.0 AS DOUBLE) * CAST(1.4826 AS DOUBLE) * mad
-      |            THEN med ELSE price END AS cleaned
-      |FROM (
-      |  SELECT time, symbol, price, med,
-      |         list_sort(list_transform(a, x -> abs(x - med)))[CAST(ceil(CAST(len(a) AS DOUBLE) / 2) AS INT)] AS mad
-      |  FROM (
-      |    SELECT time, symbol, price, a,
-      |           list_sort(a)[CAST(ceil(CAST(len(a) AS DOUBLE) / 2) AS INT)] AS med
-      |    FROM (
-      |      SELECT time, symbol, price,
-      |             list(price) OVER (PARTITION BY symbol ORDER BY time, trade_id
-      |                               ROWS BETWEEN 20 PRECEDING AND CURRENT ROW) AS a
-      |      FROM trades)))""".stripMargin
-
   private[registry] val sessionStatsSql =
     """SELECT min(time) AS session_start, max(time) + INTERVAL 1 HOUR AS session_end,
       |       symbol, count(*) AS n_trades, sum(volume) AS session_volume
@@ -771,14 +459,17 @@ object FeatureQueries {
       |    FROM trades))
       |GROUP BY symbol, grp""".stripMargin
 
-  private val ohlcSelect =
+  private[registry] val ohlcSelect =
     """SELECT time_bucket(INTERVAL '1 minute', time) AS bucket, symbol,
       |       arg_min(price, time) AS open, max(price) AS high, min(price) AS low,
       |       arg_max(price, time) AS close, sum(volume) AS volume,
       |       count(*) AS trade_count
       |FROM trades GROUP BY 1, 2""".stripMargin
 
-  val oracles: Map[String, String] = Map(
+  lazy val oracles: Map[String, String] =
+    baseOracles ++ PortfolioQueries.oracles ++ IndicatorQueries.oracles
+
+  private val baseOracles: Map[String, String] = Map(
     "q_ohlc_1m" -> withTrades(ohlcSelect),
 
     "q_vwap_5m" -> withTrades(
@@ -841,16 +532,6 @@ object FeatureQueries {
         |JOIN (SELECT symbol, quantile_cont(volume, 0.95) AS p95 FROM trades GROUP BY 1) thr
         |  ON t.symbol = thr.symbol
         |WHERE t.volume > thr.p95""".stripMargin),
-
-    // Cross-section over the shared return CTE; the (ret DESC, symbol)
-    // total order makes row_number and ntile engine-exact.
-    "q_cs_momentum" -> withTradesAnd(bucketReturnsSql,
-      """SELECT bucket, symbol, ret,
-        |       CAST(row_number() OVER w AS BIGINT) AS cs_rank,
-        |       count(*) OVER (PARTITION BY bucket) AS n_symbols,
-        |       CAST(ntile(5) OVER w AS BIGINT) AS quintile
-        |FROM rets WHERE ret IS NOT NULL
-        |WINDOW w AS (PARTITION BY bucket ORDER BY ret DESC, symbol)""".stripMargin),
 
     // Daily bars DIRECTLY from the ticks — hash equality against the
     // engine's minute-bar rollup proves the bar hierarchy is lossless
@@ -1128,34 +809,6 @@ object FeatureQueries {
         |  FROM trades GROUP BY 1, 2) b
         |  ON g.symbol = b.symbol AND g.bucket = b.bucket""".stripMargin),
 
-    // Mirrors the ordered-fold pair correlation: moment sums in bucket
-    // order, variance terms clamped at 0 before sqrt.
-    // Mirrors q_autocorr: per-symbol bucket-ordered return list, lagged
-    // pairs [r_i, r_{i-1}], moment sums folded left-to-right in the same
-    // order Spark's aggregate() folds the pair array.
-    "q_autocorr" -> withTradesAnd(bucketReturnsSql +
-      """,
-        |ri AS (
-        |  SELECT symbol, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS x,
-        |         lag(CAST(floor(ret * 1e6 + 0.5) AS BIGINT))
-        |           OVER (PARTITION BY symbol ORDER BY bucket) AS y
-        |  FROM rets WHERE ret IS NOT NULL),
-        |amom AS (
-        |  SELECT symbol, count(y) AS n_pairs, CAST(count(y) AS DOUBLE) AS m,
-        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x END) AS DOUBLE) AS sx,
-        |    CAST(sum(y) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy,
-        |    CAST(sum(CASE WHEN y IS NOT NULL THEN CAST(x AS HUGEINT) * x END) AS DOUBLE) AS sx2,
-        |    CAST(sum(CAST(y AS HUGEINT) * y) AS DOUBLE) AS sy2
-        |  FROM ri GROUP BY symbol)""".stripMargin,
-      """SELECT symbol,
-        |       CASE WHEN (m * sx2 - sx * sx) * (m * sy2 - sy * sy) > 0
-        |            THEN floor(((m * sxy - sx * sy) /
-        |                   sqrt((m * sx2 - sx * sx) * (m * sy2 - sy * sy))) * 1e6 + 0.5) / 1e6
-        |       END AS autocorr_1,
-        |       n_pairs
-        |FROM amom""".stripMargin),
-
     // Mirrors the underwater islands: running peak over daily closes,
     // day-index-minus-rank spells, double rollup.
     "q_drawdown_duration" -> withTrades(
@@ -1226,375 +879,6 @@ object FeatureQueries {
         |       sum(volume) AS total_volume,
         |       floor((sum(volume) / CAST(count(*) AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS avg_volume
         |FROM trades GROUP BY 1, 2, 3""".stripMargin),
-
-    // Mirrors the bipower fold: HUGEINT |r| products, π/2 and the 1e-12
-    // descale as the only float steps, pair sum coalesced to 0 on
-    // single-return days.
-    "q_bipower" -> withTradesAnd(bucketReturnsSql +
-      """,
-        |r0 AS (SELECT symbol, CAST(bucket AS DATE) AS day, bucket,
-        |         least(abs(CAST(floor(ret * 1e6 + 0.5) AS BIGINT)), 1000000) AS ax
-        |       FROM rets WHERE ret IS NOT NULL),
-        |r1 AS (SELECT *, lag(ax) OVER (PARTITION BY symbol, day ORDER BY bucket) AS axp
-        |       FROM r0),
-        |bp AS (
-        |  SELECT symbol, day, count(*) AS n_rets,
-        |    CAST(sum(CAST(ax AS HUGEINT) * ax) AS DOUBLE) AS sx2,
-        |    CAST(sum(CAST(ax AS HUGEINT) * axp) AS DOUBLE) AS sxy
-        |  FROM r1 GROUP BY 1, 2)""".stripMargin,
-      """SELECT symbol, day, n_rets,
-        |       sx2 / 1e12 AS rv,
-        |       pi() / 2 * coalesce(sxy, CAST(0 AS DOUBLE)) / 1e12 AS bpv,
-        |       greatest(0.0,
-        |         sx2 / 1e12 - pi() / 2 * coalesce(sxy, CAST(0 AS DOUBLE)) / 1e12)
-        |         AS jump_var
-        |FROM bp""".stripMargin),
-
-    // Mirrors the scaled-integer higher moments: HUGEINT power sums, the
-    // identical double expression tree (den·√den, not pow), CASE-guarded.
-    "q_higher_moments" -> withTradesAnd(bucketReturnsSql +
-      """,
-        |r0 AS (SELECT symbol,
-        |         least(greatest(CAST(floor(ret * 1e6 + 0.5) AS BIGINT),
-        |                        -10000000), 10000000) AS x
-        |       FROM rets WHERE ret IS NOT NULL),
-        |hmom AS (
-        |  SELECT symbol, count(*) AS n_buckets, CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(x) AS DOUBLE) AS s1,
-        |    CAST(sum(CAST(x AS HUGEINT) * x) AS DOUBLE) AS s2,
-        |    CAST(sum(CAST(x AS HUGEINT) * x * x) AS DOUBLE) AS s3,
-        |    CAST(sum(CAST(x AS HUGEINT) * x * x * x) AS DOUBLE) AS s4
-        |  FROM r0 GROUP BY symbol),
-        |hden AS (SELECT *, n * s2 - s1 * s1 AS den2 FROM hmom)""".stripMargin,
-      """SELECT symbol, n_buckets,
-        |       floor((CASE WHEN den2 > 0 THEN
-        |           (n * n * s3 - 3.0 * n * s1 * s2 + 2.0 * s1 * s1 * s1) /
-        |             (den2 * sqrt(den2)) END) * 1e6 + 0.5) / 1e6 AS skewness,
-        |       floor((CASE WHEN den2 > 0 THEN
-        |           (n * n * n * s4 - 4.0 * n * n * s1 * s3 +
-        |              6.0 * n * s1 * s1 * s2 - 3.0 * s1 * s1 * s1 * s1) /
-        |             (den2 * den2) - 3.0 END) * 1e6 + 0.5) / 1e6 AS ex_kurtosis
-        |FROM hden""".stripMargin),
-
-    "q_pair_corr" -> withTradesAnd(bucketReturnsSql +
-      """,
-        |r0 AS (SELECT bucket, symbol, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS ri
-        |       FROM rets WHERE ret IS NOT NULL),
-        |pmom AS (
-        |  SELECT a.symbol AS sym_a, b.symbol AS sym_b,
-        |    count(*) AS nb, CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(a.ri) AS DOUBLE) AS sx,
-        |    CAST(sum(b.ri) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(a.ri AS HUGEINT) * b.ri) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(a.ri AS HUGEINT) * a.ri) AS DOUBLE) AS sx2,
-        |    CAST(sum(CAST(b.ri AS HUGEINT) * b.ri) AS DOUBLE) AS sy2
-        |  FROM r0 a JOIN r0 b
-        |    ON a.bucket = b.bucket AND a.symbol < b.symbol
-        |  GROUP BY 1, 2)""".stripMargin,
-      """SELECT sym_a, sym_b,
-        |       floor(((n * sxy - sx * sy) /
-        |              nullif(sqrt(greatest(n * sx2 - sx * sx, CAST(0 AS DOUBLE))) *
-        |                     sqrt(greatest(n * sy2 - sy * sy, CAST(0 AS DOUBLE))), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS ret_corr,
-        |       nb AS n_buckets
-        |FROM pmom""".stripMargin),
-
-    // Mirrors the scaled-integer beta: integer market mean per bucket,
-    // exact integer moment sums, scaling cancels in the ratio.
-    "q_beta" -> withTradesAnd(bucketReturnsSql +
-      """,
-        |r0 AS (SELECT bucket, symbol, CAST(floor(ret * 1e6 + 0.5) AS BIGINT) AS ri
-        |       FROM rets WHERE ret IS NOT NULL),
-        |mkt AS (
-        |  SELECT bucket,
-        |         CAST(floor(CAST(sum(ri) AS DOUBLE) / CAST(count(*) AS DOUBLE) + 0.5) AS BIGINT) AS mi
-        |  FROM r0 GROUP BY bucket),
-        |mom AS (
-        |  SELECT r.symbol, count(*) AS nb, CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(r.ri) AS DOUBLE) AS sx,
-        |    CAST(sum(m.mi) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(r.ri AS HUGEINT) * m.mi) AS DOUBLE) AS sxy,
-        |    CAST(sum(CAST(m.mi AS HUGEINT) * m.mi) AS DOUBLE) AS sy2
-        |  FROM r0 r JOIN mkt m ON r.bucket = m.bucket
-        |  GROUP BY r.symbol)""".stripMargin,
-      """SELECT symbol,
-        |       floor(((n * sxy - sx * sy) / nullif(n * sy2 - sy * sy, CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS beta,
-        |       nb AS n_buckets
-        |FROM mom""".stripMargin),
-
-    "q_bollinger" -> withTrades(
-      """SELECT time, symbol, price,
-        |       floor((avg(price) OVER w) * 1e6 + 0.5) / 1e6 AS bb_mid,
-        |       floor((avg(price) OVER w + CAST(2 AS DOUBLE) * stddev_samp(price) OVER w) * 1e6 + 0.5) / 1e6 AS bb_upper,
-        |       floor((avg(price) OVER w - CAST(2 AS DOUBLE) * stddev_samp(price) OVER w) * 1e6 + 0.5) / 1e6 AS bb_lower
-        |FROM trades
-        |WINDOW w AS (PARTITION BY symbol ORDER BY time
-        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
-
-    "q_drawdown" -> withTrades(
-      """SELECT symbol,
-        |       floor(min(dd) * 1e6 + 0.5) / 1e6 AS max_drawdown
-        |FROM (
-        |  SELECT symbol,
-        |         (price - max(price) OVER w) / nullif(max(price) OVER w, CAST(0 AS DOUBLE)) AS dd
-        |  FROM trades
-        |  WINDOW w AS (PARTITION BY symbol ORDER BY time
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
-        |GROUP BY symbol""".stripMargin),
-
-    "q_rsi14" -> withTrades(
-      """SELECT time, symbol,
-        |       floor((CAST(100 AS DOUBLE) - CAST(100 AS DOUBLE) /
-        |         (CAST(1 AS DOUBLE) + avg(gain) OVER w /
-        |           nullif(avg(loss) OVER w, CAST(0 AS DOUBLE)))) * 1e6 + 0.5) / 1e6 AS rsi
-        |FROM (
-        |  SELECT time, symbol,
-        |         greatest(price - COALESCE(lag(price, 1) OVER (PARTITION BY symbol ORDER BY time), price), CAST(0 AS DOUBLE)) AS gain,
-        |         greatest(-(price - COALESCE(lag(price, 1) OVER (PARTITION BY symbol ORDER BY time), price)), CAST(0 AS DOUBLE)) AS loss
-        |  FROM trades)
-        |WINDOW w AS (PARTITION BY symbol ORDER BY time
-        |             ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin),
-
-    "q_gapfill_interp" -> withTrades(
-      """SELECT symbol, make_timestamp(bm) AS bucket,
-        |       floor((close + COALESCE((nclose - close) *
-        |         (CAST(bm - orig AS DOUBLE) / CAST(nxt - orig AS DOUBLE)),
-        |         CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS close,
-        |       bm <> orig AS filled
-        |FROM (
-        |  SELECT symbol, orig, close, nxt, nclose,
-        |         unnest(range(orig, COALESCE(nxt - 300000000, orig) + 1,
-        |                      300000000)) AS bm
-        |  FROM (
-        |    SELECT symbol, CAST(epoch_us(bucket) AS BIGINT) AS orig, close,
-        |           lead(CAST(epoch_us(bucket) AS BIGINT)) OVER w AS nxt,
-        |           lead(close) OVER w AS nclose
-        |    FROM (SELECT time_bucket(INTERVAL '5 minutes', time) AS bucket,
-        |                 symbol, arg_max(price, time) AS close
-        |          FROM trades GROUP BY 1, 2)
-        |    WINDOW w AS (PARTITION BY symbol ORDER BY bucket)))""".stripMargin),
-
-    "q_stochastic" -> withTrades(
-      """SELECT time, symbol,
-        |       floor(k_raw * 1e6 + 0.5) / 1e6 AS stoch_k,
-        |       floor((avg(k_raw) OVER wd) * 1e6 + 0.5) / 1e6 AS stoch_d
-        |FROM (
-        |  SELECT time, symbol,
-        |         CAST(100 AS DOUBLE) * (price - min(price) OVER wn) /
-        |           nullif(max(price) OVER wn - min(price) OVER wn, CAST(0 AS DOUBLE)) AS k_raw
-        |  FROM trades
-        |  WINDOW wn AS (PARTITION BY symbol ORDER BY time
-        |                ROWS BETWEEN 13 PRECEDING AND CURRENT ROW))
-        |WINDOW wd AS (PARTITION BY symbol ORDER BY time
-        |              ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)""".stripMargin),
-
-    // Mirrors Indicators.atr: first bar's prev close coalesces to its own
-    // close so TR degrades to high-low without greatest-over-null semantics.
-    "q_atr" -> withTradesAnd(
-      s"""bars AS ($ohlcSelect)""",
-      """SELECT bucket, symbol,
-        |       floor(tr * 1e6 + 0.5) / 1e6 AS true_range,
-        |       floor((avg(tr) OVER wn) * 1e6 + 0.5) / 1e6 AS atr_14
-        |FROM (
-        |  SELECT bucket, symbol,
-        |         greatest(high - low,
-        |                  abs(high - coalesce(lag(close) OVER w, close)),
-        |                  abs(low  - coalesce(lag(close) OVER w, close))) AS tr
-        |  FROM bars
-        |  WINDOW w AS (PARTITION BY symbol ORDER BY bucket))
-        |WINDOW wn AS (PARTITION BY symbol ORDER BY bucket
-        |              ROWS BETWEEN 13 PRECEDING AND CURRENT ROW)""".stripMargin),
-
-    // Joint (ema12, ema26, signal) fold over the trailing-400 ticks; state
-    // encoded as DOUBLE[] so list_reduce's acc/element types line up, and the
-    // smoothing constants written as the same division expressions the Spark
-    // side embeds — identical IEEE op sequence, bit-exact cross-engine.
-    "q_macd" -> withTrades(
-      """SELECT symbol,
-        |       floor((m[1] - m[2]) * 1e6 + 0.5) / 1e6 AS macd,
-        |       floor(m[3] * 1e6 + 0.5) / 1e6 AS macd_signal,
-        |       floor(((m[1] - m[2]) - m[3]) * 1e6 + 0.5) / 1e6 AS macd_hist,
-        |       n
-        |FROM (
-        |  SELECT symbol, n,
-        |         list_reduce(
-        |           list_prepend([sl[1], sl[1], CAST(0 AS DOUBLE)],
-        |             list_transform(array_slice(sl, 2, len(sl)), p -> [p])),
-        |           (acc, x) -> [
-        |             CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE) * x[1] + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE)) * acc[1],
-        |             CAST(2 AS DOUBLE)/CAST(27 AS DOUBLE) * x[1] + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(27 AS DOUBLE)) * acc[2],
-        |             CAST(2 AS DOUBLE)/CAST(10 AS DOUBLE) *
-        |               ((CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE) * x[1] + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(13 AS DOUBLE)) * acc[1]) -
-        |                (CAST(2 AS DOUBLE)/CAST(27 AS DOUBLE) * x[1] + (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(27 AS DOUBLE)) * acc[2])) +
-        |             (CAST(1 AS DOUBLE) - CAST(2 AS DOUBLE)/CAST(10 AS DOUBLE)) * acc[3]]) AS m
-        |  FROM (
-        |    SELECT symbol, n, array_slice(l, greatest(1, len(l) - 399), len(l)) AS sl
-        |    FROM (SELECT symbol, list(price ORDER BY time, trade_id) AS l,
-        |                 count(*) AS n
-        |          FROM trades GROUP BY symbol)))""".stripMargin),
-
-    // Mirrors Risk.rangeVolatility: per-bar terms from the shared 1-min
-    // bars CTE, averaged per symbol-day. Constants are the correctly
-    // rounded doubles of 4·ln2 and 2·ln2−1 (identical on both engines).
-    "q_range_vol" -> withTradesAnd(
-      s"""bars AS ($ohlcSelect)""",
-      """SELECT date_trunc('day', bucket) AS day, symbol,
-        |       count(x) AS n_bars,
-        |       floor(sqrt(avg(x) / CAST(2.772588722239781 AS DOUBLE)) * 1e6 + 0.5) / 1e6 AS parkinson,
-        |       CASE WHEN avg(gk_term) >= 0
-        |            THEN floor(sqrt(avg(gk_term)) * 1e6 + 0.5) / 1e6 END AS garman_klass
-        |FROM (
-        |  SELECT bucket, symbol,
-        |         pow(ln(high / nullif(low, CAST(0 AS DOUBLE))), 2) AS x,
-        |         CAST(0.5 AS DOUBLE) * pow(ln(high / nullif(low, CAST(0 AS DOUBLE))), 2)
-        |           - CAST(0.3862943611198906 AS DOUBLE) * pow(ln(close / nullif(open, CAST(0 AS DOUBLE))), 2) AS gk_term
-        |  FROM bars)
-        |GROUP BY 1, 2""".stripMargin),
-
-    // Mirrors Risk.obv: BIGINT accumulation — no floats anywhere.
-    "q_obv" -> withTrades(
-      """SELECT time, symbol, trade_id,
-        |       CAST(sum(step) OVER (PARTITION BY symbol ORDER BY time, trade_id
-        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS obv
-        |FROM (
-        |  SELECT time, symbol, trade_id,
-        |         COALESCE(CAST(sign(price - lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id)) AS BIGINT)
-        |                  * CAST(volume AS BIGINT), 0) AS step
-        |  FROM trades)""".stripMargin),
-
-    "q_donchian" -> withTrades(
-      """SELECT time, symbol, price,
-        |       max(price) OVER w AS dc_high, min(price) OVER w AS dc_low,
-        |       floor(((max(price) OVER w + min(price) OVER w) / 2) * 1e6 + 0.5) / 1e6 AS dc_mid
-        |FROM trades
-        |WINDOW w AS (PARTITION BY symbol ORDER BY time, trade_id
-        |             ROWS BETWEEN 19 PRECEDING AND CURRENT ROW)""".stripMargin),
-
-    // Mirrors Risk.varCvar: quantized returns, nearest-rank tail cut at
-    // ceil(0.05·n) over (r, trade_id) order — the cut row is an actual
-    // observation, so no interpolation arithmetic to disagree on.
-    "q_var_cvar" -> withTradesAnd(
-      """rets AS (
-        |  SELECT symbol, trade_id,
-        |         floor(ln(nullif(price, CAST(0 AS DOUBLE)) /
-        |               nullif(lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r
-        |  FROM trades),
-        |ranked AS (
-        |  SELECT symbol, r, trade_id,
-        |         row_number() OVER (PARTITION BY symbol ORDER BY r, trade_id) AS rn,
-        |         CAST(ceil(CAST(0.05 AS DOUBLE) * count(*) OVER (PARTITION BY symbol)) AS BIGINT) AS k
-        |  FROM rets WHERE r IS NOT NULL)""".stripMargin,
-      """SELECT symbol,
-        |       arg_max(r, rn) AS var_95,
-        |       floor((CAST(sum(CAST(floor(r * 1e6 + 0.5) AS BIGINT)) AS DOUBLE)
-        |              / CAST(count(*) AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 AS cvar_95,
-        |       count(*) AS n_tail
-        |FROM ranked WHERE rn <= k
-        |GROUP BY symbol""".stripMargin),
-
-    // Mirrors Risk.amihud: 1e6-scaled BIGINT ratio images, exact
-    // order-independent integer sum, one mean per group (the rollSpread
-    // scaled-integer-moment discipline — no per-group array).
-    "q_amihud" -> withTrades(
-      """SELECT day, symbol,
-        |       floor((CAST(sxi AS DOUBLE) / CAST(n_trades AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6
-        |         AS amihud_illiq,
-        |       n_trades
-        |FROM (
-        |  SELECT CAST(time AS DATE) AS day, symbol,
-        |         sum(CAST(floor((abs(r) / dv * CAST(1000000 AS DOUBLE)) * 1e6 + 0.5) AS BIGINT)) AS sxi,
-        |         CAST(count(*) AS BIGINT) AS n_trades
-        |  FROM (
-        |    SELECT time, trade_id, symbol,
-        |           floor(ln(nullif(price, CAST(0 AS DOUBLE)) /
-        |                 nullif(lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS r,
-        |           price * volume AS dv
-        |    FROM trades)
-        |  WHERE r IS NOT NULL AND dv > 0
-        |  GROUP BY 1, 2)""".stripMargin),
-
-    // Mirrors Risk.rollSpread: lag-paired 1e6-scaled BIGINT Δp images,
-    // exact integer moment sums (no arrays), population covariance
-    // (m·sxy − sx·sy)/m² (1e12-scaled), spread = 2·√(−cov)/1e6 when < 0.
-    "q_roll_spread" -> withTradesAnd(
-      """dps AS (
-        |  SELECT symbol, time, trade_id,
-        |         floor((price - lag(price) OVER (PARTITION BY symbol ORDER BY time, trade_id)) * 1e6 + 0.5) / 1e6 AS dp
-        |  FROM trades),
-        |dpi AS (
-        |  SELECT symbol, CAST(floor(dp * 1e6 + 0.5) AS BIGINT) AS x,
-        |         lag(CAST(floor(dp * 1e6 + 0.5) AS BIGINT))
-        |           OVER (PARTITION BY symbol ORDER BY time, trade_id) AS y
-        |  FROM dps WHERE dp IS NOT NULL),
-        |rmom AS (
-        |  SELECT symbol, count(y) AS n_pairs, CAST(count(y) AS DOUBLE) AS m,
-        |    CAST(sum(CASE WHEN y IS NOT NULL THEN x END) AS DOUBLE) AS sx,
-        |    CAST(sum(y) AS DOUBLE) AS sy,
-        |    CAST(sum(CAST(x AS HUGEINT) * y) AS DOUBLE) AS sxy
-        |  FROM dpi GROUP BY symbol)""".stripMargin,
-      """SELECT symbol,
-        |       CASE WHEN m >= 2 AND (m * sxy - sx * sy) / (m * m) < 0
-        |            THEN floor((CAST(2 AS DOUBLE) * sqrt(-((m * sxy - sx * sy) / (m * m))) / 1e6) * 1e6 + 0.5) / 1e6
-        |       END AS roll_spread,
-        |       n_pairs
-        |FROM rmom""".stripMargin),
-
-    // Mirrors Risk.hampel: nearest-rank median/MAD from the sorted
-    // trailing-21 frame list; identical index arithmetic on both engines.
-    "q_hampel" -> withTrades(hampelSql),
-
-    // Mirrors Risk.kyleLambda: exact Δp image / BIGINT signed volume per
-    // bucket, exact integer moment sums (HUGEINT products ↔ the Spark
-    // side's DECIMAL(38,0) — both exact), only λ quantized.
-    "q_kyle_lambda" -> withTradesAnd(
-      """kb AS (
-        |  SELECT symbol,
-        |         CAST(floor((arg_max(price, time) - arg_min(price, time)) * 1e6 + 0.5) AS BIGINT) AS dpi,
-        |         CAST(sum(CASE WHEN side = 'buy' THEN CAST(volume AS BIGINT) ELSE 0 END) -
-        |              sum(CASE WHEN side = 'sell' THEN CAST(volume AS BIGINT) ELSE 0 END) AS HUGEINT) AS q
-        |  FROM trades GROUP BY time_bucket(INTERVAL '5 minutes', time), symbol),
-        |kmom AS (
-        |  SELECT symbol, count(*) AS nb, CAST(count(*) AS DOUBLE) AS n,
-        |    CAST(sum(q) AS DOUBLE) AS sx,
-        |    CAST(sum(dpi) AS DOUBLE) AS sy,
-        |    CAST(sum(q * dpi) AS DOUBLE) AS sxy,
-        |    CAST(sum(q * q) AS DOUBLE) AS sx2
-        |  FROM kb GROUP BY symbol)""".stripMargin,
-      """SELECT symbol,
-        |       floor(((n * sxy - sx * sy) / nullif(n * sx2 - sx * sx, CAST(0 AS DOUBLE)) / 1e6) * 1e6 + 0.5) / 1e6 AS kyle_lambda,
-        |       nb AS n_buckets
-        |FROM kmom""".stripMargin),
-
-    // Mirrors Risk.vpin: BIGINT volume clock (// = div, both floor),
-    // BIGINT bucket sums, quantized toxicity, trailing-50 integer window
-    // sum of the 1e6-scaled toxicity image (order/association-independent
-    // — no fold, no arrays).
-    "q_vpin" -> withTradesAnd(
-      """vbkt AS (
-        |  SELECT symbol, vb,
-        |         floor((CAST(abs(buy_v - sell_v) AS DOUBLE) /
-        |                nullif(CAST(buy_v + sell_v AS DOUBLE), CAST(0 AS DOUBLE))) * 1e6 + 0.5) / 1e6 AS toxicity
-        |  FROM (
-        |    SELECT symbol, CAST(cum_before // 2000 AS BIGINT) AS vb,
-        |           sum(CASE WHEN side = 'buy' THEN v ELSE 0 END) AS buy_v,
-        |           sum(CASE WHEN side = 'sell' THEN v ELSE 0 END) AS sell_v
-        |    FROM (
-        |      SELECT symbol, side, CAST(volume AS BIGINT) AS v,
-        |             COALESCE(sum(CAST(volume AS BIGINT)) OVER (
-        |               PARTITION BY symbol ORDER BY time, trade_id
-        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-        |      FROM trades)
-        |    GROUP BY 1, 2))""".stripMargin,
-      """SELECT symbol, vb, toxicity,
-        |       CASE WHEN cnt > 0
-        |            THEN floor((CAST(s AS DOUBLE) / CAST(cnt AS DOUBLE) / 1e6) * 1e6 + 0.5) / 1e6 END AS vpin
-        |FROM (
-        |  SELECT symbol, vb, toxicity,
-        |         sum(toxi) OVER w AS s, count(toxi) OVER w AS cnt
-        |  FROM (SELECT symbol, vb, toxicity,
-        |               CAST(floor(toxicity * 1e6 + 0.5) AS BIGINT) AS toxi
-        |        FROM vbkt)
-        |  WINDOW w AS (PARTITION BY symbol ORDER BY vb
-        |               ROWS BETWEEN 49 PRECEDING AND CURRENT ROW))""".stripMargin),
 
     "q_twap_1h" -> withTrades(
       """SELECT bucket, symbol,

@@ -485,7 +485,7 @@ object StreamQueries {
     // cleaned stream equals the batch Hampel row for row — with zero
     // late-dropped rows (the n_late observability column)
     "q_stream_hampel" -> withTrades(
-      s"SELECT *, CAST(0 AS BIGINT) AS n_late FROM (\n${FeatureQueries.hampelSql})"),
+      s"SELECT *, CAST(0 AS BIGINT) AS n_late FROM (\n${IndicatorQueries.hampelSql})"),
 
     "q_stream_cusum" -> cusumOracleSql,
 
