@@ -30,5 +30,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 24g default: 8g OOM'd at the 10x-sf0.1 scale-sweep corpus (32 shuffle
+  // writers' buffers alone approach it); -Xmx reserves address space only,
+  // so the higher ceiling costs nothing at the sf0.01/sf0.1 gate scales.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
 )
