@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Z-order (Morton-curve) layout for multi-dimensional file skipping — the
+  * lakehouse answer to "this table is filtered by symbol AND by date, but a
+  * sort can only cluster one of them".
+  *
+  * Each row's cluster key interleaves the bits of two dimension columns
+  * (16 bits each → one 32-bit Morton code), so rows close in BOTH dimensions
+  * land in the same file. Per-file min/max stats then prune point/range
+  * predicates on EITHER column: a linear sort by column A gives column B
+  * full-range stats in every file (0% skipped), the Z layout bounds both.
+  *
+  * Everything here is deterministic integer bit-math (`shiftleft`/`&`/`|`),
+  * codegen'd end to end and expressible identically in ANSI SQL — the
+  * layout decision itself is oracle-checkable, not just its effect.
+  *
+  * Scale shape: computing codes is a narrow map; laying out N target files
+  * is ONE range-ish repartition (here by the code's TOP BITS — deterministic,
+  * no sampling, unlike `repartitionByRange`) + a per-file local sort. At
+  * 100 TB this is the standard `OPTIMIZE ... ZORDER BY` shape: one shuffle,
+  * then every subsequent query on either dimension reads `O(matching files)`.
+  *
+  * Reference anchor: the reference's TimescaleDB side gets the same effect
+  * from the `(symbol, time DESC)` composite index + per-day chunks
+  * (`sql/timescaledb_schema.sql`); Z-order is the object-store-native
+  * equivalent when there is no B-tree.
+  */
+object ZOrder {
+
+  /** Spread the low 16 bits of `x` to even bit positions (0,2,4,…,30) —
+    * the classic magic-number interleave, four codegen'd integer ops deep.
+    */
+  def spreadBits16(x: Column): Column = {
+    val m = x.bitwiseAND(lit(0xFFFFL))
+    val a = m.bitwiseOR(shiftleft(m, 8)).bitwiseAND(lit(0x00FF00FFL))
+    val b = a.bitwiseOR(shiftleft(a, 4)).bitwiseAND(lit(0x0F0F0F0FL))
+    val c = b.bitwiseOR(shiftleft(b, 2)).bitwiseAND(lit(0x33333333L))
+    c.bitwiseOR(shiftleft(c, 1)).bitwiseAND(lit(0x55555555L))
+  }
+
+  /** 32-bit Morton code of two 16-bit values: `a` on even bits, `b` on odd. */
+  def morton16(a: Column, b: Column): Column =
+    spreadBits16(a).bitwiseOR(shiftleft(spreadBits16(b), 1))
+
+  /** Map a non-negative long with inclusive domain maximum `maxInclusive`
+    * onto the FULL [0, 65536) range (deterministic — no sampled quantiles;
+    * callers pass the column's contractual domain). Small domains are
+    * spread UP so the code's top bits — the file assignment — still vary;
+    * large domains are bucketed down. `floor` on doubles is exact here:
+    * every intermediate stays far below 2^53.
+    */
+  def scaleTo16(x: Column, maxInclusive: Long): Column = {
+    require(maxInclusive >= 0 && maxInclusive < (1L << 47),
+      s"domain max out of range: $maxInclusive")
+    floor(x * lit(65536L) / lit(maxInclusive + 1L)).cast("long")
+      .bitwiseAND(lit(0xFFFFL))
+  }
+
+  /** Assign each row its Morton code and target file (the code's top bits —
+    * `log2(nFiles)` of them), plus the raw dims for stats audits.
+    * `nFiles` must be a power of two ≤ 2^32.
+    */
+  def layout(
+      df: DataFrame,
+      colA: String, maxA: Long,
+      colB: String, maxB: Long,
+      nFiles: Int): DataFrame = {
+    require(nFiles > 0 && (nFiles & (nFiles - 1)) == 0, s"nFiles must be a power of two, got $nFiles")
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(nFiles)
+    df.withColumn("zcode", morton16(scaleTo16(col(colA), maxA), scaleTo16(col(colB), maxB)))
+      .withColumn("zfile", shiftright(col("zcode"), shift))
+  }
+
+  /** Per-file min/max skipping stats for both dimensions under the Z layout —
+    * exactly the footer stats a scan would prune on.
+    */
+  def fileStats(
+      df: DataFrame,
+      colA: String, maxA: Long,
+      colB: String, maxB: Long,
+      nFiles: Int): DataFrame =
+    layout(df, colA, maxA, colB, maxB, nFiles)
+      .groupBy("zfile")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        min(colA).as("min_a"), max(colA).as("max_a"),
+        min(colB).as("min_b"), max(colB).as("max_b"))
+
+  /** Fraction of files a min/max-pruned scan skips for an equality predicate
+    * on ONE dimension, under a given layout frame (must carry `zfile` plus
+    * the dim column). The measurable value of the layout.
+    */
+  def skipFraction(laid: DataFrame, dim: String, value: Long): Double = {
+    val r = laid.groupBy("zfile")
+      .agg(min(dim).as("mn"), max(dim).as("mx"))
+      .agg(
+        count(lit(1)).as("total"),
+        count(when(col("mn") > value || col("mx") < value, 1)).as("skipped"))
+      .head
+    r.getAs[Long]("skipped").toDouble / r.getAs[Long]("total").toDouble
+  }
+}

@@ -38,6 +38,37 @@ object CoreQueries {
         .cube(col("symbol"), col("side"))
         .agg(sum(col("volume")).as("total_volume"), count(lit(1)).as("n_trades"))),
 
+    // Runtime bloom-filter join pruning: the urgent-orders dim collapses to
+    // ONE bounded bloom blob probed on the lineitem scan BEFORE the join
+    // shuffle; the exact semi join then removes bloom false positives, so
+    // the oracle is the PLAIN semi join (value-transparent, like salting).
+    // BloomPruneSpec asserts the might_contain predicate sits on the scan.
+    "q_bloom_prune" -> ((s, d) => {
+      val urgent = Tables.orders(s, d)
+        .filter(col("o_orderpriority") === "1-URGENT")
+        .select("o_orderkey")
+      graft.operators.BloomPrune.semiJoinPruned(
+        Tables.lineitem(s, d), urgent, "l_orderkey", "o_orderkey",
+        expectedItems = 300000L, numBits = 1L << 22)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          count(lit(1)).as("n_rows"),
+          Quantize.r(sum(col("l_quantity")), 2).as("sum_qty"))
+    }),
+
+    // Z-order (Morton) layout audit: deterministic 16-bit dims from the two
+    // join keys, 64 target files from the code's top bits, per-file min/max
+    // skipping stats for BOTH dims — the layout decision itself is the gated
+    // value (pure integer bit-math, identical in ANSI SQL). ZOrderSpec
+    // asserts the measurable effect: point predicates on EITHER dim skip
+    // most files, where a linear sort skips none for the second dim.
+    "q_zorder_stats" -> ((s, d) => {
+      val dims = Tables.orders(s, d).select(
+        (col("o_orderkey") % 256).cast("long").as("ka"),
+        (col("o_custkey") % 256).cast("long").as("kb"))
+      graft.operators.ZOrder.fileStats(dims, "ka", 255L, "kb", 255L, nFiles = 64)
+    }),
+
     // TPC-H Q1-shaped pricing summary: single hash-agg shuffle; the shipdate
     // filter pushes into the parquet scan (PushedFilters).
     "q_pricing_summary" -> ((s, d) => {
@@ -328,6 +359,35 @@ object CoreQueries {
     "q_cube_volume" -> OracleSql.withTrades(
       """SELECT symbol, side, sum(volume) AS total_volume, count(*) AS n_trades
         |FROM trades GROUP BY CUBE (symbol, side)""".stripMargin),
+
+    // Bloom pruning must be value-transparent: oracle is the plain semi join.
+    "q_bloom_prune" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n_rows,
+        |       floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // Mirrors ZOrder.morton16: magic-number bit interleave of the two
+    // 16-bit dims, file = top 6 bits of the 32-bit code, per-file stats.
+    "q_zorder_stats" ->
+      """WITH base AS (
+        |  SELECT o_orderkey % 256 AS ka, o_custkey % 256 AS kb FROM orders),
+        |s0 AS (SELECT ka, kb, ka * 256 AS sa, kb * 256 AS sb FROM base),
+        |s1 AS (SELECT ka, kb, ((sa | (sa << 8)) & 16711935) AS a1,
+        |                      ((sb | (sb << 8)) & 16711935) AS b1 FROM s0),
+        |s2 AS (SELECT ka, kb, ((a1 | (a1 << 4)) & 252645135) AS a2,
+        |                      ((b1 | (b1 << 4)) & 252645135) AS b2 FROM s1),
+        |s3 AS (SELECT ka, kb, ((a2 | (a2 << 2)) & 858993459) AS a3,
+        |                      ((b2 | (b2 << 2)) & 858993459) AS b3 FROM s2),
+        |s4 AS (SELECT ka, kb, ((a3 | (a3 << 1)) & 1431655765) AS a4,
+        |                      ((b3 | (b3 << 1)) & 1431655765) AS b4 FROM s3),
+        |z AS (SELECT ka, kb, (a4 | (b4 << 1)) >> 26 AS zfile FROM s4)
+        |SELECT zfile, count(*) AS n_rows,
+        |       min(ka) AS min_a, max(ka) AS max_a,
+        |       min(kb) AS min_b, max(kb) AS max_b
+        |FROM z GROUP BY zfile""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
