@@ -69,6 +69,27 @@ object CoreQueries {
       graft.operators.ZOrder.fileStats(dims, "ka", 255L, "kb", 255L, nFiles = 64)
     }),
 
+    // Versioned-table time travel: three commits (append even keys, append
+    // odd keys, overwrite with status-F), then read EVERY version back via
+    // its pinned manifest and aggregate. The oracle recomputes each
+    // snapshot's contents from the raw table — value-exact round-trip
+    // through the commit log, data files, and snapshot resolution.
+    "q_time_travel" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vt_").toString
+      val orders = Tables.orders(s, d)
+      VersionedTable.commit(orders.filter(col("o_orderkey") % 2 === 0), root, "append")
+      VersionedTable.commit(orders.filter(col("o_orderkey") % 2 === 1), root, "append")
+      VersionedTable.commit(orders.filter(col("o_orderstatus") === "F"), root, "overwrite")
+      (1 to 3).map { v =>
+        VersionedTable.read(s, root, Some(v))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            Quantize.r(sum(col("o_totalprice")), 2).as("sum_price"))
+          .select(lit(v).cast("int").as("version"), col("n_rows"), col("sum_price"))
+      }.reduce(_ unionByName _)
+    }),
+
     // TPC-H Q1-shaped pricing summary: single hash-agg shuffle; the shipdate
     // filter pushes into the parquet scan (PushedFilters).
     "q_pricing_summary" -> ((s, d) => {
@@ -388,6 +409,21 @@ object CoreQueries {
         |       min(ka) AS min_a, max(ka) AS max_a,
         |       min(kb) AS min_b, max(kb) AS max_b
         |FROM z GROUP BY zfile""".stripMargin,
+
+    // Each snapshot recomputed from the raw table: v1 = even keys,
+    // v2 = v1 + odd keys = everything, v3 = overwrite with status F.
+    "q_time_travel" ->
+      """SELECT CAST(1 AS INTEGER) AS version, count(*) AS n_rows,
+        |       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS sum_price
+        |FROM orders WHERE o_orderkey % 2 = 0
+        |UNION ALL
+        |SELECT CAST(2 AS INTEGER), count(*),
+        |       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(3 AS INTEGER), count(*),
+        |       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2
+        |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     "q_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

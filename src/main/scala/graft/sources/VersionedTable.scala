@@ -1,0 +1,185 @@
+package graft.sources
+
+import java.io.File
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned table: an immutable-data, commit-log storage layer
+  * giving snapshot isolation, time travel, optimistic concurrency and
+  * vacuum over plain parquet — the lakehouse transaction shape (the
+  * reference delegates this to TimescaleDB's MVCC; on an object store
+  * there is no MVCC, only immutable files plus a log, which is what this
+  * implements).
+  *
+  * Layout:
+  * {{{
+  *   <root>/data/v00003/part-*.parquet    # one immutable dir per commit
+  *   <root>/_commits/v00003.manifest      # line-oriented snapshot manifest
+  * }}}
+  *
+  * A snapshot manifest lists the data DIRS composing the version (append
+  * accumulates the parent's dirs; overwrite starts fresh), so a reader
+  * resolves ONE small file and then touches only the listed dirs — never a
+  * recursive listing of a 100 TB table. Commit protocol: (1) write the new
+  * data dir (its name embeds the target version — a crashed attempt leaves
+  * an orphan dir that the next attempt overwrites and vacuum removes);
+  * (2) write the manifest to a temp name and ATOMIC-RENAME onto
+  * `v%05d.manifest` with no-replace semantics — if the target exists, a
+  * concurrent writer won and the commit fails with a conflict (optimistic
+  * concurrency, single-winner per version, retry-able by re-reading
+  * `latestVersion`). Readers pin a manifest, so a concurrent vacuum with
+  * `retainLast >= 1` never deletes files under a retained version they
+  * could be reading.
+  *
+  * Scale notes: commit cost is O(batch) + two small metadata writes;
+  * time-travel read cost is O(files in that snapshot); vacuum is
+  * O(versions) metadata + file deletes, data-free. Nothing scans the table.
+  */
+object VersionedTable {
+
+  final case class Snapshot(
+      version: Int,
+      parent: Int,
+      operation: String,
+      rows: Long,
+      schemaCols: Seq[String],
+      dataDirs: Seq[String])
+
+  final class CommitConflictException(version: Int)
+    extends RuntimeException(
+      s"commit conflict: version $version was committed concurrently; " +
+        "re-read latestVersion and retry")
+
+  private def commitsDir(root: String) = new File(root, "_commits")
+  private def dataDir(root: String) = new File(root, "data")
+  private def manifestFile(root: String, v: Int) =
+    new File(commitsDir(root), f"v$v%05d.manifest")
+  private def versionDirName(v: Int) = f"data/v$v%05d"
+
+  /** Highest committed version, or None for an empty/absent table. */
+  def latestVersion(root: String): Option[Int] = {
+    val dir = commitsDir(root)
+    if (!dir.isDirectory) None
+    else {
+      val vs = dir.listFiles((_, n) => n.matches("v\\d{5}\\.manifest"))
+        .map(f => f.getName.substring(1, 6).toInt)
+      if (vs.isEmpty) None else Some(vs.max)
+    }
+  }
+
+  /** Parse one snapshot manifest. */
+  def snapshot(root: String, version: Int): Snapshot = {
+    val f = manifestFile(root, version)
+    require(f.isFile, s"no such version $version at $root")
+    val kv = Files.readAllLines(f.toPath, StandardCharsets.UTF_8)
+    var parent = -1; var op = ""; var rows = 0L
+    var cols = Seq.empty[String]; val dirs = Seq.newBuilder[String]
+    kv.forEach { line =>
+      line.split("=", 2) match {
+        case Array("parent", v)    => parent = v.toInt
+        case Array("operation", v) => op = v
+        case Array("rows", v)      => rows = v.toLong
+        case Array("schema", v)    => cols = v.split(",").toSeq.filter(_.nonEmpty)
+        case Array("dir", v)       => dirs += v
+        case _                     => () // version= line, comments, unknown keys
+      }
+    }
+    Snapshot(version, parent, op, rows, cols, dirs.result())
+  }
+
+  /** All snapshots, oldest first. */
+  def history(root: String): Seq[Snapshot] =
+    latestVersion(root).toSeq.flatMap(latest => (1 to latest).flatMap { v =>
+      if (manifestFile(root, v).isFile) Some(snapshot(root, v)) else None
+    })
+
+  /** Commit `df` as the next version. `mode` is "append" (snapshot = parent
+    * dirs + new dir) or "overwrite" (snapshot = new dir only). Returns the
+    * committed version number; throws [[CommitConflictException]] if another
+    * writer claimed the target version first — detected both up front
+    * (`expectedVersion`, the CAS form: pass `latestVersion(root) + 1` as
+    * read at transaction start) and at the atomic link (defense in depth
+    * against the read-to-link window).
+    */
+  def commit(df: DataFrame, root: String, mode: String = "append",
+      expectedVersion: Option[Int] = None): Int = {
+    require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    val parent = latestVersion(root)
+    val version = parent.getOrElse(0) + 1
+    expectedVersion.filter(_ != version)
+      .foreach(e => throw new CommitConflictException(e))
+    commitsDir(root).mkdirs()
+    dataDir(root).mkdirs()
+
+    // (1) data: an immutable dir named for the target version. A previous
+    // crashed attempt at this version left only an orphan dir (no manifest)
+    // — Overwrite replaces it wholesale, which is the self-heal.
+    val newDir = versionDirName(version)
+    df.write.mode("overwrite").parquet(new File(root, newDir).getPath)
+    val rows = df.sparkSession.read.parquet(new File(root, newDir).getPath).count()
+
+    val parentDirs = parent match {
+      case Some(p) if mode == "append" => snapshot(root, p).dataDirs
+      case _                           => Seq.empty
+    }
+    val dirs = parentDirs :+ newDir
+
+    // (2) log: temp file + atomic no-replace rename = the commit point.
+    val body = new StringBuilder()
+      .append(s"version=$version\n")
+      .append(s"parent=${parent.getOrElse(0)}\n")
+      .append(s"operation=$mode\n")
+      .append(s"rows=$rows\n")
+      .append(s"schema=${df.columns.mkString(",")}\n")
+    dirs.foreach(d => body.append(s"dir=$d\n"))
+    // POSIX rename() silently REPLACES an existing target, so a rename is
+    // not a conflict detector. A hard link is both atomic and
+    // fail-if-exists: the full manifest becomes visible in one step, and
+    // EEXIST means another writer claimed this version first.
+    val tmp = Paths.get(commitsDir(root).getPath,
+      s".v$version.tmp${Thread.currentThread().getId}")
+    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
+    try Files.createLink(manifestFile(root, version).toPath, tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new CommitConflictException(version)
+    } finally Files.deleteIfExists(tmp)
+    version
+  }
+
+  /** Read a snapshot (default: latest). Only the manifest's dirs are read —
+    * orphan dirs from crashed commits and vacuumed history are invisible.
+    */
+  def read(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = snapshot(root, v)
+    require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
+    spark.read.parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
+  }
+
+  /** Delete data dirs referenced ONLY by versions older than the retained
+    * window (last `retainLast` versions), plus orphan dirs from crashed
+    * commits, and their manifests. Returns the deleted dir names.
+    */
+  def vacuum(root: String, retainLast: Int = 2): Seq[String] = {
+    require(retainLast >= 1, "must retain at least the latest version")
+    val latest = latestVersion(root).getOrElse(return Seq.empty)
+    val cutoff = latest - retainLast + 1
+    val retainedDirs = (cutoff to latest)
+      .filter(v => manifestFile(root, v).isFile)
+      .flatMap(v => snapshot(root, v).dataDirs).toSet
+    val live = dataDir(root).listFiles().toSeq.filter(_.isDirectory)
+      .map(d => "data/" + d.getName)
+    val doomed = live.filterNot(retainedDirs.contains)
+    doomed.foreach { d =>
+      val dir = new File(root, d)
+      dir.listFiles().foreach(_.delete())
+      dir.delete()
+    }
+    (1 until cutoff).foreach(v => manifestFile(root, v).delete())
+    doomed.sorted
+  }
+}

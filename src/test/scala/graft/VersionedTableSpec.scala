@@ -1,0 +1,114 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.functions._
+
+/** Commit-log semantics: snapshot isolation, time travel, optimistic
+  * concurrency, crash self-heal, vacuum safety.
+  */
+class VersionedTableSpec extends SparkTestBase {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_vt_test_").toString
+
+  private def ids(root: String, asOf: Option[Int] = None): Set[Long] =
+    VersionedTable.read(spark, root, asOf)
+      .select("id").collect().map(_.getLong(0)).toSet
+
+  test("append accumulates; every historical version stays exactly readable") {
+    val root = freshRoot()
+    val v1 = VersionedTable.commit(spark.range(0, 5).toDF("id"), root)
+    val v2 = VersionedTable.commit(spark.range(5, 8).toDF("id"), root)
+    assert((v1, v2) === (1, 2))
+    assert(ids(root, Some(1)) === (0L until 5L).toSet)
+    assert(ids(root, Some(2)) === (0L until 8L).toSet)
+    assert(ids(root) === (0L until 8L).toSet) // latest
+  }
+
+  test("overwrite starts a fresh snapshot without touching history") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root)
+    VersionedTable.commit(spark.range(100, 103).toDF("id"), root, "overwrite")
+    assert(ids(root, Some(1)) === (0L until 5L).toSet)
+    assert(ids(root, Some(2)) === Set(100L, 101L, 102L))
+    val h = VersionedTable.history(root)
+    assert(h.map(_.operation) === Seq("append", "overwrite"))
+    assert(h.map(_.rows) === Seq(5L, 3L))
+  }
+
+  test("a concurrently-claimed version fails with a commit conflict") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 3).toDF("id"), root)
+    // CAS form: this transaction read latest=1 and targets v2...
+    val target = VersionedTable.latestVersion(root).get + 1
+    // ...but another writer claims v2 first.
+    val stolen = new File(root, "_commits/v00002.manifest")
+    Files.write(stolen.toPath,
+      "version=2\nparent=1\noperation=append\nrows=0\nschema=id\ndir=data/v00001\n"
+        .getBytes("UTF-8"))
+    intercept[VersionedTable.CommitConflictException] {
+      VersionedTable.commit(spark.range(3, 6).toDF("id"), root,
+        expectedVersion = Some(target))
+    }
+    // The loser must not have changed what readers see at the stolen version.
+    assert(ids(root, Some(1)) === (0L until 3L).toSet)
+  }
+
+  test("an orphan data dir from a crashed commit is invisible and self-heals") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 3).toDF("id"), root)
+    // Simulate a crash: v2's data dir written, manifest never linked.
+    spark.range(900, 950).toDF("id").write
+      .parquet(new File(root, "data/v00002").getPath)
+    assert(VersionedTable.latestVersion(root) === Some(1))
+    assert(ids(root) === (0L until 3L).toSet)
+    // The next commit reclaims version 2 wholesale.
+    VersionedTable.commit(spark.range(3, 6).toDF("id"), root)
+    assert(ids(root) === (0L until 6L).toSet)
+  }
+
+  test("vacuum deletes only unretained dirs and the latest stays readable") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 3).toDF("id"), root)
+    VersionedTable.commit(spark.range(3, 6).toDF("id"), root)
+    VersionedTable.commit(spark.range(100, 104).toDF("id"), root, "overwrite")
+    val deleted = VersionedTable.vacuum(root, retainLast = 1)
+    // v3 is an overwrite referencing only its own dir — v1/v2 dirs die.
+    assert(deleted === Seq("data/v00001", "data/v00002"))
+    assert(ids(root) === (100L until 104L).toSet)
+    intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, root, Some(1)).collect()
+    }
+  }
+
+  test("vacuum keeps a dir any retained snapshot still references") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 3).toDF("id"), root)
+    VersionedTable.commit(spark.range(3, 6).toDF("id"), root) // v2 references v1's dir
+    val deleted = VersionedTable.vacuum(root, retainLast = 1)
+    assert(deleted.isEmpty, s"retained snapshot's dirs deleted: $deleted")
+    assert(ids(root) === (0L until 6L).toSet)
+  }
+
+  test("reading an empty table errors loudly") {
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.read(spark, freshRoot())
+    }
+    assert(e.getMessage.contains("empty versioned table"))
+  }
+
+  test("manifest records schema and parent lineage") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      spark.range(0, 2).select(col("id"), (col("id") * 2).as("twice")), root)
+    VersionedTable.commit(
+      spark.range(2, 4).select(col("id"), (col("id") * 2).as("twice")), root)
+    val s2 = VersionedTable.snapshot(root, 2)
+    assert(s2.parent === 1)
+    assert(s2.schemaCols === Seq("id", "twice"))
+    assert(s2.dataDirs === Seq("data/v00001", "data/v00002"))
+  }
+}
