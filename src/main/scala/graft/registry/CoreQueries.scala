@@ -82,10 +82,13 @@ object CoreQueries {
       VersionedTable.commit(orders.filter(col("o_orderkey") % 2 === 1), root, "append")
       VersionedTable.commit(orders.filter(col("o_orderstatus") === "F"), root, "overwrite")
       (1 to 3).map { v =>
+        // Scaled-integer discipline: sum exact cent images (BIGINT, order-
+        // independent), divide once — a raw double sum over 1.5M prices
+        // flipped the last quantized digit at the 10x corpus.
         VersionedTable.read(s, root, Some(v))
           .agg(
             count(lit(1)).as("n_rows"),
-            Quantize.r(sum(col("o_totalprice")), 2).as("sum_price"))
+            (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
           .select(lit(v).cast("int").as("version"), col("n_rows"), col("sum_price"))
       }.reduce(_ unionByName _)
     }),
@@ -414,15 +417,15 @@ object CoreQueries {
     // v2 = v1 + odd keys = everything, v3 = overwrite with status F.
     "q_time_travel" ->
       """SELECT CAST(1 AS INTEGER) AS version, count(*) AS n_rows,
-        |       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS sum_price
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders WHERE o_orderkey % 2 = 0
         |UNION ALL
         |SELECT CAST(2 AS INTEGER), count(*),
-        |       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0
         |FROM orders
         |UNION ALL
         |SELECT CAST(3 AS INTEGER), count(*),
-        |       floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0
         |FROM orders WHERE o_orderstatus = 'F'""".stripMargin,
 
     "q_pricing_summary" ->
