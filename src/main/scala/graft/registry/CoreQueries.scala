@@ -93,6 +93,25 @@ object CoreQueries {
       }.reduce(_ unionByName _)
     }),
 
+    // Incremental view maintenance: three append commits, each refresh
+    // reading ONLY that commit's change feed (VersionedTableSpec asserts
+    // the delta-only file scan), monoid-merged into per-status state. The
+    // oracle is the full recompute — incremental must equal batch exactly.
+    "q_incremental_agg" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      import graft.operators.IncrementalAgg
+      val root = java.nio.file.Files.createTempDirectory("graft_iva_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          Quantize.i(col("o_totalprice"), 2).as("cents"))
+      (0 to 2).foreach(r =>
+        VersionedTable.commit(orders.filter(col("o_orderkey") % 3 === r), root))
+      val deltas = (0 to 2).map(v => VersionedTable.changes(s, root, v, v + 1))
+      IncrementalAgg.refreshAll(deltas, Seq("o_orderstatus"), Seq("cents"))
+        .select(col("o_orderstatus"), col("n_rows"),
+          (col("sum_cents") / lit(100.0)).as("sum_price"))
+    }),
+
     // TPC-H Q1-shaped pricing summary: single hash-agg shuffle; the shipdate
     // filter pushes into the parquet scan (PushedFilters).
     "q_pricing_summary" -> ((s, d) => {
@@ -412,6 +431,12 @@ object CoreQueries {
         |       min(ka) AS min_a, max(ka) AS max_a,
         |       min(kb) AS min_b, max(kb) AS max_b
         |FROM z GROUP BY zfile""".stripMargin,
+
+    // The full recompute the incremental refresh must equal exactly.
+    "q_incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // Each snapshot recomputed from the raw table: v1 = even keys,
     // v2 = v1 + odd keys = everything, v3 = overwrite with status F.

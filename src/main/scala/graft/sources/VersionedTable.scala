@@ -160,6 +160,41 @@ object VersionedTable {
     spark.read.parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
   }
 
+  /** Compact the latest snapshot into one fresh dir — an overwrite commit
+    * with identical content (the OPTIMIZE analogue for a table fragmented
+    * by many small appends). History stays readable until vacuumed; the
+    * new version reads O(1) dirs instead of O(appends).
+    */
+  def compact(spark: SparkSession, root: String): Int =
+    commit(read(spark, root), root, "overwrite")
+
+  /** Change feed: rows ADDED between `fromVersion` (exclusive) and
+    * `toVersion` (inclusive) — the input of O(delta) incremental
+    * maintenance. Valid only across append commits: an overwrite in the
+    * range replaces the snapshot wholesale (its delta is not additive), so
+    * it fails loudly rather than feeding a consumer rows that were also
+    * retracted. Reads ONLY the dirs the range added — cost is O(delta),
+    * never O(table).
+    */
+  def changes(spark: SparkSession, root: String,
+      fromVersion: Int, toVersion: Int): DataFrame = {
+    require(fromVersion >= 0 && toVersion > fromVersion,
+      s"bad change range ($fromVersion, $toVersion]")
+    val snaps = (fromVersion + 1 to toVersion).map(snapshot(root, _))
+    snaps.filter(_.operation != "append") match {
+      case bad if bad.nonEmpty =>
+        throw new IllegalArgumentException(
+          s"change feed crosses non-append versions ${bad.map(_.version).mkString(",")}: " +
+            "an overwrite replaces the snapshot; re-derive consumers from it")
+      case _ => ()
+    }
+    val baseDirs: Set[String] =
+      if (fromVersion == 0) Set.empty else snapshot(root, fromVersion).dataDirs.toSet
+    val added = snaps.last.dataDirs.filterNot(baseDirs.contains)
+    require(added.nonEmpty, s"no data added in ($fromVersion, $toVersion]")
+    spark.read.parquet(added.map(d => new File(root, d).getPath): _*)
+  }
+
   /** Delete data dirs referenced ONLY by versions older than the retained
     * window (last `retainLast` versions), plus orphan dirs from crashed
     * commits, and their manifests. Returns the deleted dir names.

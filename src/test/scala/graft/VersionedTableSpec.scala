@@ -100,6 +100,66 @@ class VersionedTableSpec extends SparkTestBase {
     assert(e.getMessage.contains("empty versioned table"))
   }
 
+  test("change feed reads ONLY the delta dirs, never the base snapshot") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 1000).toDF("id"), root)
+    VersionedTable.commit(spark.range(1000, 1010).toDF("id"), root)
+    val delta = VersionedTable.changes(spark, root, 1, 2)
+    assert(delta.select("id").collect().map(_.getLong(0)).toSet ===
+      (1000L until 1010L).toSet)
+    val files = delta.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("data/v00002")),
+      s"delta scan touched non-delta files: ${files.mkString(",")}")
+    // Range from table birth = everything.
+    assert(VersionedTable.changes(spark, root, 0, 2).count() === 1010)
+  }
+
+  test("change feed refuses to cross an overwrite") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root)
+    VersionedTable.commit(spark.range(9, 12).toDF("id"), root, "overwrite")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.changes(spark, root, 1, 2)
+    }
+    assert(e.getMessage.contains("non-append"))
+  }
+
+  test("incremental refresh over the change feed equals the full recompute") {
+    import graft.operators.IncrementalAgg
+    val root = freshRoot()
+    val all = spark.range(0, 300).select(
+      col("id"), (col("id") % 7).as("grp"), (col("id") * 3).as("v"))
+    (0 to 2).foreach(r => VersionedTable.commit(all.filter(col("id") % 3 === r), root))
+    val deltas = (0 to 2).map(v => VersionedTable.changes(spark, root, v, v + 1))
+    val inc = IncrementalAgg.refreshAll(deltas, Seq("grp"), Seq("v"))
+    val full = IncrementalAgg.aggregate(all, Seq("grp"), Seq("v"))
+    assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty)
+  }
+
+  test("monoid merge treats an absent group as zero on either side") {
+    import graft.operators.IncrementalAgg
+    val a = spark.range(0, 3).select(col("id").as("grp"),
+      lit(2L).as("n_rows"), lit(10L).as("sum_v"))
+    val b = spark.range(2, 5).select(col("id").as("grp"),
+      lit(1L).as("n_rows"), lit(5L).as("sum_v"))
+    val m = IncrementalAgg.merge(a, b, Seq("grp")).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(m === Map(0L -> ((2L, 10L)), 1L -> ((2L, 10L)),
+      2L -> ((3L, 15L)), 3L -> ((1L, 5L)), 4L -> ((1L, 5L))))
+  }
+
+  test("compaction collapses many appends into one dir with identical content") {
+    val root = freshRoot()
+    (0 until 5).foreach(i =>
+      VersionedTable.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), root))
+    assert(VersionedTable.snapshot(root, 5).dataDirs.size === 5)
+    val v = VersionedTable.compact(spark, root)
+    assert(v === 6)
+    assert(VersionedTable.snapshot(root, 6).dataDirs === Seq("data/v00006"))
+    assert(ids(root) === (0L until 50L).toSet)
+    assert(ids(root, Some(5)) === (0L until 50L).toSet) // history intact
+  }
+
   test("manifest records schema and parent lineage") {
     val root = freshRoot()
     VersionedTable.commit(
