@@ -135,6 +135,17 @@ object StreamQueries {
         .select("time", "symbol", "trade_id", "price", "volume")
     }),
 
+    // Exactly-once ingest into the VERSIONED table: micro-batch N commits
+    // as version N+1; the simulated redelivery of batch 0 is absorbed by
+    // the commit log (one manifest check, zero data I/O — the
+    // transactional-sink alternative to the key-based MERGE above).
+    "q_stream_versioned" -> ((s, d) => withReplayConf(s) {
+      requireSingleBatchSource(s"$d/events.parquet")
+      val root = Files.createTempDirectory("graft_vtsink_").toString
+      StreamingFeatures.versionedIngest(s, s"$d/events.parquet", root)
+        .select("time", "symbol", "trade_id", "price", "volume")
+    }),
+
     // Stateful CEP (flatMapGroupsWithState) over a bounded stream; thresholds
     // from a batch percentile broadcast into the stream (stream-static join).
     "q_stream_cep" -> ((s, d) => withReplayConf(s) {
@@ -469,6 +480,11 @@ object StreamQueries {
         |GROUP BY 1, 2""".stripMargin),
 
     "q_stream_merge" -> withTrades(
+      "SELECT time, symbol, trade_id, price, volume FROM trades"),
+
+    // The commit-log sink must surface the stream exactly once, replay
+    // absorbed — content-identical to the raw projection.
+    "q_stream_versioned" -> withTrades(
       "SELECT time, symbol, trade_id, price, volume FROM trades"),
 
     "q_stream_dedup" -> withTrades(

@@ -160,6 +160,19 @@ object VersionedTable {
     spark.read.parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
   }
 
+  /** Idempotent commit targeting a SPECIFIC version — the exactly-once
+    * streaming sink primitive. Micro-batch N maps deterministically to
+    * version N+1; an at-least-once replay of batch N finds its version
+    * already committed and becomes a no-op. Returns true iff this call
+    * committed (false = the version already existed — replay absorbed).
+    */
+  def idempotentCommit(df: DataFrame, root: String, version: Int,
+      mode: String = "append"): Boolean = {
+    if (manifestFile(root, version).isFile) return false
+    try { commit(df, root, mode, expectedVersion = Some(version)); true }
+    catch { case _: CommitConflictException => false }
+  }
+
   /** Compact the latest snapshot into one fresh dir — an overwrite commit
     * with identical content (the OPTIMIZE analogue for a table fragmented
     * by many small appends). History stays readable until vacuumed; the

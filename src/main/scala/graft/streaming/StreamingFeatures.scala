@@ -541,4 +541,34 @@ object StreamingFeatures {
       graft.core.Tables.table(spark, new java.io.File(eventsPath).getParent, "events")))
     readKeyedTable(spark, outDir)
   }
+
+  /** Exactly-once streaming ingest into a [[graft.sources.VersionedTable]]:
+    * micro-batch N commits as version N+1 via [[graft.sources.VersionedTable.idempotentCommit]],
+    * so an at-least-once redelivery finds its version already in the commit
+    * log and is absorbed — transactional-sink semantics from the version
+    * mapping alone, no key-based MERGE needed (and unlike MERGE, the
+    * absorbed replay does zero data I/O: one manifest existence check).
+    * Caller must ensure the source replays with stable batch contents
+    * (single-batch `AvailableNow` here, asserted by the registry twin).
+    */
+  def versionedIngest(spark: SparkSession, eventsPath: String, root: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val trades = StreamSources.tradeFileStream(spark, eventsPath)
+    val q = trades.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        VersionedTable.idempotentCommit(batch, root, batchId.toInt + 1)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    // Simulated at-least-once redelivery of batch 0: same version target,
+    // absorbed by the commit log (idempotentCommit returns false).
+    val redelivered = StreamSources.projectTrades(
+      graft.core.Tables.table(spark, new java.io.File(eventsPath).getParent, "events"))
+    require(!VersionedTable.idempotentCommit(redelivered, root, 1),
+      "replayed batch was committed twice — exactly-once broken")
+    VersionedTable.read(spark, root)
+  }
 }

@@ -160,6 +160,30 @@ class VersionedTableSpec extends SparkTestBase {
     assert(ids(root, Some(5)) === (0L until 50L).toSet) // history intact
   }
 
+  test("idempotentCommit absorbs a replayed batch: one commit, no dup rows") {
+    val root = freshRoot()
+    assert(VersionedTable.idempotentCommit(spark.range(0, 5).toDF("id"), root, 1))
+    // At-least-once redelivery of the same batch targets the same version.
+    assert(!VersionedTable.idempotentCommit(spark.range(0, 5).toDF("id"), root, 1))
+    assert(!VersionedTable.idempotentCommit(spark.range(0, 5).toDF("id"), root, 1))
+    assert(VersionedTable.latestVersion(root) === Some(1))
+    assert(VersionedTable.read(spark, root).count() === 5)
+    // The next batch proceeds normally.
+    assert(VersionedTable.idempotentCommit(spark.range(5, 8).toDF("id"), root, 2))
+    assert(ids(root) === (0L until 8L).toSet)
+  }
+
+  test("versionedIngest: streamed rows land exactly once through the commit log") {
+    val root = freshRoot()
+    val out = graft.streaming.StreamingFeatures.versionedIngest(
+      spark, s"$sf0001/events.parquet", root)
+    val expected = graft.sources.StreamSources.projectTrades(
+      graft.core.Tables.table(spark, sf0001, "events"))
+    assert(out.count() === expected.count(), "replay duplicated or dropped rows")
+    assert(out.select("trade_id").distinct().count() ===
+      expected.select("trade_id").distinct().count())
+  }
+
   test("manifest records schema and parent lineage") {
     val root = freshRoot()
     VersionedTable.commit(
