@@ -246,4 +246,25 @@ class PropertySpec extends SparkTestBase {
       graft.functions.Quantize.r(col("price"), 6)).count() === 0)
     assert(adj.count() === t.count())
   }
+
+  test("property: incremental refresh equals full recompute under ANY delta split") {
+    import graft.operators.IncrementalAgg
+    val splitGen = for {
+      n      <- Gen.choose(20, 200)
+      nWays  <- Gen.choose(2, 6)
+      seed   <- Gen.choose(0L, 1000000L)
+    } yield (n, nWays, seed)
+    forAll(splitGen) { case (n, nWays, seed) =>
+      val rows = spark.range(n).select(
+        col("id"),
+        expr(s"pmod(xxhash64(id + 3, $seed), 5)").as("grp"),
+        expr(s"pmod(xxhash64(id + 11, $seed), 1000)").as("v"),
+        expr(s"pmod(xxhash64(id + 19, $seed), $nWays)").as("part"))
+      val deltas = (0 until nWays).map(p => rows.filter(col("part") === p))
+      val inc = IncrementalAgg.refreshAll(deltas, Seq("grp"), Seq("v"))
+      val full = IncrementalAgg.aggregate(rows, Seq("grp"), Seq("v"))
+      assert(inc.exceptAll(full).isEmpty && full.exceptAll(inc).isEmpty,
+        s"split (n=$n, ways=$nWays, seed=$seed) diverged from full recompute")
+    }
+  }
 }
