@@ -157,7 +157,12 @@ object VersionedTable {
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
     require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
-    spark.read.parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
+    // mergeSchema: commits may evolve the schema additively; without it,
+    // one arbitrary footer wins and later columns silently VANISH. The
+    // union schema (nulls for pre-evolution rows) is the same additive
+    // discipline as mergeIntoKeyed's; cost is one footer per dir.
+    spark.read.option("mergeSchema", "true")
+      .parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
   }
 
   /** Idempotent commit targeting a SPECIFIC version — the exactly-once

@@ -184,6 +184,21 @@ class VersionedTableSpec extends SparkTestBase {
       expected.select("trade_id").distinct().count())
   }
 
+  test("additive schema evolution: later columns survive, older rows read null") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 3).toDF("id"), root)
+    VersionedTable.commit(
+      spark.range(3, 5).select(col("id"), (col("id") * 10).as("extra")), root)
+    val latest = VersionedTable.read(spark, root)
+    assert(latest.columns.toSeq === Seq("id", "extra"))
+    val byId = latest.collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(byId === Map(0L -> None, 1L -> None, 2L -> None,
+      3L -> Some(30L), 4L -> Some(40L)))
+    // Time travel to v1 still sees the original narrow schema.
+    assert(VersionedTable.read(spark, root, Some(1)).columns.toSeq === Seq("id"))
+  }
+
   test("manifest records schema and parent lineage") {
     val root = freshRoot()
     VersionedTable.commit(
