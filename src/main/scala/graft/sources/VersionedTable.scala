@@ -45,7 +45,8 @@ object VersionedTable {
       operation: String,
       rows: Long,
       schemaCols: Seq[String],
-      dataDirs: Seq[String])
+      dataDirs: Seq[String],
+      committedMs: Long = 0L)
 
   final class CommitConflictException(version: Int)
     extends RuntimeException(
@@ -74,19 +75,20 @@ object VersionedTable {
     val f = manifestFile(root, version)
     require(f.isFile, s"no such version $version at $root")
     val kv = Files.readAllLines(f.toPath, StandardCharsets.UTF_8)
-    var parent = -1; var op = ""; var rows = 0L
+    var parent = -1; var op = ""; var rows = 0L; var ms = 0L
     var cols = Seq.empty[String]; val dirs = Seq.newBuilder[String]
     kv.forEach { line =>
       line.split("=", 2) match {
-        case Array("parent", v)    => parent = v.toInt
-        case Array("operation", v) => op = v
-        case Array("rows", v)      => rows = v.toLong
-        case Array("schema", v)    => cols = v.split(",").toSeq.filter(_.nonEmpty)
-        case Array("dir", v)       => dirs += v
-        case _                     => () // version= line, comments, unknown keys
+        case Array("parent", v)       => parent = v.toInt
+        case Array("operation", v)    => op = v
+        case Array("rows", v)         => rows = v.toLong
+        case Array("committed_ms", v) => ms = v.toLong
+        case Array("schema", v)       => cols = v.split(",").toSeq.filter(_.nonEmpty)
+        case Array("dir", v)          => dirs += v
+        case _                        => () // version= line, comments, unknown keys
       }
     }
-    Snapshot(version, parent, op, rows, cols, dirs.result())
+    Snapshot(version, parent, op, rows, cols, dirs.result(), ms)
   }
 
   /** All snapshots, oldest first. */
@@ -132,6 +134,7 @@ object VersionedTable {
       .append(s"parent=${parent.getOrElse(0)}\n")
       .append(s"operation=$mode\n")
       .append(s"rows=$rows\n")
+      .append(s"committed_ms=${System.currentTimeMillis()}\n")
       .append(s"schema=${df.columns.mkString(",")}\n")
     dirs.foreach(d => body.append(s"dir=$d\n"))
     // POSIX rename() silently REPLACES an existing target, so a rename is
@@ -177,6 +180,22 @@ object VersionedTable {
     try { commit(df, root, mode, expectedVersion = Some(version)); true }
     catch { case _: CommitConflictException => false }
   }
+
+  /** Latest version committed at or before `tsMs` (wall-clock time travel:
+    * `read(spark, root, versionAsOf(root, ts))`). None if the table's first
+    * commit is later than `tsMs`.
+    */
+  def versionAsOf(root: String, tsMs: Long): Option[Int] = {
+    val eligible = history(root).filter(_.committedMs <= tsMs)
+    if (eligible.isEmpty) None else Some(eligible.map(_.version).max)
+  }
+
+  /** Roll the table back: a new commit whose content is exactly version
+    * `v`'s snapshot (history preserved — a RESTORE, not a reset; the bad
+    * versions stay auditable until vacuumed).
+    */
+  def restore(spark: SparkSession, root: String, v: Int): Int =
+    commit(read(spark, root, Some(v)), root, "overwrite")
 
   /** Compact the latest snapshot into one fresh dir — an overwrite commit
     * with identical content (the OPTIMIZE analogue for a table fragmented

@@ -199,6 +199,30 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, root, Some(1)).columns.toSeq === Seq("id"))
   }
 
+  test("restore rolls content back as a NEW version; bad history stays auditable") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root)
+    VersionedTable.commit(spark.range(900, 999).toDF("id"), root, "overwrite") // bad deploy
+    val v = VersionedTable.restore(spark, root, 1)
+    assert(v === 3)
+    assert(ids(root) === (0L until 5L).toSet)
+    assert(ids(root, Some(2)) === (900L until 999L).toSet) // auditable
+  }
+
+  test("wall-clock time travel resolves the latest version at-or-before ts") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 3).toDF("id"), root)
+    val t1 = VersionedTable.snapshot(root, 1).committedMs
+    assert(t1 > 0L)
+    Thread.sleep(5)
+    VersionedTable.commit(spark.range(3, 6).toDF("id"), root)
+    val t2 = VersionedTable.snapshot(root, 2).committedMs
+    assert(VersionedTable.versionAsOf(root, t1 - 1) === None)
+    assert(VersionedTable.versionAsOf(root, t1) === Some(1))
+    assert(VersionedTable.versionAsOf(root, t2 + 1000) === Some(2))
+    assert(ids(root, VersionedTable.versionAsOf(root, t1)) === (0L until 3L).toSet)
+  }
+
   test("manifest records schema and parent lineage") {
     val root = freshRoot()
     VersionedTable.commit(
