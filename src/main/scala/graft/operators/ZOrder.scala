@@ -49,13 +49,16 @@ object ZOrder {
     * onto the FULL [0, 65536) range (deterministic — no sampled quantiles;
     * callers pass the column's contractual domain). Small domains are
     * spread UP so the code's top bits — the file assignment — still vary;
-    * large domains are bucketed down. `floor` on doubles is exact here:
-    * every intermediate stays far below 2^53.
+    * large domains are bucketed down. Pure integer math: `x << 16` stays
+    * below 2^63 for every in-domain x (x ≤ maxInclusive < 2^47), and `div`
+    * is exact integral division — no double rounding anywhere, so the
+    * mapping is exact across the whole admitted domain (a double `/` would
+    * only be exact below 2^53 and silently misplace codes above ~2^37).
     */
   def scaleTo16(x: Column, maxInclusive: Long): Column = {
     require(maxInclusive >= 0 && maxInclusive < (1L << 47),
       s"domain max out of range: $maxInclusive")
-    floor(x * lit(65536L) / lit(maxInclusive + 1L)).cast("long")
+    call_function("div", shiftleft(x, 16), lit(maxInclusive + 1L))
       .bitwiseAND(lit(0xFFFFL))
   }
 

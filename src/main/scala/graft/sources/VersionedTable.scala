@@ -1,8 +1,7 @@
 package graft.sources
 
 import java.io.File
-import java.nio.charset.StandardCharsets
-import java.nio.file.{Files, Paths}
+import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
@@ -15,69 +14,49 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Layout:
   * {{{
-  *   <root>/data/v00003/part-*.parquet    # one immutable dir per commit
-  *   <root>/_commits/v00003.manifest      # line-oriented snapshot manifest
+  *   <root>/data/v00003-9f2c41aa/part-*.parquet  # one immutable dir per ATTEMPT
+  *   <root>/_commits/v00003.manifest             # line-oriented snapshot manifest
   * }}}
   *
   * A snapshot manifest lists the data DIRS composing the version (append
   * accumulates the parent's dirs; overwrite starts fresh), so a reader
   * resolves ONE small file and then touches only the listed dirs — never a
-  * recursive listing of a 100 TB table. Commit protocol: (1) write the new
-  * data dir (its name embeds the target version — a crashed attempt leaves
-  * an orphan dir that the next attempt overwrites and vacuum removes);
-  * (2) write the manifest to a temp name and ATOMIC-RENAME onto
-  * `v%05d.manifest` with no-replace semantics — if the target exists, a
-  * concurrent writer won and the commit fails with a conflict (optimistic
-  * concurrency, single-winner per version, retry-able by re-reading
-  * `latestVersion`). Readers pin a manifest, so a concurrent vacuum with
-  * `retainLast >= 1` never deletes files under a retained version they
-  * could be reading.
+  * recursive listing of a 100 TB table.
   *
-  * Scale notes: commit cost is O(batch) + two small metadata writes;
+  * Commit protocol: (1) write the new data dir under a name UNIQUE to this
+  * attempt (version prefix for readability + a random token) — data files
+  * need no atomicity because nothing references them yet, and two racing
+  * writers can never clobber each other's files; (2) publish the manifest
+  * through the [[CommitStore]] conditional put, which is the single atomic
+  * commit point: exactly one writer per version wins, the loser gets a
+  * [[VersionedTable.CommitConflictException]] (retry by re-reading
+  * `latestVersion`) and its data dir is removed (best effort — a crash
+  * leaves an unreferenced orphan that vacuum reaps after a grace window).
+  * Readers pin a manifest, so a concurrent vacuum with `retainLast >= 1`
+  * never deletes files under a retained version they could be reading.
+  *
+  * Scale notes: commit cost is O(batch) + one conditional metadata put;
   * time-travel read cost is O(files in that snapshot); vacuum is
   * O(versions) metadata + file deletes, data-free. Nothing scans the table.
   */
-object VersionedTable {
+class VersionedTableOps(val store: CommitStore) {
+  import VersionedTable.{CommitConflictException, Snapshot}
 
-  final case class Snapshot(
-      version: Int,
-      parent: Int,
-      operation: String,
-      rows: Long,
-      schemaCols: Seq[String],
-      dataDirs: Seq[String],
-      committedMs: Long = 0L)
-
-  final class CommitConflictException(version: Int)
-    extends RuntimeException(
-      s"commit conflict: version $version was committed concurrently; " +
-        "re-read latestVersion and retry")
-
-  private def commitsDir(root: String) = new File(root, "_commits")
   private def dataDir(root: String) = new File(root, "data")
-  private def manifestFile(root: String, v: Int) =
-    new File(commitsDir(root), f"v$v%05d.manifest")
-  private def versionDirName(v: Int) = f"data/v$v%05d"
 
   /** Highest committed version, or None for an empty/absent table. */
   def latestVersion(root: String): Option[Int] = {
-    val dir = commitsDir(root)
-    if (!dir.isDirectory) None
-    else {
-      val vs = dir.listFiles((_, n) => n.matches("v\\d{5}\\.manifest"))
-        .map(f => f.getName.substring(1, 6).toInt)
-      if (vs.isEmpty) None else Some(vs.max)
-    }
+    val vs = store.versions(root)
+    if (vs.isEmpty) None else Some(vs.max)
   }
 
   /** Parse one snapshot manifest. */
   def snapshot(root: String, version: Int): Snapshot = {
-    val f = manifestFile(root, version)
-    require(f.isFile, s"no such version $version at $root")
-    val kv = Files.readAllLines(f.toPath, StandardCharsets.UTF_8)
+    val body = store.get(root, version)
+      .getOrElse(throw new IllegalArgumentException(s"no such version $version at $root"))
     var parent = -1; var op = ""; var rows = 0L; var ms = 0L
     var cols = Seq.empty[String]; val dirs = Seq.newBuilder[String]
-    kv.forEach { line =>
+    body.linesIterator.foreach { line =>
       line.split("=", 2) match {
         case Array("parent", v)       => parent = v.toInt
         case Array("operation", v)    => op = v
@@ -92,18 +71,20 @@ object VersionedTable {
   }
 
   /** All snapshots, oldest first. */
-  def history(root: String): Seq[Snapshot] =
-    latestVersion(root).toSeq.flatMap(latest => (1 to latest).flatMap { v =>
-      if (manifestFile(root, v).isFile) Some(snapshot(root, v)) else None
-    })
+  def history(root: String): Seq[Snapshot] = {
+    val vs = store.versions(root).toSet
+    vs.toSeq.sorted.map(snapshot(root, _))
+  }
 
   /** Commit `df` as the next version. `mode` is "append" (snapshot = parent
     * dirs + new dir) or "overwrite" (snapshot = new dir only). Returns the
-    * committed version number; throws [[CommitConflictException]] if another
-    * writer claimed the target version first — detected both up front
-    * (`expectedVersion`, the CAS form: pass `latestVersion(root) + 1` as
-    * read at transaction start) and at the atomic link (defense in depth
-    * against the read-to-link window).
+    * committed version number; throws [[VersionedTable.CommitConflictException]]
+    * if another writer claimed the target version first — detected both up
+    * front (`expectedVersion`, the CAS form: pass `latestVersion(root) + 1`
+    * as read at transaction start) and at the conditional put (defense in
+    * depth against the read-to-publish window). A losing writer can never
+    * damage the winner's commit: its data lives under its own unique dir,
+    * which is deleted on conflict (or vacuumed later if this JVM dies first).
     */
   def commit(df: DataFrame, root: String, mode: String = "append",
       expectedVersion: Option[Int] = None): Int = {
@@ -112,14 +93,13 @@ object VersionedTable {
     val version = parent.getOrElse(0) + 1
     expectedVersion.filter(_ != version)
       .foreach(e => throw new CommitConflictException(e))
-    commitsDir(root).mkdirs()
     dataDir(root).mkdirs()
 
-    // (1) data: an immutable dir named for the target version. A previous
-    // crashed attempt at this version left only an orphan dir (no manifest)
-    // — Overwrite replaces it wholesale, which is the self-heal.
-    val newDir = versionDirName(version)
-    df.write.mode("overwrite").parquet(new File(root, newDir).getPath)
+    // (1) data: an immutable dir unique to this ATTEMPT. Racing writers and
+    // crashed retries each write their own dir; only the manifest decides
+    // which one readers ever see.
+    val newDir = f"data/v$version%05d-${UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(new File(root, newDir).getPath)
     val rows = df.sparkSession.read.parquet(new File(root, newDir).getPath).count()
 
     val parentDirs = parent match {
@@ -128,7 +108,7 @@ object VersionedTable {
     }
     val dirs = parentDirs :+ newDir
 
-    // (2) log: temp file + atomic no-replace rename = the commit point.
+    // (2) log: the conditional put is the commit point.
     val body = new StringBuilder()
       .append(s"version=$version\n")
       .append(s"parent=${parent.getOrElse(0)}\n")
@@ -137,18 +117,12 @@ object VersionedTable {
       .append(s"committed_ms=${System.currentTimeMillis()}\n")
       .append(s"schema=${df.columns.mkString(",")}\n")
     dirs.foreach(d => body.append(s"dir=$d\n"))
-    // POSIX rename() silently REPLACES an existing target, so a rename is
-    // not a conflict detector. A hard link is both atomic and
-    // fail-if-exists: the full manifest becomes visible in one step, and
-    // EEXIST means another writer claimed this version first.
-    val tmp = Paths.get(commitsDir(root).getPath,
-      s".v$version.tmp${Thread.currentThread().getId}")
-    Files.write(tmp, body.toString.getBytes(StandardCharsets.UTF_8))
-    try Files.createLink(manifestFile(root, version).toPath, tmp)
-    catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new CommitConflictException(version)
-    } finally Files.deleteIfExists(tmp)
+    if (!store.putIfAbsent(root, version, body.toString)) {
+      // Lost the race: our dir is unreferenced and can't hurt anyone.
+      // Remove it now; if we crash before this line, vacuum reaps it.
+      VersionedTable.deleteRecursively(new File(root, newDir))
+      throw new CommitConflictException(version)
+    }
     version
   }
 
@@ -176,7 +150,7 @@ object VersionedTable {
     */
   def idempotentCommit(df: DataFrame, root: String, version: Int,
       mode: String = "append"): Boolean = {
-    if (manifestFile(root, version).isFile) return false
+    if (store.get(root, version).isDefined) return false
     try { commit(df, root, mode, expectedVersion = Some(version)); true }
     catch { case _: CommitConflictException => false }
   }
@@ -229,29 +203,73 @@ object VersionedTable {
       if (fromVersion == 0) Set.empty else snapshot(root, fromVersion).dataDirs.toSet
     val added = snaps.last.dataDirs.filterNot(baseDirs.contains)
     require(added.nonEmpty, s"no data added in ($fromVersion, $toVersion]")
-    spark.read.parquet(added.map(d => new File(root, d).getPath): _*)
+    // Same additive-evolution discipline as read(): a range spanning a
+    // schema-widening commit must surface the union schema, not let one
+    // arbitrary footer win and silently drop the new columns from the feed.
+    spark.read.option("mergeSchema", "true")
+      .parquet(added.map(d => new File(root, d).getPath): _*)
   }
 
   /** Delete data dirs referenced ONLY by versions older than the retained
-    * window (last `retainLast` versions), plus orphan dirs from crashed
-    * commits, and their manifests. Returns the deleted dir names.
+    * window (last `retainLast` versions) and their manifests, plus
+    * UNREFERENCED orphan dirs (crashed or lost-race commits) older than
+    * `orphanGraceMs`. The grace window is what makes vacuum safe to run
+    * concurrently with writers: an in-flight commit's freshly-written dir
+    * is unreferenced until its manifest publishes, and must not be reaped
+    * out from under it — only an orphan that has sat unclaimed longer than
+    * any plausible commit is dead. Dirs a below-cutoff manifest references
+    * are deleted regardless of age (their only readers are gone with their
+    * manifests). Returns the dir names actually deleted.
     */
-  def vacuum(root: String, retainLast: Int = 2): Seq[String] = {
+  def vacuum(root: String, retainLast: Int = 2,
+      orphanGraceMs: Long = 10 * 60 * 1000L): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
+    require(orphanGraceMs >= 0, "grace window must be non-negative")
     val latest = latestVersion(root).getOrElse(return Seq.empty)
     val cutoff = latest - retainLast + 1
-    val retainedDirs = (cutoff to latest)
-      .filter(v => manifestFile(root, v).isFile)
-      .flatMap(v => snapshot(root, v).dataDirs).toSet
-    val live = dataDir(root).listFiles().toSeq.filter(_.isDirectory)
-      .map(d => "data/" + d.getName)
-    val doomed = live.filterNot(retainedDirs.contains)
-    doomed.foreach { d =>
-      val dir = new File(root, d)
-      dir.listFiles().foreach(_.delete())
-      dir.delete()
+    val committed = store.versions(root).toSet
+    def dirsOf(vs: Iterable[Int]): Set[String] =
+      vs.filter(committed.contains).flatMap(snapshot(root, _).dataDirs).toSet
+    val retainedDirs = dirsOf(cutoff to latest)
+    val expiredDirs = dirsOf(1 until cutoff) -- retainedDirs
+    val now = System.currentTimeMillis()
+    val live = Option(dataDir(root).listFiles()).toSeq.flatten
+      .filter(_.isDirectory).map(d => "data/" + d.getName)
+    val doomed = live.filterNot(retainedDirs.contains).filter { d =>
+      expiredDirs.contains(d) ||
+        new File(root, d).lastModified() <= now - orphanGraceMs
     }
-    (1 until cutoff).foreach(v => manifestFile(root, v).delete())
-    doomed.sorted
+    val deleted = doomed.filter { d =>
+      val f = new File(root, d)
+      VersionedTable.deleteRecursively(f)
+      !f.exists() // report only what actually died
+    }
+    (1 until cutoff).foreach(store.delete(root, _))
+    deleted.sorted
+  }
+}
+
+object VersionedTable extends VersionedTableOps(CommitStore.local) {
+
+  final case class Snapshot(
+      version: Int,
+      parent: Int,
+      operation: String,
+      rows: Long,
+      schemaCols: Seq[String],
+      dataDirs: Seq[String],
+      committedMs: Long = 0L)
+
+  final class CommitConflictException(version: Int)
+    extends RuntimeException(
+      s"commit conflict: version $version was committed concurrently; " +
+        "re-read latestVersion and retry")
+
+  /** Depth-first delete handling nested dirs (e.g. a crashed Spark write's
+    * `_temporary` tree). Returns true iff `f` no longer exists.
+    */
+  private[sources] def deleteRecursively(f: File): Boolean = {
+    Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete() || !f.exists()
   }
 }

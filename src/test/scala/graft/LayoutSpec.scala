@@ -92,6 +92,27 @@ class LayoutSpec extends SparkTestBase {
     assert(zSkipB > 0.8, s"z-layout should prune most files on kb, got $zSkipB")
   }
 
+  test("scaleTo16 is exact across the whole admitted domain (integer div, no double rounding)") {
+    // Near the 2^47 bound, (x * 65536) / (max+1) through a double is only
+    // exact below ~2^37; the integer-div form must match BigInt math
+    // everywhere. Corner values at and around the admitted maximum.
+    val max = (1L << 47) - 1 // largest admitted maxInclusive
+    val xs = Seq(0L, 1L, max / 3, max / 2, max - 1, max,
+      (1L << 37) + 12345L, (1L << 40) - 1, (1L << 46) + 7L)
+    val df = spark.createDataFrame(xs.map(Tuple1(_))).toDF("x")
+      .select(col("x"), ZOrder.scaleTo16(col("x"), max).as("s"))
+    df.collect().foreach { r =>
+      val x = r.getLong(0)
+      val expected = ((BigInt(x) << 16) / (BigInt(max) + 1)).toLong & 0xFFFFL
+      assert(r.getLong(1) === expected,
+        s"scaleTo16($x, $max) = ${r.getLong(1)}, want $expected")
+    }
+    // Small-domain spread-up still lands on the full range endpoints.
+    val small = spark.createDataFrame(Seq(Tuple1(0L), Tuple1(255L))).toDF("x")
+      .select(ZOrder.scaleTo16(col("x"), 255L).as("s")).collect().map(_.getLong(0))
+    assert(small.toSeq === Seq(0L, 65280L)) // 255 * 256
+  }
+
   test("layout rejects a non-power-of-two file count loudly") {
     val g = spark.range(10).select(col("id").as("ka"), col("id").as("kb"))
     val e = intercept[IllegalArgumentException] {
