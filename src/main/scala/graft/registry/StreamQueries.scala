@@ -5,7 +5,7 @@ import java.nio.file.Files
 import graft.core.Tables
 import graft.features.LargeTrades
 import graft.sources.{AvroCodec, StreamSources}
-import graft.streaming.{Cep, OrderedCep, OrderedCusum, StreamingFeatures}
+import graft.streaming.{OrderedCep, OrderedCusum, StreamingFeatures}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
@@ -66,18 +66,19 @@ object StreamQueries {
     }
   }
 
-  /** The arrival-order monitors (CusumMonitor, SpreadEmaMonitor) fold in
-    * delivery order; their fold equals the event-time fold ONLY under
-    * single-batch delivery (each key's rows chronological within a batch).
-    * A single input FILE under AvailableNow with no maxFilesPerTrigger is
-    * exactly one micro-batch — assert that shape LOUDLY instead of letting
-    * a directory input silently change the fold (the ordered
-    * transformWithState variants are the multi-batch-safe path).
+  /** The versioned-sink replay simulates an at-least-once REDELIVERY of
+    * micro-batch 0 after the run, which presumes batch 0 was the whole
+    * corpus — a single input FILE under AvailableNow with no
+    * maxFilesPerTrigger is exactly one micro-batch. Assert that shape
+    * loudly instead of letting a directory input silently change what the
+    * redelivery simulation re-sends. (The CEP/CUSUM primaries no longer
+    * need this: they run the event-time-ordered transformWithState
+    * processors, exact under any batching.)
     */
   private def requireSingleBatchSource(path: String): Unit =
     require(new java.io.File(path).isFile,
-      s"arrival-order fold requires single-batch delivery: $path must be one " +
-        "file (use the ordered transformWithState variant for multi-batch sources)")
+      s"the batch-0 redelivery simulation requires single-batch delivery: " +
+        s"$path must be one file")
 
   /** Bounded replay of a transformWithState dataset into `out`, with the
     * RocksDB state store (the arbitrary-state API needs multi-column-family
@@ -146,46 +147,40 @@ object StreamQueries {
         .select("time", "symbol", "trade_id", "price", "volume")
     }),
 
-    // Stateful CEP (flatMapGroupsWithState) over a bounded stream; thresholds
-    // from a batch percentile broadcast into the stream (stream-static join).
-    "q_stream_cep" -> ((s, d) => withReplayConf(s) {
-      requireSingleBatchSource(s"$d/events.parquet")
+    // PRIMARY large-trade CEP: the event-time-ORDERED transformWithState
+    // processor (exact under ANY batch split — the reference's Flink path
+    // is an unbounded keyed stream, `anomaly_detection.py:40-149`, never a
+    // single-batch replay), gated here under a FORCED 3-batch chronological
+    // replay. Thresholds from a batch percentile broadcast into the stream
+    // (stream-static join). The legacy arrival-order detector survives as a
+    // spec twin (StreamingSpec equivalence tests).
+    "q_stream_cep" -> ((s, d) => {
       val thresholds = LargeTrades.thresholds(Tables.trades(s, d))
-      val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
+      val stream = StreamSources.chronoBatchedTradeStream(s, s"$d/events.parquet")
         .join(broadcast(thresholds), Seq("symbol"))
         .filter(col("volume") > col("percentile_95"))
-      val anomalies = Cep.LargeTradeDetector.detect(stream, 7L * 24 * 3600 * 1000000L)
-      val name = s"stream_cep_${System.nanoTime()}"
-      val q = anomalies.writeStream.format("memory").queryName(name)
-        .outputMode("append").trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
-        .start()
-      q.awaitTermination()
-      s.table(name)
+      val out = Files.createTempDirectory("graft_cep_").toString + "/t"
+      runOrderedTws(s,
+        OrderedCep.largeTrades(stream, 7L * 24 * 3600 * 1000000L), out)
+      s.read.parquet(out)
+        .select(timestamp_micros(col("timeMicros")).as("time"), col("symbol"),
+          col("large_trades_5m"))
     }),
 
-    // Stateful EMA monitor (mapGroupsWithState) — final state per symbol,
-    // collected via foreachBatch (update-mode sink path).
-    "q_stream_spread_ema" -> ((s, d) => withReplayConf(s) {
-      requireSingleBatchSource(s"$d/events.parquet")
+    // PRIMARY spread-EMA monitor: the event-time-ORDERED transformWithState
+    // fold under a FORCED 3-batch replay (see q_stream_cep). The
+    // arrival-order mapGroupsWithState monitor is the spec twin.
+    "q_stream_spread_ema" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_ema_").toString + "/t"
-      val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
-      val results = Cep.SpreadEmaMonitor.monitor(stream)
-      val q = results.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Cep.EmaResult], _: Long) =>
-          batch.write.mode("append").parquet(out)
-        }
-        .outputMode("update").trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out).select("symbol", "normal_spread", "n")
+      val stream = StreamSources.chronoBatchedTradeStream(s, s"$d/events.parquet")
+      runOrderedTws(s, OrderedCep.spreadEma(stream), out)
+      OrderedCep.lastSpreadEmaRows(s.read.parquet(out))
+        .select(col("symbol"), col("normal_spread"), col("n_folded").as("n"))
     }),
 
-    // Event-time-ORDERED spread-EMA twin (transformWithState): exact under
-    // any batch split (the reference's Flink path is an unbounded keyed
-    // stream, not a single-batch replay) — shares q_stream_spread_ema's
-    // oracle; StreamingSpec proves 3-batch equivalence.
+    // The same ordered spread-EMA over a SINGLE-file source (one
+    // micro-batch): the processor must be batching-agnostic — one batch and
+    // three batches share one oracle.
     "q_stream_spread_ema_ordered" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_ema_ord_").toString + "/t"
       val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
@@ -194,8 +189,8 @@ object StreamQueries {
         .select(col("symbol"), col("normal_spread"), col("n_folded").as("n"))
     }),
 
-    // Event-time-ORDERED large-trade CEP twin (transformWithState, append
-    // rows) — shares q_stream_cep's oracle.
+    // Ordered large-trade CEP over a SINGLE-file source — batching-agnostic
+    // twin of the primary 3-batch q_stream_cep, same oracle.
     "q_stream_cep_ordered" -> ((s, d) => {
       val thresholds = LargeTrades.thresholds(Tables.trades(s, d))
       val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
@@ -280,29 +275,24 @@ object StreamQueries {
       s.table(name)
     }),
 
-    // CUSUM drift detector (mapGroupsWithState): standardized deviations
-    // (per-symbol mu/sigma broadcast from batch stats), slack 0.5,
-    // threshold 5. mu/sigma are quantized BEFORE forming z — a recursive
-    // fold amplifies any last-ulp avg/stddev disagreement between engines
-    // into divergent sums, so every input to the fold must already be the
-    // same double on both sides. Symbols with null or zero sigma (single
-    // trade, constant price) are excluded on both sides: their z is
-    // undefined (null / ±Inf) and would crash the non-nullable encoder or
-    // saturate the fold.
-    "q_stream_cusum" -> ((s, d) => withReplayConf(s) {
-      requireSingleBatchSource(s"$d/events.parquet")
+    // PRIMARY CUSUM drift detector: the ordered transformWithState fold
+    // under a FORCED 3-batch replay (arrival-order CusumMonitor is the
+    // spec twin). Standardized deviations (per-symbol mu/sigma broadcast
+    // from batch stats), slack 0.5, threshold 5. mu/sigma are quantized
+    // BEFORE forming z — a recursive fold amplifies any last-ulp
+    // avg/stddev disagreement between engines into divergent sums, so
+    // every input to the fold must already be the same double on both
+    // sides. Symbols with null or zero sigma (single trade, constant
+    // price) are excluded on both sides: their z is undefined (null /
+    // ±Inf) and would crash the non-nullable encoder or saturate the fold.
+    "q_stream_cusum" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_cusum_").toString + "/t"
-      val obs = cusumZ(s, d, StreamSources.tradeFileStream(s, s"$d/events.parquet"))
-      val results = Cep.CusumMonitor.monitor(obs)
-      val q = results.writeStream
-        .foreachBatch { (batch: org.apache.spark.sql.Dataset[Cep.CusumResult], _: Long) =>
-          batch.write.mode("append").parquet(out)
-        }
-        .outputMode("update").trigger(Trigger.AvailableNow())
-        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
-        .start()
-      q.awaitTermination()
-      s.read.parquet(out).select("symbol", "cusum_pos", "cusum_neg", "n_alerts")
+      val obs = cusumZ(s, d,
+        StreamSources.chronoBatchedTradeStream(s, s"$d/events.parquet"))
+      runOrderedCusum(s, obs, out)
+      s.read.parquet(out)
+        .transform(lastOrderedCusumRows)
+        .select("symbol", "cusum_pos", "cusum_neg", "n_alerts")
     }),
 
     // The ORDERED CUSUM on transformWithState (Spark 4.x arbitrary state):

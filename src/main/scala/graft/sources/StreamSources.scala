@@ -34,6 +34,55 @@ object StreamSources {
     * layout — the drift-tolerance posture of the reference's own readers
     * (`spark/streaming_feature_updates.py:28` schemaInference).
     */
+  /** The trades stream delivered as `batches` FORCED chronological
+    * micro-batches (maxFilesPerTrigger=1 over a time-split of the corpus) —
+    * the replay harness the event-time-ORDERED processors are gated under.
+    * A single input file replays as one micro-batch, which an arrival-order
+    * fold happens to survive; this source makes the oracle gate exercise the
+    * multi-batch shape the production Kafka topic actually has (the
+    * reference's Flink jobs consume an unbounded keyed stream —
+    * `flink-jobs/market-realtime/anomaly_detection.py:40-149`).
+    *
+    * The split is distributed: one global rank over `ts` assigns each row a
+    * batch, with ALL rows sharing a timestamp pinned to the earliest such
+    * batch (min-over-ts window) so no batch boundary ever splits an event
+    * time — a later batch never carries a row at or below the previous
+    * batch's watermark, keeping a chronological replay late-free. Each
+    * split is written as one parquet file in ascending mtime order, which is
+    * the file source's processing order under `latestFirst=false`.
+    */
+  def chronoBatchedTradeStream(spark: SparkSession, path: String,
+      batches: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(batches >= 1, s"need at least one batch, got $batches")
+    Tables.configure(spark)
+    val ev = spark.read.parquet(path)
+    val n = ev.count()
+    val ranked = ev
+      .withColumn("__r", row_number().over(Window.orderBy(col("ts"))))
+      .withColumn("__b0",
+        least(floor((col("__r").cast("long") - 1) * batches / math.max(n, 1L)),
+          lit(batches - 1).cast("long")))
+      .withColumn("__b", min(col("__b0")).over(Window.partitionBy(col("ts"))))
+    val srcDir = java.nio.file.Files.createTempDirectory("graft_chrono_").toString
+    (0 until batches).foreach { b =>
+      val tmp = java.nio.file.Files.createTempDirectory("graft_chrono_part_").toString
+      ranked.filter(col("__b") === b).drop("__r", "__b0", "__b")
+        .coalesce(1).write.mode("overwrite").parquet(tmp)
+      val part = new java.io.File(tmp).listFiles()
+        .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
+        .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(s"$srcDir/f$b.parquet"))
+    }
+    val raw = spark.readStream
+      .schema(spark.read.parquet(srcDir).schema)
+      .option("maxFilesPerTrigger", "1")
+      .option("latestFirst", "false")
+      .parquet(srcDir)
+    projectTrades(raw)
+  }
+
   def tradeFileStream(spark: SparkSession, path: String): DataFrame = {
     Tables.configure(spark)
     val onDisk = spark.read.parquet(path).schema

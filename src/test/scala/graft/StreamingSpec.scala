@@ -235,14 +235,14 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
-  test("arrival-order stream queries refuse multi-batch (directory) sources") {
+  test("the versioned-sink redelivery simulation refuses multi-batch (directory) sources") {
     val dir = Files.createTempDirectory("graft_multi_").toString
     Tables.events(spark, sf0001).limit(10).write.parquet(s"$dir/events.parquet")
-    // events.parquet is a DIRECTORY here -> the single-batch delivery
-    // contract cannot be guaranteed; the query must fail loudly instead of
-    // silently folding out of order
+    // events.parquet is a DIRECTORY here -> batch 0 is no longer the whole
+    // corpus, so the simulated batch-0 redelivery would re-send the wrong
+    // payload; the query must fail loudly instead
     intercept[IllegalArgumentException] {
-      registry.StreamQueries.queries("q_stream_cusum")(spark, dir)
+      registry.StreamQueries.queries("q_stream_versioned")(spark, dir)
     }
   }
 
@@ -332,9 +332,9 @@ class StreamingSpec extends SparkTestBase {
     // Feed the level-shift series as two SWAPPED micro-batches (shifted
     // tail first) via TestGroupState: the fold must differ from the
     // chronological fold — the divergence OrderedCusum exists to remove.
-    // (q_stream_cusum runs under Trigger.AvailableNow single-batch replay
-    // where the contract holds; q_stream_cusum_ordered is the
-    // arrival-order-robust path proven by the 3-batch tests below.)
+    // (The registry primaries all run the ordered transformWithState
+    // processors now; this legacy monitor survives as the spec twin the
+    // 3-batch tests below gate the ordered folds against.)
     import org.apache.spark.sql.streaming.{GroupStateTimeout, TestGroupState}
     import org.apache.spark.api.java.Optional
     def obs(i: Int, z: Double) = Cep.CusumObs(i.toLong, f"$i%05d", "DRIFT", z)
@@ -432,7 +432,7 @@ class StreamingSpec extends SparkTestBase {
     registry.StreamQueries.runOrderedCusum(spark, obs, out)
     val multi = registry.StreamQueries.lastOrderedCusumRows(spark.read.parquet(out))
     // reference: the single-batch arrival-order fold (contract holds there)
-    val single = registry.StreamQueries.queries("q_stream_cusum")(spark, sf0001)
+    val single = arrivalOrderCusum(sf0001)
     val joined = multi.join(single.withColumnRenamed("cusum_pos", "sp")
         .withColumnRenamed("cusum_neg", "sn").withColumnRenamed("n_alerts", "sa"),
       Seq("symbol"))
@@ -495,6 +495,60 @@ class StreamingSpec extends SparkTestBase {
     assert(nFolded === subsetObsCount(fA) + subsetObsCount(fB))
   }
 
+  // ---- arrival-order spec twins ---------------------------------------
+  // The legacy mapGroups/flatMapGroupsWithState monitors, demoted from the
+  // registry when the ordered transformWithState processors became the
+  // primary entries. Replayed here single-batch (where their arrival-order
+  // contract holds) as the independent reference the 3-batch ordered folds
+  // are gated against.
+
+  private def arrivalOrderSpreadEma(d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = Files.createTempDirectory("graft_ema_legacy_").toString + "/t"
+    val stream = graft.sources.StreamSources.tradeFileStream(spark, s"$d/events.parquet")
+    val q = Cep.SpreadEmaMonitor.monitor(stream).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Cep.EmaResult], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .outputMode("update").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).select("symbol", "normal_spread", "n")
+  }
+
+  private def arrivalOrderCusum(d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val out = Files.createTempDirectory("graft_cusum_legacy_").toString + "/t"
+    val obs = registry.StreamQueries.cusumZ(spark, d,
+      graft.sources.StreamSources.tradeFileStream(spark, s"$d/events.parquet"))
+    val q = Cep.CusumMonitor.monitor(obs).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[Cep.CusumResult], _: Long) =>
+        batch.write.mode("append").parquet(out)
+      }
+      .outputMode("update").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    spark.read.parquet(out).select("symbol", "cusum_pos", "cusum_neg", "n_alerts")
+  }
+
+  private def arrivalOrderCep(d: String): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.streaming.Trigger
+    val thresholds = LargeTrades.thresholds(Tables.trades(spark, d))
+    val stream = graft.sources.StreamSources.tradeFileStream(spark, s"$d/events.parquet")
+      .join(broadcast(thresholds), Seq("symbol"))
+      .filter(col("volume") > col("percentile_95"))
+    val anomalies = Cep.LargeTradeDetector.detect(stream, 7L * 24 * 3600 * 1000000L)
+    val name = s"legacy_cep_${System.nanoTime()}"
+    val q = anomalies.writeStream.format("memory").queryName(name)
+      .outputMode("append").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
+
   /** Split sf0.001 events into 3 chronological single-row-group files under
     * a fresh dir and open it as a maxFilesPerTrigger=1 stream — the shared
     * fixture of every ordered-TWS 3-batch equivalence test.
@@ -528,7 +582,7 @@ class StreamingSpec extends SparkTestBase {
     registry.StreamQueries.runOrderedTws(spark, OrderedCep.spreadEma(stream), out)
     val multi = OrderedCep.lastSpreadEmaRows(spark.read.parquet(out))
     // reference: the single-batch arrival-order fold (contract holds there)
-    val single = registry.StreamQueries.queries("q_stream_spread_ema")(spark, sf0001)
+    val single = arrivalOrderSpreadEma(sf0001)
     val joined = multi.join(
       single.withColumnRenamed("normal_spread", "ss").withColumnRenamed("n", "sn"),
       Seq("symbol"))
@@ -553,7 +607,7 @@ class StreamingSpec extends SparkTestBase {
       .select(expr("timestamp_micros(timeMicros)").as("time"), col("symbol"),
         col("large_trades_5m"))
     // reference: the single-batch flatMapGroupsWithState detector
-    val single = registry.StreamQueries.queries("q_stream_cep")(spark, sf0001)
+    val single = arrivalOrderCep(sf0001)
       .select("time", "symbol", "large_trades_5m")
     assert(multi.count() === single.count(), "same anomaly count across splits")
     assert(multi.exceptAll(single).count() === 0 &&
