@@ -52,7 +52,15 @@ object StreamSources {
     * the file source's processing order under `latestFirst=false`.
     */
   def chronoBatchedTradeStream(spark: SparkSession, path: String,
-      batches: Int = 3): DataFrame = {
+      batches: Int = 3): DataFrame =
+    chronoStream(spark, chronoSplitDir(spark, path, batches))
+
+  /** The file-per-batch split behind [[chronoBatchedTradeStream]], exposed
+    * so a caller can replay the SAME split twice (e.g. the chaos
+    * kill-and-restart tests, which resume a second query on the first
+    * query's checkpoint over one fixed source dir).
+    */
+  def chronoSplitDir(spark: SparkSession, path: String, batches: Int = 3): String = {
     import org.apache.spark.sql.expressions.Window
     require(batches >= 1, s"need at least one batch, got $batches")
     Tables.configure(spark)
@@ -75,6 +83,11 @@ object StreamSources {
       java.nio.file.Files.move(part.toPath,
         java.nio.file.Paths.get(s"$srcDir/f$b.parquet"))
     }
+    srcDir
+  }
+
+  /** One-file-per-micro-batch trades stream over a [[chronoSplitDir]]. */
+  def chronoStream(spark: SparkSession, srcDir: String): DataFrame = {
     val raw = spark.readStream
       .schema(spark.read.parquet(srcDir).schema)
       .option("maxFilesPerTrigger", "1")

@@ -495,6 +495,109 @@ class StreamingSpec extends SparkTestBase {
     assert(nFolded === subsetObsCount(fA) + subsetObsCount(fB))
   }
 
+  // ---- transformWithState chaos: kill between batches, restore state ----
+
+  /** RocksDB provider + replay conf around `body`, session conf restored. */
+  private def withTwsConf[T](body: => T): T =
+    registry.StreamQueries.withReplayConf(spark) {
+      val k = "spark.sql.streaming.stateStore.providerClass"
+      val prev = spark.conf.getOption(k)
+      spark.conf.set(k,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      try body
+      finally prev match {
+        case Some(p) => spark.conf.set(k, p)
+        case None    => spark.conf.unset(k)
+      }
+    }
+
+  /** Run a TWS dataset over `srcDir` to completion, writing each micro-batch
+    * exactly-once to `out/b=<batchId>` (deterministic dir per batch id —
+    * a replayed batch overwrites its own output, never duplicates it).
+    */
+  private def runTwsTo[T](mkDs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T],
+      srcDir: String, out: String, ckpt: String): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = mkDs(graft.sources.StreamSources.chronoStream(spark, srcDir))
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], id: Long) =>
+        batch.write.mode("overwrite").parquet(s"$out/b=$id")
+      }
+      .outputMode("update").trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+  }
+
+  /** The kill-mid-replay harness for the ordered transformWithState
+    * processors (mirror of `tests/test_chaos_flink_exactly_once.py:44-165`
+    * applied to operator STATE rather than sink rows): split the corpus
+    * into 3 chronological batch files, run the processor over only the
+    * first two (the query terminates = the kill point, with buffers, fold
+    * state and timers committed to the RocksDB checkpoint), then surface
+    * the third file and RESTART on the same checkpoint. The restarted fold
+    * must equal an uninterrupted run over all three batches row for row.
+    * Returns (interrupted dump, uninterrupted dump), `b` partition dropped.
+    */
+  private def chaosTwsDumps[T](name: String,
+      mkDs: org.apache.spark.sql.DataFrame => org.apache.spark.sql.Dataset[T])
+      : (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = withTwsConf {
+    import java.nio.file.{Files => JFiles, Paths, StandardCopyOption}
+    val splitDir = graft.sources.StreamSources.chronoSplitDir(
+      spark, s"$sf0001/events.parquet", 3)
+    val root = Files.createTempDirectory(s"graft_chaos_${name}_").toString
+    val live = s"$root/in"; JFiles.createDirectories(Paths.get(live))
+    def surface(i: Int): Unit = JFiles.copy(
+      Paths.get(s"$splitDir/f$i.parquet"), Paths.get(s"$live/f$i.parquet"),
+      StandardCopyOption.COPY_ATTRIBUTES)
+    // run 1: batches 0 and 1 only, then the query dies
+    surface(0); surface(1)
+    runTwsTo(mkDs, live, s"$root/out", s"$root/ckpt")
+    // the kill landed between batches: batch 2 not yet visible, state committed
+    surface(2)
+    // run 2: restart on the SAME checkpoint — must restore buffers/fold/timers
+    runTwsTo(mkDs, live, s"$root/out", s"$root/ckpt")
+    // reference: one uninterrupted run over all three batches
+    runTwsTo(mkDs, splitDir, s"$root/clean_out", s"$root/clean_ckpt")
+    (spark.read.parquet(s"$root/out").drop("b"),
+      spark.read.parquet(s"$root/clean_out").drop("b"))
+  }
+
+  test("chaos: ordered spread-EMA state survives kill-and-restart from checkpoint") {
+    import graft.streaming.OrderedCep
+    val (chaos, clean) = chaosTwsDumps("ema", OrderedCep.spreadEma(_))
+    val a = OrderedCep.lastSpreadEmaRows(chaos)
+    val b = OrderedCep.lastSpreadEmaRows(clean)
+    assert(a.count() === b.count(), "every symbol folded after restart")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "restarted spread-EMA fold must equal the uninterrupted fold")
+    assert(a.agg(sum(col("n_late"))).collect().head.getLong(0) === 0L,
+      "restart must not turn buffered rows late")
+  }
+
+  test("chaos: ordered CUSUM state survives kill-and-restart from checkpoint") {
+    val (chaos, clean) = chaosTwsDumps("cusum",
+      (df: org.apache.spark.sql.DataFrame) =>
+        graft.streaming.OrderedCusum.monitor(
+          registry.StreamQueries.cusumZ(spark, sf0001, df)))
+    val a = registry.StreamQueries.lastOrderedCusumRows(chaos)
+    val b = registry.StreamQueries.lastOrderedCusumRows(clean)
+    assert(a.count() === b.count(), "every symbol folded after restart")
+    assert(a.exceptAll(b).count() === 0 && b.exceptAll(a).count() === 0,
+      "restarted CUSUM fold must equal the uninterrupted fold")
+  }
+
+  test("chaos: ordered Hampel emissions survive kill-and-restart exactly once") {
+    val (chaos, clean) = chaosTwsDumps("hampel",
+      (df: org.apache.spark.sql.DataFrame) => graft.streaming.OrderedHampel.clean(df))
+    // per-row emissions: the restarted run must emit every cleaned row
+    // exactly once — no gaps (lost state) and no duplicates (replayed batch)
+    assert(chaos.count() === clean.count(),
+      s"row count drifted across restart: ${chaos.count()} vs ${clean.count()}")
+    assert(chaos.exceptAll(clean).count() === 0 && clean.exceptAll(chaos).count() === 0,
+      "restarted Hampel stream must equal the uninterrupted stream row for row")
+  }
+
   // ---- arrival-order spec twins ---------------------------------------
   // The legacy mapGroups/flatMapGroupsWithState monitors, demoted from the
   // registry when the ordered transformWithState processors became the
