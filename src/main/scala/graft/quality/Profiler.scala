@@ -24,12 +24,26 @@ import org.apache.spark.sql.functions._
 object Profiler {
 
   /** `cols` maps column name → true if numeric (profiled into `*_num`). */
-  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
+    profileWith(df, cols, c => count_distinct(col(c)))
+
+  /** The 100 TB form: `approx_count_distinct` (HLL++, relative error `rsd`)
+    * replaces every exact distinct count, so the plan loses the Expand
+    * entirely — ONE pass, no ×|cols| input multiplication, O(1) agg state
+    * per column (plan-asserted in PlanSpec). Everything else (null counts,
+    * fractions, min/max) is computed identically and stays exact.
+    */
+  def profileApprox(df: DataFrame, cols: Seq[(String, Boolean)],
+      rsd: Double = 0.05): DataFrame =
+    profileWith(df, cols, c => approx_count_distinct(col(c), rsd))
+
+  private def profileWith(df: DataFrame, cols: Seq[(String, Boolean)],
+      distinctAgg: String => Column): DataFrame = {
     val aggs: Seq[Column] = Seq(count(lit(1)).as("__n")) ++ cols.flatMap {
       case (c, _) =>
         Seq(
           sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__nn_$c"),
-          count_distinct(col(c)).as(s"__nd_$c"),
+          distinctAgg(c).as(s"__nd_$c"),
           min(col(c)).as(s"__min_$c"),
           max(col(c)).as(s"__max_$c"))
     }

@@ -46,6 +46,17 @@ object QualityQueries {
         "symbol" -> false, "side" -> false, "trade_id" -> false,
         "price" -> true, "volume" -> true, "bid" -> true, "ask" -> true))),
 
+    // The scale form of the profiler: HLL distinct counts, no Expand (the
+    // exact q_profile multiplies its input x7 through Catalyst Expand —
+    // the documented exact-vs-sketch trade). Rows-gated (no DuckDB oracle:
+    // HLL estimates aren't cross-engine exact); ProfilerSpec bounds the
+    // estimate error against the exact profile and PlanSpec asserts the
+    // Expand is gone.
+    "q_profile_approx" -> ((s, d) =>
+      Profiler.profileApprox(trades(s, d), Seq(
+        "symbol" -> false, "side" -> false, "trade_id" -> false,
+        "price" -> true, "volume" -> true, "bid" -> true, "ask" -> true))),
+
     // Prometheus alert-rule evaluation as a query (monitoring/
     // prometheus-alerts.yml:8-46 shapes): p95-latency and consumer-lag
     // metrics on a 30-min evaluation grid, `for:` hold duration via

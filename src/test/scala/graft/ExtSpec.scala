@@ -473,6 +473,38 @@ class ExtSpec extends SparkTestBase {
     assert(scoreR.getAs[Double]("null_fraction") === 0.25)
   }
 
+  test("approx profile: HLL distinct counts within tolerance of exact at sf0.1; rest identical") {
+    val cols = Seq("symbol" -> false, "side" -> false, "trade_id" -> false,
+      "price" -> true, "volume" -> true, "bid" -> true, "ask" -> true)
+    val t = graft.core.Tables.trades(spark, "/root/testdata/sf0.1")
+    def byCol(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[String]("column") -> r).toMap
+    val exact = byCol(graft.quality.Profiler.profile(t, cols))
+    val approx = byCol(graft.quality.Profiler.profileApprox(t, cols, rsd = 0.05))
+    cols.foreach { case (c, _) =>
+      val e = exact(c); val a = approx(c)
+      // distinct counts: HLL++ rsd 0.05 — allow 4x the nominal rsd
+      val (ne, na) = (e.getAs[Long]("n_distinct"), a.getAs[Long]("n_distinct"))
+      assert(math.abs(na - ne) <= math.max(1L, (ne * 0.2).toLong),
+        s"$c: approx n_distinct $na too far from exact $ne")
+      // everything that ISN'T a sketch must be identical
+      Seq("n_rows", "n_nulls").foreach(f =>
+        assert(a.getAs[Long](f) === e.getAs[Long](f), s"$c.$f drifted"))
+      Seq("null_fraction", "min_num", "max_num").foreach { f =>
+        val i = e.fieldIndex(f)
+        assert(a.isNullAt(i) === e.isNullAt(i), s"$c.$f nullness drifted")
+        if (!e.isNullAt(i))
+          assert(a.getAs[Double](f) === e.getAs[Double](f), s"$c.$f drifted")
+      }
+      Seq("min_str", "max_str").foreach { f =>
+        val i = e.fieldIndex(f)
+        assert(a.isNullAt(i) === e.isNullAt(i), s"$c.$f nullness drifted")
+        if (!e.isNullAt(i))
+          assert(a.getAs[String](f) === e.getAs[String](f), s"$c.$f drifted")
+      }
+    }
+  }
+
   test("repeated spans: maximal shared runs located exactly, singletons ignored") {
     import spark.implicits._
     // docs 1 and 2 share tokens 0..10 (11 tokens) then diverge; doc 3 is

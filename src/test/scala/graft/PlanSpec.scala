@@ -715,4 +715,18 @@ class PlanSpec extends SparkTestBase {
     assert(rvExchanges === 2, s"bars agg + day agg = two exchanges:\n$rvPlan")
     assert(!rvPlan.contains("Window"), s"range vol needs no window pass:\n$rvPlan")
   }
+
+  test("approx profile drops the Expand the exact profiler pays for oracle exactness") {
+    // exact q_profile: 7 count_distinct aggs plan through Catalyst Expand
+    // (input x7 before the agg) — the documented exact-vs-sketch trade
+    val exact = registry.QualityQueries.queries("q_profile")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(exact.contains("Expand"),
+      s"exact profile trade changed — update the docs if deliberate:\n$exact")
+    // approx form: HLL sketches, ONE scan, no input multiplication
+    val approx = registry.QualityQueries.queries("q_profile_approx")(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!approx.contains("Expand"),
+      s"approx profile must not multiply its input through Expand:\n$approx")
+  }
 }

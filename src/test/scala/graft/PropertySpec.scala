@@ -267,4 +267,63 @@ class PropertySpec extends SparkTestBase {
         s"split (n=$n, ways=$nWays, seed=$seed) diverged from full recompute")
     }
   }
+
+  test("property: change-feed IVM equals the full recompute at EVERY step of 100 random commit sequences") {
+    import graft.operators.IncrementalAgg
+    import graft.sources.VersionedTable
+    // Random sequences of append/overwrite commits driven through the REAL
+    // commit log + change feed: after each commit the consumer state —
+    // merge(state, aggregate(changes)) on appends, re-derive-from-snapshot
+    // on overwrites (the change feed refuses to cross them by contract) —
+    // must equal aggregate(read(asOf = v)) exactly. Sequences include
+    // EMPTY batches (freq 1/6) and out-of-order keys (bucket ids are
+    // hashed, so later commits routinely revisit earlier buckets).
+    val scenarioGen = for {
+      len  <- Gen.choose(2, 4)
+      ops  <- Gen.listOfN(len, Gen.frequency(4 -> Gen.const("append"),
+                1 -> Gen.const("overwrite")))
+      ns   <- Gen.listOfN(len, Gen.frequency(1 -> Gen.const(0),
+                5 -> Gen.choose(1, 15)))
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (ops.zip(ns), seed)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2") // tiny frames, 100 sequences
+    try {
+      var sawEmpty = false; var sawOverwrite = false
+      (0 until 100).foreach { i =>
+        val (batches, seed) =
+          scenarioGen(Gen.Parameters.default, Seed(9000L + i)).get
+        val root = java.nio.file.Files.createTempDirectory("graft_ivm_prop_").toString
+        var state: Option[org.apache.spark.sql.DataFrame] = None
+        batches.foreach { case (op, n) =>
+          if (n == 0) sawEmpty = true
+          if (op == "overwrite") sawOverwrite = true
+          val delta = spark.range(n).select(
+            expr(s"pmod(xxhash64(id + 5, $seed), 4)").as("bucket"),
+            expr(s"pmod(xxhash64(id + 31, $seed), 1000)").as("v"))
+          val v = VersionedTable.commit(delta, root, op)
+          state = Some(
+            if (op == "append" && v > 1 && state.isDefined)
+              IncrementalAgg.merge(state.get,
+                IncrementalAgg.aggregate(
+                  VersionedTable.changes(spark, root, v - 1, v),
+                  Seq("bucket"), Seq("v")),
+                Seq("bucket"))
+            else // first commit or overwrite: re-derive from the snapshot
+              IncrementalAgg.aggregate(
+                VersionedTable.read(spark, root, Some(v)),
+                Seq("bucket"), Seq("v")))
+          def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          val got = toMap(state.get)
+          val want = toMap(IncrementalAgg.aggregate(
+            VersionedTable.read(spark, root, Some(v)), Seq("bucket"), Seq("v")))
+          assert(got === want,
+            s"IVM diverged at seq=$i v=$v op=$op n=$n seed=$seed")
+        }
+      }
+      assert(sawEmpty && sawOverwrite,
+        "generator must exercise empty batches and overwrites")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }
