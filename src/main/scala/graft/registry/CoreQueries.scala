@@ -69,6 +69,34 @@ object CoreQueries {
       graft.operators.ZOrder.fileStats(dims, "ka", 255L, "kb", 255L, nFiles = 64)
     }),
 
+    // Manifest-level data skipping: three chronological commits carrying
+    // per-dir (min,max) time stats in the commit log, then a range read of
+    // the MIDDLE third through readPruned (only the intersecting dir is
+    // scanned — VersionedTableSpec asserts the skipped dirs never appear in
+    // inputFiles) + the exact row predicate on top. Oracle = the plain
+    // range filter over the raw table: pruning must be value-transparent.
+    "q_versioned_prune" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtprune_").toString
+      val t = Tables.trades(s, d)
+        .select(col("time"), col("symbol"), col("price"), col("volume"))
+      val b = t.agg(min(unix_micros(col("time"))).as("mn"),
+        max(unix_micros(col("time"))).as("mx")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      def um = unix_micros(col("time"))
+      VersionedTable.commit(t.filter(um < t1), root, "append", statsCols = Seq("time"))
+      VersionedTable.commit(t.filter(um >= t1 && um < t2), root, "append",
+        statsCols = Seq("time"))
+      VersionedTable.commit(t.filter(um >= t2), root, "append", statsCols = Seq("time"))
+      VersionedTable.readPruned(s, root, "time", t1.toDouble, (t2 - 1).toDouble)
+        .filter(um >= t1 && um < t2) // pruning is conservative; predicate on top
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"),
+          Quantize.r(sum(col("price")), 4).as("sum_price"))
+    }),
+
     // Versioned-table time travel: three commits (append even keys, append
     // odd keys, overwrite with status-F), then read EVERY version back via
     // its pinned manifest and aggregate. The oracle recomputes each
@@ -411,6 +439,18 @@ object CoreQueries {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    // The pruned range read must be value-identical to the plain filter.
+    // Integer micros arithmetic on both sides: Scala Long '/' and DuckDB
+    // '//' both truncate toward zero on the non-negative span.
+    "q_versioned_prune" -> OracleSql.withTradesAnd(
+      """b AS (SELECT min(epoch_us(time)) AS mn, max(epoch_us(time)) AS mx FROM trades),
+        |r AS (SELECT mn + (mx - mn) // 3 AS t1, mn + 2 * ((mx - mn) // 3) AS t2 FROM b)""".stripMargin,
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
+        |FROM trades, r
+        |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2
+        |GROUP BY symbol""".stripMargin),
 
     // Mirrors ZOrder.morton16: magic-number bit interleave of the two
     // 16-bit dims, file = top 6 bits of the 32-bit code, per-file stats.

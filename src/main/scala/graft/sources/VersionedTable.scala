@@ -4,6 +4,8 @@ import java.io.File
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_micros}
+import org.apache.spark.sql.types.TimestampType
 
 /** Minimal versioned table: an immutable-data, commit-log storage layer
   * giving snapshot isolation, time travel, optimistic concurrency and
@@ -40,9 +42,17 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * O(versions) metadata + file deletes, data-free. Nothing scans the table.
   */
 class VersionedTableOps(val store: CommitStore) {
-  import VersionedTable.{CommitConflictException, Snapshot}
+  import VersionedTable.{CommitConflictException, DirStat, Snapshot}
 
   private def dataDir(root: String) = new File(root, "data")
+
+  private def toDouble(v: Any): Double = v match {
+    case l: Long   => l.toDouble
+    case d: Double => d
+    case i: Int    => i.toDouble
+    case f: Float  => f.toDouble
+    case x         => x.toString.toDouble
+  }
 
   /** Highest committed version, or None for an empty/absent table. */
   def latestVersion(root: String): Option[Int] = {
@@ -56,6 +66,7 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(throw new IllegalArgumentException(s"no such version $version at $root"))
     var parent = -1; var op = ""; var rows = 0L; var ms = 0L
     var cols = Seq.empty[String]; val dirs = Seq.newBuilder[String]
+    val stats = Seq.newBuilder[DirStat]
     body.linesIterator.foreach { line =>
       line.split("=", 2) match {
         case Array("parent", v)       => parent = v.toInt
@@ -64,10 +75,14 @@ class VersionedTableOps(val store: CommitStore) {
         case Array("committed_ms", v) => ms = v.toLong
         case Array("schema", v)       => cols = v.split(",").toSeq.filter(_.nonEmpty)
         case Array("dir", v)          => dirs += v
+        case Array("stats", v)        => v.split("\\|") match {
+          case Array(d, c, mn, mx) => stats += DirStat(d, c, mn.toDouble, mx.toDouble)
+          case _                   => () // malformed stats line: ignore (stats are advisory)
+        }
         case _                        => () // version= line, comments, unknown keys
       }
     }
-    Snapshot(version, parent, op, rows, cols, dirs.result(), ms)
+    Snapshot(version, parent, op, rows, cols, dirs.result(), ms, stats.result())
   }
 
   /** All snapshots, oldest first. */
@@ -85,9 +100,19 @@ class VersionedTableOps(val store: CommitStore) {
     * depth against the read-to-publish window). A losing writer can never
     * damage the winner's commit: its data lives under its own unique dir,
     * which is deleted on conflict (or vacuumed later if this JVM dies first).
+    *
+    * `statsCols` names columns whose per-dir min/max land in the manifest
+    * (`stats=<dir>|<col>|<min>|<max>` lines, values rendered exactly —
+    * longs/timestamps as micros, doubles via `Double.toString` round-trip).
+    * They power [[readPruned]]: manifest-level data skipping, the Delta
+    * data-skipping analogue with the stats in the commit log instead of a
+    * sidecar — a pruned scan touches the manifest and the SURVIVING dirs
+    * only, never a listing, never a footer of a skipped dir. Cost at commit:
+    * one small agg over the batch being written (it is in cache anyway).
     */
   def commit(df: DataFrame, root: String, mode: String = "append",
-      expectedVersion: Option[Int] = None): Int = {
+      expectedVersion: Option[Int] = None,
+      statsCols: Seq[String] = Seq.empty): Int = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val parent = latestVersion(root)
     val version = parent.getOrElse(0) + 1
@@ -100,13 +125,29 @@ class VersionedTableOps(val store: CommitStore) {
     // which one readers ever see.
     val newDir = f"data/v$version%05d-${UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(root, newDir).getPath)
-    val rows = df.sparkSession.read.parquet(new File(root, newDir).getPath).count()
-
-    val parentDirs = parent match {
-      case Some(p) if mode == "append" => snapshot(root, p).dataDirs
-      case _                           => Seq.empty
+    // One agg over the freshly-written dir yields the row count AND every
+    // requested column's min/max (stats ride the same scan).
+    val committed = df.sparkSession.read.parquet(new File(root, newDir).getPath)
+    val statAggs = statsCols.flatMap { c =>
+      val numeric = committed.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c)) // micros < 2^53: double-exact
+        case _             => col(c).cast("double")
+      }
+      Seq(min(numeric).as(s"__mn_$c"), max(numeric).as(s"__mx_$c"))
     }
+    val aggRow = committed
+      .agg(count(lit(1)).as("__n"), statAggs: _*).head()
+    val rows = aggRow.getLong(0)
+    val newStats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      if (aggRow.isNullAt(1 + 2 * i)) None // all-null or empty batch: no stats
+      else Some(DirStat(newDir, c,
+        toDouble(aggRow.get(1 + 2 * i)), toDouble(aggRow.get(2 + 2 * i))))
+    }
+
+    val parentSnap = parent.filter(_ => mode == "append").map(snapshot(root, _))
+    val parentDirs = parentSnap.map(_.dataDirs).getOrElse(Seq.empty)
     val dirs = parentDirs :+ newDir
+    val allStats = parentSnap.map(_.dirStats).getOrElse(Seq.empty) ++ newStats
 
     // (2) log: the conditional put is the commit point.
     val body = new StringBuilder()
@@ -117,6 +158,8 @@ class VersionedTableOps(val store: CommitStore) {
       .append(s"committed_ms=${System.currentTimeMillis()}\n")
       .append(s"schema=${df.columns.mkString(",")}\n")
     dirs.foreach(d => body.append(s"dir=$d\n"))
+    allStats.foreach(s =>
+      body.append(s"stats=${s.dir}|${s.col}|${s.min}|${s.max}\n"))
     if (!store.putIfAbsent(root, version, body.toString)) {
       // Lost the race: our dir is unreferenced and can't hurt anyone.
       // Remove it now; if we crash before this line, vacuum reaps it.
@@ -142,6 +185,36 @@ class VersionedTableOps(val store: CommitStore) {
       .parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
   }
 
+  /** Manifest-level data skipping: read snapshot `asOf` keeping only the
+    * dirs whose recorded `[min, max]` for `c` intersects `[lo, hi]`
+    * (bounds in the stats' numeric image: epoch micros for timestamps,
+    * double otherwise). Dirs without stats for `c` are always read —
+    * pruning is strictly conservative, so the result frame CONTAINS the
+    * range rows plus possibly other rows from surviving dirs; callers
+    * apply the row-level predicate on top, exactly as with parquet
+    * footer stats. A pruned scan costs one manifest read + the surviving
+    * dirs — skipped dirs are never listed, never footer-read.
+    */
+  def readPruned(spark: SparkSession, root: String, c: String,
+      lo: Double, hi: Double, asOf: Option[Int] = None): DataFrame = {
+    require(lo <= hi, s"bad range [$lo, $hi]")
+    val v = asOf.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = snapshot(root, v)
+    val statsFor = snap.dirStats.filter(_.col == c).map(s => s.dir -> s).toMap
+    val keep = snap.dataDirs.filter { d =>
+      statsFor.get(d).forall(s => s.max >= lo && s.min <= hi)
+    }
+    if (keep.isEmpty)
+      // whole snapshot pruned: an empty frame with the snapshot's schema
+      spark.read.option("mergeSchema", "true")
+        .parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
+        .limit(0)
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(keep.map(d => new File(root, d).getPath): _*)
+  }
+
   /** Idempotent commit targeting a SPECIFIC version — the exactly-once
     * streaming sink primitive. Micro-batch N maps deterministically to
     * version N+1; an at-least-once replay of batch N finds its version
@@ -149,9 +222,12 @@ class VersionedTableOps(val store: CommitStore) {
     * committed (false = the version already existed — replay absorbed).
     */
   def idempotentCommit(df: DataFrame, root: String, version: Int,
-      mode: String = "append"): Boolean = {
+      mode: String = "append", statsCols: Seq[String] = Seq.empty): Boolean = {
     if (store.get(root, version).isDefined) return false
-    try { commit(df, root, mode, expectedVersion = Some(version)); true }
+    try {
+      commit(df, root, mode, expectedVersion = Some(version), statsCols = statsCols)
+      true
+    }
     catch { case _: CommitConflictException => false }
   }
 
@@ -168,16 +244,18 @@ class VersionedTableOps(val store: CommitStore) {
     * `v`'s snapshot (history preserved — a RESTORE, not a reset; the bad
     * versions stay auditable until vacuumed).
     */
-  def restore(spark: SparkSession, root: String, v: Int): Int =
-    commit(read(spark, root, Some(v)), root, "overwrite")
+  def restore(spark: SparkSession, root: String, v: Int,
+      statsCols: Seq[String] = Seq.empty): Int =
+    commit(read(spark, root, Some(v)), root, "overwrite", statsCols = statsCols)
 
   /** Compact the latest snapshot into one fresh dir — an overwrite commit
     * with identical content (the OPTIMIZE analogue for a table fragmented
     * by many small appends). History stays readable until vacuumed; the
     * new version reads O(1) dirs instead of O(appends).
     */
-  def compact(spark: SparkSession, root: String): Int =
-    commit(read(spark, root), root, "overwrite")
+  def compact(spark: SparkSession, root: String,
+      statsCols: Seq[String] = Seq.empty): Int =
+    commit(read(spark, root), root, "overwrite", statsCols = statsCols)
 
   /** Change feed: rows ADDED between `fromVersion` (exclusive) and
     * `toVersion` (inclusive) — the input of O(delta) incremental
@@ -258,7 +336,16 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
       rows: Long,
       schemaCols: Seq[String],
       dataDirs: Seq[String],
-      committedMs: Long = 0L)
+      committedMs: Long = 0L,
+      dirStats: Seq[DirStat] = Seq.empty)
+
+  /** Per-dir min/max of one column, as recorded in the manifest. Values are
+    * numeric images: timestamps as epoch micros, numerics as doubles —
+    * comparison-faithful for pruning (micros stay below 2^53, so the double
+    * image is exact); pruning is conservative either way (a dir is skipped
+    * only when its whole range misses the predicate).
+    */
+  final case class DirStat(dir: String, col: String, min: Double, max: Double)
 
   final class CommitConflictException(version: Int)
     extends RuntimeException(

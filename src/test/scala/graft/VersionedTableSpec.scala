@@ -333,6 +333,51 @@ class VersionedTableSpec extends SparkTestBase {
     assert(!orphan.exists(), "nested orphan survived vacuum")
   }
 
+  test("manifest stats prune dirs: only intersecting dirs are ever scanned") {
+    val root = freshRoot()
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+    VersionedTable.commit(slice(0, 100), root, "append", statsCols = Seq("id"))
+    VersionedTable.commit(slice(100, 200), root, "append", statsCols = Seq("id"))
+    VersionedTable.commit(slice(200, 300), root, "append", statsCols = Seq("id"))
+    // stats recorded and accumulated across appends
+    val snap = VersionedTable.snapshot(root, 3)
+    assert(snap.dirStats.map(s => (s.col, s.min, s.max)).sortBy(_._2) ===
+      Seq(("id", 0.0, 99.0), ("id", 100.0, 199.0), ("id", 200.0, 299.0)))
+    // a range inside the middle dir scans ONLY that dir
+    val pruned = VersionedTable.readPruned(spark, root, "id", 120.0, 180.0)
+    val files = pruned.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("data/v00002")),
+      s"pruned scan touched non-matching dirs: ${files.mkString(",")}")
+    // and the pruned frame + predicate equals the plain filtered read
+    val got = pruned.filter(col("id").between(120, 180))
+      .collect().map(_.getLong(0)).toSet
+    assert(got === (120L to 180L).toSet)
+    // a range touching two dirs keeps both, skips the third
+    val two = VersionedTable.readPruned(spark, root, "id", 90.0, 110.0).inputFiles
+    assert(two.forall(f => f.contains("data/v00001") || f.contains("data/v00002")))
+    // a range outside every dir yields an empty frame with the schema
+    val none = VersionedTable.readPruned(spark, root, "id", 1000.0, 2000.0)
+    assert(none.columns.toSeq === Seq("id") && none.count() === 0L)
+  }
+
+  test("pruning is conservative: dirs without stats are always read") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 100).toDF("id"), root) // NO stats
+    VersionedTable.commit(spark.range(100, 200).toDF("id"), root, "append",
+      statsCols = Seq("id"))
+    val pruned = VersionedTable.readPruned(spark, root, "id", 150.0, 160.0)
+    // v2 intersects; v1 has no stats for id -> must be read anyway
+    assert(pruned.count() === 200L,
+      "a statless dir was skipped — pruning must be conservative")
+    // timestamps record micros images
+    val tsRoot = freshRoot()
+    VersionedTable.commit(
+      spark.range(0, 10).select(expr("timestamp_micros(1704067200000000 + id * 1000000)").as("t")),
+      tsRoot, "append", statsCols = Seq("t"))
+    val s = VersionedTable.snapshot(tsRoot, 1).dirStats.head
+    assert(s.min === 1704067200000000.0 && s.max === 1704067209000000.0)
+  }
+
   test("change feed surfaces the union schema across a widening commit") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 2).toDF("id"), root)

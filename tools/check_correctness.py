@@ -50,7 +50,7 @@ def main():
     outdir = sys.argv[2] if len(sys.argv) > 2 else "/tmp/verify_out"
     if "--skip-verify" not in sys.argv:
         rc = os.system(
-            f"cd /root/repo && timeout 1200 sbt -batch 'runMain graft.Verify {sfdir} {outdir}' "
+            f"cd /root/repo && timeout 3600 sbt -batch 'runMain graft.Verify {sfdir} {outdir}' "
             f"> /tmp/verify_log.txt 2>&1")
         if rc != 0:
             print(open("/tmp/verify_log.txt").read()[-4000:])
