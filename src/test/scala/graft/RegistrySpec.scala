@@ -11,8 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
 class RegistrySpec extends AnyFunSuite {
 
   test("every registered query has an oracle and every oracle a query") {
-    val q = SparkEntry.queries.keySet
+    // Deliberately rows-only (driver records rows/schema, no value hash):
+    // sketch outputs whose estimates aren't cross-engine exact. Keep this
+    // list EXPLICIT — a query missing its oracle by accident must fail here.
+    val rowsOnly = Set("q_profile_approx")
+    val q = SparkEntry.queries.keySet -- rowsOnly
     val o = SparkEntry.oracleSql.keySet
+    assert((rowsOnly -- SparkEntry.queries.keySet).isEmpty,
+      "rows-only allowlist names an unregistered query")
+    assert((rowsOnly & o).isEmpty,
+      "rows-only query grew an oracle — remove it from the allowlist")
     assert((q diff o).isEmpty, s"queries without oracle: ${(q diff o).toSeq.sorted}")
     assert((o diff q).isEmpty, s"oracles without query: ${(o diff q).toSeq.sorted}")
   }
