@@ -22,7 +22,7 @@ object OrderedBuffer {
     * `foldedUpTo` would fold out of order — counted late and dropped; the
     * rest come back sorted. The un-covered suffix is written back.
     */
-  def consume[O](
+  def consume[O <: AnyRef](
       pending: ListState[O],
       wmMs: Long,
       foldedUpTo: Long,
@@ -36,8 +36,18 @@ object OrderedBuffer {
       pending.clear()
       if (rest.nonEmpty) pending.put(rest)
       val (late, ripe) = covered.partition(o => time(o) <= foldedUpTo)
-      Consumed(ripe.sortBy(o => (time(o), tiebreak(o))), late.length, ripeBound,
-        consumedAny = true)
+      // Comparator sort instead of sortBy: a multi-million-row drain (the
+      // single-batch AvailableNow replay buffers the whole corpus) must not
+      // allocate a boxed (Long, String) key per element.
+      java.util.Arrays.sort(ripe.asInstanceOf[Array[AnyRef]],
+        new java.util.Comparator[AnyRef] {
+          override def compare(x: AnyRef, y: AnyRef): Int = {
+            val a = x.asInstanceOf[O]; val b = y.asInstanceOf[O]
+            val c = java.lang.Long.compare(time(a), time(b))
+            if (c != 0) c else tiebreak(a).compareTo(tiebreak(b))
+          }
+        })
+      Consumed(ripe, late.length, ripeBound, consumedAny = true)
     }
   }
 }

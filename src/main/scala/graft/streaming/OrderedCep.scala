@@ -79,7 +79,8 @@ object OrderedCep {
         symbol: String,
         rows: Iterator[SpreadObsT],
         timerValues: TimerValues): Iterator[EmaFoldRow] = {
-      rows.foreach(pending.appendValue)
+      val arr = rows.toArray
+      if (arr.nonEmpty) pending.appendList(arr)
       getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1L)
       foldRipe(symbol, timerValues.getCurrentWatermarkInMs())
     }
@@ -172,7 +173,8 @@ object OrderedCep {
         symbol: String,
         rows: Iterator[LtObsT],
         timerValues: TimerValues): Iterator[LtAnomalyRow] = {
-      rows.foreach(pending.appendValue)
+      val arr = rows.toArray
+      if (arr.nonEmpty) pending.appendList(arr)
       getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1L)
       foldRipe(symbol, timerValues.getCurrentWatermarkInMs())
     }

@@ -92,7 +92,8 @@ object OrderedCusum {
         symbol: String,
         rows: Iterator[CusumObs],
         timerValues: TimerValues): Iterator[FoldRow] = {
-      rows.foreach(pending.appendValue)
+      val arr = rows.toArray
+      if (arr.nonEmpty) pending.appendList(arr)
       // fire on the first batch where the watermark has advanced past the
       // current one — the no-data batch after the final file flushes the tail
       getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1L)

@@ -41,12 +41,6 @@ object OrderedHampel {
       symbol: String, timeMicros: Long, price: Double, med: Double,
       is_outlier: Boolean, cleaned: Double, n_late: Long)
 
-  /** Nearest-rank pick at ceil(m/2) from the sorted frame — the identical
-    * index arithmetic the batch operator and the DuckDB oracle use.
-    */
-  private def rankMid(sorted: Array[Double]): Double =
-    sorted(math.ceil(sorted.length / 2.0).toInt - 1)
-
   class Processor extends StatefulProcessor[String, PriceObs, CleanRow] {
     @transient private var st: ValueState[HState] = _
     @transient private var pending: ListState[PriceObs] = _
@@ -66,18 +60,34 @@ object OrderedHampel {
       if (!c.consumedAny) Iterator.empty
       else {
         val nLate = s0.nLate + c.nLate
-        var win = s0.window.toVector
+        // The single-batch AvailableNow replay drains the whole corpus in
+        // one fold, so the per-row frame work runs on primitive arrays
+        // (zero allocation, same nearest-rank arithmetic) — three Vector
+        // sorts per row was the GC-bound superlinear term at 10x scale.
+        val ring = new Array[Double](N) // trailing frame, oldest..newest
+        var winLen = 0
+        s0.window.foreach { p => ring(winLen) = p; winLen += 1 }
+        val scratch = new Array[Double](N)
         val out = Vector.newBuilder[CleanRow]
         c.ripe.foreach { o =>
-          val frame = (win :+ o.price).takeRight(N)
-          val med = rankMid(frame.sorted.toArray)
-          val mad = rankMid(frame.map(x => math.abs(x - med)).sorted.toArray)
+          if (winLen < N) { ring(winLen) = o.price; winLen += 1 }
+          else { System.arraycopy(ring, 1, ring, 0, N - 1); ring(N - 1) = o.price }
+          val m = winLen // frame INCLUDES the raw observed price
+          val mid = math.ceil(m / 2.0).toInt - 1
+          System.arraycopy(ring, 0, scratch, 0, m)
+          java.util.Arrays.sort(scratch, 0, m)
+          val med = scratch(mid)
+          var i = 0
+          while (i < m) { scratch(i) = math.abs(ring(i) - med); i += 1 }
+          java.util.Arrays.sort(scratch, 0, m)
+          val mad = scratch(mid)
           val outlier = math.abs(o.price - med) > K * mad
           out += CleanRow(symbol, o.timeMicros, o.price, med, outlier,
             if (outlier) med else o.price, nLate)
-          win = frame // the trailing window INCLUDES the raw observed price
         }
-        st.update(HState(win.takeRight(N - 1),
+        val keep = math.min(winLen, N - 1)
+        st.update(HState(
+          java.util.Arrays.copyOfRange(ring, winLen - keep, winLen).toSeq,
           math.max(s0.foldedUpToMicros, c.ripeBound), nLate))
         out.result().iterator
       }
@@ -87,7 +97,8 @@ object OrderedHampel {
         symbol: String,
         rows: Iterator[PriceObs],
         timerValues: TimerValues): Iterator[CleanRow] = {
-      rows.foreach(pending.appendValue)
+      val arr = rows.toArray
+      if (arr.nonEmpty) pending.appendList(arr)
       getHandle.registerTimer(timerValues.getCurrentWatermarkInMs() + 1L)
       foldRipe(symbol, timerValues.getCurrentWatermarkInMs())
     }
