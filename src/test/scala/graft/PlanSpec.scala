@@ -729,4 +729,53 @@ class PlanSpec extends SparkTestBase {
     assert(!approx.contains("Expand"),
       s"approx profile must not multiply its input through Expand:\n$approx")
   }
+
+  test("GraftExtensions injects the full native SQL surface + RLS rule at session build") {
+    import org.apache.spark.sql.SparkSession
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    // Same SparkContext, fresh session state with the extensions applied —
+    // the cluster deployment shape (spark.sql.extensions=graft.plans.GraftExtensions).
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    try {
+      assert(s2 ne spark, "builder must create a NEW session, not reuse the base one")
+      val row = s2.sql(
+        """SELECT
+          |  graft_jaccard(graft_shingles('a b c d', 2), graft_shingles('b c d e', 2)) AS j,
+          |  size(graft_minhash(graft_shingles('a b c d', 2), 16)) AS nh,
+          |  size(graft_minhash_bands(graft_shingles('a b c d', 2), 16, 4)) AS nb,
+          |  graft_simhash('hello world text') AS sh,
+          |  size(graft_winnow('a b c d e f g h', 3, 4)) AS nw,
+          |  graft_srp_bucket_poly(array(CAST(0.5 AS FLOAT), CAST(-0.25 AS FLOAT)), 8) AS srp,
+          |  cosine_sim(array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)),
+          |             array(CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE))) AS cos
+          |""".stripMargin).head()
+      assert(row.getDouble(0) === 0.5) // {a b,b c,c d} vs {b c,c d,d e}: 2/4
+      assert(row.getInt(1) === 16)
+      assert(row.getInt(2) === 4)
+      assert(row.getInt(4) >= 1)
+      val srp = row.getLong(5)
+      assert(srp >= 0L && srp < 256L)
+      assert(row.getDouble(6) === 1.0)
+      // and the same literals through the runtime-registered base session
+      // must agree (the two registration paths expose one surface)
+      graft.plans.TextHashing.register(spark)
+      val base = spark.sql(
+        "SELECT graft_simhash('hello world text') AS sh").head().getLong(0)
+      assert(row.getLong(3) === base)
+
+      // the injected optimizer rule enforces RLS from config alone
+      s2.conf.set(graft.plans.TenantFilterRule.TenantConfKey, "1")
+      val visible = Tables.events(s2, sf0001).count()
+      val expected = Tables.events(spark, sf0001)
+        .filter(pmod(col("user_id"), lit(3L)) === 1L).count()
+      assert(visible === expected)
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
 }
