@@ -1,7 +1,7 @@
 package graft.sources
 
 import graft.core.Tables
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -43,13 +43,15 @@ object StreamSources {
     * reference's Flink jobs consume an unbounded keyed stream —
     * `flink-jobs/market-realtime/anomaly_detection.py:40-149`).
     *
-    * The split is distributed: one global rank over `ts` assigns each row a
-    * batch, with ALL rows sharing a timestamp pinned to the earliest such
-    * batch (min-over-ts window) so no batch boundary ever splits an event
-    * time — a later batch never carries a row at or below the previous
-    * batch's watermark, keeping a chronological replay late-free. Each
-    * split is written as one parquet file in ascending mtime order, which is
-    * the file source's processing order under `latestFirst=false`.
+    * The split is distributed and sort-free: exact `percentile` cutoffs on
+    * `ts` (one aggregation pass — no global row_number, which planned as a
+    * single-partition window sort of the whole corpus) bound each batch,
+    * and every row with the same timestamp lands on the same side of every
+    * cutoff, so no batch boundary ever splits an event time — a later
+    * batch carries only rows STRICTLY above the previous batch's maximum,
+    * keeping a chronological replay late-free. Each split is written as one
+    * parquet file in ascending mtime order, which is the file source's
+    * processing order under `latestFirst=false`.
     */
   def chronoBatchedTradeStream(spark: SparkSession, path: String,
       batches: Int = 3): DataFrame =
@@ -61,21 +63,38 @@ object StreamSources {
     * query's checkpoint over one fixed source dir).
     */
   def chronoSplitDir(spark: SparkSession, path: String, batches: Int = 3): String = {
-    import org.apache.spark.sql.expressions.Window
     require(batches >= 1, s"need at least one batch, got $batches")
     Tables.configure(spark)
     val ev = spark.read.parquet(path)
-    val n = ev.count()
-    val ranked = ev
-      .withColumn("__r", row_number().over(Window.orderBy(col("ts"))))
-      .withColumn("__b0",
-        least(floor((col("__r").cast("long") - 1) * batches / math.max(n, 1L)),
-          lit(batches - 1).cast("long")))
-      .withColumn("__b", min(col("__b0")).over(Window.partitionBy(col("ts"))))
+    // ts drifts across fixture regenerations (epoch-long vs timestamp);
+    // percentile needs a numeric, so normalize without imposing a schema.
+    val tsNum = ev.schema("ts").dataType match {
+      case LongType => col("ts")
+      // NTZ needs an explicit cast (session TZ is pinned UTC by configure)
+      case _ => unix_micros(col("ts").cast(TimestampType))
+    }
+    val cuts: Seq[Double] =
+      if (batches == 1) Seq.empty
+      else {
+        val fracs = (1 until batches).map(_.toDouble / batches)
+        val row = ev.select(tsNum.as("__t"))
+          .agg(call_function("percentile", col("__t"),
+            array(fracs.map(lit): _*)).as("__c"))
+          .head()
+        if (row.isNullAt(0)) Seq.empty // empty corpus: everything in batch 0
+        else row.getSeq[Double](0)
+      }
+    def inBatch(b: Int): Column = {
+      val lower = if (b == 0 || cuts.isEmpty) lit(true)
+        else tsNum > lit(cuts(b - 1))
+      val upper = if (b >= cuts.length) lit(true)
+        else tsNum <= lit(cuts(b))
+      lower && upper
+    }
     val srcDir = java.nio.file.Files.createTempDirectory("graft_chrono_").toString
     (0 until batches).foreach { b =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_chrono_part_").toString
-      ranked.filter(col("__b") === b).drop("__r", "__b0", "__b")
+      ev.filter(inBatch(b))
         .coalesce(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
