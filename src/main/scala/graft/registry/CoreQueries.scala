@@ -97,6 +97,28 @@ object CoreQueries {
           Quantize.r(sum(col("price")), 4).as("sum_price"))
     }),
 
+    // Bloom-sidecar point lookup: three keyed append commits each carrying a
+    // per-dir bloom over o_orderkey, then a point read through readPoint —
+    // only dirs whose bloom might contain the probe key are scanned
+    // (VersionedTableSpec asserts skipped dirs never appear in inputFiles)
+    // + the exact equality predicate on top. Oracle = the plain point
+    // filter over the raw table: bloom skipping must be value-transparent,
+    // exactly like the min/max pruning of q_versioned_prune.
+    "q_versioned_point" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtpoint_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 to 2).foreach(r => VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 3 === r), root, "append",
+        bloomCols = Seq("o_orderkey")))
+      val k = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      VersionedTable.readPoint(s, root, "o_orderkey", k)
+        .filter(col("o_orderkey") === k) // bloom is conservative; exact on top
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          Quantize.r(col("o_totalprice"), 2).as("total_price"))
+    }),
+
     // Versioned-table time travel: three commits (append even keys, append
     // odd keys, overwrite with status-F), then read EVERY version back via
     // its pinned manifest and aggregate. The oracle recomputes each
@@ -477,6 +499,14 @@ object CoreQueries {
       """SELECT o_orderstatus, count(*) AS n_rows,
         |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // The bloom-pruned point read must be value-identical to the plain
+    // point filter (skipping only ever removes whole non-matching dirs).
+    "q_versioned_point" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       floor(o_totalprice * 1e2 + 0.5) / 1e2 AS total_price
+        |FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin,
 
     // Each snapshot recomputed from the raw table: v1 = even keys,
     // v2 = v1 + odd keys = everything, v3 = overwrite with status F.

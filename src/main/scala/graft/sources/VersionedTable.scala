@@ -42,7 +42,7 @@ import org.apache.spark.sql.types.TimestampType
   * O(versions) metadata + file deletes, data-free. Nothing scans the table.
   */
 class VersionedTableOps(val store: CommitStore) {
-  import VersionedTable.{CommitConflictException, DirStat, Snapshot}
+  import VersionedTable.{CommitConflictException, DirBloom, DirStat, Snapshot}
 
   private def dataDir(root: String) = new File(root, "data")
 
@@ -67,6 +67,7 @@ class VersionedTableOps(val store: CommitStore) {
     var parent = -1; var op = ""; var rows = 0L; var ms = 0L
     var cols = Seq.empty[String]; val dirs = Seq.newBuilder[String]
     val stats = Seq.newBuilder[DirStat]
+    val blooms = Seq.newBuilder[DirBloom]
     body.linesIterator.foreach { line =>
       line.split("=", 2) match {
         case Array("parent", v)       => parent = v.toInt
@@ -79,10 +80,15 @@ class VersionedTableOps(val store: CommitStore) {
           case Array(d, c, mn, mx) => stats += DirStat(d, c, mn.toDouble, mx.toDouble)
           case _                   => () // malformed stats line: ignore (stats are advisory)
         }
+        case Array("bloom", v)        => v.split("\\|") match {
+          case Array(d, c, p) => blooms += DirBloom(d, c, p)
+          case _              => () // malformed bloom line: ignore (advisory)
+        }
         case _                        => () // version= line, comments, unknown keys
       }
     }
-    Snapshot(version, parent, op, rows, cols, dirs.result(), ms, stats.result())
+    Snapshot(version, parent, op, rows, cols, dirs.result(), ms, stats.result(),
+      blooms.result())
   }
 
   /** All snapshots, oldest first. */
@@ -112,7 +118,9 @@ class VersionedTableOps(val store: CommitStore) {
     */
   def commit(df: DataFrame, root: String, mode: String = "append",
       expectedVersion: Option[Int] = None,
-      statsCols: Seq[String] = Seq.empty): Int = {
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty,
+      bloomFpp: Double = 0.01): Int = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val parent = latestVersion(root)
     val version = parent.getOrElse(0) + 1
@@ -144,10 +152,27 @@ class VersionedTableOps(val store: CommitStore) {
         toDouble(aggRow.get(1 + 2 * i)), toDouble(aggRow.get(2 + 2 * i))))
     }
 
+    // Per-dir bloom sidecars: equality-predicate skipping where min/max
+    // stats can't help (a point key intersects every dir's range). Sidecars
+    // are DATA-plane files named by the attempt-unique dir — racing writers
+    // cannot collide, and nothing references a sidecar until the manifest
+    // publishes the `bloom=` line, so the same commit protocol covers them.
+    // Cost: one distributed bloom agg per column over the in-cache batch.
+    val newBlooms = bloomCols.map { c =>
+      val bf = committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
+      val rel = s"_blooms/${new File(newDir).getName}_$c.bloom"
+      val f = new File(root, rel)
+      f.getParentFile.mkdirs()
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      try bf.writeTo(os) finally os.close()
+      DirBloom(newDir, c, rel)
+    }
+
     val parentSnap = parent.filter(_ => mode == "append").map(snapshot(root, _))
     val parentDirs = parentSnap.map(_.dataDirs).getOrElse(Seq.empty)
     val dirs = parentDirs :+ newDir
     val allStats = parentSnap.map(_.dirStats).getOrElse(Seq.empty) ++ newStats
+    val allBlooms = parentSnap.map(_.dirBlooms).getOrElse(Seq.empty) ++ newBlooms
 
     // (2) log: the conditional put is the commit point.
     val body = new StringBuilder()
@@ -160,10 +185,13 @@ class VersionedTableOps(val store: CommitStore) {
     dirs.foreach(d => body.append(s"dir=$d\n"))
     allStats.foreach(s =>
       body.append(s"stats=${s.dir}|${s.col}|${s.min}|${s.max}\n"))
+    allBlooms.foreach(b =>
+      body.append(s"bloom=${b.dir}|${b.col}|${b.path}\n"))
     if (!store.putIfAbsent(root, version, body.toString)) {
-      // Lost the race: our dir is unreferenced and can't hurt anyone.
-      // Remove it now; if we crash before this line, vacuum reaps it.
+      // Lost the race: our dir and sidecars are unreferenced and can't hurt
+      // anyone. Remove them now; if we crash before this line, vacuum reaps.
       VersionedTable.deleteRecursively(new File(root, newDir))
+      newBlooms.foreach(b => new File(root, b.path).delete())
       throw new CommitConflictException(version)
     }
     version
@@ -207,6 +235,48 @@ class VersionedTableOps(val store: CommitStore) {
     }
     if (keep.isEmpty)
       // whole snapshot pruned: an empty frame with the snapshot's schema
+      spark.read.option("mergeSchema", "true")
+        .parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
+        .limit(0)
+    else
+      spark.read.option("mergeSchema", "true")
+        .parquet(keep.map(d => new File(root, d).getPath): _*)
+  }
+
+  /** Bloom-pruned point read: read snapshot `asOf` keeping only the dirs
+    * whose bloom sidecar for `c` might contain `value` (integral or
+    * string, matching `DataFrameStatFunctions.bloomFilter`'s domain).
+    * Dirs without a sidecar are always read — strictly conservative, like
+    * [[readPruned]]: the frame CONTAINS the matching rows plus possibly
+    * bloom false positives and statless dirs, so callers apply the
+    * equality predicate on top. Cost: one manifest read + one tiny
+    * sidecar read per dir + the surviving dirs. This is the skipping tier
+    * min/max range stats cannot provide: a point key intersects almost
+    * every dir's [min, max], but a bloom answers "definitely absent".
+    */
+  def readPoint(spark: SparkSession, root: String, c: String,
+      value: Any, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = snapshot(root, v)
+    val bloomFor = snap.dirBlooms.filter(_.col == c).map(b => b.dir -> b).toMap
+    def mightContain(b: DirBloom): Boolean = {
+      val f = new File(root, b.path)
+      if (!f.exists()) true // lost sidecar: conservative, read the dir
+      else {
+        val is = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+        val bf =
+          try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
+          finally is.close()
+        value match {
+          case s: String => bf.mightContainString(s)
+          case n: Number => bf.mightContainLong(n.longValue())
+          case other     => bf.mightContain(other)
+        }
+      }
+    }
+    val keep = snap.dataDirs.filter(d => bloomFor.get(d).forall(mightContain))
+    if (keep.isEmpty)
       spark.read.option("mergeSchema", "true")
         .parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
         .limit(0)
@@ -322,6 +392,14 @@ class VersionedTableOps(val store: CommitStore) {
       VersionedTable.deleteRecursively(f)
       !f.exists() // report only what actually died
     }
+    // A dead dir's bloom sidecars die with it (they are named by the dir,
+    // so orphaned sidecars are exactly the ones whose dir is gone).
+    val bloomDir = new File(root, "_blooms")
+    deleted.foreach { d =>
+      val prefix = new File(d).getName + "_"
+      Option(bloomDir.listFiles()).toSeq.flatten
+        .filter(_.getName.startsWith(prefix)).foreach(_.delete())
+    }
     (1 until cutoff).foreach(store.delete(root, _))
     deleted.sorted
   }
@@ -337,7 +415,8 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
       schemaCols: Seq[String],
       dataDirs: Seq[String],
       committedMs: Long = 0L,
-      dirStats: Seq[DirStat] = Seq.empty)
+      dirStats: Seq[DirStat] = Seq.empty,
+      dirBlooms: Seq[DirBloom] = Seq.empty)
 
   /** Per-dir min/max of one column, as recorded in the manifest. Values are
     * numeric images: timestamps as epoch micros, numerics as doubles —
@@ -346,6 +425,14 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
     * only when its whole range misses the predicate).
     */
   final case class DirStat(dir: String, col: String, min: Double, max: Double)
+
+  /** Per-dir bloom sidecar pointer for one column, as recorded in the
+    * manifest (`bloom=<dir>|<col>|<relative-path>`). The sidecar holds a
+    * serialized Spark `BloomFilter` over the dir's values; probing it
+    * answers "definitely absent" for equality predicates, which min/max
+    * range stats cannot (a point key intersects every dir's range).
+    */
+  final case class DirBloom(dir: String, col: String, path: String)
 
   final class CommitConflictException(version: Int)
     extends RuntimeException(

@@ -221,6 +221,39 @@ class StreamingSpec extends SparkTestBase {
       Ohlc.compute(Tables.trades(spark, sf0001)).count())
   }
 
+  test("chronoSplitDir: batches partition the corpus, strictly chronological, no ts straddles") {
+    import graft.sources.StreamSources
+    val path = s"$sf0001/events.parquet"
+    val corpus = spark.read.parquet(path)
+    val splitDir = StreamSources.chronoSplitDir(spark, path, 3)
+    val parts = (0 until 3).map(b => spark.read.parquet(s"$splitDir/f$b.parquet"))
+    // 1. exact multiset partition of the corpus — no row lost or duplicated
+    val union = parts.reduce(_ unionAll _)
+    assert(union.count() === corpus.count())
+    assert(union.exceptAll(corpus).count() === 0 &&
+      corpus.exceptAll(union).count() === 0,
+      "split must be an exact multiset partition of the corpus")
+    // 2. strictly chronological: a later batch's minimum exceeds the earlier
+    //    batch's maximum (the late-free replay guarantee), hence 3. no event
+    //    time ever straddles a batch boundary
+    val bounds = parts.map { p =>
+      val r = p.agg(min(col("ts")).as("lo"), max(col("ts")).as("hi")).head()
+      (r.get(0), r.get(1))
+    }
+    bounds.sliding(2).foreach {
+      case Seq((_, hi), (lo, _)) if hi != null && lo != null =>
+        assert(spark.range(1).select(
+          lit(lo).gt(lit(hi))).head().getBoolean(0),
+          s"batch boundary not strictly increasing: max=$hi vs next min=$lo")
+      case _ => ()
+    }
+    // 4. roughly balanced: no batch holds the whole corpus
+    parts.foreach(p => assert(p.count() < corpus.count()))
+    // 5. batches=1 degenerates to the whole corpus in one file
+    val one = StreamSources.chronoSplitDir(spark, path, 1)
+    assert(spark.read.parquet(s"$one/f0.parquet").count() === corpus.count())
+  }
+
   test("bounded replays are run-to-run deterministic (batch-boundary independence)") {
     // Two consecutive replays of the same bounded stream must produce
     // identical results — the judge's determinism criterion for the

@@ -378,6 +378,61 @@ class VersionedTableSpec extends SparkTestBase {
     assert(s.min === 1704067200000000.0 && s.max === 1704067209000000.0)
   }
 
+  test("bloom sidecars skip definitely-absent dirs on point reads") {
+    val root = freshRoot()
+    def slice(lo: Long, hi: Long) = spark.range(lo, hi).toDF("id")
+    VersionedTable.commit(slice(0, 100), root, "append", bloomCols = Seq("id"))
+    VersionedTable.commit(slice(100, 200), root, "append", bloomCols = Seq("id"))
+    VersionedTable.commit(slice(200, 300), root, "append", bloomCols = Seq("id"))
+    val snap = VersionedTable.snapshot(root, 3)
+    assert(snap.dirBlooms.size === 3 && snap.dirBlooms.forall(_.col === "id"))
+    assert(snap.dirBlooms.forall(b => new File(root, b.path).exists()),
+      "every manifest bloom line must point at a live sidecar")
+    // a point key in the middle dir: its dir survives; at least one
+    // definitely-absent dir is skipped (bloom answers are deterministic
+    // for a fixed corpus, and false positives only ever ADD dirs)
+    val pointed = VersionedTable.readPoint(spark, root, "id", 150L)
+    val files = pointed.inputFiles
+    assert(files.exists(_.contains("data/v00002")), "the containing dir must survive")
+    assert(files.length < VersionedTable.read(spark, root).inputFiles.length,
+      s"no dir was bloom-skipped: ${files.mkString(",")}")
+    // value-transparent: pruned + predicate == plain filter
+    assert(pointed.filter(col("id") === 150L).count() === 1L)
+    // an absent key prunes to an empty-or-small frame but NEVER loses rows
+    val absent = VersionedTable.readPoint(spark, root, "id", 99999L)
+    assert(absent.filter(col("id") === 99999L).count() === 0L)
+    // string keys probe through mightContainString
+    val sRoot = freshRoot()
+    VersionedTable.commit(
+      spark.range(0, 50).selectExpr("concat('k', id) AS k"), sRoot,
+      "append", bloomCols = Seq("k"))
+    VersionedTable.commit(
+      spark.range(50, 100).selectExpr("concat('k', id) AS k"), sRoot,
+      "append", bloomCols = Seq("k"))
+    val sPoint = VersionedTable.readPoint(spark, sRoot, "k", "k75")
+    assert(sPoint.filter(col("k") === "k75").count() === 1L)
+  }
+
+  test("point reads are conservative: bloomless dirs always read; vacuum reaps sidecars") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 100).toDF("id"), root) // NO bloom
+    VersionedTable.commit(spark.range(100, 200).toDF("id"), root, "append",
+      bloomCols = Seq("id"))
+    // key lives in the bloomless dir: it must be read regardless
+    val pointed = VersionedTable.readPoint(spark, root, "id", 50L)
+    assert(pointed.filter(col("id") === 50L).count() === 1L,
+      "a bloomless dir was skipped — point reads must be conservative")
+    // overwrite + vacuum: the dead dirs' sidecars die with them
+    VersionedTable.commit(spark.range(200, 300).toDF("id"), root, "overwrite",
+      bloomCols = Seq("id"))
+    VersionedTable.vacuum(root, retainLast = 1, orphanGraceMs = 0L)
+    val bloomFiles = Option(new File(root, "_blooms").listFiles()).toSeq.flatten
+    assert(bloomFiles.size === 1,
+      s"vacuum left orphan sidecars: ${bloomFiles.map(_.getName).mkString(",")}")
+    val live = VersionedTable.snapshot(root, 3).dirBlooms
+    assert(live.size === 1 && new File(root, live.head.path).exists())
+  }
+
   test("change feed surfaces the union schema across a widening commit") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 2).toDF("id"), root)
