@@ -162,6 +162,39 @@ object CoreQueries {
           (col("sum_cents") / lit(100.0)).as("sum_price"))
     }),
 
+    // Cursor-driven change-feed consumption (the downstream half of the
+    // lakehouse loop — TimescaleDB's refresh-policy worker walking the
+    // invalidation log, Delta's startingVersion): a consumer that fell two
+    // versions behind catches up in ONE O(delta) read, a later commit is
+    // consumed incrementally, and a third call is a no-op (cursor current).
+    // Oracle = the full-table aggregate: cursor consumption must converge
+    // to the batch answer exactly.
+    "q_changefeed_cursor" -> ((s, d) => {
+      import graft.sources.{ChangeFeedCursor, VersionedTable}
+      import graft.operators.IncrementalAgg
+      val root = java.nio.file.Files.createTempDirectory("graft_cfc_").toString
+      val cursor = s"$root/_consumers/agg.v"
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderstatus"), col("o_orderkey"),
+          Quantize.i(col("o_totalprice"), 2).as("cents"))
+      var state: Option[org.apache.spark.sql.DataFrame] = None
+      def applyDelta(delta: org.apache.spark.sql.DataFrame, f: Int, t: Int): Unit = {
+        val agg = IncrementalAgg.aggregate(delta, Seq("o_orderstatus"), Seq("cents"))
+        state = Some(state.map(IncrementalAgg.merge(_, agg, Seq("o_orderstatus")))
+          .getOrElse(agg))
+      }
+      VersionedTable.commit(orders.filter(col("o_orderkey") % 3 === 0), root)
+      VersionedTable.commit(orders.filter(col("o_orderkey") % 3 === 1), root)
+      val first = ChangeFeedCursor.processNew(s, root, cursor)(applyDelta)
+      require(first.contains((0, 2)), s"expected one catch-up read of (0,2], got $first")
+      VersionedTable.commit(orders.filter(col("o_orderkey") % 3 === 2), root)
+      ChangeFeedCursor.processNew(s, root, cursor)(applyDelta)
+      require(ChangeFeedCursor.processNew(s, root, cursor)(applyDelta).isEmpty,
+        "a current consumer must be a no-op")
+      state.get.select(col("o_orderstatus"), col("n_rows"),
+        (col("sum_cents") / lit(100.0)).as("sum_price"))
+    }),
+
     // TPC-H Q1-shaped pricing summary: single hash-agg shuffle; the shipdate
     // filter pushes into the parquet scan (PushedFilters).
     "q_pricing_summary" -> ((s, d) => {
@@ -496,6 +529,12 @@ object CoreQueries {
 
     // The full recompute the incremental refresh must equal exactly.
     "q_incremental_agg" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // Cursor consumption must converge to the full-table aggregate.
+    "q_changefeed_cursor" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,

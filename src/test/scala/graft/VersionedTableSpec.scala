@@ -433,6 +433,47 @@ class VersionedTableSpec extends SparkTestBase {
     assert(live.size === 1 && new File(root, live.head.path).exists())
   }
 
+  test("change-feed cursor: catch-up in one read, redelivery on crash, resync past overwrite") {
+    import graft.sources.ChangeFeedCursor
+    val root = freshRoot()
+    val cursor = s"$root/_consumers/c.v"
+    VersionedTable.commit(spark.range(0, 10).toDF("id"), root)
+    VersionedTable.commit(spark.range(10, 20).toDF("id"), root)
+    // a consumer two versions behind catches up in ONE delta read
+    var seen = Set.empty[Long]
+    val r1 = ChangeFeedCursor.processNew(spark, root, cursor) { (df, from, to) =>
+      assert((from, to) === (0, 2))
+      seen ++= df.collect().map(_.getLong(0))
+    }
+    assert(r1.contains((0, 2)) && seen === (0L until 20L).toSet)
+    assert(ChangeFeedCursor.lastApplied(cursor) === 2)
+    // crash BETWEEN apply and cursor advance: the same range redelivers
+    VersionedTable.commit(spark.range(20, 30).toDF("id"), root)
+    intercept[RuntimeException] {
+      ChangeFeedCursor.processNew(spark, root, cursor) { (_, _, _) =>
+        throw new RuntimeException("crash mid-apply")
+      }
+    }
+    assert(ChangeFeedCursor.lastApplied(cursor) === 2, "cursor must not advance past a failed apply")
+    val r2 = ChangeFeedCursor.processNew(spark, root, cursor) { (df, _, _) =>
+      seen ++= df.collect().map(_.getLong(0))
+    }
+    assert(r2.contains((2, 3)) && seen === (0L until 30L).toSet)
+    // an overwrite breaks the additive feed: refuse loudly, cursor untouched
+    VersionedTable.commit(spark.range(100, 110).toDF("id"), root, "overwrite")
+    intercept[IllegalArgumentException] {
+      ChangeFeedCursor.processNew(spark, root, cursor)((_, _, _) => ())
+    }
+    assert(ChangeFeedCursor.lastApplied(cursor) === 3)
+    // resync re-derives from the snapshot and advances past the overwrite
+    var resynced = Set.empty[Long]
+    val v = ChangeFeedCursor.resync(spark, root, cursor) { df =>
+      resynced = df.collect().map(_.getLong(0)).toSet
+    }
+    assert(v === 4 && resynced === (100L until 110L).toSet)
+    assert(ChangeFeedCursor.processNew(spark, root, cursor)((_, _, _) => ()).isEmpty)
+  }
+
   test("change feed surfaces the union schema across a widening commit") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 2).toDF("id"), root)
