@@ -94,8 +94,11 @@ object StreamSources {
     val srcDir = java.nio.file.Files.createTempDirectory("graft_chrono_").toString
     (0 until batches).foreach { b =>
       val tmp = java.nio.file.Files.createTempDirectory("graft_chrono_part_").toString
+      // repartition(1), not coalesce(1): coalesce would collapse the whole
+      // scan+filter into ONE task; the shuffle boundary keeps the corpus
+      // scan parallel and only the final file write single-task.
       ev.filter(inBatch(b))
-        .coalesce(1).write.mode("overwrite").parquet(tmp)
+        .repartition(1).write.mode("overwrite").parquet(tmp)
       val part = new java.io.File(tmp).listFiles()
         .find(f => f.getName.startsWith("part-") && f.getName.endsWith(".parquet"))
         .getOrElse(throw new IllegalStateException(s"no part file under $tmp"))
