@@ -58,7 +58,9 @@ object ZOrder {
   def scaleTo16(x: Column, maxInclusive: Long): Column = {
     require(maxInclusive >= 0 && maxInclusive < (1L << 47),
       s"domain max out of range: $maxInclusive")
-    call_function("div", shiftleft(x, 16), lit(maxInclusive + 1L))
+    // cast first: shiftleft preserves IntegerType, and a 32-bit `x << 16`
+    // would silently overflow for int inputs >= 2^15
+    call_function("div", shiftleft(x.cast("long"), 16), lit(maxInclusive + 1L))
       .bitwiseAND(lit(0xFFFFL))
   }
 

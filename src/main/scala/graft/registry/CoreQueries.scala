@@ -119,6 +119,43 @@ object CoreQueries {
           Quantize.r(col("o_totalprice"), 2).as("total_price"))
     }),
 
+    // COMPOSED skipping — the real PIT scan shape (time RANGE ∧ symbol
+    // POINT, the reference's `(symbol, time DESC)` composite index,
+    // `sql/timescaledb_schema.sql:34-35`): six append commits — three
+    // chronological thirds × two symbol halves — each carrying time min/max
+    // stats AND a symbol bloom sidecar, then ONE readFiltered probe of the
+    // middle third ∧ the lexicographically smallest symbol. The range tier
+    // dismisses the four off-third dirs from the manifest alone; the bloom
+    // tier dismisses the wrong symbol half without its dir being listed
+    // (VersionedTableSpec asserts the surviving-file set). Conservative as
+    // ever: exact predicates on top. Oracle = the plain two-predicate
+    // filter — composition must be value-transparent.
+    "q_versioned_combo" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      import graft.sources.VersionedTable.{PointFilter, RangeFilter}
+      val root = java.nio.file.Files.createTempDirectory("graft_vtcombo_").toString
+      val t = Tables.trades(s, d)
+        .select(col("time"), col("symbol"), col("price"), col("volume"))
+      val b = t.agg(min(unix_micros(col("time"))).as("mn"),
+        max(unix_micros(col("time"))).as("mx"),
+        min(col("symbol")).as("sym")).head()
+      val (mn, mx, sym) = (b.getLong(0), b.getLong(1), b.getString(2))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      def um = unix_micros(col("time"))
+      val third = Seq(um < t1, um >= t1 && um < t2, um >= t2)
+      for (tf <- third; h <- 0 to 1)
+        VersionedTable.commit(t.filter(tf && crc32(col("symbol")) % 2 === h),
+          root, "append", statsCols = Seq("time"), bloomCols = Seq("symbol"))
+      VersionedTable.readFiltered(s, root,
+        Seq(RangeFilter("time", t1.toDouble, (t2 - 1).toDouble),
+          PointFilter("symbol", sym)))
+        .filter(um >= t1 && um < t2 && col("symbol") === sym)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"),
+          Quantize.r(sum(col("price")), 4).as("sum_price"))
+    }),
+
     // Versioned-table time travel: three commits (append even keys, append
     // odd keys, overwrite with status-F), then read EVERY version back via
     // its pinned manifest and aggregate. The oracle recomputes each
@@ -538,6 +575,18 @@ object CoreQueries {
       """SELECT o_orderstatus, count(*) AS n_rows,
         |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // Composed range∧point skipping must be value-identical to the plain
+    // two-predicate filter (tiers only ever remove whole non-matching dirs).
+    "q_versioned_combo" -> OracleSql.withTradesAnd(
+      """b AS (SELECT min(epoch_us(time)) AS mn, max(epoch_us(time)) AS mx,
+        |              min(symbol) AS sym FROM trades),
+        |r AS (SELECT mn + (mx - mn) // 3 AS t1, mn + 2 * ((mx - mn) // 3) AS t2, sym FROM b)""".stripMargin,
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
+        |FROM trades, r
+        |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2 AND symbol = sym
+        |GROUP BY symbol""".stripMargin),
 
     // The bloom-pruned point read must be value-identical to the plain
     // point filter (skipping only ever removes whole non-matching dirs).

@@ -351,6 +351,58 @@ object StreamQueries {
     "q_stream_dedup" -> ((s, d) => withReplayConf(s) {
       StreamingFeatures.streamingDedupOnce(s, s"$d/events.parquet") }),
 
+    // Streaming SUBSCRIPTION to the versioned table: the commit log consumed
+    // through the `graft-changefeed` Source (offsets = versions, one
+    // micro-batch per unconsumed range — Delta-`startingVersion` semantics;
+    // the reference's second-stage agg streams its raw Delta dir the same
+    // way, `streaming_feature_updates.py:102`). The corpus lands as three
+    // chronological commits; the first AvailableNow run catches up (0,2] in
+    // ONE batch, a later commit is consumed by RESUMING the same checkpoint
+    // — the engine's offset WAL is the cursor. Each batch's partial agg is
+    // idempotently committed to a DOWNSTREAM versioned table keyed by batch
+    // id (replay-absorbed: the exactly-once discipline of the cursor, in
+    // streaming clothes); the folded partials must equal the full-table
+    // aggregate. Scaled-int price sums keep the partial-then-total fold
+    // order-independent.
+    "q_stream_changefeed" -> ((s, d) => withReplayConf(s) {
+      import graft.operators.IncrementalAgg
+      import graft.sources.VersionedTable
+      val root = Files.createTempDirectory("graft_cfup_").toString
+      val aggRoot = Files.createTempDirectory("graft_cfdown_").toString
+      val ckpt = Files.createTempDirectory("graft_ckpt_").toString
+      val split = StreamSources.chronoSplitDir(s, s"$d/events.parquet", 3)
+      def land(b: Int): Unit = {
+        VersionedTable.commit(
+          StreamSources.projectTrades(s.read.parquet(s"$split/f$b.parquet")), root)
+        ()
+      }
+      def subscribeOnce(): Unit = {
+        val feed = s.readStream.format("graft-changefeed")
+          .option("root", root).load()
+          .select(col("symbol"), col("volume"),
+            graft.functions.Quantize.i(col("price"), 4).as("price_e4"))
+        val q = feed.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            VersionedTable.idempotentCommit(
+              IncrementalAgg.aggregate(batch, Seq("symbol"), Seq("volume", "price_e4")),
+              aggRoot, id.toInt + 1)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      }
+      land(0); land(1)
+      subscribeOnce() // catch-up: versions (0, 2] in one O(delta) batch
+      land(2)
+      subscribeOnce() // SAME checkpoint: only the (2, 3] delta is read
+      VersionedTable.read(s, aggRoot)
+        .groupBy("symbol")
+        .agg(sum(col("n_rows")).as("n"), sum(col("sum_volume")).as("sum_volume"),
+          (sum(col("sum_price_e4")) / lit(10000.0)).as("sum_price"))
+    }),
+
     // Avro wire-format roundtrip (decimal logical types): encode every trade
     // to Avro binary, decode it back, aggregate — must equal the plain SQL
     // aggregation of the source rows.
@@ -535,6 +587,12 @@ object StreamQueries {
         |    ON t.symbol = thr.symbol
         |  WHERE t.volume > thr.p95)
         |WHERE large_trades_5m >= 3""".stripMargin),
+
+    // Subscription + incremental fold must converge to the batch aggregate.
+    "q_stream_changefeed" -> withTrades(
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
+        |FROM trades GROUP BY symbol""".stripMargin),
 
     "q_avro_roundtrip" -> withTrades(
       """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,

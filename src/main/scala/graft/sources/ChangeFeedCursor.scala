@@ -56,15 +56,18 @@ object ChangeFeedCursor {
     * the `(fromExclusive, toInclusive)` range applied, or None when already
     * current. The delta frame spans the WHOLE range in one O(delta) read —
     * a consumer that fell N versions behind catches up in one apply, not N.
+    * `upTo` caps the range's inclusive end (bounded consumption — e.g. one
+    * micro-batch of a paced replay); the default consumes to the latest.
     *
     * Throws `IllegalArgumentException` when the range crosses an overwrite
     * (see [[resync]]); the cursor stays untouched, so nothing is lost.
     */
   def processNew(spark: SparkSession, root: String, cursorPath: String,
-      table: VersionedTableOps = VersionedTable)
+      table: VersionedTableOps = VersionedTable, upTo: Option[Int] = None)
       (apply: (DataFrame, Int, Int) => Unit): Option[(Int, Int)] = {
     val from = lastApplied(cursorPath)
-    val to = table.latestVersion(root).getOrElse(0)
+    val latest = table.latestVersion(root).getOrElse(0)
+    val to = upTo.map(math.min(_, latest)).getOrElse(latest)
     if (to <= from) None
     else {
       apply(table.changes(spark, root, from, to), from, to)

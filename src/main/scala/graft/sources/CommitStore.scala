@@ -61,8 +61,12 @@ final class LocalCommitStore extends CommitStore {
 
   override def putIfAbsent(root: String, version: Int, body: String): Boolean = {
     dir(root).mkdirs()
+    // Attempt-unique tmp name (UUID, like the data dirs) — NOT the thread id:
+    // two writers in different JVMs plausibly share a thread id (main=1), and
+    // a shared tmp path would let writer A link writer B's body under the
+    // version, breaking "a losing writer can never damage the winner".
     val tmp = Paths.get(dir(root).getPath,
-      s".v$version.tmp${Thread.currentThread().getId}")
+      s".v$version.tmp${java.util.UUID.randomUUID().toString.take(8)}")
     Files.write(tmp, body.getBytes(StandardCharsets.UTF_8))
     try { Files.createLink(file(root, version).toPath, tmp); true }
     catch { case _: java.nio.file.FileAlreadyExistsException => false }

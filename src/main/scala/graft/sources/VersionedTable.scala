@@ -224,24 +224,8 @@ class VersionedTableOps(val store: CommitStore) {
     * dirs — skipped dirs are never listed, never footer-read.
     */
   def readPruned(spark: SparkSession, root: String, c: String,
-      lo: Double, hi: Double, asOf: Option[Int] = None): DataFrame = {
-    require(lo <= hi, s"bad range [$lo, $hi]")
-    val v = asOf.orElse(latestVersion(root))
-      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
-    val snap = snapshot(root, v)
-    val statsFor = snap.dirStats.filter(_.col == c).map(s => s.dir -> s).toMap
-    val keep = snap.dataDirs.filter { d =>
-      statsFor.get(d).forall(s => s.max >= lo && s.min <= hi)
-    }
-    if (keep.isEmpty)
-      // whole snapshot pruned: an empty frame with the snapshot's schema
-      spark.read.option("mergeSchema", "true")
-        .parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
-        .limit(0)
-    else
-      spark.read.option("mergeSchema", "true")
-        .parquet(keep.map(d => new File(root, d).getPath): _*)
-  }
+      lo: Double, hi: Double, asOf: Option[Int] = None): DataFrame =
+    readFiltered(spark, root, Seq(VersionedTable.RangeFilter(c, lo, hi)), asOf)
 
   /** Bloom-pruned point read: read snapshot `asOf` keeping only the dirs
     * whose bloom sidecar for `c` might contain `value` (integral or
@@ -255,34 +239,89 @@ class VersionedTableOps(val store: CommitStore) {
     * every dir's [min, max], but a bloom answers "definitely absent".
     */
   def readPoint(spark: SparkSession, root: String, c: String,
-      value: Any, asOf: Option[Int] = None): DataFrame = {
+      value: Any, asOf: Option[Int] = None): DataFrame =
+    readFiltered(spark, root, Seq(VersionedTable.PointFilter(c, value)), asOf)
+
+  /** Composed skipping: read snapshot `asOf` keeping only the dirs EVERY
+    * filter admits — the conjunctive shape real PIT scans have (a time
+    * RANGE ∧ a symbol POINT, the reference's `(symbol, time DESC)` index,
+    * `sql/timescaledb_schema.sql:34-35`). Per dir, a [[VersionedTable.RangeFilter]]
+    * consults the manifest min/max, a [[VersionedTable.PointFilter]] consults
+    * BOTH tiers — min/max first (free — the manifest is already in hand;
+    * for numeric probes a point outside a dir's range is definitely absent)
+    * and the bloom sidecar only for dirs the range tier could not dismiss,
+    * so sidecars of range-skipped dirs are never even opened. Strictly
+    * conservative like its single-filter forms (missing stats/sidecar →
+    * read the dir; callers apply the row predicate on top).
+    *
+    * Cost: one manifest read + one sidecar probe per range-surviving dir +
+    * the surviving dirs. Skipped dirs are never listed or footer-read; the
+    * only footer touched besides the survivors is the NEWEST dir's, once,
+    * as the schema anchor (additive evolution makes the latest commit's
+    * schema the union), which also restores columns a skipped dir would
+    * have contributed under mergeSchema — the empty-keep and keep-only
+    * frames carry the same union schema a full read would.
+    */
+  def readFiltered(spark: SparkSession, root: String,
+      filters: Seq[VersionedTable.DirFilter], asOf: Option[Int] = None): DataFrame = {
+    import VersionedTable.{DirFilter, PointFilter, RangeFilter}
+    filters.foreach {
+      case RangeFilter(c, lo, hi) => require(lo <= hi, s"bad range [$lo, $hi] on $c")
+      case _: PointFilter         => ()
+    }
     val v = asOf.orElse(latestVersion(root))
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
-    val bloomFor = snap.dirBlooms.filter(_.col == c).map(b => b.dir -> b).toMap
-    def mightContain(b: DirBloom): Boolean = {
-      val f = new File(root, b.path)
-      if (!f.exists()) true // lost sidecar: conservative, read the dir
-      else {
-        val is = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
-        val bf =
-          try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
-          finally is.close()
-        value match {
-          case s: String => bf.mightContainString(s)
-          case n: Number => bf.mightContainLong(n.longValue())
-          case other     => bf.mightContain(other)
+    require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
+    val statsFor = snap.dirStats.map(s => (s.dir, s.col) -> s).toMap
+    val bloomFor = snap.dirBlooms.map(b => (b.dir, b.col) -> b).toMap
+    def admits(d: String, f: DirFilter): Boolean = f match {
+      case RangeFilter(c, lo, hi) =>
+        statsFor.get((d, c)).forall(s => s.max >= lo && s.min <= hi)
+      case PointFilter(c, value) =>
+        val inRange = value match {
+          // a numeric point is a degenerate range: min/max can dismiss the
+          // dir before its sidecar is ever opened
+          case n: Number => statsFor.get((d, c)).forall(s =>
+            s.max >= n.doubleValue() && s.min <= n.doubleValue())
+          case _ => true
         }
+        inRange && bloomFor.get((d, c)).forall(b => bloomMightContain(root, b, value))
+    }
+    val keep = snap.dataDirs.filter(d => filters.forall(admits(d, _)))
+    // Schema anchor: ONE footer read of the newest dir — never a footer per
+    // skipped dir (the old empty-keep path scanned EVERY dir the pruning
+    // had just proved skippable).
+    val anchor = spark.read
+      .parquet(new File(root, snap.dataDirs.last).getPath).schema
+    if (keep.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), anchor)
+    else {
+      val kept = spark.read.option("mergeSchema", "true")
+        .parquet(keep.map(d => new File(root, d).getPath): _*)
+      val missing = anchor.filterNot(f => kept.columns.contains(f.name))
+      if (missing.isEmpty) kept
+      else kept.select(kept.columns.map(col) ++ missing.map(f =>
+        lit(null).cast(f.dataType).as(f.name)): _*)
+    }
+  }
+
+  /** Probe a bloom sidecar; a lost sidecar is conservative (read the dir). */
+  private def bloomMightContain(root: String, b: DirBloom, value: Any): Boolean = {
+    val f = new File(root, b.path)
+    if (!f.exists()) true
+    else {
+      val is = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
+      val bf =
+        try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
+        finally is.close()
+      value match {
+        case s: String => bf.mightContainString(s)
+        case n: Number => bf.mightContainLong(n.longValue())
+        case other     => bf.mightContain(other)
       }
     }
-    val keep = snap.dataDirs.filter(d => bloomFor.get(d).forall(mightContain))
-    if (keep.isEmpty)
-      spark.read.option("mergeSchema", "true")
-        .parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
-        .limit(0)
-    else
-      spark.read.option("mergeSchema", "true")
-        .parquet(keep.map(d => new File(root, d).getPath): _*)
   }
 
   /** Idempotent commit targeting a SPECIFIC version — the exactly-once
@@ -292,10 +331,12 @@ class VersionedTableOps(val store: CommitStore) {
     * committed (false = the version already existed — replay absorbed).
     */
   def idempotentCommit(df: DataFrame, root: String, version: Int,
-      mode: String = "append", statsCols: Seq[String] = Seq.empty): Boolean = {
+      mode: String = "append", statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Boolean = {
     if (store.get(root, version).isDefined) return false
     try {
-      commit(df, root, mode, expectedVersion = Some(version), statsCols = statsCols)
+      commit(df, root, mode, expectedVersion = Some(version),
+        statsCols = statsCols, bloomCols = bloomCols, bloomFpp = bloomFpp)
       true
     }
     catch { case _: CommitConflictException => false }
@@ -315,8 +356,10 @@ class VersionedTableOps(val store: CommitStore) {
     * versions stay auditable until vacuumed).
     */
   def restore(spark: SparkSession, root: String, v: Int,
-      statsCols: Seq[String] = Seq.empty): Int =
-    commit(read(spark, root, Some(v)), root, "overwrite", statsCols = statsCols)
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int =
+    commit(read(spark, root, Some(v)), root, "overwrite",
+      statsCols = statsCols, bloomCols = bloomCols, bloomFpp = bloomFpp)
 
   /** Compact the latest snapshot into one fresh dir — an overwrite commit
     * with identical content (the OPTIMIZE analogue for a table fragmented
@@ -324,8 +367,10 @@ class VersionedTableOps(val store: CommitStore) {
     * new version reads O(1) dirs instead of O(appends).
     */
   def compact(spark: SparkSession, root: String,
-      statsCols: Seq[String] = Seq.empty): Int =
-    commit(read(spark, root), root, "overwrite", statsCols = statsCols)
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int =
+    commit(read(spark, root), root, "overwrite",
+      statsCols = statsCols, bloomCols = bloomCols, bloomFpp = bloomFpp)
 
   /** Change feed: rows ADDED between `fromVersion` (exclusive) and
     * `toVersion` (inclusive) — the input of O(delta) incremental
@@ -433,6 +478,22 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
     * range stats cannot (a point key intersects every dir's range).
     */
   final case class DirBloom(dir: String, col: String, path: String)
+
+  /** One conjunct of a composed-skipping read (see
+    * [[VersionedTableOps.readFiltered]]): each admits or dismisses a whole
+    * data dir from the manifest's stats/sidecars before any data I/O.
+    */
+  sealed trait DirFilter
+
+  /** `col BETWEEN lo AND hi` in the stats' numeric image (epoch micros for
+    * timestamps, double otherwise) — consults manifest min/max.
+    */
+  final case class RangeFilter(col: String, lo: Double, hi: Double) extends DirFilter
+
+  /** `col = value` (integral or string, the bloom domain) — consults the
+    * min/max tier first for numeric probes, then the bloom sidecar.
+    */
+  final case class PointFilter(col: String, value: Any) extends DirFilter
 
   final class CommitConflictException(version: Int)
     extends RuntimeException(

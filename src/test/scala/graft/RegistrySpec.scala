@@ -46,9 +46,9 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 162 = r09's 159 + q_dup_clusters_dist + the two ordered CEP twins;
+    // 173 = r11's 171 + r12's q_versioned_combo + q_stream_changefeed;
     // raise this floor whenever a query is added, never lower it
-    assert(SparkEntry.queries.size >= 162,
-      s"registry shrank: ${SparkEntry.queries.size} < 162")
+    assert(SparkEntry.queries.size >= 173,
+      s"registry shrank: ${SparkEntry.queries.size} < 173")
   }
 }

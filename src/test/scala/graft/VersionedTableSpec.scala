@@ -474,6 +474,230 @@ class VersionedTableSpec extends SparkTestBase {
     assert(ChangeFeedCursor.processNew(spark, root, cursor)((_, _, _) => ()).isEmpty)
   }
 
+  test("composed skipping: a range∧point probe touches only dirs both tiers admit") {
+    import graft.sources.VersionedTable.{PointFilter, RangeFilter}
+    val root = freshRoot()
+    // 3 time-thirds x 2 key-halves = 6 dirs; id carries range stats, key a bloom
+    def slice(lo: Long, hi: Long, half: Int) =
+      spark.range(lo, hi).select(col("id"),
+        concat(lit("g"), col("id") % 2).as("key"))
+        .filter(col("id") % 2 === half)
+    for (third <- 0 to 2; half <- 0 to 1)
+      VersionedTable.commit(slice(third * 100, third * 100 + 100, half), root,
+        "append", statsCols = Seq("id"), bloomCols = Seq("key"))
+    // probe: middle third AND key 'g0' (only even ids carry g0)
+    val probed = VersionedTable.readFiltered(spark, root,
+      Seq(RangeFilter("id", 120.0, 180.0), PointFilter("key", "g0")))
+    val files = probed.inputFiles
+    // the range tier must dismiss the four off-third dirs...
+    assert(files.nonEmpty && files.forall(f =>
+      f.contains("data/v00003") || f.contains("data/v00004")),
+      s"range tier leaked an off-third dir: ${files.mkString(",")}")
+    // ...and the bloom tier the odd half (false positives only ever ADD dirs,
+    // but a 100-key 1% bloom asked for a key it never saw is deterministic
+    // for this fixed corpus and distinguishes the halves here)
+    assert(files.length < VersionedTable.read(spark, root).inputFiles.length / 2,
+      s"bloom tier skipped nothing: ${files.mkString(",")}")
+    // value-transparent: probed + exact predicates == plain filter
+    val got = probed.filter(col("id").between(120, 180) && col("key") === "g0")
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(got === (120L to 180L by 2).toSet)
+    // an impossible conjunction yields an empty frame with the full schema
+    val none = VersionedTable.readFiltered(spark, root,
+      Seq(RangeFilter("id", 5000.0, 6000.0), PointFilter("key", "g0")))
+    assert(none.columns.toSeq === Seq("id", "key") && none.count() === 0L)
+  }
+
+  test("a numeric point probe uses the min/max tier even without a bloom") {
+    import graft.sources.VersionedTable.PointFilter
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 100).toDF("id"), root, "append",
+      statsCols = Seq("id"))
+    VersionedTable.commit(spark.range(100, 200).toDF("id"), root, "append",
+      statsCols = Seq("id"))
+    val probed = VersionedTable.readFiltered(spark, root,
+      Seq(PointFilter("id", 150L)))
+    val files = probed.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("data/v00002")),
+      s"stats tier did not dismiss the off-range dir for a point: ${files.mkString(",")}")
+    assert(probed.filter(col("id") === 150L).count() === 1L)
+  }
+
+  test("keep-only pruned reads carry the union schema; empty keep reads no pruned dir") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 100).toDF("id"), root, "append",
+      statsCols = Seq("id"))
+    VersionedTable.commit(
+      spark.range(100, 200).select(col("id"), (col("id") * 10).as("extra")),
+      root, "append", statsCols = Seq("id"))
+    // keep = v1 only; the widened column must still appear (null), not vanish
+    val kept = VersionedTable.readPruned(spark, root, "id", 10.0, 20.0)
+    assert(kept.columns.toSeq === Seq("id", "extra"),
+      "keep-only read dropped a column present only in a skipped dir")
+    assert(kept.filter(col("id") === 15L).select("extra").head().isNullAt(0))
+    // empty keep: schema from ONE anchor footer, never a scan of every dir
+    val none = VersionedTable.readPruned(spark, root, "id", 9999.0, 99999.0)
+    assert(none.columns.toSeq === Seq("id", "extra") && none.count() === 0L)
+    assert(none.inputFiles.isEmpty,
+      "the empty-keep frame must not plan a scan over pruned dirs")
+  }
+
+  test("idempotentCommit and compact thread bloom/stats sidecars through") {
+    val root = freshRoot()
+    assert(VersionedTable.idempotentCommit(spark.range(0, 50).toDF("id"), root, 1,
+      statsCols = Seq("id"), bloomCols = Seq("id")))
+    val s1 = VersionedTable.snapshot(root, 1)
+    assert(s1.dirStats.nonEmpty && s1.dirBlooms.nonEmpty,
+      "a streaming sink commit dropped its skipping metadata")
+    assert(new File(root, s1.dirBlooms.head.path).exists())
+    VersionedTable.commit(spark.range(50, 100).toDF("id"), root, "append",
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val v = VersionedTable.compact(spark, root,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val sc = VersionedTable.snapshot(root, v)
+    assert(sc.dataDirs.size === 1 && sc.dirStats.size === 1 && sc.dirBlooms.size === 1,
+      "compaction dropped bloom sidecar coverage for the compacted dir")
+    assert(new File(root, sc.dirBlooms.head.path).exists())
+  }
+
+  test("a consumer behind a vacuumed range fails loudly; resync recovers exactly") {
+    import graft.sources.ChangeFeedCursor
+    val root = freshRoot()
+    val cursor = s"$root/_consumers/c.v"
+    (0 until 5).foreach(i =>
+      VersionedTable.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), root))
+    // consume only v1, then fall far behind
+    var state = Set.empty[Long]
+    ChangeFeedCursor.processNew(spark, root, cursor, upTo = Some(1)) { (df, _, _) =>
+      state ++= df.collect().map(_.getLong(0))
+    }
+    assert(ChangeFeedCursor.lastApplied(cursor) === 1 && state === (0L until 10L).toSet)
+    // vacuum keeps only the last 2 versions: the consumer's range is gone
+    VersionedTable.vacuum(root, retainLast = 2, orphanGraceMs = 0L)
+    val e = intercept[IllegalArgumentException] {
+      ChangeFeedCursor.processNew(spark, root, cursor)((_, _, _) => ())
+    }
+    assert(e.getMessage.contains("no such version"),
+      s"expected the missing-version error, got: ${e.getMessage}")
+    assert(ChangeFeedCursor.lastApplied(cursor) === 1, "cursor moved on a failed read")
+    // the documented remedy: resync re-derives from the snapshot
+    val v = ChangeFeedCursor.resync(spark, root, cursor) { df =>
+      state = df.collect().map(_.getLong(0)).toSet
+    }
+    assert(v === 5)
+    val full = VersionedTable.read(spark, root).collect().map(_.getLong(0)).toSet
+    assert(state === full, "resynced consumer state must equal the full recompute")
+    assert(ChangeFeedCursor.processNew(spark, root, cursor)((_, _, _) => ()).isEmpty)
+  }
+
+  // ---- streaming subscription over the change feed ----------------------
+
+  /** One AvailableNow run of the change-feed source over `root`, folding
+    * each micro-batch through `apply(batch, batchId)`.
+    */
+  private def subscribeOnce(root: String, ckpt: String)
+      (apply: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft-changefeed").option("root", root).load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        apply(batch.toDF(), id)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+  }
+
+  test("change-feed source: catch-up in one batch, then delta-only resumption") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_ckpt_").toString
+    VersionedTable.commit(spark.range(0, 10).toDF("id"), root)
+    VersionedTable.commit(spark.range(10, 20).toDF("id"), root)
+    var batches = Vector.empty[(Long, Set[Long], Array[String])]
+    subscribeOnce(root, ckpt) { (df, id) =>
+      batches :+= ((id, df.collect().map(_.getLong(0)).toSet, df.inputFiles))
+    }
+    // a subscriber two versions behind catches up in ONE micro-batch
+    assert(batches.map(_._1) === Vector(0L))
+    assert(batches.head._2 === (0L until 20L).toSet)
+    // a later commit is consumed by RESUMING the same checkpoint — and the
+    // batch reads ONLY the delta dirs, never the table
+    VersionedTable.commit(spark.range(20, 30).toDF("id"), root)
+    batches = Vector.empty
+    subscribeOnce(root, ckpt) { (df, id) =>
+      batches :+= ((id, df.collect().map(_.getLong(0)).toSet, df.inputFiles))
+    }
+    assert(batches.map(_._1) === Vector(1L))
+    // delta-only: exactly the new commit's rows, none of the 20 older ones
+    // (the file-level guarantee is asserted on `changes` itself in
+    // "change feed reads ONLY the delta dirs" — the micro-batch frame is a
+    // LogicalRDD wrapper, so inputFiles is not observable here)
+    assert(batches.head._2 === (20L until 30L).toSet)
+    // current subscriber: a third run delivers no batch
+    batches = Vector.empty
+    subscribeOnce(root, ckpt) { (df, id) => batches :+= ((id, Set.empty, Array.empty)) }
+    assert(batches.isEmpty, "a current subscriber must see no new batch")
+  }
+
+  test("chaos: subscriber killed mid-range redelivers; idempotent sink absorbs it") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val root = freshRoot()
+    val down = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_chaos_").toString
+    VersionedTable.commit(spark.range(0, 10).toDF("id"), root)
+    VersionedTable.commit(spark.range(10, 20).toDF("id"), root)
+    // run 1: the apply lands its commit, then dies BEFORE the engine can
+    // commit the batch to the offset log — the at-least-once crash window
+    val boom = intercept[StreamingQueryException] {
+      subscribeOnce(root, ckpt) { (df, id) =>
+        VersionedTable.idempotentCommit(df, down, id.toInt + 1)
+        throw new RuntimeException("kill mid-range")
+      }
+    }
+    assert(boom.getMessage.contains("kill mid-range"))
+    assert(VersionedTable.read(spark, down).count() === 20L)
+    // restart on the SAME checkpoint: the same range REDELIVERS with the
+    // same batch id; the version-keyed commit absorbs it (returns false)
+    var absorbed = Vector.empty[Boolean]
+    subscribeOnce(root, ckpt) { (df, id) =>
+      absorbed :+= VersionedTable.idempotentCommit(df, down, id.toInt + 1)
+    }
+    assert(absorbed === Vector(false), s"redelivery not absorbed: $absorbed")
+    // exactly-once end to end: downstream equals the upstream snapshot
+    val got = VersionedTable.read(spark, down).collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 20L).toSet)
+    assert(VersionedTable.read(spark, down).count() === 20L, "duplicated rows")
+  }
+
+  test("change-feed source fails loudly across an overwrite; resubscription recovers") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_ow_").toString
+    VersionedTable.commit(spark.range(0, 10).toDF("id"), root)
+    subscribeOnce(root, ckpt)((_, _) => ())
+    VersionedTable.commit(spark.range(100, 105).toDF("id"), root, "overwrite")
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      subscribeOnce(root, ckpt)((_, _) => ())
+    }
+    assert(e.getMessage.contains("non-append"),
+      s"expected the additive-feed refusal, got: ${e.getMessage}")
+    // remedy: re-derive from the snapshot, resubscribe past the overwrite
+    val fresh = Files.createTempDirectory("graft_cfs_ow2_").toString
+    var seen = Set.empty[Long]
+    VersionedTable.commit(spark.range(105, 110).toDF("id"), root)
+    val q = spark.readStream.format("graft-changefeed")
+      .option("root", root).option("startingVersion", "2").load()
+    val sq = q.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen ++= batch.collect().map(_.getLong(0))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", fresh)
+      .start()
+    sq.awaitTermination()
+    assert(seen === (105L until 110L).toSet)
+  }
+
   test("change feed surfaces the union schema across a widening commit") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 2).toDF("id"), root)
