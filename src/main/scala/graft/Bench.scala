@@ -81,16 +81,21 @@ object Bench {
         .take(6).map("%02x".format(_)).mkString
       catch { case _: Throwable => "unavailable" }
 
-    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, String) = {
+    // Composite queries record sub-phase timings through BenchProbe
+    // (`<query>.seed` / `<query>.refresh`) so harness setup and the
+    // operator under test are separately attributable; drained per run.
+    def runOnce(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, String, Map[String, Double]) = {
+      BenchProbe.drain() // discard any residue from a prior failed run
       val t0 = System.nanoTime()
       try {
         val df = fn(spark, sfDir)
         df.write.format("noop").mode("overwrite").save()
         val dt = (System.nanoTime() - t0) / 1e9
-        (dt, planHash(df))
+        (dt, planHash(df), BenchProbe.drain())
       }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); (-1.0, "failed")
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        (-1.0, "failed", Map.empty)
       }
     }
     def median(xs: Seq[Double]): Double = {
@@ -120,10 +125,17 @@ object Bench {
     val calibration = median((1 to 3).map(_ => calibrate()))
     val timed = (light ++ heavy).map { case (name, fn) =>
       val runs = (1 to reps).map(_ => runOnce(name, fn))
-      (name, minOk(runs.map(_._1)), runs.last._2)
+      // min-of-reps per PHASE, same statistic as the per-query wall time
+      val phaseMaps = runs.map(_._3).filter(_.nonEmpty)
+      val phases =
+        if (phaseMaps.isEmpty) Map.empty[String, Double]
+        else phaseMaps.flatMap(_.keySet).distinct
+          .map(k => k -> phaseMaps.flatMap(_.get(k)).min).toMap
+      (name, minOk(runs.map(_._1)), runs.last._2, phases)
     }
-    val results = timed.map { case (name, sec, _) => name -> sec }
-    val plans = timed.map { case (name, _, h) => name -> h }
+    val results = timed.map { case (name, sec, _, _) => name -> sec }
+    val plans = timed.map { case (name, _, h, _) => name -> h }
+    val phases = timed.flatMap(_._4).sortBy(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // Warm serving-path latency, the shape the reference benchmarks
@@ -179,11 +191,13 @@ object Bench {
     def line(f: Double => String, sf: String): String = {
       val qs = results.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
       val ps = plans.map { case (k, h) => "\"" + k + "\":\"" + h + "\"" }.mkString("{", ",", "}")
+      val phs = phases.map { case (k, v) => "\"" + k + "\":" + f(v) }.mkString("{", ",", "}")
       s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
         s""""stat":"min_of_$reps",""" +
         s""""calibration_sec":${f(calibration)},""" +
         s""""total_per_calib":${f(if (calibration > 0) total / calibration else -1.0)},""" +
-        s""""queries":$qs,"plans":$ps,"pit_warm":${warmJson(pitWarm, f)},""" +
+        s""""queries":$qs,"plans":$ps,"phases":$phs,""" +
+        s""""pit_warm":${warmJson(pitWarm, f)},""" +
         s""""online_warm":${warmJson(onlineWarm, f)},"sf":"$sf"}"""
     }
 

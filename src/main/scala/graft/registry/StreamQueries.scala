@@ -210,11 +210,19 @@ object StreamQueries {
     // full batch recompute — buckets older than the refresh window must
     // already be correct, newer ones must be corrected by the MERGE. The
     // table is date-partitioned; only trailing partitions are rewritten.
+    // BenchProbe phases: the O(N) harness seed and final full-table read
+    // are NOT the operator under test — `.seed`/`.refresh` keys let the
+    // bench (and the 10x artifact's refresh_only_ratios) attribute the
+    // O(trailing-window) refresh separately, so a refresh regression can't
+    // hide inside the seed's O(N).
     "q_ohlc_refresh" -> ((s, d) => withReplayConf(s) {
-      val out = seedStale(s, d, "ohlc", graft.features.Ohlc.compute(_))
+      val out = graft.BenchProbe.time("q_ohlc_refresh.seed") {
+        seedStale(s, d, "ohlc", graft.features.Ohlc.compute(_)) }
       val t = Tables.trades(s, d)
-      StreamingFeatures.refreshOhlcAggregate(s, t, out, startOffsetSec = 7200)
-      StreamingFeatures.refreshOhlcAggregate(s, t, out, startOffsetSec = 7200)
+      graft.BenchProbe.time("q_ohlc_refresh.refresh") {
+        StreamingFeatures.refreshOhlcAggregate(s, t, out, startOffsetSec = 7200)
+        StreamingFeatures.refreshOhlcAggregate(s, t, out, startOffsetSec = 7200)
+      }
     }),
 
     // The same refresh-policy machinery generalized over the other three
@@ -222,36 +230,45 @@ object StreamQueries {
     // volatility, `:173-178` vwap, `:233-238` imbalance) — each seeded stale,
     // refreshed twice, and hash-gated against its full recompute.
     "q_vwap_refresh" -> ((s, d) => withReplayConf(s) {
-      val out = seedStale(s, d, "vwap", graft.features.Vwap.compute(_))
-      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        StreamingFeatures.sliced(graft.features.Vwap.compute),
-        bucketSec = 300, startOffsetSec = 7200)
-      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        StreamingFeatures.sliced(graft.features.Vwap.compute),
-        bucketSec = 300, startOffsetSec = 7200)
+      val out = graft.BenchProbe.time("q_vwap_refresh.seed") {
+        seedStale(s, d, "vwap", graft.features.Vwap.compute(_)) }
+      graft.BenchProbe.time("q_vwap_refresh.refresh") {
+        StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+          StreamingFeatures.sliced(graft.features.Vwap.compute),
+          bucketSec = 300, startOffsetSec = 7200)
+        StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+          StreamingFeatures.sliced(graft.features.Vwap.compute),
+          bucketSec = 300, startOffsetSec = 7200)
+      }
     }),
 
     "q_imbalance_refresh" -> ((s, d) => withReplayConf(s) {
-      val out = seedStale(s, d, "imb", graft.features.Imbalance.compute(_))
-      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        StreamingFeatures.sliced(graft.features.Imbalance.compute),
-        bucketSec = 300, startOffsetSec = 7200)
-      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        StreamingFeatures.sliced(graft.features.Imbalance.compute),
-        bucketSec = 300, startOffsetSec = 7200)
+      val out = graft.BenchProbe.time("q_imbalance_refresh.seed") {
+        seedStale(s, d, "imb", graft.features.Imbalance.compute(_)) }
+      graft.BenchProbe.time("q_imbalance_refresh.refresh") {
+        StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+          StreamingFeatures.sliced(graft.features.Imbalance.compute),
+          bucketSec = 300, startOffsetSec = 7200)
+        StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+          StreamingFeatures.sliced(graft.features.Imbalance.compute),
+          bucketSec = 300, startOffsetSec = 7200)
+      }
     }),
 
     // Volatility's lag crosses bucket edges, so its ComputeWindow warms the
     // slice with the last pre-window (time, price) per symbol — see
     // Volatility.computeWindowed.
     "q_volatility_refresh" -> ((s, d) => withReplayConf(s) {
-      val out = seedStale(s, d, "vol", graft.features.Volatility.compute(_))
-      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        graft.features.Volatility.computeWindowed,
-        bucketSec = 3600, startOffsetSec = 7200)
-      StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
-        graft.features.Volatility.computeWindowed,
-        bucketSec = 3600, startOffsetSec = 7200)
+      val out = graft.BenchProbe.time("q_volatility_refresh.seed") {
+        seedStale(s, d, "vol", graft.features.Volatility.compute(_)) }
+      graft.BenchProbe.time("q_volatility_refresh.refresh") {
+        StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+          graft.features.Volatility.computeWindowed,
+          bucketSec = 3600, startOffsetSec = 7200)
+        StreamingFeatures.refreshAggregate(s, Tables.trades(s, d), out,
+          graft.features.Volatility.computeWindowed,
+          bucketSec = 3600, startOffsetSec = 7200)
+      }
     }),
 
     // Streaming session windows (dynamic-gap state: a session closes only

@@ -74,6 +74,19 @@ def main():
               for k in q1 if k in q10 and q1[k] > 0 and q10[k] >= 0}
     worst = dict(sorted(ratios.items(), key=lambda kv: -kv[1])[:10])
     med = sorted(ratios.values())[len(ratios) // 2] if ratios else None
+
+    # Phase-attributed ratios: the q_*_refresh queries split their timing
+    # into `<q>.seed` (O(N) harness setup) and `<q>.refresh` (the
+    # O(trailing-window) operator under test). The refresh-only ratio is
+    # the number that can actually see a refresh regression — the whole-
+    # query ratio is dominated by the seed's O(N).
+    p1, p10 = b1.get("phases", {}), b10.get("phases", {})
+    phase_ratios = {k: {"sf01_sec": round(p1[k], 3),
+                        "scale_sec": round(p10[k], 3),
+                        "ratio": round(p10[k] / p1[k], 2)}
+                    for k in p1 if k in p10 and p1[k] > 0 and p10[k] >= 0}
+    refresh_only = {k: v for k, v in phase_ratios.items()
+                    if k.endswith(".refresh")}
     artifact = {
         "corpus": corpus,
         "scale_factor_vs_sf01": 10,
@@ -93,12 +106,15 @@ def main():
             b10["total_per_calib"] / b1["total_per_calib"], 2),
         "median_query_ratio": med,
         "worst_query_ratios": worst,
+        "refresh_only_ratios": refresh_only,
+        "phase_ratios": phase_ratios,
         "n_queries": len(ratios),
     }
     with open(out, "w") as f:
         json.dump(artifact, f, indent=1)
     print(json.dumps({k: artifact[k] for k in
                       ["wall_ratio_for_10x_data", "median_query_ratio",
+                       "refresh_only_ratios",
                        "correctness_at_scale", "n_queries"]}))
     print(f"wrote {out}")
 
