@@ -54,6 +54,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ex => SrpBucketPoly(ex.head, intLit(ex(1), "planes")))
 
     ext.injectOptimizerRule(spark => new TenantFilterRule(spark))
+
+    // The reference's flagship SQL entry point, as a TABLE function
+    // (set-returning in the reference, `sql/timescaledb_schema.sql:292-411`):
+    //   SELECT * FROM feature_pit_snapshot('5', TIMESTAMP '2024-01-02 03:04:05')
+    // The builder plants the full PitSnapshot plan (9 fused PIT branches over
+    // one guarded scan) into the parsed tree, so a pure-SQL session reaches
+    // the engine's centerpiece with zero application code. The trades source
+    // resolves from `spark.graft.pit.source` (an events/trades directory) or,
+    // absent that, a `trades` view registered in the session catalog.
+    ext.injectTableFunction((
+      FunctionIdentifier("feature_pit_snapshot"),
+      new ExpressionInfo(GraftExtensions.getClass.getName, "feature_pit_snapshot"),
+      exprs => GraftExtensions.pitSnapshotPlan(exprs)))
   }
 }
 
@@ -62,5 +75,49 @@ object GraftExtensions {
     case Literal(v: Int, IntegerType) => v
     case other => throw new IllegalArgumentException(
       s"$what must be an integer literal, got $other")
+  }
+
+  /** Session conf naming the trades source directory for the SQL-facing
+    * `feature_pit_snapshot` (set it cluster-wide next to
+    * `spark.sql.extensions`, or per session).
+    */
+  val PitSourceConfKey = "spark.graft.pit.source"
+
+  /** Build the `feature_pit_snapshot(symbol, as_of_ts)` plan from the call
+    * site's argument expressions. Arguments must be foldable (literals or
+    * constant-foldable casts) — the snapshot is a point lookup, exactly like
+    * the reference's function-call contract; the future-query guard
+    * (`smartdb_contract.py:200-201`) applies here too.
+    */
+  private[plans] def pitSnapshotPlan(
+      exprs: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types.{StringType, TimestampType}
+    require(exprs.length == 2,
+      s"feature_pit_snapshot(symbol, as_of_ts) takes 2 arguments, got ${exprs.length}")
+    def folded(e: Expression, what: String): Any = {
+      require(e.foldable, s"$what must be a constant expression, got $e")
+      e.eval()
+    }
+    val symbol = (exprs.head.dataType, folded(exprs.head, "symbol")) match {
+      case (StringType, s) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"symbol must be a non-null string, got $other")
+    }
+    val asOf = (exprs(1).dataType, folded(exprs(1), "as_of_ts")) match {
+      case (TimestampType, micros: java.lang.Long) =>
+        org.apache.spark.sql.catalyst.util.DateTimeUtils.toJavaTimestamp(micros)
+      case (StringType, s) if s != null => java.sql.Timestamp.valueOf(s.toString)
+      case other => throw new IllegalArgumentException(
+        s"as_of_ts must be a timestamp (or timestamp string), got $other")
+    }
+    val spark = org.apache.spark.sql.SparkSession.active
+    val trades = spark.conf.getOption(PitSourceConfKey) match {
+      case Some(dir) => graft.core.Tables.trades(spark, dir)
+      case None if spark.catalog.tableExists("trades") => spark.table("trades")
+      case None => throw new IllegalArgumentException(
+        s"feature_pit_snapshot needs $PitSourceConfKey or a 'trades' view")
+    }
+    graft.asof.PitSnapshot.snapshot(spark, trades, symbol, asOf)
+      .queryExecution.logical
   }
 }

@@ -730,6 +730,55 @@ class PlanSpec extends SparkTestBase {
       s"approx profile must not multiply its input through Expand:\n$approx")
   }
 
+  test("SQL feature_pit_snapshot equals the library PitSnapshot row for row") {
+    import org.apache.spark.sql.SparkSession
+    // deterministic probe: the lexicographically smallest symbol, as-of
+    // 30 minutes before its newest tick (partial-history PIT view); the
+    // base session must exist BEFORE the fresh-session build reuses its
+    // SparkContext
+    val t = Tables.trades(spark, sf0001)
+    val probe = t.agg(min(col("symbol"))).head().getString(0)
+    val mx = t.filter(col("symbol") === probe)
+      .agg(max(col("time"))).head().getTimestamp(0)
+    val asOf = new java.sql.Timestamp(mx.getTime - 30L * 60 * 1000)
+    val expected = graft.asof.PitSnapshot
+      .snapshot(spark, t, probe, asOf).collect().toSeq
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    try {
+      s2.conf.set(graft.plans.GraftExtensions.PitSourceConfKey, sf0001)
+      val viaSql = s2.sql(
+        s"SELECT * FROM feature_pit_snapshot('$probe', TIMESTAMP '$asOf')")
+      assert(viaSql.columns.toSeq === Seq("symbol", "as_of_ts", "open", "high",
+        "low", "close", "sma_20", "ewm_12", "volatility_1h", "vwap_5m",
+        "large_trade_flag", "percentile_95", "bid", "ask", "bidask_spread",
+        "trade_imbalance_5m", "regime_tag"))
+      assert(viaSql.collect().toSeq === expected,
+        "SQL entry point must return the library snapshot row exactly")
+      // a catalog view works as the source when no conf path is set
+      s2.conf.unset(graft.plans.GraftExtensions.PitSourceConfKey)
+      Tables.trades(s2, sf0001).createOrReplaceTempView("trades")
+      assert(s2.sql(
+        s"SELECT * FROM feature_pit_snapshot('$probe', TIMESTAMP '$asOf')")
+        .collect().toSeq === expected)
+      // the future-query guard is the caller's contract (validateAsOf);
+      // non-constant args are refused loudly at plan time (current_timestamp
+      // folds during analysis and is thus accepted — uuid() cannot fold)
+      val e = intercept[Exception] {
+        s2.sql(s"SELECT * FROM feature_pit_snapshot(uuid(), TIMESTAMP '$asOf')").collect()
+      }
+      assert(e.getMessage.contains("constant"),
+        s"expected the foldable-argument refusal, got: ${e.getMessage}")
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("GraftExtensions injects the full native SQL surface + RLS rule at session build") {
     import org.apache.spark.sql.SparkSession
     val prevActive = SparkSession.getActiveSession

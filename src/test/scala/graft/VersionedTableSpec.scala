@@ -305,6 +305,77 @@ class VersionedTableSpec extends SparkTestBase {
     assert(!new File(root, "_commits").exists())
   }
 
+  test("O_CREAT|O_EXCL store (exclusive create) runs the same protocol") {
+    val table = new graft.sources.VersionedTableOps(
+      new graft.sources.ExclusiveCreateCommitStore)
+    val root = freshRoot()
+    val (versions, _) = raceWriters(table, root, 3)
+    assert(versions.sorted === Seq(1, 2, 3), s"versions = $versions")
+    val got = table.read(spark, root).select("id").collect()
+      .map(_.getLong(0)).toSet
+    assert(got === ((0L until 10L) ++ (100L until 110L) ++ (200L until 210L)).toSet)
+  }
+
+  test("O_EXCL store: an incomplete frame reads as not-committed (torn-write window)") {
+    import java.nio.charset.StandardCharsets
+    val store = new graft.sources.ExclusiveCreateCommitStore
+    val root = freshRoot()
+    assert(store.putIfAbsent(root, 1, "version=1\nrows=0\n"))
+    assert(store.get(root, 1).contains("version=1\nrows=0\n"))
+    // simulate a writer crashed INSIDE its write window: claim exists,
+    // frame short of its declared length
+    Files.write(new File(root, "_commits/v00002.manifest").toPath,
+      "len=100\nversion=2\n".getBytes(StandardCharsets.UTF_8))
+    assert(store.get(root, 2).isEmpty, "a torn frame must read as not-committed")
+    assert(store.versions(root) === Seq(1), "versions() must skip torn claims")
+    // the wedged claim blocks re-publication of that version number (the
+    // documented multipart-debris analogue; repair = delete the torn file)
+    assert(!store.putIfAbsent(root, 2, "version=2\n"))
+    store.delete(root, 2)
+    assert(store.putIfAbsent(root, 2, "version=2\n"))
+    assert(store.versions(root).sorted === Seq(1, 2))
+  }
+
+  test("two separate JVMs race on one LocalCommitStore: every version one intact winner") {
+    // The in-thread race can't catch cross-process bugs (the r11 thread-id
+    // tmp-name collision was exactly one: both JVMs' main threads share
+    // id 1). Fork two real processes hammering the same root.
+    def launch(id: String): Process =
+      new ProcessBuilder(
+        s"${System.getProperty("java.home")}/bin/java",
+        "-cp", System.getProperty("java.class.path"),
+        "graft.CommitRaceMain", "local", raceRoot, id, "20")
+        .redirectErrorStream(true).start()
+    lazy val raceRoot = freshRoot()
+    val (pa, pb) = (launch("A"), launch("B"))
+    def wonOf(p: Process): Set[Int] = {
+      val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
+      assert(p.waitFor(120, java.util.concurrent.TimeUnit.SECONDS), "race JVM hung")
+      assert(p.exitValue() === 0, s"race JVM failed:\n$out")
+      out.linesIterator.find(_.startsWith("WON:"))
+        .getOrElse(fail(s"no WON line in:\n$out"))
+        .stripPrefix("WON:").split(",").map(_.toInt).toSet
+    }
+    val (wa, wb) = (wonOf(pa), wonOf(pb))
+    // one winner per version, no gaps: 40 wins = versions 1..40 exactly
+    assert((wa & wb).isEmpty, s"both JVMs claim: ${(wa & wb).toSeq.sorted}")
+    assert((wa ++ wb) === (1 to 40).toSet, s"gaps/overruns: ${(wa ++ wb).toSeq.sorted}")
+    // every winner's manifest is INTACT — the loser never clobbered it
+    // (the r11 ADVICE scenario: shared tmp path let A link B's body)
+    val store = new graft.sources.LocalCommitStore
+    for (v <- 1 to 40) {
+      val body = store.get(raceRoot, v).getOrElse(fail(s"version $v unreadable"))
+      val owner = if (wa.contains(v)) "A" else "B"
+      assert(body.startsWith(s"writer=$owner\nversion=$v\n"),
+        s"version $v body owned by wrong writer: ${body.take(40)}")
+      assert(body.endsWith("x" * 4096), s"version $v body truncated/corrupted")
+    }
+    // no leftover tmp files from losing attempts
+    val tmps = Option(new File(raceRoot, "_commits").listFiles()).toSeq.flatten
+      .filter(_.getName.contains(".tmp"))
+    assert(tmps.isEmpty, s"leaked tmp files: ${tmps.map(_.getName).mkString(",")}")
+  }
+
   test("vacuum grace window protects an in-flight commit's fresh dir") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 3).toDF("id"), root)
