@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext}
+import org.apache.spark.sql.connector.read.streaming.{ReadLimit, SupportsTriggerAvailableNow, Offset => OffsetV2}
 import org.apache.spark.sql.execution.streaming.{Offset, Source}
 import org.apache.spark.sql.execution.streaming.runtime.{LongOffset, SerializedOffset}
 import org.apache.spark.sql.sources.{DataSourceRegister, StreamSourceProvider}
@@ -15,9 +16,10 @@ import org.apache.spark.sql.types.StructType
   *
   * {{{
   *   spark.readStream
-  *     .format("graft-changefeed")     // or the provider class name
+  *     .format("graft-changefeed")            // or the provider class name
   *     .option("root", tableRoot)
-  *     .option("startingVersion", "0") // exclusive; default 0 = table birth
+  *     .option("startingVersion", "0")        // exclusive; default 0 = table birth
+  *     .option("maxVersionsPerTrigger", "10") // optional rate cap per batch
   *     .load()
   * }}}
   *
@@ -49,7 +51,8 @@ final class ChangeFeedSource(
     sqlContext: SQLContext,
     root: String,
     startingVersion: Int,
-    providedSchema: Option[StructType]) extends Source {
+    maxVersionsPerTrigger: Option[Int],
+    providedSchema: Option[StructType]) extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
@@ -58,15 +61,46 @@ final class ChangeFeedSource(
   override val schema: StructType =
     providedSchema.getOrElse(VersionedTable.read(spark, root).schema)
 
-  private def toVersion(o: Offset): Int = o match {
-    case l: LongOffset      => l.offset.toInt
+  private def toVersion(o: OffsetV2): Int = o match {
+    case l: LongOffset       => l.offset.toInt
     case s: SerializedOffset => s.json.trim.toInt
-    case other              => other.json.trim.toInt
+    case other               => other.json.trim.toInt
   }
 
   override def getOffset: Option[Offset] =
     VersionedTable.latestVersion(root).filter(_ > startingVersion)
       .map(v => LongOffset(v.toLong))
+
+  // --- admission control (SupportsAdmissionControl / AvailableNow) -------
+  // With SupportsTriggerAvailableNow the engine drains MULTIPLE rate-capped
+  // micro-batches up to the target pinned at query start, instead of
+  // falling back to one catch-all batch; `maxVersionsPerTrigger` bounds
+  // each batch's commit range (Delta's maxFilesPerTrigger analogue — the
+  // knob that keeps a far-behind subscriber's catch-up batches bounded).
+  // Restart safety is structural: the engine hands the start position in
+  // (from its offset WAL), so the source needs no position state of its own.
+
+  /** Pinned at AvailableNow query start: commits landing DURING the run
+    * are left for the next run (the AvailableNow contract).
+    */
+  @volatile private var availableNowTarget: Option[Option[Int]] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowTarget = Some(VersionedTable.latestVersion(root))
+
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
+
+  override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
+    val from = Option(start).map(toVersion).getOrElse(startingVersion)
+    val latest = availableNowTarget match {
+      case Some(pinned) => pinned.getOrElse(startingVersion) // pinned (possibly empty) table
+      case None         => VersionedTable.latestVersion(root).getOrElse(startingVersion)
+    }
+    val to = maxVersionsPerTrigger
+      .map(n => math.min(from.max(startingVersion) + n, latest))
+      .getOrElse(latest)
+    if (to > from && to > startingVersion) LongOffset(to.toLong) else null
+  }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
     val from = start.map(toVersion).getOrElse(startingVersion)
@@ -112,7 +146,10 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       metadataPath: String,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): Source =
+      parameters: Map[String, String]): Source = {
+    val maxPer = parameters.get("maxVersionsPerTrigger").map(_.toInt)
+    maxPer.foreach(n => require(n > 0, s"maxVersionsPerTrigger must be > 0, got $n"))
     new ChangeFeedSource(sqlContext, rootOf(parameters),
-      parameters.getOrElse("startingVersion", "0").toInt, schema)
+      parameters.getOrElse("startingVersion", "0").toInt, maxPer, schema)
+  }
 }

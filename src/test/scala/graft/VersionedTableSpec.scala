@@ -336,17 +336,21 @@ class VersionedTableSpec extends SparkTestBase {
     assert(store.versions(root).sorted === Seq(1, 2))
   }
 
-  test("two separate JVMs race on one LocalCommitStore: every version one intact winner") {
-    // The in-thread race can't catch cross-process bugs (the r11 thread-id
-    // tmp-name collision was exactly one: both JVMs' main threads share
-    // id 1). Fork two real processes hammering the same root.
+  /** Two forked JVMs hammer one root through `storeKind`'s CommitStore;
+    * asserts every contended version has exactly one INTACT winner. The
+    * in-thread race can't catch cross-process bugs (the r11 thread-id
+    * tmp-name collision was exactly one: both JVMs' main threads share
+    * id 1) — this can.
+    */
+  private def twoJvmRace(storeKind: String,
+      store: graft.sources.CommitStore): Unit = {
+    val raceRoot = freshRoot()
     def launch(id: String): Process =
       new ProcessBuilder(
         s"${System.getProperty("java.home")}/bin/java",
         "-cp", System.getProperty("java.class.path"),
-        "graft.CommitRaceMain", "local", raceRoot, id, "20")
+        "graft.CommitRaceMain", storeKind, raceRoot, id, "20")
         .redirectErrorStream(true).start()
-    lazy val raceRoot = freshRoot()
     val (pa, pb) = (launch("A"), launch("B"))
     def wonOf(p: Process): Set[Int] = {
       val out = new String(p.getInputStream.readAllBytes(), "UTF-8")
@@ -362,7 +366,6 @@ class VersionedTableSpec extends SparkTestBase {
     assert((wa ++ wb) === (1 to 40).toSet, s"gaps/overruns: ${(wa ++ wb).toSeq.sorted}")
     // every winner's manifest is INTACT — the loser never clobbered it
     // (the r11 ADVICE scenario: shared tmp path let A link B's body)
-    val store = new graft.sources.LocalCommitStore
     for (v <- 1 to 40) {
       val body = store.get(raceRoot, v).getOrElse(fail(s"version $v unreadable"))
       val owner = if (wa.contains(v)) "A" else "B"
@@ -374,6 +377,14 @@ class VersionedTableSpec extends SparkTestBase {
     val tmps = Option(new File(raceRoot, "_commits").listFiles()).toSeq.flatten
       .filter(_.getName.contains(".tmp"))
     assert(tmps.isEmpty, s"leaked tmp files: ${tmps.map(_.getName).mkString(",")}")
+  }
+
+  test("two separate JVMs race on one LocalCommitStore: every version one intact winner") {
+    twoJvmRace("local", new graft.sources.LocalCommitStore)
+  }
+
+  test("two separate JVMs race on the O_EXCL store: every version one intact winner") {
+    twoJvmRace("excl", new graft.sources.ExclusiveCreateCommitStore)
   }
 
   test("vacuum grace window protects an in-flight commit's fresh dir") {
@@ -739,6 +750,76 @@ class VersionedTableSpec extends SparkTestBase {
     val got = VersionedTable.read(spark, down).collect().map(_.getLong(0)).toSet
     assert(got === (0L until 20L).toSet)
     assert(VersionedTable.read(spark, down).count() === 20L, "duplicated rows")
+  }
+
+  /** Like [[subscribeOnce]] but with a per-batch version cap. */
+  private def subscribeCapped(root: String, ckpt: String, maxPer: Int)
+      (apply: (org.apache.spark.sql.DataFrame, Long) => Unit): Unit = {
+    import org.apache.spark.sql.streaming.Trigger
+    val q = spark.readStream.format("graft-changefeed")
+      .option("root", root).option("maxVersionsPerTrigger", maxPer.toString).load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        apply(batch.toDF(), id)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+  }
+
+  test("rate-capped subscription drains multiple batches; mid-run commits wait") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_cap_").toString
+    (0 until 3).foreach(i =>
+      VersionedTable.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), root))
+    var batches = Vector.empty[(Long, Set[Long])]
+    var landed = false
+    subscribeCapped(root, ckpt, maxPer = 1) { (df, id) =>
+      batches :+= ((id, df.collect().map(_.getLong(0)).toSet))
+      if (!landed) {
+        // a commit DURING the drain: the AvailableNow target was pinned at
+        // query start, so this must be left for the NEXT run
+        VersionedTable.commit(spark.range(900, 910).toDF("id"), root)
+        landed = true
+      }
+    }
+    // one micro-batch per version (SupportsTriggerAvailableNow drains to
+    // the pinned target in rate-capped steps, not one catch-all batch)
+    assert(batches.map(_._1) === Vector(0L, 1L, 2L), s"batches = $batches")
+    assert(batches.map(_._2) ===
+      Vector((0L until 10L).toSet, (10L until 20L).toSet, (20L until 30L).toSet))
+    // the mid-run commit arrives in the next run, alone
+    batches = Vector.empty
+    subscribeCapped(root, ckpt, maxPer = 1) { (df, id) =>
+      batches :+= ((id, df.collect().map(_.getLong(0)).toSet))
+    }
+    assert(batches.map(_._2) === Vector((900L until 910L).toSet), s"batches = $batches")
+  }
+
+  test("chaos: rate-capped drain killed mid-stream resumes at the failed batch") {
+    import org.apache.spark.sql.streaming.StreamingQueryException
+    val root = freshRoot()
+    val down = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_cap_chaos_").toString
+    (0 until 3).foreach(i =>
+      VersionedTable.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), root))
+    // die on batch 1 AFTER applying it (crash between apply and WAL commit)
+    intercept[StreamingQueryException] {
+      subscribeCapped(root, ckpt, maxPer = 1) { (df, id) =>
+        VersionedTable.idempotentCommit(df, down, id.toInt + 1)
+        if (id == 1L) throw new RuntimeException("kill mid-drain")
+      }
+    }
+    // restart: batch 1 redelivers (absorbed), batch 2 completes the drain
+    var absorbed = Vector.empty[(Long, Boolean)]
+    subscribeCapped(root, ckpt, maxPer = 1) { (df, id) =>
+      absorbed :+= ((id, VersionedTable.idempotentCommit(df, down, id.toInt + 1)))
+    }
+    assert(absorbed === Vector((1L, false), (2L, true)), s"absorbed = $absorbed")
+    val got = VersionedTable.read(spark, down).collect().map(_.getLong(0)).toSet
+    assert(got === (0L until 30L).toSet)
+    assert(VersionedTable.read(spark, down).count() === 30L, "duplicated rows")
   }
 
   test("change-feed source fails loudly across an overwrite; resubscription recovers") {
