@@ -420,6 +420,40 @@ object StreamQueries {
           (sum(col("sum_price_e4")) / lit(10000.0)).as("sum_price"))
     }),
 
+    // The reference's two-stage topology gone fully lakehouse-native
+    // (`streaming_feature_updates.py:102`: its second-stage OHLC streams the
+    // raw Delta dir): stage 1 lands the corpus as three chronological
+    // COMMITS of a versioned table; stage 2 SUBSCRIBES through the
+    // graft-changefeed source — rate-capped to one micro-batch per commit —
+    // and folds a watermarked 1-minute OHLC in update mode, MERGing each
+    // batch's updated bars into the date-partitioned table (the production
+    // sink shape, `productionQueries`). Chronological commits keep every
+    // delta above the advancing watermark, so the subscription's final bars
+    // equal the batch OHLC of the whole table — the streaming/batch
+    // equivalence invariant, now through the commit log end to end.
+    "q_changefeed_ohlc" -> ((s, d) => withReplayConf(s) {
+      import graft.sources.VersionedTable
+      val root = Files.createTempDirectory("graft_cfohlc_root_").toString
+      val bars = Files.createTempDirectory("graft_cfohlc_bars_").toString + "/t"
+      val split = StreamSources.chronoSplitDir(s, s"$d/events.parquet", 3)
+      (0 until 3).foreach { b =>
+        VersionedTable.commit(
+          StreamSources.projectTrades(s.read.parquet(s"$split/f$b.parquet")), root)
+      }
+      val feed = s.readStream.format("graft-changefeed")
+        .option("root", root).option("maxVersionsPerTrigger", "1").load()
+      val q = graft.features.Ohlc.compute(feed.withWatermark("time", "1 minute"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          StreamingFeatures.mergeIntoKeyed(s, bars, batch.toDF(), Seq("bucket", "symbol"))
+        }
+        .outputMode("update").trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      StreamingFeatures.readKeyedTable(s, bars)
+    }),
+
     // Avro wire-format roundtrip (decimal logical types): encode every trade
     // to Avro binary, decode it back, aggregate — must equal the plain SQL
     // aggregation of the source rows.
@@ -604,6 +638,9 @@ object StreamQueries {
         |    ON t.symbol = thr.symbol
         |  WHERE t.volume > thr.p95)
         |WHERE large_trades_5m >= 3""".stripMargin),
+
+    // The second-stage subscription's bars must equal the batch OHLC.
+    "q_changefeed_ohlc" -> withTrades(ohlcSql),
 
     // Subscription + incremental fold must converge to the batch aggregate.
     "q_stream_changefeed" -> withTrades(

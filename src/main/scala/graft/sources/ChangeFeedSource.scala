@@ -103,6 +103,7 @@ final class ChangeFeedSource(
   }
 
   override def getBatch(start: Option[Offset], end: Offset): DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
     val from = start.map(toVersion).getOrElse(startingVersion)
     val to = toVersion(end)
     // Recovery can replay a degenerate range (start == end) when restoring
@@ -112,7 +113,16 @@ final class ChangeFeedSource(
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else VersionedTable.changes(spark, root, from, to)
-    org.apache.spark.sql.graft.StreamingBridge.asStreaming(batch)
+    // A streaming query's schema is PINNED at subscription. Additive
+    // evolution mid-subscription must not kill the consumer: project every
+    // delta onto the pinned schema (pre-evolution deltas null-fill columns
+    // the subscriber knows about; post-evolution deltas drop columns it
+    // doesn't — they become visible by resubscribing, Delta's contract).
+    val aligned = batch.select(schema.map { f =>
+      if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
+    org.apache.spark.sql.graft.StreamingBridge.asStreaming(aligned)
   }
 
   override def stop(): Unit = ()

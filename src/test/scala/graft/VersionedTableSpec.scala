@@ -822,6 +822,49 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, down).count() === 30L, "duplicated rows")
   }
 
+  test("subscription schema: pinned within a run, re-resolved (widened) across runs") {
+    import org.apache.spark.sql.execution.streaming.runtime.LongOffset
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_widen_").toString
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root)
+    var seen = Vector.empty[Seq[String]]
+    subscribeOnce(root, ckpt) { (df, _) => seen :+= df.columns.toSeq }
+    assert(seen === Vector(Seq("id")))
+    // WITHIN a run the schema is pinned at source construction: a delta
+    // that widened mid-run projects onto the pinned schema (extra columns
+    // dropped until restart) instead of killing the consumer — exercise
+    // getBatch directly with a source pinned BEFORE the widening commit
+    val pinned = new graft.sources.ChangeFeedSource(
+      spark.sqlContext, root, 0, None, None)
+    assert(pinned.schema.fieldNames.toSeq === Seq("id"))
+    VersionedTable.commit(
+      spark.range(5, 8).select(col("id"), (col("id") * 10).as("extra")), root)
+    val aligned = pinned.getBatch(Some(LongOffset(1L)), LongOffset(2L))
+    assert(aligned.columns.toSeq === Seq("id"),
+      "a mid-run widened delta must project onto the pinned schema")
+    assert(aligned.isStreaming, "getBatch must return a streaming frame")
+    // ACROSS runs (restart on the same checkpoint) the schema re-resolves:
+    // the widened column appears and the new delta carries it — the
+    // resubscription contract (Delta restarts behave the same way)
+    var widened = Vector.empty[(Seq[String], Map[Long, Option[Long]])]
+    subscribeOnce(root, ckpt) { (df, _) =>
+      widened :+= ((df.columns.toSeq, df.collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap))
+    }
+    assert(widened.map(_._1) === Vector(Seq("id", "extra")))
+    assert(widened.head._2 === Map(5L -> Some(50L), 6L -> Some(60L), 7L -> Some(70L)))
+    // a FRESH subscription from birth null-fills the pre-evolution delta
+    var fresh = Map.empty[Long, Option[Long]]
+    subscribeOnce(root, Files.createTempDirectory("graft_cfs_widen2_").toString) {
+      (df, _) => fresh = df.collect()
+        .map(r => r.getLong(0) ->
+          (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    }
+    assert(fresh === Map(0L -> None, 1L -> None, 2L -> None, 3L -> None,
+      4L -> None, 5L -> Some(50L), 6L -> Some(60L), 7L -> Some(70L)))
+  }
+
   test("change-feed source fails loudly across an overwrite; resubscription recovers") {
     val root = freshRoot()
     val ckpt = Files.createTempDirectory("graft_cfs_ow_").toString
