@@ -55,6 +55,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectOptimizerRule(spark => new TenantFilterRule(spark))
 
+    def injectTable(name: String,
+        builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+      ext.injectTableFunction((FunctionIdentifier(name),
+        new ExpressionInfo(GraftExtensions.getClass.getName, name), builder))
+
     // The reference's flagship SQL entry point, as a TABLE function
     // (set-returning in the reference, `sql/timescaledb_schema.sql:292-411`):
     //   SELECT * FROM feature_pit_snapshot('5', TIMESTAMP '2024-01-02 03:04:05')
@@ -63,10 +68,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // the engine's centerpiece with zero application code. The trades source
     // resolves from `spark.graft.pit.source` (an events/trades directory) or,
     // absent that, a `trades` view registered in the session catalog.
-    ext.injectTableFunction((
-      FunctionIdentifier("feature_pit_snapshot"),
-      new ExpressionInfo(GraftExtensions.getClass.getName, "feature_pit_snapshot"),
-      exprs => GraftExtensions.pitSnapshotPlan(exprs)))
+    injectTable("feature_pit_snapshot", GraftExtensions.pitSnapshotPlan)
+
+    // The versioned-table surface from pure SQL — the Delta `table@v1` /
+    // `DESCRIBE HISTORY` / `table_changes(...)` trio:
+    //   SELECT * FROM graft_versioned('/data/t')           -- latest snapshot
+    //   SELECT * FROM graft_versioned('/data/t', 3)        -- time travel
+    //   SELECT * FROM graft_table_history('/data/t')       -- commit log
+    //   SELECT * FROM graft_changes('/data/t', 1, 3)       -- change feed
+    injectTable("graft_versioned", GraftExtensions.versionedReadPlan)
+    injectTable("graft_table_history", GraftExtensions.historyPlan)
+    injectTable("graft_changes", GraftExtensions.changesPlan)
   }
 }
 
@@ -118,6 +130,72 @@ object GraftExtensions {
         s"feature_pit_snapshot needs $PitSourceConfKey or a 'trades' view")
     }
     graft.asof.PitSnapshot.snapshot(spark, trades, symbol, asOf)
+      .queryExecution.logical
+  }
+
+  private def stringArg(e: Expression, what: String): String = {
+    import org.apache.spark.sql.types.StringType
+    require(e.foldable, s"$what must be a constant expression, got $e")
+    (e.dataType, e.eval()) match {
+      case (StringType, s) if s != null => s.toString
+      case other => throw new IllegalArgumentException(
+        s"$what must be a non-null string, got $other")
+    }
+  }
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a constant expression, got $e")
+    e.eval() match {
+      case i: java.lang.Integer => i.intValue
+      case l: java.lang.Long    => l.intValue
+      case other => throw new IllegalArgumentException(
+        s"$what must be an integer, got $other")
+    }
+  }
+
+  /** `graft_versioned(root[, version])` — snapshot read / time travel. */
+  private[plans] def versionedReadPlan(
+      exprs: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 1 || exprs.length == 2,
+      s"graft_versioned(root[, version]) takes 1-2 arguments, got ${exprs.length}")
+    val asOf = if (exprs.length == 2) Some(intArg(exprs(1), "version")) else None
+    graft.sources.VersionedTable
+      .read(org.apache.spark.sql.SparkSession.active,
+        stringArg(exprs.head, "root"), asOf)
+      .queryExecution.logical
+  }
+
+  /** `graft_table_history(root)` — the commit log as rows (DESCRIBE
+    * HISTORY): driver-side manifest metadata, never a data scan.
+    */
+  private[plans] def historyPlan(
+      exprs: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.types._
+    require(exprs.length == 1,
+      s"graft_table_history(root) takes 1 argument, got ${exprs.length}")
+    val spark = org.apache.spark.sql.SparkSession.active
+    val rows = graft.sources.VersionedTable
+      .history(stringArg(exprs.head, "root")).map { s =>
+        org.apache.spark.sql.Row(s.version, s.parent, s.operation, s.rows,
+          new java.sql.Timestamp(s.committedMs), s.dataDirs.size)
+      }
+    val schema = StructType(Seq(
+      StructField("version", IntegerType), StructField("parent", IntegerType),
+      StructField("operation", StringType), StructField("n_rows", LongType),
+      StructField("committed_at", TimestampType), StructField("n_dirs", IntegerType)))
+    spark.createDataFrame(
+      java.util.Arrays.asList(rows: _*), schema).queryExecution.logical
+  }
+
+  /** `graft_changes(root, fromExclusive, toInclusive)` — the change feed. */
+  private[plans] def changesPlan(
+      exprs: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3,
+      s"graft_changes(root, from, to) takes 3 arguments, got ${exprs.length}")
+    graft.sources.VersionedTable
+      .changes(org.apache.spark.sql.SparkSession.active,
+        stringArg(exprs.head, "root"),
+        intArg(exprs(1), "from"), intArg(exprs(2), "to"))
       .queryExecution.logical
   }
 }

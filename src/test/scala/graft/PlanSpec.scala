@@ -779,6 +779,40 @@ class PlanSpec extends SparkTestBase {
     }
   }
 
+  test("SQL versioned-table trio: graft_versioned / graft_table_history / graft_changes") {
+    import org.apache.spark.sql.SparkSession
+    import graft.sources.VersionedTable
+    // base session first — the fresh session build reuses its SparkContext
+    val root = java.nio.file.Files.createTempDirectory("graft_sqlvt_").toString
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root)
+    VersionedTable.commit(spark.range(5, 8).toDF("id"), root)
+    VersionedTable.commit(spark.range(100, 103).toDF("id"), root, "overwrite")
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    try {
+      def ids(sql: String): Set[Long] =
+        s2.sql(sql).collect().map(_.getLong(0)).toSet
+      // latest snapshot and time travel
+      assert(ids(s"SELECT id FROM graft_versioned('$root')") === (100L until 103L).toSet)
+      assert(ids(s"SELECT id FROM graft_versioned('$root', 2)") === (0L until 8L).toSet)
+      // the commit log as rows — pure manifest metadata
+      val hist = s2.sql(
+        s"SELECT version, operation, n_rows FROM graft_table_history('$root') ORDER BY version")
+        .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+      assert(hist === Seq((1, "append", 5L), (2, "append", 3L), (3, "overwrite", 3L)))
+      // the change feed, composable with plain SQL on top
+      assert(ids(s"SELECT id FROM graft_changes('$root', 1, 2) WHERE id >= 6") ===
+        Set(6L, 7L))
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
   test("GraftExtensions injects the full native SQL surface + RLS rule at session build") {
     import org.apache.spark.sql.SparkSession
     val prevActive = SparkSession.getActiveSession
