@@ -432,14 +432,8 @@ object StreamQueries {
     // equal the batch OHLC of the whole table — the streaming/batch
     // equivalence invariant, now through the commit log end to end.
     "q_changefeed_ohlc" -> ((s, d) => withReplayConf(s) {
-      import graft.sources.VersionedTable
-      val root = Files.createTempDirectory("graft_cfohlc_root_").toString
       val bars = Files.createTempDirectory("graft_cfohlc_bars_").toString + "/t"
-      val split = StreamSources.chronoSplitDir(s, s"$d/events.parquet", 3)
-      (0 until 3).foreach { b =>
-        VersionedTable.commit(
-          StreamSources.projectTrades(s.read.parquet(s"$split/f$b.parquet")), root)
-      }
+      val root = landedChangefeedRoot(s, s"$d/events.parquet", 3)
       val feed = s.readStream.format("graft-changefeed")
         .option("root", root).option("maxVersionsPerTrigger", "1").load()
       val q = graft.features.Ohlc.compute(feed.withWatermark("time", "1 minute"))
@@ -481,6 +475,35 @@ object StreamQueries {
         graft.functions.Quantize.r(sum(col("price")), 4).as("sum_price"),
         count(col("side")).as("n_sided"))
     }))
+
+  /** The corpus landed ONCE per JVM as `batches` chronological commits of a
+    * versioned table — deterministic per (canonical path, batches), shared
+    * the way [[StreamSources.chronoSplitDir]] is shared by the ordered
+    * stream primaries. Landing cost is versioned-ingest's, already measured
+    * by `q_stream_versioned`; the subscription queries built on this
+    * measure the SUBSCRIPTION, not a per-query re-landing. Read-only for
+    * consumers (queries needing mid-run commits land their own root).
+    */
+  def landedChangefeedRoot(s: SparkSession, path: String, batches: Int): String =
+    landedRoots.synchronized {
+      val key = (new java.io.File(path).getCanonicalPath, batches)
+      landedRoots.get(key)
+        .filter(r => new java.io.File(r, "_commits").isDirectory) match {
+        case Some(r) => r
+        case None =>
+          val split = StreamSources.chronoSplitDir(s, path, batches)
+          val root = Files.createTempDirectory("graft_cfland_").toString
+          (0 until batches).foreach { b =>
+            graft.sources.VersionedTable.commit(
+              StreamSources.projectTrades(s.read.parquet(s"$split/f$b.parquet")),
+              root)
+          }
+          landedRoots(key) = root
+          root
+      }
+    }
+
+  private val landedRoots = scala.collection.mutable.Map.empty[(String, Int), String]
 
   /** Seed a stale materialized aggregate (30 min behind the newest event)
     * through the partitioned MERGE path, so refresh queries start from the
