@@ -30,6 +30,41 @@ class PitSpec extends SparkTestBase {
     assert(a === b)
   }
 
+  test("versioned-table snapshot through the skipping tiers equals the full snapshot") {
+    import graft.sources.VersionedTable
+    import graft.sources.VersionedTable.{PointFilter, RangeFilter}
+    import org.apache.spark.sql.functions.unix_micros
+    val root = java.nio.file.Files.createTempDirectory("graft_pitvt_").toString
+    val t = trades.select(col("time"), col("symbol"), col("price"),
+      col("volume"), col("trade_id"), col("side"), col("bid"), col("ask"))
+    // three chronological commits, each with time stats + a symbol bloom —
+    // the layout a production ingest would write
+    val b = t.agg(org.apache.spark.sql.functions.min(unix_micros(col("time"))),
+      org.apache.spark.sql.functions.max(unix_micros(col("time")))).head()
+    val (mn, mx) = (b.getLong(0), b.getLong(1))
+    val t1 = mn + (mx - mn) / 3
+    val t2 = mn + 2 * ((mx - mn) / 3)
+    def um = unix_micros(col("time"))
+    for (tf <- Seq(um < t1, um >= t1 && um < t2, um >= t2))
+      VersionedTable.commit(t.filter(tf), root, "append",
+        statsCols = Seq("time"), bloomCols = Seq("symbol"))
+    // an as-of inside the FIRST third: the two later dirs must be skipped
+    val asOf = new Timestamp((t1 - 1) / 1000)
+    val viaVersioned = PitSnapshot
+      .snapshotVersioned(spark, root, "3", asOf).collect()(0)
+    val full = PitSnapshot.snapshot(
+      spark, VersionedTable.read(spark, root), "3", asOf).collect()(0)
+    assert(viaVersioned === full,
+      "skipping-tier snapshot must equal the full-table snapshot")
+    // and the access path really skips: the pruned frame touches only dir 1
+    val probe = VersionedTable.readFiltered(spark, root,
+      Seq(PointFilter("symbol", "3"),
+        RangeFilter("time", Double.NegativeInfinity, (t1 - 1).toDouble)))
+    val files = probe.inputFiles
+    assert(files.nonEmpty && files.forall(_.contains("data/v00001")),
+      s"PIT probe touched out-of-horizon dirs: ${files.mkString(",")}")
+  }
+
   test("future as_of is rejected") {
     val now = Timestamp.valueOf("2024-01-30 00:00:00")
     assert(PitSnapshot.validateAsOf(Timestamp.valueOf("2024-02-01 00:00:00"), now).isLeft)

@@ -822,6 +822,46 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.read(spark, down).count() === 30L, "duplicated rows")
   }
 
+  test("a subscriber behind a vacuumed range fails loudly; resubscription recovers") {
+    val root = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_cfs_vac_").toString
+    (0 until 5).foreach(i =>
+      VersionedTable.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), root))
+    // consume only v1 via a capped run that dies after its first batch
+    intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      subscribeCapped(root, ckpt, maxPer = 1) { (_, id) =>
+        if (id >= 1L) throw new RuntimeException("stop after v1")
+      }
+    }
+    // vacuum keeps only the last 2 versions: the subscriber's next range
+    // starts at a manifest that no longer exists — fail loudly, like the
+    // cursor (Delta's earliest-retained-version contract)
+    VersionedTable.vacuum(root, retainLast = 2, orphanGraceMs = 0L)
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      subscribeOnce(root, ckpt)((_, _) => ())
+    }
+    assert(e.getMessage.contains("no such version"),
+      s"expected the missing-version refusal, got: ${e.getMessage}")
+    // remedy: re-derive from the snapshot, resubscribe from the latest
+    var seen = Set.empty[Long]
+    val snapshotRows = VersionedTable.read(spark, root)
+      .collect().map(_.getLong(0)).toSet
+    val fresh = Files.createTempDirectory("graft_cfs_vac2_").toString
+    VersionedTable.commit(spark.range(50, 55).toDF("id"), root)
+    val q = spark.readStream.format("graft-changefeed")
+      .option("root", root).option("startingVersion", "5").load()
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen ++= batch.collect().map(_.getLong(0))
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", fresh)
+      .start()
+    q.awaitTermination()
+    assert(seen === (50L until 55L).toSet)
+    assert(snapshotRows === (0L until 50L).toSet)
+  }
+
   test("subscription schema: pinned within a run, re-resolved (widened) across runs") {
     import org.apache.spark.sql.execution.streaming.runtime.LongOffset
     val root = freshRoot()
