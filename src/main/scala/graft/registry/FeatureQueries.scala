@@ -63,6 +63,31 @@ object FeatureQueries {
       PitSnapshot.snapshotServed(s, trades(s, d), d, PitSymbol,
         Timestamp.valueOf(PitAsOf))),
 
+    // The same snapshot entered through a VERSIONED table's composed
+    // skipping tiers (symbol bloom ∧ time min/max — the reference's
+    // `(symbol, time DESC)` index access, `sql/timescaledb_schema.sql:34-35`):
+    // three chronological append commits carrying time stats + a symbol
+    // bloom, then snapshotVersioned prunes to the dirs overlapping the
+    // as-of horizon ∧ possibly containing the symbol before the guarded
+    // 9-branch assembly. Oracle = q_pit_snapshot's full-table SQL verbatim:
+    // index-shaped access must be value-transparent.
+    "q_pit_versioned" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_pitv_").toString
+      val t = trades(s, d)
+      val b = t.agg(min(unix_micros(col("time"))).as("mn"),
+        max(unix_micros(col("time"))).as("mx")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      def um = unix_micros(col("time"))
+      for (tf <- Seq(um < t1, um >= t1 && um < t2, um >= t2))
+        VersionedTable.commit(t.filter(tf), root, "append",
+          statsCols = Seq("time"), bloomCols = Seq("symbol"))
+      PitSnapshot.snapshotVersioned(s, root, PitSymbol,
+        Timestamp.valueOf(PitAsOf))
+    }),
+
     "q_asof_sma" -> ((s, d) => {
       val t = trades(s, d)
       AsOfJoin.backward(
@@ -562,6 +587,11 @@ object FeatureQueries {
         |  AND vw.vwap IS NOT NULL""".stripMargin),
 
     "q_pit_snapshot" ->
+      s"WITH ${OracleSql.tradesCte},\n${pitSnapshotSql(PitSymbol, PitAsOf)}",
+
+    // Identical oracle by construction: the versioned skipping tiers are
+    // access-path machinery and must not change a single value.
+    "q_pit_versioned" ->
       s"WITH ${OracleSql.tradesCte},\n${pitSnapshotSql(PitSymbol, PitAsOf)}",
 
     // Forward as-of mirror: earliest quote at-or-after each trade, nulled
