@@ -448,6 +448,40 @@ object StreamQueries {
       StreamingFeatures.readKeyedTable(s, bars)
     }),
 
+    // Medallion bronze→silver through BOTH halves of the streaming medium:
+    // the bronze commits stream in via the graft-changefeed SOURCE and the
+    // standardized rows stream out via the graft-versioned SINK — one
+    // transactional append commit per micro-batch (`txn=appId|batchId`
+    // manifest stamp; a redelivered batch is absorbed, so the stage is
+    // exactly-once end to end), leaving silver a first-class versioned
+    // table whose OWN change feed downstream stages subscribe to. This is
+    // the reference's raw→feature Delta chain
+    // (`streaming_feature_updates.py:96-118`) with the table, the source,
+    // and the sink all on the commit log. Oracle = the same
+    // standardization+aggregate in plain SQL over the full corpus: the
+    // two-stage streaming path must converge to the batch answer.
+    "q_medallion" -> ((s, d) => withReplayConf(s) {
+      import graft.sources.VersionedTable
+      val bronze = landedChangefeedRoot(s, s"$d/events.parquet", 3)
+      val silver = Files.createTempDirectory("graft_medallion_").toString
+      val q = s.readStream.format("graft-changefeed")
+        .option("root", bronze).option("maxVersionsPerTrigger", "1").load()
+        .filter(col("side").isNotNull) // the silver standardization step
+        .select(col("symbol"), col("side"), col("volume"),
+          graft.functions.Quantize.i(col("price"), 4).as("price_e4"))
+        .writeStream.format("graft-versioned")
+        .option("root", silver).option("appId", "medallion-silver")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_ckpt_").toString)
+        .start()
+      q.awaitTermination()
+      VersionedTable.read(s, silver)
+        .groupBy("symbol", "side")
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"),
+          (sum(col("price_e4")) / lit(10000.0)).as("sum_price"))
+    }),
+
     // Avro wire-format roundtrip (decimal logical types): encode every trade
     // to Avro binary, decode it back, aggregate — must equal the plain SQL
     // aggregation of the source rows.
@@ -664,6 +698,12 @@ object StreamQueries {
 
     // The second-stage subscription's bars must equal the batch OHLC.
     "q_changefeed_ohlc" -> withTrades(ohlcSql),
+
+    // The two-stage source→sink chain must converge to the batch answer.
+    "q_medallion" -> withTrades(
+      """SELECT symbol, side, count(*) AS n, sum(volume) AS sum_volume,
+        |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
+        |FROM trades WHERE side IS NOT NULL GROUP BY symbol, side""".stripMargin),
 
     // Subscription + incremental fold must converge to the batch aggregate.
     "q_stream_changefeed" -> withTrades(

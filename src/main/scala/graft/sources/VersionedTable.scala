@@ -68,6 +68,7 @@ class VersionedTableOps(val store: CommitStore) {
     var cols = Seq.empty[String]; val dirs = Seq.newBuilder[String]
     val stats = Seq.newBuilder[DirStat]
     val blooms = Seq.newBuilder[DirBloom]
+    var txn: Option[(String, Long)] = None
     body.linesIterator.foreach { line =>
       line.split("=", 2) match {
         case Array("parent", v)       => parent = v.toInt
@@ -76,6 +77,10 @@ class VersionedTableOps(val store: CommitStore) {
         case Array("committed_ms", v) => ms = v.toLong
         case Array("schema", v)       => cols = v.split(",").toSeq.filter(_.nonEmpty)
         case Array("dir", v)          => dirs += v
+        case Array("txn", v)          =>
+          // appId|batchId, split at the LAST '|' (appIds are caller-chosen)
+          val i = v.lastIndexOf('|')
+          if (i > 0) txn = Some((v.substring(0, i), v.substring(i + 1).toLong))
         case Array("stats", v)        => v.split("\\|") match {
           case Array(d, c, mn, mx) => stats += DirStat(d, c, mn.toDouble, mx.toDouble)
           case _                   => () // malformed stats line: ignore (stats are advisory)
@@ -88,7 +93,7 @@ class VersionedTableOps(val store: CommitStore) {
       }
     }
     Snapshot(version, parent, op, rows, cols, dirs.result(), ms, stats.result(),
-      blooms.result())
+      blooms.result(), txn)
   }
 
   /** All snapshots, oldest first. */
@@ -120,7 +125,8 @@ class VersionedTableOps(val store: CommitStore) {
       expectedVersion: Option[Int] = None,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty,
-      bloomFpp: Double = 0.01): Int = {
+      bloomFpp: Double = 0.01,
+      txn: Option[(String, Long)] = None): Int = {
     require(mode == "append" || mode == "overwrite", s"bad mode $mode")
     val parent = latestVersion(root)
     val version = parent.getOrElse(0) + 1
@@ -182,6 +188,10 @@ class VersionedTableOps(val store: CommitStore) {
       .append(s"rows=$rows\n")
       .append(s"committed_ms=${System.currentTimeMillis()}\n")
       .append(s"schema=${df.columns.mkString(",")}\n")
+    txn.foreach { case (appId, batchId) =>
+      require(!appId.contains("\n"), "txn appId must be single-line")
+      body.append(s"txn=$appId|$batchId\n")
+    }
     dirs.foreach(d => body.append(s"dir=$d\n"))
     allStats.foreach(s =>
       body.append(s"stats=${s.dir}|${s.col}|${s.min}|${s.max}\n"))
@@ -342,6 +352,54 @@ class VersionedTableOps(val store: CommitStore) {
     catch { case _: CommitConflictException => false }
   }
 
+  /** Highest micro-batch id writer `appId` has committed to this table, or
+    * None if it never has (or its last txn manifest was vacuumed). Walks
+    * manifests newest-first and stops at the first hit — per-app batch ids
+    * are monotone, so the newest txn IS the high-water mark. Metadata-only:
+    * O(versions since the app's last commit), no data I/O.
+    */
+  def lastCommittedBatch(root: String, appId: String): Option[Long] = {
+    store.versions(root).sorted(Ordering.Int.reverse).iterator
+      .map(snapshot(root, _).txn)
+      .collectFirst { case Some((a, b)) if a == appId => b }
+  }
+
+  /** Transactional commit — Delta's `txn` action analogue, the primitive
+    * under the `graft-versioned` streaming sink. Stamps the manifest with
+    * `(appId, batchId)`; a replay of an already-committed batch is absorbed
+    * (returns false), and a [[VersionedTable.CommitConflictException]] from
+    * a FOREIGN writer racing the same version is retried after re-checking
+    * the high-water mark — so interleaved writers with distinct appIds are
+    * each exactly-once. Unlike [[idempotentCommit]]'s positional batch→
+    * version mapping, this survives pre-seeded tables and any number of
+    * interleaved foreign commits.
+    *
+    * Caveat (same as Delta's): idempotence looks back through RETAINED
+    * manifests, so vacuum retention must exceed the replay horizon — with a
+    * checkpointed streaming engine that horizon is the single most recent
+    * unacknowledged batch, which is always in the retained window for
+    * `retainLast >= 1` unless foreign writers outpace vacuum between the
+    * crash and the restart.
+    */
+  def transactionalCommit(df: DataFrame, root: String, appId: String,
+      batchId: Long, mode: String = "append",
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01,
+      maxRetries: Int = 20): Boolean = {
+    var attempt = 0
+    while (true) {
+      if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
+      try {
+        commit(df, root, mode, statsCols = statsCols, bloomCols = bloomCols,
+          bloomFpp = bloomFpp, txn = Some((appId, batchId)))
+        return true
+      } catch {
+        case _: CommitConflictException if attempt < maxRetries => attempt += 1
+      }
+    }
+    false // unreachable
+  }
+
   /** Latest version committed at or before `tsMs` (wall-clock time travel:
     * `read(spark, root, versionAsOf(root, ts))`). None if the table's first
     * commit is later than `tsMs`.
@@ -461,7 +519,8 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
       dataDirs: Seq[String],
       committedMs: Long = 0L,
       dirStats: Seq[DirStat] = Seq.empty,
-      dirBlooms: Seq[DirBloom] = Seq.empty)
+      dirBlooms: Seq[DirBloom] = Seq.empty,
+      txn: Option[(String, Long)] = None)
 
   /** Per-dir min/max of one column, as recorded in the manifest. Values are
     * numeric images: timestamps as epoch micros, numerics as doubles —

@@ -22,4 +22,15 @@ object StreamingBridge {
     cdf.sparkSession.internalCreateDataFrame(
       cdf.queryExecution.toRdd, cdf.schema, isStreaming = true)
   }
+
+  /** The mirror doorway for a DSv1 `Sink.addBatch`: the frame the engine
+    * hands in is an incremental-execution streaming plan that refuses batch
+    * writes; re-plan its rows as a plain batch frame (what ForeachBatchSink
+    * does internally) so the sink can use the ordinary write path.
+    */
+  def asBatch(df: DataFrame): DataFrame = {
+    val cdf = df.asInstanceOf[classic.Dataset[Row]]
+    cdf.sparkSession.internalCreateDataFrame(
+      cdf.queryExecution.toRdd, cdf.schema, isStreaming = false)
+  }
 }

@@ -946,4 +946,124 @@ class VersionedTableSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(byId === Map(2L -> None, 3L -> None, 4L -> Some(40L), 5L -> Some(50L)))
   }
+
+  test("transactional commit: replays absorbed, foreign commits interleave, apps independent") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root) // pre-seeded table
+    assert(VersionedTable.transactionalCommit(
+      spark.range(5, 10).toDF("id"), root, "app-a", 0L))
+    // at-least-once replay of batch 0: absorbed, snapshot unchanged
+    assert(!VersionedTable.transactionalCommit(
+      spark.range(5, 10).toDF("id"), root, "app-a", 0L))
+    assert(VersionedTable.latestVersion(root) === Some(2))
+    assert(ids(root) === (0L until 10L).toSet)
+    // a FOREIGN (non-txn) commit interleaves without moving app-a's mark
+    VersionedTable.commit(spark.range(10, 12).toDF("id"), root)
+    assert(VersionedTable.lastCommittedBatch(root, "app-a") === Some(0L))
+    assert(VersionedTable.transactionalCommit(
+      spark.range(12, 15).toDF("id"), root, "app-a", 1L))
+    // distinct appId: its own batch numbering, not confused by app-a's
+    assert(VersionedTable.transactionalCommit(
+      spark.range(15, 16).toDF("id"), root, "app-b", 0L))
+    assert(VersionedTable.lastCommittedBatch(root, "app-a") === Some(1L))
+    assert(VersionedTable.lastCommittedBatch(root, "app-b") === Some(0L))
+    assert(VersionedTable.lastCommittedBatch(root, "app-c") === None)
+    assert(ids(root) === (0L until 16L).toSet)
+  }
+
+  test("graft-versioned sink: bronze->silver medallion, exactly-once across restart") {
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = freshRoot(); val silver = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_vsink_ckpt_").toString
+    (0 until 3).foreach(i =>
+      VersionedTable.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), bronze))
+    def run(): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("root", bronze).option("maxVersionsPerTrigger", "1").load()
+        .filter(col("id") % 2 === 0) // the silver standardization step
+        .select(col("id"), (col("id") * 2).as("doubled"))
+        .writeStream.format("graft-versioned")
+        .option("root", silver).option("appId", "silver-std")
+        .option("statsCols", "id")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    run()
+    // one silver append commit per bronze version, each txn-stamped
+    assert(VersionedTable.latestVersion(silver) === Some(3))
+    assert(VersionedTable.history(silver).forall(s =>
+      s.operation == "append" && s.txn.exists(_._1 == "silver-std")))
+    val expect = (0L until 30L).filter(_ % 2 == 0).toSet
+    assert(VersionedTable.read(spark, silver)
+      .select("id").collect().map(_.getLong(0)).toSet === expect)
+    // redelivery at the primitive: replaying the sink's last (appId, batch)
+    // — the crash-between-commit-and-WAL window — must be absorbed
+    val lastBatch = VersionedTable.lastCommittedBatch(silver, "silver-std").get
+    assert(!VersionedTable.transactionalCommit(
+      spark.range(0, 5).toDF("id"), silver, "silver-std", lastBatch))
+    assert(VersionedTable.latestVersion(silver) === Some(3), "replay duplicated a commit")
+    // restart with the same checkpoint after two more bronze commits:
+    // silver gains exactly the delta, no reprocessing of consumed versions
+    (3 until 5).foreach(i =>
+      VersionedTable.commit(spark.range(i * 10, i * 10 + 10).toDF("id"), bronze))
+    run()
+    assert(VersionedTable.latestVersion(silver) === Some(5))
+    val expect2 = (0L until 50L).filter(_ % 2 == 0).toSet
+    assert(VersionedTable.read(spark, silver)
+      .select("id").collect().map(_.getLong(0)).toSet === expect2)
+    // and silver's own change feed serves a downstream subscriber: the
+    // restart's delta is exactly versions (3, 5]
+    val delta = VersionedTable.changes(spark, silver, 3, 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(delta === (30L until 50L).filter(_ % 2 == 0).toSet)
+  }
+
+  test("graft-versioned sink in Complete mode: streaming aggregate overwrites the snapshot") {
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = freshRoot(); val silver = freshRoot()
+    val ckpt = Files.createTempDirectory("graft_vsinkC_ckpt_").toString
+    VersionedTable.commit(spark.range(0, 10).toDF("id"), bronze)
+    VersionedTable.commit(spark.range(10, 20).toDF("id"), bronze)
+    val q = spark.readStream.format("graft-changefeed").option("root", bronze).load()
+      .groupBy((col("id") % 3).as("bucket"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"))
+      .writeStream.format("graft-versioned")
+      .option("root", silver).option("appId", "silver-agg")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt)
+      .start()
+    q.awaitTermination()
+    val snap = VersionedTable.history(silver).last
+    assert(snap.operation === "overwrite")
+    val got = VersionedTable.read(spark, silver).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val want = (0L until 20L).groupBy(_ % 3).map { case (k, v) => k -> v.size.toLong }
+    assert(got === want)
+  }
+
+  test("graft-versioned sink rejects update mode and missing identity") {
+    import org.apache.spark.sql.streaming.Trigger
+    val bronze = freshRoot()
+    VersionedTable.commit(spark.range(0, 2).toDF("id"), bronze)
+    val src = spark.readStream.format("graft-changefeed").option("root", bronze).load()
+    def start(f: org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =>
+        org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row]): Unit = {
+      val q = f(src.writeStream.format("graft-versioned")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation",
+          Files.createTempDirectory("graft_vsinkR_").toString)).start()
+      q.awaitTermination()
+    }
+    val e1 = intercept[Exception] { start(_.option("root", freshRoot())) }
+    assert(e1.getMessage.contains("appId"), s"wanted the appId refusal, got: ${e1.getMessage}")
+    val e2 = intercept[Exception] {
+      start(_.option("root", freshRoot()).option("appId", "x")
+        .outputMode("update"))
+    }
+    assert(e2.getMessage.contains("foreachBatch") || e2.getMessage.contains("Update"),
+      s"wanted the update-mode refusal, got: ${e2.getMessage}")
+  }
 }
