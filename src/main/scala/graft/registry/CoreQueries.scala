@@ -156,6 +156,42 @@ object CoreQueries {
           Quantize.r(sum(col("price")), 4).as("sum_price"))
     }),
 
+    // OPTIMIZE ZORDER over the versioned table: land trades as ONE dir
+    // (nothing skippable), then `optimize` rewrites the snapshot as 8 dirs
+    // clustered on the (symbol, time) Morton interleave — per-dir time
+    // min/max + symbol blooms now BOTH bite on the same PIT-shaped probe
+    // (middle third ∧ one symbol, via readFiltered). Oracle = the plain
+    // two-predicate filter: the layout op must be value-transparent, like
+    // every other skipping tier. (VersionedTableSpec asserts the actual
+    // dir-skipping on a synthetic grid.)
+    "q_zorder_optimize" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      import graft.sources.VersionedTable.{PointFilter, RangeFilter}
+      val root = java.nio.file.Files.createTempDirectory("graft_vtzo_").toString
+      val t = Tables.trades(s, d)
+        .select(col("time"), col("symbol"), col("price"), col("volume"))
+      VersionedTable.commit(t, root)
+      val b = t.agg(min(unix_micros(col("time"))).as("mn"),
+        max(unix_micros(col("time"))).as("mx"),
+        max(col("symbol").cast("long")).as("ms"),
+        min(col("symbol")).as("sym")).head()
+      val (mn, mx, maxSym, sym) = (b.getLong(0), b.getLong(1), b.getLong(2), b.getString(3))
+      VersionedTable.optimize(s, root,
+        col("symbol").cast("long"), maxSym,
+        unix_micros(col("time")) - lit(mn), mx - mn,
+        nDirs = 8, statsCols = Seq("time"), bloomCols = Seq("symbol"))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      def um = unix_micros(col("time"))
+      VersionedTable.readFiltered(s, root,
+        Seq(RangeFilter("time", t1.toDouble, (t2 - 1).toDouble),
+          PointFilter("symbol", sym)))
+        .filter(um >= t1 && um < t2 && col("symbol") === sym)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"),
+          Quantize.r(sum(col("price")), 4).as("sum_price"))
+    }),
+
     // Versioned-table time travel: three commits (append even keys, append
     // odd keys, overwrite with status-F), then read EVERY version back via
     // its pinned manifest and aggregate. The oracle recomputes each
@@ -579,6 +615,19 @@ object CoreQueries {
     // Composed range∧point skipping must be value-identical to the plain
     // two-predicate filter (tiers only ever remove whole non-matching dirs).
     "q_versioned_combo" -> OracleSql.withTradesAnd(
+      """b AS (SELECT min(epoch_us(time)) AS mn, max(epoch_us(time)) AS mx,
+        |              min(symbol) AS sym FROM trades),
+        |r AS (SELECT mn + (mx - mn) // 3 AS t1, mn + 2 * ((mx - mn) // 3) AS t2, sym FROM b)""".stripMargin,
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
+        |FROM trades, r
+        |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2 AND symbol = sym
+        |GROUP BY symbol""".stripMargin),
+
+    // The Z-clustered rewrite must be value-identical to the plain
+    // two-predicate filter — same oracle shape as q_versioned_combo; only
+    // the physical layout underneath differs.
+    "q_zorder_optimize" -> OracleSql.withTradesAnd(
       """b AS (SELECT min(epoch_us(time)) AS mn, max(epoch_us(time)) AS mx,
         |              min(symbol) AS sym FROM trades),
         |r AS (SELECT mn + (mx - mn) // 3 AS t1, mn + 2 * ((mx - mn) // 3) AS t2, sym FROM b)""".stripMargin,

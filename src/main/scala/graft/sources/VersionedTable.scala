@@ -181,30 +181,45 @@ class VersionedTableOps(val store: CommitStore) {
     val allBlooms = parentSnap.map(_.dirBlooms).getOrElse(Seq.empty) ++ newBlooms
 
     // (2) log: the conditional put is the commit point.
+    try publish(root, version, parent.getOrElse(0), mode, rows, df.columns.toSeq,
+      dirs, allStats, allBlooms, txn)
+    catch { case e: CommitConflictException =>
+      // Lost the race: our dir and sidecars are unreferenced and can't hurt
+      // anyone. Remove them now; if we crash before this line, vacuum reaps.
+      VersionedTable.deleteRecursively(new File(root, newDir))
+      newBlooms.foreach(b => new File(root, b.path).delete())
+      throw e
+    }
+    version
+  }
+
+  /** Serialize a manifest and run it through the conditional put — the one
+    * commit point shared by [[commit]] and [[optimize]]. Throws
+    * [[VersionedTable.CommitConflictException]] on a lost race; the CALLER
+    * owns cleanup of its unreferenced data dirs and sidecars.
+    */
+  private def publish(root: String, version: Int, parent: Int, mode: String,
+      rows: Long, schemaCols: Seq[String], dirs: Seq[String],
+      stats: Seq[DirStat], blooms: Seq[DirBloom],
+      txn: Option[(String, Long)]): Unit = {
     val body = new StringBuilder()
       .append(s"version=$version\n")
-      .append(s"parent=${parent.getOrElse(0)}\n")
+      .append(s"parent=$parent\n")
       .append(s"operation=$mode\n")
       .append(s"rows=$rows\n")
       .append(s"committed_ms=${System.currentTimeMillis()}\n")
-      .append(s"schema=${df.columns.mkString(",")}\n")
+      .append(s"schema=${schemaCols.mkString(",")}\n")
     txn.foreach { case (appId, batchId) =>
       require(!appId.contains("\n"), "txn appId must be single-line")
       body.append(s"txn=$appId|$batchId\n")
     }
     dirs.foreach(d => body.append(s"dir=$d\n"))
-    allStats.foreach(s =>
+    stats.foreach(s =>
       body.append(s"stats=${s.dir}|${s.col}|${s.min}|${s.max}\n"))
-    allBlooms.foreach(b =>
+    blooms.foreach(b =>
       body.append(s"bloom=${b.dir}|${b.col}|${b.path}\n"))
-    if (!store.putIfAbsent(root, version, body.toString)) {
-      // Lost the race: our dir and sidecars are unreferenced and can't hurt
-      // anyone. Remove them now; if we crash before this line, vacuum reaps.
-      VersionedTable.deleteRecursively(new File(root, newDir))
-      newBlooms.foreach(b => new File(root, b.path).delete())
+    if (!store.putIfAbsent(root, version, body.toString))
       throw new CommitConflictException(version)
-    }
-    version
   }
 
   /** Read a snapshot (default: latest). Only the manifest's dirs are read —
@@ -429,6 +444,129 @@ class VersionedTableOps(val store: CommitStore) {
       bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int =
     commit(read(spark, root), root, "overwrite",
       statsCols = statsCols, bloomCols = bloomCols, bloomFpp = bloomFpp)
+
+  /** `OPTIMIZE ... ZORDER BY` for the versioned table: rewrite the latest
+    * snapshot as `nDirs` data dirs CLUSTERED on the Morton interleave of two
+    * dimensions ([[graft.operators.ZOrder]]), each dir covering one
+    * contiguous z-range, published atomically as ONE overwrite manifest
+    * carrying per-dir min/max for `statsCols` (and optional bloom sidecars).
+    * A single-dir [[compact]] gives [[readPruned]]/[[readFiltered]] nothing
+    * to skip, and a linear sort clusters one dimension at the cost of the
+    * other; after a Z rewrite BOTH dimensions' stats are tight in every dir,
+    * so point/range probes on either — or both, the PIT shape — prune to
+    * O(matching dirs). This is the object-store analogue of the reference's
+    * `(symbol, time DESC)` composite index + per-day chunks
+    * (`sql/timescaledb_schema.sql:34-35`), produced by the standard
+    * lakehouse OPTIMIZE job.
+    *
+    * `dimA`/`dimB` are NUMERIC long-valued expressions over the table's
+    * columns (e.g. `unix_micros(col("time"))`, `col("symbol").cast("long")`)
+    * with contractual inclusive domain maxima — deterministic scaling, no
+    * sampled quantiles (see [[graft.operators.ZOrder.scaleTo16]]); they
+    * drive the layout only and are not materialized. Cost: ONE shuffle of
+    * the snapshot (hash on the dir assignment — the code's top bits — so no
+    * sampling pass) + a local sort per dir + one small grouped agg for the
+    * stats; the standard OPTIMIZE shape at 100 TB.
+    */
+  def optimize(spark: SparkSession, root: String,
+      dimA: org.apache.spark.sql.Column, maxA: Long,
+      dimB: org.apache.spark.sql.Column, maxB: Long,
+      nDirs: Int,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int = {
+    import graft.operators.ZOrder
+    import org.apache.spark.sql.functions.shiftright
+    require(nDirs > 0 && (nDirs & (nDirs - 1)) == 0,
+      s"nDirs must be a power of two, got $nDirs")
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val version = parent + 1
+    val current = read(spark, root)
+    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(nDirs)
+    val zcode = ZOrder.morton16(ZOrder.scaleTo16(dimA, maxA),
+      ZOrder.scaleTo16(dimB, maxB))
+    val laid = current
+      .withColumn("__zcode", zcode)
+      .withColumn("__zdir", shiftright(col("__zcode"), shift))
+
+    // (1) data: one partitioned write — dir-per-z-bucket, rows z-sorted
+    // within each for row-group locality — into an attempt-unique staging
+    // tree; nothing references it until the manifest publishes.
+    val token = UUID.randomUUID().toString.take(8)
+    val staging = new File(root, s"data/.optimize-$token")
+    laid.repartition(nDirs, col("__zdir"))
+      .sortWithinPartitions("__zdir", "__zcode")
+      .drop("__zcode")
+      .write.partitionBy("__zdir").parquet(staging.getPath)
+    // Promote each z-bucket to a first-class data dir (same-filesystem
+    // rename; buckets with no rows simply don't exist).
+    val buckets = Option(staging.listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("__zdir="))
+      .map(f => f.getName.stripPrefix("__zdir=").toLong -> f)
+      .sortBy(_._1)
+    val dirOf = buckets.map { case (k, src) =>
+      val rel = f"data/v$version%05d-$token-z$k%04d"
+      require(src.renameTo(new File(root, rel)), s"rename failed for $src")
+      k -> rel
+    }.toMap
+    def cleanup(): Unit = {
+      dirOf.values.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
+      VersionedTable.deleteRecursively(staging)
+    }
+    VersionedTable.deleteRecursively(staging)
+
+    try {
+      // (2) stats: ONE grouped agg over the laid frame (same rows the dirs
+      // hold) yields every dir's row count and min/max images.
+      val statAggs = statsCols.flatMap { c =>
+        val numeric = current.schema(c).dataType match {
+          case TimestampType => unix_micros(col(c))
+          case _             => col(c).cast("double")
+        }
+        Seq(min(numeric).as(s"__mn_$c"), max(numeric).as(s"__mx_$c"))
+      }
+      val grouped = laid.groupBy(col("__zdir"))
+        .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
+      val rows = grouped.map(_.getAs[Long]("__n")).sum
+      val stats = grouped.flatMap { r =>
+        val d = dirOf(r.getAs[Long]("__zdir"))
+        statsCols.flatMap { c =>
+          if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+          else Some(DirStat(d, c, toDouble(r.getAs[Any](s"__mn_$c")),
+            toDouble(r.getAs[Any](s"__mx_$c"))))
+        }
+      }.toSeq
+      // (3) bloom sidecars per promoted dir (data-plane, attempt-named).
+      val blooms = dirOf.toSeq.sortBy(_._1).flatMap { case (_, d) =>
+        val dirDf = spark.read.parquet(new File(root, d).getPath)
+        bloomCols.map { c =>
+          val n = grouped.find(r => dirOf(r.getAs[Long]("__zdir")) == d)
+            .map(_.getAs[Long]("__n")).getOrElse(1L)
+          val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)
+          val rel = s"_blooms/${new File(d).getName}_$c.bloom"
+          val f = new File(root, rel)
+          f.getParentFile.mkdirs()
+          val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+          try bf.writeTo(os) finally os.close()
+          DirBloom(d, c, rel)
+        }
+      }
+      // (4) the commit point.
+      publish(root, version, parent, "overwrite", rows, current.columns.toSeq,
+        dirOf.toSeq.sortBy(_._1).map(_._2), stats, blooms, txn = None)
+      version
+    } catch {
+      case e: Throwable =>
+        cleanup()
+        deleteAttemptBlooms(root, token)
+        throw e
+    }
+  }
+
+  /** Delete this attempt's bloom sidecars (conflict cleanup). */
+  private def deleteAttemptBlooms(root: String, token: String): Unit =
+    Option(new File(root, "_blooms").listFiles()).toSeq.flatten
+      .filter(_.getName.contains(s"-$token-")).foreach(_.delete())
 
   /** Change feed: rows ADDED between `fromVersion` (exclusive) and
     * `toVersion` (inclusive) — the input of O(delta) incremental

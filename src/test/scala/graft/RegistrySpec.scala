@@ -46,10 +46,10 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 176 = r11's 171 + r12's q_versioned_combo + q_stream_changefeed +
-    // q_changefeed_ohlc + q_pit_versioned + q_medallion; raise this floor
-    // whenever a query is added, never lower it
-    assert(SparkEntry.queries.size >= 176,
-      s"registry shrank: ${SparkEntry.queries.size} < 176")
+    // 177 = r11's 171 + r12's q_versioned_combo + q_stream_changefeed +
+    // q_changefeed_ohlc + q_pit_versioned + q_medallion + q_zorder_optimize;
+    // raise this floor whenever a query is added, never lower it
+    assert(SparkEntry.queries.size >= 177,
+      s"registry shrank: ${SparkEntry.queries.size} < 177")
   }
 }

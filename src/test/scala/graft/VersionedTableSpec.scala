@@ -947,6 +947,43 @@ class VersionedTableSpec extends SparkTestBase {
     assert(byId === Map(2L -> None, 3L -> None, 4L -> Some(40L), 5L -> Some(50L)))
   }
 
+  test("optimize: z-clustered rewrite is value-exact and prunes on BOTH dimensions") {
+    import graft.sources.VersionedTable.RangeFilter
+    val root = freshRoot()
+    // a 32x32 grid: clustering one dim linearly would leave the other
+    // full-range in every dir
+    val grid = spark.range(0, 1024).toDF("id")
+      .select(col("id"), (col("id") % 32).as("x"),
+        (col("id") / 32).cast("long").as("y")) // `/` on longs is double division
+
+    VersionedTable.commit(grid, root)
+    val v = VersionedTable.optimize(spark, root,
+      col("x"), 31L, col("y"), 31L, nDirs = 16, statsCols = Seq("x", "y"))
+    assert(v === 2)
+    // content is exactly preserved (and v1 stays time-travel readable)
+    val after = VersionedTable.read(spark, root)
+    assert(after.columns.toSeq === Seq("id", "x", "y"), "optimize changed the schema")
+    assert(after.select("id").collect().map(_.getLong(0)).toSet === (0L until 1024L).toSet)
+    assert(ids(root, Some(1)) === (0L until 1024L).toSet)
+    val snap = VersionedTable.history(root).last
+    assert(snap.operation === "overwrite" && snap.dataDirs.size === 16)
+    // a small box probe on BOTH dims touches a small minority of dirs
+    val probe = VersionedTable.readFiltered(spark, root,
+      Seq(RangeFilter("x", 0, 7), RangeFilter("y", 0, 7)))
+    val touched = probe.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct
+    assert(touched.length <= 4,
+      s"z-layout should bound a both-dims box probe to <=4/16 dirs, touched ${touched.length}")
+    assert(probe.filter(col("x") <= 7 && col("y") <= 7)
+      .select("id").collect().map(_.getLong(0)).toSet ===
+      (0L until 1024L).filter(i => i % 32 <= 7 && i / 32 <= 7).toSet)
+    // and EACH single dimension alone still skips (the whole point vs a sort)
+    for (dim <- Seq("x", "y")) {
+      val one = VersionedTable.readFiltered(spark, root, Seq(RangeFilter(dim, 0, 7)))
+      val t = one.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+      assert(t <= 8, s"single-dim probe on $dim touched $t/16 dirs — no clustering")
+    }
+  }
+
   test("transactional commit: replays absorbed, foreign commits interleave, apps independent") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 5).toDF("id"), root) // pre-seeded table
