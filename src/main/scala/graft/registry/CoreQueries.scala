@@ -156,6 +156,28 @@ object CoreQueries {
           Quantize.r(sum(col("price")), 4).as("sum_price"))
     }),
 
+    // ANALYZE retrofit: the SAME point-probe shape as q_versioned_point,
+    // but the table is committed with NO skipping metadata at all — then
+    // one `analyze` backfills per-dir key min/max + blooms onto the
+    // existing dirs (zero data movement, a new manifest referencing the
+    // same files), and readPoint prunes exactly as if the table had been
+    // born indexed. Oracle = the plain point filter: a metadata backfill
+    // must be value-transparent.
+    "q_versioned_analyze" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtan_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 to 2).foreach(r => VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 3 === r), root)) // no stats, no blooms
+      VersionedTable.analyze(s, root, Seq("o_orderkey"), Seq("o_orderkey"))
+      val k = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      VersionedTable.readPoint(s, root, "o_orderkey", k)
+        .filter(col("o_orderkey") === k)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          Quantize.r(col("o_totalprice"), 2).as("total_price"))
+    }),
+
     // OPTIMIZE ZORDER over the versioned table: land trades as ONE dir
     // (nothing skippable), then `optimize` rewrites the snapshot as 8 dirs
     // clustered on the (symbol, time) Morton interleave — per-dir time
@@ -623,6 +645,15 @@ object CoreQueries {
         |FROM trades, r
         |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2 AND symbol = sym
         |GROUP BY symbol""".stripMargin),
+
+    // The backfilled point read must be value-identical to the plain
+    // point filter — same oracle as q_versioned_point; only the metadata's
+    // provenance (retrofit vs at-commit) differs.
+    "q_versioned_analyze" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       floor(o_totalprice * 1e2 + 0.5) / 1e2 AS total_price
+        |FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin,
 
     // The Z-clustered rewrite must be value-identical to the plain
     // two-predicate filter — same oracle shape as q_versioned_combo; only

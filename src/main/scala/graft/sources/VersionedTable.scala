@@ -445,6 +445,80 @@ class VersionedTableOps(val store: CommitStore) {
     commit(read(spark, root), root, "overwrite",
       statsCols = statsCols, bloomCols = bloomCols, bloomFpp = bloomFpp)
 
+  /** ANALYZE for the versioned table: backfill data-skipping metadata —
+    * per-dir min/max for `statsCols`, bloom sidecars for `bloomCols` — onto
+    * the CURRENT snapshot's existing dirs, publishing a new manifest that
+    * references the SAME data (operation `analyze`, zero rows moved). The
+    * retrofit path for a table whose history predates its skipping needs:
+    * [[readPruned]]/[[readPoint]]/[[readFiltered]] start biting immediately,
+    * with no rewrite — where [[optimize]] re-clusters the physical layout,
+    * `analyze` only measures it. Change-feed consumers skip analyze
+    * versions as additive no-ops (nothing was added), so a subscription is
+    * never broken by a metadata backfill.
+    *
+    * Cost: ONE union-tagged agg job over the snapshot for all dirs' stats
+    * (each dir's files scanned once, stats columns only) + one bloom agg
+    * per (dir, bloomCol). Metadata-plane throughout: no data is copied.
+    */
+  def analyze(spark: SparkSession, root: String,
+      statsCols: Seq[String],
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int = {
+    require(statsCols.nonEmpty || bloomCols.nonEmpty, "nothing to analyze")
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val version = parent + 1
+    val snap = snapshot(root, parent)
+    // One job: every dir's rows tagged with their dir, grouped once.
+    val tagged = snap.dataDirs.map { d =>
+      spark.read.parquet(new File(root, d).getPath)
+        .select((statsCols ++ bloomCols).distinct.map(col): _*)
+        .withColumn("__dir", lit(d))
+    }.reduce(_ unionByName _)
+    val statAggs = statsCols.flatMap { c =>
+      val numeric = tagged.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case _             => col(c).cast("double")
+      }
+      Seq(min(numeric).as(s"__mn_$c"), max(numeric).as(s"__mx_$c"))
+    }
+    val grouped = tagged.groupBy(col("__dir"))
+      .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
+    val stats = grouped.flatMap { r =>
+      val d = r.getAs[String]("__dir")
+      statsCols.flatMap { c =>
+        if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+        else Some(DirStat(d, c, toDouble(r.getAs[Any](s"__mn_$c")),
+          toDouble(r.getAs[Any](s"__mx_$c"))))
+      }
+    }.toSeq
+    val token = UUID.randomUUID().toString.take(8)
+    val blooms = snap.dataDirs.flatMap { d =>
+      val n = grouped.find(_.getAs[String]("__dir") == d)
+        .map(_.getAs[Long]("__n")).getOrElse(1L)
+      val dirDf = spark.read.parquet(new File(root, d).getPath)
+      bloomCols.map { c =>
+        val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)
+        // attempt-unique sidecar name: an analyze losing its race must not
+        // clobber a winner's sidecars (they are keyed dir+col in the
+        // manifest, so the fresh name is invisible until publish)
+        val rel = s"_blooms/${new File(d).getName}-$token-_$c.bloom"
+        val f = new File(root, rel)
+        f.getParentFile.mkdirs()
+        val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        try bf.writeTo(os) finally os.close()
+        DirBloom(d, c, rel)
+      }
+    }
+    try {
+      publish(root, version, parent, "analyze", snap.rows, snap.schemaCols,
+        snap.dataDirs, stats, blooms, txn = None)
+      version
+    } catch { case e: CommitConflictException =>
+      blooms.foreach(b => new File(root, b.path).delete())
+      throw e
+    }
+  }
+
   /** `OPTIMIZE ... ZORDER BY` for the versioned table: rewrite the latest
     * snapshot as `nDirs` data dirs CLUSTERED on the Morton interleave of two
     * dimensions ([[graft.operators.ZOrder]]), each dir covering one
@@ -581,7 +655,10 @@ class VersionedTableOps(val store: CommitStore) {
     require(fromVersion >= 0 && toVersion > fromVersion,
       s"bad change range ($fromVersion, $toVersion]")
     val snaps = (fromVersion + 1 to toVersion).map(snapshot(root, _))
-    snaps.filter(_.operation != "append") match {
+    // `analyze` versions reference the SAME dirs with backfilled skipping
+    // metadata — additive no-ops for a consumer, never a reason to break
+    // a subscription. Anything else non-append is a wholesale replacement.
+    snaps.filter(s => s.operation != "append" && s.operation != "analyze") match {
       case bad if bad.nonEmpty =>
         throw new IllegalArgumentException(
           s"change feed crosses non-append versions ${bad.map(_.version).mkString(",")}: " +
@@ -591,7 +668,14 @@ class VersionedTableOps(val store: CommitStore) {
     val baseDirs: Set[String] =
       if (fromVersion == 0) Set.empty else snapshot(root, fromVersion).dataDirs.toSet
     val added = snaps.last.dataDirs.filterNot(baseDirs.contains)
-    require(added.nonEmpty, s"no data added in ($fromVersion, $toVersion]")
+    if (added.isEmpty) {
+      // a pure-metadata range (analyze only): the delta is legitimately
+      // empty — serve schema-correct emptiness, anchored on the newest dir
+      val anchor = spark.read
+        .parquet(new File(root, snaps.last.dataDirs.last).getPath).schema
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](), anchor)
+    }
     // Same additive-evolution discipline as read(): a range spanning a
     // schema-widening commit must surface the union schema, not let one
     // arbitrary footer win and silently drop the new columns from the feed.
@@ -633,11 +717,14 @@ class VersionedTableOps(val store: CommitStore) {
       VersionedTable.deleteRecursively(f)
       !f.exists() // report only what actually died
     }
-    // A dead dir's bloom sidecars die with it (they are named by the dir,
-    // so orphaned sidecars are exactly the ones whose dir is gone).
+    // A dead dir's bloom sidecars die with it (they are named by the dir —
+    // commit writes `<dir>_<col>.bloom`, analyze `<dir>-<token>-_<col>.bloom`
+    // — so orphaned sidecars are exactly the ones whose dir-name prefix is
+    // gone; dir names can't prefix each other within a version, each carries
+    // its own random token).
     val bloomDir = new File(root, "_blooms")
     deleted.foreach { d =>
-      val prefix = new File(d).getName + "_"
+      val prefix = new File(d).getName
       Option(bloomDir.listFiles()).toSeq.flatten
         .filter(_.getName.startsWith(prefix)).foreach(_.delete())
     }

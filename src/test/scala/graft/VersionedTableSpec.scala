@@ -984,6 +984,40 @@ class VersionedTableSpec extends SparkTestBase {
     }
   }
 
+  test("analyze backfills skipping metadata in place; subscriptions cross it as a no-op") {
+    import graft.sources.VersionedTable.RangeFilter
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 50).toDF("id"), root)   // v1, no stats
+    VersionedTable.commit(spark.range(50, 100).toDF("id"), root) // v2, no stats
+    def dirsTouched(lo: Int, hi: Int): Int =
+      VersionedTable.readFiltered(spark, root, Seq(RangeFilter("id", lo, hi)))
+        .inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+    assert(dirsTouched(0, 9) === 2, "without stats every dir must be read (conservative)")
+    val v = VersionedTable.analyze(spark, root, Seq("id"), Seq("id"))
+    assert(v === 3)
+    val snap = VersionedTable.history(root).last
+    assert(snap.operation === "analyze")
+    assert(snap.dataDirs === VersionedTable.snapshot(root, 2).dataDirs,
+      "analyze must reference the SAME dirs — zero data movement")
+    assert(dirsTouched(0, 9) === 1, "backfilled min/max should prune the other dir")
+    assert(VersionedTable.readPoint(spark, root, "id", 5L)
+      .inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length === 1,
+      "backfilled bloom should prune the other dir on a point probe")
+    // content identical at every version; the analyze version reads like v2
+    assert(ids(root, Some(3)) === (0L until 100L).toSet)
+    assert(ids(root, Some(2)) === (0L until 100L).toSet)
+    // a pure-metadata change range is an EMPTY delta, not an error
+    val delta = VersionedTable.changes(spark, root, 2, 3)
+    assert(delta.columns.toSeq === Seq("id") && delta.count() === 0L)
+    // and a subscription crossing the analyze version just gets the data
+    VersionedTable.commit(spark.range(100, 110).toDF("id"), root) // v4
+    var seen = Set.empty[Long]
+    subscribeOnce(root, Files.createTempDirectory("graft_an_ckpt_").toString) {
+      (df, _) => seen ++= df.collect().map(_.getLong(0))
+    }
+    assert(seen === (0L until 110L).toSet)
+  }
+
   test("transactional commit: replays absorbed, foreign commits interleave, apps independent") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 5).toDF("id"), root) // pre-seeded table
