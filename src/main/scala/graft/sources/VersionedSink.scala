@@ -41,9 +41,9 @@ import org.apache.spark.sql.streaming.OutputMode
   * belongs to `foreachBatch` + `mergeIntoKeyed`.
   *
   * Scale shape: per batch, one data-dir write (O(batch)) + one conditional
-  * metadata put + an O(versions-since-last-commit) manifest walk for the
-  * high-water check — the table is never scanned, so sink cost is
-  * independent of table size.
+  * metadata put + an O(1) high-water check on the latest manifest (every
+  * manifest carries every app's mark forward) — the table is never
+  * scanned, so sink cost is independent of table size.
   */
 final class VersionedSink(
     root: String,

@@ -68,7 +68,7 @@ class VersionedTableOps(val store: CommitStore) {
     var cols = Seq.empty[String]; val dirs = Seq.newBuilder[String]
     val stats = Seq.newBuilder[DirStat]
     val blooms = Seq.newBuilder[DirBloom]
-    var txn: Option[(String, Long)] = None
+    val txns = Map.newBuilder[String, Long]
     body.linesIterator.foreach { line =>
       line.split("=", 2) match {
         case Array("parent", v)       => parent = v.toInt
@@ -78,9 +78,10 @@ class VersionedTableOps(val store: CommitStore) {
         case Array("schema", v)       => cols = v.split(",").toSeq.filter(_.nonEmpty)
         case Array("dir", v)          => dirs += v
         case Array("txn", v)          =>
-          // appId|batchId, split at the LAST '|' (appIds are caller-chosen)
+          // appId|batchId, split at the LAST '|' (appIds are caller-chosen);
+          // one line per writer app — every manifest carries ALL apps' marks
           val i = v.lastIndexOf('|')
-          if (i > 0) txn = Some((v.substring(0, i), v.substring(i + 1).toLong))
+          if (i > 0) txns += (v.substring(0, i) -> v.substring(i + 1).toLong)
         case Array("stats", v)        => v.split("\\|") match {
           case Array(d, c, mn, mx) => stats += DirStat(d, c, mn.toDouble, mx.toDouble)
           case _                   => () // malformed stats line: ignore (stats are advisory)
@@ -93,7 +94,7 @@ class VersionedTableOps(val store: CommitStore) {
       }
     }
     Snapshot(version, parent, op, rows, cols, dirs.result(), ms, stats.result(),
-      blooms.result(), txn)
+      blooms.result(), txns.result())
   }
 
   /** All snapshots, oldest first. */
@@ -174,15 +175,22 @@ class VersionedTableOps(val store: CommitStore) {
       DirBloom(newDir, c, rel)
     }
 
-    val parentSnap = parent.filter(_ => mode == "append").map(snapshot(root, _))
+    val parentSnapAll = parent.map(snapshot(root, _))
+    val parentSnap = parentSnapAll.filter(_ => mode == "append")
     val parentDirs = parentSnap.map(_.dataDirs).getOrElse(Seq.empty)
     val dirs = parentDirs :+ newDir
     val allStats = parentSnap.map(_.dirStats).getOrElse(Seq.empty) ++ newStats
     val allBlooms = parentSnap.map(_.dirBlooms).getOrElse(Seq.empty) ++ newBlooms
+    // Every manifest carries EVERY writer app's high-water mark (parent's
+    // marks + this commit's own, Delta checkpoint SetTransaction-style) —
+    // so the LATEST manifest alone answers idempotence queries and vacuum
+    // can never destroy a mark by dropping old manifests. Carried through
+    // overwrites too: replacing the data does not forget who wrote it.
+    val allTxns = parentSnapAll.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
 
     // (2) log: the conditional put is the commit point.
     try publish(root, version, parent.getOrElse(0), mode, rows, df.columns.toSeq,
-      dirs, allStats, allBlooms, txn)
+      dirs, allStats, allBlooms, allTxns)
     catch { case e: CommitConflictException =>
       // Lost the race: our dir and sidecars are unreferenced and can't hurt
       // anyone. Remove them now; if we crash before this line, vacuum reaps.
@@ -201,7 +209,7 @@ class VersionedTableOps(val store: CommitStore) {
   private def publish(root: String, version: Int, parent: Int, mode: String,
       rows: Long, schemaCols: Seq[String], dirs: Seq[String],
       stats: Seq[DirStat], blooms: Seq[DirBloom],
-      txn: Option[(String, Long)]): Unit = {
+      txns: Map[String, Long]): Unit = {
     val body = new StringBuilder()
       .append(s"version=$version\n")
       .append(s"parent=$parent\n")
@@ -209,7 +217,7 @@ class VersionedTableOps(val store: CommitStore) {
       .append(s"rows=$rows\n")
       .append(s"committed_ms=${System.currentTimeMillis()}\n")
       .append(s"schema=${schemaCols.mkString(",")}\n")
-    txn.foreach { case (appId, batchId) =>
+    txns.toSeq.sortBy(_._1).foreach { case (appId, batchId) =>
       require(!appId.contains("\n"), "txn appId must be single-line")
       body.append(s"txn=$appId|$batchId\n")
     }
@@ -368,16 +376,13 @@ class VersionedTableOps(val store: CommitStore) {
   }
 
   /** Highest micro-batch id writer `appId` has committed to this table, or
-    * None if it never has (or its last txn manifest was vacuumed). Walks
-    * manifests newest-first and stops at the first hit — per-app batch ids
-    * are monotone, so the newest txn IS the high-water mark. Metadata-only:
-    * O(versions since the app's last commit), no data I/O.
+    * None if it never has. O(1) metadata: every manifest carries every
+    * app's mark forward (Delta checkpoint SetTransaction-style), so the
+    * LATEST manifest alone answers — vacuum can drop any amount of history
+    * without losing a mark, and idempotence needs no manifest walk.
     */
-  def lastCommittedBatch(root: String, appId: String): Option[Long] = {
-    store.versions(root).sorted(Ordering.Int.reverse).iterator
-      .map(snapshot(root, _).txn)
-      .collectFirst { case Some((a, b)) if a == appId => b }
-  }
+  def lastCommittedBatch(root: String, appId: String): Option[Long] =
+    latestVersion(root).flatMap(v => snapshot(root, v).txns.get(appId))
 
   /** Transactional commit — Delta's `txn` action analogue, the primitive
     * under the `graft-versioned` streaming sink. Stamps the manifest with
@@ -387,14 +392,9 @@ class VersionedTableOps(val store: CommitStore) {
     * the high-water mark — so interleaved writers with distinct appIds are
     * each exactly-once. Unlike [[idempotentCommit]]'s positional batch→
     * version mapping, this survives pre-seeded tables and any number of
-    * interleaved foreign commits.
-    *
-    * Caveat (same as Delta's): idempotence looks back through RETAINED
-    * manifests, so vacuum retention must exceed the replay horizon — with a
-    * checkpointed streaming engine that horizon is the single most recent
-    * unacknowledged batch, which is always in the retained window for
-    * `retainLast >= 1` unless foreign writers outpace vacuum between the
-    * crash and the restart.
+    * interleaved foreign commits; and because every manifest carries every
+    * app's mark forward, the check is O(1) on the latest manifest and no
+    * vacuum schedule can destroy a mark.
     */
   def transactionalCommit(df: DataFrame, root: String, appId: String,
       batchId: Long, mode: String = "append",
@@ -511,7 +511,7 @@ class VersionedTableOps(val store: CommitStore) {
     }
     try {
       publish(root, version, parent, "analyze", snap.rows, snap.schemaCols,
-        snap.dataDirs, stats, blooms, txn = None)
+        snap.dataDirs, stats, blooms, snap.txns)
       version
     } catch { case e: CommitConflictException =>
       blooms.foreach(b => new File(root, b.path).delete())
@@ -627,7 +627,8 @@ class VersionedTableOps(val store: CommitStore) {
       }
       // (4) the commit point.
       publish(root, version, parent, "overwrite", rows, current.columns.toSeq,
-        dirOf.toSeq.sortBy(_._1).map(_._2), stats, blooms, txn = None)
+        dirOf.toSeq.sortBy(_._1).map(_._2), stats, blooms,
+        snapshot(root, parent).txns) // layout ops never forget writer marks
       version
     } catch {
       case e: Throwable =>
@@ -745,7 +746,7 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
       committedMs: Long = 0L,
       dirStats: Seq[DirStat] = Seq.empty,
       dirBlooms: Seq[DirBloom] = Seq.empty,
-      txn: Option[(String, Long)] = None)
+      txns: Map[String, Long] = Map.empty)
 
   /** Per-dir min/max of one column, as recorded in the manifest. Values are
     * numeric images: timestamps as epoch micros, numerics as doubles —

@@ -1040,6 +1040,16 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.lastCommittedBatch(root, "app-b") === Some(0L))
     assert(VersionedTable.lastCommittedBatch(root, "app-c") === None)
     assert(ids(root) === (0L until 16L).toSet)
+    // marks are carried through layout ops and survive ANY vacuum schedule
+    // (every manifest carries every app's mark — Delta SetTransaction-style)
+    VersionedTable.compact(spark, root)
+    VersionedTable.vacuum(root, retainLast = 1, orphanGraceMs = 0L)
+    assert(VersionedTable.lastCommittedBatch(root, "app-a") === Some(1L),
+      "compact+vacuum must not forget a writer's high-water mark")
+    assert(VersionedTable.lastCommittedBatch(root, "app-b") === Some(0L))
+    assert(!VersionedTable.transactionalCommit(
+      spark.range(0, 1).toDF("id"), root, "app-a", 1L),
+      "a replay after vacuum must still be absorbed")
   }
 
   test("graft-versioned sink: bronze->silver medallion, exactly-once across restart") {
@@ -1065,7 +1075,7 @@ class VersionedTableSpec extends SparkTestBase {
     // one silver append commit per bronze version, each txn-stamped
     assert(VersionedTable.latestVersion(silver) === Some(3))
     assert(VersionedTable.history(silver).forall(s =>
-      s.operation == "append" && s.txn.exists(_._1 == "silver-std")))
+      s.operation == "append" && s.txns.contains("silver-std")))
     val expect = (0L until 30L).filter(_ % 2 == 0).toSet
     assert(VersionedTable.read(spark, silver)
       .select("id").collect().map(_.getLong(0)).toSet === expect)
