@@ -156,6 +156,39 @@ object CoreQueries {
           Quantize.r(sum(col("price")), 4).as("sum_price"))
     }),
 
+    // PLANNING-TIME skipping — the same six-dir corpus and probe as
+    // q_versioned_combo, but nobody names a DirFilter: the probe is an
+    // ordinary `.filter` over VersionedTable.scan's manifest FileIndex,
+    // and the dir dismissal happens inside Catalyst when the pushed data
+    // filters reach ManifestFileIndex.listFiles (min/max for the time
+    // range, bloom for the symbol equality). ManifestIndexSpec asserts
+    // the scan's numFiles metric; here the oracle asserts the other half
+    // of the contract — planning-time pruning is value-transparent, the
+    // result IS the plain two-predicate filter.
+    "q_versioned_indexed" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtidx_").toString
+      val t = Tables.trades(s, d)
+        .select(col("time"), col("symbol"), col("price"), col("volume"))
+      val b = t.agg(min(unix_micros(col("time"))).as("mn"),
+        max(unix_micros(col("time"))).as("mx"),
+        min(col("symbol")).as("sym")).head()
+      val (mn, mx, sym) = (b.getLong(0), b.getLong(1), b.getString(2))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      def um = unix_micros(col("time"))
+      val third = Seq(um < t1, um >= t1 && um < t2, um >= t2)
+      for (tf <- third; h <- 0 to 1)
+        VersionedTable.commit(t.filter(tf && crc32(col("symbol")) % 2 === h),
+          root, "append", statsCols = Seq("time"), bloomCols = Seq("symbol"))
+      VersionedTable.scan(s, root)
+        .filter(col("time") >= timestamp_micros(lit(t1)) &&
+          col("time") < timestamp_micros(lit(t2)) && col("symbol") === sym)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"),
+          Quantize.r(sum(col("price")), 4).as("sum_price"))
+    }),
+
     // ANALYZE retrofit: the SAME point-probe shape as q_versioned_point,
     // but the table is committed with NO skipping metadata at all — then
     // one `analyze` backfills per-dir key min/max + blooms onto the
@@ -637,6 +670,20 @@ object CoreQueries {
     // Composed range∧point skipping must be value-identical to the plain
     // two-predicate filter (tiers only ever remove whole non-matching dirs).
     "q_versioned_combo" -> OracleSql.withTradesAnd(
+      """b AS (SELECT min(epoch_us(time)) AS mn, max(epoch_us(time)) AS mx,
+        |              min(symbol) AS sym FROM trades),
+        |r AS (SELECT mn + (mx - mn) // 3 AS t1, mn + 2 * ((mx - mn) // 3) AS t2, sym FROM b)""".stripMargin,
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
+        |FROM trades, r
+        |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2 AND symbol = sym
+        |GROUP BY symbol""".stripMargin),
+
+    // Planning-time (FileIndex) skipping must be value-identical to the
+    // plain two-predicate filter — same oracle as q_versioned_combo; only
+    // WHERE the dirs are dismissed (Catalyst pushdown vs named DirFilters)
+    // differs.
+    "q_versioned_indexed" -> OracleSql.withTradesAnd(
       """b AS (SELECT min(epoch_us(time)) AS mn, max(epoch_us(time)) AS mx,
         |              min(symbol) AS sym FROM trades),
         |r AS (SELECT mn + (mx - mn) // 3 AS t1, mn + 2 * ((mx - mn) // 3) AS t2, sym FROM b)""".stripMargin,

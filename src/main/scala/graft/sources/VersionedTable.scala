@@ -306,22 +306,7 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
     require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
-    val statsFor = snap.dirStats.map(s => (s.dir, s.col) -> s).toMap
-    val bloomFor = snap.dirBlooms.map(b => (b.dir, b.col) -> b).toMap
-    def admits(d: String, f: DirFilter): Boolean = f match {
-      case RangeFilter(c, lo, hi) =>
-        statsFor.get((d, c)).forall(s => s.max >= lo && s.min <= hi)
-      case PointFilter(c, value) =>
-        val inRange = value match {
-          // a numeric point is a degenerate range: min/max can dismiss the
-          // dir before its sidecar is ever opened
-          case n: Number => statsFor.get((d, c)).forall(s =>
-            s.max >= n.doubleValue() && s.min <= n.doubleValue())
-          case _ => true
-        }
-        inRange && bloomFor.get((d, c)).forall(b => bloomMightContain(root, b, value))
-    }
-    val keep = snap.dataDirs.filter(d => filters.forall(admits(d, _)))
+    val keep = admittedDirs(root, snap, filters)
     // Schema anchor: ONE footer read of the newest dir — never a footer per
     // skipped dir (the old empty-keep path scanned EVERY dir the pruning
     // had just proved skippable).
@@ -338,6 +323,71 @@ class VersionedTableOps(val store: CommitStore) {
       else kept.select(kept.columns.map(col) ++ missing.map(f =>
         lit(null).cast(f.dataType).as(f.name)): _*)
     }
+  }
+
+  /** Planning-time-skipping scan: a frame over snapshot `asOf` backed by a
+    * [[org.apache.spark.sql.graft.ManifestFileIndex]]. Where [[readFiltered]]
+    * asks the caller to NAME the dir filters, this frame derives them from
+    * whatever predicates Catalyst pushes at the scan — `scan(...).filter(...)`
+    * or a SQL `WHERE` over `graft_versioned(root)` dismisses dirs from the
+    * manifest's min/max stats and bloom sidecars with zero engine-specific
+    * API at the call site, and the surviving predicates still reach the
+    * parquet reader as row-group filters (the tiers compose). Nothing
+    * moves to the executors but the surviving files.
+    *
+    * Schema anchor: the newest dir's footer (additive evolution makes the
+    * latest commit's schema the union); older dirs missing a column serve
+    * nulls for it, exactly like [[readFiltered]]'s keep-path.
+    */
+  def scan(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = snapshot(root, v)
+    require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
+    val anchor = spark.read
+      .parquet(new File(root, snap.dataDirs.last).getPath).schema
+    val rootPath = new org.apache.hadoop.fs.Path(new File(root).toURI)
+    val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dirFiles = snap.dataDirs.map { d =>
+      val p = new org.apache.hadoop.fs.Path(new File(root, d).toURI)
+      d -> fs.listStatus(p).filter { st =>
+        val n = st.getPath.getName
+        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+      }
+    }
+    val index = new org.apache.spark.sql.graft.ManifestFileIndex(
+      rootPath, dirFiles, filters => admittedDirs(root, snap, filters))
+    org.apache.spark.sql.graft.ManifestScan.frame(spark, index, anchor)
+  }
+
+  /** The skipping kernel shared by [[readFiltered]] and the planning-time
+    * [[org.apache.spark.sql.graft.ManifestFileIndex]]: the subset of a
+    * snapshot's data dirs at least one row of which MIGHT satisfy every
+    * filter. Per dir, a [[VersionedTable.RangeFilter]] consults the
+    * manifest min/max; a [[VersionedTable.PointFilter]] consults min/max
+    * first (numeric probes) then the bloom sidecar — sidecars of
+    * range-dismissed dirs are never opened. Strictly conservative: a dir
+    * with no recorded stats/sidecar for a filter's column always survives.
+    */
+  def admittedDirs(root: String, snap: Snapshot,
+      filters: Seq[VersionedTable.DirFilter]): Seq[String] = {
+    import VersionedTable.{DirFilter, PointFilter, RangeFilter}
+    val statsFor = snap.dirStats.map(s => (s.dir, s.col) -> s).toMap
+    val bloomFor = snap.dirBlooms.map(b => (b.dir, b.col) -> b).toMap
+    def admits(d: String, f: DirFilter): Boolean = f match {
+      case RangeFilter(c, lo, hi) =>
+        statsFor.get((d, c)).forall(s => s.max >= lo && s.min <= hi)
+      case PointFilter(c, value) =>
+        val inRange = value match {
+          // a numeric point is a degenerate range: min/max can dismiss the
+          // dir before its sidecar is ever opened
+          case n: Number => statsFor.get((d, c)).forall(s =>
+            s.max >= n.doubleValue() && s.min <= n.doubleValue())
+          case _ => true
+        }
+        inRange && bloomFor.get((d, c)).forall(b => bloomMightContain(root, b, value))
+    }
+    snap.dataDirs.filter(d => filters.forall(admits(d, _)))
   }
 
   /** Probe a bloom sidecar; a lost sidecar is conservative (read the dir). */

@@ -1,0 +1,155 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.VersionedTable
+import graft.sources.VersionedTable.{PointFilter, RangeFilter}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.expressions.{Abs, And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, LessThan, Literal, Or}
+import org.apache.spark.sql.execution.FileSourceScanExec
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.ManifestScan
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType}
+
+/** Planning-time data skipping: `VersionedTable.scan`'s ManifestFileIndex
+  * must dismiss dirs from ordinary Catalyst-pushed `.filter`/`WHERE`
+  * predicates — same verdicts as the named-DirFilter `readFiltered` path,
+  * asserted at the physical-plan level via the scan's `numFiles` metric.
+  */
+class ManifestIndexSpec extends SparkTestBase {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_mfi_").toString
+
+  /** Execute and return (rows, files actually scanned). */
+  private def runAndCount(df: DataFrame): (Seq[org.apache.spark.sql.Row], Long) = {
+    val rows = df.collect().toSeq
+    val files = df.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }
+    assert(files.nonEmpty, "expected a FileSourceScanExec in the plan")
+    (rows, files.sum)
+  }
+
+  /** Three disjoint id-range dirs, two files each, min/max stats on id. */
+  private def rangedTable(): String = {
+    val root = freshRoot()
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      VersionedTable.commit(
+        spark.range(lo, hi).toDF("id").repartition(2), root, "append",
+        statsCols = Seq("id"))
+    }
+    root
+  }
+
+  test("a plain .filter range probe prunes dirs at planning time, value-exact") {
+    val root = rangedTable()
+    val all = runAndCount(VersionedTable.scan(spark, root))
+    assert(all._2 === 6, "three dirs x two files with no filters")
+    val probe = VersionedTable.scan(spark, root)
+      .filter(col("id") >= 120L && col("id") < 180L)
+    val (rows, files) = runAndCount(probe)
+    assert(files === 2, s"only the middle dir's files may be scanned, got $files")
+    assert(rows.map(_.getLong(0)).sorted === (120L until 180L))
+  }
+
+  test("an equality probe rides the bloom tier through ordinary .filter") {
+    val root = freshRoot()
+    Seq("AAA", "BBB", "CCC").foreach { sym =>
+      VersionedTable.commit(
+        spark.range(0, 50).toDF("id").withColumn("sym", lit(sym)).repartition(2),
+        root, "append", bloomCols = Seq("sym"))
+    }
+    val probe = VersionedTable.scan(spark, root).filter(col("sym") === "BBB")
+    val (rows, files) = runAndCount(probe)
+    assert(files === 2, s"blooms must dismiss the AAA and CCC dirs, got $files")
+    assert(rows.size === 50 && rows.forall(_.getString(1) == "BBB"))
+  }
+
+  test("untranslatable predicates are conservative: full scan, right answer") {
+    val root = rangedTable()
+    // abs(id) = 150 is not a dir-dismissible shape — every dir must survive
+    val probe = VersionedTable.scan(spark, root).filter(abs(col("id")) === 150L)
+    val (rows, files) = runAndCount(probe)
+    assert(files === 6, "no translation -> no pruning")
+    assert(rows.map(_.getLong(0)) === Seq(150L))
+  }
+
+  test("SQL WHERE over graft_versioned prunes identically (pure-SQL skipping)") {
+    import org.apache.spark.sql.SparkSession
+    val root = rangedTable()
+    val prevActive = SparkSession.getActiveSession
+    val prevDefault = SparkSession.getDefaultSession
+    SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+    val s2 = SparkSession.builder()
+      .withExtensions(new graft.plans.GraftExtensions).getOrCreate()
+    try {
+      val df = s2.sql(
+        s"SELECT id FROM graft_versioned('$root') WHERE id >= 120 AND id < 180")
+      val (rows, files) = runAndCount(df)
+      assert(files === 2, s"SQL WHERE must reach the manifest index, got $files")
+      assert(rows.map(_.getLong(0)).sorted === (120L until 180L))
+    } finally {
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      prevActive.foreach(SparkSession.setActiveSession)
+      prevDefault.foreach(SparkSession.setDefaultSession)
+    }
+  }
+
+  test("scan with no filters equals the library read, same schema") {
+    val root = rangedTable()
+    val viaScan = VersionedTable.scan(spark, root)
+    val viaRead = VersionedTable.read(spark, root)
+    assert(viaScan.schema === viaRead.schema)
+    assert(viaScan.collect().map(_.getLong(0)).sorted
+      === viaRead.collect().map(_.getLong(0)).sorted)
+  }
+
+  // --- translation unit tests -------------------------------------------
+
+  private val idAttr = AttributeReference("id", LongType)()
+  private val symAttr = AttributeReference("sym", StringType)()
+
+  private def strLit(s: String): Literal = Literal.create(s, StringType)
+
+  test("dirFiltersFrom: comparisons translate in both operand orders") {
+    val got = ManifestScan.dirFiltersFrom(Seq(
+      And(GreaterThanOrEqual(idAttr, Literal(120L)),
+        LessThan(idAttr, Literal(180L))),
+      // literal-first mirror: 300 > id  ==  id < 300
+      GreaterThan(Literal(300L), idAttr)))
+    assert(got === Seq(
+      RangeFilter("id", 120.0, Double.PositiveInfinity),
+      RangeFilter("id", Double.NegativeInfinity, 180.0),
+      RangeFilter("id", Double.NegativeInfinity, 300.0)))
+  }
+
+  test("dirFiltersFrom: equality becomes a point filter (string and long)") {
+    val got = ManifestScan.dirFiltersFrom(Seq(
+      EqualTo(symAttr, strLit("BBB")), EqualTo(Literal(42L), idAttr)))
+    assert(got === Seq(PointFilter("sym", "BBB"), PointFilter("id", 42L)))
+  }
+
+  test("dirFiltersFrom: IN-list collapses to its numeric hull") {
+    val got = ManifestScan.dirFiltersFrom(Seq(
+      In(idAttr, Seq(Literal(7L), Literal(3L), Literal(11L)))))
+    assert(got === Seq(RangeFilter("id", 3.0, 11.0)))
+  }
+
+  test("dirFiltersFrom: unsupported shapes contribute nothing") {
+    val shapes: Seq[Expression] = Seq(
+      Or(EqualTo(idAttr, Literal(1L)), EqualTo(idAttr, Literal(2L))),
+      IsNotNull(idAttr),
+      EqualTo(Abs(idAttr), Literal(5L)),
+      EqualTo(idAttr, Literal.create(null, LongType)),
+      In(symAttr, Seq(strLit("A"), strLit("B")))) // non-numeric hull
+    assert(ManifestScan.dirFiltersFrom(shapes) === Seq.empty)
+  }
+
+  test("dirFiltersFrom: int literals widen to the stats' double image") {
+    val intAttr = AttributeReference("n", IntegerType)()
+    val got = ManifestScan.dirFiltersFrom(Seq(
+      GreaterThanOrEqual(intAttr, Literal(5))))
+    assert(got === Seq(RangeFilter("n", 5.0, Double.PositiveInfinity)))
+  }
+}
