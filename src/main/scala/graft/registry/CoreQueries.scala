@@ -156,6 +156,64 @@ object CoreQueries {
           Quantize.r(sum(col("price")), 4).as("sum_price"))
     }),
 
+    // Copy-on-write DELETE: three key-range dirs with min/max stats, then
+    // DELETE WHERE <middle range ∧ status='F'> — the stats tier proves the
+    // side dirs can't match (carried by name, never opened), only the
+    // middle dir is rewritten, and ONE manifest publishes the result.
+    // Oracle = the predicate's complement over the raw table: row-level
+    // DML through the commit log must be value-exact, including NULL
+    // semantics (delete iff predicate TRUE).
+    "q_versioned_delete" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtdel_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      VersionedTable.delete(s, root,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+          col("o_orderstatus") === "F")
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
+    // Copy-on-write MERGE upsert: updates (price bump for keys ≡ 0 mod 7)
+    // + inserts (fresh keys above the max) land through ONE merge commit —
+    // the key hull bounds the touched dirs, matched rows are replaced
+    // wholesale, unmatched rows in rewritten dirs survive. Oracle = the
+    // anti-join ∪ source over the raw table: upsert-by-key must equal the
+    // relational definition exactly.
+    "q_versioned_merge" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtmrg_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      val src = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .union(orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + mk).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      VersionedTable.merge(s, root, src, "o_orderkey")
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
     // PLANNING-TIME skipping — the same six-dir corpus and probe as
     // q_versioned_combo, but nobody names a DirFilter: the probe is an
     // ordinary `.filter` over VersionedTable.scan's manifest FileIndex,
@@ -678,6 +736,38 @@ object CoreQueries {
         |FROM trades, r
         |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2 AND symbol = sym
         |GROUP BY symbol""".stripMargin),
+
+    // Row-level DELETE through the commit log must equal the predicate's
+    // complement over the raw table.
+    "q_versioned_delete" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders, b
+        |WHERE NOT (o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // MERGE upsert must equal the relational definition: table rows whose
+    // key is absent from the source, UNION ALL the source.
+    "q_versioned_merge" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         o_totalprice + CAST(1000.0 AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + mk AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        |  FROM orders, mx WHERE o_orderkey % 97 = 0
+        |),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM merged GROUP BY o_orderstatus""".stripMargin,
 
     // Planning-time (FileIndex) skipping must be value-identical to the
     // plain two-predicate filter — same oracle as q_versioned_combo; only

@@ -4,7 +4,7 @@ import java.io.File
 import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, count, lit, max, min, unix_micros}
+import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, countDistinct, lit, max, min, sum, unix_micros, when}
 import org.apache.spark.sql.types.TimestampType
 
 /** Minimal versioned table: an immutable-data, commit-log storage layer
@@ -390,22 +390,30 @@ class VersionedTableOps(val store: CommitStore) {
     snap.dataDirs.filter(d => filters.forall(admits(d, _)))
   }
 
-  /** Probe a bloom sidecar; a lost sidecar is conservative (read the dir). */
-  private def bloomMightContain(root: String, b: DirBloom, value: Any): Boolean = {
+  /** Deserialize a bloom sidecar; a lost sidecar is None (conservative —
+    * callers treat None as "read the dir").
+    */
+  private def loadBloom(root: String,
+      b: DirBloom): Option[org.apache.spark.util.sketch.BloomFilter] = {
     val f = new File(root, b.path)
-    if (!f.exists()) true
+    if (!f.exists()) None
     else {
       val is = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
-      val bf =
-        try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
-        finally is.close()
-      value match {
-        case s: String => bf.mightContainString(s)
-        case n: Number => bf.mightContainLong(n.longValue())
-        case other     => bf.mightContain(other)
-      }
+      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(is))
+      finally is.close()
     }
   }
+
+  private def bloomProbe(bf: org.apache.spark.util.sketch.BloomFilter,
+      value: Any): Boolean = value match {
+    case s: String => bf.mightContainString(s)
+    case n: Number => bf.mightContainLong(n.longValue())
+    case other     => bf.mightContain(other)
+  }
+
+  /** Probe a bloom sidecar; a lost sidecar is conservative (read the dir). */
+  private def bloomMightContain(root: String, b: DirBloom, value: Any): Boolean =
+    loadBloom(root, b).forall(bloomProbe(_, value))
 
   /** Idempotent commit targeting a SPECIFIC version — the exactly-once
     * streaming sink primitive. Micro-batch N maps deterministically to
@@ -692,6 +700,268 @@ class VersionedTableOps(val store: CommitStore) {
   private def deleteAttemptBlooms(root: String, token: String): Unit =
     Option(new File(root, "_blooms").listFiles()).toSeq.flatten
       .filter(_.getName.contains(s"-$token-")).foreach(_.delete())
+
+  /** Write `df` as a fresh attempt-unique data dir with its manifest
+    * metadata (row count, min/max stats, bloom sidecars). Nothing
+    * references the dir until the caller publishes; on a lost race the
+    * caller deletes it. The staging primitive of the DML paths.
+    */
+  private def stageDir(df: DataFrame, root: String, version: Int,
+      statsCols: Seq[String], bloomCols: Seq[String], bloomFpp: Double):
+      (String, Long, Seq[DirStat], Seq[DirBloom]) = {
+    dataDir(root).mkdirs()
+    val dirRel = f"data/v$version%05d-${UUID.randomUUID().toString.take(8)}"
+    df.write.parquet(new File(root, dirRel).getPath)
+    val committed = df.sparkSession.read.parquet(new File(root, dirRel).getPath)
+    val statAggs = statsCols.flatMap { c =>
+      val numeric = committed.schema(c).dataType match {
+        case TimestampType => unix_micros(col(c))
+        case _             => col(c).cast("double")
+      }
+      Seq(min(numeric).as(s"__mn_$c"), max(numeric).as(s"__mx_$c"))
+    }
+    val aggRow = committed.agg(count(lit(1)).as("__n"), statAggs: _*).head()
+    val rows = aggRow.getLong(0)
+    val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
+      if (aggRow.isNullAt(1 + 2 * i)) None
+      else Some(DirStat(dirRel, c,
+        toDouble(aggRow.get(1 + 2 * i)), toDouble(aggRow.get(2 + 2 * i))))
+    }
+    val blooms = bloomCols.map { c =>
+      val bf = committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
+      val rel = s"_blooms/${new File(dirRel).getName}_$c.bloom"
+      val f = new File(root, rel)
+      f.getParentFile.mkdirs()
+      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      try bf.writeTo(os) finally os.close()
+      DirBloom(dirRel, c, rel)
+    }
+    (dirRel, rows, stats, blooms)
+  }
+
+  /** Per-dir indexing discipline recorded in the parent snapshot — a
+    * rewritten dir inherits exactly the stats/bloom columns its
+    * predecessor carried, so DML never silently degrades skipping.
+    */
+  private def dirMetaCols(snap: Snapshot, d: String): (Seq[String], Seq[String]) =
+    (snap.dirStats.filter(_.dir == d).map(_.col).distinct,
+      snap.dirBlooms.filter(_.dir == d).map(_.col).distinct)
+
+  /** Copy-on-write row-level DELETE — `DELETE FROM t WHERE p`, the Delta
+    * shape re-expressed over the commit log. The predicate is translated
+    * into [[VersionedTable.DirFilter]]s by the SAME machinery the
+    * planning-time scan uses ([[org.apache.spark.sql.graft.ManifestScan
+    * .translatedFilters]]): dirs the manifest's min/max stats and bloom
+    * sidecars dismiss provably hold no matching row and are CARRIED
+    * FORWARD untouched — their files are never opened. Each surviving
+    * candidate dir is probed with one count; dirs with no actual matches
+    * carry forward too, fully-matched dirs are dropped from the manifest
+    * (their files stay on disk for time travel until vacuum), and only
+    * partially-matched dirs are rewritten (keep-rows staged to a fresh
+    * attempt-unique dir inheriting the dir's stats/bloom columns). ONE
+    * manifest publishes the result atomically; `operation=delete` is
+    * non-append, so change-feed consumers fail loudly and resync, exactly
+    * as with overwrite.
+    *
+    * SQL semantics: a row is deleted iff `predicate` evaluates TRUE —
+    * NULL keeps the row. Returns the number of rows deleted; when no row
+    * matches, NOTHING is committed and 0 is returned (a no-op DELETE does
+    * not burn a version). Cost at 100 TB: one manifest read + one count
+    * per candidate dir + a rewrite per PARTIALLY-matched dir — O(touched
+    * data), never O(table).
+    */
+  def delete(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column): Long = {
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val version = parent + 1
+    val snap = snapshot(root, parent)
+    val dirFilters = org.apache.spark.sql.graft.ManifestScan
+      .translatedFilters(scan(spark, root, Some(parent)).filter(predicate))
+    val candidates = admittedDirs(root, snap, dirFilters).toSet
+    val hit = coalesce(predicate, lit(false))
+
+    val staged = Seq.newBuilder[(String, Long, Seq[DirStat], Seq[DirBloom])]
+    var deleted = 0L
+    // dir -> None (drop) | Some(replacement dirRel); absent = carried
+    val replacement = scala.collection.mutable.Map.empty[String, Option[String]]
+    try {
+      snap.dataDirs.filter(candidates).foreach { d =>
+        val dirDf = spark.read.parquet(new File(root, d).getPath)
+        val counts = dirDf.agg(count(lit(1)),
+          sum(when(hit, 1L).otherwise(0L))).head()
+        val total = counts.getLong(0)
+        val matches = if (counts.isNullAt(1)) 0L else counts.getLong(1)
+        if (matches > 0L) {
+          deleted += matches
+          if (matches == total) replacement(d) = None // whole dir gone
+          else {
+            val (statsCols, bloomCols) = dirMetaCols(snap, d)
+            val s = stageDir(dirDf.filter(!hit), root, version,
+              statsCols, bloomCols, bloomFpp = 0.01)
+            staged += s
+            replacement(d) = Some(s._1)
+          }
+        }
+      }
+      if (deleted == 0L) return 0L // pure no-op: no version burned
+      val newDirs = snap.dataDirs.flatMap { d =>
+        replacement.get(d) match {
+          case None            => Some(d)      // untouched or no-match: carried
+          case Some(Some(rep)) => Some(rep)    // rewritten in place
+          case Some(None)      => None         // fully deleted
+        }
+      }
+      val carriedSet = newDirs.toSet
+      val stagedAll = staged.result()
+      // manifest rows= records the commit's DELTA, like append's batch size:
+      // for a delete, the rows removed
+      publish(root, version, parent, "delete", deleted,
+        snap.schemaCols, newDirs,
+        snap.dirStats.filter(s => carriedSet(s.dir)) ++ stagedAll.flatMap(_._3),
+        snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ stagedAll.flatMap(_._4),
+        snap.txns)
+      deleted
+    } catch { case e: Throwable =>
+      staged.result().foreach { case (d, _, _, blooms) =>
+        VersionedTable.deleteRecursively(new File(root, d))
+        blooms.foreach(b => new File(root, b.path).delete())
+      }
+      throw e
+    }
+  }
+
+  /** Copy-on-write MERGE — whole-row upsert by key, the Delta
+    * `MERGE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
+    * shape over the commit log: every table row whose `keyCol` appears in
+    * `source` is replaced by the source row; source rows with unseen keys
+    * are inserts. `source` must be key-unique (checked — an ambiguous
+    * source is refused loudly, like Delta's multiple-source-rows-match
+    * error) and carry the table's columns.
+    *
+    * Touched-dir bounding composes the two skipping tiers without ever
+    * shuffling the table: the source keys' [min, max] hull prunes on the
+    * manifest's min/max stats, then — when the source's distinct keys fit
+    * `maxProbeKeys` — each surviving dir's bloom sidecar is probed per
+    * key, dismissing dirs that share the hull but none of the keys. Each
+    * remaining dir is probed with one broadcast semi-join count; only
+    * dirs actually holding matched keys are rewritten (anti-join against
+    * the source keys, staged fresh, inheriting the dir's stats/bloom
+    * columns). The source lands as its own new dir indexed with the
+    * UNION of the parent snapshot's stats/bloom disciplines. ONE manifest
+    * publishes atomically; `operation=merge` is non-append (change-feed
+    * consumers resync). Returns the new version.
+    *
+    * Cost at 100 TB: manifest + sidecar probes + one broadcast semi-join
+    * per candidate dir + rewrites of dirs that truly hold matched keys +
+    * O(source) for the insert dir — O(touched data + delta), never
+    * O(table); the table is never shuffled.
+    */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keyCol: String, maxProbeKeys: Int = 10000,
+      bloomFpp: Double = 0.01): Int = {
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val version = parent + 1
+    val snap = snapshot(root, parent)
+    require(snap.schemaCols.toSet == source.columns.toSet,
+      s"source columns ${source.columns.mkString(",")} must match table schema " +
+        snap.schemaCols.mkString(","))
+    val src = source.select(snap.schemaCols.map(col): _*).cache()
+    try {
+      // Key hull in the STATS' numeric image (micros for timestamps, double
+      // otherwise — commit's exact formula): a hull in a different unit
+      // would dismiss dirs that DO hold matched keys. Non-numeric keys have
+      // no hull (ANSI mode makes a string cast throw, not null) and skip
+      // tier 1 — their pruning power is the bloom tier.
+      val keyNumeric = src.schema(keyCol).dataType match {
+        case TimestampType                                      => unix_micros(col(keyCol))
+        case _: org.apache.spark.sql.types.NumericType          => col(keyCol).cast("double")
+        case _                                                  => lit(null).cast("double")
+      }
+      val srcAgg = src.agg(count(lit(1)), countDistinct(col(keyCol)),
+        min(keyNumeric), max(keyNumeric)).head()
+      val (srcRows, srcKeys) = (srcAgg.getLong(0), srcAgg.getLong(1))
+      require(srcRows == srcKeys,
+        s"merge source is not key-unique on $keyCol: $srcRows rows, $srcKeys keys")
+      require(srcRows > 0, "empty merge source")
+
+      // Tier 1: the key hull vs manifest min/max (numeric keys only).
+      val hull =
+        if (srcAgg.isNullAt(2)) Seq.empty
+        else Seq(VersionedTable.RangeFilter(keyCol,
+          srcAgg.getDouble(2), srcAgg.getDouble(3)))
+      var candidates = admittedDirs(root, snap, hull)
+      // Tier 2: per-key bloom probes, budget-capped (sidecars are tiny and
+      // driver-local; dirs without a sidecar on keyCol always survive).
+      val bloomFor = snap.dirBlooms.filter(_.col == keyCol).map(b => b.dir -> b).toMap
+      if (srcKeys <= maxProbeKeys && bloomFor.nonEmpty) {
+        val keys = src.select(col(keyCol)).collect().map(_.get(0))
+        candidates = candidates.filter { d =>
+          bloomFor.get(d).forall { b =>
+            // load the sidecar ONCE, probe every key in memory
+            loadBloom(root, b).forall(bf => keys.exists(k => bloomProbe(bf, k)))
+          }
+        }
+      }
+
+      val srcKeyFrame = broadcast(src.select(col(keyCol)))
+      val staged = Seq.newBuilder[(String, Long, Seq[DirStat], Seq[DirBloom])]
+      var replaced = 0L
+      val replacement = scala.collection.mutable.Map.empty[String, Option[String]]
+      try {
+        val candidateSet = candidates.toSet
+        snap.dataDirs.filter(candidateSet).foreach { d =>
+          val dirDf = spark.read.parquet(new File(root, d).getPath)
+          val matches = dirDf.join(srcKeyFrame, Seq(keyCol), "left_semi").count()
+          if (matches > 0L) {
+            replaced += matches
+            val total = dirDf.count()
+            if (matches == total) replacement(d) = None
+            else {
+              val (statsCols, bloomCols) = dirMetaCols(snap, d)
+              val s = stageDir(
+                dirDf.join(srcKeyFrame, Seq(keyCol), "left_anti")
+                  .select(snap.schemaCols.map(col): _*),
+                root, version, statsCols, bloomCols, bloomFpp)
+              staged += s
+              replacement(d) = Some(s._1)
+            }
+          }
+        }
+        // The source lands as its own dir under the TABLE's indexing
+        // discipline (union of the parent's per-dir stats/bloom columns).
+        val tableStatsCols = snap.dirStats.map(_.col).distinct
+        val tableBloomCols = snap.dirBlooms.map(_.col).distinct
+        val srcStaged = stageDir(src, root, version,
+          tableStatsCols, tableBloomCols, bloomFpp)
+        staged += srcStaged
+        val newDirs = snap.dataDirs.flatMap { d =>
+          replacement.get(d) match {
+            case None            => Some(d)
+            case Some(Some(rep)) => Some(rep)
+            case Some(None)      => None
+          }
+        } :+ srcStaged._1
+        val carriedSet = newDirs.toSet
+        val stagedAll = staged.result()
+        // manifest rows= records the commit's DELTA (append convention):
+        // for a merge, the source rows it landed
+        publish(root, version, parent, "merge",
+          srcRows, snap.schemaCols, newDirs,
+          snap.dirStats.filter(s => carriedSet(s.dir)) ++ stagedAll.flatMap(_._3),
+          snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ stagedAll.flatMap(_._4),
+          snap.txns)
+        version
+      } catch { case e: Throwable =>
+        staged.result().foreach { case (d, _, _, blooms) =>
+          VersionedTable.deleteRecursively(new File(root, d))
+          blooms.foreach(b => new File(root, b.path).delete())
+        }
+        throw e
+      }
+    } finally src.unpersist()
+  }
 
   /** Change feed: rows ADDED between `fromVersion` (exclusive) and
     * `toVersion` (inclusive) — the input of O(delta) incremental

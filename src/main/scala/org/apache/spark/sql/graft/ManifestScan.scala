@@ -85,6 +85,19 @@ object ManifestScan {
     classic.Dataset.ofRows(cs, LogicalRelation(relation))
   }
 
+  /** The [[DirFilter]]s Catalyst would push at `df`'s scan: collect every
+    * `Filter` condition in the OPTIMIZED plan (constant folding done,
+    * filters combined/pushed) and translate. This is how the DML paths
+    * (copy-on-write DELETE/MERGE) reuse the exact planning-time skipping
+    * verdicts to bound their touched-dir set.
+    */
+  def translatedFilters(df: DataFrame): Seq[DirFilter] = {
+    import org.apache.spark.sql.catalyst.plans.logical
+    val conds = df.queryExecution.optimizedPlan
+      .collect { case f: logical.Filter => f.condition }
+    dirFiltersFrom(conds)
+  }
+
   /** Catalyst data filters → manifest [[DirFilter]]s. Strictly
     * conservative: only shapes that are provably dir-dismissible translate
     * (attr-vs-literal comparisons, equality, IN-lists, their conjuncts);

@@ -46,11 +46,12 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 179 = r11's 171 + r12's q_versioned_combo + q_stream_changefeed +
+    // 181 = r11's 171 + r12's q_versioned_combo + q_stream_changefeed +
     // q_changefeed_ohlc + q_pit_versioned + q_medallion + q_zorder_optimize
-    // + q_versioned_analyze + q_versioned_indexed; raise this floor
-    // whenever a query is added, never lower it
-    assert(SparkEntry.queries.size >= 179,
-      s"registry shrank: ${SparkEntry.queries.size} < 179")
+    // + q_versioned_analyze + q_versioned_indexed + q_versioned_delete +
+    // q_versioned_merge; raise this floor whenever a query is added,
+    // never lower it
+    assert(SparkEntry.queries.size >= 181,
+      s"registry shrank: ${SparkEntry.queries.size} < 181")
   }
 }

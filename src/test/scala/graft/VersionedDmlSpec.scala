@@ -1,0 +1,170 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.VersionedTable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Copy-on-write DML on the versioned table: row-level DELETE and
+  * whole-row MERGE upsert. The contracts under test: value-exactness,
+  * touched-dir minimality (untouched dirs carried by NAME, never
+  * rewritten), time-travel preservation, indexing inheritance, and the
+  * change feed's loud refusal to cross a DML version.
+  */
+class VersionedDmlSpec extends SparkTestBase {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_dml_").toString
+
+  /** Three disjoint id-range dirs with min/max stats on id. */
+  private def rangedTable(root: String): Seq[String] = {
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      VersionedTable.commit(
+        spark.range(lo, hi).toDF("id")
+          .withColumn("v", col("id") * 2), root, "append",
+        statsCols = Seq("id"))
+    }
+    VersionedTable.snapshot(root, 3).dataDirs
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("partial DELETE rewrites only the matched dir; others carried by name") {
+    val root = freshRoot()
+    val Seq(d1, d2, d3) = rangedTable(root)
+    val deleted = VersionedTable.delete(spark, root,
+      col("id") >= 120L && col("id") < 180L)
+    assert(deleted === 60L)
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.operation === "delete")
+    assert(snap.rows === 60L, "manifest rows= is the delta: rows deleted")
+    assert(snap.dataDirs.contains(d1) && snap.dataDirs.contains(d3),
+      "unmatched dirs must be carried forward verbatim, never rewritten")
+    assert(!snap.dataDirs.contains(d2), "the matched dir must be replaced")
+    assert(snap.dataDirs.size === 3)
+    assert(ids(VersionedTable.read(spark, root))
+      === ((0L until 120L) ++ (180L until 300L)))
+    // time travel: the parent snapshot still serves every row
+    assert(ids(VersionedTable.read(spark, root, Some(3))).size === 300)
+    // the rewritten dir inherited its predecessor's stats discipline
+    val rewritten = (snap.dataDirs.toSet - d1 - d3).head
+    assert(snap.dirStats.exists(s => s.dir == rewritten && s.col == "id"),
+      "rewrite must re-derive min/max for the dir's stats columns")
+  }
+
+  test("a fully-matched dir is dropped from the manifest, files kept for history") {
+    val root = freshRoot()
+    val Seq(d1, d2, d3) = rangedTable(root)
+    val deleted = VersionedTable.delete(spark, root,
+      col("id") >= 100L && col("id") < 200L)
+    assert(deleted === 100L)
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.dataDirs === Seq(d1, d3), "whole-dir delete is metadata-only")
+    assert(new java.io.File(root, d2).exists(),
+      "the dropped dir's files stay for time travel until vacuum")
+    assert(ids(VersionedTable.read(spark, root, Some(3))).size === 300)
+  }
+
+  test("a no-match DELETE burns no version and returns 0") {
+    val root = freshRoot()
+    rangedTable(root)
+    assert(VersionedTable.delete(spark, root, col("id") >= 1000L) === 0L)
+    assert(VersionedTable.latestVersion(root) === Some(3))
+  }
+
+  test("DELETE keeps rows where the predicate is NULL (SQL semantics)") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      spark.range(0, 10).toDF("id")
+        .withColumn("v", when(col("id") < 5, col("id"))), root)
+    val deleted = VersionedTable.delete(spark, root, col("v") >= 2L)
+    assert(deleted === 3L) // v in {2,3,4}; NULL v rows (id>=5) survive
+    assert(ids(VersionedTable.read(spark, root))
+      === Seq(0L, 1L, 5L, 6L, 7L, 8L, 9L))
+  }
+
+  test("MERGE upserts: matched rows replaced, new keys inserted, others carried") {
+    val root = freshRoot()
+    val Seq(d1, d2, d3) = rangedTable(root)
+    val source = spark.range(150L, 160L).toDF("id")
+      .withColumn("v", lit(-1L))
+      .union(spark.range(400L, 410L).toDF("id").withColumn("v", lit(-2L)))
+    val v = VersionedTable.merge(spark, root, source, "id")
+    assert(v === 4)
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.operation === "merge")
+    assert(snap.rows === 20L, "manifest rows= is the delta: source rows landed")
+    assert(snap.dataDirs.contains(d1) && snap.dataDirs.contains(d3),
+      "dirs outside the key hull must be carried verbatim")
+    assert(!snap.dataDirs.contains(d2), "the matched dir must be rewritten")
+    val out = VersionedTable.read(spark, root)
+    assert(out.count() === 310L)
+    assert(out.filter(col("id") >= 150L && col("id") < 160L)
+      .select("v").collect().forall(_.getLong(0) === -1L),
+      "matched rows must carry the SOURCE row wholesale")
+    assert(out.filter(col("id") >= 400L).count() === 10L, "inserts landed")
+    assert(out.filter(col("id") === 120L).head().getLong(1) === 240L,
+      "unmatched rows in the rewritten dir survive untouched")
+    // the source dir landed under the table's indexing discipline
+    val newDirs = snap.dataDirs.toSet - d1 - d3
+    assert(newDirs.forall(d =>
+      snap.dirStats.exists(s => s.dir == d && s.col == "id")),
+      "rewritten and inserted dirs must both carry id stats")
+    // and planning-time skipping still prunes on the merged snapshot
+    val probe = VersionedTable.scan(spark, root).filter(col("id") === 50L)
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    probe.collect()
+    val files = probe.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    val all = VersionedTable.scan(spark, root)
+    all.collect()
+    val allFiles = all.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    assert(files < allFiles, "merged snapshot must still skip dirs")
+  }
+
+  test("MERGE with string keys rides the bloom tier, not the hull") {
+    val root = freshRoot()
+    Seq("AAA", "BBB", "CCC").foreach { sym =>
+      VersionedTable.commit(
+        spark.range(0, 20).toDF("n")
+          .select(concat(lit(sym), lit("-"), col("n")).as("k"), col("n").as("v")),
+        root, "append", bloomCols = Seq("k"))
+    }
+    val dirs0 = VersionedTable.snapshot(root, 3).dataDirs
+    val source = spark.range(5, 8).toDF("n")
+      .select(concat(lit("BBB-"), col("n")).as("k"), lit(-1L).as("v"))
+    VersionedTable.merge(spark, root, source, "k")
+    val snap = VersionedTable.snapshot(root, 4)
+    // AAA and CCC dirs dismissed by their blooms — carried by name
+    assert(snap.dataDirs.count(dirs0.contains) === 2,
+      s"blooms must dismiss two of three dirs, kept ${snap.dataDirs}")
+    val out = VersionedTable.read(spark, root)
+    assert(out.count() === 60L)
+    assert(out.filter(col("k") === "BBB-5").head().getLong(1) === -1L)
+  }
+
+  test("a key-ambiguous MERGE source is refused loudly") {
+    val root = freshRoot()
+    rangedTable(root)
+    val dup = spark.range(0, 2).toDF("n")
+      .select(lit(150L).as("id"), col("n").as("v"))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.merge(spark, root, dup, "id")
+    }
+    assert(e.getMessage.contains("key-unique"))
+  }
+
+  test("the change feed refuses to cross a DML version") {
+    val root = freshRoot()
+    rangedTable(root)
+    VersionedTable.delete(spark, root, col("id") === 5L)
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.changes(spark, root, 2, 4)
+    }
+    assert(e.getMessage.contains("non-append"))
+  }
+}
