@@ -184,6 +184,34 @@ object CoreQueries {
           (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
     }),
 
+    // Copy-on-write UPDATE: same three-dir stats corpus as
+    // q_versioned_delete, then UPDATE SET price += 10% WHERE <middle range
+    // ∧ status='O'> — side dirs proven unmatched by the stats tier are
+    // carried by name; only the middle dir is rewritten, with assignments
+    // applied to matched rows and unmatched rows passing through
+    // untouched. Oracle = the CASE expression over the raw table.
+    "q_versioned_update" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtupd_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      VersionedTable.update(s, root,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+          col("o_orderstatus") === "O",
+        Map("o_totalprice" -> (col("o_totalprice") * lit(1.1))))
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
     // Copy-on-write MERGE upsert: updates (price bump for keys ≡ 0 mod 7)
     // + inserts (fresh keys above the max) land through ONE merge commit —
     // the key hull bounds the touched dirs, matched rows are replaced
@@ -746,6 +774,21 @@ object CoreQueries {
         |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders, b
         |WHERE NOT (o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // Row-level UPDATE through the commit log must equal the CASE
+    // expression over the raw table (update iff predicate TRUE).
+    "q_versioned_update" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(
+        |         CASE WHEN o_orderkey > lo AND o_orderkey <= hi
+        |                   AND o_orderstatus = 'O'
+        |              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |              ELSE o_totalprice END * 1e2 + 0.5) AS BIGINT)) / 100.0
+        |         AS sum_price
+        |FROM orders, b
         |GROUP BY o_orderstatus""".stripMargin,
 
     // MERGE upsert must equal the relational definition: table rows whose

@@ -473,6 +473,35 @@ class VersionedTableOps(val store: CommitStore) {
     false // unreachable
   }
 
+  /** Transactional MERGE — [[transactionalCommit]]'s exactly-once protocol
+    * over the [[merge]] upsert: stamps `(appId, batchId)` on the merge
+    * manifest; an at-least-once redelivery of an already-merged batch is
+    * absorbed (returns false, table untouched), and a conflict from a
+    * FOREIGN writer racing the version is retried after re-checking the
+    * high-water mark. This is the streaming-upsert sink primitive: a
+    * `foreachBatch` that calls this per micro-batch gets exactly-once
+    * key-level upserts into the versioned table — the reference's
+    * idempotent feature-store MERGE (`spark/streaming_feature_updates.py`)
+    * with the transaction point in the commit log instead of a warehouse.
+    */
+  def transactionalMerge(source: DataFrame, root: String, appId: String,
+      batchId: Long, keyCol: String, maxProbeKeys: Int = 10000,
+      bloomFpp: Double = 0.01, maxRetries: Int = 20): Boolean = {
+    var attempt = 0
+    while (true) {
+      if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
+      try {
+        merge(source.sparkSession, root, source, keyCol,
+          maxProbeKeys = maxProbeKeys, bloomFpp = bloomFpp,
+          txn = Some((appId, batchId)))
+        return true
+      } catch {
+        case _: CommitConflictException if attempt < maxRetries => attempt += 1
+      }
+    }
+    false // unreachable
+  }
+
   /** Latest version committed at or before `tsMs` (wall-clock time travel:
     * `read(spark, root, versionAsOf(root, ts))`). None if the table's first
     * commit is later than `tsMs`.
@@ -831,6 +860,85 @@ class VersionedTableOps(val store: CommitStore) {
     }
   }
 
+  /** Copy-on-write row-level UPDATE — `UPDATE t SET c = expr WHERE p`,
+    * completing the DML verb set over the same kernel as [[delete]]: the
+    * predicate's translated [[VersionedTable.DirFilter]]s bound the
+    * candidate dirs (stats/bloom-dismissed dirs carried by name, never
+    * opened), each candidate is probed with one count, and only dirs
+    * actually holding matched rows are rewritten — matched rows get the
+    * assignments applied (each cast back to the column's existing type:
+    * UPDATE never mutates the schema), unmatched rows pass through
+    * byte-identical. ONE manifest publishes atomically
+    * (`operation=update`, non-append → change-feed consumers resync);
+    * rewritten dirs re-derive their inherited stats/bloom columns, so an
+    * update that moves a column's range keeps skipping truthful.
+    *
+    * SQL semantics: a row is updated iff `predicate` is TRUE (NULL leaves
+    * it untouched); assignments may reference any of the row's old
+    * columns, evaluated against the PRE-update row. Returns rows updated;
+    * a no-match update commits nothing. Cost: manifest + one count per
+    * candidate dir + a rewrite per matched dir — O(touched data).
+    */
+  def update(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      assignments: Map[String, org.apache.spark.sql.Column]): Long = {
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val version = parent + 1
+    val snap = snapshot(root, parent)
+    require(assignments.nonEmpty, "no assignments")
+    val unknown = assignments.keySet.diff(snap.schemaCols.toSet)
+    require(unknown.isEmpty,
+      s"assignments target unknown columns: ${unknown.mkString(",")}")
+    val dirFilters = org.apache.spark.sql.graft.ManifestScan
+      .translatedFilters(scan(spark, root, Some(parent)).filter(predicate))
+    val candidates = admittedDirs(root, snap, dirFilters).toSet
+    val hit = coalesce(predicate, lit(false))
+
+    val staged = Seq.newBuilder[(String, Long, Seq[DirStat], Seq[DirBloom])]
+    var updated = 0L
+    val replacement = scala.collection.mutable.Map.empty[String, String]
+    try {
+      snap.dataDirs.filter(candidates).foreach { d =>
+        val dirDf = spark.read.parquet(new File(root, d).getPath)
+        val counts = dirDf.agg(sum(when(hit, 1L).otherwise(0L))).head()
+        val matches = if (counts.isNullAt(0)) 0L else counts.getLong(0)
+        if (matches > 0L) {
+          updated += matches
+          val cols = dirDf.columns.map { c =>
+            assignments.get(c) match {
+              case Some(a) =>
+                when(hit, a.cast(dirDf.schema(c).dataType)).otherwise(col(c)).as(c)
+              case None => col(c)
+            }
+          }
+          val (statsCols, bloomCols) = dirMetaCols(snap, d)
+          val s = stageDir(dirDf.select(cols.toSeq: _*), root, version,
+            statsCols, bloomCols, bloomFpp = 0.01)
+          staged += s
+          replacement(d) = s._1
+        }
+      }
+      if (updated == 0L) return 0L // pure no-op: no version burned
+      val newDirs = snap.dataDirs.map(d => replacement.getOrElse(d, d))
+      val carriedSet = newDirs.toSet
+      val stagedAll = staged.result()
+      // manifest rows= records the commit's DELTA: rows updated
+      publish(root, version, parent, "update", updated,
+        snap.schemaCols, newDirs,
+        snap.dirStats.filter(s => carriedSet(s.dir)) ++ stagedAll.flatMap(_._3),
+        snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ stagedAll.flatMap(_._4),
+        snap.txns)
+      updated
+    } catch { case e: Throwable =>
+      staged.result().foreach { case (d, _, _, blooms) =>
+        VersionedTable.deleteRecursively(new File(root, d))
+        blooms.foreach(b => new File(root, b.path).delete())
+      }
+      throw e
+    }
+  }
+
   /** Copy-on-write MERGE — whole-row upsert by key, the Delta
     * `MERGE WHEN MATCHED THEN UPDATE SET * WHEN NOT MATCHED THEN INSERT *`
     * shape over the commit log: every table row whose `keyCol` appears in
@@ -859,7 +967,7 @@ class VersionedTableOps(val store: CommitStore) {
     */
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keyCol: String, maxProbeKeys: Int = 10000,
-      bloomFpp: Double = 0.01): Int = {
+      bloomFpp: Double = 0.01, txn: Option[(String, Long)] = None): Int = {
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
@@ -951,7 +1059,7 @@ class VersionedTableOps(val store: CommitStore) {
           srcRows, snap.schemaCols, newDirs,
           snap.dirStats.filter(s => carriedSet(s.dir)) ++ stagedAll.flatMap(_._3),
           snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ stagedAll.flatMap(_._4),
-          snap.txns)
+          snap.txns ++ txn.toMap)
         version
       } catch { case e: Throwable =>
         staged.result().foreach { case (d, _, _, blooms) =>

@@ -147,6 +147,67 @@ class VersionedDmlSpec extends SparkTestBase {
     assert(out.filter(col("k") === "BBB-5").head().getLong(1) === -1L)
   }
 
+  test("partial UPDATE rewrites only the matched dir, applies to matched rows only") {
+    val root = freshRoot()
+    val Seq(d1, d2, d3) = rangedTable(root)
+    val updated = VersionedTable.update(spark, root,
+      col("id") >= 120L && col("id") < 180L,
+      Map("v" -> (col("v") + lit(1000L))))
+    assert(updated === 60L)
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.operation === "update")
+    assert(snap.rows === 60L, "manifest rows= is the delta: rows updated")
+    assert(snap.dataDirs.contains(d1) && snap.dataDirs.contains(d3),
+      "unmatched dirs carried verbatim")
+    assert(!snap.dataDirs.contains(d2))
+    val out = VersionedTable.read(spark, root)
+    assert(out.count() === 300L, "UPDATE never changes the row count")
+    assert(out.filter(col("id") === 150L).head().getLong(1) === 1300L,
+      "matched row: v = 300 + 1000")
+    assert(out.filter(col("id") === 110L).head().getLong(1) === 220L,
+      "unmatched row in the rewritten dir passes through untouched")
+    // time travel: parent still serves pre-update values
+    assert(VersionedTable.read(spark, root, Some(3))
+      .filter(col("id") === 150L).head().getLong(1) === 300L)
+    // the rewritten dir's stats were re-derived
+    val rewritten = (snap.dataDirs.toSet - d1 - d3).head
+    assert(snap.dirStats.exists(s => s.dir == rewritten && s.col == "id"))
+  }
+
+  test("a no-match UPDATE burns no version; unknown columns are refused") {
+    val root = freshRoot()
+    rangedTable(root)
+    assert(VersionedTable.update(spark, root, col("id") >= 1000L,
+      Map("v" -> lit(0L))) === 0L)
+    assert(VersionedTable.latestVersion(root) === Some(3))
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.update(spark, root, col("id") === 1L, Map("nope" -> lit(1)))
+    }
+    assert(e.getMessage.contains("unknown columns"))
+  }
+
+  test("transactionalMerge absorbs redelivery; foreign writers interleave") {
+    val root = freshRoot()
+    rangedTable(root)
+    val source = spark.range(150L, 160L).toDF("id").withColumn("v", lit(-1L))
+    assert(VersionedTable.transactionalMerge(source, root, "appA", 0L, "id"))
+    val vAfter = VersionedTable.latestVersion(root).get
+    // at-least-once redelivery of the SAME batch: absorbed, nothing changes
+    assert(!VersionedTable.transactionalMerge(source, root, "appA", 0L, "id"))
+    assert(VersionedTable.latestVersion(root) === Some(vAfter))
+    assert(VersionedTable.read(spark, root).count() === 300L)
+    // a foreign app's merge is its own transaction stream
+    val other = spark.range(10L, 15L).toDF("id").withColumn("v", lit(-9L))
+    assert(VersionedTable.transactionalMerge(other, root, "appB", 0L, "id"))
+    // and appA's NEXT batch still lands after the interleave
+    val next = spark.range(150L, 160L).toDF("id").withColumn("v", lit(-2L))
+    assert(VersionedTable.transactionalMerge(next, root, "appA", 1L, "id"))
+    val out = VersionedTable.read(spark, root)
+    assert(out.filter(col("id") === 155L).head().getLong(1) === -2L)
+    assert(out.filter(col("id") === 12L).head().getLong(1) === -9L)
+    assert(out.count() === 300L)
+  }
+
   test("a key-ambiguous MERGE source is refused loudly") {
     val root = freshRoot()
     rangedTable(root)
