@@ -147,6 +147,19 @@ object StreamQueries {
         .select("time", "symbol", "trade_id", "price", "volume")
     }),
 
+    // Streaming UPSERT into the versioned table: three chronological
+    // micro-batches each reduce to a key-unique per-symbol latest tick and
+    // land through transactionalMerge (batch 0 seeds via
+    // transactionalCommit with the indexing discipline later merges
+    // inherit); a redelivery of the final batch is absorbed by the txn
+    // high-water mark inside the query. Oracle = the rn=1 window over the
+    // raw table: chronological upserts must converge to each symbol's
+    // last tick exactly.
+    "q_stream_upsert" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft_upsert_").toString
+      StreamingFeatures.versionedUpsert(s, s"$d/events.parquet", root)
+    }),
+
     // PRIMARY large-trade CEP: the event-time-ORDERED transformWithState
     // processor (exact under ANY batch split — the reference's Flink path
     // is an unbounded keyed stream, `anomaly_detection.py:40-149`, never a
@@ -636,6 +649,15 @@ object StreamQueries {
     // absorbed — content-identical to the raw projection.
     "q_stream_versioned" -> withTrades(
       "SELECT time, symbol, trade_id, price, volume FROM trades"),
+
+    // Chronological streaming upserts converge to each symbol's last tick
+    // ((t_us, tid) is unique, so the ordering is total and deterministic).
+    "q_stream_upsert" -> withTrades(
+      """SELECT symbol, t_us, last_price FROM (
+        |  SELECT symbol, epoch_us(time) AS t_us, price AS last_price,
+        |         row_number() OVER (PARTITION BY symbol
+        |           ORDER BY epoch_us(time) DESC, CAST(trade_id AS BIGINT) DESC) AS rn
+        |  FROM trades) WHERE rn = 1""".stripMargin),
 
     "q_stream_dedup" -> withTrades(
       """SELECT DISTINCT time, symbol, trade_id, price, volume

@@ -297,11 +297,13 @@ class VersionedTableOps(val store: CommitStore) {
     */
   def readFiltered(spark: SparkSession, root: String,
       filters: Seq[VersionedTable.DirFilter], asOf: Option[Int] = None): DataFrame = {
-    import VersionedTable.{DirFilter, PointFilter, RangeFilter}
-    filters.foreach {
+    import VersionedTable.{AnyOf, DirFilter, PointFilter, RangeFilter}
+    def validate(f: DirFilter): Unit = f match {
       case RangeFilter(c, lo, hi) => require(lo <= hi, s"bad range [$lo, $hi] on $c")
       case _: PointFilter         => ()
+      case AnyOf(branches)        => branches.foreach(_.foreach(validate))
     }
+    filters.foreach(validate)
     val v = asOf.orElse(latestVersion(root))
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
@@ -371,7 +373,7 @@ class VersionedTableOps(val store: CommitStore) {
     */
   def admittedDirs(root: String, snap: Snapshot,
       filters: Seq[VersionedTable.DirFilter]): Seq[String] = {
-    import VersionedTable.{DirFilter, PointFilter, RangeFilter}
+    import VersionedTable.{AnyOf, DirFilter, PointFilter, RangeFilter}
     val statsFor = snap.dirStats.map(s => (s.dir, s.col) -> s).toMap
     val bloomFor = snap.dirBlooms.map(b => (b.dir, b.col) -> b).toMap
     def admits(d: String, f: DirFilter): Boolean = f match {
@@ -386,6 +388,10 @@ class VersionedTableOps(val store: CommitStore) {
           case _ => true
         }
         inRange && bloomFor.get((d, c)).forall(b => bloomMightContain(root, b, value))
+      case AnyOf(branches) =>
+        // an empty disjunction admits nothing is the WRONG conservative
+        // direction — translation never emits one, but guard anyway
+        branches.isEmpty || branches.exists(_.forall(admits(d, _)))
     }
     snap.dataDirs.filter(d => filters.forall(admits(d, _)))
   }
@@ -1207,6 +1213,14 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
     * min/max tier first for numeric probes, then the bloom sidecar.
     */
   final case class PointFilter(col: String, value: Any) extends DirFilter
+
+  /** Disjunction of conjunctions — `(a ∧ b) ∨ (c ∧ d)`: a dir survives if
+    * ANY branch's filters all admit it. The shape `symbol IN ('A','B')`
+    * and general OR predicates translate to; each branch's point filters
+    * still ride the bloom tier, so a multi-key probe skips every dir
+    * holding none of the keys.
+    */
+  final case class AnyOf(branches: Seq[Seq[DirFilter]]) extends DirFilter
 
   final class CommitConflictException(version: Int)
     extends RuntimeException(

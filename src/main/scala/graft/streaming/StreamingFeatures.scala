@@ -571,4 +571,58 @@ object StreamingFeatures {
       "replayed batch was committed twice — exactly-once broken")
     VersionedTable.read(spark, root)
   }
+
+  /** Streaming UPSERT into a versioned table — the reference's idempotent
+    * feature-store MERGE (`spark/streaming_feature_updates.py`) with the
+    * transaction point in the commit log: each chronological micro-batch
+    * reduces to a key-unique per-symbol latest-tick frame (max of the
+    * (t_us, tid, price) struct — deterministic, (t_us, tid) is unique) and
+    * lands through [[graft.sources.VersionedTable.transactionalMerge]];
+    * later batches REPLACE a symbol's state, so the final table is each
+    * symbol's last tick over the whole corpus. Batch 0 seeds the table
+    * (transactionalCommit carrying the key/time indexing discipline every
+    * later merge inherits); a simulated redelivery of the final batch must
+    * be absorbed by the txn mark. Returns the final per-symbol state.
+    *
+    * Scale shape: per batch, ONE shuffle of the BATCH (the groupBy) + a
+    * merge whose table-side cost is the touched dirs — the table itself
+    * (one row per live symbol) is never scanned wholesale.
+    */
+  def versionedUpsert(spark: SparkSession, eventsPath: String, root: String): DataFrame = {
+    import graft.sources.VersionedTable
+    val appId = "graft-upsert"
+    def latestPerSymbol(batch: DataFrame): DataFrame = batch
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        col("trade_id").cast("long").as("tid"), col("price"))
+      .groupBy("symbol")
+      .agg(max(struct(col("t_us"), col("tid"), col("price"))).as("m"))
+      .select(col("symbol"), col("m.t_us").as("t_us"), col("m.tid").as("tid"),
+        col("m.price").as("last_price"))
+    var lastBatch = -1L
+    val trades = StreamSources.chronoBatchedTradeStream(spark, eventsPath)
+    val q = trades.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val perSym = latestPerSymbol(batch)
+        if (VersionedTable.latestVersion(root).isEmpty)
+          VersionedTable.transactionalCommit(perSym, root, appId, batchId,
+            statsCols = Seq("t_us"), bloomCols = Seq("symbol"))
+        else
+          VersionedTable.transactionalMerge(perSym, root, appId, batchId, "symbol")
+        lastBatch = math.max(lastBatch, batchId)
+        ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    require(lastBatch >= 0, "stream produced no batches")
+    // At-least-once redelivery of the final batch: the txn high-water mark
+    // absorbs it — no new version, no double-applied upsert.
+    val replay = latestPerSymbol(
+      StreamSources.projectTrades(graft.core.Tables.table(
+        spark, new java.io.File(eventsPath).getParent, "events")))
+    require(!VersionedTable.transactionalMerge(replay, root, appId, lastBatch, "symbol"),
+      "redelivered merge batch was applied twice — exactly-once broken")
+    VersionedTable.read(spark, root).select("symbol", "t_us", "last_price")
+  }
 }

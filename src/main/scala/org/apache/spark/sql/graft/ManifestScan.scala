@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession, classic}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{Decimal, StructType}
@@ -156,11 +156,27 @@ object ManifestScan {
       case LessThan(l: Literal, a: AttributeReference)           => ge(a.name, l)
       case In(a: AttributeReference, list) if list.nonEmpty &&
           list.forall(_.isInstanceOf[Literal]) =>
-        // the IN-list's numeric hull: dirs wholly outside [min, max] of
-        // the listed keys are dismissed; membership still checked row-wise
-        val ds = list.map(e => numOf(e.asInstanceOf[Literal]))
+        val lits = list.map(_.asInstanceOf[Literal])
+        val ds = lits.map(numOf)
         if (ds.forall(_.isDefined))
+          // numeric IN-list: its hull — dirs wholly outside [min, max] of
+          // the listed keys are dismissed; membership still checked row-wise
           Seq(RangeFilter(a.name, ds.flatten.min, ds.flatten.max))
+        else {
+          // non-numeric IN-list: a disjunction of point probes — each key
+          // rides the bloom tier, so a dir holding NONE of the keys skips
+          val pts = lits.map(pointOf)
+          if (pts.forall(_.isDefined))
+            Seq(graft.sources.VersionedTable.AnyOf(
+              pts.flatten.map(v => Seq[DirFilter](PointFilter(a.name, v)))))
+          else Seq.empty
+        }
+      case Or(l, r) =>
+        // OR translates iff BOTH sides do (a side with no translation
+        // admits everything, making the disjunction vacuous)
+        val (lf, rf) = (dirFiltersFrom(Seq(l)), dirFiltersFrom(Seq(r)))
+        if (lf.nonEmpty && rf.nonEmpty)
+          Seq(graft.sources.VersionedTable.AnyOf(Seq(lf, rf)))
         else Seq.empty
       case _ => Seq.empty
     }

@@ -138,12 +138,47 @@ class ManifestIndexSpec extends SparkTestBase {
 
   test("dirFiltersFrom: unsupported shapes contribute nothing") {
     val shapes: Seq[Expression] = Seq(
-      Or(EqualTo(idAttr, Literal(1L)), EqualTo(idAttr, Literal(2L))),
       IsNotNull(idAttr),
       EqualTo(Abs(idAttr), Literal(5L)),
       EqualTo(idAttr, Literal.create(null, LongType)),
-      In(symAttr, Seq(strLit("A"), strLit("B")))) // non-numeric hull
+      // OR with an untranslatable side is vacuous (that side admits all)
+      Or(EqualTo(idAttr, Literal(1L)), EqualTo(Abs(idAttr), Literal(5L))))
     assert(ManifestScan.dirFiltersFrom(shapes) === Seq.empty)
+  }
+
+  test("dirFiltersFrom: OR and string IN-lists become disjunctions") {
+    import graft.sources.VersionedTable.AnyOf
+    val got = ManifestScan.dirFiltersFrom(Seq(
+      Or(EqualTo(idAttr, Literal(1L)), EqualTo(idAttr, Literal(2L)))))
+    assert(got === Seq(AnyOf(Seq(
+      Seq(PointFilter("id", 1L)), Seq(PointFilter("id", 2L))))))
+    val in = ManifestScan.dirFiltersFrom(Seq(
+      In(symAttr, Seq(strLit("A"), strLit("B")))))
+    assert(in === Seq(AnyOf(Seq(
+      Seq(PointFilter("sym", "A")), Seq(PointFilter("sym", "B"))))))
+  }
+
+  test("an OR of two ranges prunes to exactly the two matching dirs") {
+    val root = rangedTable()
+    val probe = VersionedTable.scan(spark, root)
+      .filter(col("id") < 50L || col("id") >= 250L)
+    val (rows, files) = runAndCount(probe)
+    assert(files === 4, s"first and third dirs only, got $files")
+    assert(rows.size === 100)
+  }
+
+  test("a string IN-list bloom-prunes dirs holding none of the keys") {
+    val root = freshRoot()
+    Seq("AAA", "BBB", "CCC").foreach { sym =>
+      VersionedTable.commit(
+        spark.range(0, 50).toDF("id").withColumn("sym", lit(sym)).repartition(2),
+        root, "append", bloomCols = Seq("sym"))
+    }
+    val probe = VersionedTable.scan(spark, root)
+      .filter(col("sym").isin("AAA", "CCC"))
+    val (rows, files) = runAndCount(probe)
+    assert(files === 4, s"the BBB dir must be dismissed, got $files")
+    assert(rows.size === 100)
   }
 
   test("dirFiltersFrom: int literals widen to the stats' double image") {
