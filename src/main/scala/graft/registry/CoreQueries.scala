@@ -275,6 +275,31 @@ object CoreQueries {
           Quantize.r(sum(col("price")), 4).as("sum_price"))
     }),
 
+    // DISJUNCTIVE planning-time skipping — the multi-key probe shape
+    // (`symbol IN (a, b)`): three symbol-hash-bucket commits each carrying
+    // a symbol bloom sidecar, then an ordinary `.isin` filter over the
+    // manifest FileIndex. Catalyst pushes the IN, ManifestScan translates
+    // it to an AnyOf of point probes, and each branch rides the bloom
+    // tier — a bucket dir holding NEITHER key is dismissed without being
+    // listed. Oracle = the plain IN filter: the disjunction tier must be
+    // value-transparent.
+    "q_versioned_multikey" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtmk_").toString
+      val t = Tables.trades(s, d)
+        .select(col("symbol"), col("price"), col("volume"))
+      val b = t.agg(min(col("symbol")).as("s1"), max(col("symbol")).as("s2")).head()
+      val (s1, s2) = (b.getString(0), b.getString(1))
+      (0 to 2).foreach(h => VersionedTable.commit(
+        t.filter(crc32(col("symbol")) % 3 === h), root, "append",
+        bloomCols = Seq("symbol")))
+      VersionedTable.scan(s, root)
+        .filter(col("symbol").isin(s1, s2))
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"),
+          Quantize.r(sum(col("price")), 4).as("sum_price"))
+    }),
+
     // ANALYZE retrofit: the SAME point-probe shape as q_versioned_point,
     // but the table is committed with NO skipping metadata at all — then
     // one `analyze` backfills per-dir key min/max + blooms onto the
@@ -824,6 +849,17 @@ object CoreQueries {
         |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
         |FROM trades, r
         |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2 AND symbol = sym
+        |GROUP BY symbol""".stripMargin),
+
+    // The disjunctive (IN-list) planning-time skip must be value-identical
+    // to the plain IN filter (branches only ever remove whole dirs no
+    // branch's keys can live in).
+    "q_versioned_multikey" -> OracleSql.withTradesAnd(
+      """b AS (SELECT min(symbol) AS s1, max(symbol) AS s2 FROM trades)""",
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
+        |FROM trades, b
+        |WHERE symbol IN (s1, s2)
         |GROUP BY symbol""".stripMargin),
 
     // The backfilled point read must be value-identical to the plain

@@ -49,9 +49,10 @@ class RegistrySpec extends AnyFunSuite {
     // 181 = r11's 171 + r12's q_versioned_combo + q_stream_changefeed +
     // q_changefeed_ohlc + q_pit_versioned + q_medallion + q_zorder_optimize
     // + q_versioned_analyze + q_versioned_indexed + q_versioned_delete +
-    // q_versioned_merge + q_versioned_update + q_stream_upsert; raise this
-    // floor whenever a query is added, never lower it
-    assert(SparkEntry.queries.size >= 183,
-      s"registry shrank: ${SparkEntry.queries.size} < 183")
+    // q_versioned_merge + q_versioned_update + q_stream_upsert +
+    // q_versioned_multikey; raise this floor whenever a query is added,
+    // never lower it
+    assert(SparkEntry.queries.size >= 184,
+      s"registry shrank: ${SparkEntry.queries.size} < 184")
   }
 }
