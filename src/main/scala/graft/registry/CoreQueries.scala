@@ -307,6 +307,27 @@ object CoreQueries {
     // same files), and readPoint prunes exactly as if the table had been
     // born indexed. Oracle = the plain point filter: a metadata backfill
     // must be value-transparent.
+    // The generic DataSource surface: the SAME table built and probed
+    // exclusively through Spark's standard reader/writer —
+    // `df.write.format("graft")` commits (statsCols option threads the
+    // skipping metadata), `spark.read.format("graft").load(root)` plans
+    // through the manifest FileIndex, and the pushed point predicate
+    // prunes to the one dir whose range admits the key. Oracle = the
+    // plain point filter: the format roundtrip must be value-transparent.
+    "q_versioned_format" -> ((s, d) => {
+      val root = java.nio.file.Files.createTempDirectory("graft_vtfmt_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 to 2).foreach(r => orders.filter(col("o_orderkey") % 3 === r)
+        .write.format("graft").mode("append")
+        .option("statsCols", "o_orderkey").save(root))
+      val k = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      s.read.format("graft").load(root)
+        .filter(col("o_orderkey") === k)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          Quantize.r(col("o_totalprice"), 2).as("total_price"))
+    }),
+
     "q_versioned_analyze" -> ((s, d) => {
       import graft.sources.VersionedTable
       val root = java.nio.file.Files.createTempDirectory("graft_vtan_").toString
@@ -861,6 +882,15 @@ object CoreQueries {
         |FROM trades, b
         |WHERE symbol IN (s1, s2)
         |GROUP BY symbol""".stripMargin),
+
+    // The format("graft") roundtrip must be value-identical to the plain
+    // point filter — same oracle as q_versioned_point; only the API
+    // surface (generic reader/writer vs library calls) differs.
+    "q_versioned_format" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       floor(o_totalprice * 1e2 + 0.5) / 1e2 AS total_price
+        |FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin,
 
     // The backfilled point read must be value-identical to the plain
     // point filter — same oracle as q_versioned_point; only the metadata's

@@ -1,0 +1,80 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+
+/** `format("graft")` — the versioned table as a first-class batch
+  * DataSource, the Delta-reader UX over the commit log:
+  *
+  * {{{
+  * df.write.format("graft").mode("append")
+  *   .option("statsCols", "time").option("bloomCols", "symbol")
+  *   .save(root)                                    // = VersionedTable.commit
+  * spark.read.format("graft").load(root)            // latest snapshot
+  * spark.read.format("graft")
+  *   .option("versionAsOf", "2").load(root)         // time travel
+  *   .filter($"symbol" === "AAPL")                  // planning-time skipping
+  * }}}
+  *
+  * The read relation is the SAME manifest-governed `HadoopFsRelation` as
+  * [[VersionedTable.scan]] (one shared `scanIndex`), so ordinary pushed
+  * predicates — ranges, equality, IN-lists, ORs — dismiss whole dirs from
+  * the manifest's min/max stats and bloom sidecars at planning time, and
+  * the survivors still reach the parquet reader as row-group filters.
+  * Writes go through [[VersionedTable.commit]]: `Append` appends a commit,
+  * `Overwrite` publishes an overwrite commit (old versions stay readable
+  * via `versionAsOf` until vacuum), `ErrorIfExists` refuses a non-empty
+  * table, `Ignore` is a no-op on one. `statsCols` / `bloomCols` /
+  * `bloomFpp` options thread the skipping metadata into the commit, so a
+  * table born through the generic writer is born indexed.
+  *
+  * Reference spec: the hypertable's insert/scan surface
+  * (`sql/timescaledb_schema.sql:20-35`) behind Spark's standard
+  * reader/writer instead of a bespoke API.
+  */
+final class GraftTableProvider
+  extends RelationProvider with CreatableRelationProvider with DataSourceRegister {
+
+  override def shortName(): String = "graft"
+
+  private def rootOf(parameters: Map[String, String]): String =
+    parameters.getOrElse("path", throw new IllegalArgumentException(
+      "format(\"graft\") requires a path: .load(<table root>) / .save(<table root>)"))
+
+  private def cols(parameters: Map[String, String], k: String): Seq[String] =
+    parameters.get(k)
+      .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val root = rootOf(parameters)
+    val asOf = parameters.get("versionAsOf").map(_.toInt)
+    val (index, schema) =
+      VersionedTable.scanIndex(sqlContext.sparkSession, root, asOf)
+    org.apache.spark.sql.graft.ManifestScan.relation(
+      sqlContext.sparkSession, index, schema)
+  }
+
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val root = rootOf(parameters)
+    val exists = VersionedTable.latestVersion(root).isDefined
+    val write: Option[String] = mode match {
+      case SaveMode.Append        => Some("append")
+      case SaveMode.Overwrite     => Some("overwrite")
+      case SaveMode.ErrorIfExists =>
+        if (exists) throw new IllegalStateException(
+          s"versioned table at $root already exists (SaveMode.ErrorIfExists); " +
+            "use mode(\"append\") or mode(\"overwrite\")")
+        Some("append")
+      case SaveMode.Ignore        => if (exists) None else Some("append")
+    }
+    write.foreach { m =>
+      VersionedTable.commit(data, root, m,
+        statsCols = cols(parameters, "statsCols"),
+        bloomCols = cols(parameters, "bloomCols"),
+        bloomFpp = parameters.getOrElse("bloomFpp", "0.01").toDouble)
+    }
+    createRelation(sqlContext, parameters)
+  }
+}

@@ -342,6 +342,19 @@ class VersionedTableOps(val store: CommitStore) {
     * nulls for it, exactly like [[readFiltered]]'s keep-path.
     */
   def scan(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    val (index, anchor) = scanIndex(spark, root, asOf)
+    org.apache.spark.sql.graft.ManifestScan.frame(spark, index, anchor)
+  }
+
+  /** The manifest-governed FileIndex + union schema behind [[scan]] —
+    * shared with the `format("graft")` batch DataSource
+    * ([[GraftTableProvider]]), which wraps the same index in a
+    * `HadoopFsRelation` so `spark.read.format("graft").load(root)` prunes
+    * identically.
+    */
+  def scanIndex(spark: SparkSession, root: String, asOf: Option[Int] = None):
+      (org.apache.spark.sql.graft.ManifestFileIndex,
+        org.apache.spark.sql.types.StructType) = {
     val v = asOf.orElse(latestVersion(root))
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
@@ -359,7 +372,7 @@ class VersionedTableOps(val store: CommitStore) {
     }
     val index = new org.apache.spark.sql.graft.ManifestFileIndex(
       rootPath, dirFiles, filters => admittedDirs(root, snap, filters))
-    org.apache.spark.sql.graft.ManifestScan.frame(spark, index, anchor)
+    (index, anchor)
   }
 
   /** The skipping kernel shared by [[readFiltered]] and the planning-time

@@ -80,9 +80,21 @@ object ManifestScan {
     */
   def frame(spark: SparkSession, index: FileIndex, dataSchema: StructType): DataFrame = {
     val cs = spark.asInstanceOf[classic.SparkSession]
-    val relation = HadoopFsRelation(index, new StructType(), dataSchema,
+    classic.Dataset.ofRows(cs, LogicalRelation(relation(spark, index, dataSchema)))
+  }
+
+  /** The bare `HadoopFsRelation` over a manifest index — the
+    * `BaseRelation` the `format("graft")` DSv1 provider returns, so the
+    * standard `spark.read.format(...).load(root)` path plans through
+    * [[ManifestFileIndex]] exactly like [[frame]] (FileSourceStrategy
+    * matches any `LogicalRelation(HadoopFsRelation)` and hands the pushed
+    * data filters to `listFiles`, wherever the relation came from).
+    */
+  def relation(spark: SparkSession, index: FileIndex,
+      dataSchema: StructType): HadoopFsRelation = {
+    val cs = spark.asInstanceOf[classic.SparkSession]
+    HadoopFsRelation(index, new StructType(), dataSchema,
       None, new ParquetFileFormat, Map.empty[String, String])(cs)
-    classic.Dataset.ofRows(cs, LogicalRelation(relation))
   }
 
   /** The [[DirFilter]]s Catalyst would push at `df`'s scan: collect every

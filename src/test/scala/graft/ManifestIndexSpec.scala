@@ -187,4 +187,41 @@ class ManifestIndexSpec extends SparkTestBase {
       GreaterThanOrEqual(intAttr, Literal(5))))
     assert(got === Seq(RangeFilter("n", 5.0, Double.PositiveInfinity)))
   }
+
+  test("format(\"graft\"): write commits, read prunes, versionAsOf time-travels") {
+    val root = freshRoot()
+    // born-indexed through the generic writer: stats thread into the commit
+    spark.range(0, 100).toDF("id").repartition(2)
+      .write.format("graft").option("statsCols", "id").save(root)
+    spark.range(100, 200).toDF("id").repartition(2)
+      .write.format("graft").mode("append").option("statsCols", "id").save(root)
+    // latest snapshot = both commits; a pushed range prunes to one dir
+    val all = runAndCount(spark.read.format("graft").load(root))
+    assert(all._1.size === 200 && all._2 === 4)
+    val probe = spark.read.format("graft").load(root).filter(col("id") < 50L)
+    val (rows, files) = runAndCount(probe)
+    assert(files === 2, s"only the first commit's files may be scanned, got $files")
+    assert(rows.map(_.getLong(0)).sorted === (0L until 50L))
+    // time travel pins the first commit
+    val v1 = spark.read.format("graft").option("versionAsOf", "1").load(root)
+    assert(v1.collect().map(_.getLong(0)).sorted === (0L until 100L))
+  }
+
+  test("format(\"graft\"): save modes map to commit-log semantics") {
+    val root = freshRoot()
+    val df = spark.range(0, 10).toDF("id")
+    // ErrorIfExists (the default) creates, then refuses a second write
+    df.write.format("graft").save(root)
+    intercept[IllegalStateException] { df.write.format("graft").save(root) }
+    // Ignore is a no-op on an existing table (no version burned)
+    df.write.format("graft").mode("ignore").save(root)
+    assert(VersionedTable.latestVersion(root) === Some(1))
+    // Overwrite publishes a new snapshot; v1 stays readable
+    spark.range(50, 60).toDF("id")
+      .write.format("graft").mode("overwrite").save(root)
+    assert(spark.read.format("graft").load(root)
+      .collect().map(_.getLong(0)).sorted === (50L until 60L))
+    assert(spark.read.format("graft").option("versionAsOf", "1").load(root)
+      .count() === 10)
+  }
 }
