@@ -307,6 +307,35 @@ object CoreQueries {
     // same files), and readPoint prunes exactly as if the table had been
     // born indexed. Oracle = the plain point filter: a metadata backfill
     // must be value-transparent.
+    // STRING-range skipping — the prefix-image stats tier: three commits
+    // of symbol-ORDERED tertiles, each carrying string min/max stats (the
+    // order-preserving 6-byte UTF-8 image, VersionedTable.strImage), then
+    // an ordinary string BETWEEN over the planning-time scan. The pushed
+    // comparisons translate to image RangeFilters and dismiss the off-
+    // tertile dirs from the manifest alone — no blooms anywhere. Oracle =
+    // the plain two-comparison filter: image skipping must be
+    // value-transparent (prefix ties only ever ADMIT extra dirs).
+    "q_versioned_strrange" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtsr_").toString
+      val t = Tables.trades(s, d)
+        .select(col("symbol"), col("price"), col("volume"))
+      // symbol domain is small and bounded (exchange tickers): driver-side
+      // tertile split of the ordered distinct symbols
+      val syms = t.select("symbol").distinct().orderBy("symbol")
+        .collect().map(_.getString(0)).toSeq
+      val k = math.max(1, math.ceil(syms.length / 3.0).toInt)
+      syms.grouped(k).foreach(g =>
+        VersionedTable.commit(t.filter(col("symbol").isin(g: _*)), root,
+          "append", statsCols = Seq("symbol")))
+      val (lo, hi) = (syms(k), syms(math.min(2 * k, syms.length) - 1))
+      VersionedTable.scan(s, root)
+        .filter(col("symbol") >= lo && col("symbol") <= hi)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"),
+          Quantize.r(sum(col("price")), 4).as("sum_price"))
+    }),
+
     // The generic DataSource surface: the SAME table built and probed
     // exclusively through Spark's standard reader/writer —
     // `df.write.format("graft")` commits (statsCols option threads the
@@ -881,6 +910,24 @@ object CoreQueries {
         |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
         |FROM trades, b
         |WHERE symbol IN (s1, s2)
+        |GROUP BY symbol""".stripMargin),
+
+    // String-image skipping must be value-identical to the plain BETWEEN
+    // over symbols: lo/hi are the middle tertile's bounds of the ordered
+    // distinct symbols, replayed relationally (rn = k+1 and min(2k, n)
+    // mirror the Scala side's grouped(k) middle group exactly).
+    "q_versioned_strrange" -> OracleSql.withTradesAnd(
+      """b AS (SELECT symbol, row_number() OVER (ORDER BY symbol) AS rn
+        |      FROM (SELECT DISTINCT symbol FROM trades)),
+        |kk AS (SELECT CAST(ceil(count(*) / 3.0) AS BIGINT) AS k,
+        |              count(*) AS n FROM b),
+        |r AS (SELECT
+        |  (SELECT symbol FROM b, kk WHERE rn = k + 1) AS lo,
+        |  (SELECT symbol FROM b, kk WHERE rn = least(2 * k, n)) AS hi)""".stripMargin,
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
+        |FROM trades, r
+        |WHERE symbol >= lo AND symbol <= hi
         |GROUP BY symbol""".stripMargin),
 
     // The format("graft") roundtrip must be value-identical to the plain

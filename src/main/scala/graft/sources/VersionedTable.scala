@@ -5,7 +5,7 @@ import java.util.UUID
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{broadcast, coalesce, col, count, countDistinct, lit, max, min, sum, unix_micros, when}
-import org.apache.spark.sql.types.TimestampType
+import org.apache.spark.sql.types.{StringType, TimestampType}
 
 /** Minimal versioned table: an immutable-data, commit-log storage layer
   * giving snapshot isolation, time travel, optimistic concurrency and
@@ -51,6 +51,7 @@ class VersionedTableOps(val store: CommitStore) {
     case d: Double => d
     case i: Int    => i.toDouble
     case f: Float  => f.toDouble
+    case s: String => VersionedTable.strImage(s) // string stats: prefix image
     case x         => x.toString.toDouble
   }
 
@@ -115,7 +116,9 @@ class VersionedTableOps(val store: CommitStore) {
     *
     * `statsCols` names columns whose per-dir min/max land in the manifest
     * (`stats=<dir>|<col>|<min>|<max>` lines, values rendered exactly —
-    * longs/timestamps as micros, doubles via `Double.toString` round-trip).
+    * longs/timestamps as micros, doubles via `Double.toString` round-trip,
+    * STRINGS as their order-preserving 6-byte prefix image,
+    * [[VersionedTable.strImage]] — so symbol ranges skip too).
     * They power [[readPruned]]: manifest-level data skipping, the Delta
     * data-skipping analogue with the stats in the commit log instead of a
     * sidecar — a pruned scan touches the manifest and the SURVIVING dirs
@@ -144,11 +147,12 @@ class VersionedTableOps(val store: CommitStore) {
     // requested column's min/max (stats ride the same scan).
     val committed = df.sparkSession.read.parquet(new File(root, newDir).getPath)
     val statAggs = statsCols.flatMap { c =>
-      val numeric = committed.schema(c).dataType match {
+      val probe = committed.schema(c).dataType match {
         case TimestampType => unix_micros(col(c)) // micros < 2^53: double-exact
+        case StringType    => col(c) // min/max string; image computed driver-side
         case _             => col(c).cast("double")
       }
-      Seq(min(numeric).as(s"__mn_$c"), max(numeric).as(s"__mx_$c"))
+      Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
     }
     val aggRow = committed
       .agg(count(lit(1)).as("__n"), statAggs: _*).head()
@@ -398,6 +402,11 @@ class VersionedTableOps(val store: CommitStore) {
           // dir before its sidecar is ever opened
           case n: Number => statsFor.get((d, c)).forall(s =>
             s.max >= n.doubleValue() && s.min <= n.doubleValue())
+          // a string point probes the prefix-image stats the same way
+          // (sound: the image is order-preserving, see [[strImage]])
+          case v: String =>
+            val img = VersionedTable.strImage(v)
+            statsFor.get((d, c)).forall(s => s.max >= img && s.min <= img)
           case _ => true
         }
         inRange && bloomFor.get((d, c)).forall(b => bloomMightContain(root, b, value))
@@ -581,11 +590,12 @@ class VersionedTableOps(val store: CommitStore) {
         .withColumn("__dir", lit(d))
     }.reduce(_ unionByName _)
     val statAggs = statsCols.flatMap { c =>
-      val numeric = tagged.schema(c).dataType match {
+      val probe = tagged.schema(c).dataType match {
         case TimestampType => unix_micros(col(c))
+        case StringType    => col(c) // min/max string; image computed driver-side
         case _             => col(c).cast("double")
       }
-      Seq(min(numeric).as(s"__mn_$c"), max(numeric).as(s"__mx_$c"))
+      Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
     }
     val grouped = tagged.groupBy(col("__dir"))
       .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
@@ -699,11 +709,12 @@ class VersionedTableOps(val store: CommitStore) {
       // (2) stats: ONE grouped agg over the laid frame (same rows the dirs
       // hold) yields every dir's row count and min/max images.
       val statAggs = statsCols.flatMap { c =>
-        val numeric = current.schema(c).dataType match {
+        val probe = current.schema(c).dataType match {
           case TimestampType => unix_micros(col(c))
+          case StringType    => col(c) // min/max string; image computed driver-side
           case _             => col(c).cast("double")
         }
-        Seq(min(numeric).as(s"__mn_$c"), max(numeric).as(s"__mx_$c"))
+        Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
       }
       val grouped = laid.groupBy(col("__zdir"))
         .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
@@ -762,11 +773,12 @@ class VersionedTableOps(val store: CommitStore) {
     df.write.parquet(new File(root, dirRel).getPath)
     val committed = df.sparkSession.read.parquet(new File(root, dirRel).getPath)
     val statAggs = statsCols.flatMap { c =>
-      val numeric = committed.schema(c).dataType match {
+      val probe = committed.schema(c).dataType match {
         case TimestampType => unix_micros(col(c))
+        case StringType    => col(c) // min/max string; image computed driver-side
         case _             => col(c).cast("double")
       }
-      Seq(min(numeric).as(s"__mn_$c"), max(numeric).as(s"__mx_$c"))
+      Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
     }
     val aggRow = committed.agg(count(lit(1)).as("__n"), statAggs: _*).head()
     val rows = aggRow.getLong(0)
@@ -1234,6 +1246,26 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
     * holding none of the keys.
     */
   final case class AnyOf(branches: Seq[Seq[DirFilter]]) extends DirFilter
+
+  /** Order-preserving numeric image of a string: its first 6 UTF-8 bytes
+    * big-endian, zero-padded — an integer < 2^48, exact in a Double. This
+    * is how STRING `statsCols` ride the numeric min/max stats tier (the
+    * Delta string-stats analogue, truncated like Delta's 32-char prefix):
+    * byte-wise UTF-8 order is exactly Spark's binary string collation
+    * (`UTF8String.compareTo`), and prefix truncation is monotone
+    * NON-STRICT — `x <= y  ⇒  image(x) <= image(y)` — so every range or
+    * point dismissal against image stats is conservative: a dismissed dir
+    * provably holds no matching row; dirs sharing a 6-byte prefix with the
+    * probe merely survive. Ties beyond 6 bytes are the bloom sidecars' and
+    * the row-level predicate's job.
+    */
+  def strImage(s: String): Double = {
+    val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var v = 0L
+    var i = 0
+    while (i < 6) { v = (v << 8) | (if (i < b.length) b(i) & 0xffL else 0L); i += 1 }
+    v.toDouble
+  }
 
   final class CommitConflictException(version: Int)
     extends RuntimeException(

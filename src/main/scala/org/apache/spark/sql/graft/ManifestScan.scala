@@ -148,10 +148,18 @@ object ManifestScan {
       case d: Double      => Some(Double.box(d))
       case _              => None
     }
+    // Comparison bound: numeric literals directly; string literals via the
+    // order-preserving prefix image (strict bounds already widen to
+    // inclusive for numerics, and prefix truncation widens the same
+    // conservative way for strings — see VersionedTable.strImage).
+    def boundOf(l: Literal): Option[Double] = numOf(l).orElse(l.value match {
+      case u: UTF8String => Some(graft.sources.VersionedTable.strImage(u.toString))
+      case _             => None
+    })
     def ge(name: String, l: Literal): Seq[DirFilter] =
-      numOf(l).map(v => RangeFilter(name, v, Double.PositiveInfinity)).toSeq
+      boundOf(l).map(v => RangeFilter(name, v, Double.PositiveInfinity)).toSeq
     def le(name: String, l: Literal): Seq[DirFilter] =
-      numOf(l).map(v => RangeFilter(name, Double.NegativeInfinity, v)).toSeq
+      boundOf(l).map(v => RangeFilter(name, Double.NegativeInfinity, v)).toSeq
     exprs.flatMap(conjuncts).flatMap {
       case EqualTo(a: AttributeReference, l: Literal) =>
         pointOf(l).map(PointFilter(a.name, _)).toSeq

@@ -188,6 +188,51 @@ class ManifestIndexSpec extends SparkTestBase {
     assert(got === Seq(RangeFilter("n", 5.0, Double.PositiveInfinity)))
   }
 
+  test("dirFiltersFrom: string comparisons ride the prefix-image stats tier") {
+    val img = VersionedTable.strImage _
+    assert(ManifestScan.dirFiltersFrom(Seq(
+      GreaterThanOrEqual(symAttr, strLit("M")))) ===
+      Seq(RangeFilter("sym", img("M"), Double.PositiveInfinity)))
+    assert(ManifestScan.dirFiltersFrom(Seq(LessThan(symAttr, strLit("M")))) ===
+      Seq(RangeFilter("sym", Double.NegativeInfinity, img("M"))))
+    // the image is order-preserving on byte-wise UTF-8 order
+    val ss = Seq("", "A", "AAPL", "AAPLX", "AAPLXYZQ", "MSFT", "Z", "ZZZZZZZZ")
+    assert(ss.map(img) === ss.map(img).sorted)
+    assert(img("AAPLXYZQ") === img("AAPLXY"), "ties beyond 6 bytes collapse")
+  }
+
+  test("string range and equality prune from stats alone (no blooms)") {
+    val root = freshRoot()
+    Seq("AAA", "MMM", "ZZZ").foreach { sym =>
+      VersionedTable.commit(
+        spark.range(0, 50).toDF("id").withColumn("sym", lit(sym)).repartition(2),
+        root, "append", statsCols = Seq("sym")) // stats only — no sidecars
+    }
+    val range = VersionedTable.scan(spark, root)
+      .filter(col("sym") >= "B" && col("sym") <= "N")
+    val (rRows, rFiles) = runAndCount(range)
+    assert(rFiles === 2, s"only the MMM dir may be scanned, got $rFiles")
+    assert(rRows.size === 50 && rRows.forall(_.getString(1) == "MMM"))
+    val point = VersionedTable.scan(spark, root).filter(col("sym") === "ZZZ")
+    val (pRows, pFiles) = runAndCount(point)
+    assert(pFiles === 2, s"image stats must dismiss AAA and MMM, got $pFiles")
+    assert(pRows.size === 50 && pRows.forall(_.getString(1) == "ZZZ"))
+  }
+
+  test("shared 6-byte prefixes are conservative: survive stats, exact on top") {
+    val root = freshRoot()
+    // same 6-byte prefix, different tails: the image cannot separate them
+    Seq("PREFIX_A", "PREFIX_B").foreach { sym =>
+      VersionedTable.commit(
+        spark.range(0, 20).toDF("id").withColumn("sym", lit(sym)).repartition(1),
+        root, "append", statsCols = Seq("sym"))
+    }
+    val probe = VersionedTable.scan(spark, root).filter(col("sym") === "PREFIX_B")
+    val (rows, files) = runAndCount(probe)
+    assert(files === 2, "tied prefixes must both survive (conservative)")
+    assert(rows.size === 20 && rows.forall(_.getString(1) == "PREFIX_B"))
+  }
+
   test("format(\"graft\"): write commits, read prunes, versionAsOf time-travels") {
     val root = freshRoot()
     // born-indexed through the generic writer: stats thread into the commit
