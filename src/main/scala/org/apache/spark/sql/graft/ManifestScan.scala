@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession, classic}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{Decimal, StructType}
@@ -191,6 +191,15 @@ object ManifestScan {
               pts.flatten.map(v => Seq[DirFilter](PointFilter(a.name, v)))))
           else Seq.empty
         }
+      case StartsWith(a: AttributeReference, l: Literal) if l.value != null =>
+        // LIKE 'p%': every match shares p's bytes, so its image lies in
+        // [image(p), image(p) + 256^(6-len) - 1] (len < 6 pads with zeros,
+        // the band covers every continuation); prefixes of 6+ bytes pin
+        // the image exactly and ties survive as always
+        val p = l.value.asInstanceOf[UTF8String].toString
+        val lo = graft.sources.VersionedTable.strImage(p)
+        val pad = 6 - math.min(p.getBytes(java.nio.charset.StandardCharsets.UTF_8).length, 6)
+        Seq(RangeFilter(a.name, lo, lo + math.pow(256.0, pad.toDouble) - 1.0))
       case Or(l, r) =>
         // OR translates iff BOTH sides do (a side with no translation
         // admits everything, making the disjunction vacuous)

@@ -219,6 +219,27 @@ class ManifestIndexSpec extends SparkTestBase {
     assert(pRows.size === 50 && pRows.forall(_.getString(1) == "ZZZ"))
   }
 
+  test("LIKE 'p%' prunes via the prefix-image band") {
+    import org.apache.spark.sql.catalyst.expressions.StartsWith
+    val img = VersionedTable.strImage _
+    // unit: the band covers every continuation of the prefix
+    val got = ManifestScan.dirFiltersFrom(Seq(StartsWith(symAttr, strLit("MM"))))
+    assert(got === Seq(RangeFilter("sym", img("MM"),
+      img("MM") + math.pow(256.0, 4.0) - 1.0)))
+    assert(img("MMZZZZZZ") <= img("MM") + math.pow(256.0, 4.0) - 1.0)
+    // end-to-end: stats-only dirs, ordinary .startsWith filter
+    val root = freshRoot()
+    Seq("AAA", "MMM", "ZZZ").foreach { sym =>
+      VersionedTable.commit(
+        spark.range(0, 30).toDF("id").withColumn("sym", lit(sym)).repartition(2),
+        root, "append", statsCols = Seq("sym"))
+    }
+    val probe = VersionedTable.scan(spark, root).filter(col("sym").startsWith("MM"))
+    val (rows, files) = runAndCount(probe)
+    assert(files === 2, s"only the MMM dir may be scanned, got $files")
+    assert(rows.size === 30 && rows.forall(_.getString(1) == "MMM"))
+  }
+
   test("shared 6-byte prefixes are conservative: survive stats, exact on top") {
     val root = freshRoot()
     // same 6-byte prefix, different tails: the image cannot separate them
