@@ -4,7 +4,7 @@ import org.apache.hadoop.fs.{FileStatus, Path}
 
 import org.apache.spark.sql.{DataFrame, SparkSession, classic}
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
+import org.apache.spark.sql.catalyst.expressions.{And, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or, StartsWith}
 import org.apache.spark.sql.execution.datasources.{FileIndex, HadoopFsRelation, LogicalRelation, PartitionDirectory}
 import org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
 import org.apache.spark.sql.types.{Decimal, StructType}
@@ -164,6 +164,13 @@ object ManifestScan {
       case EqualTo(a: AttributeReference, l: Literal) =>
         pointOf(l).map(PointFilter(a.name, _)).toSeq
       case EqualTo(l: Literal, a: AttributeReference) =>
+        pointOf(l).map(PointFilter(a.name, _)).toSeq
+      // null-safe equality against a non-null literal is plain equality
+      // (pointOf already refuses null literals; `a <=> NULL` is IsNull,
+      // which stats cannot answer — conservative)
+      case EqualNullSafe(a: AttributeReference, l: Literal) =>
+        pointOf(l).map(PointFilter(a.name, _)).toSeq
+      case EqualNullSafe(l: Literal, a: AttributeReference) =>
         pointOf(l).map(PointFilter(a.name, _)).toSeq
       case GreaterThanOrEqual(a: AttributeReference, l: Literal) => ge(a.name, l)
       case GreaterThan(a: AttributeReference, l: Literal)        => ge(a.name, l)

@@ -219,6 +219,14 @@ class ManifestIndexSpec extends SparkTestBase {
     assert(pRows.size === 50 && pRows.forall(_.getString(1) == "ZZZ"))
   }
 
+  test("dirFiltersFrom: null-safe equality translates like plain equality") {
+    import org.apache.spark.sql.catalyst.expressions.EqualNullSafe
+    assert(ManifestScan.dirFiltersFrom(Seq(
+      EqualNullSafe(idAttr, Literal(7L)))) === Seq(PointFilter("id", 7L)))
+    assert(ManifestScan.dirFiltersFrom(Seq(
+      EqualNullSafe(Literal.create(null, LongType), idAttr))) === Seq.empty)
+  }
+
   test("LIKE 'p%' prunes via the prefix-image band") {
     import org.apache.spark.sql.catalyst.expressions.StartsWith
     val img = VersionedTable.strImage _
