@@ -48,7 +48,17 @@ final class GraftTableProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val root = rootOf(parameters)
+    require(!(parameters.contains("versionAsOf") &&
+      parameters.contains("timestampAsOf")),
+      "versionAsOf and timestampAsOf are mutually exclusive")
+    // timestampAsOf: epoch millis — wall-clock time travel to the latest
+    // version committed at or before the instant (Delta's TIMESTAMP AS OF)
     val asOf = parameters.get("versionAsOf").map(_.toInt)
+      .orElse(parameters.get("timestampAsOf").map { ts =>
+        VersionedTable.versionAsOf(root, ts.toLong).getOrElse(
+          throw new IllegalArgumentException(
+            s"no version committed at or before $ts at $root"))
+      })
     val (index, schema) =
       VersionedTable.scanIndex(sqlContext.sparkSession, root, asOf)
     org.apache.spark.sql.graft.ManifestScan.relation(

@@ -281,6 +281,27 @@ class ManifestIndexSpec extends SparkTestBase {
     assert(v1.collect().map(_.getLong(0)).sorted === (0L until 100L))
   }
 
+  test("format(\"graft\"): timestampAsOf resolves wall-clock time travel") {
+    val root = freshRoot()
+    spark.range(0, 10).toDF("id").write.format("graft").save(root)
+    val afterV1 = System.currentTimeMillis()
+    Thread.sleep(5) // ensure v2's committed_ms lands strictly after the mark
+    spark.range(10, 30).toDF("id")
+      .write.format("graft").mode("append").save(root)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", afterV1.toString).load(root).count() === 10)
+    assert(spark.read.format("graft")
+      .option("timestampAsOf", System.currentTimeMillis().toString)
+      .load(root).count() === 30)
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("timestampAsOf", "0").load(root)
+    }
+    intercept[IllegalArgumentException] {
+      spark.read.format("graft").option("versionAsOf", "1")
+        .option("timestampAsOf", afterV1.toString).load(root)
+    }
+  }
+
   test("format(\"graft\"): save modes map to commit-log semantics") {
     val root = freshRoot()
     val df = spark.range(0, 10).toDF("id")
