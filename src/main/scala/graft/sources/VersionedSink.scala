@@ -57,6 +57,13 @@ final class VersionedSink(
     // The engine hands a streaming (incremental-execution) frame that
     // refuses batch writes; re-plan its rows as a batch frame first.
     val batch = org.apache.spark.sql.graft.StreamingBridge.asBatch(data)
+    // An EMPTY micro-batch (watermark-only / state-flush triggers emit
+    // them) is skipped outright: committing it would burn a version per
+    // idle trigger and give changefeed subscribers empty deltas to drain.
+    // Exactly-once is unaffected — a redelivery of the empty batch is
+    // empty again (deterministic replay), and the txn high-water mark
+    // advances with the next non-empty batch.
+    if (batch.isEmpty) return
     VersionedTable.transactionalCommit(batch, root, appId, batchId,
       mode = mode, statsCols = statsCols, bloomCols = bloomCols,
       bloomFpp = bloomFpp)

@@ -66,6 +66,7 @@ class VersionedTableOps(val store: CommitStore) {
     val body = store.get(root, version)
       .getOrElse(throw new IllegalArgumentException(s"no such version $version at $root"))
     var parent = -1; var op = ""; var rows = 0L; var ms = 0L
+    var schemaJson: Option[String] = None
     var cols = Seq.empty[String]; val dirs = Seq.newBuilder[String]
     val stats = Seq.newBuilder[DirStat]
     val blooms = Seq.newBuilder[DirBloom]
@@ -77,6 +78,7 @@ class VersionedTableOps(val store: CommitStore) {
         case Array("rows", v)         => rows = v.toLong
         case Array("committed_ms", v) => ms = v.toLong
         case Array("schema", v)       => cols = v.split(",").toSeq.filter(_.nonEmpty)
+        case Array("schema_json", v)  => schemaJson = Some(v)
         case Array("dir", v)          => dirs += v
         case Array("txn", v)          =>
           // appId|batchId, split at the LAST '|' (appIds are caller-chosen);
@@ -95,13 +97,39 @@ class VersionedTableOps(val store: CommitStore) {
       }
     }
     Snapshot(version, parent, op, rows, cols, dirs.result(), ms, stats.result(),
-      blooms.result(), txns.result())
+      blooms.result(), txns.result(), schemaJson)
   }
 
   /** All snapshots, oldest first. */
   def history(root: String): Seq[Snapshot] = {
     val vs = store.versions(root).toSet
     vs.toSeq.sorted.map(snapshot(root, _))
+  }
+
+  /** A snapshot's UNION schema — the anchor every read path conforms to.
+    * The manifest's `schema_json` answers exactly and with zero data I/O;
+    * legacy manifests without it fall back to ONE footer read of the
+    * newest dir (for append-only histories the latest commit's footer IS
+    * the union; for a legacy table whose newest dir was dropped by DML
+    * this fallback can narrow — which is precisely why the manifest now
+    * persists the schema).
+    */
+  def snapshotSchema(spark: SparkSession, root: String,
+      snap: Snapshot): org.apache.spark.sql.types.StructType =
+    snap.schemaJson
+      .map(j => org.apache.spark.sql.types.DataType.fromJson(j)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(spark.read
+        .parquet(new File(root, snap.dataDirs.last).getPath).schema)
+
+  /** [[snapshotSchema]] for a version (default: latest). The lightweight
+    * schema probe of the SQL catalog — one manifest read, no file listing.
+    */
+  def tableSchema(spark: SparkSession, root: String,
+      asOf: Option[Int] = None): org.apache.spark.sql.types.StructType = {
+    val v = asOf.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    snapshotSchema(spark, root, snapshot(root, v))
   }
 
   /** Commit `df` as the next version. `mode` is "append" (snapshot = parent
@@ -144,8 +172,12 @@ class VersionedTableOps(val store: CommitStore) {
     val newDir = f"data/v$version%05d-${UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(root, newDir).getPath)
     // One agg over the freshly-written dir yields the row count AND every
-    // requested column's min/max (stats ride the same scan).
-    val committed = df.sparkSession.read.parquet(new File(root, newDir).getPath)
+    // requested column's min/max (stats ride the same scan). The read-back
+    // pins the writer's schema: no footer inference (one listing saved),
+    // and a zero-partition batch — which writes no part files at all —
+    // still reads as a schema-correct empty frame instead of throwing.
+    val committed = df.sparkSession.read.schema(df.schema)
+      .parquet(new File(root, newDir).getPath)
     val statAggs = statsCols.flatMap { c =>
       val probe = committed.schema(c).dataType match {
         case TimestampType => unix_micros(col(c)) // micros < 2^53: double-exact
@@ -191,10 +223,19 @@ class VersionedTableOps(val store: CommitStore) {
     // can never destroy a mark by dropping old manifests. Carried through
     // overwrites too: replacing the data does not forget who wrote it.
     val allTxns = parentSnapAll.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
+    // The snapshot's UNION schema (additive discipline): an append merges
+    // the parent's anchor with the batch's schema — new columns append,
+    // existing ones keep the parent's field; an overwrite starts fresh.
+    val snapSchema = VersionedTable.asNullable(parentSnap
+      .map(ps => VersionedTable.mergeSchemas(
+        snapshotSchema(df.sparkSession, root, ps), df.schema))
+      .getOrElse(df.schema))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
     // (2) log: the conditional put is the commit point.
-    try publish(root, version, parent.getOrElse(0), mode, rows, df.columns.toSeq,
-      dirs, allStats, allBlooms, allTxns)
+    try publish(root, version, parent.getOrElse(0), mode, rows,
+      snapSchema.fieldNames.toSeq,
+      dirs, allStats, allBlooms, allTxns, Some(snapSchema.json))
     catch { case e: CommitConflictException =>
       // Lost the race: our dir and sidecars are unreferenced and can't hurt
       // anyone. Remove them now; if we crash before this line, vacuum reaps.
@@ -213,7 +254,8 @@ class VersionedTableOps(val store: CommitStore) {
   private def publish(root: String, version: Int, parent: Int, mode: String,
       rows: Long, schemaCols: Seq[String], dirs: Seq[String],
       stats: Seq[DirStat], blooms: Seq[DirBloom],
-      txns: Map[String, Long]): Unit = {
+      txns: Map[String, Long],
+      schemaJson: Option[String] = None): Unit = {
     val body = new StringBuilder()
       .append(s"version=$version\n")
       .append(s"parent=$parent\n")
@@ -221,6 +263,15 @@ class VersionedTableOps(val store: CommitStore) {
       .append(s"rows=$rows\n")
       .append(s"committed_ms=${System.currentTimeMillis()}\n")
       .append(s"schema=${schemaCols.mkString(",")}\n")
+    // The snapshot's full UNION schema (StructType json, one line): the
+    // schema anchor for readers. Without it the anchor falls back to the
+    // NEWEST dir's footer — wrong after a delete/merge drops the newest
+    // dir on an additively-evolved table (the last remaining dir can
+    // predate the widest schema).
+    schemaJson.foreach { j =>
+      require(!j.contains("\n"), "schema json must be single-line")
+      body.append(s"schema_json=$j\n")
+    }
     txns.toSeq.sortBy(_._1).foreach { case (appId, batchId) =>
       require(!appId.contains("\n"), "txn appId must be single-line")
       body.append(s"txn=$appId|$batchId\n")
@@ -313,11 +364,10 @@ class VersionedTableOps(val store: CommitStore) {
     val snap = snapshot(root, v)
     require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
     val keep = admittedDirs(root, snap, filters)
-    // Schema anchor: ONE footer read of the newest dir — never a footer per
-    // skipped dir (the old empty-keep path scanned EVERY dir the pruning
-    // had just proved skippable).
-    val anchor = spark.read
-      .parquet(new File(root, snap.dataDirs.last).getPath).schema
+    // Schema anchor: the manifest's persisted union schema (exact even
+    // after DML dropped the newest dir); legacy fallback = ONE footer read
+    // of the newest dir — never a footer per skipped dir.
+    val anchor = snapshotSchema(spark, root, snap)
     if (keep.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), anchor)
@@ -363,8 +413,7 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
     require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
-    val anchor = spark.read
-      .parquet(new File(root, snap.dataDirs.last).getPath).schema
+    val anchor = snapshotSchema(spark, root, snap)
     val rootPath = new org.apache.hadoop.fs.Path(new File(root).toURI)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val dirFiles = snap.dataDirs.map { d =>
@@ -626,8 +675,15 @@ class VersionedTableOps(val store: CommitStore) {
       }
     }
     try {
+      // ADDITIVE backfill: the parent's skipping metadata for columns NOT
+      // named in this call is carried forward — an analyze("b") on a table
+      // already indexed on "a" must never degrade a's pruning. Re-analyzed
+      // columns take the fresh measurements wholesale.
+      val keptStats = snap.dirStats.filterNot(s => statsCols.contains(s.col))
+      val keptBlooms = snap.dirBlooms.filterNot(b => bloomCols.contains(b.col))
       publish(root, version, parent, "analyze", snap.rows, snap.schemaCols,
-        snap.dataDirs, stats, blooms, snap.txns)
+        snap.dataDirs, keptStats ++ stats, keptBlooms ++ blooms, snap.txns,
+        snap.schemaJson)
       version
     } catch { case e: CommitConflictException =>
       blooms.foreach(b => new File(root, b.path).delete())
@@ -745,7 +801,8 @@ class VersionedTableOps(val store: CommitStore) {
       // (4) the commit point.
       publish(root, version, parent, "overwrite", rows, current.columns.toSeq,
         dirOf.toSeq.sortBy(_._1).map(_._2), stats, blooms,
-        snapshot(root, parent).txns) // layout ops never forget writer marks
+        snapshot(root, parent).txns, // layout ops never forget writer marks
+        Some(VersionedTable.asNullable(current.schema).json))
       version
     } catch {
       case e: Throwable =>
@@ -771,7 +828,10 @@ class VersionedTableOps(val store: CommitStore) {
     dataDir(root).mkdirs()
     val dirRel = f"data/v$version%05d-${UUID.randomUUID().toString.take(8)}"
     df.write.parquet(new File(root, dirRel).getPath)
-    val committed = df.sparkSession.read.parquet(new File(root, dirRel).getPath)
+    // schema-pinned read-back, like commit's: no footer inference, and a
+    // zero-partition write (no part files) reads as schema-correct empty
+    val committed = df.sparkSession.read.schema(df.schema)
+      .parquet(new File(root, dirRel).getPath)
     val statAggs = statsCols.flatMap { c =>
       val probe = committed.schema(c).dataType match {
         case TimestampType => unix_micros(col(c))
@@ -807,6 +867,137 @@ class VersionedTableOps(val store: CommitStore) {
     (snap.dirStats.filter(_.dir == d).map(_.col).distinct,
       snap.dirBlooms.filter(_.dir == d).map(_.col).distinct)
 
+  /** Conform `df` to the snapshot's union schema `anchor`: every anchor
+    * column present, anchor order, null-filled where the frame predates
+    * the column. DML paths conform BEFORE classifying/rewriting, so
+    * predicates and assignments over additively-evolved columns see every
+    * dir (a dir older than an assigned column gets the assignment applied
+    * on its null-filled image, not silently dropped).
+    */
+  private def conformTo(df: DataFrame,
+      anchor: org.apache.spark.sql.types.StructType): DataFrame =
+    df.select(anchor.map(f =>
+      if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
+      else lit(null).cast(f.dataType).as(f.name)): _*)
+
+  /** The min/max probe matching the manifest stats grammar: micros for
+    * timestamps, raw strings (image computed driver-side via
+    * [[VersionedTable.strImage]]), double otherwise.
+    */
+  private def statProbe(dt: org.apache.spark.sql.types.DataType,
+      c: String): org.apache.spark.sql.Column = dt match {
+    case TimestampType => unix_micros(col(c))
+    case StringType    => col(c)
+    case _             => col(c).cast("double")
+  }
+
+  /** ONE frame over `dirs`, each row conformed to `anchor` and tagged with
+    * its dir's BASENAME (`__dir`) — the input the DML paths classify and
+    * rewrite with O(1) Spark jobs instead of a serial per-dir loop. A
+    * filter on `__dir` constant-folds per union branch, so a downstream
+    * rewrite restricted to the partially-matched dirs reads only them.
+    * Every read is schema-PINNED on the anchor: no footer-inference job
+    * per dir, and a dir predating an anchor column serves it null-filled
+    * (parquet's missing-column contract) — the union schema for free.
+    */
+  private def taggedUnion(spark: SparkSession, root: String, dirs: Seq[String],
+      anchor: org.apache.spark.sql.types.StructType): DataFrame =
+    dirs.map { d =>
+      spark.read.schema(anchor).parquet(new File(root, d).getPath)
+        .withColumn("__dir", lit(new File(d).getName))
+    }.reduce(_ union _)
+
+  /** Stage every partially-matched dir's replacement in ONE Spark write
+    * job: `rewrite` (rows conformed to `anchor`, tagged with `__dir`
+    * basenames) lands as a single `partitionBy("__dir")` write into an
+    * attempt-unique staging tree, and each partition dir is promoted —
+    * same-filesystem rename — to a first-class data dir. Every rewritten
+    * dir inherits its predecessor's stats/bloom discipline: min/max come
+    * from ONE grouped agg over the promoted files, bloom sidecars are
+    * re-derived per inherited (dir, column). Nothing references the new
+    * dirs until the caller's manifest publishes; on ANY failure in here
+    * the promotions are rolled back before rethrowing, and the caller
+    * deletes them (plus sidecars) if its publish loses the race.
+    *
+    * Returns (oldDirRel -> newDirRel, stats, blooms). Cost for K touched
+    * dirs: 1 write job + 1 stats agg job + one bloom agg per inherited
+    * (dir, bloomCol) — never O(K) count/rewrite jobs.
+    */
+  private def stageRewrites(spark: SparkSession, rewrite: DataFrame,
+      root: String, version: Int, snap: Snapshot,
+      oldByBase: Map[String, String],
+      anchor: org.apache.spark.sql.types.StructType, bloomFpp: Double):
+      (Map[String, String], Seq[DirStat], Seq[DirBloom]) = {
+    val token = UUID.randomUUID().toString.take(8)
+    val staging = new File(root, s"data/.rewrite-$token")
+    val promoted = Seq.newBuilder[String]
+    val sidecars = Seq.newBuilder[String]
+    try {
+      // (1) ONE job writes every replacement dir (dir-per-partition).
+      rewrite.write.partitionBy("__dir").parquet(staging.getPath)
+      val parts = Option(staging.listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("__dir="))
+        .map(f => f.getName.stripPrefix("__dir=") -> f)
+        .sortBy(_._1)
+      val newByOld = parts.zipWithIndex.map { case ((base, src), i) =>
+        val rel = f"data/v$version%05d-$token-rw$i%03d"
+        require(src.renameTo(new File(root, rel)), s"rename failed for $src")
+        promoted += rel
+        oldByBase.getOrElse(base,
+          throw new IllegalStateException(s"unexpected partition $base")) -> rel
+      }.toMap
+      if (newByOld.isEmpty) return (Map.empty, Seq.empty, Seq.empty)
+
+      // (2) inherited disciplines, and ONE grouped agg for all dirs' stats.
+      val metaOf = newByOld.map { case (old, rel) => rel -> dirMetaCols(snap, old) }
+      val statsColsAll = metaOf.values.flatMap(_._1).toSeq.distinct
+      val bloomColsAll = metaOf.values.flatMap(_._2).toSeq.distinct
+      val needAgg = statsColsAll.nonEmpty || bloomColsAll.nonEmpty
+      val taggedNew =
+        if (!needAgg) null
+        else newByOld.values.toSeq.sorted.map { rel =>
+          spark.read.schema(anchor).parquet(new File(root, rel).getPath)
+            .withColumn("__dir", lit(rel))
+        }.reduce(_ union _)
+      val statAggs = statsColsAll.flatMap(c => Seq(
+        min(statProbe(anchor(c).dataType, c)).as(s"__mn_$c"),
+        max(statProbe(anchor(c).dataType, c)).as(s"__mx_$c")))
+      val grouped =
+        if (!needAgg) Array.empty[org.apache.spark.sql.Row]
+        else taggedNew.groupBy(col("__dir"))
+          .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
+      val stats = grouped.toSeq.flatMap { r =>
+        val rel = r.getAs[String]("__dir")
+        metaOf(rel)._1.flatMap { c =>
+          if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+          else Some(DirStat(rel, c, toDouble(r.getAs[Any](s"__mn_$c")),
+            toDouble(r.getAs[Any](s"__mx_$c"))))
+        }
+      }
+      // (3) sidecars per inherited (dir, bloomCol).
+      val blooms = metaOf.toSeq.sortBy(_._1).flatMap { case (rel, (_, bcols)) =>
+        val n = grouped.find(_.getAs[String]("__dir") == rel)
+          .map(_.getAs[Long]("__n")).getOrElse(1L)
+        val dirDf = spark.read.schema(anchor).parquet(new File(root, rel).getPath)
+        bcols.map { c =>
+          val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)
+          val path = s"_blooms/${new File(rel).getName}_$c.bloom"
+          val f = new File(root, path)
+          f.getParentFile.mkdirs()
+          val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+          try bf.writeTo(os) finally os.close()
+          sidecars += path
+          DirBloom(rel, c, path)
+        }
+      }
+      (newByOld, stats, blooms)
+    } catch { case e: Throwable =>
+      promoted.result().foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
+      sidecars.result().foreach(p => new File(root, p).delete())
+      throw e
+    } finally VersionedTable.deleteRecursively(staging)
+  }
+
   /** Copy-on-write row-level DELETE — `DELETE FROM t WHERE p`, the Delta
     * shape re-expressed over the commit log. The predicate is translated
     * into [[VersionedTable.DirFilter]]s by the SAME machinery the
@@ -838,55 +1029,55 @@ class VersionedTableOps(val store: CommitStore) {
     val snap = snapshot(root, parent)
     val dirFilters = org.apache.spark.sql.graft.ManifestScan
       .translatedFilters(scan(spark, root, Some(parent)).filter(predicate))
-    val candidates = admittedDirs(root, snap, dirFilters).toSet
+    val candidates = admittedDirs(root, snap, dirFilters)
+    if (candidates.isEmpty) return 0L // skipping tiers proved a no-op
+    val anchor = snapshotSchema(spark, root, snap)
     val hit = coalesce(predicate, lit(false))
+    val oldByBase = candidates.map(d => new File(d).getName -> d).toMap
+    val tagged = taggedUnion(spark, root, candidates, anchor)
 
-    val staged = Seq.newBuilder[(String, Long, Seq[DirStat], Seq[DirBloom])]
-    var deleted = 0L
-    // dir -> None (drop) | Some(replacement dirRel); absent = carried
-    val replacement = scala.collection.mutable.Map.empty[String, Option[String]]
+    // ONE classify job over every candidate dir: per-dir total + matches.
+    val classified = tagged.groupBy(col("__dir"))
+      .agg(count(lit(1)).as("__n"),
+        sum(when(hit, 1L).otherwise(0L)).as("__m")).collect()
+    def counts(r: org.apache.spark.sql.Row) =
+      (r.getAs[String]("__dir"), r.getAs[Long]("__n"), r.getAs[Long]("__m"))
+    val deleted = classified.map(counts(_)._3).sum
+    if (deleted == 0L) return 0L // pure no-op: no version burned
+    val fullBases = classified.map(counts).collect {
+      case (b, n, m) if m == n => b
+    }.toSet
+    val partialBases = classified.map(counts).collect {
+      case (b, n, m) if m > 0 && m < n => b
+    }.toSeq.sorted
+
+    // ONE rewrite job for ALL partially-matched dirs (the __dir filter
+    // constant-folds per union branch — fully/un-matched dirs never read).
+    val (newByOld, newStats, newBlooms) =
+      if (partialBases.isEmpty)
+        (Map.empty[String, String], Seq.empty[DirStat], Seq.empty[DirBloom])
+      else stageRewrites(spark,
+        tagged.filter(col("__dir").isin(partialBases: _*)).filter(!hit),
+        root, version, snap,
+        oldByBase.filter { case (b, _) => partialBases.contains(b) },
+        anchor, bloomFpp = 0.01)
     try {
-      snap.dataDirs.filter(candidates).foreach { d =>
-        val dirDf = spark.read.parquet(new File(root, d).getPath)
-        val counts = dirDf.agg(count(lit(1)),
-          sum(when(hit, 1L).otherwise(0L))).head()
-        val total = counts.getLong(0)
-        val matches = if (counts.isNullAt(1)) 0L else counts.getLong(1)
-        if (matches > 0L) {
-          deleted += matches
-          if (matches == total) replacement(d) = None // whole dir gone
-          else {
-            val (statsCols, bloomCols) = dirMetaCols(snap, d)
-            val s = stageDir(dirDf.filter(!hit), root, version,
-              statsCols, bloomCols, bloomFpp = 0.01)
-            staged += s
-            replacement(d) = Some(s._1)
-          }
-        }
-      }
-      if (deleted == 0L) return 0L // pure no-op: no version burned
+      val dropped = fullBases.map(oldByBase)
       val newDirs = snap.dataDirs.flatMap { d =>
-        replacement.get(d) match {
-          case None            => Some(d)      // untouched or no-match: carried
-          case Some(Some(rep)) => Some(rep)    // rewritten in place
-          case Some(None)      => None         // fully deleted
-        }
+        if (dropped(d)) None else Some(newByOld.getOrElse(d, d))
       }
-      val carriedSet = newDirs.toSet
-      val stagedAll = staged.result()
+      val keepSet = newDirs.toSet
       // manifest rows= records the commit's DELTA, like append's batch size:
       // for a delete, the rows removed
       publish(root, version, parent, "delete", deleted,
-        snap.schemaCols, newDirs,
-        snap.dirStats.filter(s => carriedSet(s.dir)) ++ stagedAll.flatMap(_._3),
-        snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ stagedAll.flatMap(_._4),
-        snap.txns)
+        anchor.fieldNames.toSeq, newDirs,
+        snap.dirStats.filter(s => keepSet(s.dir)) ++ newStats,
+        snap.dirBlooms.filter(b => keepSet(b.dir)) ++ newBlooms,
+        snap.txns, Some(anchor.json))
       deleted
     } catch { case e: Throwable =>
-      staged.result().foreach { case (d, _, _, blooms) =>
-        VersionedTable.deleteRecursively(new File(root, d))
-        blooms.foreach(b => new File(root, b.path).delete())
-      }
+      newByOld.values.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
+      newBlooms.foreach(b => new File(root, b.path).delete())
       throw e
     }
   }
@@ -918,54 +1109,58 @@ class VersionedTableOps(val store: CommitStore) {
     val version = parent + 1
     val snap = snapshot(root, parent)
     require(assignments.nonEmpty, "no assignments")
-    val unknown = assignments.keySet.diff(snap.schemaCols.toSet)
+    val anchor = snapshotSchema(spark, root, snap)
+    val unknown = assignments.keySet.diff(anchor.fieldNames.toSet)
     require(unknown.isEmpty,
       s"assignments target unknown columns: ${unknown.mkString(",")}")
     val dirFilters = org.apache.spark.sql.graft.ManifestScan
       .translatedFilters(scan(spark, root, Some(parent)).filter(predicate))
-    val candidates = admittedDirs(root, snap, dirFilters).toSet
+    val candidates = admittedDirs(root, snap, dirFilters)
+    if (candidates.isEmpty) return 0L
     val hit = coalesce(predicate, lit(false))
+    val oldByBase = candidates.map(d => new File(d).getName -> d).toMap
+    // Rows conform to the snapshot's UNION schema before anything else, so
+    // an assignment to an additively-added column lands in EVERY matched
+    // dir — a dir predating the column is rewritten with it null-filled
+    // then assigned, never silently without it.
+    val tagged = taggedUnion(spark, root, candidates, anchor)
 
-    val staged = Seq.newBuilder[(String, Long, Seq[DirStat], Seq[DirBloom])]
-    var updated = 0L
-    val replacement = scala.collection.mutable.Map.empty[String, String]
-    try {
-      snap.dataDirs.filter(candidates).foreach { d =>
-        val dirDf = spark.read.parquet(new File(root, d).getPath)
-        val counts = dirDf.agg(sum(when(hit, 1L).otherwise(0L))).head()
-        val matches = if (counts.isNullAt(0)) 0L else counts.getLong(0)
-        if (matches > 0L) {
-          updated += matches
-          val cols = dirDf.columns.map { c =>
-            assignments.get(c) match {
-              case Some(a) =>
-                when(hit, a.cast(dirDf.schema(c).dataType)).otherwise(col(c)).as(c)
-              case None => col(c)
-            }
-          }
-          val (statsCols, bloomCols) = dirMetaCols(snap, d)
-          val s = stageDir(dirDf.select(cols.toSeq: _*), root, version,
-            statsCols, bloomCols, bloomFpp = 0.01)
-          staged += s
-          replacement(d) = s._1
-        }
+    // ONE classify job: per-dir match counts.
+    val classified = tagged.groupBy(col("__dir"))
+      .agg(sum(when(hit, 1L).otherwise(0L)).as("__m")).collect()
+    val updated = classified.map(_.getAs[Long]("__m")).sum
+    if (updated == 0L) return 0L // pure no-op: no version burned
+    val matchedBases = classified
+      .filter(_.getAs[Long]("__m") > 0L).map(_.getAs[String]("__dir")).toSeq.sorted
+
+    // ONE rewrite job for ALL matched dirs: assignments applied to matched
+    // rows (cast back to the column's anchor type — UPDATE never mutates
+    // the schema), unmatched rows pass through untouched.
+    val rewriteCols = anchor.map { f =>
+      assignments.get(f.name) match {
+        case Some(a) => when(hit, a.cast(f.dataType)).otherwise(col(f.name)).as(f.name)
+        case None    => col(f.name)
       }
-      if (updated == 0L) return 0L // pure no-op: no version burned
-      val newDirs = snap.dataDirs.map(d => replacement.getOrElse(d, d))
-      val carriedSet = newDirs.toSet
-      val stagedAll = staged.result()
+    } :+ col("__dir")
+    val (newByOld, newStats, newBlooms) = stageRewrites(spark,
+      tagged.filter(col("__dir").isin(matchedBases: _*))
+        .select(rewriteCols: _*),
+      root, version, snap,
+      oldByBase.filter { case (b, _) => matchedBases.contains(b) },
+      anchor, bloomFpp = 0.01)
+    try {
+      val newDirs = snap.dataDirs.map(d => newByOld.getOrElse(d, d))
+      val keepSet = newDirs.toSet
       // manifest rows= records the commit's DELTA: rows updated
       publish(root, version, parent, "update", updated,
-        snap.schemaCols, newDirs,
-        snap.dirStats.filter(s => carriedSet(s.dir)) ++ stagedAll.flatMap(_._3),
-        snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ stagedAll.flatMap(_._4),
-        snap.txns)
+        anchor.fieldNames.toSeq, newDirs,
+        snap.dirStats.filter(s => keepSet(s.dir)) ++ newStats,
+        snap.dirBlooms.filter(b => keepSet(b.dir)) ++ newBlooms,
+        snap.txns, Some(anchor.json))
       updated
     } catch { case e: Throwable =>
-      staged.result().foreach { case (d, _, _, blooms) =>
-        VersionedTable.deleteRecursively(new File(root, d))
-        blooms.foreach(b => new File(root, b.path).delete())
-      }
+      newByOld.values.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
+      newBlooms.foreach(b => new File(root, b.path).delete())
       throw e
     }
   }
@@ -1006,30 +1201,37 @@ class VersionedTableOps(val store: CommitStore) {
     require(snap.schemaCols.toSet == source.columns.toSet,
       s"source columns ${source.columns.mkString(",")} must match table schema " +
         snap.schemaCols.mkString(","))
-    val src = source.select(snap.schemaCols.map(col): _*).cache()
+    val anchor = snapshotSchema(spark, root, snap)
+    val src = conformTo(source, anchor).cache()
     try {
-      // Key hull in the STATS' numeric image (micros for timestamps, double
-      // otherwise — commit's exact formula): a hull in a different unit
-      // would dismiss dirs that DO hold matched keys. Non-numeric keys have
-      // no hull (ANSI mode makes a string cast throw, not null) and skip
-      // tier 1 — their pruning power is the bloom tier.
-      val keyNumeric = src.schema(keyCol).dataType match {
-        case TimestampType                                      => unix_micros(col(keyCol))
-        case _: org.apache.spark.sql.types.NumericType          => col(keyCol).cast("double")
-        case _                                                  => lit(null).cast("double")
+      // Key hull in the STATS' numeric image (micros for timestamps,
+      // STRINGS via their order-preserving prefix image — commit's exact
+      // formula, see [[VersionedTable.strImage]] — double otherwise): a
+      // hull in a different unit would dismiss dirs that DO hold matched
+      // keys. String min/max travel as raw strings and take the image
+      // driver-side, so string-keyed merges with small sources get the
+      // same tier-1 dismissals numeric keys do; prefix ties only ever
+      // ADMIT extra dirs (conservative), and the bloom tier still probes
+      // the survivors.
+      val keyProbe = src.schema(keyCol).dataType match {
+        case TimestampType                             => unix_micros(col(keyCol))
+        case _: org.apache.spark.sql.types.NumericType => col(keyCol).cast("double")
+        case StringType                                => col(keyCol)
+        case _                                         => lit(null).cast("double")
       }
       val srcAgg = src.agg(count(lit(1)), countDistinct(col(keyCol)),
-        min(keyNumeric), max(keyNumeric)).head()
+        min(keyProbe), max(keyProbe)).head()
       val (srcRows, srcKeys) = (srcAgg.getLong(0), srcAgg.getLong(1))
       require(srcRows == srcKeys,
         s"merge source is not key-unique on $keyCol: $srcRows rows, $srcKeys keys")
       require(srcRows > 0, "empty merge source")
 
-      // Tier 1: the key hull vs manifest min/max (numeric keys only).
+      // Tier 1: the key hull vs manifest min/max (numeric, timestamp AND
+      // string keys — toDouble renders strings as their prefix image).
       val hull =
         if (srcAgg.isNullAt(2)) Seq.empty
         else Seq(VersionedTable.RangeFilter(keyCol,
-          srcAgg.getDouble(2), srcAgg.getDouble(3)))
+          toDouble(srcAgg.get(2)), toDouble(srcAgg.get(3))))
       var candidates = admittedDirs(root, snap, hull)
       // Tier 2: per-key bloom probes, budget-capped (sidecars are tiny and
       // driver-local; dirs without a sidecar on keyCol always survive).
@@ -1045,58 +1247,74 @@ class VersionedTableOps(val store: CommitStore) {
       }
 
       val srcKeyFrame = broadcast(src.select(col(keyCol)))
-      val staged = Seq.newBuilder[(String, Long, Seq[DirStat], Seq[DirBloom])]
-      var replaced = 0L
-      val replacement = scala.collection.mutable.Map.empty[String, Option[String]]
+      val cleanupDirs = Seq.newBuilder[String]
+      val cleanupBlooms = Seq.newBuilder[DirBloom]
       try {
-        val candidateSet = candidates.toSet
-        snap.dataDirs.filter(candidateSet).foreach { d =>
-          val dirDf = spark.read.parquet(new File(root, d).getPath)
-          val matches = dirDf.join(srcKeyFrame, Seq(keyCol), "left_semi").count()
-          if (matches > 0L) {
-            replaced += matches
-            val total = dirDf.count()
-            if (matches == total) replacement(d) = None
-            else {
-              val (statsCols, bloomCols) = dirMetaCols(snap, d)
-              val s = stageDir(
-                dirDf.join(srcKeyFrame, Seq(keyCol), "left_anti")
-                  .select(snap.schemaCols.map(col): _*),
-                root, version, statsCols, bloomCols, bloomFpp)
-              staged += s
-              replacement(d) = Some(s._1)
-            }
+        // ONE classify job over every candidate dir: a broadcast left join
+        // against the (key-unique) source keys marks matched rows without
+        // multiplying them, then one grouped agg yields per-dir totals and
+        // match counts — never a semi-join + count pair per dir.
+        val (newByOld, rwStats, rwBlooms, fullDropped) =
+          if (candidates.isEmpty)
+            (Map.empty[String, String], Seq.empty[DirStat],
+              Seq.empty[DirBloom], Set.empty[String])
+          else {
+            val oldByBase = candidates.map(d => new File(d).getName -> d).toMap
+            val tagged = taggedUnion(spark, root, candidates, anchor)
+            val classified = tagged.join(
+              broadcast(src.select(col(keyCol)).withColumn("__hit", lit(1))),
+              Seq(keyCol), "left")
+              .groupBy(col("__dir"))
+              .agg(count(lit(1)).as("__n"), count(col("__hit")).as("__k"))
+              .collect()
+            def counts(r: org.apache.spark.sql.Row) =
+              (r.getAs[String]("__dir"), r.getAs[Long]("__n"), r.getAs[Long]("__k"))
+            val fullBases = classified.map(counts).collect {
+              case (b, n, k) if k == n => b
+            }.toSet
+            val partialBases = classified.map(counts).collect {
+              case (b, n, k) if k > 0 && k < n => b
+            }.toSeq.sorted
+            // ONE rewrite job: all partially-matched dirs' keep-rows (the
+            // anti-join against the broadcast source keys), dir-per-partition.
+            val (rew, st, bl) =
+              if (partialBases.isEmpty)
+                (Map.empty[String, String], Seq.empty[DirStat], Seq.empty[DirBloom])
+              else stageRewrites(spark,
+                tagged.filter(col("__dir").isin(partialBases: _*))
+                  .join(srcKeyFrame, Seq(keyCol), "left_anti")
+                  .select(anchor.map(f => col(f.name)) :+ col("__dir"): _*),
+                root, version, snap,
+                oldByBase.filter { case (b, _) => partialBases.contains(b) },
+                anchor, bloomFpp)
+            cleanupDirs ++= rew.values
+            cleanupBlooms ++= bl
+            (rew, st, bl, fullBases.map(oldByBase))
           }
-        }
         // The source lands as its own dir under the TABLE's indexing
         // discipline (union of the parent's per-dir stats/bloom columns).
         val tableStatsCols = snap.dirStats.map(_.col).distinct
         val tableBloomCols = snap.dirBlooms.map(_.col).distinct
         val srcStaged = stageDir(src, root, version,
           tableStatsCols, tableBloomCols, bloomFpp)
-        staged += srcStaged
+        cleanupDirs += srcStaged._1
+        cleanupBlooms ++= srcStaged._4
         val newDirs = snap.dataDirs.flatMap { d =>
-          replacement.get(d) match {
-            case None            => Some(d)
-            case Some(Some(rep)) => Some(rep)
-            case Some(None)      => None
-          }
+          if (fullDropped(d)) None else Some(newByOld.getOrElse(d, d))
         } :+ srcStaged._1
-        val carriedSet = newDirs.toSet
-        val stagedAll = staged.result()
+        val keepSet = newDirs.toSet
         // manifest rows= records the commit's DELTA (append convention):
         // for a merge, the source rows it landed
         publish(root, version, parent, "merge",
-          srcRows, snap.schemaCols, newDirs,
-          snap.dirStats.filter(s => carriedSet(s.dir)) ++ stagedAll.flatMap(_._3),
-          snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ stagedAll.flatMap(_._4),
-          snap.txns ++ txn.toMap)
+          srcRows, anchor.fieldNames.toSeq, newDirs,
+          snap.dirStats.filter(s => keepSet(s.dir)) ++ rwStats ++ srcStaged._3,
+          snap.dirBlooms.filter(b => keepSet(b.dir)) ++ rwBlooms ++ srcStaged._4,
+          snap.txns ++ txn.toMap, Some(anchor.json))
         version
       } catch { case e: Throwable =>
-        staged.result().foreach { case (d, _, _, blooms) =>
-          VersionedTable.deleteRecursively(new File(root, d))
-          blooms.foreach(b => new File(root, b.path).delete())
-        }
+        cleanupDirs.result().foreach(d =>
+          VersionedTable.deleteRecursively(new File(root, d)))
+        cleanupBlooms.result().foreach(b => new File(root, b.path).delete())
         throw e
       }
     } finally src.unpersist()
@@ -1130,9 +1348,8 @@ class VersionedTableOps(val store: CommitStore) {
     val added = snaps.last.dataDirs.filterNot(baseDirs.contains)
     if (added.isEmpty) {
       // a pure-metadata range (analyze only): the delta is legitimately
-      // empty — serve schema-correct emptiness, anchored on the newest dir
-      val anchor = spark.read
-        .parquet(new File(root, snaps.last.dataDirs.last).getPath).schema
+      // empty — serve schema-correct emptiness on the snapshot's anchor
+      val anchor = snapshotSchema(spark, root, snaps.last)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), anchor)
     }
@@ -1205,7 +1422,8 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
       committedMs: Long = 0L,
       dirStats: Seq[DirStat] = Seq.empty,
       dirBlooms: Seq[DirBloom] = Seq.empty,
-      txns: Map[String, Long] = Map.empty)
+      txns: Map[String, Long] = Map.empty,
+      schemaJson: Option[String] = None)
 
   /** Per-dir min/max of one column, as recorded in the manifest. Values are
     * numeric images: timestamps as epoch micros, numerics as doubles —
@@ -1259,6 +1477,32 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
     * probe merely survive. Ties beyond 6 bytes are the bloom sidecars' and
     * the row-level predicate's job.
     */
+  /** Additive schema union: parent fields first (keeping their types), then
+    * the batch's NEW fields appended — the same discipline mergeSchema
+    * applies at read time, decided once at commit time and persisted.
+    */
+  def mergeSchemas(parent: org.apache.spark.sql.types.StructType,
+      batch: org.apache.spark.sql.types.StructType): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(
+      parent.fields ++ batch.fields.filterNot(f => parent.fieldNames.contains(f.name)))
+
+  /** Deep-nullable image of a schema — what a parquet round-trip reports
+    * (a snapshot spans many files; any may hold nulls for any column, and
+    * additive evolution null-fills older dirs). The persisted manifest
+    * schema is normalized through this so the anchor a manifest serves is
+    * bit-identical to the anchor a footer read would have served.
+    */
+  def asNullable(dt: org.apache.spark.sql.types.DataType): org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    dt match {
+      case s: StructType => StructType(s.fields.map(f =>
+        f.copy(dataType = asNullable(f.dataType), nullable = true)))
+      case a: ArrayType => a.copy(elementType = asNullable(a.elementType), containsNull = true)
+      case m: MapType => m.copy(valueType = asNullable(m.valueType), valueContainsNull = true)
+      case other => other
+    }
+  }
+
   def strImage(s: String): Double = {
     val b = s.getBytes(java.nio.charset.StandardCharsets.UTF_8)
     var v = 0L

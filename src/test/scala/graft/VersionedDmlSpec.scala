@@ -219,6 +219,113 @@ class VersionedDmlSpec extends SparkTestBase {
     assert(e.getMessage.contains("key-unique"))
   }
 
+  test("UPDATE on an additively-evolved table assigns the new column in OLD dirs too") {
+    val root = freshRoot()
+    // dir 1 predates column w; dir 2 carries it
+    VersionedTable.commit(spark.range(0, 10).toDF("id"), root, "append",
+      statsCols = Seq("id"))
+    VersionedTable.commit(
+      spark.range(100, 110).toDF("id").withColumn("w", col("id") * 10),
+      root, "append", statsCols = Seq("id"))
+    // assign w on rows living in the PRE-evolution dir: the rewrite must
+    // conform that dir to the union schema first, so the assignment lands
+    // (the r12 bug: mapping over dirDf.columns silently dropped it)
+    val updated = VersionedTable.update(spark, root,
+      col("id") < 5L, Map("w" -> lit(-7L)))
+    assert(updated === 5L)
+    val out = VersionedTable.read(spark, root)
+    assert(out.filter(col("id") < 5L).select("w").collect()
+      .forall(_.getLong(0) === -7L),
+      "assignment must reach rows in dirs that predate the assigned column")
+    assert(out.filter(col("id") >= 5L && col("id") < 10L)
+      .select("w").collect().forall(_.isNullAt(0)),
+      "unmatched pre-evolution rows keep their null-filled image")
+    assert(out.filter(col("id") === 105L).select("w").head().getLong(0) === 1050L)
+  }
+
+  test("DML dropping the newest dir keeps the union schema (manifest anchor)") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 10).toDF("id"), root, "append",
+      statsCols = Seq("id"))
+    VersionedTable.commit(
+      spark.range(100, 110).toDF("id").withColumn("w", col("id") * 10),
+      root, "append", statsCols = Seq("id"))
+    // delete the ENTIRE newest (schema-widest) dir
+    val deleted = VersionedTable.delete(spark, root, col("id") >= 100L)
+    assert(deleted === 10L)
+    // the r12 gap: the footer anchor would now be the pre-evolution dir
+    // and silently lose w; the manifest anchor must keep serving it
+    val scanned = VersionedTable.scan(spark, root)
+    assert(scanned.columns.toSeq === Seq("id", "w"),
+      s"anchor lost the evolved column: ${scanned.columns.mkString(",")}")
+    assert(scanned.count() === 10L)
+    assert(VersionedTable.readFiltered(spark, root,
+      Seq(VersionedTable.RangeFilter("id", 0.0, 5.0))).columns.contains("w"))
+  }
+
+  test("a K-dir MERGE submits O(1) Spark jobs, not O(K)") {
+    val root = freshRoot()
+    // 12 single-range dirs, id stats — ALL of them partial-match candidates
+    val k = 12
+    (0 until k).foreach(i => VersionedTable.commit(
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .withColumn("v", col("id") * 2), root, "append", statsCols = Seq("id")))
+    // one source key per dir: every dir is a candidate AND partial
+    val source = spark.range(0, k.toLong).toDF("n")
+      .select((col("n") * 100L + 50L).as("id"), lit(-1L).as("v"))
+    // count via a job group: every Spark job merge() submits carries it,
+    // and the status tracker answers synchronously (no listener-bus race).
+    // AQE is disabled for the probe so one driver-submitted ACTION = one
+    // job (AQE splits an action into a job per query stage, which would
+    // measure plan shape, not the serial-loop count under test).
+    val group = s"dml-jobs-${java.util.UUID.randomUUID().toString.take(8)}"
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    spark.sparkContext.setJobGroup(group, "merge job-count probe")
+    val jobs =
+      try {
+        VersionedTable.merge(spark, root, source, "id")
+        spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
+      } finally {
+        spark.sparkContext.clearJobGroup()
+        spark.conf.unset("spark.sql.adaptive.enabled")
+      }
+    // source agg + classify + rewrite write + rewrite stats agg + source
+    // stage write/agg — every term independent of K. The r12 shape was
+    // 2-3 actions PER dir (>= 2K + 4 = 28 at K=12); the bound separates
+    // cleanly from O(K).
+    assert(jobs <= 10, s"expected O(1) jobs for a $k-dir merge, saw $jobs")
+    // and the merge itself is right
+    val out = VersionedTable.read(spark, root)
+    assert(out.count() === k * 100L)
+    assert(out.filter(col("v") === -1L).count() === k.toLong)
+    val snap = VersionedTable.snapshot(root, k + 1)
+    assert(snap.dataDirs.size === k + 1, "k rewrites + the source dir")
+  }
+
+  test("MERGE string-key hull dismisses dirs from prefix-image stats alone") {
+    val root = freshRoot()
+    // three string-keyed dirs with STATS (no blooms): AAA-*, MMM-*, ZZZ-*
+    Seq("AAA", "MMM", "ZZZ").foreach { sym =>
+      VersionedTable.commit(
+        spark.range(0, 20).toDF("n")
+          .select(concat(lit(sym), lit("-"), col("n")).as("k"), col("n").as("v")),
+        root, "append", statsCols = Seq("k"))
+    }
+    val dirs0 = VersionedTable.snapshot(root, 3).dataDirs
+    val source = spark.range(5, 8).toDF("n")
+      .select(concat(lit("MMM-"), col("n")).as("k"), lit(-1L).as("v"))
+    VersionedTable.merge(spark, root, source, "k")
+    val snap = VersionedTable.snapshot(root, 4)
+    // the r12 gap: string keys skipped tier 1 entirely; with the prefix
+    // image the AAA and ZZZ dirs fall outside the source hull and are
+    // carried by NAME without a bloom in sight
+    assert(snap.dataDirs.count(dirs0.contains) === 2,
+      s"string hull must dismiss two of three dirs, kept ${snap.dataDirs}")
+    val out = VersionedTable.read(spark, root)
+    assert(out.count() === 60L)
+    assert(out.filter(col("k") === "MMM-5").head().getLong(1) === -1L)
+  }
+
   test("the change feed refuses to cross a DML version") {
     val root = freshRoot()
     rangedTable(root)

@@ -1018,6 +1018,28 @@ class VersionedTableSpec extends SparkTestBase {
     assert(seen === (0L until 110L).toSet)
   }
 
+  test("a second analyze is ADDITIVE: earlier columns' skipping metadata survives") {
+    import graft.sources.VersionedTable.RangeFilter
+    val root = freshRoot()
+    (0 to 1).foreach(i => VersionedTable.commit(
+      spark.range(i * 50L, (i + 1) * 50L).toDF("a")
+        .withColumn("b", col("a") + 1000L), root))
+    VersionedTable.analyze(spark, root, Seq("a"), Seq("a"))
+    def dirsTouched(c: String, lo: Int, hi: Int): Int =
+      VersionedTable.readFiltered(spark, root, Seq(RangeFilter(c, lo, hi)))
+        .inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+    assert(dirsTouched("a", 0, 9) === 1)
+    // the r12 gap: analyzing b REPLACED the manifest's metadata wholesale,
+    // silently degrading a's pruning — the retrofit must merge instead
+    VersionedTable.analyze(spark, root, Seq("b"))
+    assert(dirsTouched("b", 1000, 1009) === 1, "the new column prunes")
+    assert(dirsTouched("a", 0, 9) === 1,
+      "a retrofit for one column must not degrade previously-indexed columns")
+    assert(VersionedTable.readPoint(spark, root, "a", 5L)
+      .inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length === 1,
+      "earlier bloom sidecars must survive a later analyze")
+  }
+
   test("transactional commit: replays absorbed, foreign commits interleave, apps independent") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 5).toDF("id"), root) // pre-seeded table
