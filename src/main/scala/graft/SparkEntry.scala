@@ -23,7 +23,8 @@ object SparkEntry {
       registry.FeatureQueries.queries ++
       registry.ExtQueries.queries ++
       registry.QualityQueries.queries ++
-      registry.StreamQueries.queries
+      registry.StreamQueries.queries ++
+      registry.SqlCatalogQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows/schema-only check.
@@ -33,5 +34,6 @@ object SparkEntry {
       registry.FeatureQueries.oracles ++
       registry.ExtQueries.oracles ++
       registry.QualityQueries.oracles ++
-      registry.StreamQueries.oracles
+      registry.StreamQueries.oracles ++
+      registry.SqlCatalogQueries.oracles
 }

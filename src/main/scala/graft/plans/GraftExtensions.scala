@@ -55,6 +55,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
     ext.injectOptimizerRule(spark => new TenantFilterRule(spark))
 
+    // The SQL-catalog binding's analysis half (the catalog half is
+    // spark.sql.catalog.spark_catalog=org.apache.spark.sql.graft.GraftCatalog):
+    // DELETE/UPDATE/MERGE on `USING graft` tables become copy-on-write
+    // commands, and catalog reads plan through the manifest FileIndex —
+    // CREATE TABLE t USING graft / INSERT INTO t / SELECT ... VERSION AS OF
+    // resolve natively with planning-time skipping intact.
+    ext.injectPostHocResolutionRule(spark =>
+      new org.apache.spark.sql.graft.GraftDmlRule(spark))
+
     def injectTable(name: String,
         builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
       ext.injectTableFunction((FunctionIdentifier(name),

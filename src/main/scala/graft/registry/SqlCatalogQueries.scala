@@ -1,0 +1,214 @@
+package graft.registry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.core.Tables
+import graft.sources.VersionedTable
+
+/** The SQL-catalog surface as oracle-gated registry queries: everything a
+  * pure-SQL session does to a versioned table — `CREATE TABLE ... USING
+  * graft`, `INSERT INTO`, `SELECT ... VERSION AS OF`, and the DML verbs —
+  * value-checked against the same relational oracles as their library-API
+  * twins (`q_versioned_delete/update/merge`). The reference's Smart-DB
+  * surface is exactly this shape: SQL DDL + DML against the hypertable
+  * (`sql/timescaledb_schema.sql:14-286`), upserts as
+  * `INSERT ... ON CONFLICT DO UPDATE` (`enhanced_anomaly_detection
+  * .py:176-201`) — here `MERGE INTO` over the commit log.
+  *
+  * Each query runs in a dedicated session carrying the full deployment
+  * shape (`spark.sql.extensions=graft.plans.GraftExtensions` +
+  * `spark.sql.catalog.spark_catalog=org.apache.spark.sql.graft
+  * .GraftCatalog`), built once per JVM on the shared context.
+  */
+object SqlCatalogQueries {
+
+  @volatile private var cached: SparkSession = _
+
+  /** The catalog-enabled session (fresh session state on the caller's
+    * SparkContext, built once). Confs that must exist at session build —
+    * extensions and the session-catalog implementation — cannot be set on
+    * a live session, which is why the registry queries do not run against
+    * the harness session directly.
+    */
+  def session(base: SparkSession): SparkSession = synchronized {
+    if (cached == null) {
+      val prevActive = SparkSession.getActiveSession
+      val prevDefault = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      try {
+        cached = SparkSession.builder()
+          .withExtensions(new graft.plans.GraftExtensions)
+          .config("spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.graft.GraftCatalog")
+          .config("spark.sql.session.timeZone", "UTC")
+          .config("spark.sql.shuffle.partitions",
+            base.conf.get("spark.sql.shuffle.partitions"))
+          .getOrCreate()
+      } finally {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        prevActive.foreach(SparkSession.setActiveSession)
+        prevDefault.foreach(SparkSession.setDefaultSession)
+      }
+    }
+    cached
+  }
+
+  private val counter = new java.util.concurrent.atomic.AtomicInteger(0)
+  private def freshName(prefix: String): String =
+    s"${prefix}_${counter.incrementAndGet()}"
+
+  /** Three disjoint o_orderkey-range commits with key stats — the shared
+    * DML corpus (identical to the library twins'), registered as a catalog
+    * table in the SQL session. Returns (session, tableName, lo, hi).
+    */
+  private def dmlTable(base: SparkSession, dir: String): (SparkSession, String, Long, Long) = {
+    import org.apache.spark.sql.functions.{col, max}
+    val ss = session(base)
+    val root = java.nio.file.Files.createTempDirectory("graft_sqldml_").toString
+    val orders = Tables.orders(ss, dir)
+      .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+    val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+    val (lo, hi) = (mk / 3, 2 * (mk / 3))
+    Seq(col("o_orderkey") <= lo,
+      col("o_orderkey") > lo && col("o_orderkey") <= hi,
+      col("o_orderkey") > hi).foreach(p =>
+      VersionedTable.commit(orders.filter(p), root, "append",
+        statsCols = Seq("o_orderkey")))
+    val t = freshName("sqldml")
+    ss.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    (ss, t, lo, hi)
+  }
+
+  private def statusRollup(ss: SparkSession, t: String): DataFrame =
+    ss.sql(
+      s"""SELECT o_orderstatus, count(*) AS n,
+         |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         |FROM $t GROUP BY o_orderstatus""".stripMargin)
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // The catalog lifecycle end-to-end, pure SQL: CREATE TABLE over a
+    // two-commit root, INSERT INTO lands the remaining third as commit 3,
+    // the final SELECT's point predicate prunes through the manifest
+    // FileIndex (SqlCatalogSpec asserts numFiles), and a VERSION AS OF 2
+    // scalar proves time travel value-exactly (v2 = the first two residue
+    // classes). Oracle = the plain point filter + the pre-insert count.
+    "q_versioned_sql_table" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ss = session(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_sqltbl_").toString
+      val orders = Tables.orders(ss, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      (0 to 1).foreach(r => VersionedTable.commit(
+        orders.filter(col("o_orderkey") % 3 === r), root, "append",
+        statsCols = Seq("o_orderkey")))
+      val t = freshName("sqltbl")
+      val v = freshName("orders_src")
+      ss.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+      orders.createOrReplaceTempView(v)
+      ss.sql(s"INSERT INTO $t SELECT * FROM $v WHERE o_orderkey % 3 = 2")
+      ss.sql(
+        s"""SELECT o_orderkey, o_orderstatus,
+           |       floor(o_totalprice * 1e2 + 0.5) / 1e2 AS total_price,
+           |       (SELECT count(*) FROM $t VERSION AS OF 2) AS v2_rows
+           |FROM $t
+           |WHERE o_orderkey = (SELECT max(o_orderkey) FROM $t)""".stripMargin)
+    }),
+
+    // `DELETE FROM` — the exact corpus and oracle of q_versioned_delete,
+    // with the verb issued as SQL through the catalog instead of the
+    // library call; the copy-on-write kernel underneath is shared, so the
+    // two must hash identically.
+    "q_versioned_sql_delete" -> ((s, d) => {
+      val (ss, t, lo, hi) = dmlTable(s, d)
+      ss.sql(s"DELETE FROM $t WHERE o_orderkey > $lo AND o_orderkey <= $hi " +
+        "AND o_orderstatus = 'F'")
+      statusRollup(ss, t)
+    }),
+
+    // `UPDATE ... SET` — q_versioned_update's twin through the catalog.
+    "q_versioned_sql_update" -> ((s, d) => {
+      val (ss, t, lo, hi) = dmlTable(s, d)
+      ss.sql(s"UPDATE $t SET o_totalprice = o_totalprice * CAST(1.1 AS DOUBLE) " +
+        s"WHERE o_orderkey > $lo AND o_orderkey <= $hi AND o_orderstatus = 'O'")
+      statusRollup(ss, t)
+    }),
+
+    // `MERGE INTO` — q_versioned_merge's twin: whole-row upsert by key,
+    // updates (price bump, keys ≡ 0 mod 7) + inserts (fresh keys above the
+    // max) through one SQL MERGE.
+    "q_versioned_sql_merge" -> ((s, d) => {
+      val (ss, t, _, _) = dmlTable(s, d)
+      val v = freshName("merge_src")
+      Tables.orders(ss, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .createOrReplaceTempView(v)
+      ss.sql(
+        s"""MERGE INTO $t USING (
+           |  SELECT o_orderkey, o_orderstatus,
+           |         o_totalprice + CAST(1000.0 AS DOUBLE) AS o_totalprice
+           |  FROM $v WHERE o_orderkey % 7 = 0
+           |  UNION ALL
+           |  SELECT o_orderkey + (SELECT max(o_orderkey) FROM $v) AS o_orderkey,
+           |         'N' AS o_orderstatus, o_totalprice
+           |  FROM $v WHERE o_orderkey % 97 = 0
+           |) src
+           |ON $t.o_orderkey = src.o_orderkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+      statusRollup(ss, t)
+    }))
+
+  /** DuckDB oracles — the DML twins reuse their library twins' relational
+    * definitions verbatim (same corpus, same final rollup).
+    */
+  val oracles: Map[String, String] = Map(
+
+    "q_versioned_sql_table" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       floor(o_totalprice * 1e2 + 0.5) / 1e2 AS total_price,
+        |       (SELECT count(*) FROM orders WHERE o_orderkey % 3 < 2) AS v2_rows
+        |FROM orders
+        |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin,
+
+    "q_versioned_sql_delete" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders, b
+        |WHERE NOT (o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_versioned_sql_update" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(
+        |         CASE WHEN o_orderkey > lo AND o_orderkey <= hi
+        |                   AND o_orderstatus = 'O'
+        |              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |              ELSE o_totalprice END * 1e2 + 0.5) AS BIGINT)) / 100.0
+        |         AS sum_price
+        |FROM orders, b
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    "q_versioned_sql_merge" ->
+      """WITH mx AS (SELECT max(o_orderkey) AS mk FROM orders),
+        |src AS (
+        |  SELECT o_orderkey, o_orderstatus,
+        |         o_totalprice + CAST(1000.0 AS DOUBLE) AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey + mk AS o_orderkey, 'N' AS o_orderstatus, o_totalprice
+        |  FROM orders, mx WHERE o_orderkey % 97 = 0
+        |),
+        |merged AS (
+        |  SELECT o_orderkey, o_orderstatus, o_totalprice FROM orders
+        |  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM src)
+        |  UNION ALL SELECT * FROM src
+        |)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM merged GROUP BY o_orderstatus""".stripMargin)
+}

@@ -1,7 +1,8 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SQLContext, SaveMode}
-import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider}
+import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, DataSourceRegister, RelationProvider, SchemaRelationProvider, TableScan}
+import org.apache.spark.sql.types.StructType
 
 /** `format("graft")` — the versioned table as a first-class batch
   * DataSource, the Delta-reader UX over the commit log:
@@ -33,13 +34,18 @@ import org.apache.spark.sql.sources.{BaseRelation, CreatableRelationProvider, Da
   * reader/writer instead of a bespoke API.
   */
 final class GraftTableProvider
-  extends RelationProvider with CreatableRelationProvider with DataSourceRegister {
+  extends RelationProvider with SchemaRelationProvider
+  with CreatableRelationProvider with DataSourceRegister {
 
   override def shortName(): String = "graft"
 
-  private def rootOf(parameters: Map[String, String]): String =
-    parameters.getOrElse("path", throw new IllegalArgumentException(
+  private def rootOf(parameters: Map[String, String]): String = {
+    val p = parameters.getOrElse("path", throw new IllegalArgumentException(
       "format(\"graft\") requires a path: .load(<table root>) / .save(<table root>)"))
+    // catalog-resolved tables (CREATE TABLE ... USING graft LOCATION) hand
+    // the location as a file: URI; the commit log wants a plain path
+    if (p.startsWith("file:")) new java.io.File(java.net.URI.create(p)).getPath else p
+  }
 
   private def cols(parameters: Map[String, String], k: String): Seq[String] =
     parameters.get(k)
@@ -63,6 +69,26 @@ final class GraftTableProvider
       VersionedTable.scanIndex(sqlContext.sparkSession, root, asOf)
     org.apache.spark.sql.graft.ManifestScan.relation(
       sqlContext.sparkSession, index, schema)
+  }
+
+  /** Declared-schema form — what `CREATE TABLE t (cols) USING graft`
+    * resolves through: an UNCOMMITTED root is a legitimate empty table
+    * (reads serve schema-correct emptiness until the first INSERT commits
+    * version 1); a committed root serves the live manifest relation, whose
+    * schema is authoritative (additive evolution can out-grow the declared
+    * columns).
+    */
+  override def createRelation(ctx: SQLContext,
+      parameters: Map[String, String], declared: StructType): BaseRelation = {
+    val root = rootOf(parameters)
+    if (VersionedTable.latestVersion(root).isEmpty)
+      new BaseRelation with TableScan {
+        override def sqlContext: SQLContext = ctx
+        override def schema: StructType = declared
+        override def buildScan(): org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] =
+          ctx.sparkContext.emptyRDD[org.apache.spark.sql.Row]
+      }
+    else createRelation(ctx, parameters)
   }
 
   override def createRelation(sqlContext: SQLContext, mode: SaveMode,

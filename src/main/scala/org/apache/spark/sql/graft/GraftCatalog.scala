@@ -1,0 +1,216 @@
+package org.apache.spark.sql.graft
+
+import java.util.{Map => JMap}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension, Identifier, SupportsDelete, SupportsWrite, Table, TableCapability, V1Table}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.sources.{Filter, InsertableRelation}
+import org.apache.spark.sql.types.StructType
+
+import graft.sources.VersionedTable
+
+/** Session-catalog extension binding the versioned table into Spark's own
+  * SQL surface — the Delta `DeltaCatalog` shape. Installed as
+  * {{{ spark.sql.catalog.spark_catalog = org.apache.spark.sql.graft.GraftCatalog }}}
+  * (alongside `spark.sql.extensions = graft.plans.GraftExtensions`, which
+  * carries the analysis rules this catalog's tables resolve through), it
+  * makes every `USING graft` table in the session catalog a first-class
+  * SQL citizen:
+  *
+  * {{{
+  *   CREATE TABLE t USING graft LOCATION '/data/t'      -- v1 create path
+  *   INSERT INTO t SELECT ...                           -- append commit
+  *   INSERT OVERWRITE t SELECT ...                      -- overwrite commit
+  *   SELECT * FROM t WHERE symbol = 'A'                 -- FileIndex skipping
+  *   SELECT * FROM t VERSION AS OF 2                    -- time travel
+  *   SELECT * FROM t TIMESTAMP AS OF '...'              -- wall-clock travel
+  *   DELETE FROM t WHERE ... / UPDATE t SET ... / MERGE INTO t ...
+  * }}}
+  *
+  * `CREATE TABLE ... USING graft` itself rides Spark's stock v1 create
+  * path (the provider is a DSv1 `RelationProvider`, so the session catalog
+  * records a plain datasource table and infers schema through
+  * [[graft.sources.GraftTableProvider]]); this extension's job is the READ
+  * side of the catalog contract — `loadTable` wraps graft-provider entries
+  * into [[GraftTableV2]], which the DML/read rules in [[GraftDmlRule]]
+  * resolve onto the SAME `scanIndex`/commit machinery the Scala API uses.
+  * Planning-time data skipping therefore carries over unchanged: a SQL
+  * `WHERE` over a catalog table dismisses whole dirs from the manifest's
+  * min/max stats and bloom sidecars before any file is listed to Spark.
+  *
+  * Reference spec: the Smart-DB surface is SQL-first — DDL + DML against
+  * the hypertable (`sql/timescaledb_schema.sql:14-286`, upserts
+  * `enhanced_anomaly_detection.py:176-201`); this catalog is that UX over
+  * the commit log instead of a warehouse.
+  */
+class GraftCatalog extends DelegatingCatalogExtension {
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def isGraft(t: Table): Boolean = t match {
+    case v1: V1Table => v1.catalogTable.provider.exists(_.equalsIgnoreCase("graft"))
+    case _           => false
+  }
+
+  private def wrap(ident: Identifier, t: Table, asOf: Option[Int]): Table = t match {
+    case v1: V1Table if isGraft(t) =>
+      // catalog LOCATIONs are URIs (file:/...); the engine wants a path
+      val root = new java.io.File(v1.catalogTable.location).getPath
+      GraftTableV2(ident.toString, root, asOf,
+        Option(v1.catalogTable.schema).filter(_.nonEmpty),
+        v1.catalogTable.storage.properties ++ v1.catalogTable.properties)
+    case other => other
+  }
+
+  override def loadTable(ident: Identifier): Table =
+    wrap(ident, super.loadTable(ident), None)
+
+  /** `VERSION AS OF <v>` — pin the snapshot; non-graft tables keep the
+    * delegate's behavior (the session catalog refuses time travel).
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    val t = super.loadTable(ident)
+    if (isGraft(t)) wrap(ident, t, Some(version.toInt))
+    else super.loadTable(ident, version)
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds; resolve to
+    * the latest version committed at or before that wall-clock instant.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val t = super.loadTable(ident)
+    if (isGraft(t)) {
+      val v1 = t.asInstanceOf[V1Table]
+      val root = new java.io.File(v1.catalogTable.location).getPath
+      val tsMs = timestamp / 1000L
+      val v = VersionedTable.versionAsOf(root, tsMs).getOrElse(
+        throw new IllegalArgumentException(
+          s"no version of $ident committed at or before timestamp $tsMs ms"))
+      wrap(ident, t, Some(v))
+    } else super.loadTable(ident, timestamp)
+  }
+}
+
+/** The DSv2 face of one versioned table (optionally pinned `asOf`). Reads
+  * never plan through a DSv2 scan: [[GraftDmlRule]] swaps the relation for
+  * the manifest-`FileIndex` `HadoopFsRelation` ([[ManifestScan.relation]])
+  * during analysis, so catalog reads prune identically to
+  * `VersionedTable.scan` — the BATCH_READ capability is advertised for the
+  * analyzer's benefit and [[GraftTableV2.unsupportedScan]] guards the path
+  * that must never execute. Writes ride the V1 fallback seam
+  * ([[org.apache.spark.sql.connector.write.V1Write]]): `INSERT INTO` is an
+  * append commit, `INSERT OVERWRITE` an overwrite commit, with
+  * `statsCols`/`bloomCols`/`bloomFpp` table options threading the skipping
+  * metadata — a table born through SQL DDL is born indexed. `DELETE FROM`
+  * with pushable predicates can run as [[SupportsDelete.deleteWhere]];
+  * richer predicates (and UPDATE/MERGE) go through [[GraftDmlRule]]'s
+  * command conversions onto the same copy-on-write ops.
+  */
+final case class GraftTableV2(
+    identName: String,
+    root: String,
+    asOf: Option[Int],
+    declaredSchema: Option[StructType],
+    tableProps: Map[String, String])
+  extends Table with SupportsWrite with SupportsDelete {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** An empty table (no commits yet) serves its DECLARED schema; a
+    * committed one serves the pinned snapshot's union anchor — one
+    * manifest read, no file listing.
+    */
+  override def schema(): StructType =
+    if (VersionedTable.latestVersion(root).isEmpty)
+      declaredSchema.getOrElse(new StructType())
+    else VersionedTable.tableSchema(spark, root, asOf)
+
+  def isEmptyTable: Boolean = VersionedTable.latestVersion(root).isEmpty
+
+  override def name(): String = identName
+
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def properties(): JMap[String, String] = tableProps.asJava
+
+  private def cols(k: String): Seq[String] = tableProps.get(k)
+    .map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty)).getOrElse(Seq.empty)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      private var overwrite = false
+      override def truncate(): WriteBuilder = { overwrite = true; this }
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: org.apache.spark.sql.DataFrame,
+                legacyOverwrite: Boolean): Unit = {
+              require(asOf.isEmpty, "cannot write to a time-travel snapshot")
+              VersionedTable.commit(data, root,
+                if (overwrite || legacyOverwrite) "overwrite" else "append",
+                statsCols = cols("statsCols"), bloomCols = cols("bloomCols"),
+                bloomFpp = tableProps.getOrElse("bloomFpp", "0.01").toDouble)
+              ()
+            }
+          }
+      }
+    }
+
+  /** Filter-pushdown DELETE (Spark's metadata-delete path). Kept as the
+    * native fallback — [[GraftDmlRule]] normally converts `DELETE FROM`
+    * first, with full `Column` expressiveness; both delegate to the same
+    * skipping-bounded copy-on-write [[VersionedTable.delete]].
+    */
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(asOf.isEmpty, "cannot DELETE from a time-travel snapshot")
+    val cond = filters.map(GraftTableV2.filterToColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    VersionedTable.delete(spark, root, cond)
+    ()
+  }
+
+  /** Fails loudly if a DSv2 scan is ever actually planned — the read rule
+    * in [[GraftDmlRule]] must have swapped this relation during analysis.
+    */
+  def unsupportedScan: Nothing = throw new UnsupportedOperationException(
+    "graft catalog tables read through GraftExtensions' analysis rule " +
+      "(spark.sql.extensions=graft.plans.GraftExtensions); the DSv2 scan " +
+      "path is intentionally unimplemented")
+}
+
+object GraftTableV2 {
+
+  /** v1 `Filter` → `Column`, for [[SupportsDelete.deleteWhere]]. */
+  def filterToColumn(f: Filter): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => col(a) === lit(v)
+      case EqualNullSafe(a, v)      => col(a) <=> lit(v)
+      case GreaterThan(a, v)        => col(a) > lit(v)
+      case GreaterThanOrEqual(a, v) => col(a) >= lit(v)
+      case LessThan(a, v)           => col(a) < lit(v)
+      case LessThanOrEqual(a, v)    => col(a) <= lit(v)
+      case In(a, vs)                => col(a).isin(vs.toIndexedSeq: _*)
+      case IsNull(a)                => col(a).isNull
+      case IsNotNull(a)             => col(a).isNotNull
+      case And(l, r)                => filterToColumn(l) && filterToColumn(r)
+      case Or(l, r)                 => filterToColumn(l) || filterToColumn(r)
+      case Not(c)                   => !filterToColumn(c)
+      case StringStartsWith(a, v)   => col(a).startsWith(v)
+      case StringEndsWith(a, v)     => col(a).endsWith(v)
+      case StringContains(a, v)     => col(a).contains(v)
+      case AlwaysTrue()             => lit(true)
+      case AlwaysFalse()            => lit(false)
+      case other => throw new UnsupportedOperationException(
+        s"cannot translate filter $other for DELETE")
+    }
+  }
+}

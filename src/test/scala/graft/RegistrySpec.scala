@@ -31,7 +31,8 @@ class RegistrySpec extends AnyFunSuite {
       "feature" -> registry.FeatureQueries.queries.keySet,
       "ext" -> registry.ExtQueries.queries.keySet,
       "quality" -> registry.QualityQueries.queries.keySet,
-      "stream" -> registry.StreamQueries.queries.keySet)
+      "stream" -> registry.StreamQueries.queries.keySet,
+      "sqlcatalog" -> registry.SqlCatalogQueries.queries.keySet)
     for (Seq((na, a), (nb, b)) <- mods.combinations(2)) {
       val overlap = a intersect b
       assert(overlap.isEmpty, s"$na and $nb both register: ${overlap.toSeq.sorted}")
@@ -46,13 +47,11 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 181 = r11's 171 + r12's q_versioned_combo + q_stream_changefeed +
-    // q_changefeed_ohlc + q_pit_versioned + q_medallion + q_zorder_optimize
-    // + q_versioned_analyze + q_versioned_indexed + q_versioned_delete +
-    // q_versioned_merge + q_versioned_update + q_stream_upsert +
-    // q_versioned_multikey + q_versioned_format + q_versioned_strrange;
-    // raise this floor whenever a query is added, never lower it
-    assert(SparkEntry.queries.size >= 186,
-      s"registry shrank: ${SparkEntry.queries.size} < 186")
+    // 190 = r12's 186 + r13's SQL-catalog tier (q_versioned_sql_table +
+    // q_versioned_sql_delete + q_versioned_sql_update +
+    // q_versioned_sql_merge); raise this floor whenever a query is added,
+    // never lower it
+    assert(SparkEntry.queries.size >= 190,
+      s"registry shrank: ${SparkEntry.queries.size} < 190")
   }
 }

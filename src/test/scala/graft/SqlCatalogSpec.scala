@@ -1,0 +1,178 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.VersionedTable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The SQL catalog binding (GraftCatalog + GraftDmlRule): CREATE TABLE
+  * USING graft, INSERT INTO/OVERWRITE, SELECT with planning-time skipping,
+  * VERSION AS OF / TIMESTAMP AS OF, and the DML verbs — all pure SQL, all
+  * resolving onto the same scanIndex/commit machinery the Scala API uses.
+  */
+class SqlCatalogSpec extends SparkTestBase {
+
+  /** One catalog-enabled session for the suite (same SparkContext; the
+    * cluster deployment shape: extensions + catalog conf at session build).
+    */
+  lazy val sql: SparkSession = SqlCatalogSpec.session(spark)
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_sqlcat_").toString
+
+  private var n = 0
+  private def freshTable(): String = { n += 1; s"sqlcat_t$n" }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  test("CREATE TABLE USING graft over an existing root; SELECT prunes via the manifest") {
+    val root = freshRoot()
+    (0 to 2).foreach(i => VersionedTable.commit(
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .withColumn("v", col("id") * 2), root, "append", statsCols = Seq("id")))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    val probe = sql.sql(s"SELECT id, v FROM $t WHERE id >= 120 AND id < 180")
+    assert(ids(probe) === (120L until 180L))
+    // planning-time skipping: only the middle dir's files are scanned
+    probe.collect()
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val files = probe.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    val all = sql.sql(s"SELECT * FROM $t")
+    all.collect()
+    val allFiles = all.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    assert(files > 0 && files < allFiles,
+      s"catalog read must prune dirs at planning time ($files vs $allFiles)")
+  }
+
+  test("INSERT INTO appends a commit; INSERT OVERWRITE publishes an overwrite") {
+    val root = freshRoot()
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t (id BIGINT, v BIGINT) USING graft LOCATION '$root'")
+    sql.sql(s"INSERT INTO $t SELECT id, id * 2 AS v FROM range(0, 5)")
+    assert(VersionedTable.latestVersion(root) === Some(1))
+    assert(VersionedTable.snapshot(root, 1).operation === "append")
+    sql.sql(s"INSERT INTO $t SELECT id, id * 2 AS v FROM range(5, 8)")
+    assert(ids(sql.sql(s"SELECT * FROM $t")) === (0L until 8L))
+    sql.sql(s"INSERT OVERWRITE $t SELECT id, id AS v FROM range(100, 103)")
+    val snap = VersionedTable.snapshot(root, 3)
+    assert(snap.operation === "overwrite")
+    assert(ids(sql.sql(s"SELECT * FROM $t")) === (100L until 103L))
+    // the library API sees exactly the same table
+    assert(ids(VersionedTable.read(sql, root)) === (100L until 103L))
+  }
+
+  test("VERSION AS OF and TIMESTAMP AS OF resolve through the catalog") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root)
+    val msBetween = System.currentTimeMillis()
+    Thread.sleep(5L)
+    VersionedTable.commit(spark.range(100, 103).toDF("id"), root, "overwrite")
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    assert(ids(sql.sql(s"SELECT * FROM $t")) === (100L until 103L))
+    assert(ids(sql.sql(s"SELECT * FROM $t VERSION AS OF 1")) === (0L until 5L))
+    val ts = new java.sql.Timestamp(msBetween)
+    assert(ids(sql.sql(s"SELECT * FROM $t TIMESTAMP AS OF '$ts'")) === (0L until 5L))
+  }
+
+  test("DELETE FROM / UPDATE / MERGE INTO run the copy-on-write ops") {
+    val root = freshRoot()
+    (0 to 2).foreach(i => VersionedTable.commit(
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .withColumn("v", col("id") * 2), root, "append", statsCols = Seq("id")))
+    val Seq(d1, _, d3) = VersionedTable.snapshot(root, 3).dataDirs
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+
+    // DELETE: returns rows removed; skipping-minimal touch (side dirs carried)
+    val del = sql.sql(s"DELETE FROM $t WHERE id >= 120 AND id < 180")
+    assert(del.collect().map(_.getLong(0)).toSeq === Seq(60L))
+    val snapD = VersionedTable.snapshot(root, 4)
+    assert(snapD.operation === "delete")
+    assert(snapD.dataDirs.contains(d1) && snapD.dataDirs.contains(d3),
+      "SQL DELETE must carry unmatched dirs by name like the library op")
+    assert(ids(sql.sql(s"SELECT * FROM $t")) === ((0L until 120L) ++ (180L until 300L)))
+
+    // UPDATE: assignments evaluated against the pre-update row
+    val upd = sql.sql(s"UPDATE $t SET v = v + 1000 WHERE id < 5")
+    assert(upd.collect().map(_.getLong(0)).toSeq === Seq(5L))
+    assert(sql.sql(s"SELECT v FROM $t WHERE id = 3").head().getLong(0) === 1006L)
+    assert(sql.sql(s"SELECT v FROM $t WHERE id = 10").head().getLong(0) === 20L)
+
+    // MERGE: whole-row upsert by key
+    sql.range(200, 210).toDF("id")
+      .withColumn("v", lit(-1L)).createOrReplaceTempView("merge_src")
+    sql.sql(
+      s"""MERGE INTO $t USING (SELECT id, v FROM merge_src
+         |  UNION ALL SELECT id, -2L AS v FROM range(500, 505)) s
+         |ON $t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
+    val out = sql.sql(s"SELECT * FROM $t")
+    assert(out.count() === 245L) // 240 surviving + 5 inserts
+    assert(sql.sql(s"SELECT v FROM $t WHERE id = 205").head().getLong(0) === -1L)
+    assert(sql.sql(s"SELECT count(*) AS n FROM $t WHERE v = -2").head().getLong(0) === 5L)
+    // time travel still serves the pre-DML snapshot
+    assert(sql.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 3")
+      .head().getLong(0) === 300L)
+  }
+
+  test("CTAS lands as version 1; statsCols option threads skipping metadata") {
+    val root = freshRoot()
+    val t = freshTable()
+    sql.sql(
+      s"""CREATE TABLE $t USING graft OPTIONS (statsCols 'id')
+         |LOCATION '$root' AS SELECT id, id * 3 AS v FROM range(0, 50)""".stripMargin)
+    assert(VersionedTable.latestVersion(root) === Some(1))
+    assert(ids(sql.sql(s"SELECT * FROM $t WHERE v < 30")) === (0L until 10L))
+    assert(VersionedTable.snapshot(root, 1).dirStats.exists(_.col == "id"),
+      "CTAS must thread statsCols into the commit")
+  }
+
+  test("DML on a time-travel snapshot and unsupported MERGE shapes fail loudly") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id").withColumn("v", lit(0L)), root)
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    val e = intercept[Exception] {
+      sql.sql(s"MERGE INTO $t USING (SELECT 1L AS id, 2L AS v) s ON $t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET v = s.v + 1")
+    }
+    assert(e.getMessage.contains("supported shape"),
+      s"expected the merge-shape refusal, got: ${e.getMessage}")
+  }
+}
+
+object SqlCatalogSpec {
+  @volatile private var cached: SparkSession = _
+
+  /** Fresh session on the shared context with extensions + the graft
+    * session catalog installed — built once per JVM.
+    */
+  def session(base: SparkSession): SparkSession = synchronized {
+    if (cached == null) {
+      val prevActive = SparkSession.getActiveSession
+      val prevDefault = SparkSession.getDefaultSession
+      SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+      try {
+        cached = SparkSession.builder()
+          .withExtensions(new graft.plans.GraftExtensions)
+          .config("spark.sql.catalog.spark_catalog",
+            "org.apache.spark.sql.graft.GraftCatalog")
+          .config("spark.sql.session.timeZone", "UTC")
+          .getOrCreate()
+      } finally {
+        SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
+        prevActive.foreach(SparkSession.setActiveSession)
+        prevDefault.foreach(SparkSession.setDefaultSession)
+      }
+    }
+    cached
+  }
+}
