@@ -45,6 +45,50 @@ object ZOrder {
   def morton16(a: Column, b: Column): Column =
     spreadBits16(a).bitwiseOR(shiftleft(spreadBits16(b), 1))
 
+  /** Bits each dimension keeps in an N-dim interleave: 16 where they fit,
+    * fewer for wide interleaves so the code stays under 62 bits (bit 63 is
+    * the sign; 62 keeps every shift in positive-long territory).
+    */
+  def bitsPerDim(n: Int): Int = {
+    require(n >= 1, s"need at least one dimension, got $n")
+    math.min(16, 62 / n)
+  }
+
+  /** Total code width of [[mortonN]] over `n` dimensions. */
+  def mortonBits(n: Int): Int = n * bitsPerDim(n)
+
+  /** Spread the low [[bitsPerDim]](n) bits of a 16-bit value to stride-n
+    * positions (bit i → bit i·n). Dimensions beyond 3 coarsen by dropping
+    * LOW bits first (`shiftright`) — monotone, so clustering stays sound,
+    * only finer than 2^bits granularity is lost. n == 2 keeps the
+    * magic-number fast path (identical values, shorter expression tree).
+    */
+  def spreadBits16N(x: Column, n: Int): Column = {
+    val bits = bitsPerDim(n)
+    val m = shiftright(x.bitwiseAND(lit(0xFFFFL)), 16 - bits)
+    if (n == 1) m
+    else if (n == 2) spreadBits16(shiftleft(m, 16 - bits)) // bits == 16 here
+    else (0 until bits).map(i =>
+      shiftleft(shiftright(m, i).bitwiseAND(lit(1L)), i * n))
+      .reduce(_.bitwiseOR(_))
+  }
+
+  /** N-dimensional Morton code of values already scaled to 16 bits
+    * ([[scaleTo16]]): dimension k's bit i lands at position i·N + k, so
+    * the code's TOP bits cycle through every dimension's top bits — a
+    * prefix range of the code bounds EVERY dimension, which is what makes
+    * the dir assignment (the top `log2(nDirs)` bits) cluster all N
+    * columns at once. For N = 2 this is bit-identical to [[morton16]].
+    * Pure integer bit-math, codegen'd end to end.
+    */
+  def mortonN(dims16: Seq[Column]): Column = {
+    require(dims16.nonEmpty, "need at least one dimension")
+    val n = dims16.size
+    dims16.zipWithIndex.map { case (d, k) =>
+      shiftleft(spreadBits16N(d, n), k)
+    }.reduce(_.bitwiseOR(_))
+  }
+
   /** Map a non-negative long with inclusive domain maximum `maxInclusive`
     * onto the FULL [0, 65536) range (deterministic — no sampled quantiles;
     * callers pass the column's contractual domain). Small domains are

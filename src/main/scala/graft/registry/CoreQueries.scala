@@ -408,6 +408,53 @@ object CoreQueries {
           Quantize.r(sum(col("price")), 4).as("sum_price"))
     }),
 
+    // N-dim OPTIMIZE ZORDER — the composite-index shape beyond two columns
+    // (the reference's (symbol, time) index PLUS the price dimension its
+    // dedup/latest probes filter on): one dir, then optimizeZorder
+    // clusters on the THREE-way interleave, and a probe constraining all
+    // three (time third ∧ symbol point ∧ price half-range) prunes via
+    // stats + bloom tiers at once. Oracle = the plain three-predicate
+    // filter: the 3-dim layout must be value-transparent like every other
+    // physical rewrite. (VersionedTableSpec asserts the actual per-dim
+    // dir-skipping on a synthetic 16^3 grid.)
+    "q_zorder_multi" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      import graft.sources.VersionedTable.{PointFilter, RangeFilter}
+      val root = java.nio.file.Files.createTempDirectory("graft_vtzm_").toString
+      val t = Tables.trades(s, d)
+        .select(col("time"), col("symbol"), col("price"), col("volume"))
+      VersionedTable.commit(t, root)
+      val b = t.agg(min(unix_micros(col("time"))).as("mn"),
+        max(unix_micros(col("time"))).as("mx"),
+        max(col("symbol").cast("long")).as("ms"),
+        min(col("symbol")).as("sym"),
+        min(floor(col("price")).cast("long")).as("pmn"),
+        max(floor(col("price")).cast("long")).as("pmx"),
+        min(col("price")).as("pmind"),
+        max(col("price")).as("pmaxd")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val (maxSym, sym) = (b.getLong(2), b.getString(3))
+      val (pmn, pmx) = (b.getLong(4), b.getLong(5))
+      val pMid = (b.getDouble(6) + b.getDouble(7)) / 2.0
+      VersionedTable.optimizeZorder(s, root,
+        Seq(col("symbol").cast("long") -> maxSym,
+          (unix_micros(col("time")) - lit(mn)) -> (mx - mn),
+          (floor(col("price")).cast("long") - lit(pmn)) -> (pmx - pmn)),
+        nDirs = 8, statsCols = Seq("time", "price"), bloomCols = Seq("symbol"))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      def um = unix_micros(col("time"))
+      VersionedTable.readFiltered(s, root,
+        Seq(RangeFilter("time", t1.toDouble, (t2 - 1).toDouble),
+          PointFilter("symbol", sym),
+          RangeFilter("price", Double.NegativeInfinity, pMid)))
+        .filter(um >= t1 && um < t2 && col("symbol") === sym &&
+          col("price") <= pMid)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"),
+          Quantize.r(sum(col("price")), 4).as("sum_price"))
+    }),
+
     // Versioned-table time travel: three commits (append even keys, append
     // odd keys, overwrite with status-F), then read EVERY version back via
     // its pinned manifest and aggregate. The oracle recomputes each
@@ -947,6 +994,22 @@ object CoreQueries {
         |       floor(o_totalprice * 1e2 + 0.5) / 1e2 AS total_price
         |FROM orders
         |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin,
+
+    // The THREE-dim Z rewrite must be value-identical to the plain
+    // three-predicate filter (pmid replayed with the same IEEE ops).
+    "q_zorder_multi" -> OracleSql.withTradesAnd(
+      """b AS (SELECT min(epoch_us(time)) AS mn, max(epoch_us(time)) AS mx,
+        |              min(symbol) AS sym,
+        |              (min(price) + max(price)) / CAST(2 AS DOUBLE) AS pmid
+        |       FROM trades),
+        |r AS (SELECT mn + (mx - mn) // 3 AS t1, mn + 2 * ((mx - mn) // 3) AS t2,
+        |             sym, pmid FROM b)""".stripMargin,
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
+        |FROM trades, r
+        |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2 AND symbol = sym
+        |  AND price <= pmid
+        |GROUP BY symbol""".stripMargin),
 
     // The Z-clustered rewrite must be value-identical to the plain
     // two-predicate filter — same oracle shape as q_versioned_combo; only

@@ -52,6 +52,7 @@ final class ChangeFeedSource(
     root: String,
     startingVersion: Int,
     maxVersionsPerTrigger: Option[Int],
+    maxBytesPerTrigger: Option[Long],
     providedSchema: Option[StructType]) extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
@@ -90,15 +91,54 @@ final class ChangeFeedSource(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
+  /** Data dirs version `v` ADDED over its parent — the delta the batch
+    * would read. Driver-side manifest metadata only.
+    */
+  private def addedDirs(v: Int): Seq[String] = {
+    val prev =
+      if (v <= 1) Set.empty[String]
+      else VersionedTable.snapshot(root, v - 1).dataDirs.toSet
+    VersionedTable.snapshot(root, v).dataDirs.filterNot(prev)
+  }
+
+  /** On-disk bytes of one data dir (one listing; no data read). */
+  private def dirBytes(d: String): Long =
+    Option(new java.io.File(root, d).listFiles()).toSeq.flatten
+      .filter(_.isFile).map(_.length).sum
+
   override def latestOffset(start: OffsetV2, limit: ReadLimit): OffsetV2 = {
     val from = Option(start).map(toVersion).getOrElse(startingVersion)
     val latest = availableNowTarget match {
       case Some(pinned) => pinned.getOrElse(startingVersion) // pinned (possibly empty) table
       case None         => VersionedTable.latestVersion(root).getOrElse(startingVersion)
     }
-    val to = maxVersionsPerTrigger
-      .map(n => math.min(from.max(startingVersion) + n, latest))
-      .getOrElse(latest)
+    val base = from.max(startingVersion)
+    val countCapped = maxVersionsPerTrigger
+      .map(n => math.min(base + n, latest)).getOrElse(latest)
+    // Bytes-based admission (Delta's maxBytesPerTrigger analogue): the
+    // version cap alone can't bound a batch — ONE fat commit is still a
+    // monster — so versions admit while their deltas' on-disk bytes fit
+    // the cap. The FIRST version always admits (progress guarantee, like
+    // Delta: a single over-cap commit becomes its own batch); sizing costs
+    // one manifest read + one dir listing per considered version, never a
+    // data scan. A vacuumed parent manifest prices the delta as infinite —
+    // the batch shrinks to that version alone and getBatch's loud
+    // resync contract takes it from there.
+    val to = maxBytesPerTrigger match {
+      case None => countCapped
+      case Some(cap) =>
+        var v = base
+        var bytes = 0L
+        var done = false
+        while (!done && v < countCapped) {
+          val b =
+            try addedDirs(v + 1).map(dirBytes).sum
+            catch { case _: IllegalArgumentException => Long.MaxValue / 4 }
+          if (v == base || bytes + b <= cap) { bytes += b; v += 1 }
+          else done = true
+        }
+        v
+    }
     if (to > from && to > startingVersion) LongOffset(to.toLong) else null
   }
 
@@ -159,7 +199,9 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       parameters: Map[String, String]): Source = {
     val maxPer = parameters.get("maxVersionsPerTrigger").map(_.toInt)
     maxPer.foreach(n => require(n > 0, s"maxVersionsPerTrigger must be > 0, got $n"))
+    val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
+    maxBytes.foreach(n => require(n > 0, s"maxBytesPerTrigger must be > 0, got $n"))
     new ChangeFeedSource(sqlContext, rootOf(parameters),
-      parameters.getOrElse("startingVersion", "0").toInt, maxPer, schema)
+      parameters.getOrElse("startingVersion", "0").toInt, maxPer, maxBytes, schema)
   }
 }

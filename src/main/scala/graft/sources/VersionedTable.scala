@@ -293,12 +293,18 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
     require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
-    // mergeSchema: commits may evolve the schema additively; without it,
-    // one arbitrary footer wins and later columns silently VANISH. The
-    // union schema (nulls for pre-evolution rows) is the same additive
-    // discipline as mergeIntoKeyed's; cost is one footer per dir.
-    spark.read.option("mergeSchema", "true")
-      .parquet(snap.dataDirs.map(d => new File(root, d).getPath): _*)
+    val dirs = snap.dataDirs.map(d => new File(root, d).getPath)
+    // The union schema (nulls for pre-evolution rows) comes from the
+    // manifest when persisted — schema-PINNED read, zero footer I/O at
+    // planning (at 100 TB a snapshot read costs ONE manifest instead of
+    // O(dirs) footers). Legacy manifests fall back to mergeSchema, whose
+    // footer union enforces the same additive discipline.
+    snap.schemaJson match {
+      case Some(_) =>
+        spark.read.schema(snapshotSchema(spark, root, snap)).parquet(dirs: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+    }
   }
 
   /** Manifest-level data skipping: read snapshot `asOf` keeping only the
@@ -371,6 +377,11 @@ class VersionedTableOps(val store: CommitStore) {
     if (keep.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), anchor)
+    else if (snap.schemaJson.isDefined)
+      // schema-pinned keep read: anchor columns in anchor order, missing
+      // columns null-filled by the parquet reader itself — zero footer I/O
+      spark.read.schema(anchor)
+        .parquet(keep.map(d => new File(root, d).getPath): _*)
     else {
       val kept = spark.read.option("mergeSchema", "true")
         .parquet(keep.map(d => new File(root, d).getPath): _*)
@@ -719,18 +730,43 @@ class VersionedTableOps(val store: CommitStore) {
       dimB: org.apache.spark.sql.Column, maxB: Long,
       nDirs: Int,
       statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int =
+    optimizeZorder(spark, root, Seq(dimA -> maxA, dimB -> maxB), nDirs,
+      statsCols, bloomCols, bloomFpp)
+
+  /** N-dimensional `OPTIMIZE ... ZORDER BY`: [[optimize]] generalized to
+    * any number of `(dimension, inclusiveDomainMax)` pairs — the layout
+    * covers the reference's COMPOSITE index sets (`(symbol, time)` today,
+    * `(symbol, time, trade_id)` dedup probes,
+    * `sql/timescaledb_schema.sql:24,34-37`) with the same single-shuffle
+    * cost. Each dimension scales to 16 bits ([[graft.operators.ZOrder
+    * .scaleTo16]]) and interleaves at stride N ([[graft.operators.ZOrder
+    * .mortonN]]; 2-dim calls produce bit-identical codes to the original
+    * Morton-16 path), so every dimension's stats stay tight in every dir
+    * and a probe on ANY subset of the dims prunes. Wide interleaves
+    * (N > 3) coarsen each dimension to `62/N` bits — granularity, not
+    * soundness, is what narrows.
+    */
+  def optimizeZorder(spark: SparkSession, root: String,
+      dims: Seq[(org.apache.spark.sql.Column, Long)],
+      nDirs: Int,
+      statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int = {
     import graft.operators.ZOrder
     import org.apache.spark.sql.functions.shiftright
     require(nDirs > 0 && (nDirs & (nDirs - 1)) == 0,
       s"nDirs must be a power of two, got $nDirs")
+    require(dims.nonEmpty, "need at least one ZORDER dimension")
+    val codeBits = ZOrder.mortonBits(dims.size)
+    require((1 << java.lang.Integer.numberOfTrailingZeros(nDirs)) == nDirs &&
+      java.lang.Integer.numberOfTrailingZeros(nDirs) <= codeBits,
+      s"nDirs=$nDirs exceeds the ${dims.size}-dim code space ($codeBits bits)")
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
     val current = read(spark, root)
-    val shift = 32 - java.lang.Integer.numberOfTrailingZeros(nDirs)
-    val zcode = ZOrder.morton16(ZOrder.scaleTo16(dimA, maxA),
-      ZOrder.scaleTo16(dimB, maxB))
+    val shift = codeBits - java.lang.Integer.numberOfTrailingZeros(nDirs)
+    val zcode = ZOrder.mortonN(dims.map { case (c, mx) => ZOrder.scaleTo16(c, mx) })
     val laid = current
       .withColumn("__zcode", zcode)
       .withColumn("__zdir", shiftright(col("__zcode"), shift))
@@ -1354,10 +1390,17 @@ class VersionedTableOps(val store: CommitStore) {
         java.util.Collections.emptyList[org.apache.spark.sql.Row](), anchor)
     }
     // Same additive-evolution discipline as read(): a range spanning a
-    // schema-widening commit must surface the union schema, not let one
-    // arbitrary footer win and silently drop the new columns from the feed.
-    spark.read.option("mergeSchema", "true")
-      .parquet(added.map(d => new File(root, d).getPath): _*)
+    // schema-widening commit must surface the union schema (the final
+    // snapshot's anchor), not let one arbitrary footer win and silently
+    // drop the new columns from the feed. Manifest-pinned when persisted;
+    // legacy fallback = footer mergeSchema.
+    val paths = added.map(d => new File(root, d).getPath)
+    snaps.last.schemaJson match {
+      case Some(_) =>
+        spark.read.schema(snapshotSchema(spark, root, snaps.last)).parquet(paths: _*)
+      case None =>
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    }
   }
 
   /** Delete data dirs referenced ONLY by versions older than the retained

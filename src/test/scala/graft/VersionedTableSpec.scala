@@ -691,6 +691,44 @@ class VersionedTableSpec extends SparkTestBase {
     q.awaitTermination()
   }
 
+  test("change-feed maxBytesPerTrigger: a fat commit drains alone, slim deltas share a batch") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 10000).toDF("id"), root) // fat
+    VersionedTable.commit(spark.range(10000, 10010).toDF("id"), root) // slim
+    VersionedTable.commit(spark.range(10010, 10020).toDF("id"), root) // slim
+    def deltaBytes(v: Int): Long = {
+      val prev = if (v <= 1) Set.empty[String]
+        else VersionedTable.snapshot(root, v - 1).dataDirs.toSet
+      VersionedTable.snapshot(root, v).dataDirs.filterNot(prev)
+        .map(d => Option(new File(root, d).listFiles()).toSeq.flatten
+          .filter(_.isFile).map(_.length).sum).sum
+    }
+    // cap fits BOTH slim deltas but not fat+slim: the fat commit must
+    // drain alone (first-version progress guarantee — an over-cap commit
+    // becomes its own batch, never a deadlock), then the slims share one
+    assert(deltaBytes(1) > deltaBytes(2) + deltaBytes(3),
+      "fixture: the fat delta must exceed the cap")
+    val cap = deltaBytes(2) + deltaBytes(3)
+    var batches = Vector.empty[Set[Long]]
+    val q = spark.readStream.format("graft-changefeed")
+      .option("root", root)
+      .option("maxBytesPerTrigger", cap.toString)
+      .load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        batches :+= b.collect().map(_.getLong(0)).toSet
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", Files.createTempDirectory("graft_cap_ckpt_").toString)
+      .start()
+    q.awaitTermination()
+    assert(batches.length === 2,
+      s"expected the catch-up split fat | slim+slim, got ${batches.map(_.size)}")
+    assert(batches(0) === (0L until 10000L).toSet)
+    assert(batches(1) === (10000L until 10020L).toSet)
+  }
+
   test("change-feed source: catch-up in one batch, then delta-only resumption") {
     val root = freshRoot()
     val ckpt = Files.createTempDirectory("graft_cfs_ckpt_").toString
@@ -875,7 +913,7 @@ class VersionedTableSpec extends SparkTestBase {
     // dropped until restart) instead of killing the consumer — exercise
     // getBatch directly with a source pinned BEFORE the widening commit
     val pinned = new graft.sources.ChangeFeedSource(
-      spark.sqlContext, root, 0, None, None)
+      spark.sqlContext, root, 0, None, None, None)
     assert(pinned.schema.fieldNames.toSeq === Seq("id"))
     VersionedTable.commit(
       spark.range(5, 8).select(col("id"), (col("id") * 10).as("extra")), root)
@@ -982,6 +1020,51 @@ class VersionedTableSpec extends SparkTestBase {
       val t = one.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
       assert(t <= 8, s"single-dim probe on $dim touched $t/16 dirs — no clustering")
     }
+  }
+
+  test("optimizeZorder: THREE dims interleave; probes on any dim (and all) prune") {
+    import graft.sources.VersionedTable.RangeFilter
+    val root = freshRoot()
+    // a 16x16x16 grid — a 2-dim layout would leave the third dim
+    // full-range in every dir
+    val grid = spark.range(0, 4096).toDF("id")
+      .select(col("id"), (col("id") % 16).as("a"),
+        ((col("id") / 16).cast("long") % 16).as("b"),
+        (col("id") / 256).cast("long").as("c"))
+    VersionedTable.commit(grid, root)
+    val v = VersionedTable.optimizeZorder(spark, root,
+      Seq(col("a") -> 15L, col("b") -> 15L, col("c") -> 15L),
+      nDirs = 8, statsCols = Seq("a", "b", "c"))
+    assert(v === 2)
+    val after = VersionedTable.read(spark, root)
+    assert(after.select("id").collect().map(_.getLong(0)).toSet === (0L until 4096L).toSet)
+    val snap = VersionedTable.history(root).last
+    assert(snap.operation === "overwrite" && snap.dataDirs.size === 8)
+    // 8 dirs = the top bit of EACH dim: a half-range probe on ANY single
+    // dim dismisses half the dirs
+    for (dim <- Seq("a", "b", "c")) {
+      val one = VersionedTable.readFiltered(spark, root, Seq(RangeFilter(dim, 0, 7)))
+      val t = one.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length
+      assert(t <= 4, s"single-dim probe on $dim touched $t/8 dirs — no 3-dim clustering")
+    }
+    // and the all-dims box probe pins exactly one dir
+    val box = VersionedTable.readFiltered(spark, root,
+      Seq(RangeFilter("a", 0, 7), RangeFilter("b", 0, 7), RangeFilter("c", 0, 7)))
+    assert(box.inputFiles.map(_.replaceAll("/[^/]*$", "")).distinct.length === 1,
+      "the 3-dim box probe must pin a single dir")
+    assert(box.filter(col("a") <= 7 && col("b") <= 7 && col("c") <= 7).count() === 512L)
+    // 2-dim calls through the generalized path stay bit-identical to
+    // morton16 (the layout contract q_zorder_optimize hashes against)
+    import graft.operators.ZOrder
+    val probe = spark.range(0, 1000).select(
+      (col("id") % 37).as("x"), (col("id") % 53).as("y"))
+    val diff = probe.select(
+      ZOrder.morton16(ZOrder.scaleTo16(col("x"), 36L), ZOrder.scaleTo16(col("y"), 52L))
+        .as("m2"),
+      ZOrder.mortonN(Seq(ZOrder.scaleTo16(col("x"), 36L), ZOrder.scaleTo16(col("y"), 52L)))
+        .as("mn"))
+      .filter(col("m2") =!= col("mn")).count()
+    assert(diff === 0L, "mortonN(2 dims) must equal morton16 bit for bit")
   }
 
   test("analyze backfills skipping metadata in place; subscriptions cross it as a no-op") {
@@ -1145,6 +1228,28 @@ class VersionedTableSpec extends SparkTestBase {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     val want = (0L until 20L).groupBy(_ % 3).map { case (k, v) => k -> v.size.toLong }
     assert(got === want)
+  }
+
+  test("graft-versioned sink skips empty micro-batches; exactly-once unaffected") {
+    val root = freshRoot()
+    val sink = new graft.sources.VersionedSinkProvider().createSink(
+      spark.sqlContext, Map("root" -> root, "appId" -> "empty-probe"),
+      Seq.empty, org.apache.spark.sql.streaming.OutputMode.Append())
+    // a watermark-only/state-flush trigger hands an EMPTY batch: it must
+    // neither throw (the r12 bug: a zero-partition write has no part
+    // files to read back) nor burn a version per idle trigger
+    val empty = spark.range(0).select(col("id"))
+    sink.addBatch(0L, empty)
+    assert(VersionedTable.latestVersion(root).isEmpty,
+      "an empty micro-batch must not commit a version")
+    sink.addBatch(1L, spark.range(0, 5).toDF("id"))
+    assert(VersionedTable.latestVersion(root) === Some(1))
+    assert(VersionedTable.lastCommittedBatch(root, "empty-probe") === Some(1L))
+    // redelivery of the skipped empty batch is a no-op; of the real one, absorbed
+    sink.addBatch(0L, empty)
+    sink.addBatch(1L, spark.range(0, 5).toDF("id"))
+    assert(VersionedTable.latestVersion(root) === Some(1))
+    assert(ids(root) === (0L until 5L).toSet)
   }
 
   test("graft-versioned sink rejects update mode and missing identity") {
