@@ -916,6 +916,25 @@ class VersionedTableOps(val store: CommitStore) {
       if (df.columns.contains(f.name)) col(f.name).cast(f.dataType)
       else lit(null).cast(f.dataType).as(f.name)): _*)
 
+  /** The manifest [[VersionedTable.DirFilter]]s a predicate would push at
+    * a scan of this snapshot — translated against a FILELESS twin of the
+    * scan relation (same anchor schema, empty file index), so DML
+    * planning costs zero file listings: at 100 TB a DELETE's candidate
+    * bounding reads ONE manifest, never O(files) metadata. The logical
+    * optimizer still constant-folds the predicate before translation,
+    * exactly as on the real scan.
+    */
+  private def predicateFilters(spark: SparkSession, root: String,
+      anchor: org.apache.spark.sql.types.StructType,
+      predicate: org.apache.spark.sql.Column): Seq[VersionedTable.DirFilter] = {
+    val rootPath = new org.apache.hadoop.fs.Path(new File(root).toURI)
+    val index = new org.apache.spark.sql.graft.ManifestFileIndex(
+      rootPath, Seq.empty, _ => Seq.empty)
+    val frame = org.apache.spark.sql.graft.ManifestScan.frame(spark, index, anchor)
+    org.apache.spark.sql.graft.ManifestScan
+      .translatedFilters(frame.filter(predicate))
+  }
+
   /** The min/max probe matching the manifest stats grammar: micros for
     * timestamps, raw strings (image computed driver-side via
     * [[VersionedTable.strImage]]), double otherwise.
@@ -1063,11 +1082,10 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
     val snap = snapshot(root, parent)
-    val dirFilters = org.apache.spark.sql.graft.ManifestScan
-      .translatedFilters(scan(spark, root, Some(parent)).filter(predicate))
+    val anchor = snapshotSchema(spark, root, snap)
+    val dirFilters = predicateFilters(spark, root, anchor, predicate)
     val candidates = admittedDirs(root, snap, dirFilters)
     if (candidates.isEmpty) return 0L // skipping tiers proved a no-op
-    val anchor = snapshotSchema(spark, root, snap)
     val hit = coalesce(predicate, lit(false))
     val oldByBase = candidates.map(d => new File(d).getName -> d).toMap
     val tagged = taggedUnion(spark, root, candidates, anchor)
@@ -1149,8 +1167,7 @@ class VersionedTableOps(val store: CommitStore) {
     val unknown = assignments.keySet.diff(anchor.fieldNames.toSet)
     require(unknown.isEmpty,
       s"assignments target unknown columns: ${unknown.mkString(",")}")
-    val dirFilters = org.apache.spark.sql.graft.ManifestScan
-      .translatedFilters(scan(spark, root, Some(parent)).filter(predicate))
+    val dirFilters = predicateFilters(spark, root, anchor, predicate)
     val candidates = admittedDirs(root, snap, dirFilters)
     if (candidates.isEmpty) return 0L
     val hit = coalesce(predicate, lit(false))
