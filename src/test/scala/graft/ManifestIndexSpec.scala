@@ -96,6 +96,26 @@ class ManifestIndexSpec extends SparkTestBase {
     }
   }
 
+  test("catalog-table WHERE prunes through the same FileIndex (numFiles)") {
+    // the SQL-catalog read path must plan through the SAME
+    // ManifestFileIndex as scan(): 2 of 6 files for the middle range
+    val root = rangedTable()
+    val sql = SqlCatalogSpec.session(spark)
+    sql.sql(s"CREATE TABLE mfi_cat USING graft LOCATION '$root'")
+    val probe = sql.sql(
+      "SELECT id FROM mfi_cat WHERE id >= 120 AND id < 180")
+    val (rows, files) = runAndCount(probe)
+    assert(rows.map(_.getLong(0)).sorted === (120L until 180L))
+    assert(files === 2, s"catalog WHERE must prune to the middle dir, scanned $files")
+    val (allRows, allFiles) = runAndCount(sql.sql("SELECT id FROM mfi_cat"))
+    assert(allRows.size === 300 && allFiles === 6)
+    // and VERSION AS OF re-pins the index at plan time
+    val (v1Rows, v1Files) = runAndCount(
+      sql.sql("SELECT id FROM mfi_cat VERSION AS OF 1 WHERE id < 50"))
+    assert(v1Rows.size === 50 && v1Files === 2,
+      s"time-travel scan must carry v1's 2-file index, scanned $v1Files")
+  }
+
   test("scan with no filters equals the library read, same schema") {
     val root = rangedTable()
     val viaScan = VersionedTable.scan(spark, root)
