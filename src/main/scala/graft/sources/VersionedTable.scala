@@ -292,6 +292,14 @@ class VersionedTableOps(val store: CommitStore) {
     val v = asOf.orElse(latestVersion(root))
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
+    // a delete-all leaves a legitimately EMPTY snapshot: serve
+    // schema-correct emptiness off the manifest anchor (legacy manifests
+    // without a persisted schema keep the loud error — they have no
+    // authoritative schema to serve)
+    if (snap.dataDirs.isEmpty && snap.schemaJson.isDefined)
+      return spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        snapshotSchema(spark, root, snap))
     require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
     val dirs = snap.dataDirs.map(d => new File(root, d).getPath)
     // The union schema (nulls for pre-evolution rows) comes from the
@@ -368,7 +376,8 @@ class VersionedTableOps(val store: CommitStore) {
     val v = asOf.orElse(latestVersion(root))
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
-    require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
+    require(snap.dataDirs.nonEmpty || snap.schemaJson.isDefined,
+      s"version $v has no data dirs")
     val keep = admittedDirs(root, snap, filters)
     // Schema anchor: the manifest's persisted union schema (exact even
     // after DML dropped the newest dir); legacy fallback = ONE footer read
@@ -423,7 +432,8 @@ class VersionedTableOps(val store: CommitStore) {
     val v = asOf.orElse(latestVersion(root))
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
-    require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
+    require(snap.dataDirs.nonEmpty || snap.schemaJson.isDefined,
+      s"version $v has no data dirs")
     val anchor = snapshotSchema(spark, root, snap)
     val rootPath = new org.apache.hadoop.fs.Path(new File(root).toURI)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -135,6 +135,20 @@ class SqlCatalogSpec extends SparkTestBase {
       "CTAS must thread statsCols into the commit")
   }
 
+  test("DELETE FROM without WHERE empties the table; SELECT stays schema-correct") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 30).toDF("id").withColumn("v", lit(1L)),
+      root, statsCols = Seq("id"))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    val del = sql.sql(s"DELETE FROM $t")
+    assert(del.collect().map(_.getLong(0)).toSeq === Seq(30L))
+    val out = sql.sql(s"SELECT * FROM $t")
+    assert(out.columns.toSeq === Seq("id", "v") && out.count() === 0L)
+    sql.sql(s"INSERT INTO $t SELECT id, id AS v FROM range(0, 4)")
+    assert(sql.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 4L)
+  }
+
   test("DML on a time-travel snapshot and unsupported MERGE shapes fail loudly") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 5).toDF("id").withColumn("v", lit(0L)), root)

@@ -326,6 +326,25 @@ class VersionedDmlSpec extends SparkTestBase {
     assert(out.filter(col("k") === "MMM-5").head().getLong(1) === -1L)
   }
 
+  test("a delete-ALL leaves a readable empty snapshot (manifest-anchored schema)") {
+    val root = freshRoot()
+    rangedTable(root)
+    assert(VersionedTable.delete(spark, root, lit(true)) === 300L)
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.dataDirs.isEmpty, "every dir fully matched: all dropped")
+    // reads serve schema-correct emptiness off the persisted schema
+    val out = VersionedTable.read(spark, root)
+    assert(out.columns.toSeq === Seq("id", "v") && out.count() === 0L)
+    assert(VersionedTable.scan(spark, root).count() === 0L)
+    assert(VersionedTable.readFiltered(spark, root,
+      Seq(VersionedTable.RangeFilter("id", 0, 10))).count() === 0L)
+    // history intact; and the table accepts new commits afterward
+    assert(ids(VersionedTable.read(spark, root, Some(3))).size === 300)
+    VersionedTable.commit(spark.range(0, 3).toDF("id")
+      .withColumn("v", lit(0L)), root)
+    assert(ids(VersionedTable.read(spark, root)) === Seq(0L, 1L, 2L))
+  }
+
   test("the change feed refuses to cross a DML version") {
     val root = freshRoot()
     rangedTable(root)
