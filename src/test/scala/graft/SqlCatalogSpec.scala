@@ -149,6 +149,34 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(sql.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 4L)
   }
 
+  test("DESCRIBE serves the live schema; DROP TABLE detaches, data survives, re-CREATE re-attaches") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root)
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    // additive evolution lands through the commit log (INSERT itself is
+    // arity-checked against the current schema — evolution is a commit-
+    // level contract, like Delta without mergeSchema); DESCRIBE must show
+    // the LIVE union schema, not the creation-time columns
+    VersionedTable.commit(
+      spark.range(5, 8).toDF("id").withColumn("w", col("id") * 2), root)
+    val described = sql.sql(s"DESCRIBE TABLE $t")
+      .collect().map(_.getString(0)).filter(_.nonEmpty).toSeq
+    assert(described.contains("id") && described.contains("w"),
+      s"DESCRIBE must serve the evolved union schema, got $described")
+    // DROP detaches the catalog entry; the commit log is untouched
+    // (external-table semantics — LOCATION data is never the catalog's)
+    sql.sql(s"DROP TABLE $t")
+    assert(!sql.catalog.tableExists(t))
+    assert(VersionedTable.latestVersion(root) === Some(2),
+      "DROP TABLE must not touch the commit log")
+    // re-attach: full history still served
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    assert(sql.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 8L)
+    assert(sql.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 1")
+      .head().getLong(0) === 5L)
+  }
+
   test("DML on a time-travel snapshot and unsupported MERGE shapes fail loudly") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 5).toDF("id").withColumn("v", lit(0L)), root)
