@@ -5,7 +5,8 @@ import java.util.{Map => JMap}
 import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension, Identifier, SupportsDelete, SupportsWrite, Table, TableCapability, V1Table}
+import org.apache.spark.sql.catalyst.catalog.CatalogTable
+import org.apache.spark.sql.connector.catalog.{DelegatingCatalogExtension, Identifier, SupportsDelete, SupportsWrite, Table, TableCapability, V1Table, V2TableWithV1Fallback}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.sources.{Filter, InsertableRelation}
@@ -62,7 +63,8 @@ class GraftCatalog extends DelegatingCatalogExtension {
       val root = new java.io.File(v1.catalogTable.location).getPath
       GraftTableV2(ident.toString, root, asOf,
         Option(v1.catalogTable.schema).filter(_.nonEmpty),
-        v1.catalogTable.storage.properties ++ v1.catalogTable.properties)
+        v1.catalogTable.storage.properties ++ v1.catalogTable.properties,
+        Some(v1.catalogTable))
     case other => other
   }
 
@@ -115,8 +117,9 @@ final case class GraftTableV2(
     root: String,
     asOf: Option[Int],
     declaredSchema: Option[StructType],
-    tableProps: Map[String, String])
-  extends Table with SupportsWrite with SupportsDelete {
+    tableProps: Map[String, String],
+    catalogEntry: Option[CatalogTable] = None)
+  extends Table with SupportsWrite with SupportsDelete with V2TableWithV1Fallback {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -174,6 +177,25 @@ final case class GraftTableV2(
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     VersionedTable.delete(spark, root, cond)
     ()
+  }
+
+  /** Streaming reads fall back to the v1 `graft-changefeed` source (the
+    * Delta `V2TableWithV1Fallback` technique): `spark.readStream.table(t)`
+    * subscribes to the table's commit log — offsets are versions, each
+    * micro-batch an O(delta) change-feed read — with the catalog name as
+    * the only address. Batch resolution never consults this.
+    */
+  override def v1Table: CatalogTable = {
+    val base = catalogEntry.getOrElse(throw new UnsupportedOperationException(
+      s"no catalog entry for $identName: streaming fallback needs a " +
+        "session-catalog table"))
+    require(asOf.isEmpty,
+      "streaming reads subscribe to the live commit log; drop VERSION AS OF " +
+        "(use startingVersion on format(\"graft-changefeed\") for history)")
+    base.copy(
+      provider = Some("graft-changefeed"),
+      storage = base.storage.copy(
+        properties = base.storage.properties + ("root" -> root)))
   }
 
   /** Fails loudly if a DSv2 scan is ever actually planned — the read rule

@@ -177,6 +177,33 @@ class SqlCatalogSpec extends SparkTestBase {
       .head().getLong(0) === 5L)
   }
 
+  test("readStream.table(t) subscribes to the commit log (changefeed fallback)") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 10).toDF("id"), root)
+    VersionedTable.commit(spark.range(10, 20).toDF("id"), root)
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    val ckpt = Files.createTempDirectory("graft_rst_ckpt_").toString
+    def drain(): Set[Long] = {
+      var seen = Set.empty[Long]
+      val q = sql.readStream.table(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen ++= b.collect().map(_.getLong(0))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      seen
+    }
+    assert(drain() === (0L until 20L).toSet, "catch-up must serve both commits")
+    // new commits stream as deltas on the SAME checkpoint
+    VersionedTable.commit(spark.range(20, 25).toDF("id"), root)
+    assert(drain() === (20L until 25L).toSet, "resumption must be delta-only")
+  }
+
   test("DML on a time-travel snapshot and unsupported MERGE shapes fail loudly") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 5).toDF("id").withColumn("v", lit(0L)), root)
