@@ -134,6 +134,56 @@ object SqlCatalogQueries {
       statusRollup(ss, t)
     }),
 
+    // Streaming SUBSCRIPTION by table name — readStream.table(t) over a
+    // `USING graft` table rides the V1 changefeed fallback: the corpus
+    // lands as chronological COMMITS, the subscriber drains them through
+    // the catalog name alone (catch-up batch, then a delta-only second
+    // drain on the SAME checkpoint), folding each micro-batch into a
+    // downstream aggregate table idempotently. Oracle = the whole-corpus
+    // rollup: subscription order and batch boundaries must not matter.
+    "q_stream_sql_table" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, lit, sum}
+      import org.apache.spark.sql.streaming.Trigger
+      import graft.operators.IncrementalAgg
+      import graft.sources.StreamSources
+      val ss = session(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_sqlstr_").toString
+      val aggRoot = java.nio.file.Files.createTempDirectory("graft_sqlstrdn_").toString
+      val ckpt = java.nio.file.Files.createTempDirectory("graft_sqlstr_ckpt_").toString
+      val split = StreamSources.chronoSplitDir(s, s"$d/events.parquet", 3)
+      def land(b: Int): Unit = {
+        VersionedTable.commit(
+          StreamSources.projectTrades(s.read.parquet(s"$split/f$b.parquet")), root)
+        ()
+      }
+      val t = freshName("sqlstream")
+      def drainOnce(): Unit = {
+        val feed = ss.readStream.table(t)
+          .select(col("symbol"), col("volume"),
+            graft.functions.Quantize.i(col("price"), 4).as("price_e4"))
+        val q = feed.writeStream
+          .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+            VersionedTable.idempotentCommit(
+              IncrementalAgg.aggregate(batch, Seq("symbol"), Seq("volume", "price_e4")),
+              aggRoot, id.toInt + 1)
+            ()
+          }
+          .trigger(Trigger.AvailableNow())
+          .option("checkpointLocation", ckpt)
+          .start()
+        q.awaitTermination()
+      }
+      land(0); land(1)
+      ss.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+      drainOnce() // catch-up: both commits in one O(delta) batch
+      land(2)
+      drainOnce() // SAME checkpoint: only the new commit is read
+      VersionedTable.read(ss, aggRoot)
+        .groupBy("symbol")
+        .agg(sum(col("n_rows")).as("n"), sum(col("sum_volume")).as("sum_volume"),
+          (sum(col("sum_price_e4")) / lit(10000.0)).as("sum_price"))
+    }),
+
     // `MERGE INTO` — q_versioned_merge's twin: whole-row upsert by key,
     // updates (price bump, keys ≡ 0 mod 7) + inserts (fresh keys above the
     // max) through one SQL MERGE.
@@ -170,6 +220,14 @@ object SqlCatalogQueries {
         |       (SELECT count(*) FROM orders WHERE o_orderkey % 3 < 2) AS v2_rows
         |FROM orders
         |WHERE o_orderkey = (SELECT max(o_orderkey) FROM orders)""".stripMargin,
+
+    // The by-name subscription must reproduce the whole-corpus rollup
+    // exactly (same contract as q_stream_changefeed — only the address,
+    // the catalog table name, differs).
+    "q_stream_sql_table" -> OracleSql.withTrades(
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
+        |FROM trades GROUP BY symbol""".stripMargin),
 
     "q_versioned_sql_delete" ->
       """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
