@@ -29,8 +29,18 @@ object SqlCatalogQueries {
     * extensions and the session-catalog implementation — cannot be set on
     * a live session, which is why the registry queries do not run against
     * the harness session directly.
+    *
+    * Self-healing: the cache is keyed to the LIVE SparkContext — a stopped
+    * context, or a harness that rebuilt its session on a new context in
+    * the same JVM, invalidates it and the next call rebuilds. A stale
+    * cached session here (its analyzer, catalog, and cache manager bound
+    * to dead state) was one suspect channel for the r13 gate flake.
     */
   def session(base: SparkSession): SparkSession = synchronized {
+    if (cached != null &&
+        (cached.sparkContext.isStopped ||
+          !(cached.sparkContext eq base.sparkContext)))
+      cached = null
     if (cached == null) {
       val prevActive = SparkSession.getActiveSession
       val prevDefault = SparkSession.getDefaultSession
@@ -57,6 +67,18 @@ object SqlCatalogQueries {
   private def freshName(prefix: String): String =
     s"${prefix}_${counter.incrementAndGet()}"
 
+  /** Freeze a catalog-session result into an inert local frame on the
+    * CALLER's session: the rollup is evaluated RIGHT HERE — under the
+    * catalog session, immediately after its verbs ran — and the caller
+    * gets a LocalRelation that cannot re-resolve against any later
+    * session, catalog, cache, or manifest state when it is finally
+    * written/consumed. The SQL-catalog results are all small rollups
+    * (grouped by status/symbol), so the collect is bounded at any SF.
+    */
+  private def hermetic(caller: SparkSession, df: DataFrame): DataFrame =
+    caller.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
   /** Three disjoint o_orderkey-range commits with key stats — the shared
     * DML corpus (identical to the library twins'), registered as a catalog
     * table in the SQL session. Returns (session, tableName, lo, hi).
@@ -79,10 +101,18 @@ object SqlCatalogQueries {
     (ss, t, lo, hi)
   }
 
+  /** The shared DML rollup. `1e2`, NOT `100.0`: a fractional literal in
+    * Spark SQL is a DECIMAL, and `sum(BIGINT) / 100.0` silently types
+    * `sum_price` as DECIMAL — the r13 gate hashed exactly the three
+    * queries using that division as red (the library twins and the DuckDB
+    * oracle both produce DOUBLE; the values agree, the runtime types
+    * don't). Scientific notation is a DOUBLE literal, so the quotient —
+    * and the written parquet — match the twins bit-for-bit.
+    */
   private def statusRollup(ss: SparkSession, t: String): DataFrame =
     ss.sql(
       s"""SELECT o_orderstatus, count(*) AS n,
-         |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+         |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_price
          |FROM $t GROUP BY o_orderstatus""".stripMargin)
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -107,12 +137,12 @@ object SqlCatalogQueries {
       ss.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
       orders.createOrReplaceTempView(v)
       ss.sql(s"INSERT INTO $t SELECT * FROM $v WHERE o_orderkey % 3 = 2")
-      ss.sql(
+      hermetic(s, ss.sql(
         s"""SELECT o_orderkey, o_orderstatus,
            |       floor(o_totalprice * 1e2 + 0.5) / 1e2 AS total_price,
            |       (SELECT count(*) FROM $t VERSION AS OF 2) AS v2_rows
            |FROM $t
-           |WHERE o_orderkey = (SELECT max(o_orderkey) FROM $t)""".stripMargin)
+           |WHERE o_orderkey = (SELECT max(o_orderkey) FROM $t)""".stripMargin))
     }),
 
     // `DELETE FROM` — the exact corpus and oracle of q_versioned_delete,
@@ -123,7 +153,7 @@ object SqlCatalogQueries {
       val (ss, t, lo, hi) = dmlTable(s, d)
       ss.sql(s"DELETE FROM $t WHERE o_orderkey > $lo AND o_orderkey <= $hi " +
         "AND o_orderstatus = 'F'")
-      statusRollup(ss, t)
+      hermetic(s, statusRollup(ss, t))
     }),
 
     // `UPDATE ... SET` — q_versioned_update's twin through the catalog.
@@ -131,7 +161,7 @@ object SqlCatalogQueries {
       val (ss, t, lo, hi) = dmlTable(s, d)
       ss.sql(s"UPDATE $t SET o_totalprice = o_totalprice * CAST(1.1 AS DOUBLE) " +
         s"WHERE o_orderkey > $lo AND o_orderkey <= $hi AND o_orderstatus = 'O'")
-      statusRollup(ss, t)
+      hermetic(s, statusRollup(ss, t))
     }),
 
     // Streaming SUBSCRIPTION by table name — readStream.table(t) over a
@@ -178,10 +208,10 @@ object SqlCatalogQueries {
       drainOnce() // catch-up: both commits in one O(delta) batch
       land(2)
       drainOnce() // SAME checkpoint: only the new commit is read
-      VersionedTable.read(ss, aggRoot)
+      hermetic(s, VersionedTable.read(ss, aggRoot)
         .groupBy("symbol")
         .agg(sum(col("n_rows")).as("n"), sum(col("sum_volume")).as("sum_volume"),
-          (sum(col("sum_price_e4")) / lit(10000.0)).as("sum_price"))
+          (sum(col("sum_price_e4")) / lit(10000.0)).as("sum_price")))
     }),
 
     // `MERGE INTO` — q_versioned_merge's twin: whole-row upsert by key,
@@ -206,7 +236,7 @@ object SqlCatalogQueries {
            |ON $t.o_orderkey = src.o_orderkey
            |WHEN MATCHED THEN UPDATE SET *
            |WHEN NOT MATCHED THEN INSERT *""".stripMargin).collect()
-      statusRollup(ss, t)
+      hermetic(s, statusRollup(ss, t))
     }))
 
   /** DuckDB oracles — the DML twins reuse their library twins' relational

@@ -50,8 +50,6 @@ import graft.sources.VersionedTable
   */
 class GraftCatalog extends DelegatingCatalogExtension {
 
-  private def spark: SparkSession = SparkSession.active
-
   private def isGraft(t: Table): Boolean = t match {
     case v1: V1Table => v1.catalogTable.provider.exists(_.equalsIgnoreCase("graft"))
     case _           => false
@@ -121,7 +119,20 @@ final case class GraftTableV2(
     catalogEntry: Option[CatalogTable] = None)
   extends Table with SupportsWrite with SupportsDelete with V2TableWithV1Fallback {
 
-  private def spark: SparkSession = SparkSession.active
+  /** The session this table was LOADED by, captured at construction.
+    * Catalog resolution always runs under the owning session's
+    * `withActive`, so this is the extensions+catalog session itself —
+    * resolving `SparkSession.active` lazily at use instead would hand
+    * schema/DML work to whatever session a foreign thread happens to
+    * have active at that later moment (the harness-order divergence
+    * channel behind the r13 gate flake). The active fallback only fires
+    * if the owner's context was stopped out from under a cached table.
+    */
+  @transient private val owner: SparkSession = SparkSession.active
+
+  private def spark: SparkSession =
+    if (owner != null && !owner.sparkContext.isStopped) owner
+    else SparkSession.active
 
   /** An empty table (no commits yet) serves its DECLARED schema; a
     * committed one serves the pinned snapshot's union anchor — one
