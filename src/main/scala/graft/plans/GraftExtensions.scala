@@ -64,6 +64,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(spark =>
       new org.apache.spark.sql.graft.GraftDmlRule(spark))
 
+    // Maintenance verbs the stock grammar lacks (RESTORE TABLE ... TO
+    // VERSION AS OF / OPTIMIZE [ZORDER BY] / VACUUM [RETAIN n HOURS]) —
+    // SQL-declared maintenance delegating to the library ops, the
+    // reference's policy surface (`sql/timescaledb_schema.sql:60-65,
+    // 173-178`; tiering `ARCHITECTURE.md:83-91`).
+    ext.injectParser((_, delegate) => new GraftSqlParser(delegate))
+
     def injectTable(name: String,
         builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
       ext.injectTableFunction((FunctionIdentifier(name),

@@ -1,0 +1,231 @@
+package graft.plans
+
+import scala.util.matching.Regex
+
+import org.apache.spark.sql.{Row, SparkSession}
+import org.apache.spark.sql.catalyst.{FunctionIdentifier, TableIdentifier}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, Expression}
+import org.apache.spark.sql.catalyst.parser.{ParserInterface, ParameterContext}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.execution.command.LeafRunnableCommand
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.sources.VersionedTable
+
+/** Injected SQL parser adding the lakehouse MAINTENANCE verbs the stock
+  * grammar lacks — the `DeltaSqlParser` shape: three statement forms are
+  * recognized up front (case-insensitive, regex-anchored), everything
+  * else delegates verbatim to Spark's own parser.
+  *
+  * {{{
+  *   RESTORE TABLE t TO VERSION AS OF 3
+  *   RESTORE TABLE t TO TIMESTAMP AS OF '2024-01-02 03:04:05'
+  *   OPTIMIZE t                         -- compact to one dir
+  *   OPTIMIZE t ZORDER BY (a, b[, c])   -- N-dim Morton re-cluster
+  *   VACUUM t                           -- library default retention
+  *   VACUUM t RETAIN 168 HOURS          -- reap versions older than 7 days
+  * }}}
+  *
+  * The reference declares maintenance as SQL policy on the warehouse —
+  * compression/retention schedules and refresh policies
+  * (`sql/timescaledb_schema.sql:60-65,154-159,173-178,233-238`), tiering
+  * (`ARCHITECTURE.md:83-91`); this parser is that surface over the commit
+  * log, delegating to the library verbs ([[VersionedTable.restore]] /
+  * `optimizeZorder` / `compact` / `vacuum`) so SQL-declared and
+  * programmatic maintenance share one implementation.
+  */
+class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
+
+  import GraftSqlParser._
+
+  override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
+    case RESTORE_VERSION(t, v) => GraftRestoreCommand(ident(t), Some(v.toInt), None)
+    case RESTORE_TS(t, ts)     => GraftRestoreCommand(ident(t), None, Some(ts))
+    case OPTIMIZE_Z(t, cols)   => GraftOptimizeCommand(ident(t),
+      cols.split(",").toSeq.map(c => strip(c.trim)).filter(_.nonEmpty))
+    case OPTIMIZE_PLAIN(t)     => GraftOptimizeCommand(ident(t), Seq.empty)
+    case VACUUM_RETAIN(t, h)   => GraftVacuumCommand(ident(t), Some(h.toDouble))
+    case VACUUM_PLAIN(t)       => GraftVacuumCommand(ident(t), None)
+    case _                     => delegate.parsePlan(sqlText)
+  }
+
+  private def strip(part: String): String =
+    if (part.startsWith("`") && part.endsWith("`") && part.length >= 2)
+      part.substring(1, part.length - 1)
+    else part
+
+  private def ident(raw: String): TableIdentifier = {
+    val parts = raw.trim.split("\\.").toSeq.map(strip)
+    parts match {
+      case Seq(t)        => TableIdentifier(t)
+      case Seq(db, t)    => TableIdentifier(t, Some(db))
+      case Seq(c, db, t) => TableIdentifier(t, Some(db), Some(c))
+      case _ => throw new IllegalArgumentException(s"bad table identifier: $raw")
+    }
+  }
+
+  // everything else: the stock grammar
+  override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
+  override def parsePlanWithParameters(sqlText: String,
+      ctx: ParameterContext): LogicalPlan = sqlText match {
+    case RESTORE_VERSION(_, _) | RESTORE_TS(_, _) | OPTIMIZE_Z(_, _) |
+         OPTIMIZE_PLAIN(_) | VACUUM_RETAIN(_, _) | VACUUM_PLAIN(_) =>
+      parsePlan(sqlText)
+    case _ => delegate.parsePlanWithParameters(sqlText, ctx)
+  }
+  override def parseExpression(sqlText: String): Expression =
+    delegate.parseExpression(sqlText)
+  override def parseTableIdentifier(sqlText: String): TableIdentifier =
+    delegate.parseTableIdentifier(sqlText)
+  override def parseFunctionIdentifier(sqlText: String): FunctionIdentifier =
+    delegate.parseFunctionIdentifier(sqlText)
+  override def parseMultipartIdentifier(sqlText: String): Seq[String] =
+    delegate.parseMultipartIdentifier(sqlText)
+  override def parseTableSchema(sqlText: String): StructType =
+    delegate.parseTableSchema(sqlText)
+  override def parseDataType(sqlText: String): org.apache.spark.sql.types.DataType =
+    delegate.parseDataType(sqlText)
+  override def parseRoutineParam(sqlText: String): StructType =
+    delegate.parseRoutineParam(sqlText)
+}
+
+object GraftSqlParser {
+
+  // `(?is)` — case-insensitive, dot-matches-newline; a trailing ';' is
+  // tolerated. Table identifiers: dotted, optionally backquoted parts.
+  private val ID = """((?:`[^`]+`|[\w$]+)(?:\.(?:`[^`]+`|[\w$]+))*)"""
+  val RESTORE_VERSION: Regex =
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+$ID\\s+TO\\s+VERSION\\s+AS\\s+OF\\s+(\\d+)\\s*;?\\s*""".r
+  val RESTORE_TS: Regex =
+    s"""(?is)\\s*RESTORE\\s+TABLE\\s+$ID\\s+TO\\s+TIMESTAMP\\s+AS\\s+OF\\s+'([^']+)'\\s*;?\\s*""".r
+  val OPTIMIZE_Z: Regex =
+    s"""(?is)\\s*OPTIMIZE\\s+$ID\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
+  val OPTIMIZE_PLAIN: Regex = s"""(?is)\\s*OPTIMIZE\\s+$ID\\s*;?\\s*""".r
+  val VACUUM_RETAIN: Regex =
+    s"""(?is)\\s*VACUUM\\s+$ID\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?\\s*;?\\s*""".r
+  val VACUUM_PLAIN: Regex = s"""(?is)\\s*VACUUM\\s+$ID\\s*;?\\s*""".r
+
+  /** Resolve a session-catalog `USING graft` table to its commit-log root
+    * (+ its table properties) — the maintenance commands' address step.
+    */
+  def graftRoot(session: SparkSession, t: TableIdentifier): (String, Map[String, String]) = {
+    val meta = session.sessionState.catalog.getTableMetadata(t)
+    require(meta.provider.exists(_.equalsIgnoreCase("graft")),
+      s"$t is not a graft table (provider=${meta.provider.getOrElse("none")})")
+    (new java.io.File(meta.location).getPath,
+      meta.storage.properties ++ meta.properties)
+  }
+
+  def propCols(props: Map[String, String], k: String): Seq[String] =
+    props.get(k).map(_.split(",").toSeq.map(_.trim).filter(_.nonEmpty))
+      .getOrElse(Seq.empty)
+}
+
+/** `RESTORE TABLE t TO VERSION|TIMESTAMP AS OF ...` → ONE metadata-only
+  * commit pinning the target snapshot's dirs/stats/blooms/schema
+  * ([[VersionedTable.restore]]); history stays auditable.
+  */
+case class GraftRestoreCommand(table: TableIdentifier,
+    version: Option[Int], timestamp: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("restored_to_version", LongType, nullable = false)(),
+      AttributeReference("new_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, _) = GraftSqlParser.graftRoot(session, table)
+    val target = version.getOrElse {
+      val ts = timestamp.get
+      // wall-clock form: UTC, same convention as TIMESTAMP AS OF reads
+      val ms = java.time.LocalDateTime.parse(ts.trim.replace(' ', 'T'))
+        .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      VersionedTable.versionAsOf(root, ms).getOrElse(
+        throw new IllegalArgumentException(
+          s"no version of $table committed at or before '$ts'"))
+    }
+    val v = VersionedTable.restore(session, root, target)
+    Seq(Row(target.toLong, v.toLong))
+  }
+}
+
+/** `OPTIMIZE t [ZORDER BY (cols...)]`. Without ZORDER: [[VersionedTable
+  * .compact]] (one fresh dir, inheriting the table's `statsCols`/
+  * `bloomCols` properties). With ZORDER: [[VersionedTable.optimizeZorder]]
+  * over the named columns — each column's Morton dimension is derived
+  * from its type (timestamps via `unix_micros`, numerics via a shift to
+  * a zero-based long domain) with the domain bounds measured by ONE agg
+  * over the snapshot (exact bounds, not sampled quantiles; OPTIMIZE
+  * already rewrites the snapshot, so the extra agg is marginal). Dir
+  * count comes from the `optimizeDirs` table property (default 16,
+  * power of two).
+  */
+case class GraftOptimizeCommand(table: TableIdentifier,
+    zorderCols: Seq[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("new_version", LongType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import org.apache.spark.sql.functions.{col, max, min, unix_micros}
+    val (root, props) = GraftSqlParser.graftRoot(session, table)
+    val statsCols = (GraftSqlParser.propCols(props, "statsCols") ++ zorderCols).distinct
+    val bloomCols = GraftSqlParser.propCols(props, "bloomCols")
+    val fpp = props.getOrElse("bloomFpp", "0.01").toDouble
+    val v =
+      if (zorderCols.isEmpty)
+        VersionedTable.compact(session, root, statsCols, bloomCols, fpp)
+      else {
+        val nDirs = props.getOrElse("optimizeDirs", "16").toInt
+        val current = VersionedTable.read(session, root)
+        val schema = current.schema
+        def image(c: String): org.apache.spark.sql.Column = {
+          val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
+            s"ZORDER BY column $c not in ${table.table}'s schema"))
+          f.dataType match {
+            case org.apache.spark.sql.types.TimestampType => unix_micros(col(c))
+            case _: org.apache.spark.sql.types.NumericType => col(c).cast("long")
+            case other => throw new IllegalArgumentException(
+              s"ZORDER BY $c: unsupported type ${other.simpleString} " +
+                "(timestamp or numeric required)")
+          }
+        }
+        // ONE agg for every dimension's exact bounds; each dim shifts to a
+        // zero-based domain (scaleTo16 needs [0, max], max < 2^47) and
+        // wide domains bucket down — granularity, not soundness.
+        val aggs = zorderCols.flatMap(c =>
+          Seq(min(image(c)).as(s"__mn_$c"), max(image(c)).as(s"__mx_$c")))
+        val b = current.agg(aggs.head, aggs.tail: _*).head()
+        val dims = zorderCols.map { c =>
+          val (mn, mx) = (b.getAs[Long](s"__mn_$c"), b.getAs[Long](s"__mx_$c"))
+          val range = math.max(mx - mn, 0L)
+          val k = range / (1L << 46) + 1L
+          (org.apache.spark.sql.functions.floor(
+            (image(c) - org.apache.spark.sql.functions.lit(mn)) /
+              org.apache.spark.sql.functions.lit(k)).cast("long"),
+            range / k)
+        }
+        VersionedTable.optimizeZorder(session, root, dims, nDirs,
+          statsCols, bloomCols, fpp)
+      }
+    Seq(Row(v.toLong))
+  }
+}
+
+/** `VACUUM t [RETAIN n HOURS]` — reap data referenced only by versions
+  * older than the retention window (latest always survives), plus aged
+  * orphans. The RETAIN form maps wall-clock hours onto the version axis:
+  * every version committed within the window is retained.
+  */
+case class GraftVacuumCommand(table: TableIdentifier,
+    retainHours: Option[Double]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("deleted_dirs", LongType, nullable = false)(),
+      AttributeReference("dirs", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, _) = GraftSqlParser.graftRoot(session, table)
+    val retainLast = retainHours match {
+      case None => 2 // library default
+      case Some(h) =>
+        val cutoffMs = System.currentTimeMillis() - (h * 3600 * 1000).toLong
+        math.max(VersionedTable.history(root).count(_.committedMs >= cutoffMs), 1)
+    }
+    val deleted = VersionedTable.vacuum(root, retainLast)
+    Seq(Row(deleted.size.toLong, deleted.mkString(",")))
+  }
+}

@@ -242,6 +242,34 @@ object CoreQueries {
           (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
     }),
 
+    // RESTORE: the DML-era recovery verb — same corpus as
+    // q_versioned_delete, the bad deploy (the DELETE) rolled back by ONE
+    // metadata-only commit pinning the pre-DML snapshot's dirs/stats/
+    // blooms/schema (operation=restore, zero data moved; history stays
+    // auditable). Oracle = the PRE-DML rollup over the raw table: restore
+    // must reproduce the target snapshot value-exactly.
+    "q_versioned_restore" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtres_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      VersionedTable.delete(s, root,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+          col("o_orderstatus") === "F")
+      VersionedTable.restore(s, root, 3)
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
     // PLANNING-TIME skipping — the same six-dir corpus and probe as
     // q_versioned_combo, but nobody names a DirFilter: the probe is an
     // ordinary `.filter` over VersionedTable.scan's manifest FileIndex,
@@ -886,6 +914,13 @@ object CoreQueries {
         |FROM trades, r
         |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2 AND symbol = sym
         |GROUP BY symbol""".stripMargin),
+
+    // RESTORE to the pre-DML version must reproduce the pre-DML rollup
+    // exactly — the oracle never sees the deleted-then-restored detour.
+    "q_versioned_restore" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // Row-level DELETE through the commit log must equal the predicate's
     // complement over the raw table.

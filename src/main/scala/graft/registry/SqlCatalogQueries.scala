@@ -214,6 +214,17 @@ object SqlCatalogQueries {
           (sum(col("sum_price_e4")) / lit(10000.0)).as("sum_price")))
     }),
 
+    // `RESTORE TABLE ... TO VERSION AS OF` — q_versioned_restore's twin
+    // through the injected parser: the DELETE is rolled back by ONE
+    // metadata-only commit, and the rollup must equal the PRE-DML state.
+    "q_versioned_sql_restore" -> ((s, d) => {
+      val (ss, t, lo, hi) = dmlTable(s, d)
+      ss.sql(s"DELETE FROM $t WHERE o_orderkey > $lo AND o_orderkey <= $hi " +
+        "AND o_orderstatus = 'F'")
+      ss.sql(s"RESTORE TABLE $t TO VERSION AS OF 3")
+      hermetic(s, statusRollup(ss, t))
+    }),
+
     // `MERGE INTO` — q_versioned_merge's twin: whole-row upsert by key,
     // updates (price bump, keys ≡ 0 mod 7) + inserts (fresh keys above the
     // max) through one SQL MERGE.
@@ -258,6 +269,12 @@ object SqlCatalogQueries {
       """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
         |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
         |FROM trades GROUP BY symbol""".stripMargin),
+
+    // Restore-to-pre-DML == the untouched table.
+    "q_versioned_sql_restore" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_versioned_sql_delete" ->
       """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,

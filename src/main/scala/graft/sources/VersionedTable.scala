@@ -609,15 +609,38 @@ class VersionedTableOps(val store: CommitStore) {
     if (eligible.isEmpty) None else Some(eligible.map(_.version).max)
   }
 
-  /** Roll the table back: a new commit whose content is exactly version
-    * `v`'s snapshot (history preserved — a RESTORE, not a reset; the bad
-    * versions stay auditable until vacuumed).
+  /** Roll the table back: ONE new manifest whose dirs, stats, bloom
+    * sidecars, and schema anchor are exactly version `v`'s — a pure
+    * metadata commit (`operation=restore`, zero rows moved, zero data
+    * I/O), the `RESTORE TABLE t TO VERSION AS OF v` verb. History is
+    * preserved: the bad versions stay readable between `v` and the
+    * restore (a RESTORE, not a reset), auditable until vacuumed. The
+    * CURRENT tip's transaction high-water marks are carried forward, not
+    * the target's — an idempotent streaming sink must never see its
+    * last-committed batch id regress because somebody rolled the data
+    * back. Non-append for subscribers: a restore replaces the snapshot
+    * wholesale, so change-feed consumers resync exactly as with
+    * overwrite. Cost at 100 TB: two manifest reads + one manifest write.
     */
-  def restore(spark: SparkSession, root: String, v: Int,
-      statsCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int =
-    commit(read(spark, root, Some(v)), root, "overwrite",
-      statsCols = statsCols, bloomCols = bloomCols, bloomFpp = bloomFpp)
+  def restore(spark: SparkSession, root: String, v: Int): Int = {
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    require(v >= 1 && v <= parent, s"cannot restore to version $v (history is 1..$parent)")
+    if (v == parent) return parent // restoring the tip is a no-op
+    val target = snapshot(root, v)
+    val missing = target.dataDirs.filterNot(d => new File(root, d).exists())
+    require(missing.isEmpty,
+      s"cannot restore to version $v: dirs vacuumed [${missing.mkString(",")}]")
+    val version = parent + 1
+    // schema anchor pinned even when the target manifest predates
+    // schema_json (one footer read of the target's newest dir, once)
+    val anchorJson = target.schemaJson
+      .getOrElse(snapshotSchema(spark, root, target).json)
+    publish(root, version, parent, "restore", 0L, target.schemaCols,
+      target.dataDirs, target.dirStats, target.dirBlooms,
+      snapshot(root, parent).txns, Some(anchorJson))
+    version
+  }
 
   /** Compact the latest snapshot into one fresh dir — an overwrite commit
     * with identical content (the OPTIMIZE analogue for a table fragmented

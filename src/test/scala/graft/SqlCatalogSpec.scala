@@ -204,6 +204,100 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(drain() === (20L until 25L).toSet, "resumption must be delta-only")
   }
 
+  test("RESTORE TABLE TO VERSION AS OF: metadata-only commit, history intact") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 10).toDF("id").withColumn("v", col("id")),
+      root, statsCols = Seq("id"))
+    VersionedTable.commit(spark.range(10, 20).toDF("id").withColumn("v", col("id")),
+      root, statsCols = Seq("id"))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    sql.sql(s"DELETE FROM $t WHERE id >= 5") // the bad deploy: v3
+    assert(sql.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 5L)
+    val r = sql.sql(s"RESTORE TABLE $t TO VERSION AS OF 2").head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 4L)
+    // content rolled back; the restore is a NEW version
+    assert(ids(sql.sql(s"SELECT * FROM $t")) === (0L until 20L))
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.operation === "restore")
+    // metadata-only: the restored manifest references EXACTLY the target's
+    // dirs — no data was copied
+    assert(snap.dataDirs === VersionedTable.snapshot(root, 2).dataDirs)
+    assert(snap.dirStats === VersionedTable.snapshot(root, 2).dirStats)
+    // history preserved: the bad version stays auditable
+    assert(sql.sql(s"SELECT count(*) AS n FROM $t VERSION AS OF 3")
+      .head().getLong(0) === 5L)
+    // wall-clock form parses and restores too (tip restore = no-op version)
+    val ts = new java.sql.Timestamp(VersionedTable.snapshot(root, 4).committedMs)
+    val r2 = sql.sql(s"RESTORE TABLE $t TO TIMESTAMP AS OF '$ts'").head()
+    assert(r2.getLong(0) === 4L && r2.getLong(1) === 4L)
+  }
+
+  test("OPTIMIZE ZORDER BY through pure SQL: post-OPTIMIZE numFiles prunes") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = freshRoot()
+    // deliberately unclustered: each append holds the FULL x range
+    (0 to 2).foreach(i => VersionedTable.commit(
+      spark.range(i * 1024L, (i + 1) * 1024L)
+        .select((col("id") % 64).as("x"), (col("id") / 64).as("y"),
+          col("id").as("payload")), root, "append"))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft OPTIONS (optimizeDirs '8') LOCATION '$root'")
+    // before OPTIMIZE: an x-probe cannot prune (no stats, every dir mixed)
+    val v = sql.sql(s"OPTIMIZE $t ZORDER BY (x, y)").head().getLong(0)
+    assert(v === 4L)
+    def filesOf(q: String): Long = {
+      val df = sql.sql(q); df.collect()
+      df.queryExecution.executedPlan
+        .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    }
+    val probe = filesOf(s"SELECT * FROM $t WHERE x >= 0 AND x < 8")
+    val all = filesOf(s"SELECT * FROM $t")
+    assert(probe > 0 && probe < all,
+      s"post-OPTIMIZE ZORDER a dimension probe must prune dirs ($probe vs $all)")
+    // value-transparent: same rows as the pre-optimize snapshot
+    assert(sql.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 3072L)
+    assert(sql.sql(s"SELECT sum(payload) AS s FROM $t").head().getLong(0) ===
+      (0L until 3072L).sum)
+  }
+
+  test("OPTIMIZE without ZORDER compacts; VACUUM RETAIN reaps old dirs") {
+    val root = freshRoot()
+    (0 to 3).foreach(i => VersionedTable.commit(
+      spark.range(i * 10L, (i + 1) * 10L).toDF("id"), root))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft OPTIONS (statsCols 'id') LOCATION '$root'")
+    val v = sql.sql(s"OPTIMIZE $t").head().getLong(0)
+    assert(v === 5L)
+    val snap = VersionedTable.snapshot(root, 5)
+    assert(snap.dataDirs.size === 1, "plain OPTIMIZE compacts to one dir")
+    assert(snap.dirStats.exists(_.col == "id"),
+      "compaction must inherit the table's statsCols property")
+    assert(ids(sql.sql(s"SELECT * FROM $t")) === (0L until 40L))
+    // VACUUM RETAIN 0 HOURS: only the latest version's dirs survive
+    val del = sql.sql(s"VACUUM $t RETAIN 0 HOURS").head()
+    assert(del.getLong(0) >= 4L, s"expected the four pre-compaction dirs reaped, got $del")
+    assert(ids(sql.sql(s"SELECT * FROM $t")) === (0L until 40L),
+      "the retained snapshot must read intact after VACUUM")
+    val e = intercept[Exception] {
+      sql.sql(s"SELECT * FROM $t VERSION AS OF 1").collect()
+    }
+    assert(e.getMessage.contains("no such version"),
+      s"vacuumed history must fail loudly, got: ${e.getMessage}")
+  }
+
+  test("maintenance verbs refuse non-graft tables; stock SQL still parses") {
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t (id BIGINT) USING parquet")
+    try {
+      val e = intercept[Exception] { sql.sql(s"OPTIMIZE $t") }
+      assert(e.getMessage.contains("not a graft table"))
+      // the injected parser must pass everything else through untouched
+      assert(sql.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
+      assert(sql.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 0L)
+    } finally sql.sql(s"DROP TABLE $t")
+  }
+
   test("DML on a time-travel snapshot and unsupported MERGE shapes fail loudly") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 5).toDF("id").withColumn("v", lit(0L)), root)
