@@ -46,4 +46,29 @@ object IncrementalAgg {
     */
   def refreshAll(deltas: Seq[DataFrame], keys: Seq[String], sumCols: Seq[String]): DataFrame =
     deltas.map(aggregate(_, keys, sumCols)).reduce(merge(_, _, keys))
+
+  /** Aggregate one ROW-LEVEL CDF delta ([[graft.sources.VersionedTableOps
+    * .changeFeed]] output: rows + `_change_type`) into state shape —
+    * counts and sums become signed GROUPS (retractable monoids): inserts
+    * and update post-images contribute +1/+x, deletes and update
+    * pre-images −1/−x, so `merge(state, aggregateChanges(cdf))` stays
+    * exactly equal to a full recompute across ANY sequence of append /
+    * delete / update / merge commits — the incremental view never resyncs.
+    * A fully-retracted group nets to `n_rows = 0`; [[compactState]] drops
+    * those so the state frame stays O(live groups).
+    */
+  def aggregateChanges(cdf: DataFrame, keys: Seq[String], sumCols: Seq[String]): DataFrame = {
+    val sgn = when(col("_change_type").isin("insert", "update_postimage"), 1L)
+      .otherwise(-1L)
+    cdf.groupBy(keys.map(col): _*)
+      .agg(
+        sum(sgn).as("n_rows"),
+        sumCols.map(c => sum(col(c) * sgn).as(s"sum_$c")): _*)
+  }
+
+  /** Drop fully-retracted groups (`n_rows = 0`) — call after merging
+    * retractable deltas so emptied groups don't accumulate forever.
+    */
+  def compactState(state: DataFrame): DataFrame =
+    state.filter(col("n_rows") =!= 0L)
 }

@@ -242,6 +242,36 @@ object CoreQueries {
           (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
     }),
 
+    // Row-level CDF across DML commits: same three-dir corpus, then an
+    // UPDATE (middle range ∧ 'O', price bump) and a DELETE (middle range ∧
+    // 'F') — the change feed serves each commit's persisted row images
+    // (update_preimage/update_postimage from the UPDATE kernel, delete
+    // from the DELETE kernel) instead of forcing a resync. The rollup BY
+    // CHANGE TYPE is value-checked against the relational definition of
+    // the images over the raw table: pre-images are the matched originals,
+    // post-images the assigned rows, deletes the predicate's matches.
+    "q_cdf_dml" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_cdfdml_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      val mid = col("o_orderkey") > lo && col("o_orderkey") <= hi
+      VersionedTable.update(s, root, mid && col("o_orderstatus") === "O",
+        Map("o_totalprice" -> (col("o_totalprice") * lit(1.1))))
+      VersionedTable.delete(s, root, mid && col("o_orderstatus") === "F")
+      VersionedTable.changeFeed(s, root, 3, 5)
+        .groupBy("_change_type")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
     // RESTORE: the DML-era recovery verb — same corpus as
     // q_versioned_delete, the bad deploy (the DELETE) rolled back by ONE
     // metadata-only commit pinning the pre-DML snapshot's dirs/stats/
@@ -914,6 +944,29 @@ object CoreQueries {
         |FROM trades, r
         |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2 AND symbol = sym
         |GROUP BY symbol""".stripMargin),
+
+    // The CDF images' relational definition over the raw table: the
+    // UPDATE's matched rows appear twice (pre-image original, post-image
+    // assigned), the DELETE's matches once; the DELETE ran after the
+    // UPDATE but targets a disjoint status, so its images are originals.
+    "q_cdf_dml" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders),
+        |u AS (SELECT o.* FROM orders o, b
+        |      WHERE o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'O'),
+        |x AS (SELECT o.* FROM orders o, b
+        |      WHERE o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F'),
+        |f AS (
+        |  SELECT 'update_preimage' AS _change_type, o_totalprice FROM u
+        |  UNION ALL
+        |  SELECT 'update_postimage' AS _change_type,
+        |         o_totalprice * CAST(1.1 AS DOUBLE) AS o_totalprice FROM u
+        |  UNION ALL
+        |  SELECT 'delete' AS _change_type, o_totalprice FROM x
+        |)
+        |SELECT _change_type, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM f GROUP BY _change_type""".stripMargin,
 
     // RESTORE to the pre-DML version must reproduce the pre-DML rollup
     // exactly — the oracle never sees the deleted-then-restored detour.

@@ -168,6 +168,21 @@ object StreamQueries {
       }
     }),
 
+    // The r14 composition the changefeed × DML trap used to forbid:
+    // chronological upsert batches maintain a silver latest-per-symbol
+    // table through MERGE commits, and a downstream subscriber consumes
+    // its ROW-LEVEL change feed (readChangeFeed) across those merges —
+    // O(changed rows) per batch, never a resync — folding each delta into
+    // a bucketed aggregate with retractable monoids (a price update
+    // retracts the old contribution exactly). Catch-up drain + delta-only
+    // drain on one checkpoint; oracle = the plain batch rollup over the
+    // FINAL latest-per-symbol table.
+    "q_stream_cdf_upsert" -> ((s, d) => {
+      val silver = Files.createTempDirectory("graft_cdfup_silver_").toString
+      val agg = Files.createTempDirectory("graft_cdfup_agg_").toString
+      StreamingFeatures.cdfUpsertRefresh(s, s"$d/events.parquet", silver, agg)
+    }),
+
     // PRIMARY large-trade CEP: the event-time-ORDERED transformWithState
     // processor (exact under ANY batch split — the reference's Flink path
     // is an unbounded keyed stream, `anomaly_detection.py:40-149`, never a
@@ -666,6 +681,19 @@ object StreamQueries {
         |         row_number() OVER (PARTITION BY symbol
         |           ORDER BY epoch_us(time) DESC, CAST(trade_id AS BIGINT) DESC) AS rn
         |  FROM trades) WHERE rn = 1""".stripMargin),
+
+    // The CDF-fed downstream aggregate must converge to the plain rollup
+    // over the final latest-per-symbol table — batch boundaries and
+    // update churn invisible.
+    "q_stream_cdf_upsert" -> withTrades(
+      """SELECT substr(symbol, -1) AS bucket, count(*) AS n,
+        |       sum(CAST(floor(last_price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
+        |FROM (
+        |  SELECT symbol, price AS last_price,
+        |         row_number() OVER (PARTITION BY symbol
+        |           ORDER BY epoch_us(time) DESC, CAST(trade_id AS BIGINT) DESC) AS rn
+        |  FROM trades) WHERE rn = 1
+        |GROUP BY bucket""".stripMargin),
 
     "q_stream_dedup" -> withTrades(
       """SELECT DISTINCT time, symbol, trade_id, price, volume

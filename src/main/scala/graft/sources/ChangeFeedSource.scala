@@ -53,14 +53,27 @@ final class ChangeFeedSource(
     startingVersion: Int,
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
-    providedSchema: Option[StructType]) extends Source with SupportsTriggerAvailableNow {
+    providedSchema: Option[StructType],
+    readChangeFeed: Boolean = false) extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
 
   // Schema resolution happens once, at source construction (the table must
   // have at least one commit by then — same contract as Delta's source).
-  override val schema: StructType =
-    providedSchema.getOrElse(VersionedTable.read(spark, root).schema)
+  // CDF mode (`option("readChangeFeed", "true")`) appends the Delta CDF
+  // meta columns: each batch serves row-level change images across DML
+  // commits (VersionedTable.changeFeed) instead of refusing them —
+  // subscribers of an upserted table consume O(changed rows) per commit.
+  override val schema: StructType = {
+    val base = providedSchema.getOrElse(VersionedTable.read(spark, root).schema)
+    if (!readChangeFeed) base
+    else if (base.fieldNames.contains("_change_type")) base // already meta'd
+    else org.apache.spark.sql.types.StructType(base.fields ++ Seq(
+      org.apache.spark.sql.types.StructField("_change_type",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("_commit_version",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+  }
 
   private def toVersion(o: OffsetV2): Int = o match {
     case l: LongOffset       => l.offset.toInt
@@ -91,14 +104,21 @@ final class ChangeFeedSource(
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
-  /** Data dirs version `v` ADDED over its parent — the delta the batch
-    * would read. Driver-side manifest metadata only.
+  /** Dirs version `v`'s delta would read — appends: the data dirs added
+    * over the parent; DML commits in CDF mode: the persisted change-image
+    * dir. Driver-side manifest metadata only.
     */
   private def addedDirs(v: Int): Seq[String] = {
-    val prev =
-      if (v <= 1) Set.empty[String]
-      else VersionedTable.snapshot(root, v - 1).dataDirs.toSet
-    VersionedTable.snapshot(root, v).dataDirs.filterNot(prev)
+    val snap = VersionedTable.snapshot(root, v)
+    if (readChangeFeed &&
+        Set("delete", "update", "merge").contains(snap.operation))
+      snap.cdfDir.toSeq
+    else {
+      val prev =
+        if (v <= 1) Set.empty[String]
+        else VersionedTable.snapshot(root, v - 1).dataDirs.toSet
+      snap.dataDirs.filterNot(prev)
+    }
   }
 
   /** On-disk bytes of one data dir (one listing; no data read). */
@@ -152,6 +172,7 @@ final class ChangeFeedSource(
       if (to <= from)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
+      else if (readChangeFeed) VersionedTable.changeFeed(spark, root, from, to)
       else VersionedTable.changes(spark, root, from, to)
     // A streaming query's schema is PINNED at subscription. Additive
     // evolution mid-subscription must not kill the consumer: project every
@@ -187,9 +208,19 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       sqlContext: SQLContext,
       schema: Option[StructType],
       providerName: String,
-      parameters: Map[String, String]): (String, StructType) =
-    (shortName(), schema.getOrElse(
-      VersionedTable.read(sqlContext.sparkSession, rootOf(parameters)).schema))
+      parameters: Map[String, String]): (String, StructType) = {
+    val base = schema.getOrElse(
+      VersionedTable.read(sqlContext.sparkSession, rootOf(parameters)).schema)
+    val full =
+      if (!parameters.get("readChangeFeed").exists(_.toBoolean) ||
+          base.fieldNames.contains("_change_type")) base
+      else StructType(base.fields ++ Seq(
+        org.apache.spark.sql.types.StructField("_change_type",
+          org.apache.spark.sql.types.StringType, nullable = false),
+        org.apache.spark.sql.types.StructField("_commit_version",
+          org.apache.spark.sql.types.LongType, nullable = false)))
+    (shortName(), full)
+  }
 
   override def createSource(
       sqlContext: SQLContext,
@@ -202,6 +233,7 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
     val maxBytes = parameters.get("maxBytesPerTrigger").map(_.toLong)
     maxBytes.foreach(n => require(n > 0, s"maxBytesPerTrigger must be > 0, got $n"))
     new ChangeFeedSource(sqlContext, rootOf(parameters),
-      parameters.getOrElse("startingVersion", "0").toInt, maxPer, maxBytes, schema)
+      parameters.getOrElse("startingVersion", "0").toInt, maxPer, maxBytes, schema,
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
   }
 }

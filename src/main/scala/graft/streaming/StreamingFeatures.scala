@@ -625,4 +625,79 @@ object StreamingFeatures {
       "redelivered merge batch was applied twice — exactly-once broken")
     VersionedTable.read(spark, root).select("symbol", "t_us", "last_price")
   }
+
+  /** The reference's full real-time loop over the commit log, now WITHOUT
+    * the resync trap: chronological upsert batches maintain a silver
+    * latest-per-symbol table via `MERGE` commits (the `INSERT … ON
+    * CONFLICT DO UPDATE` path, `enhanced_anomaly_detection.py:176-201`),
+    * and a DOWNSTREAM subscriber consumes the silver table's ROW-LEVEL
+    * change feed (`readChangeFeed` — insert / update_preimage /
+    * update_postimage images persisted by the MERGE kernel), folding each
+    * micro-batch into a bucketed aggregate with RETRACTABLE monoids
+    * ([[graft.operators.IncrementalAgg.aggregateChanges]]): a symbol's
+    * price update retracts its old contribution exactly. Every fold is an
+    * idempotent versioned commit keyed by batch id, so the agg state is a
+    * signed delta log whose sum IS the answer — exactly-once end to end.
+    *
+    * Two drains on ONE checkpoint prove O(delta) subscription: catch-up
+    * over the first upserts, then a delta-only second drain after a final
+    * upsert (pre-r14 this composition was impossible — every merge commit
+    * forced the subscriber into a full resync, O(table) per batch at
+    * 100 TB). Returns the downstream rollup; its oracle is the plain
+    * batch answer over the FINAL table — subscription order, batch
+    * boundaries, and update churn must not matter.
+    */
+  def cdfUpsertRefresh(spark: SparkSession, eventsPath: String,
+      silverRoot: String, aggRoot: String): DataFrame = {
+    import graft.operators.IncrementalAgg
+    import graft.sources.VersionedTable
+    val appId = s"graft-cdf-upsert-${runId.incrementAndGet()}"
+    def latestPerSymbol(batch: DataFrame): DataFrame = batch
+      .select(col("symbol"), unix_micros(col("time")).as("t_us"),
+        col("trade_id").cast("long").as("tid"), col("price"))
+      .groupBy("symbol")
+      .agg(max(struct(col("t_us"), col("tid"), col("price"))).as("m"))
+      .select(col("symbol"), col("m.t_us").as("t_us"), col("m.tid").as("tid"),
+        col("m.price").as("last_price"))
+    val split = StreamSources.chronoSplitDir(spark, eventsPath, 3)
+    def land(b: Int): Unit = {
+      val perSym = latestPerSymbol(
+        StreamSources.projectTrades(spark.read.parquet(s"$split/f$b.parquet")))
+      if (VersionedTable.latestVersion(silverRoot).isEmpty)
+        VersionedTable.transactionalCommit(perSym, silverRoot, appId, b,
+          statsCols = Seq("t_us"), bloomCols = Seq("symbol"))
+      else VersionedTable.transactionalMerge(perSym, silverRoot, appId, b, "symbol")
+      ()
+    }
+    val ckpt = Files.createTempDirectory("graft_cdfup_ckpt_").toString
+    def drainOnce(): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("root", silverRoot)
+        .option("readChangeFeed", "true")
+        .load()
+        .select(substring(col("symbol"), -1, 1).as("bucket"),
+          graft.functions.Quantize.i(col("last_price"), 4).as("price_e4"),
+          col("_change_type"))
+        .writeStream
+        .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          VersionedTable.idempotentCommit(
+            IncrementalAgg.aggregateChanges(batch, Seq("bucket"), Seq("price_e4")),
+            aggRoot, id.toInt + 1)
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    land(0); land(1)
+    drainOnce() // catch-up: the append + a merge commit, row-level images
+    land(2)
+    drainOnce() // SAME checkpoint: only the final merge's images are read
+    VersionedTable.read(spark, aggRoot)
+      .groupBy("bucket")
+      .agg(sum(col("n_rows")).as("n"),
+        (sum(col("sum_price_e4")) / lit(10000.0)).as("sum_price"))
+      .filter(col("n") =!= 0L)
+  }
 }

@@ -326,4 +326,78 @@ class PropertySpec extends SparkTestBase {
         "generator must exercise empty batches and overwrites")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
+
+  test("property: CDF IVM equals the full recompute across random APPEND+DML commit sequences") {
+    import graft.operators.IncrementalAgg
+    import graft.sources.VersionedTable
+    // Directive-6 extension of the IVM property: sequences now contain
+    // row-level DML — delete/update/merge commits consumed as ROW-LEVEL
+    // change images (changeFeed) folded with retractable monoids
+    // (aggregateChanges + merge + compactState). After EVERY commit the
+    // state must equal aggregate(read(asOf = v)) exactly; no resyncs.
+    val scenarioGen = for {
+      len  <- Gen.choose(3, 5)
+      ops  <- Gen.listOfN(len, Gen.frequency(3 -> Gen.const("append"),
+                1 -> Gen.const("delete"), 1 -> Gen.const("update"),
+                1 -> Gen.const("merge")))
+      ns   <- Gen.listOfN(len, Gen.choose(1, 15))
+      seed <- Gen.choose(0L, 1000000L)
+    } yield (ops.zip(ns), seed)
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      var sawOps = Set.empty[String]
+      (0 until 40).foreach { i =>
+        val (batches, seed) =
+          scenarioGen(Gen.Parameters.default, Seed(7000L + i)).get
+        val root = java.nio.file.Files.createTempDirectory("graft_cdf_prop_").toString
+        // seed commit so DML always has a table to touch
+        VersionedTable.commit(spark.range(20).select(
+          col("id").as("k"),
+          expr(s"pmod(xxhash64(id, $seed), 4)").as("bucket"),
+          expr(s"pmod(xxhash64(id + 7, $seed), 100)").as("v")), root,
+          statsCols = Seq("k"))
+        var state = IncrementalAgg.aggregateChanges(
+          VersionedTable.changeFeed(spark, root, 0, 1), Seq("bucket"), Seq("v"))
+        batches.zipWithIndex.foreach { case ((op, n), j) =>
+          sawOps += op
+          val vPrev = VersionedTable.latestVersion(root).get
+          op match {
+            case "append" => VersionedTable.commit(spark.range(n).select(
+              (col("id") + lit(1000L * (j + 1))).as("k"),
+              expr(s"pmod(xxhash64(id + $j, $seed), 4)").as("bucket"),
+              expr(s"pmod(xxhash64(id + $j + 13, $seed), 100)").as("v")), root)
+            case "delete" =>
+              VersionedTable.delete(spark, root,
+                expr(s"pmod(xxhash64(k + $j, $seed), 5)") === 0)
+            case "update" =>
+              VersionedTable.update(spark, root,
+                expr(s"pmod(xxhash64(k + $j, $seed), 4)") === 1,
+                Map("v" -> (col("v") + lit(10L)),
+                  "bucket" -> expr(s"pmod(bucket + 1, 4)")))
+            case "merge" => VersionedTable.merge(spark, root,
+              spark.range(n).select(
+                (col("id") * 3 + j).as("k"),
+                expr(s"pmod(xxhash64(id + $j + 3, $seed), 4)").as("bucket"),
+                lit(j.toLong).as("v")), "k")
+          }
+          val v = VersionedTable.latestVersion(root).get
+          if (v > vPrev) // no-op DML burns no version and feeds no delta
+            state = IncrementalAgg.compactState(IncrementalAgg.merge(state,
+              IncrementalAgg.aggregateChanges(
+                VersionedTable.changeFeed(spark, root, vPrev, v),
+                Seq("bucket"), Seq("v")),
+              Seq("bucket")))
+          def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+            .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+          val want = toMap(IncrementalAgg.aggregate(
+            VersionedTable.read(spark, root, Some(v)), Seq("bucket"), Seq("v")))
+          assert(toMap(state) === want,
+            s"CDF IVM diverged at seq=$i v=$v op=$op n=$n seed=$seed")
+        }
+      }
+      assert(sawOps === Set("append", "delete", "update", "merge"),
+        s"generator must exercise every DML verb, saw $sawOps")
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }

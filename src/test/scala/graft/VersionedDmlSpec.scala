@@ -278,28 +278,42 @@ class VersionedDmlSpec extends SparkTestBase {
     // AQE is disabled for the probe so one driver-submitted ACTION = one
     // job (AQE splits an action into a job per query stage, which would
     // measure plan shape, not the serial-loop count under test).
-    val group = s"dml-jobs-${java.util.UUID.randomUUID().toString.take(8)}"
-    spark.conf.set("spark.sql.adaptive.enabled", "false")
-    spark.sparkContext.setJobGroup(group, "merge job-count probe")
-    val jobs =
+    def probe(body: => Unit): Int = {
+      val group = s"dml-jobs-${java.util.UUID.randomUUID().toString.take(8)}"
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.sparkContext.setJobGroup(group, "merge job-count probe")
       try {
-        VersionedTable.merge(spark, root, source, "id")
+        body
         spark.sparkContext.statusTracker.getJobIdsForGroup(group).length
       } finally {
         spark.sparkContext.clearJobGroup()
         spark.conf.unset("spark.sql.adaptive.enabled")
       }
+    }
     // source agg + classify + rewrite write + rewrite stats agg + source
-    // stage write/agg — every term independent of K. The r12 shape was
-    // 2-3 actions PER dir (>= 2K + 4 = 28 at K=12); the bound separates
+    // stage write/agg + (r14) the CDF image write and its matched-key
+    // broadcast — every term independent of K. The r12 shape was 2-3
+    // actions PER dir (>= 2K + 4 = 28 at K=12); the bound separates
     // cleanly from O(K).
-    assert(jobs <= 10, s"expected O(1) jobs for a $k-dir merge, saw $jobs")
-    // and the merge itself is right
+    val jobs = probe { VersionedTable.merge(spark, root, source, "id") }
+    assert(jobs <= 13, s"expected O(1) jobs for a $k-dir merge, saw $jobs")
+    // opting out of CDF drops the constant back to the r13 shape
+    val jobsNoCdf = probe {
+      VersionedTable.merge(spark, root,
+        source.withColumn("v", lit(-2L)), "id", cdf = false)
+    }
+    assert(jobsNoCdf <= 10,
+      s"expected <= 10 jobs for a cdf=false $k-dir merge, saw $jobsNoCdf")
+    assert(VersionedTable.snapshot(root,
+      VersionedTable.latestVersion(root).get).cdfDir.isEmpty)
+    // and both merges are right (the cdf=false pass re-upserted the same
+    // keys with v = -2)
     val out = VersionedTable.read(spark, root)
     assert(out.count() === k * 100L)
-    assert(out.filter(col("v") === -1L).count() === k.toLong)
+    assert(out.filter(col("v") === -2L).count() === k.toLong)
     val snap = VersionedTable.snapshot(root, k + 1)
     assert(snap.dataDirs.size === k + 1, "k rewrites + the source dir")
+    assert(snap.cdfDir.isDefined, "the cdf=true merge must persist images")
   }
 
   test("MERGE string-key hull dismisses dirs from prefix-image stats alone") {
