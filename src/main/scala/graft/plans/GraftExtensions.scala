@@ -95,6 +95,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     injectTable("graft_versioned", GraftExtensions.versionedReadPlan)
     injectTable("graft_table_history", GraftExtensions.historyPlan)
     injectTable("graft_changes", GraftExtensions.changesPlan)
+    //   SELECT * FROM graft_change_feed('/data/t', 1, 3)   -- row-level CDF
+    injectTable("graft_change_feed", GraftExtensions.changeFeedPlan)
   }
 }
 
@@ -215,6 +217,22 @@ object GraftExtensions {
       s"graft_changes(root, from, to) takes 3 arguments, got ${exprs.length}")
     graft.sources.VersionedTable
       .changes(org.apache.spark.sql.SparkSession.active,
+        stringArg(exprs.head, "root"),
+        intArg(exprs(1), "from"), intArg(exprs(2), "to"))
+      .queryExecution.logical
+  }
+
+  /** `graft_change_feed(root, fromExclusive, toInclusive)` — the
+    * ROW-LEVEL change feed across DML commits (Delta's `table_changes`
+    * TVF shape): rows + `_change_type` + `_commit_version` from
+    * [[graft.sources.VersionedTableOps.changeFeed]].
+    */
+  private[plans] def changeFeedPlan(
+      exprs: Seq[Expression]): org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    require(exprs.length == 3,
+      s"graft_change_feed(root, from, to) takes 3 arguments, got ${exprs.length}")
+    graft.sources.VersionedTable
+      .changeFeed(org.apache.spark.sql.SparkSession.active,
         stringArg(exprs.head, "root"),
         intArg(exprs(1), "from"), intArg(exprs(2), "to"))
       .queryExecution.logical

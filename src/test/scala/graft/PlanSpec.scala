@@ -806,6 +806,13 @@ class PlanSpec extends SparkTestBase {
       // the change feed, composable with plain SQL on top
       assert(ids(s"SELECT id FROM graft_changes('$root', 1, 2) WHERE id >= 6") ===
         Set(6L, 7L))
+      // the ROW-LEVEL CDF TVF (Delta table_changes shape): a DML commit's
+      // images, queryable by change type in pure SQL
+      VersionedTable.delete(s2, root, org.apache.spark.sql.functions.col("id") === 101L)
+      assert(ids(s"SELECT id FROM graft_change_feed('$root', 3, 4) " +
+        "WHERE _change_type = 'delete'") === Set(101L))
+      assert(s2.sql(s"SELECT _commit_version FROM graft_change_feed('$root', 3, 4)")
+        .head().getLong(0) === 4L)
     } finally {
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       prevActive.foreach(SparkSession.setActiveSession)
