@@ -591,14 +591,15 @@ class VersionedTableOps(val store: CommitStore) {
     */
   def transactionalMerge(source: DataFrame, root: String, appId: String,
       batchId: Long, keyCol: String, maxProbeKeys: Int = 10000,
-      bloomFpp: Double = 0.01, maxRetries: Int = 20): Boolean = {
+      bloomFpp: Double = 0.01, maxRetries: Int = 20,
+      cdf: Boolean = true): Boolean = {
     var attempt = 0
     while (true) {
       if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
       try {
         merge(source.sparkSession, root, source, keyCol,
           maxProbeKeys = maxProbeKeys, bloomFpp = bloomFpp,
-          txn = Some((appId, batchId)))
+          txn = Some((appId, batchId)), cdf = cdf)
         return true
       } catch {
         case _: CommitConflictException if attempt < maxRetries => attempt += 1

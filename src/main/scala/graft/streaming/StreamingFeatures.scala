@@ -607,7 +607,12 @@ object StreamingFeatures {
           VersionedTable.transactionalCommit(perSym, root, appId, batchId,
             statsCols = Seq("t_us"), bloomCols = Seq("symbol"))
         else
-          VersionedTable.transactionalMerge(perSym, root, appId, batchId, "symbol")
+          // cdf = false: this table has no change-feed subscriber by
+          // construction — the subscriber-fed upsert loop (which pays the
+          // O(changed rows) image write because someone reads it) is
+          // cdfUpsertRefresh / q_stream_cdf_upsert
+          VersionedTable.transactionalMerge(perSym, root, appId, batchId,
+            "symbol", cdf = false)
         lastBatch = math.max(lastBatch, batchId)
         ()
       }
