@@ -204,6 +204,45 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(drain() === (20L until 25L).toSet, "resumption must be delta-only")
   }
 
+  test("readStream.option(readChangeFeed).table(t): row-level CDF by catalog name") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id").withColumn("v", col("id")),
+      root, statsCols = Seq("id"))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    sql.sql(s"UPDATE $t SET v = v + 100 WHERE id <= 1")
+    val ckpt = Files.createTempDirectory("graft_cdfname_ckpt_").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
+    def drain(): Unit = {
+      // reader options thread through the V1 streaming fallback, so the
+      // CDF subscription needs only the catalog name — the Delta
+      // `readStream.option("readChangeFeed", true).table(t)` UX
+      val q = sql.readStream.option("readChangeFeed", "true").table(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen ++= b.collect().map(r => (r.getAs[Long]("id"),
+            r.getAs[String]("_change_type"), r.getAs[Long]("v")))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    drain() // catch-up: 5 inserts + 2 pre + 2 post
+    assert(seen.count(_._2 == "insert") === 5)
+    assert(seen.collect { case (id, "update_postimage", v) => (id, v) }.sorted ===
+      Seq((0L, 100L), (1L, 101L)))
+    seen.clear()
+    // DML lands as row-level images on the SAME checkpoint — by-name
+    // subscribers survive the verbs that used to force a resync
+    sql.sql(s"DELETE FROM $t WHERE id = 4")
+    drain()
+    assert(seen.toSeq === Seq((4L, "delete", 4L)),
+      s"delta drain must serve exactly the delete image, got $seen")
+  }
+
   test("RESTORE TABLE TO VERSION AS OF: metadata-only commit, history intact") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 10).toDF("id").withColumn("v", col("id")),
