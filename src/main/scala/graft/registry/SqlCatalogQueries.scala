@@ -225,6 +225,36 @@ object SqlCatalogQueries {
       hermetic(s, statusRollup(ss, t))
     }),
 
+    // `OPTIMIZE ... ZORDER BY` through the injected parser: a trades
+    // snapshot re-clustered on (time, volume) via pure SQL — exact
+    // measured domain bounds, dir count from the optimizeDirs table
+    // property — then probed with a time-third ∧ volume range. Oracle =
+    // the plain two-predicate filter: a physical re-layout must be
+    // value-transparent (SqlCatalogSpec asserts the numFiles prune; the
+    // gate asserts the values).
+    "q_zorder_sql" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ss = session(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_sqlzo_").toString
+      VersionedTable.commit(
+        Tables.trades(ss, d)
+          .select(col("time"), col("symbol"), col("price"), col("volume")),
+        root)
+      val t = freshName("sqlzorder")
+      ss.sql(s"CREATE TABLE $t USING graft OPTIONS (optimizeDirs '8') LOCATION '$root'")
+      ss.sql(s"OPTIMIZE $t ZORDER BY (time, volume)")
+      hermetic(s, ss.sql(
+        s"""SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+           |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
+           |FROM $t,
+           |     (SELECT min(unix_micros(time)) AS mn,
+           |             max(unix_micros(time)) AS mx FROM $t) b
+           |WHERE unix_micros(time) >= mn + (mx - mn) DIV 3
+           |  AND unix_micros(time) < mn + 2 * ((mx - mn) DIV 3)
+           |  AND volume <= CAST(50 AS DOUBLE)
+           |GROUP BY symbol""".stripMargin))
+    }),
+
     // `MERGE INTO` — q_versioned_merge's twin: whole-row upsert by key,
     // updates (price bump, keys ≡ 0 mod 7) + inserts (fresh keys above the
     // max) through one SQL MERGE.
@@ -265,6 +295,19 @@ object SqlCatalogQueries {
     // The by-name subscription must reproduce the whole-corpus rollup
     // exactly (same contract as q_stream_changefeed — only the address,
     // the catalog table name, differs).
+    // SQL OPTIMIZE ZORDER is value-transparent: the probe over the
+    // re-clustered layout equals the plain filter over the raw table.
+    "q_zorder_sql" -> OracleSql.withTradesAnd(
+      """b AS (SELECT min(epoch_us(time)) AS mn,
+        |              max(epoch_us(time)) AS mx FROM trades)""".stripMargin,
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
+        |FROM trades, b
+        |WHERE epoch_us(time) >= mn + (mx - mn) // 3
+        |  AND epoch_us(time) < mn + 2 * ((mx - mn) // 3)
+        |  AND volume <= 50
+        |GROUP BY symbol""".stripMargin),
+
     "q_stream_sql_table" -> OracleSql.withTrades(
       """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
         |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price

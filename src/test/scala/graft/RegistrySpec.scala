@@ -47,10 +47,11 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 196 = r13's 192 + r14's CDF/RESTORE tier (q_cdf_dml,
-    // q_stream_cdf_upsert, q_versioned_restore, q_versioned_sql_restore);
-    // raise this floor whenever a query is added, never lower it
-    assert(SparkEntry.queries.size >= 196,
-      s"registry shrank: ${SparkEntry.queries.size} < 196")
+    // 197 = r13's 192 + r14's CDF/RESTORE/maintenance tier (q_cdf_dml,
+    // q_stream_cdf_upsert, q_versioned_restore, q_versioned_sql_restore,
+    // q_zorder_sql); raise this floor whenever a query is added, never
+    // lower it
+    assert(SparkEntry.queries.size >= 197,
+      s"registry shrank: ${SparkEntry.queries.size} < 197")
   }
 }
