@@ -46,6 +46,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OPTIMIZE_PLAIN(t)     => GraftOptimizeCommand(ident(t), Seq.empty)
     case VACUUM_RETAIN(t, h)   => GraftVacuumCommand(ident(t), Some(h.toDouble))
     case VACUUM_PLAIN(t)       => GraftVacuumCommand(ident(t), None)
+    case DESCRIBE_HISTORY(t)   => GraftDescribeHistoryCommand(ident(t))
     case _                     => delegate.parsePlan(sqlText)
   }
 
@@ -69,7 +70,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
     case RESTORE_VERSION(_, _) | RESTORE_TS(_, _) | OPTIMIZE_Z(_, _) |
-         OPTIMIZE_PLAIN(_) | VACUUM_RETAIN(_, _) | VACUUM_PLAIN(_) =>
+         OPTIMIZE_PLAIN(_) | VACUUM_RETAIN(_, _) | VACUUM_PLAIN(_) |
+         DESCRIBE_HISTORY(_) =>
       parsePlan(sqlText)
     case _ => delegate.parsePlanWithParameters(sqlText, ctx)
   }
@@ -104,6 +106,8 @@ object GraftSqlParser {
   val VACUUM_RETAIN: Regex =
     s"""(?is)\\s*VACUUM\\s+$ID\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?\\s*;?\\s*""".r
   val VACUUM_PLAIN: Regex = s"""(?is)\\s*VACUUM\\s+$ID\\s*;?\\s*""".r
+  val DESCRIBE_HISTORY: Regex =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$ID\\s*;?\\s*""".r
 
   /** Resolve a session-catalog `USING graft` table to its commit-log root
     * (+ its table properties) — the maintenance commands' address step.
@@ -204,6 +208,33 @@ case class GraftOptimizeCommand(table: TableIdentifier,
           statsCols, bloomCols, fpp)
       }
     Seq(Row(v.toLong))
+  }
+}
+
+/** `DESCRIBE HISTORY t` — the commit log as rows (version, parent,
+  * operation, delta rows, wall-clock, dir/CDF footprint): pure manifest
+  * metadata, never a data scan. The by-NAME form of the
+  * `graft_table_history(root)` table function.
+  */
+case class GraftDescribeHistoryCommand(table: TableIdentifier)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("parent", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("n_rows", LongType, nullable = false)(),
+    AttributeReference("committed_at",
+      org.apache.spark.sql.types.TimestampType, nullable = false)(),
+    AttributeReference("n_dirs", LongType, nullable = false)(),
+    AttributeReference("has_cdf", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, _) = GraftSqlParser.graftRoot(session, table)
+    VersionedTable.history(root).sortBy(-_.version).map { s =>
+      Row(s.version.toLong, s.parent.toLong, s.operation, s.rows,
+        new java.sql.Timestamp(s.committedMs), s.dataDirs.size.toLong,
+        s.cdfDir.isDefined)
+    }
   }
 }
 

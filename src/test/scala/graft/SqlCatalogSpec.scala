@@ -325,6 +325,24 @@ class SqlCatalogSpec extends SparkTestBase {
       s"vacuumed history must fail loudly, got: ${e.getMessage}")
   }
 
+  test("DESCRIBE HISTORY serves the commit log by catalog name") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root, statsCols = Seq("id"))
+    VersionedTable.commit(spark.range(5, 9).toDF("id"), root)
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    sql.sql(s"DELETE FROM $t WHERE id = 7")
+    val hist = sql.sql(s"DESCRIBE HISTORY $t")
+      .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3),
+        r.getBoolean(6))).toSeq
+    assert(hist === Seq((3L, "delete", 1L, true), (2L, "append", 4L, false),
+      (1L, "append", 5L, false)),
+      s"history must list newest first with op/delta/CDF flags, got $hist")
+    // abbreviated verb parses too; stock DESCRIBE still reaches the delegate
+    assert(sql.sql(s"DESC HISTORY $t").count() === 3L)
+    assert(sql.sql(s"DESCRIBE TABLE $t").count() > 0L)
+  }
+
   test("maintenance verbs refuse non-graft tables; stock SQL still parses") {
     val t = freshTable()
     sql.sql(s"CREATE TABLE $t (id BIGINT) USING parquet")
