@@ -41,6 +41,9 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan = sqlText match {
     case RESTORE_VERSION(t, v) => GraftRestoreCommand(ident(t), Some(v.toInt), None)
     case RESTORE_TS(t, ts)     => GraftRestoreCommand(ident(t), None, Some(ts))
+    case CREATE_CLONE(dst, src, v, loc) =>
+      GraftCloneCommand(ident(dst), ident(src),
+        Option(v).map(_.toInt), Option(loc))
     case OPTIMIZE_Z(t, cols)   => GraftOptimizeCommand(ident(t),
       cols.split(",").toSeq.map(c => strip(c.trim)).filter(_.nonEmpty))
     case OPTIMIZE_PLAIN(t)     => GraftOptimizeCommand(ident(t), Seq.empty)
@@ -71,7 +74,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
       ctx: ParameterContext): LogicalPlan = sqlText match {
     case RESTORE_VERSION(_, _) | RESTORE_TS(_, _) | OPTIMIZE_Z(_, _) |
          OPTIMIZE_PLAIN(_) | VACUUM_RETAIN(_, _) | VACUUM_PLAIN(_) |
-         DESCRIBE_HISTORY(_) =>
+         DESCRIBE_HISTORY(_) | CREATE_CLONE(_, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parsePlanWithParameters(sqlText, ctx)
   }
@@ -108,6 +111,10 @@ object GraftSqlParser {
   val VACUUM_PLAIN: Regex = s"""(?is)\\s*VACUUM\\s+$ID\\s*;?\\s*""".r
   val DESCRIBE_HISTORY: Regex =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$ID\\s*;?\\s*""".r
+  val CREATE_CLONE: Regex =
+    (s"""(?is)\\s*CREATE\\s+TABLE\\s+$ID\\s+SHALLOW\\s+CLONE\\s+$ID""" +
+      s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?""" +
+      s"""(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""").r
 
   /** Resolve a session-catalog `USING graft` table to its commit-log root
     * (+ its table properties) — the maintenance commands' address step.
@@ -147,6 +154,47 @@ case class GraftRestoreCommand(table: TableIdentifier,
     }
     val v = VersionedTable.restore(session, root, target)
     Seq(Row(target.toLong, v.toLong))
+  }
+}
+
+/** `CREATE TABLE t2 SHALLOW CLONE t1 [VERSION AS OF n] [LOCATION '...']` —
+  * birth a new catalog table from a source snapshot without moving data
+  * through the engine ([[VersionedTable.cloneTo]]: hardlinked files + ONE
+  * manifest; server-side copy on an object store). Unlike pointer-based
+  * shallow clones, the clone OWNS its file names — vacuum/DML on either
+  * table can never invalidate the other. The new table registers
+  * first-class in the session catalog (`USING graft`), carrying the
+  * source's skipping/maintenance table properties, so DML, OPTIMIZE,
+  * time travel and streaming subscriptions address it by name.
+  */
+case class GraftCloneCommand(target: TableIdentifier, source: TableIdentifier,
+    version: Option[Int], location: Option[String]) extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("cloned_version", LongType, nullable = false)(),
+      AttributeReference("location", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (srcRoot, srcProps) = GraftSqlParser.graftRoot(session, source)
+    val catalog = session.sessionState.catalog
+    require(!catalog.tableExists(target), s"table $target already exists")
+    val dst = location.map(l => new java.io.File(l).getPath)
+      .getOrElse(new java.io.File(catalog.defaultTablePath(target)).getPath)
+    val v = version.getOrElse(
+      VersionedTable.latestVersion(srcRoot).getOrElse(
+        throw new IllegalArgumentException(s"empty versioned table at $srcRoot")))
+    VersionedTable.cloneTo(session, srcRoot, dst, Some(v))
+    // register through the stock CREATE path so the clone IS a graft
+    // catalog table; the source's maintenance knobs ride along
+    val carried = Seq("statsCols", "bloomCols", "bloomFpp", "optimizeDirs")
+      .flatMap(k => srcProps.collectFirst {
+        case (pk, pv) if pk.equalsIgnoreCase(k) => (k, pv)
+      })
+    val opts =
+      if (carried.isEmpty) ""
+      else carried.map { case (k, pv) => s"$k '$pv'" }
+        .mkString(" OPTIONS (", ", ", ")")
+    session.sql(
+      s"CREATE TABLE ${target.quotedString} USING graft$opts LOCATION '$dst'")
+    Seq(Row(v.toLong, dst))
   }
 }
 

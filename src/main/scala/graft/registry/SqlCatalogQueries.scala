@@ -255,6 +255,30 @@ object SqlCatalogQueries {
            |GROUP BY symbol""".stripMargin))
     }),
 
+    // `CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF` — the zero-copy
+    // fork: the clone is cut at the PRE-DML version 3 (so it must not see
+    // the source's DELETE, issued before the clone), then the CLONE is
+    // UPDATEd (copy-on-write over hardlinked files must not leak into the
+    // source). One frame carries both tables' rollups side by side; the
+    // oracle is the delete-rollup ('src') unioned with the update-rollup
+    // ('clone') — history independence proven in both directions.
+    "q_versioned_sql_clone" -> ((s, d) => {
+      import org.apache.spark.sql.functions.lit
+      val (ss, t, lo, hi) = dmlTable(s, d)
+      ss.sql(s"DELETE FROM $t WHERE o_orderkey > $lo AND o_orderkey <= $hi " +
+        "AND o_orderstatus = 'F'")
+      val c = freshName("sqlclone")
+      // explicit LOCATION: default (warehouse) paths persist across JVMs
+      // while per-JVM table-name counters restart — a leftover root from
+      // a previous run would collide with the fresh-table requirement
+      val dst = java.nio.file.Files.createTempDirectory("graft_sqlclone_").toString
+      ss.sql(s"CREATE TABLE $c SHALLOW CLONE $t VERSION AS OF 3 LOCATION '$dst'")
+      ss.sql(s"UPDATE $c SET o_totalprice = o_totalprice * CAST(1.1 AS DOUBLE) " +
+        s"WHERE o_orderkey > $lo AND o_orderkey <= $hi AND o_orderstatus = 'O'")
+      hermetic(s, statusRollup(ss, t).withColumn("side", lit("src"))
+        .unionByName(statusRollup(ss, c).withColumn("side", lit("clone"))))
+    }),
+
     // `MERGE INTO` — q_versioned_merge's twin: whole-row upsert by key,
     // updates (price bump, keys ≡ 0 mod 7) + inserts (fresh keys above the
     // max) through one SQL MERGE.
@@ -332,6 +356,27 @@ object SqlCatalogQueries {
       """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
         |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
         |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(
+        |         CASE WHEN o_orderkey > lo AND o_orderkey <= hi
+        |                   AND o_orderstatus = 'O'
+        |              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |              ELSE o_totalprice END * 1e2 + 0.5) AS BIGINT)) / 100.0
+        |         AS sum_price
+        |FROM orders, b
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // Clone independence, both directions: 'src' = the post-DELETE source,
+    // 'clone' = the version-3 cut with ITS OWN update applied.
+    "q_versioned_sql_clone" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT 'src' AS side, o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders, b
+        |WHERE NOT (o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F')
+        |GROUP BY o_orderstatus
+        |UNION ALL
+        |SELECT 'clone' AS side, o_orderstatus, count(*) AS n,
         |       sum(CAST(floor(
         |         CASE WHEN o_orderkey > lo AND o_orderkey <= hi
         |                   AND o_orderstatus = 'O'

@@ -650,6 +650,51 @@ class VersionedTableOps(val store: CommitStore) {
     version
   }
 
+  /** SHALLOW CLONE: birth a NEW table at `dstRoot` from `srcRoot`'s
+    * snapshot `asOf` (default: latest) without moving a byte of data
+    * through the engine. Every data file (and bloom sidecar) is
+    * HARDLINKED into the clone's root — O(files) inode metadata ops,
+    * zero data I/O — and ONE manifest (version 1, operation `clone`)
+    * carries the snapshot's dirs/stats/blooms/schema over verbatim. On an
+    * object store the link step maps onto server-side copy (S3
+    * CopyObject / GCS rewrite): still no bytes through the engine.
+    *
+    * Because each table then OWNS its file names, the two histories are
+    * fully independent: vacuum or copy-on-write DML on either side can
+    * never invalidate the other (unlinking one name leaves the shared
+    * inode alive under the other) — the documented operational hazard of
+    * pointer-based shallow clones, where vacuuming the source breaks
+    * every clone, is structurally impossible here. Txn high-water marks
+    * and CDF images do NOT carry over: the clone is a new table with
+    * fresh history and no subscribers. Its version 1 feeds change
+    * subscriptions exactly like a born-by-append table's first commit.
+    */
+  def cloneTo(spark: SparkSession, srcRoot: String, dstRoot: String,
+      asOf: Option[Int] = None): Int = {
+    val tip = latestVersion(srcRoot)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $srcRoot"))
+    val v = asOf.getOrElse(tip)
+    require(v >= 1 && v <= tip, s"cannot clone version $v (history is 1..$tip)")
+    require(latestVersion(dstRoot).isEmpty,
+      s"clone destination is not an empty table: $dstRoot")
+    val snap = snapshot(srcRoot, v)
+    val missing = snap.dataDirs.filterNot(d => new File(srcRoot, d).exists())
+    require(missing.isEmpty,
+      s"cannot clone version $v: dirs vacuumed [${missing.mkString(",")}]")
+    (snap.dataDirs ++ snap.dirBlooms.map(_.path)).foreach { rel =>
+      VersionedTable.linkTree(new File(srcRoot, rel), new File(dstRoot, rel))
+    }
+    // schema anchor pinned even when the source manifest predates
+    // schema_json (one footer read of the snapshot's newest dir, once)
+    val anchorJson = snap.schemaJson
+      .getOrElse(snapshotSchema(spark, srcRoot, snap).json)
+    // rows = per-commit delta convention; like restore, a metadata verb
+    // reports 0 rather than paying a count scan
+    publish(dstRoot, 1, 0, "clone", 0L, snap.schemaCols, snap.dataDirs,
+      snap.dirStats, snap.dirBlooms, Map.empty, Some(anchorJson))
+    1
+  }
+
   /** Compact the latest snapshot into one fresh dir — an overwrite commit
     * with identical content (the OPTIMIZE analogue for a table fragmented
     * by many small appends). History stays readable until vacuumed; the
@@ -1515,8 +1560,10 @@ class VersionedTableOps(val store: CommitStore) {
     val snaps = (fromVersion + 1 to toVersion).map(snapshot(root, _))
     // `analyze` versions reference the SAME dirs with backfilled skipping
     // metadata — additive no-ops for a consumer, never a reason to break
-    // a subscription. Anything else non-append is a wholesale replacement.
-    snaps.filter(s => s.operation != "append" && s.operation != "analyze") match {
+    // a subscription. `clone` is only ever a table's version 1 (its
+    // birth): the whole snapshot IS the delta, same as a born-by-append
+    // table. Anything else non-append is a wholesale replacement.
+    snaps.filter(s => !Set("append", "analyze", "clone").contains(s.operation)) match {
       case bad if bad.nonEmpty =>
         throw new IllegalArgumentException(
           s"change feed crosses non-append versions ${bad.map(_.version).mkString(",")}: " +
@@ -1593,7 +1640,7 @@ class VersionedTableOps(val store: CommitStore) {
       } :+ col("_change_type"): _*)
     val parts = snaps.flatMap { s =>
       s.operation match {
-        case "append" =>
+        case "append" | "clone" => // clone = a table's birth commit
           val prev =
             if (s.version == 1) Set.empty[String]
             else snapshot(root, s.version - 1).dataDirs.toSet
@@ -1799,5 +1846,27 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
   private[sources] def deleteRecursively(f: File): Boolean = {
     Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
     f.delete() || !f.exists()
+  }
+
+  /** Mirror `src`'s file tree at `dst` via hardlinks (zero bytes copied;
+    * the clone primitive). Falls back to a byte copy where the filesystem
+    * refuses links (cross-device, or no link support) — correctness never
+    * depends on the link succeeding, only cost does.
+    */
+  private[graft] def linkTree(src: File, dst: File): Unit = {
+    if (src.isDirectory) {
+      dst.mkdirs()
+      Option(src.listFiles()).toSeq.flatten
+        .foreach(f => linkTree(f, new File(dst, f.getName)))
+    } else {
+      Option(dst.getParentFile).foreach(_.mkdirs())
+      try java.nio.file.Files.createLink(dst.toPath, src.toPath)
+      catch {
+        case _: UnsupportedOperationException | _: java.nio.file.FileSystemException =>
+          java.nio.file.Files.copy(src.toPath, dst.toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          ()
+      }
+    }
   }
 }

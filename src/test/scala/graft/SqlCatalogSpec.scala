@@ -272,6 +272,61 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(r2.getLong(0) === 4L && r2.getLong(1) === 4L)
   }
 
+  test("CREATE TABLE SHALLOW CLONE: zero-copy fork, fully independent histories") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 10).toDF("id").withColumn("v", col("id")),
+      root, statsCols = Seq("id"))
+    VersionedTable.commit(spark.range(10, 20).toDF("id").withColumn("v", col("id")),
+      root, statsCols = Seq("id"))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    sql.sql(s"DELETE FROM $t WHERE id >= 15") // source diverges: v3
+    val c = freshTable()
+    val dst = freshRoot() + "/clone"
+    val r = sql.sql(
+      s"CREATE TABLE $c SHALLOW CLONE $t VERSION AS OF 2 LOCATION '$dst'").head()
+    assert(r.getLong(0) === 2L)
+    // the clone sees the PRE-DML cut and is version 1 of a NEW history
+    assert(ids(sql.sql(s"SELECT * FROM $c")) === (0L until 20L))
+    assert(VersionedTable.latestVersion(dst) === Some(1))
+    assert(VersionedTable.snapshot(dst, 1).operation === "clone")
+    // zero-copy: every cloned part file is a HARDLINK of the source's
+    val dir = VersionedTable.snapshot(dst, 1).dataDirs.head
+    val parts = new java.io.File(root, dir).listFiles()
+      .filter(_.getName.endsWith(".parquet"))
+    assert(parts.nonEmpty)
+    parts.foreach { f =>
+      val twin = new java.io.File(new java.io.File(dst, dir), f.getName)
+      assert(java.nio.file.Files.isSameFile(f.toPath, twin.toPath),
+        s"${f.getName} was copied, not linked")
+    }
+    // DML the CLONE: copy-on-write over linked files; the source is inert
+    sql.sql(s"UPDATE $c SET v = v + 100 WHERE id < 5")
+    assert(sql.sql(s"SELECT sum(v) AS s FROM $c WHERE id < 5")
+      .head().getLong(0) === 510L)
+    assert(sql.sql(s"SELECT sum(v) AS s FROM $t WHERE id < 5")
+      .head().getLong(0) === 10L)
+    // vacuum the SOURCE to the bone: the clone keeps reading — unlinking
+    // the source's names leaves the shared inodes alive under the clone's
+    // (the failure mode pointer-based shallow clones are known for)
+    VersionedTable.vacuum(root, retainLast = 1, orphanGraceMs = 0L)
+    assert(ids(sql.sql(s"SELECT * FROM $c VERSION AS OF 1")) === (0L until 20L))
+    // the clone's birth commit feeds a change subscription like any other
+    assert(VersionedTable.changes(sql, dst, 0, 1).count() === 20L)
+    // DESCRIBE HISTORY audits the fork by name
+    assert(sql.sql(s"DESCRIBE HISTORY $c").collect()
+      .map(_.getString(2)).contains("clone"))
+    // default-location form clones the TIP (post-DELETE = 15 rows); the
+    // name must be unique ACROSS JVMs — the warehouse dir outlives the
+    // in-memory catalog, so a reused name would collide with a previous
+    // run's leftover root
+    val c2 = s"sqlcat_clone_${java.util.UUID.randomUUID.toString.take(8)}"
+    sql.sql(s"CREATE TABLE $c2 SHALLOW CLONE $t")
+    assert(sql.sql(s"SELECT count(*) AS n FROM $c2").head().getLong(0) === 15L)
+    // an existing table name is refused
+    intercept[Exception](sql.sql(s"CREATE TABLE $c SHALLOW CLONE $t"))
+  }
+
   test("OPTIMIZE ZORDER BY through pure SQL: post-OPTIMIZE numFiles prunes") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val root = freshRoot()

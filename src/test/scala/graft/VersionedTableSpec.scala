@@ -214,6 +214,30 @@ class VersionedTableSpec extends SparkTestBase {
     assert(ids(root, Some(2)) === (900L until 999L).toSet) // auditable
   }
 
+  test("cloneTo forks a snapshot zero-copy; refusals are loud") {
+    val src = freshRoot()
+    val dst = freshRoot() + "/c"
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), src)
+    VersionedTable.commit(spark.range(5, 9).toDF("id"), src)
+    assert(VersionedTable.cloneTo(spark, src, dst, Some(1)) === 1)
+    assert(ids(dst) === (0L until 5L).toSet)
+    val snap = VersionedTable.snapshot(dst, 1)
+    assert(snap.operation === "clone" && snap.parent === 0)
+    // schema anchor rides over; txn marks do NOT (fresh history)
+    assert(snap.schemaJson.isDefined && snap.txns.isEmpty)
+    // a non-empty destination is refused
+    intercept[IllegalArgumentException](VersionedTable.cloneTo(spark, src, dst))
+    // a vacuumed target version is refused, loudly
+    VersionedTable.commit(spark.range(9, 12).toDF("id"), src, "overwrite")
+    VersionedTable.vacuum(src, retainLast = 1, orphanGraceMs = 0L)
+    intercept[IllegalArgumentException](
+      VersionedTable.cloneTo(spark, src, freshRoot() + "/c2", Some(1)))
+    // appends on the clone continue ITS history, blind to the source
+    VersionedTable.commit(spark.range(100, 103).toDF("id"), dst)
+    assert(ids(dst) === ((0L until 5L) ++ (100L until 103L)).toSet)
+    assert(ids(src) === (9L until 12L).toSet)
+  }
+
   test("wall-clock time travel resolves the latest version at-or-before ts") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 3).toDF("id"), root)
