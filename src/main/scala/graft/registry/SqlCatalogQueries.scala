@@ -255,6 +255,39 @@ object SqlCatalogQueries {
            |GROUP BY symbol""".stripMargin))
     }),
 
+    // `ALTER TABLE ... ADD COLUMNS` — schema evolution as a DDL verb: odd
+    // keys land under the NARROW schema, the table is widened by ONE
+    // metadata-only `evolve` commit, even keys land WITH the new column
+    // populated. The mixed-era rollup (pre-evolve rows serve NULL and fall
+    // back to o_totalprice) must equal the relational CASE over the whole
+    // corpus — anchor-pinned null-fill proven value-exact, not just
+    // shape-exact.
+    "q_versioned_sql_evolve" -> ((s, d) => {
+      import org.apache.spark.sql.functions.col
+      val ss = session(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_sqlevo_").toString
+      val orders = Tables.orders(ss, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      VersionedTable.commit(orders.filter(col("o_orderkey") % 2 === 1), root,
+        "append", statsCols = Seq("o_orderkey"))
+      val t = freshName("sqlevolve")
+      val v = freshName("evolve_src")
+      ss.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+      ss.sql(s"ALTER TABLE $t ADD COLUMNS (o_discounted DOUBLE)")
+      orders.createOrReplaceTempView(v)
+      ss.sql(
+        s"""INSERT INTO $t
+           |SELECT o_orderkey, o_orderstatus, o_totalprice,
+           |       o_totalprice * CAST(0.9 AS DOUBLE) AS o_discounted
+           |FROM $v WHERE o_orderkey % 2 = 0""".stripMargin)
+      hermetic(s, ss.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |       count(o_discounted) AS n_disc,
+           |       sum(CAST(floor(coalesce(o_discounted, o_totalprice) * 1e2
+           |                      + 0.5) AS BIGINT)) / 1e2 AS sum_eff
+           |FROM $t GROUP BY o_orderstatus""".stripMargin))
+    }),
+
     // `CREATE TABLE ... SHALLOW CLONE ... VERSION AS OF` — the zero-copy
     // fork: the clone is cut at the PRE-DML version 3 (so it must not see
     // the source's DELETE, issued before the clone), then the CLONE is
@@ -364,6 +397,18 @@ object SqlCatalogQueries {
         |         AS sum_price
         |FROM orders, b
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // Evolve: even keys carry the discounted price, odd (pre-evolve) rows
+    // serve NULL and fall back — the CASE over the whole corpus.
+    "q_versioned_sql_evolve" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       count(*) FILTER (WHERE o_orderkey % 2 = 0) AS n_disc,
+        |       sum(CAST(floor(
+        |         CASE WHEN o_orderkey % 2 = 0
+        |              THEN o_totalprice * CAST(0.9 AS DOUBLE)
+        |              ELSE o_totalprice END * 1e2 + 0.5) AS BIGINT)) / 100.0
+        |         AS sum_eff
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // Clone independence, both directions: 'src' = the post-DELETE source,
     // 'clone' = the version-3 cut with ITS OWN update applied.

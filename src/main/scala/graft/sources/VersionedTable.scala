@@ -650,6 +650,37 @@ class VersionedTableOps(val store: CommitStore) {
     version
   }
 
+  /** Widen the table's schema by `newFields` (ALTER TABLE ADD COLUMNS):
+    * ONE metadata-only commit (operation `evolve`, zero data moved) whose
+    * manifest carries the widened union anchor. Every read path is
+    * already anchor-pinned, so existing rows serve NULL for the new
+    * columns immediately — the same additive-evolution discipline an
+    * append with a wider frame gets, made available as a DDL verb.
+    * Change subscriptions cross an evolve version as an empty delta
+    * (nothing was added), like `analyze`. New fields are forced nullable:
+    * history cannot retroactively satisfy a NOT NULL.
+    */
+  def addColumns(spark: SparkSession, root: String,
+      newFields: Seq[org.apache.spark.sql.types.StructField]): Int = {
+    require(newFields.nonEmpty, "no columns to add")
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = snapshot(root, parent)
+    val anchor = snapshotSchema(spark, root, snap)
+    val clash = newFields.map(_.name).filter(n =>
+      anchor.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
+    val widened = VersionedTable.asNullable(
+      org.apache.spark.sql.types.StructType(
+        anchor.fields ++ newFields.map(_.copy(nullable = true))))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val version = parent + 1
+    publish(root, version, parent, "evolve", 0L, widened.fieldNames.toSeq,
+      snap.dataDirs, snap.dirStats, snap.dirBlooms, snap.txns,
+      Some(widened.json))
+    version
+  }
+
   /** SHALLOW CLONE: birth a NEW table at `dstRoot` from `srcRoot`'s
     * snapshot `asOf` (default: latest) without moving a byte of data
     * through the engine. Every data file (and bloom sidecar) is
@@ -1558,12 +1589,14 @@ class VersionedTableOps(val store: CommitStore) {
     require(fromVersion >= 0 && toVersion > fromVersion,
       s"bad change range ($fromVersion, $toVersion]")
     val snaps = (fromVersion + 1 to toVersion).map(snapshot(root, _))
-    // `analyze` versions reference the SAME dirs with backfilled skipping
-    // metadata — additive no-ops for a consumer, never a reason to break
-    // a subscription. `clone` is only ever a table's version 1 (its
-    // birth): the whole snapshot IS the delta, same as a born-by-append
-    // table. Anything else non-append is a wholesale replacement.
-    snaps.filter(s => !Set("append", "analyze", "clone").contains(s.operation)) match {
+    // `analyze`/`evolve` versions reference the SAME dirs (backfilled
+    // skipping metadata / a widened schema anchor) — additive no-ops for
+    // a consumer, never a reason to break a subscription. `clone` is only
+    // ever a table's version 1 (its birth): the whole snapshot IS the
+    // delta, same as a born-by-append table. Anything else non-append is
+    // a wholesale replacement.
+    snaps.filter(s =>
+        !Set("append", "analyze", "clone", "evolve").contains(s.operation)) match {
       case bad if bad.nonEmpty =>
         throw new IllegalArgumentException(
           s"change feed crosses non-append versions ${bad.map(_.version).mkString(",")}: " +

@@ -78,6 +78,43 @@ class GraftCatalog extends DelegatingCatalogExtension {
     else super.loadTable(ident, version)
   }
 
+  /** `ALTER TABLE t ADD COLUMNS (...)` — schema evolution as a DDL verb.
+    * For a committed graft table the widening is made REAL first: one
+    * metadata-only `evolve` commit pins the widened anchor in the
+    * manifest ([[VersionedTable.addColumns]]), so every reader —
+    * including pure-library sessions that never consult this catalog —
+    * serves NULL-filled new columns immediately; then the session-catalog
+    * entry is updated in sync. Anything beyond top-level ADD COLUMNS
+    * (drop/rename/retype) is refused loudly: immutable history cannot
+    * retroactively change shape, only widen.
+    */
+  override def alterTable(ident: Identifier,
+      changes: org.apache.spark.sql.connector.catalog.TableChange*): Table = {
+    val t = super.loadTable(ident)
+    if (isGraft(t)) {
+      import org.apache.spark.sql.connector.catalog.TableChange
+      val (adds, others) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+      // property changes (SET TBLPROPERTIES) stay pure catalog metadata
+      val nonProps = others.filterNot(c =>
+        c.isInstanceOf[TableChange.SetProperty] ||
+          c.isInstanceOf[TableChange.RemoveProperty])
+      require(nonProps.isEmpty,
+        s"graft tables support ALTER TABLE ADD COLUMNS and TBLPROPERTIES only " +
+          s"(history is immutable; got ${nonProps.mkString(", ")})")
+      val fields = adds.map(_.asInstanceOf[TableChange.AddColumn]).map { a =>
+        require(a.fieldNames.length == 1,
+          s"nested ADD COLUMNS not supported: ${a.fieldNames.mkString(".")}")
+        org.apache.spark.sql.types.StructField(
+          a.fieldNames()(0), a.dataType, nullable = true)
+      }
+      val root = new java.io.File(
+        t.asInstanceOf[V1Table].catalogTable.location).getPath
+      if (fields.nonEmpty && VersionedTable.latestVersion(root).isDefined)
+        VersionedTable.addColumns(SparkSession.active, root, fields)
+    }
+    super.alterTable(ident, changes: _*)
+  }
+
   /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds; resolve to
     * the latest version committed at or before that wall-clock instant.
     */

@@ -272,6 +272,36 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(r2.getLong(0) === 4L && r2.getLong(1) === 4L)
   }
 
+  test("ALTER TABLE ADD COLUMNS: metadata-only widening, history intact") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root, statsCols = Seq("id"))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    sql.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE, tag STRING)")
+    // ONE metadata-only commit: same dirs, widened anchor
+    val snap = VersionedTable.snapshot(root, 2)
+    assert(snap.operation === "evolve")
+    assert(snap.dataDirs === VersionedTable.snapshot(root, 1).dataDirs)
+    // existing rows serve NULL for the new columns IMMEDIATELY — catalog
+    // reads and pure-library reads alike (the anchor lives in the manifest)
+    val row = sql.sql(s"SELECT id, score, tag FROM $t WHERE id = 3").head()
+    assert(row.getLong(0) === 3L && row.isNullAt(1) && row.isNullAt(2))
+    assert(VersionedTable.read(sql, root).columns.toSeq === Seq("id", "score", "tag"))
+    // INSERT with the new columns populated; mixed-era rollup is exact
+    sql.sql(s"INSERT INTO $t VALUES (100, CAST(1.5 AS DOUBLE), 'a')")
+    assert(sql.sql(s"SELECT count(*) AS n, count(score) AS ns FROM $t").head()
+      .toSeq === Seq(6L, 1L))
+    // time travel to the pre-evolve version still serves the narrow shape
+    assert(sql.sql(s"SELECT * FROM $t VERSION AS OF 1").columns.toSeq === Seq("id"))
+    // a change subscription crosses the evolve version as an empty delta
+    assert(VersionedTable.changes(sql, root, 1, 2).count() === 0L)
+    // immutable history: drop/rename/retype are refused loudly
+    intercept[Exception](sql.sql(s"ALTER TABLE $t DROP COLUMN tag"))
+    intercept[Exception](sql.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label"))
+    // duplicate add is refused
+    intercept[Exception](sql.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE)"))
+  }
+
   test("CREATE TABLE SHALLOW CLONE: zero-copy fork, fully independent histories") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 10).toDF("id").withColumn("v", col("id")),
