@@ -300,6 +300,15 @@ class SqlCatalogSpec extends SparkTestBase {
     intercept[Exception](sql.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label"))
     // duplicate add is refused
     intercept[Exception](sql.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE)"))
+    // the canonical evolution story: ALTER, then BACKFILL via UPDATE —
+    // copy-on-write materializes the new column into the rewritten dirs
+    sql.sql(s"UPDATE $t SET score = CAST(id AS DOUBLE) * 2 WHERE id < 2")
+    assert(sql.sql(s"SELECT sum(score) AS s FROM $t WHERE id < 5").head()
+      .getDouble(0) === 2.0)
+    // SET TBLPROPERTIES stays pure catalog metadata (no commit)
+    val tip = VersionedTable.latestVersion(root).get
+    sql.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('statsCols' = 'id')")
+    assert(VersionedTable.latestVersion(root).get === tip)
   }
 
   test("CREATE TABLE SHALLOW CLONE: zero-copy fork, fully independent histories") {
