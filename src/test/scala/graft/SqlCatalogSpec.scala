@@ -204,6 +204,40 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(drain() === (20L until 25L).toSet, "resumption must be delta-only")
   }
 
+  test("a SHALLOW CLONE feeds subscriptions from birth; evolve mid-stream is benign") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 10).toDF("id"), root)
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    val c = freshTable()
+    val dst = freshRoot() + "/clone"
+    sql.sql(s"CREATE TABLE $c SHALLOW CLONE $t LOCATION '$dst'")
+    val ckpt = Files.createTempDirectory("graft_clsub_ckpt_").toString
+    def drain(): Set[Long] = {
+      var seen = Set.empty[Long]
+      val q = sql.readStream.table(c)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen ++= b.select("id").collect().map(_.getLong(0))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      seen
+    }
+    // the clone's birth commit (op=clone) IS the initial batch
+    assert(drain() === (0L until 10L).toSet, "clone birth must serve the snapshot")
+    // widen the CLONE mid-subscription, then land data with the new column:
+    // the pinned-schema contract — the subscriber keeps draining, sees the
+    // new rows, and the unknown column is dropped until resubscription
+    sql.sql(s"ALTER TABLE $c ADD COLUMNS (score DOUBLE)")
+    sql.sql(s"INSERT INTO $c VALUES (100, CAST(1.0 AS DOUBLE)), (101, CAST(2.0 AS DOUBLE))")
+    assert(drain() === Set(100L, 101L),
+      "an evolve version must cross the subscription as an empty delta")
+  }
+
   test("readStream.option(readChangeFeed).table(t): row-level CDF by catalog name") {
     import org.apache.spark.sql.streaming.Trigger
     val root = freshRoot()

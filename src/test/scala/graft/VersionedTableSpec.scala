@@ -217,14 +217,21 @@ class VersionedTableSpec extends SparkTestBase {
   test("cloneTo forks a snapshot zero-copy; refusals are loud") {
     val src = freshRoot()
     val dst = freshRoot() + "/c"
-    VersionedTable.commit(spark.range(0, 5).toDF("id"), src)
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), src,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
     VersionedTable.commit(spark.range(5, 9).toDF("id"), src)
     assert(VersionedTable.cloneTo(spark, src, dst, Some(1)) === 1)
     assert(ids(dst) === (0L until 5L).toSet)
     val snap = VersionedTable.snapshot(dst, 1)
     assert(snap.operation === "clone" && snap.parent === 0)
-    // schema anchor rides over; txn marks do NOT (fresh history)
+    // schema anchor AND skipping metadata ride over verbatim (the clone
+    // prunes like the source from its first read); txn marks do NOT
+    val srcSnap = VersionedTable.snapshot(src, 1)
     assert(snap.schemaJson.isDefined && snap.txns.isEmpty)
+    assert(snap.dirStats.nonEmpty && snap.dirStats === srcSnap.dirStats)
+    assert(snap.dirBlooms.nonEmpty && snap.dirBlooms === srcSnap.dirBlooms)
+    // the bloom sidecar FILE rode over too (point probes work on the clone)
+    assert(snap.dirBlooms.forall(b => new java.io.File(dst, b.path).isFile))
     // a non-empty destination is refused
     intercept[IllegalArgumentException](VersionedTable.cloneTo(spark, src, dst))
     // a vacuumed target version is refused, loudly
