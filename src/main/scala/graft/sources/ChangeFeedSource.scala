@@ -110,7 +110,11 @@ final class ChangeFeedSource(
     */
   private def addedDirs(v: Int): Seq[String] = {
     val snap = VersionedTable.snapshot(root, v)
-    if (readChangeFeed &&
+    // content-preserving versions (metadata backfill / schema widening /
+    // layout rewrite) are empty deltas — an optimize must not be priced
+    // as if the whole re-laid-out table were new data
+    if (Set("analyze", "evolve", "optimize").contains(snap.operation)) Seq.empty
+    else if (readChangeFeed &&
         Set("delete", "update", "merge").contains(snap.operation))
       snap.cdfDir.toSeq
     else {

@@ -135,7 +135,11 @@ class VersionedTableOps(val store: CommitStore) {
   }
 
   /** Commit `df` as the next version. `mode` is "append" (snapshot = parent
-    * dirs + new dir) or "overwrite" (snapshot = new dir only). Returns the
+    * dirs + new dir), "overwrite" (snapshot = new dir only), or "optimize"
+    * (overwrite DIRS semantics but declared content-preserving — Delta's
+    * `dataChange=false`: change feeds cross it as an empty delta instead
+    * of forcing a resync; reserved for layout ops whose row content is
+    * identical to the parent snapshot). Returns the
     * committed version number; throws [[VersionedTable.CommitConflictException]]
     * if another writer claimed the target version first — detected both up
     * front (`expectedVersion`, the CAS form: pass `latestVersion(root) + 1`
@@ -161,7 +165,8 @@ class VersionedTableOps(val store: CommitStore) {
       bloomCols: Seq[String] = Seq.empty,
       bloomFpp: Double = 0.01,
       txn: Option[(String, Long)] = None): Int = {
-    require(mode == "append" || mode == "overwrite", s"bad mode $mode")
+    require(mode == "append" || mode == "overwrite" || mode == "optimize",
+      s"bad mode $mode")
     val parent = latestVersion(root)
     val version = parent.getOrElse(0) + 1
     expectedVersion.filter(_ != version)
@@ -726,15 +731,16 @@ class VersionedTableOps(val store: CommitStore) {
     1
   }
 
-  /** Compact the latest snapshot into one fresh dir — an overwrite commit
-    * with identical content (the OPTIMIZE analogue for a table fragmented
-    * by many small appends). History stays readable until vacuumed; the
-    * new version reads O(1) dirs instead of O(appends).
+  /** Compact the latest snapshot into one fresh dir — a content-preserving
+    * `optimize` commit (the OPTIMIZE analogue for a table fragmented by
+    * many small appends). History stays readable until vacuumed; the new
+    * version reads O(1) dirs instead of O(appends); change subscriptions
+    * cross it as an empty delta (dataChange=false), never a resync.
     */
   def compact(spark: SparkSession, root: String,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int =
-    commit(read(spark, root), root, "overwrite",
+    commit(read(spark, root), root, "optimize",
       statsCols = statsCols, bloomCols = bloomCols, bloomFpp = bloomFpp)
 
   /** ANALYZE for the versioned table: backfill data-skipping metadata —
@@ -951,8 +957,9 @@ class VersionedTableOps(val store: CommitStore) {
           DirBloom(d, c, rel)
         }
       }
-      // (4) the commit point.
-      publish(root, version, parent, "overwrite", rows, current.columns.toSeq,
+      // (4) the commit point. Operation `optimize` = content-preserving
+      // re-layout (dataChange=false): subscriptions cross it untouched.
+      publish(root, version, parent, "optimize", rows, current.columns.toSeq,
         dirOf.toSeq.sortBy(_._1).map(_._2), stats, blooms,
         snapshot(root, parent).txns, // layout ops never forget writer marks
         Some(VersionedTable.asNullable(current.schema).json))
@@ -1590,22 +1597,35 @@ class VersionedTableOps(val store: CommitStore) {
       s"bad change range ($fromVersion, $toVersion]")
     val snaps = (fromVersion + 1 to toVersion).map(snapshot(root, _))
     // `analyze`/`evolve` versions reference the SAME dirs (backfilled
-    // skipping metadata / a widened schema anchor) — additive no-ops for
-    // a consumer, never a reason to break a subscription. `clone` is only
-    // ever a table's version 1 (its birth): the whole snapshot IS the
-    // delta, same as a born-by-append table. Anything else non-append is
-    // a wholesale replacement.
-    snaps.filter(s =>
-        !Set("append", "analyze", "clone", "evolve").contains(s.operation)) match {
+    // skipping metadata / a widened schema anchor); `optimize` replaces
+    // the layout with IDENTICAL content (Delta's dataChange=false) —
+    // additive no-ops for a consumer, never a reason to break a
+    // subscription. `clone` is only ever a table's version 1 (its birth):
+    // the whole snapshot IS the delta, same as a born-by-append table.
+    // Anything else non-append is a wholesale replacement.
+    snaps.filter(s => !Set("append", "analyze", "clone", "evolve", "optimize")
+        .contains(s.operation)) match {
       case bad if bad.nonEmpty =>
         throw new IllegalArgumentException(
           s"change feed crosses non-append versions ${bad.map(_.version).mkString(",")}: " +
             "an overwrite replaces the snapshot; re-derive consumers from it")
       case _ => ()
     }
-    val baseDirs: Set[String] =
-      if (fromVersion == 0) Set.empty else snapshot(root, fromVersion).dataDirs.toSet
-    val added = snaps.last.dataDirs.filterNot(baseDirs.contains)
+    // PER-VERSION deltas, not a range-level dir-set difference: an
+    // optimize inside the range swaps every dir name while adding zero
+    // rows, so the range's delta is the union of each APPEND's own added
+    // dirs (an append's original dirs stay readable until vacuumed even
+    // after a later optimize drops them from the tip snapshot).
+    val added = snaps.flatMap { s =>
+      s.operation match {
+        case "append" | "clone" =>
+          val prev =
+            if (s.version == 1) Set.empty[String]
+            else snapshot(root, s.version - 1).dataDirs.toSet
+          s.dataDirs.filterNot(prev)
+        case _ => Seq.empty // analyze/evolve/optimize: content-preserving
+      }
+    }
     if (added.isEmpty) {
       // a pure-metadata range (analyze only): the delta is legitimately
       // empty — serve schema-correct emptiness on the snapshot's anchor

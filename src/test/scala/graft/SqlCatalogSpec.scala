@@ -400,6 +400,38 @@ class SqlCatalogSpec extends SparkTestBase {
     intercept[Exception](sql.sql(s"CREATE TABLE $c SHALLOW CLONE $t"))
   }
 
+  test("a subscription SURVIVES OPTIMIZE: compaction is invisible to subscribers") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    (0 to 2).foreach(i => VersionedTable.commit(
+      spark.range(i * 10L, (i + 1) * 10L).toDF("id"), root))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    val ckpt = Files.createTempDirectory("graft_optsub_ckpt_").toString
+    def drain(): Set[Long] = {
+      var seen = Set.empty[Long]
+      val q = sql.readStream.table(t)
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen ++= b.collect().map(_.getLong(0))
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+      seen
+    }
+    assert(drain() === (0L until 30L).toSet)
+    // routine maintenance between drains: at 100 TB this is the operation
+    // that must NOT force every subscriber into an O(table) resync
+    sql.sql(s"OPTIMIZE $t")
+    sql.sql(s"INSERT INTO $t VALUES (100), (101)")
+    assert(drain() === Set(100L, 101L),
+      "an optimize must cross the subscription as an empty delta — " +
+        "no resync, no duplicates")
+    assert(VersionedTable.history(root).map(_.operation).count(_ == "optimize") === 1)
+  }
+
   test("OPTIMIZE ZORDER BY through pure SQL: post-OPTIMIZE numFiles prunes") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val root = freshRoot()

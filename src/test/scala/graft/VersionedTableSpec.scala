@@ -118,6 +118,23 @@ class VersionedTableSpec extends SparkTestBase {
     assert(VersionedTable.changes(spark, root, 0, 2).count() === 1010)
   }
 
+  test("change feed crosses an OPTIMIZE as an empty delta (dataChange=false)") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 50).toDF("id"), root)   // v1
+    VersionedTable.commit(spark.range(50, 60).toDF("id"), root)  // v2
+    VersionedTable.compact(spark, root)                          // v3: re-layout
+    VersionedTable.commit(spark.range(60, 70).toDF("id"), root)  // v4
+    assert(VersionedTable.snapshot(root, 3).operation === "optimize")
+    // the optimize alone is an empty delta, never a resync
+    assert(VersionedTable.changes(spark, root, 2, 3).count() === 0L)
+    // a range crossing it serves EXACTLY the appended rows — the rows an
+    // earlier append added plus the post-optimize append, no duplicates
+    assert(VersionedTable.changes(spark, root, 1, 4)
+      .collect().map(_.getLong(0)).toSet === (50L until 70L).toSet)
+    // from birth: everything, still exactly once
+    assert(VersionedTable.changes(spark, root, 0, 4).count() === 70L)
+  }
+
   test("change feed refuses to cross an overwrite") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 5).toDF("id"), root)
@@ -1035,7 +1052,7 @@ class VersionedTableSpec extends SparkTestBase {
     assert(after.select("id").collect().map(_.getLong(0)).toSet === (0L until 1024L).toSet)
     assert(ids(root, Some(1)) === (0L until 1024L).toSet)
     val snap = VersionedTable.history(root).last
-    assert(snap.operation === "overwrite" && snap.dataDirs.size === 16)
+    assert(snap.operation === "optimize" && snap.dataDirs.size === 16)
     // a small box probe on BOTH dims touches a small minority of dirs
     val probe = VersionedTable.readFiltered(spark, root,
       Seq(RangeFilter("x", 0, 7), RangeFilter("y", 0, 7)))
@@ -1070,7 +1087,7 @@ class VersionedTableSpec extends SparkTestBase {
     val after = VersionedTable.read(spark, root)
     assert(after.select("id").collect().map(_.getLong(0)).toSet === (0L until 4096L).toSet)
     val snap = VersionedTable.history(root).last
-    assert(snap.operation === "overwrite" && snap.dataDirs.size === 8)
+    assert(snap.operation === "optimize" && snap.dataDirs.size === 8)
     // 8 dirs = the top bit of EACH dim: a half-range probe on ANY single
     // dim dismisses half the dirs
     for (dim <- Seq("a", "b", "c")) {
