@@ -24,6 +24,10 @@ import graft.sources.VersionedTable
   *   OPTIMIZE t ZORDER BY (a, b[, c])   -- N-dim Morton re-cluster
   *   VACUUM t                           -- library default retention
   *   VACUUM t RETAIN 168 HOURS          -- reap versions older than 7 days
+  *   VACUUM t [RETAIN n HOURS] DRY RUN  -- report, touch nothing
+  *   CREATE TABLE t2 SHALLOW CLONE t [VERSION AS OF n] [LOCATION '...']
+  *   DESCRIBE HISTORY t                 -- the commit log as rows
+  *   DESCRIBE DETAIL t                  -- one row of table metadata
   * }}}
   *
   * The reference declares maintenance as SQL policy on the warehouse —
@@ -47,9 +51,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case OPTIMIZE_Z(t, cols)   => GraftOptimizeCommand(ident(t),
       cols.split(",").toSeq.map(c => strip(c.trim)).filter(_.nonEmpty))
     case OPTIMIZE_PLAIN(t)     => GraftOptimizeCommand(ident(t), Seq.empty)
-    case VACUUM_RETAIN(t, h)   => GraftVacuumCommand(ident(t), Some(h.toDouble))
-    case VACUUM_PLAIN(t)       => GraftVacuumCommand(ident(t), None)
+    case VACUUM_RETAIN(t, h, dry) =>
+      GraftVacuumCommand(ident(t), Some(h.toDouble), dry != null)
+    case VACUUM_PLAIN(t, dry)  => GraftVacuumCommand(ident(t), None, dry != null)
     case DESCRIBE_HISTORY(t)   => GraftDescribeHistoryCommand(ident(t))
+    case DESCRIBE_DETAIL(t)    => GraftDescribeDetailCommand(ident(t))
     case _                     => delegate.parsePlan(sqlText)
   }
 
@@ -73,8 +79,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
     case RESTORE_VERSION(_, _) | RESTORE_TS(_, _) | OPTIMIZE_Z(_, _) |
-         OPTIMIZE_PLAIN(_) | VACUUM_RETAIN(_, _) | VACUUM_PLAIN(_) |
-         DESCRIBE_HISTORY(_) | CREATE_CLONE(_, _, _, _) =>
+         OPTIMIZE_PLAIN(_) | VACUUM_RETAIN(_, _, _) | VACUUM_PLAIN(_, _) |
+         DESCRIBE_HISTORY(_) | DESCRIBE_DETAIL(_) | CREATE_CLONE(_, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parsePlanWithParameters(sqlText, ctx)
   }
@@ -107,10 +113,12 @@ object GraftSqlParser {
     s"""(?is)\\s*OPTIMIZE\\s+$ID\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
   val OPTIMIZE_PLAIN: Regex = s"""(?is)\\s*OPTIMIZE\\s+$ID\\s*;?\\s*""".r
   val VACUUM_RETAIN: Regex =
-    s"""(?is)\\s*VACUUM\\s+$ID\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?\\s*;?\\s*""".r
-  val VACUUM_PLAIN: Regex = s"""(?is)\\s*VACUUM\\s+$ID\\s*;?\\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$ID\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+  val VACUUM_PLAIN: Regex = s"""(?is)\\s*VACUUM\\s+$ID(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   val DESCRIBE_HISTORY: Regex =
     s"""(?is)\\s*DESC(?:RIBE)?\\s+HISTORY\\s+$ID\\s*;?\\s*""".r
+  val DESCRIBE_DETAIL: Regex =
+    s"""(?is)\\s*DESC(?:RIBE)?\\s+DETAIL\\s+$ID\\s*;?\\s*""".r
   val CREATE_CLONE: Regex =
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$ID\\s+SHALLOW\\s+CLONE\\s+$ID""" +
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?""" +
@@ -286,16 +294,21 @@ case class GraftDescribeHistoryCommand(table: TableIdentifier)
   }
 }
 
-/** `VACUUM t [RETAIN n HOURS]` — reap data referenced only by versions
-  * older than the retention window (latest always survives), plus aged
-  * orphans. The RETAIN form maps wall-clock hours onto the version axis:
-  * every version committed within the window is retained.
+/** `VACUUM t [RETAIN n HOURS] [DRY RUN]` — reap data referenced only by
+  * versions older than the retention window (latest always survives),
+  * plus aged orphans. The RETAIN form maps wall-clock hours onto the
+  * version axis: every version committed within the window is retained.
+  * DRY RUN reports exactly what a real run would reap and touches
+  * nothing — the operator-safety form.
   */
 case class GraftVacuumCommand(table: TableIdentifier,
-    retainHours: Option[Double]) extends LeafRunnableCommand {
+    retainHours: Option[Double],
+    dryRun: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_dirs", LongType, nullable = false)(),
-      AttributeReference("dirs", StringType, nullable = false)())
+      AttributeReference("dirs", StringType, nullable = false)(),
+      AttributeReference("dry_run",
+        org.apache.spark.sql.types.BooleanType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (root, _) = GraftSqlParser.graftRoot(session, table)
     val retainLast = retainHours match {
@@ -304,7 +317,50 @@ case class GraftVacuumCommand(table: TableIdentifier,
         val cutoffMs = System.currentTimeMillis() - (h * 3600 * 1000).toLong
         math.max(VersionedTable.history(root).count(_.committedMs >= cutoffMs), 1)
     }
-    val deleted = VersionedTable.vacuum(root, retainLast)
-    Seq(Row(deleted.size.toLong, deleted.mkString(",")))
+    val deleted = VersionedTable.vacuum(root, retainLast, dryRun = dryRun)
+    Seq(Row(deleted.size.toLong, deleted.mkString(","), dryRun))
+  }
+}
+
+/** `DESCRIBE DETAIL t` — one row of table-level metadata (the Delta verb):
+  * format, location, current version/operation, dir/file/byte footprint,
+  * schema and skipping-column coverage, CDF availability. Pure manifest
+  * metadata plus ONE listing of the current snapshot's dirs — never a
+  * data scan.
+  */
+case class GraftDescribeDetailCommand(table: TableIdentifier)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("format", StringType, nullable = false)(),
+    AttributeReference("name", StringType, nullable = false)(),
+    AttributeReference("location", StringType, nullable = false)(),
+    AttributeReference("version", LongType, nullable = false)(),
+    AttributeReference("operation", StringType, nullable = false)(),
+    AttributeReference("committed_at",
+      org.apache.spark.sql.types.TimestampType, nullable = false)(),
+    AttributeReference("n_dirs", LongType, nullable = false)(),
+    AttributeReference("num_files", LongType, nullable = false)(),
+    AttributeReference("size_bytes", LongType, nullable = false)(),
+    AttributeReference("schema_cols", StringType, nullable = false)(),
+    AttributeReference("stats_cols", StringType, nullable = false)(),
+    AttributeReference("bloom_cols", StringType, nullable = false)(),
+    AttributeReference("has_cdf", org.apache.spark.sql.types.BooleanType,
+      nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    val (root, _) = GraftSqlParser.graftRoot(session, table)
+    val v = VersionedTable.latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = VersionedTable.snapshot(root, v)
+    val files = snap.dataDirs.flatMap(d =>
+      Option(new java.io.File(root, d).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("_") &&
+          !f.getName.startsWith(".")))
+    Seq(Row("graft", table.unquotedString, root, v.toLong, snap.operation,
+      new java.sql.Timestamp(snap.committedMs), snap.dataDirs.size.toLong,
+      files.size.toLong, files.map(_.length).sum,
+      snap.schemaCols.mkString(","),
+      snap.dirStats.map(_.col).distinct.sorted.mkString(","),
+      snap.dirBlooms.map(_.col).distinct.sorted.mkString(","),
+      snap.cdfDir.isDefined))
   }
 }

@@ -1738,7 +1738,8 @@ class VersionedTableOps(val store: CommitStore) {
     * manifests). Returns the dir names actually deleted.
     */
   def vacuum(root: String, retainLast: Int = 2,
-      orphanGraceMs: Long = 10 * 60 * 1000L): Seq[String] = {
+      orphanGraceMs: Long = 10 * 60 * 1000L,
+      dryRun: Boolean = false): Seq[String] = {
     require(retainLast >= 1, "must retain at least the latest version")
     require(orphanGraceMs >= 0, "grace window must be non-negative")
     val latest = latestVersion(root).getOrElse(return Seq.empty)
@@ -1755,6 +1756,9 @@ class VersionedTableOps(val store: CommitStore) {
       expiredDirs.contains(d) ||
         new File(root, d).lastModified() <= now - orphanGraceMs
     }
+    // DRY RUN: the operator-safety form — report exactly what a real run
+    // would reap, touch nothing (no dirs, no sidecars, no manifests)
+    if (dryRun) return doomed.sorted
     val deleted = doomed.filter { d =>
       val f = new File(root, d)
       VersionedTable.deleteRecursively(f)

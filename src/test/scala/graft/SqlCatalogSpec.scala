@@ -473,6 +473,17 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(snap.dirStats.exists(_.col == "id"),
       "compaction must inherit the table's statsCols property")
     assert(ids(sql.sql(s"SELECT * FROM $t")) === (0L until 40L))
+    // DESCRIBE DETAIL: one row of manifest-grade metadata, no data scan
+    val det = sql.sql(s"DESCRIBE DETAIL $t").head()
+    assert(det.getString(0) === "graft" && det.getLong(3) === 5L)
+    assert(det.getString(4) === "optimize" && det.getLong(6) === 1L)
+    assert(det.getLong(7) >= 1L && det.getLong(8) > 0L)
+    assert(det.getString(10) === "id", "stats coverage must be visible")
+    // VACUUM ... DRY RUN reports the reap set and touches NOTHING
+    val dry = sql.sql(s"VACUUM $t RETAIN 0 HOURS DRY RUN").head()
+    assert(dry.getBoolean(2) && dry.getLong(0) >= 4L)
+    assert(ids(sql.sql(s"SELECT * FROM $t VERSION AS OF 1")) === (0L until 10L),
+      "DRY RUN must leave history readable")
     // VACUUM RETAIN 0 HOURS: only the latest version's dirs survive
     val del = sql.sql(s"VACUUM $t RETAIN 0 HOURS").head()
     assert(del.getLong(0) >= 4L, s"expected the four pre-compaction dirs reaped, got $del")
