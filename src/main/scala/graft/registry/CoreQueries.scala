@@ -272,6 +272,113 @@ object CoreQueries {
           (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
     }),
 
+    // Merge-on-read DELETE (deletion vectors): the same corpus and
+    // predicate as q_versioned_delete, but the commit persists matched
+    // POSITIONS (`dv=` manifest line) and carries every data dir by name
+    // — zero rewrites, O(deleted rows). The planning-time scan folds the
+    // dv set in as one broadcast anti-join; the rollup must be
+    // value-identical to the copy-on-write twin (same oracle).
+    "q_versioned_dv_delete" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtdvd_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      VersionedTable.deleteMor(s, root,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+          col("o_orderstatus") === "F")
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
+    // Merge-on-read UPDATE: matched positions land in a deletion vector,
+    // post-images as ONE appended dir — no dir rewritten. Same predicate,
+    // assignments, and oracle as the copy-on-write q_versioned_update.
+    "q_versioned_dv_update" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtdvu_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      VersionedTable.updateMor(s, root,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+          col("o_orderstatus") === "O",
+        Map("o_totalprice" -> (col("o_totalprice") * lit(1.1))))
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
+    // Merge-on-read MERGE upsert: matched table rows are dv'd, the source
+    // lands as ONE fresh dir — O(source + matched) regardless of how many
+    // dirs the keys touch (the continuous-upsert shape). Same source and
+    // oracle as the copy-on-write q_versioned_merge.
+    "q_versioned_dv_merge" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtdvm_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      val src = orders.filter(col("o_orderkey") % 7 === 0)
+        .withColumn("o_totalprice", col("o_totalprice") + lit(1000.0))
+        .union(orders.filter(col("o_orderkey") % 97 === 0)
+          .select((col("o_orderkey") + mk).as("o_orderkey"),
+            lit("N").as("o_orderstatus"), col("o_totalprice")))
+      VersionedTable.mergeMor(s, root, src, "o_orderkey")
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
+    // PURGE: fold the deletion vectors back into the data — rewrite ONLY
+    // the dv'd dirs' live rows, drop fully-dead dirs, publish an empty dv
+    // list as a content-preserving optimize (subscriptions cross it as an
+    // empty delta). The post-purge rollup must still equal the DELETE's
+    // oracle: purge changes layout, never content.
+    "q_versioned_dv_purge" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtdvp_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      VersionedTable.deleteMor(s, root,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+          col("o_orderstatus") === "F")
+      VersionedTable.purgeDeletes(s, root)
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
     // RESTORE: the DML-era recovery verb — same corpus as
     // q_versioned_delete, the bad deploy (the DELETE) rolled back by ONE
     // metadata-only commit pinning the pre-DML snapshot's dirs/stats/
@@ -856,7 +963,7 @@ object CoreQueries {
         .agg(countDistinct(col("user_id")).as("n_users"))
     }))
 
-  val oracles: Map[String, String] = Map(
+  private val oracleBase: Map[String, String] = Map(
     // The sketches themselves are engine-specific; the gated projection is
     // engine-invariant (exact counts + accuracy booleans the oracle expects
     // to be true) — a sketch regression flips a boolean and fails the hash.
@@ -1307,4 +1414,14 @@ object CoreQueries {
         |       count(DISTINCT w.user_id) AS n_users
         |FROM weeks w JOIN coh c USING (user_id)
         |GROUP BY 1, 2""".stripMargin)
+
+  /** The merge-on-read twins (deletion vectors) and the purge verb share
+    * the copy-on-write oracles VERBATIM: the storage strategy — rewrite
+    * vs dv sidecar vs dv-folding purge — must be invisible to the answer.
+    */
+  val oracles: Map[String, String] = oracleBase ++ Map(
+    "q_versioned_dv_delete" -> oracleBase("q_versioned_delete"),
+    "q_versioned_dv_update" -> oracleBase("q_versioned_update"),
+    "q_versioned_dv_merge" -> oracleBase("q_versioned_merge"),
+    "q_versioned_dv_purge" -> oracleBase("q_versioned_delete"))
 }

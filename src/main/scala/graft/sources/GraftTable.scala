@@ -65,11 +65,53 @@ final class GraftTableProvider
           throw new IllegalArgumentException(
             s"no version committed at or before $ts at $root"))
       })
-    val (index, schema) =
-      VersionedTable.scanIndex(sqlContext.sparkSession, root, asOf)
-    org.apache.spark.sql.graft.ManifestScan.relation(
-      sqlContext.sparkSession, index, schema)
+    val v = asOf.orElse(VersionedTable.latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"empty versioned table at $root"))
+    if (VersionedTable.snapshot(root, v).dvs.nonEmpty)
+      // merge-on-read snapshot: the HadoopFsRelation cannot carry the
+      // deletion-vector anti-join, so serve the DV-applied scan frame
+      // through a PrunedFilteredScan (catalog SQL reads and the library
+      // scan()/read() paths keep full planning-time pruning; this
+      // fallback applies translatable filters to the inner frame, whose
+      // own FileIndex then prunes)
+      dvRelation(sqlContext, root, asOf)
+    else {
+      val (index, schema) =
+        VersionedTable.scanIndex(sqlContext.sparkSession, root, asOf)
+      org.apache.spark.sql.graft.ManifestScan.relation(
+        sqlContext.sparkSession, index, schema)
+    }
   }
+
+  /** The merge-on-read fallback relation for the DSv1 provider: pushed
+    * filters and the column projection are re-applied to the DV-applied
+    * [[VersionedTable.scan]] frame — predicates reach the inner frame's
+    * `ManifestFileIndex` (dir skipping survives) and parquet row-group
+    * filters; unhandled filter shapes are simply re-evaluated by Spark on
+    * top (`unhandledFilters` defaults to all — strictly conservative).
+    */
+  private def dvRelation(ctx: SQLContext, root: String,
+      asOf: Option[Int]): BaseRelation =
+    new BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
+      override def sqlContext: SQLContext = ctx
+      override val schema: StructType =
+        VersionedTable.tableSchema(ctx.sparkSession, root, asOf)
+      override def needConversion: Boolean = false
+      override def buildScan(requiredColumns: Array[String],
+          filters: Array[org.apache.spark.sql.sources.Filter]):
+          org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = {
+        import org.apache.spark.sql.functions.col
+        val base = VersionedTable.scan(ctx.sparkSession, root, asOf)
+        val filtered = filters.flatMap(GraftTableProvider.filterColumn)
+          .foldLeft(base)(_.filter(_))
+        val projected = filtered.select(
+          requiredColumns.toIndexedSeq.map(col): _*)
+        // needConversion=false: hand back the InternalRow RDD directly
+        // (the established DSv1 seam — Spark consumes it unconverted)
+        projected.queryExecution.toRdd
+          .asInstanceOf[org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]]
+      }
+    }
 
   /** Declared-schema form — what `CREATE TABLE t (cols) USING graft`
     * resolves through: an UNCOMMITTED root is a legitimate empty table
@@ -112,5 +154,37 @@ final class GraftTableProvider
         bloomFpp = parameters.getOrElse("bloomFpp", "0.01").toDouble)
     }
     createRelation(sqlContext, parameters)
+  }
+}
+
+object GraftTableProvider {
+
+  /** DSv1 `Filter` → `Column`, for the merge-on-read fallback relation:
+    * only shapes worth re-pushing translate (comparisons, IN, null
+    * checks, prefix LIKE, AND/OR); anything else returns None and Spark
+    * re-evaluates it on top — strictly conservative either way, since
+    * `unhandledFilters` keeps every filter re-applied.
+    */
+  private[sources] def filterColumn(
+      f: org.apache.spark.sql.sources.Filter): Option[org.apache.spark.sql.Column] = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.sources._
+    f match {
+      case EqualTo(a, v)            => Some(col(a) === lit(v))
+      case EqualNullSafe(a, v)      => Some(col(a) <=> lit(v))
+      case GreaterThan(a, v)        => Some(col(a) > lit(v))
+      case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+      case LessThan(a, v)           => Some(col(a) < lit(v))
+      case LessThanOrEqual(a, v)    => Some(col(a) <= lit(v))
+      case In(a, vs)                => Some(col(a).isin(vs.toIndexedSeq: _*))
+      case IsNull(a)                => Some(col(a).isNull)
+      case IsNotNull(a)             => Some(col(a).isNotNull)
+      case StringStartsWith(a, p)   => Some(col(a).startsWith(p))
+      case And(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc && rc
+      case Or(l, r) =>
+        for (lc <- filterColumn(l); rc <- filterColumn(r)) yield lc || rc
+      case _ => None
+    }
   }
 }

@@ -2,8 +2,8 @@ package org.apache.spark.sql.graft
 
 import org.apache.spark.sql.{Column, Row, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{EliminateSubqueryAliases, UnresolvedAttribute}
-import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference, EqualTo, Expression}
-import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LocalRelation, LogicalPlan, MergeIntoTable, UpdateAction, UpdateTable, V2WriteCommand}
+import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, AttributeReference, EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical.{Assignment, DeleteFromTable, InsertAction, LocalRelation, LogicalPlan, MergeIntoTable, Project, UpdateAction, UpdateTable, V2WriteCommand}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.classic.ExpressionUtils
 import org.apache.spark.sql.execution.command.LeafRunnableCommand
@@ -65,6 +65,20 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
     gt
   }
 
+  /** The table's declared DML strategy (`graft.dml.mode` TBLPROPERTY):
+    * copy-on-write (default — rewrite touched dirs) or merge-on-read
+    * (deletion vectors, O(delta) commits). A pure catalog-metadata
+    * choice, flippable per table with SET TBLPROPERTIES.
+    */
+  private def morOf(gt: GraftTableV2): Boolean =
+    gt.properties().getOrDefault("graft.dml.mode", "copy-on-write") match {
+      case "merge-on-read" => true
+      case "copy-on-write" => false
+      case other => throw new IllegalArgumentException(
+        s"unknown graft.dml.mode '$other' on ${gt.name()} " +
+          "(expected merge-on-read | copy-on-write)")
+    }
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Pass 1: DML verbs become driver commands (their target relations
     // disappear with them; a MERGE source is read-swapped recursively).
@@ -73,7 +87,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (cond == null || cond.resolved) =>
         val gt = writable(graftOf(t).get, "DELETE from")
         GraftDeleteCommand(gt.root,
-          Option(cond).map(asColumn).getOrElse(lit(true)))
+          Option(cond).map(asColumn).getOrElse(lit(true)), morOf(gt))
 
       case u @ UpdateTable(t, assignments, cond) if u.resolved &&
           graftOf(t).isDefined =>
@@ -84,7 +98,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"UPDATE supports plain column assignments, got $other")
         }.toMap
         GraftUpdateCommand(gt.root,
-          cond.map(asColumn).getOrElse(lit(true)), assigns)
+          cond.map(asColumn).getOrElse(lit(true)), assigns, morOf(gt))
 
       case m: MergeIntoTable if m.resolved && graftOf(m.targetTable).isDefined =>
         convertMerge(m, writable(graftOf(m.targetTable).get, "MERGE into"))
@@ -143,7 +157,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => unsupported(s"not-matched actions must be exactly INSERT *, got $other")
     }
     // the source may itself read graft tables — swap those reads now
-    GraftMergeCommand(gt.root, swapReads(m.sourceTable), keyCol)
+    GraftMergeCommand(gt.root, swapReads(m.sourceTable), keyCol, morOf(gt))
   }
 
   /** Swap every graft READ relation for the manifest-FileIndex
@@ -162,32 +176,54 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val gt = r.table.asInstanceOf[GraftTableV2]
         if (gt.isEmptyTable) LocalRelation(r.output)
         else {
-          val (index, dataSchema) =
-            VersionedTable.scanIndex(spark, gt.root, gt.asOf)
-          LogicalRelation(ManifestScan.relation(spark, index, dataSchema),
-            r.output.map(_.asInstanceOf[AttributeReference]), None,
-            isStreaming = false, None)
+          val v = gt.asOf.orElse(VersionedTable.latestVersion(gt.root)).get
+          val dvs = VersionedTable.snapshot(gt.root, v).dvs
+          if (dvs.isEmpty) {
+            val (index, dataSchema) =
+              VersionedTable.scanIndex(spark, gt.root, gt.asOf)
+            LogicalRelation(ManifestScan.relation(spark, index, dataSchema),
+              r.output.map(_.asInstanceOf[AttributeReference]), None,
+              isStreaming = false, None)
+          } else {
+            // merge-on-read snapshot: swap in the DV-applied scan plan
+            // (pruning relation + deletion-vector anti-join), re-aliased
+            // onto the relation's output ids so the surrounding plan
+            // stays resolved; anchor-column predicates keep pushing
+            // through the anti-join into the FileIndex
+            val lp = VersionedTable.scan(spark, gt.root, gt.asOf)
+              .queryExecution.analyzed
+            require(lp.output.size == r.output.size,
+              s"scan/relation schema width mismatch on ${gt.name()}")
+            Project(lp.output.zip(r.output).map { case (n, o) =>
+              Alias(n, o.name)(exprId = o.exprId)
+            }, lp)
+          }
         }
     }
   }
 }
 
 /** `DELETE FROM t WHERE p` — returns the rows removed. */
-case class GraftDeleteCommand(root: String, cond: Column)
-  extends LeafRunnableCommand {
+case class GraftDeleteCommand(root: String, cond: Column,
+    mor: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_rows", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(VersionedTable.delete(session, root, cond)))
+    Seq(Row(
+      if (mor) VersionedTable.deleteMor(session, root, cond)
+      else VersionedTable.delete(session, root, cond)))
 }
 
 /** `UPDATE t SET ... WHERE p` — returns the rows updated. */
 case class GraftUpdateCommand(root: String, cond: Column,
-    assignments: Map[String, Column]) extends LeafRunnableCommand {
+    assignments: Map[String, Column],
+    mor: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("updated_rows", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
-    Seq(Row(VersionedTable.update(session, root, cond, assignments)))
+    Seq(Row(
+      if (mor) VersionedTable.updateMor(session, root, cond, assignments)
+      else VersionedTable.update(session, root, cond, assignments)))
 }
 
 /** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
@@ -195,13 +231,15 @@ case class GraftUpdateCommand(root: String, cond: Column,
   * version number.
   */
 case class GraftMergeCommand(root: String, source: LogicalPlan,
-    keyCol: String) extends LeafRunnableCommand {
+    keyCol: String, mor: Boolean = false) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
   override def run(session: SparkSession): Seq[Row] = {
     val cs = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val srcDf = org.apache.spark.sql.classic.Dataset.ofRows(cs, source)
-    Seq(Row(VersionedTable.merge(session, root, srcDf, keyCol).toLong))
+    Seq(Row((
+      if (mor) VersionedTable.mergeMor(session, root, srcDf, keyCol)
+      else VersionedTable.merge(session, root, srcDf, keyCol)).toLong))
   }
 }

@@ -47,11 +47,12 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 199 = r13's 192 + r14's CDF/RESTORE/maintenance tier (q_cdf_dml,
+    // 203 = r13's 192 + r14's CDF/RESTORE/maintenance tier (q_cdf_dml,
     // q_stream_cdf_upsert, q_versioned_restore, q_versioned_sql_restore,
-    // q_zorder_sql, q_versioned_sql_clone, q_versioned_sql_evolve); raise
-    // this floor whenever a query is added, never lower it
-    assert(SparkEntry.queries.size >= 199,
-      s"registry shrank: ${SparkEntry.queries.size} < 199")
+    // q_zorder_sql, q_versioned_sql_clone, q_versioned_sql_evolve) + the
+    // merge-on-read tier (q_versioned_dv_delete/update/merge/purge);
+    // raise this floor whenever a query is added, never lower it
+    assert(SparkEntry.queries.size >= 203,
+      s"registry shrank: ${SparkEntry.queries.size} < 203")
   }
 }
