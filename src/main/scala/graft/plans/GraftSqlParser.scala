@@ -345,7 +345,12 @@ case class GraftDescribeDetailCommand(table: TableIdentifier)
     AttributeReference("stats_cols", StringType, nullable = false)(),
     AttributeReference("bloom_cols", StringType, nullable = false)(),
     AttributeReference("has_cdf", org.apache.spark.sql.types.BooleanType,
-      nullable = false)())
+      nullable = false)(),
+    // merge-on-read visibility: how many deletion-vector files the
+    // current snapshot carries and how many positions they hold — the
+    // operator signal for scheduling purgeDeletes/OPTIMIZE
+    AttributeReference("num_deletion_vectors", LongType, nullable = false)(),
+    AttributeReference("deleted_rows", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (root, _) = GraftSqlParser.graftRoot(session, table)
     val v = VersionedTable.latestVersion(root).getOrElse(
@@ -361,6 +366,7 @@ case class GraftDescribeDetailCommand(table: TableIdentifier)
       snap.schemaCols.mkString(","),
       snap.dirStats.map(_.col).distinct.sorted.mkString(","),
       snap.dirBlooms.map(_.col).distinct.sorted.mkString(","),
-      snap.cdfDir.isDefined))
+      snap.cdfDir.isDefined,
+      snap.dvs.size.toLong, snap.dvs.map(_.rows).sum))
   }
 }

@@ -168,6 +168,23 @@ object StreamQueries {
       }
     }),
 
+    // The MERGE-ON-READ twin of q_stream_upsert: the same chronological
+    // exactly-once upsert loop through transactionalMergeMor — each batch
+    // commits a deletion vector + one source dir, ZERO dir rewrites (the
+    // high-frequency sink shape; at 100 TB a COW upsert rewrites every
+    // dir the batch's keys touch, per batch). Same oracle: the storage
+    // strategy must be invisible to the converged table.
+    "q_stream_upsert_mor" -> ((s, d) => {
+      val root = Files.createTempDirectory("graft_upsertmor_").toString
+      graft.BenchProbe.time("q_stream_upsert_mor.split") {
+        StreamSources.chronoSplitDir(s, s"$d/events.parquet")
+      }
+      graft.BenchProbe.time("q_stream_upsert_mor.stream") {
+        StreamingFeatures.versionedUpsert(s, s"$d/events.parquet", root,
+          mor = true)
+      }
+    }),
+
     // The r14 composition the changefeed × DML trap used to forbid:
     // chronological upsert batches maintain a silver latest-per-symbol
     // table through MERGE commits, and a downstream subscriber consumes
@@ -676,6 +693,14 @@ object StreamQueries {
     // Chronological streaming upserts converge to each symbol's last tick
     // ((t_us, tid) is unique, so the ordering is total and deterministic).
     "q_stream_upsert" -> withTrades(
+      """SELECT symbol, t_us, last_price FROM (
+        |  SELECT symbol, epoch_us(time) AS t_us, price AS last_price,
+        |         row_number() OVER (PARTITION BY symbol
+        |           ORDER BY epoch_us(time) DESC, CAST(trade_id AS BIGINT) DESC) AS rn
+        |  FROM trades) WHERE rn = 1""".stripMargin),
+
+    // The merge-on-read sink must converge to the identical table.
+    "q_stream_upsert_mor" -> withTrades(
       """SELECT symbol, t_us, last_price FROM (
         |  SELECT symbol, epoch_us(time) AS t_us, price AS last_price,
         |         row_number() OVER (PARTITION BY symbol

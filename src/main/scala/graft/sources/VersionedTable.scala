@@ -645,6 +645,33 @@ class VersionedTableOps(val store: CommitStore) {
     false // unreachable
   }
 
+  /** [[transactionalMerge]] over the merge-on-read kernel ([[mergeMor]]):
+    * the exactly-once streaming-upsert sink for high-frequency batches —
+    * each micro-batch commits O(batch + matched rows) (one deletion
+    * vector + one source dir), never rewriting the dirs the batch's keys
+    * touch. The dv set grows with every batch; schedule [[purgeDeletes]]
+    * (or OPTIMIZE) as the maintenance valve. Same redelivery absorption
+    * and foreign-conflict retry as the copy-on-write form.
+    */
+  def transactionalMergeMor(source: DataFrame, root: String, appId: String,
+      batchId: Long, keyCol: String, maxProbeKeys: Int = 10000,
+      bloomFpp: Double = 0.01, maxRetries: Int = 20,
+      cdf: Boolean = true): Boolean = {
+    var attempt = 0
+    while (true) {
+      if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
+      try {
+        mergeMor(source.sparkSession, root, source, keyCol,
+          maxProbeKeys = maxProbeKeys, bloomFpp = bloomFpp,
+          txn = Some((appId, batchId)), cdf = cdf)
+        return true
+      } catch {
+        case _: CommitConflictException if attempt < maxRetries => attempt += 1
+      }
+    }
+    false // unreachable
+  }
+
   /** Latest version committed at or before `tsMs` (wall-clock time travel:
     * `read(spark, root, versionAsOf(root, ts))`). None if the table's first
     * commit is later than `tsMs`.

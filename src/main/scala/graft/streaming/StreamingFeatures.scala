@@ -588,7 +588,8 @@ object StreamingFeatures {
     * merge whose table-side cost is the touched dirs — the table itself
     * (one row per live symbol) is never scanned wholesale.
     */
-  def versionedUpsert(spark: SparkSession, eventsPath: String, root: String): DataFrame = {
+  def versionedUpsert(spark: SparkSession, eventsPath: String, root: String,
+      mor: Boolean = false): DataFrame = {
     import graft.sources.VersionedTable
     val appId = "graft-upsert"
     def latestPerSymbol(batch: DataFrame): DataFrame = batch
@@ -606,6 +607,12 @@ object StreamingFeatures {
         if (VersionedTable.latestVersion(root).isEmpty)
           VersionedTable.transactionalCommit(perSym, root, appId, batchId,
             statsCols = Seq("t_us"), bloomCols = Seq("symbol"))
+        else if (mor)
+          // merge-on-read sink: each batch commits O(batch + matched) —
+          // matched keys' positions land in a deletion vector, the batch
+          // as one dir, NOTHING rewritten (the high-frequency shape)
+          VersionedTable.transactionalMergeMor(perSym, root, appId, batchId,
+            "symbol", cdf = false)
         else
           // cdf = false: this table has no change-feed subscriber by
           // construction — the subscriber-fed upsert loop (which pays the
@@ -626,7 +633,12 @@ object StreamingFeatures {
     val replay = latestPerSymbol(
       StreamSources.projectTrades(graft.core.Tables.table(
         spark, new java.io.File(eventsPath).getParent, "events")))
-    require(!VersionedTable.transactionalMerge(replay, root, appId, lastBatch, "symbol"),
+    val reapplied =
+      if (mor)
+        VersionedTable.transactionalMergeMor(replay, root, appId, lastBatch, "symbol")
+      else
+        VersionedTable.transactionalMerge(replay, root, appId, lastBatch, "symbol")
+    require(!reapplied,
       "redelivered merge batch was applied twice — exactly-once broken")
     VersionedTable.read(spark, root).select("symbol", "t_us", "last_price")
   }

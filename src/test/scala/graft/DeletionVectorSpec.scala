@@ -332,6 +332,17 @@ class DeletionVectorSpec extends SparkTestBase
     assert(VersionedTable.snapshot(root, 4).dvs.size === 3)
     assert(sql.sql("SELECT count(*) c FROM dv_t").head().getLong(0) === 260L)
     assert(sql.sql("SELECT v FROM dv_t WHERE id = 260").head().getLong(0) === 26000L)
+    // DESCRIBE DETAIL surfaces the dv footprint — the operator signal for
+    // scheduling a purge (delete 60 + update 10 + merge-matched 50)
+    val det = sql.sql("DESCRIBE DETAIL dv_t").head()
+    assert(det.getAs[Long]("num_deletion_vectors") === 3L)
+    assert(det.getAs[Long]("deleted_rows") === 120L)
+    // OPTIMIZE folds the dvs away; content unchanged
+    sql.sql("OPTIMIZE dv_t")
+    val det2 = sql.sql("DESCRIBE DETAIL dv_t").head()
+    assert(det2.getAs[Long]("num_deletion_vectors") === 0L)
+    assert(sql.sql("SELECT count(*) c FROM dv_t").head().getLong(0) === 260L)
+    assert(sql.sql("SELECT v FROM dv_t WHERE id = 260").head().getLong(0) === 26000L)
     sql.sql("DROP TABLE dv_t")
   }
 }
