@@ -83,7 +83,8 @@ object SqlCatalogQueries {
     * DML corpus (identical to the library twins'), registered as a catalog
     * table in the SQL session. Returns (session, tableName, lo, hi).
     */
-  private def dmlTable(base: SparkSession, dir: String): (SparkSession, String, Long, Long) = {
+  private def dmlTable(base: SparkSession, dir: String,
+      mor: Boolean = false): (SparkSession, String, Long, Long) = {
     import org.apache.spark.sql.functions.{col, max}
     val ss = session(base)
     val root = java.nio.file.Files.createTempDirectory("graft_sqldml_").toString
@@ -97,7 +98,11 @@ object SqlCatalogQueries {
       VersionedTable.commit(orders.filter(p), root, "append",
         statsCols = Seq("o_orderkey")))
     val t = freshName("sqldml")
-    ss.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    // graft.dml.mode is pure catalog metadata: the same table flips
+    // between copy-on-write and deletion-vector DML per TBLPROPERTIES
+    val props =
+      if (mor) " TBLPROPERTIES ('graft.dml.mode'='merge-on-read')" else ""
+    ss.sql(s"CREATE TABLE $t USING graft LOCATION '$root'$props")
     (ss, t, lo, hi)
   }
 
@@ -151,6 +156,19 @@ object SqlCatalogQueries {
     // two must hash identically.
     "q_versioned_sql_delete" -> ((s, d) => {
       val (ss, t, lo, hi) = dmlTable(s, d)
+      ss.sql(s"DELETE FROM $t WHERE o_orderkey > $lo AND o_orderkey <= $hi " +
+        "AND o_orderstatus = 'F'")
+      hermetic(s, statusRollup(ss, t))
+    }),
+
+    // The same SQL `DELETE FROM` routed onto DELETION VECTORS by the
+    // table's `graft.dml.mode=merge-on-read` TBLPROPERTY: the commit
+    // persists matched positions (zero dir rewrites) and the catalog read
+    // folds the dv set in through the DV-aware relation swap — the answer
+    // must hash identically to both the copy-on-write SQL twin and the
+    // library twins (one oracle for all four).
+    "q_versioned_sql_dv_delete" -> ((s, d) => {
+      val (ss, t, lo, hi) = dmlTable(s, d, mor = true)
       ss.sql(s"DELETE FROM $t WHERE o_orderkey > $lo AND o_orderkey <= $hi " +
         "AND o_orderstatus = 'F'")
       hermetic(s, statusRollup(ss, t))
@@ -377,6 +395,17 @@ object SqlCatalogQueries {
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_versioned_sql_delete" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders, b
+        |WHERE NOT (o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // the dv-routed SQL DELETE shares the copy-on-write twin's oracle
+    // verbatim: storage strategy must be invisible to the answer
+    "q_versioned_sql_dv_delete" ->
       """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
         |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
         |SELECT o_orderstatus, count(*) AS n,
