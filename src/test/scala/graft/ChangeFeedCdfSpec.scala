@@ -247,5 +247,22 @@ class ChangeFeedCdfSpec extends SparkTestBase {
     drain()
     assert(seen.map(_._2).toSet === Set("delete") && seen.size === 5,
       s"resumption must serve exactly the delete images, got $seen")
+    seen.clear()
+    // MERGE-ON-READ commits serve the IDENTICAL subscription contract:
+    // a dv DELETE and a dv MERGE drain as row-level images on the same
+    // checkpoint, and the purge that folds the dvs away is an EMPTY delta
+    VersionedTable.deleteMor(spark, root, col("id") < 2)
+    VersionedTable.mergeMor(spark, root,
+      spark.range(23, 27).toDF("id").withColumn("v", lit(999L)), "id")
+    drain()
+    assert(seen.collect { case (id, "delete", _) => id }.sorted === Seq(0L, 1L))
+    assert(seen.count(_._2 == "update_preimage") === 2,  // 23, 24 live
+      s"expected 2 pre-images (23,24 live; 25,26 deleted), got $seen")
+    assert(seen.count(_._2 == "update_postimage") === 2)
+    assert(seen.count(_._2 == "insert") === 2)           // 25, 26 re-insert
+    seen.clear()
+    VersionedTable.purgeDeletes(spark, root)
+    drain()
+    assert(seen.isEmpty, s"purge must be an empty delta, got $seen")
   }
 }

@@ -335,11 +335,16 @@ class PropertySpec extends SparkTestBase {
     // change images (changeFeed) folded with retractable monoids
     // (aggregateChanges + merge + compactState). After EVERY commit the
     // state must equal aggregate(read(asOf = v)) exactly; no resyncs.
+    // r14: the generator also drives the MERGE-ON-READ twins (deletion
+    // vectors) and the purge — every storage strategy must keep the same
+    // IVM contract, and COW/MOR commits interleave freely on one table
     val scenarioGen = for {
       len  <- Gen.choose(3, 5)
-      ops  <- Gen.listOfN(len, Gen.frequency(3 -> Gen.const("append"),
+      ops  <- Gen.listOfN(len, Gen.frequency(4 -> Gen.const("append"),
                 1 -> Gen.const("delete"), 1 -> Gen.const("update"),
-                1 -> Gen.const("merge")))
+                1 -> Gen.const("merge"), 1 -> Gen.const("deleteMor"),
+                1 -> Gen.const("updateMor"), 1 -> Gen.const("mergeMor"),
+                1 -> Gen.const("purge")))
       ns   <- Gen.listOfN(len, Gen.choose(1, 15))
       seed <- Gen.choose(0L, 1000000L)
     } yield (ops.zip(ns), seed)
@@ -380,6 +385,23 @@ class PropertySpec extends SparkTestBase {
                 (col("id") * 3 + j).as("k"),
                 expr(s"pmod(xxhash64(id + $j + 3, $seed), 4)").as("bucket"),
                 lit(j.toLong).as("v")), "k")
+            case "deleteMor" =>
+              VersionedTable.deleteMor(spark, root,
+                expr(s"pmod(xxhash64(k + $j + 1, $seed), 5)") === 0)
+            case "updateMor" =>
+              VersionedTable.updateMor(spark, root,
+                expr(s"pmod(xxhash64(k + $j + 2, $seed), 4)") === 1,
+                Map("v" -> (col("v") + lit(10L)),
+                  "bucket" -> expr(s"pmod(bucket + 1, 4)")))
+            case "mergeMor" => VersionedTable.mergeMor(spark, root,
+              spark.range(n).select(
+                (col("id") * 5 + j).as("k"),
+                expr(s"pmod(xxhash64(id + $j + 5, $seed), 4)").as("bucket"),
+                lit(j.toLong + 50L).as("v")), "k")
+            case "purge" =>
+              // burns a version only when dvs exist (operation=optimize,
+              // content-preserving -> EMPTY delta for the subscriber)
+              VersionedTable.purgeDeletes(spark, root)
           }
           val v = VersionedTable.latestVersion(root).get
           if (v > vPrev) // no-op DML burns no version and feeds no delta
@@ -396,7 +418,8 @@ class PropertySpec extends SparkTestBase {
             s"CDF IVM diverged at seq=$i v=$v op=$op n=$n seed=$seed")
         }
       }
-      assert(sawOps === Set("append", "delete", "update", "merge"),
+      assert(sawOps === Set("append", "delete", "update", "merge",
+        "deleteMor", "updateMor", "mergeMor", "purge"),
         s"generator must exercise every DML verb, saw $sawOps")
     } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
   }
