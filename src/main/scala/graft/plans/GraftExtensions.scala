@@ -198,9 +198,9 @@ object GraftExtensions {
       s"graft_table_history(root) takes 1 argument, got ${exprs.length}")
     val spark = org.apache.spark.sql.SparkSession.active
     val rows = graft.sources.VersionedTable
-      .history(stringArg(exprs.head, "root")).map { s =>
-        org.apache.spark.sql.Row(s.version, s.parent, s.operation, s.rows,
-          new java.sql.Timestamp(s.committedMs), s.dataDirs.size)
+      .historySummary(stringArg(exprs.head, "root")).map { e =>
+        org.apache.spark.sql.Row(e.version, e.parent, e.operation, e.rows,
+          new java.sql.Timestamp(e.committedMs), e.nDirs)
       }
     val schema = StructType(Seq(
       StructField("version", IntegerType), StructField("parent", IntegerType),

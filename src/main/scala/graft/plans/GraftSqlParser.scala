@@ -286,10 +286,11 @@ case class GraftDescribeHistoryCommand(table: TableIdentifier)
       nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (root, _) = GraftSqlParser.graftRoot(session, table)
-    VersionedTable.history(root).sortBy(-_.version).map { s =>
-      Row(s.version.toLong, s.parent.toLong, s.operation, s.rows,
-        new java.sql.Timestamp(s.committedMs), s.dataDirs.size.toLong,
-        s.cdfDir.isDefined)
+    // summaries (checkpointed prefix + parsed tail), not O(versions)
+    // full manifests — the 1 000-commit DESCRIBE HISTORY stays cheap
+    VersionedTable.historySummary(root).sortBy(-_.version).map { e =>
+      Row(e.version.toLong, e.parent.toLong, e.operation, e.rows,
+        new java.sql.Timestamp(e.committedMs), e.nDirs.toLong, e.hasCdf)
     }
   }
 }
@@ -315,7 +316,8 @@ case class GraftVacuumCommand(table: TableIdentifier,
       case None => 2 // library default
       case Some(h) =>
         val cutoffMs = System.currentTimeMillis() - (h * 3600 * 1000).toLong
-        math.max(VersionedTable.history(root).count(_.committedMs >= cutoffMs), 1)
+        math.max(
+          VersionedTable.historySummary(root).count(_.committedMs >= cutoffMs), 1)
     }
     val deleted = VersionedTable.vacuum(root, retainLast, dryRun = dryRun)
     Seq(Row(deleted.size.toLong, deleted.mkString(","), dryRun))

@@ -212,6 +212,36 @@ object CoreQueries {
           (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
     }),
 
+    // Library RENAME COLUMN twin of q_versioned_sql_rename: the mapping
+    // commit re-binds o_totalprice to `amount` (metadata-only — the
+    // manifest's schema_json carries the logical→physical map; data files
+    // stay byte-identical), then the SAME update as q_versioned_update is
+    // issued UNDER THE NEW NAME — predicate, assignment, and rollup all
+    // speak `amount`, and the values must equal the old-name relational
+    // definition exactly (rename is value-transparent, read-write).
+    "q_versioned_rename" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtren_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      VersionedTable.renameColumn(s, root, "o_totalprice", "amount")
+      VersionedTable.update(s, root,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+          col("o_orderstatus") === "O",
+        Map("amount" -> (col("amount") * lit(1.1))))
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("amount"), 2)) / lit(100.0)).as("sum_amount"))
+    }),
+
     // Copy-on-write MERGE upsert: updates (price bump for keys ≡ 0 mod 7)
     // + inserts (fresh keys above the max) land through ONE merge commit —
     // the key hull bounds the touched dirs, matched rows are replaced
@@ -253,6 +283,10 @@ object CoreQueries {
     "q_cdf_dml" -> ((s, d) => {
       import graft.sources.VersionedTable
       val root = java.nio.file.Files.createTempDirectory("graft_cdfdml_").toString
+      // CDF is opt-in per table (default OFF — write amplification only a
+      // table with subscribers should pay); this one is subscribed to.
+      VersionedTable.setTableProperties(root,
+        Map(VersionedTable.CdfEnabledProp -> "true"))
       val orders = Tables.orders(s, d)
         .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
       val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
@@ -1092,6 +1126,20 @@ object CoreQueries {
         |FROM orders, b
         |WHERE NOT (o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F')
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // Rename is value-transparent: the new-name rollup equals the
+    // old-name CASE definition (same update as q_versioned_update).
+    "q_versioned_rename" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(
+        |         CASE WHEN o_orderkey > lo AND o_orderkey <= hi
+        |                   AND o_orderstatus = 'O'
+        |              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |              ELSE o_totalprice END * 1e2 + 0.5) AS BIGINT)) / 100.0
+        |         AS sum_amount
+        |FROM orders, b GROUP BY o_orderstatus""".stripMargin,
 
     // Row-level UPDATE through the commit log must equal the CASE
     // expression over the raw table (update iff predicate TRUE).

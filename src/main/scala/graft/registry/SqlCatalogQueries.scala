@@ -263,7 +263,7 @@ object SqlCatalogQueries {
       ss.sql(s"OPTIMIZE $t ZORDER BY (time, volume)")
       hermetic(s, ss.sql(
         s"""SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
-           |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
+           |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_price
            |FROM $t,
            |     (SELECT min(unix_micros(time)) AS mn,
            |             max(unix_micros(time)) AS mx FROM $t) b
@@ -313,6 +313,43 @@ object SqlCatalogQueries {
     // source). One frame carries both tables' rollups side by side; the
     // oracle is the delete-rollup ('src') unioned with the update-rollup
     // ('clone') — history independence proven in both directions.
+    // `ALTER TABLE ... RENAME COLUMN` — manifest column mapping: the
+    // logical name re-binds through schema_json field metadata, the
+    // physical (on-disk) name never changes, zero data moves. The probe
+    // UPDATEs under the NEW name (mapping is read-write, not cosmetic)
+    // and rolls up by the new name; the oracle states the same rollup in
+    // the OLD name over the raw table — value-transparence of the rename.
+    "q_versioned_sql_rename" -> ((s, d) => {
+      val (ss, t, lo, hi) = dmlTable(s, d)
+      ss.sql(s"ALTER TABLE $t RENAME COLUMN o_totalprice TO amount")
+      ss.sql(s"UPDATE $t SET amount = amount * CAST(1.1 AS DOUBLE) " +
+        s"WHERE o_orderkey > $lo AND o_orderkey <= $hi AND o_orderstatus = 'O'")
+      hermetic(s, ss.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |       sum(CAST(floor(amount * 1e2 + 0.5) AS BIGINT)) / 1e2 AS sum_amount
+           |FROM $t GROUP BY o_orderstatus""".stripMargin))
+    }),
+
+    // `ALTER TABLE ... DROP COLUMN` + re-ADD round trip: the drop is
+    // metadata-only (files keep the bytes; the column just leaves the
+    // anchor), and the re-ADDED same-named column binds to a FRESH
+    // physical column — every pre-drop row serves NULL (old values can
+    // never resurface), proven value-exactly by the n_price/sum_price
+    // split after an UPDATE backfills only the top key range.
+    "q_versioned_sql_drop" -> ((s, d) => {
+      val (ss, t, lo, hi) = dmlTable(s, d)
+      ss.sql(s"ALTER TABLE $t DROP COLUMN o_totalprice")
+      ss.sql(s"ALTER TABLE $t ADD COLUMNS (o_totalprice DOUBLE)")
+      ss.sql(s"UPDATE $t SET o_totalprice = CAST(o_orderkey AS DOUBLE) " +
+        s"WHERE o_orderkey > $hi")
+      hermetic(s, ss.sql(
+        s"""SELECT o_orderstatus, count(*) AS n,
+           |       count(o_totalprice) AS n_price,
+           |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 1e2
+           |         AS sum_price
+           |FROM $t GROUP BY o_orderstatus""".stripMargin))
+    }),
+
     "q_versioned_sql_clone" -> ((s, d) => {
       import org.apache.spark.sql.functions.lit
       val (ss, t, lo, hi) = dmlTable(s, d)
@@ -438,6 +475,31 @@ object SqlCatalogQueries {
         |              ELSE o_totalprice END * 1e2 + 0.5) AS BIGINT)) / 100.0
         |         AS sum_eff
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // Rename is value-transparent: the rollup by the NEW name must equal
+    // the old-name definition over the raw table (update applied).
+    "q_versioned_sql_rename" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(
+        |         CASE WHEN o_orderkey > lo AND o_orderkey <= hi
+        |                   AND o_orderstatus = 'O'
+        |              THEN o_totalprice * CAST(1.1 AS DOUBLE)
+        |              ELSE o_totalprice END * 1e2 + 0.5) AS BIGINT)) / 100.0
+        |         AS sum_amount
+        |FROM orders, b GROUP BY o_orderstatus""".stripMargin,
+
+    // Drop + re-add: pre-drop rows serve NULL in the re-added column;
+    // only the backfilled top range carries values.
+    "q_versioned_sql_drop" ->
+      """WITH b AS (SELECT 2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       count(*) FILTER (WHERE o_orderkey > hi) AS n_price,
+        |       sum(CAST(floor(CAST(o_orderkey AS DOUBLE) * 1e2 + 0.5)
+        |           AS BIGINT)) FILTER (WHERE o_orderkey > hi) / 100.0
+        |         AS sum_price
+        |FROM orders, b GROUP BY o_orderstatus""".stripMargin,
 
     // Clone independence, both directions: 'src' = the post-DELETE source,
     // 'clone' = the version-3 cut with ITS OWN update applied.

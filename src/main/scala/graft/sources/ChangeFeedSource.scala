@@ -172,12 +172,27 @@ final class ChangeFeedSource(
     val to = toVersion(end)
     // Recovery can replay a degenerate range (start == end) when restoring
     // a fully-committed batch; serve it as an empty frame, not an error.
-    val batch =
+    // A rename/drop mid-subscription would silently null-fill or drop
+    // columns under the subscriber's PINNED schema (aligned by name
+    // below) — refuse loudly with the resubscribe remedy instead, the
+    // same contract Delta applies to streaming reads across column-
+    // mapping changes. Batch changeFeed() handles such ranges fine (it
+    // conforms via stable physical identity); only the pinned-schema
+    // streaming path must not cross them.
+    if (to > from) {
+      val reshaped = (from + 1 to to).map(VersionedTable.snapshot(root, _))
+        .filter(s => s.operation == "rename" || s.operation == "drop")
+      require(reshaped.isEmpty,
+        s"versions ${reshaped.map(_.version).mkString(",")} rename/drop columns " +
+          "mid-subscription; resubscribe to pick up the new schema")
+    }
+    val batch = graft.BenchProbe.time("cfs.get_batch") {
       if (to <= from)
         spark.createDataFrame(
           java.util.Collections.emptyList[org.apache.spark.sql.Row](), schema)
       else if (readChangeFeed) VersionedTable.changeFeed(spark, root, from, to)
       else VersionedTable.changes(spark, root, from, to)
+    }
     // A streaming query's schema is PINNED at subscription. Additive
     // evolution mid-subscription must not kill the consumer: project every
     // delta onto the pinned schema (pre-evolution deltas null-fill columns

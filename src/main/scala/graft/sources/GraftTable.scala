@@ -65,19 +65,25 @@ final class GraftTableProvider
           throw new IllegalArgumentException(
             s"no version committed at or before $ts at $root"))
       })
+    // Resolve the version ONCE for the dv probe and the relation it
+    // picks — a racing commit between two resolutions could pair one
+    // version's dvs with another's dirs (an uncommitted hybrid read)
     val v = asOf.orElse(VersionedTable.latestVersion(root)).getOrElse(
       throw new IllegalArgumentException(s"empty versioned table at $root"))
-    if (VersionedTable.snapshot(root, v).dvs.nonEmpty)
-      // merge-on-read snapshot: the HadoopFsRelation cannot carry the
-      // deletion-vector anti-join, so serve the DV-applied scan frame
-      // through a PrunedFilteredScan (catalog SQL reads and the library
+    if (VersionedTable.snapshot(root, v).dvs.nonEmpty ||
+        VersionedTable.isMapped(
+          VersionedTable.tableSchema(sqlContext.sparkSession, root, Some(v))))
+      // merge-on-read or column-mapped snapshot: the bare HadoopFsRelation
+      // can carry neither the deletion-vector anti-join nor the logical
+      // rename projection, so serve the scan() frame through a
+      // PrunedFilteredScan (catalog SQL reads and the library
       // scan()/read() paths keep full planning-time pruning; this
       // fallback applies translatable filters to the inner frame, whose
       // own FileIndex then prunes)
-      dvRelation(sqlContext, root, asOf)
+      dvRelation(sqlContext, root, Some(v))
     else {
       val (index, schema) =
-        VersionedTable.scanIndex(sqlContext.sparkSession, root, asOf)
+        VersionedTable.scanIndex(sqlContext.sparkSession, root, Some(v))
       org.apache.spark.sql.graft.ManifestScan.relation(
         sqlContext.sparkSession, index, schema)
     }
@@ -94,8 +100,8 @@ final class GraftTableProvider
       asOf: Option[Int]): BaseRelation =
     new BaseRelation with org.apache.spark.sql.sources.PrunedFilteredScan {
       override def sqlContext: SQLContext = ctx
-      override val schema: StructType =
-        VersionedTable.tableSchema(ctx.sparkSession, root, asOf)
+      override val schema: StructType = VersionedTable.logicalSchema(
+        VersionedTable.tableSchema(ctx.sparkSession, root, asOf))
       override def needConversion: Boolean = false
       override def buildScan(requiredColumns: Array[String],
           filters: Array[org.apache.spark.sql.sources.Filter]):

@@ -61,8 +61,153 @@ class VersionedTableOps(val store: CommitStore) {
     if (vs.isEmpty) None else Some(vs.max)
   }
 
+  /** Table-level configuration (`_props` at the table root, `key=value`
+    * per line) — the home of `graft.cdf.enabled` and friends. Properties
+    * are OPERATIONAL config, not versioned state: they steer how future
+    * commits behave (stage CDF images or not), never what a committed
+    * snapshot contains, so a plain last-writer-wins file is the right
+    * weight — exactly the role Delta's `delta.enableChangeDataFeed`
+    * table property plays. One tiny file read per DML commit; absent
+    * file = empty map (every property defaults off).
+    */
+  def tableProperties(root: String): Map[String, String] = {
+    val f = new File(root, "_props")
+    if (!f.exists()) Map.empty
+    else {
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try src.getLines().flatMap { line =>
+        val i = line.indexOf('=')
+        if (i <= 0) None else Some(line.substring(0, i) -> line.substring(i + 1))
+      }.toMap
+      finally src.close()
+    }
+  }
+
+  /** Merge `props` into the table's `_props` file (last writer wins; a
+    * null/empty value removes the key). Atomic via temp-file rename.
+    */
+  def setTableProperties(root: String, props: Map[String, String]): Unit = {
+    new File(root).mkdirs()
+    val merged = (tableProperties(root) ++ props).filter { case (_, v) =>
+      v != null && v.nonEmpty
+    } -- props.collect { case (k, v) if v == null || v.isEmpty => k }
+    val body = merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n")
+    val tmp = File.createTempFile("_props", ".tmp", new File(root))
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new File(root, "_props").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Effective CDF switch for a DML commit: the explicit argument when the
+    * caller passed one, else the table's `graft.cdf.enabled` property,
+    * else OFF. Off by default is deliberate (Delta's
+    * `delta.enableChangeDataFeed` semantics): staging row images is write
+    * amplification every writer pays, so only tables with change-feed
+    * subscribers opt in.
+    */
+  protected def resolveCdf(root: String, cdf: Option[Boolean]): Boolean =
+    cdf.getOrElse(
+      tableProperties(root).get(VersionedTable.CdfEnabledProp).contains("true"))
+
+  /** Deletion-vector entries still LIVE under the new dir set: an entry
+    * whose recorded dir bases all vanished (a COW rewrite replaced or
+    * dropped every dir it could reference) matches nothing forever —
+    * carrying it would keep the table on the dv read path (anti-join on
+    * every read, DSv1's slower fallback) and inflate DESCRIBE DETAIL's
+    * dv counters indefinitely. Driver-side set check, no I/O. Legacy
+    * entries without recorded bases are kept (conservative).
+    */
+  protected def liveDvs(dvs: Seq[DvFile], newDirs: Seq[String]): Seq[DvFile] = {
+    val bases = newDirs.map(d => new File(d).getName).toSet
+    dvs.filter(d => d.bases.isEmpty || d.bases.exists(bases))
+  }
+
+  /** Rename a LOGICAL frame's anchor columns to their PHYSICAL names —
+    * the single crossing every data-dir WRITE goes through. Non-anchor
+    * columns (`__dir` and friends) pass through untouched. No-op (same
+    * reference) for unmapped anchors.
+    */
+  protected def toPhysical(df: DataFrame,
+      anchor: org.apache.spark.sql.types.StructType): DataFrame =
+    if (!VersionedTable.isMapped(anchor)) df
+    else {
+      val byName = anchor.fields.map(f => f.name -> f).toMap
+      df.select(df.columns.toIndexedSeq.map { c =>
+        byName.get(c) match {
+          case Some(f) => col(c).as(VersionedTable.physicalName(f))
+          case None    => col(c)
+        }
+      }: _*)
+    }
+
+  /** Rename a PHYSICAL read frame's columns back to their LOGICAL names —
+    * the single crossing every data-dir READ goes through. Non-anchor
+    * columns pass through. No-op for unmapped anchors.
+    */
+  protected def toLogical(df: DataFrame,
+      anchor: org.apache.spark.sql.types.StructType): DataFrame =
+    if (!VersionedTable.isMapped(anchor)) df
+    else {
+      val byPhys = anchor.fields.map(f => VersionedTable.physicalName(f) -> f).toMap
+      df.select(df.columns.toIndexedSeq.map { c =>
+        byPhys.get(c) match {
+          case Some(f) => col(c).as(f.name)
+          case None    => col(c)
+        }
+      }: _*)
+    }
+
+  /** Remap a [[VersionedTable.DirFilter]]'s column names (used to turn
+    * PHYSICAL-name filters pushed at a mapped scan back into the LOGICAL
+    * names the manifest's stats/bloom lines speak).
+    */
+  protected def mapFilterCols(f: VersionedTable.DirFilter,
+      m: Map[String, String]): VersionedTable.DirFilter = {
+    import VersionedTable.{AnyOf, PointFilter, RangeFilter}
+    f match {
+      case RangeFilter(c, lo, hi) => RangeFilter(m.getOrElse(c, c), lo, hi)
+      case PointFilter(c, v)      => PointFilter(m.getOrElse(c, c), v)
+      case AnyOf(bs)              => AnyOf(bs.map(_.map(mapFilterCols(_, m))))
+    }
+  }
+
+  /** On a table that has EVER been column-mapped (`graft.column.mapping`
+    * in `_props`), fields WITHOUT a physical name (i.e. newly added by
+    * this merge) get a fresh randomized one — `<name>_<token>` — so a
+    * DROP + re-ADD of the same logical name binds to a brand-new physical
+    * column and pre-drop files can never leak their old values into it.
+    * Unmapped tables pass through untouched (physical = logical forever).
+    */
+  protected def withMintedPhysicalNames(root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      existing: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType = {
+    if (!tableProperties(root).get(VersionedTable.ColumnMappingProp)
+        .contains("true")) schema
+    else {
+      // only fields NEW relative to the current anchor are minted —
+      // pre-existing unmapped fields' files already carry their logical
+      // name as the physical name, which must stay untouched
+      val known = existing.fieldNames.toSet
+      org.apache.spark.sql.types.StructType(schema.fields.map { f =>
+        if (known(f.name) ||
+            f.metadata.contains(VersionedTable.PhysicalNameKey)) f
+        else {
+          val token = UUID.randomUUID().toString.take(8)
+          val b = new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(VersionedTable.PhysicalNameKey, s"${f.name}_$token")
+            .build()
+          f.copy(metadata = b)
+        }
+      })
+    }
+  }
+
   /** Parse one snapshot manifest. */
-  def snapshot(root: String, version: Int): Snapshot = {
+  def snapshot(root: String, version: Int): Snapshot =
+      graft.BenchProbe.time("vt.manifest_parse") {
     val body = store.get(root, version)
       .getOrElse(throw new IllegalArgumentException(s"no such version $version at $root"))
     var parent = -1; var op = ""; var rows = 0L; var ms = 0L
@@ -99,8 +244,10 @@ class VersionedTableOps(val store: CommitStore) {
         // dv lines are NOT advisory: a deletion vector the reader misses
         // would resurrect deleted rows, so a malformed line fails loudly
         case Array("dv", v)           => v.split("\\|") match {
-          case Array(p, n) => dvs += DvFile(p, n.toLong)
-          case bad         => throw new IllegalStateException(
+          case Array(p, n)    => dvs += DvFile(p, n.toLong)
+          case Array(p, n, b) =>
+            dvs += DvFile(p, n.toLong, b.split(",").toSeq.filter(_.nonEmpty))
+          case bad            => throw new IllegalStateException(
             s"malformed dv line in manifest v$version: ${bad.mkString("|")}")
         }
         case _                        => () // version= line, comments, unknown keys
@@ -108,12 +255,92 @@ class VersionedTableOps(val store: CommitStore) {
     }
     Snapshot(version, parent, op, rows, cols, dirs.result(), ms, stats.result(),
       blooms.result(), txns.result(), schemaJson, cdfDir, dvs.result())
-  }
+  } // vt.manifest_parse
+
 
   /** All snapshots, oldest first. */
   def history(root: String): Seq[Snapshot] = {
     val vs = store.versions(root).toSet
     vs.toSeq.sorted.map(snapshot(root, _))
+  }
+
+  // ---------- manifest-log checkpointing (history summaries) ----------
+
+  private def checkpointDir(root: String) = new File(root, "_checkpoint")
+
+  private def checkpointInterval(root: String): Int =
+    tableProperties(root).get(VersionedTable.CheckpointIntervalProp)
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ > 0)
+      .getOrElse(10)
+
+  private def entryOf(s: Snapshot): VersionedTable.HistoryEntry =
+    VersionedTable.HistoryEntry(s.version, s.parent, s.operation, s.rows,
+      s.committedMs, s.dataDirs.size, s.cdfDir.isDefined)
+
+  /** Newest `_checkpoint/v%05d` at or below `atMost`, parsed. */
+  private def latestCheckpoint(root: String, atMost: Int):
+      Option[(Int, Seq[VersionedTable.HistoryEntry])] = {
+    val files = Option(checkpointDir(root).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toInt).toOption
+        .map(_ -> f))
+      .filter(_._1 <= atMost)
+    if (files.isEmpty) None
+    else {
+      val (v, f) = files.maxBy(_._1)
+      val src = scala.io.Source.fromFile(f, "UTF-8")
+      try {
+        val entries = src.getLines().flatMap { line =>
+          line.split("\\|") match {
+            case Array(ver, par, op, rows, ms, nd, cdf) => Some(
+              VersionedTable.HistoryEntry(ver.toInt, par.toInt, op,
+                rows.toLong, ms.toLong, nd.toInt, cdf == "1"))
+            case _ => None // tolerate future fields / torn lines: cache only
+          }
+        }.toList
+        Some(v -> entries)
+      } finally src.close()
+    }
+  }
+
+  /** The commit log's per-version summaries, oldest first — checkpointed
+    * prefix + parsed tail: a 1 000-commit table's DESCRIBE HISTORY reads
+    * ONE checkpoint file + O(interval) tail manifests instead of 1 000
+    * full manifests (Delta's `_last_checkpoint` shape). Versions whose
+    * manifests vacuum dropped below a checkpoint keep their summary —
+    * history survives manifest retention.
+    */
+  def historySummary(root: String): Seq[VersionedTable.HistoryEntry] = {
+    val latest = latestVersion(root).getOrElse(return Seq.empty)
+    val cp = latestCheckpoint(root, latest)
+    val from = cp.map(_._1).getOrElse(0)
+    val existing = store.versions(root).toSet
+    val tail = (from + 1 to latest).filter(existing)
+      .map(v => entryOf(snapshot(root, v)))
+    cp.map(_._2.filter(_.version <= from)).getOrElse(Seq.empty) ++ tail
+  }
+
+  /** Write the `_checkpoint/v%05d` rollup for `version` (prior checkpoint
+    * + tail — O(interval) manifest parses). Best-effort cache: failures
+    * are swallowed by the caller, a racing writer's duplicate is
+    * byte-equivalent, and the atomic rename keeps readers off torn files.
+    */
+  private def writeCheckpoint(root: String, version: Int): Unit = {
+    val cp = latestCheckpoint(root, version - 1)
+    val from = cp.map(_._1).getOrElse(0)
+    val existing = store.versions(root).toSet
+    val entries = cp.map(_._2.filter(_.version <= from)).getOrElse(Seq.empty) ++
+      (from + 1 to version).filter(existing).map(v => entryOf(snapshot(root, v)))
+    val body = entries.map(e =>
+      s"${e.version}|${e.parent}|${e.operation}|${e.rows}|${e.committedMs}|" +
+        s"${e.nDirs}|${if (e.hasCdf) "1" else "0"}").mkString("\n")
+    checkpointDir(root).mkdirs()
+    val tmp = File.createTempFile("ckpt", ".tmp", checkpointDir(root))
+    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath,
+      new File(checkpointDir(root), f"v$version%05d").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
   /** A snapshot's UNION schema — the anchor every read path conforms to.
@@ -181,18 +408,38 @@ class VersionedTableOps(val store: CommitStore) {
       .foreach(e => throw new CommitConflictException(e))
     dataDir(root).mkdirs()
 
+    // The snapshot's UNION schema is resolved BEFORE the data write: an
+    // append on a column-mapped table must land its files under the
+    // anchor's PHYSICAL names (and a batch ADDING columns to a once-mapped
+    // table mints fresh randomized physical names, so a dropped column's
+    // old values can never resurface under a re-added logical name).
+    val parentSnapAll = parent.map(snapshot(root, _))
+    val parentSnap = parentSnapAll.filter(_ => mode == "append")
+    val snapSchema = VersionedTable.asNullable(parentSnap
+      .map { ps =>
+        val pa = snapshotSchema(df.sparkSession, root, ps)
+        withMintedPhysicalNames(root,
+          VersionedTable.mergeSchemas(pa, df.schema), pa)
+      }
+      .getOrElse(df.schema))
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+
     // (1) data: an immutable dir unique to this ATTEMPT. Racing writers and
     // crashed retries each write their own dir; only the manifest decides
     // which one readers ever see.
     val newDir = f"data/v$version%05d-${UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(new File(root, newDir).getPath)
+    val dfPhys = toPhysical(df, snapSchema)
+    graft.BenchProbe.time("vt.commit.write") {
+      dfPhys.write.parquet(new File(root, newDir).getPath)
+    }
     // One agg over the freshly-written dir yields the row count AND every
     // requested column's min/max (stats ride the same scan). The read-back
     // pins the writer's schema: no footer inference (one listing saved),
     // and a zero-partition batch — which writes no part files at all —
     // still reads as a schema-correct empty frame instead of throwing.
-    val committed = df.sparkSession.read.schema(df.schema)
-      .parquet(new File(root, newDir).getPath)
+    // Stats/bloom aggregates speak LOGICAL names (the manifest's space).
+    val committed = toLogical(df.sparkSession.read.schema(dfPhys.schema)
+      .parquet(new File(root, newDir).getPath), snapSchema)
     val statAggs = statsCols.flatMap { c =>
       val probe = committed.schema(c).dataType match {
         case TimestampType => unix_micros(col(c)) // micros < 2^53: double-exact
@@ -201,8 +448,8 @@ class VersionedTableOps(val store: CommitStore) {
       }
       Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
     }
-    val aggRow = committed
-      .agg(count(lit(1)).as("__n"), statAggs: _*).head()
+    val aggRow = graft.BenchProbe.time("vt.commit.stats") { committed
+      .agg(count(lit(1)).as("__n"), statAggs: _*).head() }
     val rows = aggRow.getLong(0)
     val newStats = statsCols.zipWithIndex.flatMap { case (c, i) =>
       if (aggRow.isNullAt(1 + 2 * i)) None // all-null or empty batch: no stats
@@ -217,7 +464,9 @@ class VersionedTableOps(val store: CommitStore) {
     // publishes the `bloom=` line, so the same commit protocol covers them.
     // Cost: one distributed bloom agg per column over the in-cache batch.
     val newBlooms = bloomCols.map { c =>
-      val bf = committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
+      val bf = graft.BenchProbe.time("vt.commit.bloom") {
+        committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
+      }
       val rel = s"_blooms/${new File(newDir).getName}_$c.bloom"
       val f = new File(root, rel)
       f.getParentFile.mkdirs()
@@ -226,8 +475,6 @@ class VersionedTableOps(val store: CommitStore) {
       DirBloom(newDir, c, rel)
     }
 
-    val parentSnapAll = parent.map(snapshot(root, _))
-    val parentSnap = parentSnapAll.filter(_ => mode == "append")
     val parentDirs = parentSnap.map(_.dataDirs).getOrElse(Seq.empty)
     val dirs = parentDirs :+ newDir
     val allStats = parentSnap.map(_.dirStats).getOrElse(Seq.empty) ++ newStats
@@ -238,14 +485,6 @@ class VersionedTableOps(val store: CommitStore) {
     // can never destroy a mark by dropping old manifests. Carried through
     // overwrites too: replacing the data does not forget who wrote it.
     val allTxns = parentSnapAll.map(_.txns).getOrElse(Map.empty) ++ txn.toMap
-    // The snapshot's UNION schema (additive discipline): an append merges
-    // the parent's anchor with the batch's schema — new columns append,
-    // existing ones keep the parent's field; an overwrite starts fresh.
-    val snapSchema = VersionedTable.asNullable(parentSnap
-      .map(ps => VersionedTable.mergeSchemas(
-        snapshotSchema(df.sparkSession, root, ps), df.schema))
-      .getOrElse(df.schema))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
 
     // (2) log: the conditional put is the commit point. An APPEND carries
     // the parent's deletion vectors (its dirs ride along unchanged, so
@@ -301,7 +540,10 @@ class VersionedTableOps(val store: CommitStore) {
     // Deletion vectors: this snapshot's live rows = dirs minus these
     // positions. Carried forward by every content-preserving commit;
     // reset by overwrite/optimize (whose fresh dirs are already folded).
-    dvs.foreach(d => body.append(s"dv=${d.path}|${d.rows}\n"))
+    dvs.foreach { d =>
+      val b = if (d.bases.isEmpty) "" else s"|${d.bases.mkString(",")}"
+      body.append(s"dv=${d.path}|${d.rows}$b\n")
+    }
     txns.toSeq.sortBy(_._1).foreach { case (appId, batchId) =>
       require(!appId.contains("\n"), "txn appId must be single-line")
       body.append(s"txn=$appId|$batchId\n")
@@ -313,6 +555,12 @@ class VersionedTableOps(val store: CommitStore) {
       body.append(s"bloom=${b.dir}|${b.col}|${b.path}\n"))
     if (!store.putIfAbsent(root, version, body.toString))
       throw new CommitConflictException(version)
+    // every Nth commit rolls the history summary forward — a cheap,
+    // best-effort cache (O(interval) tail parses + one small file);
+    // losing it costs a longer DESCRIBE HISTORY walk, never correctness
+    if (version % checkpointInterval(root) == 0)
+      try writeCheckpoint(root, version)
+      catch { case _: Throwable => () }
   }
 
   /** Read a snapshot (default: latest). Only the manifest's dirs are read —
@@ -329,7 +577,7 @@ class VersionedTableOps(val store: CommitStore) {
     if (snap.dataDirs.isEmpty && snap.schemaJson.isDefined)
       return spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        snapshotSchema(spark, root, snap))
+        VersionedTable.logicalSchema(snapshotSchema(spark, root, snap)))
     require(snap.dataDirs.nonEmpty, s"version $v has no data dirs")
     val dirs = snap.dataDirs.map(d => new File(root, d).getPath)
     // The union schema (nulls for pre-evolution rows) comes from the
@@ -339,13 +587,22 @@ class VersionedTableOps(val store: CommitStore) {
     // footer union enforces the same additive discipline. Deletion
     // vectors (merge-on-read DML) fold in as one anti-join; a dv-free
     // snapshot pays nothing.
-    val base = snap.schemaJson match {
+    snap.schemaJson match {
       case Some(_) =>
-        spark.read.schema(snapshotSchema(spark, root, snap)).parquet(dirs: _*)
+        val anchor = snapshotSchema(spark, root, snap)
+        // column-mapped snapshot: files carry PHYSICAL names — read under
+        // them (dv fold first: it needs _metadata off the raw scan), then
+        // rename to the logical anchor. Unmapped: one schema-pinned read.
+        if (VersionedTable.isMapped(anchor))
+          toLogical(applyDvs(spark, root, snap.dvs, spark.read
+            .schema(VersionedTable.physicalSchema(anchor)).parquet(dirs: _*)),
+            anchor)
+        else applyDvs(spark, root, snap.dvs,
+          spark.read.schema(anchor).parquet(dirs: _*))
       case None =>
-        spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+        applyDvs(spark, root, snap.dvs,
+          spark.read.option("mergeSchema", "true").parquet(dirs: _*))
     }
-    applyDvs(spark, root, snap.dvs, base)
   }
 
   /** Manifest-level data skipping: read snapshot `asOf` keeping only the
@@ -418,15 +675,22 @@ class VersionedTableOps(val store: CommitStore) {
     val anchor = snapshotSchema(spark, root, snap)
     if (keep.isEmpty)
       spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), anchor)
-    else if (snap.schemaJson.isDefined)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        VersionedTable.logicalSchema(anchor))
+    else if (snap.schemaJson.isDefined) {
       // schema-pinned keep read: anchor columns in anchor order, missing
       // columns null-filled by the parquet reader itself — zero footer I/O.
       // Deletion vectors fold in before the frame leaves (dv'd positions
       // of SKIPPED dirs never match anything — their files aren't read —
-      // so pruning and merge-on-read compose for free).
-      applyDvs(spark, root, snap.dvs, spark.read.schema(anchor)
+      // so pruning and merge-on-read compose for free). Column-mapped
+      // snapshots read under PHYSICAL names, then rename.
+      if (VersionedTable.isMapped(anchor))
+        toLogical(applyDvs(spark, root, snap.dvs,
+          spark.read.schema(VersionedTable.physicalSchema(anchor))
+            .parquet(keep.map(d => new File(root, d).getPath): _*)), anchor)
+      else applyDvs(spark, root, snap.dvs, spark.read.schema(anchor)
         .parquet(keep.map(d => new File(root, d).getPath): _*))
+    }
     else {
       val kept = applyDvs(spark, root, snap.dvs,
         spark.read.option("mergeSchema", "true")
@@ -453,15 +717,27 @@ class VersionedTableOps(val store: CommitStore) {
     * nulls for it, exactly like [[readFiltered]]'s keep-path.
     */
   def scan(spark: SparkSession, root: String, asOf: Option[Int] = None): DataFrame = {
+    // Resolve the version ONCE and pin it for BOTH the dv set and the
+    // FileIndex: resolving twice (here and inside scanIndex) lets a
+    // commit land in between and pair version v's dvs with v+N's dirs —
+    // a read corresponding to no committed snapshot.
     val v = asOf.orElse(latestVersion(root))
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, v)
-    val (index, anchor) = scanIndex(spark, root, asOf)
+    val (index, anchor) = scanIndex(spark, root, Some(v))
     // merge-on-read: deletion vectors fold in ON TOP of the pruning frame
     // — anchor-column predicates still push through the anti-join into
-    // the FileIndex, so planning-time skipping and dvs compose
-    applyDvs(spark, root, snap.dvs,
-      org.apache.spark.sql.graft.ManifestScan.frame(spark, index, anchor))
+    // the FileIndex, so planning-time skipping and dvs compose. A
+    // column-mapped snapshot scans under PHYSICAL names (the FileIndex
+    // translates pushed physical filters back to the manifest's logical
+    // stats — see scanIndex) and renames on top; pushdown crosses the
+    // rename Project because Catalyst rewrites through aliases.
+    val raw = applyDvs(spark, root, snap.dvs,
+      org.apache.spark.sql.graft.ManifestScan.frame(spark, index,
+        if (VersionedTable.isMapped(anchor))
+          VersionedTable.physicalSchema(anchor)
+        else anchor))
+    toLogical(raw, anchor)
   }
 
   /** The manifest-governed FileIndex + union schema behind [[scan]] —
@@ -481,15 +757,26 @@ class VersionedTableOps(val store: CommitStore) {
     val anchor = snapshotSchema(spark, root, snap)
     val rootPath = new org.apache.hadoop.fs.Path(new File(root).toURI)
     val fs = rootPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val dirFiles = snap.dataDirs.map { d =>
-      val p = new org.apache.hadoop.fs.Path(new File(root, d).toURI)
-      d -> fs.listStatus(p).filter { st =>
-        val n = st.getPath.getName
-        st.isFile && !n.startsWith("_") && !n.startsWith(".")
+    val dirFiles = graft.BenchProbe.time("vt.scan_listing") {
+      snap.dataDirs.map { d =>
+        val p = new org.apache.hadoop.fs.Path(new File(root, d).toURI)
+        d -> fs.listStatus(p).filter { st =>
+          val n = st.getPath.getName
+          st.isFile && !n.startsWith("_") && !n.startsWith(".")
+        }
       }
     }
+    // On a mapped snapshot the relation's pushed filters arrive under
+    // PHYSICAL column names; the manifest's stats/bloom lines speak
+    // LOGICAL — remap before the admission check (identity when unmapped).
+    val physToLogical = anchor.fields
+      .map(f => VersionedTable.physicalName(f) -> f.name)
+      .filter { case (p, l) => p != l }.toMap
     val index = new org.apache.spark.sql.graft.ManifestFileIndex(
-      rootPath, dirFiles, filters => admittedDirs(root, snap, filters))
+      rootPath, dirFiles,
+      filters => admittedDirs(root, snap,
+        if (physToLogical.isEmpty) filters
+        else filters.map(mapFilterCols(_, physToLogical))))
     (index, anchor)
   }
 
@@ -629,7 +916,7 @@ class VersionedTableOps(val store: CommitStore) {
   def transactionalMerge(source: DataFrame, root: String, appId: String,
       batchId: Long, keyCol: String, maxProbeKeys: Int = 10000,
       bloomFpp: Double = 0.01, maxRetries: Int = 20,
-      cdf: Boolean = true): Boolean = {
+      cdf: Option[Boolean] = None): Boolean = {
     var attempt = 0
     while (true) {
       if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
@@ -656,7 +943,7 @@ class VersionedTableOps(val store: CommitStore) {
   def transactionalMergeMor(source: DataFrame, root: String, appId: String,
       batchId: Long, keyCol: String, maxProbeKeys: Int = 10000,
       bloomFpp: Double = 0.01, maxRetries: Int = 20,
-      cdf: Boolean = true): Boolean = {
+      cdf: Option[Boolean] = None): Boolean = {
     var attempt = 0
     while (true) {
       if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
@@ -677,7 +964,12 @@ class VersionedTableOps(val store: CommitStore) {
     * commit is later than `tsMs`.
     */
   def versionAsOf(root: String, tsMs: Long): Option[Int] = {
-    val eligible = history(root).filter(_.committedMs <= tsMs)
+    // summaries, not full manifests (O(tail) past a checkpoint) — but
+    // only versions whose manifests still EXIST are pickable: a summary
+    // outliving its vacuumed manifest names a version nobody can read
+    val existing = store.versions(root).toSet
+    val eligible = historySummary(root)
+      .filter(e => e.committedMs <= tsMs && existing(e.version))
     if (eligible.isEmpty) None else Some(eligible.map(_.version).max)
   }
 
@@ -735,14 +1027,100 @@ class VersionedTableOps(val store: CommitStore) {
     val clash = newFields.map(_.name).filter(n =>
       anchor.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(clash.isEmpty, s"columns already exist: ${clash.mkString(",")}")
-    val widened = VersionedTable.asNullable(
+    // once-mapped tables mint RANDOMIZED physical names for added
+    // columns — a re-ADD after DROP must never read the dropped column's
+    // old values out of pre-drop files
+    val widened = withMintedPhysicalNames(root, VersionedTable.asNullable(
       org.apache.spark.sql.types.StructType(
         anchor.fields ++ newFields.map(_.copy(nullable = true))))
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
+      .asInstanceOf[org.apache.spark.sql.types.StructType], anchor)
     val version = parent + 1
     publish(root, version, parent, "evolve", 0L, widened.fieldNames.toSeq,
       snap.dataDirs, snap.dirStats, snap.dirBlooms, snap.txns,
       Some(widened.json), None, snap.dvs)
+    version
+  }
+
+  /** `ALTER TABLE t RENAME COLUMN old TO new` — pure metadata, zero data
+    * movement: the column's PHYSICAL (on-disk) name is frozen at whatever
+    * it already was (the logical name, for a never-mapped column) and the
+    * manifest's anchor re-binds the LOGICAL name through
+    * [[VersionedTable.PhysicalNameKey]] field metadata — Delta's column
+    * mapping, re-expressed over this manifest grammar. Stats/bloom lines
+    * (which speak logical names) are rewritten in the same manifest, so
+    * planning-time skipping keeps biting under the new name. Time travel
+    * is untouched: every older manifest pins its own anchor. The
+    * reference's contract checker allows renames that preserve the wire
+    * shape (`src/kafka/schema_compatibility.py:22-151`) — the mapping is
+    * exactly that: the wire (physical) shape never changes.
+    */
+  def renameColumn(spark: SparkSession, root: String,
+      oldName: String, newName: String): Int = {
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = snapshot(root, parent)
+    val anchor = snapshotSchema(spark, root, snap)
+    require(anchor.fieldNames.contains(oldName), s"no such column: $oldName")
+    require(!anchor.fieldNames.exists(_.equalsIgnoreCase(newName)),
+      s"column already exists: $newName")
+    val renamed = org.apache.spark.sql.types.StructType(anchor.fields.map { f =>
+      if (f.name != oldName) f
+      else {
+        val phys = VersionedTable.physicalName(f)
+        // renaming BACK to the physical name needs no mapping entry —
+        // keeps a rename/rename-back round trip metadata-clean
+        val b =
+          if (phys == newName)
+            new org.apache.spark.sql.types.MetadataBuilder()
+              .withMetadata(f.metadata)
+              .remove(VersionedTable.PhysicalNameKey).build()
+          else new org.apache.spark.sql.types.MetadataBuilder()
+            .withMetadata(f.metadata)
+            .putString(VersionedTable.PhysicalNameKey, phys).build()
+        f.copy(name = newName, metadata = b)
+      }
+    })
+    val version = parent + 1
+    publish(root, version, parent, "rename", 0L, renamed.fieldNames.toSeq,
+      snap.dataDirs,
+      snap.dirStats.map(st => if (st.col == oldName) st.copy(col = newName) else st),
+      snap.dirBlooms.map(b => if (b.col == oldName) b.copy(col = newName) else b),
+      snap.txns, Some(renamed.json), None, snap.dvs)
+    // once mapped, always mapped: later ADD COLUMNS mint fresh physical
+    // names (see withMintedPhysicalNames)
+    setTableProperties(root, Map(VersionedTable.ColumnMappingProp -> "true"))
+    version
+  }
+
+  /** `ALTER TABLE t DROP COLUMN(S)` — metadata-only: the fields leave the
+    * anchor (and their stats/bloom lines leave the manifest); data files
+    * stay byte-identical, their dropped physical columns simply never
+    * selected again. Marks the table column-mapped so a later re-ADD of
+    * the same logical name binds to a FRESH physical column (old values
+    * cannot resurface). Time travel to pre-drop versions still serves the
+    * column.
+    */
+  def dropColumns(spark: SparkSession, root: String,
+      names: Seq[String]): Int = {
+    require(names.nonEmpty, "no columns to drop")
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = snapshot(root, parent)
+    val anchor = snapshotSchema(spark, root, snap)
+    val missing = names.filterNot(anchor.fieldNames.contains)
+    require(missing.isEmpty, s"no such columns: ${missing.mkString(",")}")
+    require(anchor.fields.length > names.length,
+      "cannot drop every column of a table")
+    val dropSet = names.toSet
+    val narrowed = org.apache.spark.sql.types.StructType(
+      anchor.fields.filterNot(f => dropSet(f.name)))
+    val version = parent + 1
+    publish(root, version, parent, "drop", 0L, narrowed.fieldNames.toSeq,
+      snap.dataDirs,
+      snap.dirStats.filterNot(st => dropSet(st.col)),
+      snap.dirBlooms.filterNot(b => dropSet(b.col)),
+      snap.txns, Some(narrowed.json), None, snap.dvs)
+    setTableProperties(root, Map(VersionedTable.ColumnMappingProp -> "true"))
     version
   }
 
@@ -833,8 +1211,16 @@ class VersionedTableOps(val store: CommitStore) {
     val version = parent + 1
     val snap = snapshot(root, parent)
     // One job: every dir's rows tagged with their dir, grouped once.
+    // Mapped tables read under PHYSICAL names and rename (analyze's
+    // statsCols/bloomCols arrive logical, like every caller-facing name).
+    val anchorA = snapshotSchema(spark, root, snap)
+    def dirRead(d: String): DataFrame =
+      if (VersionedTable.isMapped(anchorA))
+        toLogical(spark.read.schema(VersionedTable.physicalSchema(anchorA))
+          .parquet(new File(root, d).getPath), anchorA)
+      else spark.read.parquet(new File(root, d).getPath)
     val tagged = snap.dataDirs.map { d =>
-      spark.read.parquet(new File(root, d).getPath)
+      dirRead(d)
         .select((statsCols ++ bloomCols).distinct.map(col): _*)
         .withColumn("__dir", lit(d))
     }.reduce(_ unionByName _)
@@ -860,7 +1246,7 @@ class VersionedTableOps(val store: CommitStore) {
     val blooms = snap.dataDirs.flatMap { d =>
       val n = grouped.find(_.getAs[String]("__dir") == d)
         .map(_.getAs[Long]("__n")).getOrElse(1L)
-      val dirDf = spark.read.parquet(new File(root, d).getPath)
+      val dirDf = dirRead(d)
       bloomCols.map { c =>
         val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)
         // attempt-unique sidecar name: an analyze losing its race must not
@@ -1049,15 +1435,22 @@ class VersionedTableOps(val store: CommitStore) {
     * caller deletes it. The staging primitive of the DML paths.
     */
   private def stageDir(df: DataFrame, root: String, version: Int,
-      statsCols: Seq[String], bloomCols: Seq[String], bloomFpp: Double):
+      statsCols: Seq[String], bloomCols: Seq[String], bloomFpp: Double,
+      anchor: org.apache.spark.sql.types.StructType = null):
       (String, Long, Seq[DirStat], Seq[DirBloom]) = {
     dataDir(root).mkdirs()
     val dirRel = f"data/v$version%05d-${UUID.randomUUID().toString.take(8)}"
-    df.write.parquet(new File(root, dirRel).getPath)
+    // column-mapped tables land files under PHYSICAL names (anchor =
+    // the snapshot schema whose mapping governs this dir)
+    val dfPhys = if (anchor == null) df else toPhysical(df, anchor)
+    dfPhys.write.parquet(new File(root, dirRel).getPath)
     // schema-pinned read-back, like commit's: no footer inference, and a
-    // zero-partition write (no part files) reads as schema-correct empty
-    val committed = df.sparkSession.read.schema(df.schema)
+    // zero-partition write (no part files) reads as schema-correct empty;
+    // stats/bloom aggregates speak LOGICAL names
+    val committedPhys = df.sparkSession.read.schema(dfPhys.schema)
       .parquet(new File(root, dirRel).getPath)
+    val committed =
+      if (anchor == null) committedPhys else toLogical(committedPhys, anchor)
     val statAggs = statsCols.flatMap { c =>
       val probe = committed.schema(c).dataType match {
         case TimestampType => unix_micros(col(c))
@@ -1202,12 +1595,23 @@ class VersionedTableOps(val store: CommitStore) {
       dvs: Seq[DvFile] = Seq.empty,
       keepDvCols: Boolean = false): DataFrame = {
     val needDv = dvs.nonEmpty || keepDvCols
+    // mapped anchors: read files under PHYSICAL names, tag (the dv
+    // identity columns need _metadata off the raw scan), then rename —
+    // every DML kernel downstream stays purely logical
+    val readSchema =
+      if (VersionedTable.isMapped(anchor)) VersionedTable.physicalSchema(anchor)
+      else anchor
     val unioned = dirs.map { d =>
-      val base = spark.read.schema(anchor).parquet(new File(root, d).getPath)
+      val base = spark.read.schema(readSchema)
+        .parquet(new File(root, d).getPath)
         .withColumn("__dir", lit(new File(d).getName))
-      if (!needDv) base
-      else base.withColumn("__dv_file", dvFileKey)
-        .withColumn("__dv_pos", col("_metadata.row_index"))
+      // dv identity columns FIRST (_metadata resolves only off the raw
+      // file scan, not through the rename projection), rename after
+      val keyed =
+        if (!needDv) base
+        else base.withColumn("__dv_file", dvFileKey)
+          .withColumn("__dv_pos", col("_metadata.row_index"))
+      toLogical(keyed, anchor)
     }.reduce(_ union _)
     val live =
       if (dvs.isEmpty) unioned
@@ -1250,7 +1654,8 @@ class VersionedTableOps(val store: CommitStore) {
     val sidecars = Seq.newBuilder[String]
     try {
       // (1) ONE job writes every replacement dir (dir-per-partition).
-      rewrite.write.partitionBy("__dir").parquet(staging.getPath)
+      toPhysical(rewrite, anchor).write.partitionBy("__dir")
+        .parquet(staging.getPath)
       val parts = Option(staging.listFiles()).toSeq.flatten
         .filter(f => f.isDirectory && f.getName.startsWith("__dir="))
         .map(f => f.getName.stripPrefix("__dir=") -> f)
@@ -1269,10 +1674,14 @@ class VersionedTableOps(val store: CommitStore) {
       val statsColsAll = metaOf.values.flatMap(_._1).toSeq.distinct
       val bloomColsAll = metaOf.values.flatMap(_._2).toSeq.distinct
       val needAgg = statsColsAll.nonEmpty || bloomColsAll.nonEmpty
+      val rbSchema =
+        if (VersionedTable.isMapped(anchor)) VersionedTable.physicalSchema(anchor)
+        else anchor
       val taggedNew =
         if (!needAgg) null
         else newByOld.values.toSeq.sorted.map { rel =>
-          spark.read.schema(anchor).parquet(new File(root, rel).getPath)
+          toLogical(spark.read.schema(rbSchema)
+            .parquet(new File(root, rel).getPath), anchor)
             .withColumn("__dir", lit(rel))
         }.reduce(_ union _)
       val statAggs = statsColsAll.flatMap(c => Seq(
@@ -1294,7 +1703,8 @@ class VersionedTableOps(val store: CommitStore) {
       val blooms = metaOf.toSeq.sortBy(_._1).flatMap { case (rel, (_, bcols)) =>
         val n = grouped.find(_.getAs[String]("__dir") == rel)
           .map(_.getAs[Long]("__n")).getOrElse(1L)
-        val dirDf = spark.read.schema(anchor).parquet(new File(root, rel).getPath)
+        val dirDf = toLogical(spark.read.schema(rbSchema)
+          .parquet(new File(root, rel).getPath), anchor)
         bcols.map { c =>
           val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)
           val path = s"_blooms/${new File(rel).getName}_$c.bloom"
@@ -1323,10 +1733,15 @@ class VersionedTableOps(val store: CommitStore) {
     * subscribers O(delta) instead of forcing an O(table) resync per DML
     * commit ([[VersionedTableOps.changeFeed]]).
     */
-  private def stageChanges(changes: DataFrame, root: String, version: Int): String = {
+  private def stageChanges(changes: DataFrame, root: String, version: Int,
+      anchor: org.apache.spark.sql.types.StructType = null): String = {
     val token = UUID.randomUUID().toString.take(8)
     val rel = f"_changes/v$version%05d-$token"
-    changes.write.parquet(new File(root, rel).getPath)
+    // change images persist under PHYSICAL names, exactly like data dirs
+    // (_change_type has no mapping and passes through) — one uniform
+    // on-disk namespace per table, stable across renames
+    val out = if (anchor == null) changes else toPhysical(changes, anchor)
+    out.write.parquet(new File(root, rel).getPath)
     rel
   }
 
@@ -1369,7 +1784,9 @@ class VersionedTableOps(val store: CommitStore) {
     * data), never O(table).
     */
   def delete(spark: SparkSession, root: String,
-      predicate: org.apache.spark.sql.Column, cdf: Boolean = true): Long = {
+      predicate: org.apache.spark.sql.Column,
+      cdf: Option[Boolean] = None): Long = {
+    val doCdf = resolveCdf(root, cdf)
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
@@ -1414,12 +1831,12 @@ class VersionedTableOps(val store: CommitStore) {
       case (b, _, m) if m > 0 => b
     }.toSeq.sorted
     val cdfRel =
-      if (!cdf) None
+      if (!doCdf) None
       else Some(stageChanges(
         tagged.filter(col("__dir").isin(hitBases: _*)).filter(hit)
           .select(anchor.map(f => col(f.name)): _*)
           .withColumn("_change_type", lit("delete")),
-        root, version))
+        root, version, anchor))
     try {
       val dropped = fullBases.map(oldByBase)
       val newDirs = snap.dataDirs.flatMap { d =>
@@ -1432,7 +1849,7 @@ class VersionedTableOps(val store: CommitStore) {
         anchor.fieldNames.toSeq, newDirs,
         snap.dirStats.filter(s => keepSet(s.dir)) ++ newStats,
         snap.dirBlooms.filter(b => keepSet(b.dir)) ++ newBlooms,
-        snap.txns, Some(anchor.json), cdfRel, snap.dvs)
+        snap.txns, Some(anchor.json), cdfRel, liveDvs(snap.dvs, newDirs))
       deleted
     } catch { case e: Throwable =>
       newByOld.values.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
@@ -1464,7 +1881,8 @@ class VersionedTableOps(val store: CommitStore) {
   def update(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
-      cdf: Boolean = true): Long = {
+      cdf: Option[Boolean] = None): Long = {
+    val doCdf = resolveCdf(root, cdf)
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
@@ -1511,7 +1929,7 @@ class VersionedTableOps(val store: CommitStore) {
     // row-level CDF: each matched row yields its pre- and post-image in
     // ONE pass (inline over a two-struct array — no second read per image)
     val cdfRel =
-      if (!cdf) None
+      if (!doCdf) None
       else {
         val pre = struct(anchor.map(f => col(f.name)) :+
           lit("update_preimage").as("_change_type"): _*)
@@ -1524,7 +1942,7 @@ class VersionedTableOps(val store: CommitStore) {
         Some(stageChanges(
           tagged.filter(col("__dir").isin(matchedBases: _*)).filter(hit)
             .select(inline(array(pre, post))),
-          root, version))
+          root, version, anchor))
       }
     try {
       val newDirs = snap.dataDirs.map(d => newByOld.getOrElse(d, d))
@@ -1534,7 +1952,7 @@ class VersionedTableOps(val store: CommitStore) {
         anchor.fieldNames.toSeq, newDirs,
         snap.dirStats.filter(s => keepSet(s.dir)) ++ newStats,
         snap.dirBlooms.filter(b => keepSet(b.dir)) ++ newBlooms,
-        snap.txns, Some(anchor.json), cdfRel, snap.dvs)
+        snap.txns, Some(anchor.json), cdfRel, liveDvs(snap.dvs, newDirs))
       updated
     } catch { case e: Throwable =>
       newByOld.values.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
@@ -1573,7 +1991,8 @@ class VersionedTableOps(val store: CommitStore) {
   def merge(spark: SparkSession, root: String, source: DataFrame,
       keyCol: String, maxProbeKeys: Int = 10000,
       bloomFpp: Double = 0.01, txn: Option[(String, Long)] = None,
-      cdf: Boolean = true): Int = {
+      cdf: Option[Boolean] = None): Int = {
+    val doCdf = resolveCdf(root, cdf)
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
@@ -1638,11 +2057,11 @@ class VersionedTableOps(val store: CommitStore) {
         // split into post-images (key present in the table) and inserts —
         // O(matched + source), staged as the commit's _changes dir
         def insertOnlyCdf(): Option[String] =
-          if (!cdf) None
+          if (!doCdf) None
           else Some(stageChanges(
             src.select(anchor.map(f => col(f.name)): _*)
               .withColumn("_change_type", lit("insert")),
-            root, version))
+            root, version, anchor))
         val (newByOld, rwStats, rwBlooms, fullDropped, cdfRel) =
           if (candidates.isEmpty)
             (Map.empty[String, String], Seq.empty[DirStat],
@@ -1682,7 +2101,7 @@ class VersionedTableOps(val store: CommitStore) {
               case (b, _, k) if k > 0 => b
             }.toSeq.sorted
             val cdfStaged =
-              if (!cdf) None
+              if (!doCdf) None
               else if (hitBases.isEmpty) insertOnlyCdf()
               else {
                 val matchedTable = tagged
@@ -1701,7 +2120,7 @@ class VersionedTableOps(val store: CommitStore) {
                   matchedTable
                     .withColumn("_change_type", lit("update_preimage"))
                     .unionByName(srcFlagged),
-                  root, version))
+                  root, version, anchor))
               }
             (rew, st, bl, fullBases.map(oldByBase), cdfStaged)
           }
@@ -1711,7 +2130,7 @@ class VersionedTableOps(val store: CommitStore) {
         val tableStatsCols = snap.dirStats.map(_.col).distinct
         val tableBloomCols = snap.dirBlooms.map(_.col).distinct
         val srcStaged = stageDir(src, root, version,
-          tableStatsCols, tableBloomCols, bloomFpp)
+          tableStatsCols, tableBloomCols, bloomFpp, anchor)
         cleanupDirs += srcStaged._1
         cleanupBlooms ++= srcStaged._4
         val newDirs = snap.dataDirs.flatMap { d =>
@@ -1724,7 +2143,8 @@ class VersionedTableOps(val store: CommitStore) {
           srcRows, anchor.fieldNames.toSeq, newDirs,
           snap.dirStats.filter(s => keepSet(s.dir)) ++ rwStats ++ srcStaged._3,
           snap.dirBlooms.filter(b => keepSet(b.dir)) ++ rwBlooms ++ srcStaged._4,
-          snap.txns ++ txn.toMap, Some(anchor.json), cdfRel, snap.dvs)
+          snap.txns ++ txn.toMap, Some(anchor.json), cdfRel,
+          liveDvs(snap.dvs, newDirs))
         version
       } catch { case e: Throwable =>
         cleanupDirs.result().foreach(d =>
@@ -1757,7 +2177,9 @@ class VersionedTableOps(val store: CommitStore) {
     * classify frame is live-rows-only). Returns rows deleted.
     */
   def deleteMor(spark: SparkSession, root: String,
-      predicate: org.apache.spark.sql.Column, cdf: Boolean = true): Long = {
+      predicate: org.apache.spark.sql.Column,
+      cdf: Option[Boolean] = None): Long = {
+    val doCdf = resolveCdf(root, cdf)
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
@@ -1774,18 +2196,19 @@ class VersionedTableOps(val store: CommitStore) {
       if (deleted == 0L) return 0L // pure no-op: no version burned
       val dvRel = stageDv(hits, root, version)
       val cdfRel =
-        if (!cdf) None
+        if (!doCdf) None
         else Some(stageChanges(
           hits.select(anchor.map(f => col(f.name)): _*)
             .withColumn("_change_type", lit("delete")),
-          root, version))
+          root, version, anchor))
       try {
         // dirs/stats/blooms carried VERBATIM: nothing physical changed.
         // Stats stay conservative (upper bounds over live rows).
         publish(root, version, parent, "delete", deleted,
           anchor.fieldNames.toSeq, snap.dataDirs, snap.dirStats,
           snap.dirBlooms, snap.txns, Some(anchor.json), cdfRel,
-          snap.dvs :+ DvFile(dvRel, deleted))
+          snap.dvs :+ DvFile(dvRel, deleted,
+            candidates.map(d => new File(d).getName)))
         deleted
       } catch { case e: Throwable =>
         VersionedTable.deleteRecursively(new File(root, dvRel))
@@ -1808,7 +2231,8 @@ class VersionedTableOps(val store: CommitStore) {
   def updateMor(spark: SparkSession, root: String,
       predicate: org.apache.spark.sql.Column,
       assignments: Map[String, org.apache.spark.sql.Column],
-      cdf: Boolean = true): Long = {
+      cdf: Option[Boolean] = None): Long = {
+    val doCdf = resolveCdf(root, cdf)
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
@@ -1839,9 +2263,9 @@ class VersionedTableOps(val store: CommitStore) {
       val tableStatsCols = snap.dirStats.map(_.col).distinct
       val tableBloomCols = snap.dirBlooms.map(_.col).distinct
       val staged = stageDir(post, root, version,
-        tableStatsCols, tableBloomCols, bloomFpp = 0.01)
+        tableStatsCols, tableBloomCols, bloomFpp = 0.01, anchor = anchor)
       val cdfRel =
-        if (!cdf) None
+        if (!doCdf) None
         else {
           val pre = struct(anchor.map(f => col(f.name)) :+
             lit("update_preimage").as("_change_type"): _*)
@@ -1852,14 +2276,15 @@ class VersionedTableOps(val store: CommitStore) {
             }
           } :+ lit("update_postimage").as("_change_type"): _*)
           Some(stageChanges(hits.select(inline(array(pre, postImg))),
-            root, version))
+            root, version, anchor))
         }
       try {
         publish(root, version, parent, "update", updated,
           anchor.fieldNames.toSeq, snap.dataDirs :+ staged._1,
           snap.dirStats ++ staged._3, snap.dirBlooms ++ staged._4,
           snap.txns, Some(anchor.json), cdfRel,
-          snap.dvs :+ DvFile(dvRel, updated))
+          snap.dvs :+ DvFile(dvRel, updated,
+            candidates.map(d => new File(d).getName)))
         updated
       } catch { case e: Throwable =>
         VersionedTable.deleteRecursively(new File(root, dvRel))
@@ -1886,7 +2311,8 @@ class VersionedTableOps(val store: CommitStore) {
   def mergeMor(spark: SparkSession, root: String, source: DataFrame,
       keyCol: String, maxProbeKeys: Int = 10000,
       bloomFpp: Double = 0.01, txn: Option[(String, Long)] = None,
-      cdf: Boolean = true): Int = {
+      cdf: Option[Boolean] = None): Int = {
+    val doCdf = resolveCdf(root, cdf)
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
@@ -1934,14 +2360,15 @@ class VersionedTableOps(val store: CommitStore) {
       try {
         val m = matched.map(_.count()).getOrElse(0L)
         val dv = if (m == 0L) None
-          else Some(DvFile(stageDv(matched.get, root, version), m))
+          else Some(DvFile(stageDv(matched.get, root, version), m,
+            candidates.map(d => new File(d).getName)))
         val cdfRel =
-          if (!cdf) None
+          if (!doCdf) None
           else if (m == 0L)
             Some(stageChanges(
               src.select(anchor.map(f => col(f.name)): _*)
                 .withColumn("_change_type", lit("insert")),
-              root, version))
+              root, version, anchor))
           else {
             val matchedTable = matched.get
               .select(anchor.map(f => col(f.name)): _*)
@@ -1957,12 +2384,12 @@ class VersionedTableOps(val store: CommitStore) {
               matchedTable
                 .withColumn("_change_type", lit("update_preimage"))
                 .unionByName(srcFlagged),
-              root, version))
+              root, version, anchor))
           }
         val tableStatsCols = snap.dirStats.map(_.col).distinct
         val tableBloomCols = snap.dirBlooms.map(_.col).distinct
         val srcStaged = stageDir(src, root, version,
-          tableStatsCols, tableBloomCols, bloomFpp)
+          tableStatsCols, tableBloomCols, bloomFpp, anchor)
         try {
           publish(root, version, parent, "merge", srcRows,
             anchor.fieldNames.toSeq, snap.dataDirs :+ srcStaged._1,
@@ -2014,6 +2441,18 @@ class VersionedTableOps(val store: CommitStore) {
         .split(col("__file"), "/").getItem(0).as("__d"))
       .distinct().collect().map(_.getString(0)).toSet
     val affected = snap.dataDirs.filter(d => dvBases(new File(d).getName))
+    if (affected.isEmpty) {
+      // EVERY dv entry is stale (later COW DML rewrote or dropped all
+      // dv'd dirs but carried the entries verbatim): there is nothing to
+      // rewrite, and the purge is exactly the commit that clears the
+      // dead state — publish the snapshot's dirs by name with an EMPTY
+      // dv list. Content-preserving by construction: stale entries match
+      // no live file identity, so dropping them changes no row.
+      publish(root, version, parent, "optimize", 0L,
+        anchor.fieldNames.toSeq, snap.dataDirs, snap.dirStats,
+        snap.dirBlooms, snap.txns, Some(anchor.json), None, Seq.empty)
+      return Some(version)
+    }
     val oldByBase = affected.map(d => new File(d).getName -> d).toMap
     val live = taggedUnion(spark, root, affected, anchor, snap.dvs)
     val (newByOld, newStats, newBlooms) =
@@ -2088,17 +2527,25 @@ class VersionedTableOps(val store: CommitStore) {
       // empty — serve schema-correct emptiness on the snapshot's anchor
       val anchor = snapshotSchema(spark, root, snaps.last)
       return spark.createDataFrame(
-        java.util.Collections.emptyList[org.apache.spark.sql.Row](), anchor)
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        VersionedTable.logicalSchema(anchor))
     }
     // Same additive-evolution discipline as read(): a range spanning a
     // schema-widening commit must surface the union schema (the final
     // snapshot's anchor), not let one arbitrary footer win and silently
     // drop the new columns from the feed. Manifest-pinned when persisted;
-    // legacy fallback = footer mergeSchema.
+    // legacy fallback = footer mergeSchema. Column-mapped anchors read
+    // under PHYSICAL names (stable across renames — a pre-rename dir
+    // serves the renamed column by its physical identity) and rename.
     val paths = added.map(d => new File(root, d).getPath)
     snaps.last.schemaJson match {
       case Some(_) =>
-        spark.read.schema(snapshotSchema(spark, root, snaps.last)).parquet(paths: _*)
+        val anchor = snapshotSchema(spark, root, snaps.last)
+        if (VersionedTable.isMapped(anchor))
+          toLogical(spark.read
+            .schema(VersionedTable.physicalSchema(anchor)).parquet(paths: _*),
+            anchor)
+        else spark.read.schema(anchor).parquet(paths: _*)
       case None =>
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
     }
@@ -2143,6 +2590,7 @@ class VersionedTableOps(val store: CommitStore) {
       s"versions ${legacyDml.map(_.version).mkString(",")} are pre-CDF DML commits " +
         "(no persisted change images); re-derive consumers from the snapshot")
     val anchor = snapshotSchema(spark, root, snaps.last)
+    val mapped = VersionedTable.isMapped(anchor)
     def conform(df: DataFrame): DataFrame =
       df.select(anchor.map { f =>
         if (df.columns.contains(f.name)) col(f.name).cast(f.dataType).as(f.name)
@@ -2158,24 +2606,38 @@ class VersionedTableOps(val store: CommitStore) {
           if (added.isEmpty) None
           else {
             val paths = added.map(d => new File(root, d).getPath)
-            val df = s.schemaJson match {
-              case Some(_) => spark.read
-                .schema(snapshotSchema(spark, root, s)).parquet(paths: _*)
-              case None => spark.read.option("mergeSchema", "true").parquet(paths: _*)
-            }
+            // mapped range: every slice reads under the range-FINAL
+            // physical schema — physical identity is stable across
+            // renames, so a pre-rename dir serves the renamed column
+            // correctly under its final logical name
+            val df =
+              if (mapped) toLogical(spark.read
+                .schema(VersionedTable.physicalSchema(anchor))
+                .parquet(paths: _*), anchor)
+              else s.schemaJson match {
+                case Some(_) => spark.read
+                  .schema(snapshotSchema(spark, root, s)).parquet(paths: _*)
+                case None =>
+                  spark.read.option("mergeSchema", "true").parquet(paths: _*)
+              }
             Some(conform(df.withColumn("_change_type", lit("insert")))
               .withColumn("_commit_version", lit(s.version.toLong)))
           }
         case "delete" | "update" | "merge" =>
-          val df = spark.read.parquet(new File(root, s.cdfDir.get).getPath)
+          // change images persist under PHYSICAL names; rename through
+          // the final anchor (stale physical columns of since-dropped
+          // fields pass through unrenamed and conform() drops them)
+          val raw = spark.read.parquet(new File(root, s.cdfDir.get).getPath)
+          val df = if (mapped) toLogical(raw, anchor) else raw
           Some(conform(df).withColumn("_commit_version", lit(s.version.toLong)))
-        case _ => None // analyze and other pure-metadata versions: empty delta
+        case _ => None // analyze/evolve/rename/drop etc.: zero rows changed
       }
     }
     if (parts.isEmpty)
       spark.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        org.apache.spark.sql.types.StructType(anchor.fields ++ Seq(
+        org.apache.spark.sql.types.StructType(
+          VersionedTable.logicalSchema(anchor).fields ++ Seq(
           org.apache.spark.sql.types.StructField("_change_type",
             org.apache.spark.sql.types.StringType, nullable = false),
           org.apache.spark.sql.types.StructField("_commit_version",
@@ -2249,6 +2711,14 @@ class VersionedTableOps(val store: CommitStore) {
         .filter(_.getName.startsWith(prefix)).foreach(_.delete())
     }
     (1 until cutoff).foreach(store.delete(root, _))
+    // checkpoint GC: only the NEWEST summary rollup is ever read (it
+    // subsumes all older ones — including the history of manifests this
+    // vacuum just dropped), so superseded checkpoint files die here
+    val cps = Option(checkpointDir(root).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && f.getName.startsWith("v"))
+      .flatMap(f => scala.util.Try(f.getName.stripPrefix("v").toInt).toOption
+        .map(_ -> f))
+    if (cps.size > 1) cps.sortBy(_._1).dropRight(1).foreach(_._2.delete())
     // CDF change dirs die with their manifests: below the cutoff nobody
     // can address them (changeFeed ranges need both end manifests)
     val changesDir = new File(root, "_changes")
@@ -2269,6 +2739,75 @@ class VersionedTableOps(val store: CommitStore) {
 }
 
 object VersionedTable extends VersionedTableOps(CommitStore.local) {
+
+  /** Table property that turns on row-level CDF image staging for every
+    * DML commit against the table (set via `_props` /
+    * `TBLPROPERTIES('graft.cdf.enabled'='true')`). Default OFF.
+    */
+  val CdfEnabledProp = "graft.cdf.enabled"
+
+  /** StructField metadata key carrying a column's PHYSICAL (on-disk
+    * parquet) name when it differs from the logical name — the manifest's
+    * column-mapping seam (Delta's `delta.columnMapping.physicalName`
+    * shape). Physical names are assigned at column creation and NEVER
+    * change; RENAME COLUMN moves only the logical name, DROP COLUMN only
+    * removes the field from the anchor — data files stay byte-identical.
+    */
+  val PhysicalNameKey = "graft.physicalName"
+
+  /** `_props` marker set by the first rename/drop: once a table has ever
+    * been mapped, columns added later get RANDOMIZED physical names so a
+    * DROP followed by a re-ADD of the same logical name can never
+    * resurrect the dropped column's old values from pre-drop files.
+    */
+  val ColumnMappingProp = "graft.column.mapping"
+
+  /** `_props` key: write a `_checkpoint/v%05d` history rollup every N
+    * commits (default 10). The checkpoint is a CACHE of per-version
+    * summaries — losing one costs a longer walk, never correctness.
+    */
+  val CheckpointIntervalProp = "graft.checkpoint.interval"
+
+  /** One commit's summary as recorded in a history checkpoint — all that
+    * DESCRIBE HISTORY / `graft_table_history` / wall-clock time travel
+    * need, so none of them has to parse O(versions) full manifests.
+    */
+  final case class HistoryEntry(version: Int, parent: Int, operation: String,
+      rows: Long, committedMs: Long, nDirs: Int, hasCdf: Boolean)
+
+  /** A field's on-disk parquet column name (logical name unless mapped). */
+  def physicalName(f: org.apache.spark.sql.types.StructField): String =
+    if (f.metadata.contains(PhysicalNameKey)) f.metadata.getString(PhysicalNameKey)
+    else f.name
+
+  /** Does any field of this anchor carry a logical→physical mapping?
+    * Unmapped tables (the overwhelmingly common case) take exactly the
+    * pre-mapping code paths — zero plan or I/O change.
+    */
+  def isMapped(schema: org.apache.spark.sql.types.StructType): Boolean =
+    schema.fields.exists(_.metadata.contains(PhysicalNameKey))
+
+  /** The anchor with every field under its PHYSICAL name (clean metadata)
+    * — the schema data-dir reads and writes use.
+    */
+  def physicalSchema(anchor: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(anchor.fields.map(f =>
+      org.apache.spark.sql.types.StructField(physicalName(f), f.dataType, f.nullable)))
+
+  /** The anchor with mapping metadata stripped — what user-facing frames
+    * and catalog schemas report (the mapping is storage detail).
+    */
+  def logicalSchema(anchor: org.apache.spark.sql.types.StructType):
+      org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(anchor.fields.map { f =>
+      if (!f.metadata.contains(PhysicalNameKey)) f
+      else {
+        val b = new org.apache.spark.sql.types.MetadataBuilder()
+          .withMetadata(f.metadata).remove(PhysicalNameKey).build()
+        f.copy(metadata = b)
+      }
+    })
 
   final case class Snapshot(
       version: Int,
@@ -2296,7 +2835,8 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
     * `rows` (the file's entry count) prices the read-side anti-join:
     * below [[VersionedTable.dvBroadcastMaxRows]] the dv set broadcasts.
     */
-  final case class DvFile(path: String, rows: Long)
+  final case class DvFile(path: String, rows: Long,
+      bases: Seq[String] = Seq.empty)
 
   /** Deletion-vector file schema: see [[DvFile]]. */
   val dvSchema: org.apache.spark.sql.types.StructType =

@@ -612,14 +612,14 @@ object StreamingFeatures {
           // matched keys' positions land in a deletion vector, the batch
           // as one dir, NOTHING rewritten (the high-frequency shape)
           VersionedTable.transactionalMergeMor(perSym, root, appId, batchId,
-            "symbol", cdf = false)
+            "symbol")
         else
-          // cdf = false: this table has no change-feed subscriber by
-          // construction — the subscriber-fed upsert loop (which pays the
-          // O(changed rows) image write because someone reads it) is
-          // cdfUpsertRefresh / q_stream_cdf_upsert
+          // CDF defaults OFF (graft.cdf.enabled unset): this table has no
+          // change-feed subscriber by construction — the subscriber-fed
+          // upsert loop (which opts in because someone reads the images)
+          // is cdfUpsertRefresh / q_stream_cdf_upsert
           VersionedTable.transactionalMerge(perSym, root, appId, batchId,
-            "symbol", cdf = false)
+            "symbol")
         lastBatch = math.max(lastBatch, batchId)
         ()
       }
@@ -676,6 +676,11 @@ object StreamingFeatures {
       .agg(max(struct(col("t_us"), col("tid"), col("price"))).as("m"))
       .select(col("symbol"), col("m.t_us").as("t_us"), col("m.tid").as("tid"),
         col("m.price").as("last_price"))
+    // CDF is OPT-IN per table (graft.cdf.enabled, Delta's
+    // delta.enableChangeDataFeed semantics): this silver table HAS a
+    // row-level subscriber, so it pays the O(changed rows) image write
+    VersionedTable.setTableProperties(silverRoot,
+      Map(VersionedTable.CdfEnabledProp -> "true"))
     val split = StreamSources.chronoSplitDir(spark, eventsPath, 3)
     def land(b: Int): Unit = {
       val perSym = latestPerSymbol(

@@ -93,14 +93,16 @@ class GraftCatalog extends DelegatingCatalogExtension {
     val t = super.loadTable(ident)
     if (isGraft(t)) {
       import org.apache.spark.sql.connector.catalog.TableChange
-      val (adds, others) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+      val (adds, rest0) = changes.partition(_.isInstanceOf[TableChange.AddColumn])
+      val (renames, rest1) = rest0.partition(_.isInstanceOf[TableChange.RenameColumn])
+      val (drops, others) = rest1.partition(_.isInstanceOf[TableChange.DeleteColumn])
       // property changes (SET TBLPROPERTIES) stay pure catalog metadata
       val nonProps = others.filterNot(c =>
         c.isInstanceOf[TableChange.SetProperty] ||
           c.isInstanceOf[TableChange.RemoveProperty])
       require(nonProps.isEmpty,
-        s"graft tables support ALTER TABLE ADD COLUMNS and TBLPROPERTIES only " +
-          s"(history is immutable; got ${nonProps.mkString(", ")})")
+        s"graft tables support ALTER TABLE ADD/RENAME/DROP COLUMNS and " +
+          s"TBLPROPERTIES only (history is immutable; got ${nonProps.mkString(", ")})")
       val fields = adds.map(_.asInstanceOf[TableChange.AddColumn]).map { a =>
         require(a.fieldNames.length == 1,
           s"nested ADD COLUMNS not supported: ${a.fieldNames.mkString(".")}")
@@ -109,8 +111,27 @@ class GraftCatalog extends DelegatingCatalogExtension {
       }
       val root = new java.io.File(
         t.asInstanceOf[V1Table].catalogTable.location).getPath
-      if (fields.nonEmpty && VersionedTable.latestVersion(root).isDefined)
+      val live = VersionedTable.latestVersion(root).isDefined
+      if (fields.nonEmpty && live)
         VersionedTable.addColumns(SparkSession.active, root, fields)
+      // RENAME/DROP COLUMN: manifest column mapping — metadata-only
+      // commits, data files byte-identical (see VersionedTable.renameColumn)
+      renames.map(_.asInstanceOf[TableChange.RenameColumn]).foreach { r =>
+        require(r.fieldNames.length == 1,
+          s"nested RENAME COLUMN not supported: ${r.fieldNames.mkString(".")}")
+        require(live, "cannot rename a column of an empty (uncommitted) table")
+        VersionedTable.renameColumn(SparkSession.active, root,
+          r.fieldNames()(0), r.newName)
+      }
+      val dropNames = drops.map(_.asInstanceOf[TableChange.DeleteColumn]).map { d =>
+        require(d.fieldNames.length == 1,
+          s"nested DROP COLUMN not supported: ${d.fieldNames.mkString(".")}")
+        d.fieldNames()(0)
+      }
+      if (dropNames.nonEmpty) {
+        require(live, "cannot drop columns of an empty (uncommitted) table")
+        VersionedTable.dropColumns(SparkSession.active, root, dropNames)
+      }
     }
     super.alterTable(ident, changes: _*)
   }
@@ -178,7 +199,8 @@ final case class GraftTableV2(
   override def schema(): StructType =
     if (VersionedTable.latestVersion(root).isEmpty)
       declaredSchema.getOrElse(new StructType())
-    else VersionedTable.tableSchema(spark, root, asOf)
+    else VersionedTable.logicalSchema(
+      VersionedTable.tableSchema(spark, root, asOf))
 
   def isEmptyTable: Boolean = VersionedTable.latestVersion(root).isEmpty
 

@@ -79,6 +79,16 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "(expected merge-on-read | copy-on-write)")
     }
 
+  /** The table's CDF switch, when DECLARED at the catalog level
+    * (`TBLPROPERTIES('graft.cdf.enabled'='true'|'false')`). None = not
+    * declared — the kernel falls through to the table root's `_props`
+    * file, then to the engine default (OFF). Delta's
+    * `delta.enableChangeDataFeed` semantics: change images are write
+    * amplification, so only subscribed tables opt in.
+    */
+  private def cdfOf(gt: GraftTableV2): Option[Boolean] =
+    Option(gt.properties().get(VersionedTable.CdfEnabledProp)).map(_ == "true")
+
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Pass 1: DML verbs become driver commands (their target relations
     // disappear with them; a MERGE source is read-swapped recursively).
@@ -87,7 +97,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           (cond == null || cond.resolved) =>
         val gt = writable(graftOf(t).get, "DELETE from")
         GraftDeleteCommand(gt.root,
-          Option(cond).map(asColumn).getOrElse(lit(true)), morOf(gt))
+          Option(cond).map(asColumn).getOrElse(lit(true)), morOf(gt), cdfOf(gt))
 
       case u @ UpdateTable(t, assignments, cond) if u.resolved &&
           graftOf(t).isDefined =>
@@ -98,7 +108,7 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             s"UPDATE supports plain column assignments, got $other")
         }.toMap
         GraftUpdateCommand(gt.root,
-          cond.map(asColumn).getOrElse(lit(true)), assigns, morOf(gt))
+          cond.map(asColumn).getOrElse(lit(true)), assigns, morOf(gt), cdfOf(gt))
 
       case m: MergeIntoTable if m.resolved && graftOf(m.targetTable).isDefined =>
         convertMerge(m, writable(graftOf(m.targetTable).get, "MERGE into"))
@@ -157,7 +167,8 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
       case other => unsupported(s"not-matched actions must be exactly INSERT *, got $other")
     }
     // the source may itself read graft tables — swap those reads now
-    GraftMergeCommand(gt.root, swapReads(m.sourceTable), keyCol, morOf(gt))
+    GraftMergeCommand(gt.root, swapReads(m.sourceTable), keyCol, morOf(gt),
+      cdfOf(gt))
   }
 
   /** Swap every graft READ relation for the manifest-FileIndex
@@ -176,11 +187,16 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
         val gt = r.table.asInstanceOf[GraftTableV2]
         if (gt.isEmptyTable) LocalRelation(r.output)
         else {
+          // ONE version resolution governs the dv probe AND the scan it
+          // selects — re-resolving per step would let a racing commit
+          // pair v's dvs with v+N's dirs (a snapshot nobody committed)
           val v = gt.asOf.orElse(VersionedTable.latestVersion(gt.root)).get
           val dvs = VersionedTable.snapshot(gt.root, v).dvs
-          if (dvs.isEmpty) {
+          val mapped = VersionedTable.isMapped(
+            VersionedTable.tableSchema(spark, gt.root, Some(v)))
+          if (dvs.isEmpty && !mapped) {
             val (index, dataSchema) =
-              VersionedTable.scanIndex(spark, gt.root, gt.asOf)
+              VersionedTable.scanIndex(spark, gt.root, Some(v))
             LogicalRelation(ManifestScan.relation(spark, index, dataSchema),
               r.output.map(_.asInstanceOf[AttributeReference]), None,
               isStreaming = false, None)
@@ -190,10 +206,15 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
             // onto the relation's output ids so the surrounding plan
             // stays resolved; anchor-column predicates keep pushing
             // through the anti-join into the FileIndex
-            val lp = VersionedTable.scan(spark, gt.root, gt.asOf)
+            val lp = VersionedTable.scan(spark, gt.root, Some(v))
               .queryExecution.analyzed
             require(lp.output.size == r.output.size,
               s"scan/relation schema width mismatch on ${gt.name()}")
+            lp.output.zip(r.output).foreach { case (n, o) =>
+              require(n.name == o.name,
+                s"scan/relation column order diverged on ${gt.name()}: " +
+                  s"'${n.name}' vs '${o.name}' — refusing to cross-wire")
+            }
             Project(lp.output.zip(r.output).map { case (n, o) =>
               Alias(n, o.name)(exprId = o.exprId)
             }, lp)
@@ -205,25 +226,27 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
 
 /** `DELETE FROM t WHERE p` — returns the rows removed. */
 case class GraftDeleteCommand(root: String, cond: Column,
-    mor: Boolean = false) extends LeafRunnableCommand {
+    mor: Boolean = false,
+    cdf: Option[Boolean] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("deleted_rows", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(
-      if (mor) VersionedTable.deleteMor(session, root, cond)
-      else VersionedTable.delete(session, root, cond)))
+      if (mor) VersionedTable.deleteMor(session, root, cond, cdf)
+      else VersionedTable.delete(session, root, cond, cdf)))
 }
 
 /** `UPDATE t SET ... WHERE p` — returns the rows updated. */
 case class GraftUpdateCommand(root: String, cond: Column,
     assignments: Map[String, Column],
-    mor: Boolean = false) extends LeafRunnableCommand {
+    mor: Boolean = false,
+    cdf: Option[Boolean] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("updated_rows", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] =
     Seq(Row(
-      if (mor) VersionedTable.updateMor(session, root, cond, assignments)
-      else VersionedTable.update(session, root, cond, assignments)))
+      if (mor) VersionedTable.updateMor(session, root, cond, assignments, cdf)
+      else VersionedTable.update(session, root, cond, assignments, cdf)))
 }
 
 /** `MERGE INTO t USING s ON t.k = s.k WHEN MATCHED THEN UPDATE SET *
@@ -231,7 +254,8 @@ case class GraftUpdateCommand(root: String, cond: Column,
   * version number.
   */
 case class GraftMergeCommand(root: String, source: LogicalPlan,
-    keyCol: String, mor: Boolean = false) extends LeafRunnableCommand {
+    keyCol: String, mor: Boolean = false,
+    cdf: Option[Boolean] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("version", LongType, nullable = false)())
   override def innerChildren: Seq[LogicalPlan] = Seq(source)
@@ -239,7 +263,7 @@ case class GraftMergeCommand(root: String, source: LogicalPlan,
     val cs = session.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     val srcDf = org.apache.spark.sql.classic.Dataset.ofRows(cs, source)
     Seq(Row((
-      if (mor) VersionedTable.mergeMor(session, root, srcDf, keyCol)
-      else VersionedTable.merge(session, root, srcDf, keyCol)).toLong))
+      if (mor) VersionedTable.mergeMor(session, root, srcDf, keyCol, cdf = cdf)
+      else VersionedTable.merge(session, root, srcDf, keyCol, cdf = cdf)).toLong))
   }
 }

@@ -17,8 +17,15 @@ import graft.sources.VersionedTable
   */
 class ChangeFeedCdfSpec extends SparkTestBase {
 
-  private def freshRoot(): String =
-    Files.createTempDirectory("graft_cdf_").toString
+  // Every root in this suite OPTS IN to CDF via the table property —
+  // image staging is off by default (Delta's delta.enableChangeDataFeed
+  // semantics; the default-off contract has its own test below).
+  private def freshRoot(): String = {
+    val root = Files.createTempDirectory("graft_cdf_").toString
+    VersionedTable.setTableProperties(root,
+      Map(VersionedTable.CdfEnabledProp -> "true"))
+    root
+  }
 
   /** id-keyed two-column corpus: three appends of 10 rows each. */
   private def corpus(root: String): Unit =
@@ -120,10 +127,43 @@ class ChangeFeedCdfSpec extends SparkTestBase {
     assert(state.filter(col("id") === 28).isEmpty)
   }
 
+  test("CDF is OFF by default: unsubscribed tables pay zero image staging") {
+    // A root WITHOUT graft.cdf.enabled (and no explicit cdf argument):
+    // every DML verb commits with NO cdf= manifest line and no _changes
+    // dir — the write-amplification-free default every plain writer gets.
+    // The change feed then refuses the range with the resync remedy
+    // (ChangeFeedSource's non-CDF mode, VersionedTable.changes, is the
+    // pre-r14 loud-resync contract and keeps its own tests).
+    val root = Files.createTempDirectory("graft_nocdf_").toString
+    corpus(root)
+    VersionedTable.delete(spark, root, col("id") === 5)
+    VersionedTable.update(spark, root, col("id") === 6, Map("v" -> lit(-1L)))
+    VersionedTable.merge(spark, root,
+      spark.range(7, 9).toDF("id").withColumn("v", lit(-2L)), "id")
+    (4 to 6).foreach { v =>
+      assert(VersionedTable.snapshot(root, v).cdfDir.isEmpty,
+        s"default-off table staged CDF images at v$v")
+    }
+    assert(!new java.io.File(root, "_changes").exists(),
+      "default-off table grew a _changes dir")
+    val e = intercept[IllegalArgumentException] {
+      VersionedTable.changeFeed(spark, root, 3, 6).collect()
+    }
+    assert(e.getMessage.contains("pre-CDF"))
+    // flipping the property ON makes the NEXT commit stage images —
+    // opt-in is live per commit, no table rewrite needed
+    VersionedTable.setTableProperties(root,
+      Map(VersionedTable.CdfEnabledProp -> "true"))
+    VersionedTable.delete(spark, root, col("id") === 10)
+    assert(VersionedTable.snapshot(root, 7).cdfDir.nonEmpty)
+    assert(types(VersionedTable.changeFeed(spark, root, 6, 7)) ===
+      Map("delete" -> 1L))
+  }
+
   test("overwrite/restore still refuse; pre-CDF DML commits refuse with remedy") {
     val root = freshRoot()
     corpus(root)
-    VersionedTable.delete(spark, root, col("id") === 0, cdf = false) // legacy shape
+    VersionedTable.delete(spark, root, col("id") === 0, cdf = Some(false)) // legacy shape
     val e1 = intercept[IllegalArgumentException] {
       VersionedTable.changeFeed(spark, root, 3, 4).collect()
     }

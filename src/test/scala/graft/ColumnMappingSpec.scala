@@ -1,0 +1,201 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.VersionedTable
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** RENAME/DROP COLUMN via manifest column mapping (Delta's
+  * `delta.columnMapping` shape re-expressed over the manifest's
+  * `schema_json`): logical names re-bind through field metadata, the
+  * PHYSICAL (on-disk) name is frozen at column creation, data files stay
+  * byte-identical, and a DROP + re-ADD of the same logical name binds to
+  * a fresh physical column so dropped values can never resurface.
+  */
+class ColumnMappingSpec extends SparkTestBase {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_cmap_").toString
+
+  /** Three id-ranged dirs with stats on id and a bloom on tag. */
+  private def corpus(root: String): Unit =
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      VersionedTable.commit(
+        spark.range(lo, hi).toDF("id")
+          .withColumn("v", col("id") * 2)
+          .withColumn("tag", concat(lit("t"), (col("id") % 7).cast("string"))),
+        root, "append", statsCols = Seq("id"), bloomCols = Seq("tag"))
+    }
+
+  private def rows(df: DataFrame, c: String): Seq[Long] =
+    df.select(c).collect().map(_.getLong(0)).sorted.toSeq
+
+  test("RENAME COLUMN is metadata-only and value-transparent") {
+    val root = freshRoot()
+    corpus(root)
+    val dirsBefore = VersionedTable.snapshot(root, 3).dataDirs
+    val v = VersionedTable.renameColumn(spark, root, "v", "value")
+    assert(v === 4)
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.operation === "rename")
+    assert(snap.dataDirs === dirsBefore, "rename must move zero data")
+    // the new logical name serves the old physical data, exactly
+    val df = VersionedTable.read(spark, root)
+    assert(df.columns.toSeq === Seq("id", "value", "tag"))
+    assert(rows(df.filter(col("id") < 3), "value") === Seq(0L, 2L, 4L))
+    // the reported schema is CLEAN — the mapping is storage detail
+    assert(!df.schema("value").metadata.contains(VersionedTable.PhysicalNameKey))
+    // time travel across the rename: the OLD anchor serves the OLD name
+    val old = VersionedTable.read(spark, root, asOf = Some(3))
+    assert(old.columns.toSeq === Seq("id", "v", "tag"))
+    assert(rows(old.filter(col("id") < 3), "v") === Seq(0L, 2L, 4L))
+  }
+
+  test("stats/bloom skipping keeps biting under the renamed name") {
+    val root = freshRoot()
+    corpus(root)
+    VersionedTable.renameColumn(spark, root, "id", "key")
+    // manifest stats lines were rewritten to the new logical name
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.dirStats.nonEmpty && snap.dirStats.forall(_.col == "key"))
+    // readFiltered prunes on the NEW name (1 of 3 dirs admitted) and is
+    // value-exact
+    val pruned = VersionedTable.readPruned(spark, root, "key", 120.0, 150.0)
+    assert(pruned.inputFiles.length <
+      VersionedTable.read(spark, root).inputFiles.length)
+    assert(rows(pruned.filter(col("key") >= 120 && col("key") <= 150), "key")
+      === (120L to 150L))
+    // scan(): the pushed filter prunes through the FileIndex (physical
+    // name remapped back to the manifest's logical stats)
+    val scanned = VersionedTable.scan(spark, root)
+      .filter(col("key") >= 120 && col("key") < 150)
+    assert(scanned.count() === 30L)
+  }
+
+  test("DML after a rename: predicates and assignments speak the new name") {
+    val root = freshRoot()
+    corpus(root)
+    VersionedTable.renameColumn(spark, root, "v", "value")
+    assert(VersionedTable.delete(spark, root, col("value") === 10L) === 1L)
+    assert(VersionedTable.update(spark, root, col("id") === 6L,
+      Map("value" -> lit(-1L))) === 1L)
+    val merged = spark.range(299, 301).toDF("id")
+      .withColumn("value", lit(7L))
+      .withColumn("tag", lit("tX"))
+    VersionedTable.merge(spark, root, merged, "id")
+    val df = VersionedTable.read(spark, root)
+    assert(df.count() === 300L) // -1 delete, +1 insert
+    assert(rows(df.filter(col("id") === 6L), "value") === Seq(-1L))
+    assert(rows(df.filter(col("id") === 299L), "value") === Seq(7L))
+    assert(df.filter(col("value") === 10L).isEmpty)
+    // MOR twin over the mapped table
+    assert(VersionedTable.deleteMor(spark, root, col("value") === 14L) === 1L)
+    assert(VersionedTable.read(spark, root).count() === 299L)
+    assert(VersionedTable.purgeDeletes(spark, root).nonEmpty)
+    assert(VersionedTable.read(spark, root).count() === 299L)
+  }
+
+  test("DROP + re-ADD of the same name never resurrects dropped values") {
+    val root = freshRoot()
+    corpus(root)
+    VersionedTable.dropColumns(spark, root, Seq("v"))
+    val df = VersionedTable.read(spark, root)
+    assert(df.columns.toSeq === Seq("id", "tag"))
+    // time travel: pre-drop versions still serve the column
+    assert(rows(VersionedTable.read(spark, root, asOf = Some(3))
+      .filter(col("id") === 5L), "v") === Seq(10L))
+    // re-ADD the same logical name: binds to a FRESH physical column —
+    // pre-drop files must serve NULL, not their old v values
+    VersionedTable.addColumns(spark, root,
+      Seq(org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val readd = VersionedTable.read(spark, root)
+    assert(readd.columns.toSeq === Seq("id", "tag", "v"))
+    assert(readd.filter(col("v").isNotNull).isEmpty,
+      "re-added column resurrected dropped values")
+    // and fresh appends land the new column under its minted physical name
+    VersionedTable.commit(
+      spark.range(300, 310).toDF("id")
+        .withColumn("tag", lit("tZ")).withColumn("v", lit(99L)),
+      root, "append", statsCols = Seq("id"))
+    val after = VersionedTable.read(spark, root)
+    assert(after.filter(col("v") === 99L).count() === 10L)
+    assert(after.filter(col("v").isNotNull).count() === 10L)
+  }
+
+  test("SQL: ALTER TABLE RENAME/DROP COLUMN through the catalog") {
+    val ss = SqlCatalogSpec.session(spark)
+    val root = freshRoot()
+    corpus(root)
+    val t = s"cmap_sql_${System.nanoTime()}"
+    ss.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    ss.sql(s"ALTER TABLE $t RENAME COLUMN v TO value")
+    assert(ss.sql(s"SELECT sum(value) s FROM $t WHERE id < 10").head().getLong(0)
+      === (0L until 10L).map(_ * 2).sum)
+    // DML through SQL under the new name
+    ss.sql(s"UPDATE $t SET value = 0 WHERE id = 7")
+    assert(ss.sql(s"SELECT value FROM $t WHERE id = 7").head().getLong(0) === 0L)
+    // time travel across the rename by the OLD name
+    assert(ss.sql(s"SELECT sum(v) s FROM $t VERSION AS OF 3 WHERE id < 10")
+      .head().getLong(0) === (0L until 10L).map(_ * 2).sum)
+    ss.sql(s"ALTER TABLE $t DROP COLUMN value")
+    assert(ss.sql(s"SELECT * FROM $t").columns.toSeq === Seq("id", "tag"))
+    ss.sql(s"DROP TABLE $t")
+  }
+
+  test("streaming subscription refuses to cross a rename; resubscribe sees it") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = freshRoot()
+    corpus(root)
+    VersionedTable.renameColumn(spark, root, "v", "value")
+    val ckpt = Files.createTempDirectory("graft_cmap_ckpt_").toString
+    // subscribing from 0 with a range crossing the rename version: loud
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("root", root).load()
+        .writeStream.format("noop")
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    assert(e.getMessage.contains("resubscribe") ||
+      Option(e.getCause).exists(_.getMessage.contains("resubscribe")))
+    // a FRESH subscription from the rename version onward drains fine
+    VersionedTable.commit(
+      spark.range(300, 302).toDF("id")
+        .withColumn("value", col("id") * 2)
+        .withColumn("tag", lit("tN")),
+      root, "append", statsCols = Seq("id"))
+    val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val ckpt2 = Files.createTempDirectory("graft_cmap_ckpt2_").toString
+    val q2 = spark.readStream.format("graft-changefeed")
+      .option("root", root).option("startingVersion", "4").load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        seen ++= b.collect().map(_.getAs[Long]("id")); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ckpt2)
+      .start()
+    q2.awaitTermination()
+    assert(seen.sorted.toSeq === Seq(300L, 301L))
+  }
+
+  test("batch changeFeed conforms across a rename via physical identity") {
+    val root = freshRoot()
+    VersionedTable.setTableProperties(root,
+      Map(VersionedTable.CdfEnabledProp -> "true"))
+    corpus(root)
+    VersionedTable.renameColumn(spark, root, "v", "value")
+    VersionedTable.delete(spark, root, col("id") === 42L)
+    // the range crosses appends (pre-rename dirs) AND a post-rename DML:
+    // every slice serves the RANGE-FINAL logical name, values exact
+    val feed = VersionedTable.changeFeed(spark, root, 0, 5)
+    assert(feed.columns.contains("value") && !feed.columns.contains("v"))
+    assert(feed.filter(col("_change_type") === "insert").count() === 300L)
+    val del = feed.filter(col("_change_type") === "delete").collect()
+    assert(del.length === 1 && del(0).getAs[Long]("value") === 84L)
+  }
+}

@@ -26,8 +26,14 @@ import org.apache.spark.sql.functions._
 class DeletionVectorSpec extends SparkTestBase
   with org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanHelper {
 
-  private def freshRoot(): String =
-    Files.createTempDirectory("graft_dv_").toString
+  // CDF opt-in: several tests below assert the MOR kernels persist
+  // change images alongside their dvs (staging is off by default).
+  private def freshRoot(): String = {
+    val root = Files.createTempDirectory("graft_dv_").toString
+    VersionedTable.setTableProperties(root,
+      Map(VersionedTable.CdfEnabledProp -> "true"))
+    root
+  }
 
   /** Three disjoint id-range dirs with min/max stats on id. */
   private def rangedTable(root: String): Seq[String] = {
@@ -344,5 +350,69 @@ class DeletionVectorSpec extends SparkTestBase
     assert(sql.sql("SELECT count(*) c FROM dv_t").head().getLong(0) === 260L)
     assert(sql.sql("SELECT v FROM dv_t WHERE id = 260").head().getLong(0) === 26000L)
     sql.sql("DROP TABLE dv_t")
+  }
+
+  test("COW DML drops dv entries whose dirs it rewrote (no immortal stale state)") {
+    val root = freshRoot()
+    rangedTable(root)
+    // MOR delete touches ONLY the middle dir (stats admit just dir2)
+    assert(VersionedTable.deleteMor(spark, root,
+      col("id") >= 120L && col("id") < 180L) === 60L)
+    val v4 = VersionedTable.snapshot(root, 4)
+    assert(v4.dvs.size === 1 && v4.dvs.head.bases.nonEmpty,
+      "MOR commits record the dir bases their dv may reference")
+    // COW UPDATE rewrites the whole middle dir: the dv\'d dir is replaced,
+    // so the carried dv entry is dead — publish must filter it out, or the
+    // table stays on the anti-join read path (and DESCRIBE DETAIL\'s dv
+    // counters inflate) forever
+    assert(VersionedTable.update(spark, root,
+      col("id") >= 100L && col("id") < 200L,
+      Map("v" -> (col("v") + lit(1L)))) === 40L) // 100 - 60 dv'd
+    val v5 = VersionedTable.snapshot(root, 5)
+    assert(v5.dvs.isEmpty,
+      s"COW rewrite carried stale dv entries: ${v5.dvs}")
+    // dv-free read path again, content exact: [120,180) gone, the
+    // surviving middle rows updated
+    val rows = VersionedTable.read(spark, root)
+      .select("id", "v").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows.size === 240)
+    assert(!rows.contains(150L))
+    assert(rows(110L) === 221L) // 110*2 + 1
+    assert(rows(50L) === 100L)  // untouched dir
+    // nothing left to purge
+    assert(VersionedTable.purgeDeletes(spark, root) === None)
+  }
+
+  test("purgeDeletes clears ALL-stale legacy dv entries instead of crashing") {
+    // Simulate a legacy/foreign manifest: a dv entry with no recorded
+    // bases whose referenced dir is gone from the snapshot. purgeDeletes
+    // used to compute affected=[] and crash in an empty reduce — exactly
+    // the state that most needs clearing. Now it publishes a clean
+    // manifest (dirs carried by name, dv list emptied), content-exact.
+    val root = freshRoot()
+    (0 to 1).foreach(i => VersionedTable.commit(
+      spark.range(i * 10L, (i + 1) * 10L).toDF("id")
+        .withColumn("v", col("id") * 2), root, "append", statsCols = Seq("id")))
+    assert(VersionedTable.deleteMor(spark, root, col("id") === 5L) === 1L)
+    val snap = VersionedTable.snapshot(root, 3)
+    val dir1Base = new java.io.File(snap.dataDirs.head).getName
+    // craft v4: drop the dv\'d dir and its metadata, keep the dv line in
+    // LEGACY form (no bases) — a stale entry no API path can purge
+    val v3 = graft.sources.CommitStore.local.get(root, 3).get
+    val v4 = v3.linesIterator.flatMap { line =>
+      if (line.startsWith("version=")) Some("version=4")
+      else if (line.startsWith("parent=")) Some("parent=3")
+      else if (line.startsWith("dv=")) Some(line.split("\\|").take(2).mkString("|"))
+      else if ((line.startsWith("dir=") || line.startsWith("stats=") ||
+        line.startsWith("bloom=")) && line.contains(dir1Base)) None
+      else Some(line)
+    }.mkString("\n")
+    assert(graft.sources.CommitStore.local.putIfAbsent(root, 4, v4))
+    assert(VersionedTable.snapshot(root, 4).dvs.nonEmpty)
+    val purged = VersionedTable.purgeDeletes(spark, root)
+    assert(purged === Some(5))
+    val v5 = VersionedTable.snapshot(root, 5)
+    assert(v5.dvs.isEmpty)
+    assert(ids(VersionedTable.read(spark, root)) === (10L until 20L))
   }
 }

@@ -808,7 +808,8 @@ class PlanSpec extends SparkTestBase {
         Set(6L, 7L))
       // the ROW-LEVEL CDF TVF (Delta table_changes shape): a DML commit's
       // images, queryable by change type in pure SQL
-      VersionedTable.delete(s2, root, org.apache.spark.sql.functions.col("id") === 101L)
+      VersionedTable.delete(s2, root,
+        org.apache.spark.sql.functions.col("id") === 101L, cdf = Some(true))
       assert(ids(s"SELECT id FROM graft_change_feed('$root', 3, 4) " +
         "WHERE _change_type = 'delete'") === Set(101L))
       assert(s2.sql(s"SELECT _commit_version FROM graft_change_feed('$root', 3, 4)")

@@ -356,6 +356,8 @@ class PropertySpec extends SparkTestBase {
         val (batches, seed) =
           scenarioGen(Gen.Parameters.default, Seed(7000L + i)).get
         val root = java.nio.file.Files.createTempDirectory("graft_cdf_prop_").toString
+        VersionedTable.setTableProperties(root,
+          Map(VersionedTable.CdfEnabledProp -> "true")) // CDF-fed IVM opts in
         // seed commit so DML always has a table to touch
         VersionedTable.commit(spark.range(20).select(
           col("id").as("k"),

@@ -47,13 +47,10 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 203 = r13's 192 + r14's CDF/RESTORE/maintenance tier (q_cdf_dml,
-    // q_stream_cdf_upsert, q_versioned_restore, q_versioned_sql_restore,
-    // q_zorder_sql, q_versioned_sql_clone, q_versioned_sql_evolve) + the
-    // merge-on-read tier (q_versioned_dv_delete/update/merge/purge +
-    // q_stream_upsert_mor + q_versioned_sql_dv_delete); raise this floor
+    // 208 = r14's 205 + the r15 column-mapping tier (q_versioned_rename,
+    // q_versioned_sql_rename, q_versioned_sql_drop); raise this floor
     // whenever a query is added, never lower it
-    assert(SparkEntry.queries.size >= 205,
-      s"registry shrank: ${SparkEntry.queries.size} < 205")
+    assert(SparkEntry.queries.size >= 208,
+      s"registry shrank: ${SparkEntry.queries.size} < 208")
   }
 }

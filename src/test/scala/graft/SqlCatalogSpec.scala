@@ -244,7 +244,7 @@ class SqlCatalogSpec extends SparkTestBase {
     VersionedTable.commit(spark.range(0, 5).toDF("id").withColumn("v", col("id")),
       root, statsCols = Seq("id"))
     val t = freshTable()
-    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root' TBLPROPERTIES ('graft.cdf.enabled'='true')")
     sql.sql(s"UPDATE $t SET v = v + 100 WHERE id <= 1")
     val ckpt = Files.createTempDirectory("graft_cdfname_ckpt_").toString
     val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, String, Long)]
@@ -329,9 +329,14 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(sql.sql(s"SELECT * FROM $t VERSION AS OF 1").columns.toSeq === Seq("id"))
     // a change subscription crosses the evolve version as an empty delta
     assert(VersionedTable.changes(sql, root, 1, 2).count() === 0L)
-    // immutable history: drop/rename/retype are refused loudly
-    intercept[Exception](sql.sql(s"ALTER TABLE $t DROP COLUMN tag"))
-    intercept[Exception](sql.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label"))
+    // r15: RENAME/DROP are first-class via column mapping (their own
+    // round-trips live in ColumnMappingSpec); here only the duplicate
+    // add refusal — the rename is reverted so the rest of this test's
+    // narrow-schema assertions stay meaningful
+    sql.sql(s"ALTER TABLE $t RENAME COLUMN tag TO label")
+    assert(sql.sql(s"SELECT * FROM $t").columns.contains("label"))
+    sql.sql(s"ALTER TABLE $t RENAME COLUMN label TO tag")
+    assert(sql.sql(s"SELECT * FROM $t").columns.contains("tag"))
     // duplicate add is refused
     intercept[Exception](sql.sql(s"ALTER TABLE $t ADD COLUMNS (score DOUBLE)"))
     // the canonical evolution story: ALTER, then BACKFILL via UPDATE —
@@ -501,7 +506,9 @@ class SqlCatalogSpec extends SparkTestBase {
     VersionedTable.commit(spark.range(0, 5).toDF("id"), root, statsCols = Seq("id"))
     VersionedTable.commit(spark.range(5, 9).toDF("id"), root)
     val t = freshTable()
-    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    // cdf on, so the history's CDF flag column has a true to show
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root' " +
+      "TBLPROPERTIES ('graft.cdf.enabled'='true')")
     sql.sql(s"DELETE FROM $t WHERE id = 7")
     val hist = sql.sql(s"DESCRIBE HISTORY $t")
       .collect().map(r => (r.getLong(0), r.getString(2), r.getLong(3),

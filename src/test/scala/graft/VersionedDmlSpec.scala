@@ -295,15 +295,17 @@ class VersionedDmlSpec extends SparkTestBase {
     // broadcast — every term independent of K. The r12 shape was 2-3
     // actions PER dir (>= 2K + 4 = 28 at K=12); the bound separates
     // cleanly from O(K).
-    val jobs = probe { VersionedTable.merge(spark, root, source, "id") }
+    val jobs = probe {
+      VersionedTable.merge(spark, root, source, "id", cdf = Some(true))
+    }
     assert(jobs <= 13, s"expected O(1) jobs for a $k-dir merge, saw $jobs")
-    // opting out of CDF drops the constant back to the r13 shape
+    // the DEFAULT (no property, no argument) is the r13 no-CDF shape
     val jobsNoCdf = probe {
       VersionedTable.merge(spark, root,
-        source.withColumn("v", lit(-2L)), "id", cdf = false)
+        source.withColumn("v", lit(-2L)), "id")
     }
     assert(jobsNoCdf <= 10,
-      s"expected <= 10 jobs for a cdf=false $k-dir merge, saw $jobsNoCdf")
+      s"expected <= 10 jobs for a default (cdf-off) $k-dir merge, saw $jobsNoCdf")
     assert(VersionedTable.snapshot(root,
       VersionedTable.latestVersion(root).get).cdfDir.isEmpty)
     // and both merges are right (the cdf=false pass re-upserted the same
