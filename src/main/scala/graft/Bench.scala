@@ -65,6 +65,31 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
+    // Fixed-work I/O calibration: write a corpus-independent 4M-row
+    // two-column parquet dir to the bench tmp filesystem and read it
+    // back. The CPU probe above CANNOT see I/O-side environment drift —
+    // the r15 A/B showed the r13 BINARY running 1.2-1.9x its official
+    // numbers at a FASTER cpu calibration, with the delta concentrated
+    // in parquet write phases (vt.commit.write) — so the headline needs
+    // BOTH anchors: a swing that tracks io_calibration_sec is
+    // filesystem/environment, not code.
+    def calibrateIo(): Double = {
+      val dir = java.nio.file.Files.createTempDirectory("graft_iocal_").toString
+      val t0 = System.nanoTime()
+      spark.range(0L, 4000000L, 1, cpus.toInt)
+        .selectExpr("id", "cast(id % 9973 as double) AS v")
+        .write.mode("overwrite").parquet(dir)
+      spark.read.parquet(dir).selectExpr("sum(v)").collect()
+      val dt = (System.nanoTime() - t0) / 1e9
+      try {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles()).toSeq.flatten.foreach(rm); f.delete(); ()
+        }
+        rm(new java.io.File(dir))
+      } catch { case _: Throwable => () }
+      dt
+    }
+
     // Per-query (seconds, plan fingerprint). The fingerprint hashes the
     // canonicalized optimized plan (expression IDs normalized), so a timing
     // swing with an UNCHANGED fingerprint is environmental, and a changed
@@ -123,6 +148,7 @@ object Bench {
       n.startsWith("q_stream_") || n.endsWith("_refresh")
     }
     val calibration = median((1 to 3).map(_ => calibrate()))
+    val ioCalibration = median((1 to 3).map(_ => calibrateIo()))
     val timed = (light ++ heavy).map { case (name, fn) =>
       val runs = (1 to reps).map(_ => runOnce(name, fn))
       // min-of-reps per PHASE, same statistic as the per-query wall time
@@ -135,7 +161,11 @@ object Bench {
     }
     val results = timed.map { case (name, sec, _, _) => name -> sec }
     val plans = timed.map { case (name, _, h, _) => name -> h }
-    val phases = timed.flatMap(_._4).sortBy(_._1)
+    // phase keys are prefixed with their query so the artifact stays
+    // attributable when two queries share a kernel phase (vt.commit.*)
+    val phases = timed.flatMap { case (name, _, _, ph) =>
+      ph.map { case (k, v) => s"$name::$k" -> v }
+    }.sortBy(_._1)
     val total = results.collect { case (_, v) if v >= 0 => v }.sum
 
     // Warm serving-path latency, the shape the reference benchmarks
@@ -195,6 +225,7 @@ object Bench {
       s"""{"metric":"total","value":${f(total)},"unit":"sec","reps":$reps,""" +
         s""""stat":"min_of_$reps",""" +
         s""""calibration_sec":${f(calibration)},""" +
+        s""""io_calibration_sec":${f(ioCalibration)},""" +
         s""""total_per_calib":${f(if (calibration > 0) total / calibration else -1.0)},""" +
         s""""queries":$qs,"plans":$ps,"phases":$phs,""" +
         s""""pit_warm":${warmJson(pitWarm, f)},""" +
@@ -220,6 +251,7 @@ object Bench {
     println(
       s"""{"metric":"total","value":${sig3(total)},"unit":"sec","reps":$reps,""" +
         s""""calibration_sec":${sig3(calibration)},""" +
+        s""""io_calibration_sec":${sig3(ioCalibration)},""" +
         s""""total_per_calib":${sig3(if (calibration > 0) total / calibration else -1.0)},""" +
         s""""n_queries":${results.length},"queries":$slowest,""" +
         s""""pit_warm":${warmJson(pitWarm, sig3)},""" +

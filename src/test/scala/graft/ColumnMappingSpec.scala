@@ -73,6 +73,26 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(scanned.count() === 30L)
   }
 
+  test("analyze() backfills skipping metadata under renamed names") {
+    val root = freshRoot()
+    corpus(root)
+    VersionedTable.renameColumn(spark, root, "id", "key")
+    // retrofit stats for a column that never had them, by its NEW name,
+    // over dirs whose FILES still speak the physical (old) name
+    VersionedTable.analyze(spark, root, statsCols = Seq("v"),
+      bloomCols = Seq("tag"))
+    val snap = VersionedTable.snapshot(root, 5)
+    assert(snap.operation === "analyze")
+    assert(snap.dirStats.exists(_.col == "v"))
+    // prior key-stats (rewritten by the rename) survived the backfill
+    assert(snap.dirStats.exists(_.col == "key"))
+    val pruned = VersionedTable.readPruned(spark, root, "v", 250.0, 280.0)
+    assert(pruned.inputFiles.length <
+      VersionedTable.read(spark, root).inputFiles.length)
+    assert(rows(pruned.filter(col("v") >= 250 && col("v") <= 280), "v")
+      === (125L to 140L).map(_ * 2))
+  }
+
   test("DML after a rename: predicates and assignments speak the new name") {
     val root = freshRoot()
     corpus(root)
