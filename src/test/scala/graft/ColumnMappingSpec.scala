@@ -218,4 +218,90 @@ class ColumnMappingSpec extends SparkTestBase {
     val del = feed.filter(col("_change_type") === "delete").collect()
     assert(del.length === 1 && del(0).getAs[Long]("value") === 84L)
   }
+
+  test("property: random rename/drop/add/DML sequences track a relational model") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // Model check: the SAME operation sequence applied to (a) the
+    // versioned table through the mapping machinery and (b) a plain
+    // in-memory DataFrame model must stay row-identical after EVERY
+    // step. Columns: k (key, never dropped), a/b (rename/drop targets).
+    val opGen = Gen.frequency(
+      3 -> Gen.const("append"), 2 -> Gen.const("rename"),
+      1 -> Gen.const("drop"), 1 -> Gen.const("add"),
+      2 -> Gen.const("delete"), 2 -> Gen.const("update"))
+    val seqGen = for {
+      len <- Gen.choose(4, 7)
+      ops <- Gen.listOfN(len, opGen)
+    } yield ops
+    val prevParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "2")
+    try {
+      (0 until 8).foreach { i =>
+        val ops = seqGen(org.scalacheck.Gen.Parameters.default,
+          Seed(4200L + i)).get
+        val root = Files.createTempDirectory("graft_cmap_prop_").toString
+        def mk(lo: Long, hi: Long) = spark.range(lo, hi).toDF("k")
+          .withColumn("a", col("k") * 3).withColumn("b", col("k") % 5)
+        var model = mk(0, 20)
+        VersionedTable.commit(model, root, statsCols = Seq("k"))
+        var nextKey = 20L
+        var gen = 0 // monotone suffix for fresh names
+        // live column names other than k, newest first
+        def cols() = VersionedTable.read(spark, root).columns.toSeq
+        ops.zipWithIndex.foreach { case (op, j) =>
+          val live = cols().filterNot(_ == "k")
+          op match {
+            case "append" =>
+              val batch = VersionedTable.read(spark, root).limit(0)
+                .columns.foldLeft(spark.range(nextKey, nextKey + 5).toDF("k")) {
+                  case (df, c) if c == "k" => df
+                  case (df, c) => df.withColumn(c, col("k") + lit(j))
+                }
+              nextKey += 5
+              VersionedTable.commit(batch, root, statsCols = Seq("k"))
+              model = model.unionByName(batch, allowMissingColumns = true)
+            case "rename" if live.nonEmpty =>
+              gen += 1
+              val from = live(j % live.size)
+              val to = s"c$gen"
+              VersionedTable.renameColumn(spark, root, from, to)
+              model = model.withColumnRenamed(from, to)
+            case "drop" if live.size > 1 =>
+              val victim = live(j % live.size)
+              VersionedTable.dropColumns(spark, root, Seq(victim))
+              model = model.drop(victim)
+            case "add" =>
+              gen += 1
+              val name = s"c$gen"
+              VersionedTable.addColumns(spark, root, Seq(
+                org.apache.spark.sql.types.StructField(name,
+                  org.apache.spark.sql.types.LongType)))
+              model = model.withColumn(name,
+                lit(null).cast(org.apache.spark.sql.types.LongType))
+            case "delete" =>
+              val pred = col("k") % 7 === (j % 7).toLong
+              VersionedTable.delete(spark, root, pred)
+              model = model.filter(!coalesce(pred, lit(false)))
+            case "update" if live.nonEmpty =>
+              val c = live(j % live.size)
+              val pred = col("k") % 5 === (j % 5).toLong
+              VersionedTable.update(spark, root, pred,
+                Map(c -> (coalesce(col(c), lit(0L)) + lit(1000L))))
+              model = model.withColumn(c,
+                when(coalesce(pred, lit(false)),
+                  coalesce(col(c), lit(0L)) + lit(1000L)).otherwise(col(c)))
+            case _ => () // guard-skipped op: no-op on both sides
+          }
+          val actual = VersionedTable.read(spark, root)
+          assert(actual.columns.sorted.toSeq === model.columns.sorted.toSeq,
+            s"schema diverged at step $j (${ops.mkString(",")}) seed $i")
+          val aligned = model.select(actual.columns.map(col).toIndexedSeq: _*)
+          assert(actual.exceptAll(aligned).isEmpty &&
+            aligned.exceptAll(actual).isEmpty,
+            s"values diverged at step $j (${ops.mkString(",")}) seed $i")
+        }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prevParts)
+  }
 }
