@@ -22,8 +22,9 @@ import graft.sources.VersionedTable
   *   RESTORE TABLE t TO TIMESTAMP AS OF '2024-01-02 03:04:05'
   *   OPTIMIZE t                         -- compact to one dir
   *   OPTIMIZE t ZORDER BY (a, b[, c])   -- N-dim Morton re-cluster
+  *   OPTIMIZE t WHERE p [ZORDER BY (...)] -- scoped: rewrite admitted dirs only
   *   VACUUM t                           -- library default retention
-  *   VACUUM t RETAIN 168 HOURS          -- reap versions older than 7 days
+  *   VACUUM t RETAIN 168 HOURS          -- wall-clock: reap > 7 days old
   *   VACUUM t [RETAIN n HOURS] DRY RUN  -- report, touch nothing
   *   CREATE TABLE t2 SHALLOW CLONE t [VERSION AS OF n] [LOCATION '...']
   *   DESCRIBE HISTORY t                 -- the commit log as rows
@@ -48,6 +49,11 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case CREATE_CLONE(dst, src, v, loc) =>
       GraftCloneCommand(ident(dst), ident(src),
         Option(v).map(_.toInt), Option(loc))
+    case OPTIMIZE_WHERE_Z(t, pred, cols) => GraftOptimizeCommand(ident(t),
+      cols.split(",").toSeq.map(c => strip(c.trim)).filter(_.nonEmpty),
+      Some(pred.trim))
+    case OPTIMIZE_WHERE(t, pred) =>
+      GraftOptimizeCommand(ident(t), Seq.empty, Some(pred.trim))
     case OPTIMIZE_Z(t, cols)   => GraftOptimizeCommand(ident(t),
       cols.split(",").toSeq.map(c => strip(c.trim)).filter(_.nonEmpty))
     case OPTIMIZE_PLAIN(t)     => GraftOptimizeCommand(ident(t), Seq.empty)
@@ -78,7 +84,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
   override def parseQuery(sqlText: String): LogicalPlan = delegate.parseQuery(sqlText)
   override def parsePlanWithParameters(sqlText: String,
       ctx: ParameterContext): LogicalPlan = sqlText match {
-    case RESTORE_VERSION(_, _) | RESTORE_TS(_, _) | OPTIMIZE_Z(_, _) |
+    case RESTORE_VERSION(_, _) | RESTORE_TS(_, _) | OPTIMIZE_WHERE_Z(_, _, _) |
+         OPTIMIZE_WHERE(_, _) | OPTIMIZE_Z(_, _) |
          OPTIMIZE_PLAIN(_) | VACUUM_RETAIN(_, _, _) | VACUUM_PLAIN(_, _) |
          DESCRIBE_HISTORY(_) | DESCRIBE_DETAIL(_) | CREATE_CLONE(_, _, _, _) =>
       parsePlan(sqlText)
@@ -112,6 +119,12 @@ object GraftSqlParser {
   val OPTIMIZE_Z: Regex =
     s"""(?is)\\s*OPTIMIZE\\s+$ID\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
   val OPTIMIZE_PLAIN: Regex = s"""(?is)\\s*OPTIMIZE\\s+$ID\\s*;?\\s*""".r
+  // scoped maintenance: WHERE bounds the rewrite to the dirs the
+  // predicate's manifest translation admits (Delta's `OPTIMIZE ... WHERE`)
+  val OPTIMIZE_WHERE_Z: Regex =
+    s"""(?is)\\s*OPTIMIZE\\s+$ID\\s+WHERE\\s+(.+?)\\s+ZORDER\\s+BY\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
+  val OPTIMIZE_WHERE: Regex =
+    s"""(?is)\\s*OPTIMIZE\\s+$ID\\s+WHERE\\s+(.+?)\\s*;?\\s*""".r
   val VACUUM_RETAIN: Regex =
     s"""(?is)\\s*VACUUM\\s+$ID\\s+RETAIN\\s+(\\d+(?:\\.\\d+)?)\\s+HOURS?(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
   val VACUUM_PLAIN: Regex = s"""(?is)\\s*VACUUM\\s+$ID(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
@@ -218,7 +231,8 @@ case class GraftCloneCommand(target: TableIdentifier, source: TableIdentifier,
   * power of two).
   */
 case class GraftOptimizeCommand(table: TableIdentifier,
-    zorderCols: Seq[String]) extends LeafRunnableCommand {
+    zorderCols: Seq[String],
+    where: Option[String] = None) extends LeafRunnableCommand {
   override val output: Seq[Attribute] =
     Seq(AttributeReference("new_version", LongType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
@@ -227,12 +241,23 @@ case class GraftOptimizeCommand(table: TableIdentifier,
     val statsCols = (GraftSqlParser.propCols(props, "statsCols") ++ zorderCols).distinct
     val bloomCols = GraftSqlParser.propCols(props, "bloomCols")
     val fpp = props.getOrElse("bloomFpp", "0.01").toDouble
+    // WHERE scope: predicate text → Column; the library verbs translate
+    // it onto the manifest's skipping tiers and rewrite only admitted dirs
+    val scope = where.map(org.apache.spark.sql.functions.expr)
     val v =
-      if (zorderCols.isEmpty)
-        VersionedTable.compact(session, root, statsCols, bloomCols, fpp)
+      if (zorderCols.isEmpty) scope match {
+        case None    => VersionedTable.compact(session, root, statsCols, bloomCols, fpp)
+        case Some(p) => VersionedTable.compactWhere(session, root, p,
+          statsCols, bloomCols, fpp)
+      }
       else {
         val nDirs = props.getOrElse("optimizeDirs", "16").toInt
-        val current = VersionedTable.read(session, root)
+        // dim bounds measured over the SCOPE frame (the rows actually
+        // re-laid), so a scoped rewrite stays O(admitted dirs) end to end
+        val current = scope match {
+          case None    => VersionedTable.read(session, root)
+          case Some(p) => VersionedTable.readAdmitted(session, root, p)
+        }
         val schema = current.schema
         def image(c: String): org.apache.spark.sql.Column = {
           val f = schema.find(_.name == c).getOrElse(throw new IllegalArgumentException(
@@ -251,6 +276,10 @@ case class GraftOptimizeCommand(table: TableIdentifier,
         val aggs = zorderCols.flatMap(c =>
           Seq(min(image(c)).as(s"__mn_$c"), max(image(c)).as(s"__mx_$c")))
         val b = current.agg(aggs.head, aggs.tail: _*).head()
+        // a scope the skipping tiers prove empty is a no-op — current
+        // version stands, no rewrite, no version burned
+        if (b.isNullAt(0))
+          return Seq(Row(VersionedTable.latestVersion(root).getOrElse(0).toLong))
         val dims = zorderCols.map { c =>
           val (mn, mx) = (b.getAs[Long](s"__mn_$c"), b.getAs[Long](s"__mx_$c"))
           val range = math.max(mx - mn, 0L)
@@ -261,7 +290,7 @@ case class GraftOptimizeCommand(table: TableIdentifier,
             range / k)
         }
         VersionedTable.optimizeZorder(session, root, dims, nDirs,
-          statsCols, bloomCols, fpp)
+          statsCols, bloomCols, fpp, scope)
       }
     Seq(Row(v.toLong))
   }
@@ -312,14 +341,14 @@ case class GraftVacuumCommand(table: TableIdentifier,
         org.apache.spark.sql.types.BooleanType, nullable = false)())
   override def run(session: SparkSession): Seq[Row] = {
     val (root, _) = GraftSqlParser.graftRoot(session, table)
-    val retainLast = retainHours match {
-      case None => 2 // library default
-      case Some(h) =>
-        val cutoffMs = System.currentTimeMillis() - (h * 3600 * 1000).toLong
-        math.max(
-          VersionedTable.historySummary(root).count(_.committedMs >= cutoffMs), 1)
+    // RETAIN n HOURS cuts on the manifests' actual committed_ms stamps
+    // (wall-clock-true, checkpoint-backed O(tail) walk); the bare form
+    // keeps the library's version-count default.
+    val deleted = retainHours match {
+      case None    => VersionedTable.vacuum(root, 2, dryRun = dryRun)
+      case Some(h) => VersionedTable.vacuumRetain(root,
+        (h * 3600 * 1000).toLong, dryRun = dryRun)
     }
-    val deleted = VersionedTable.vacuum(root, retainLast, dryRun = dryRun)
     Seq(Row(deleted.size.toLong, deleted.mkString(","), dryRun))
   }
 }

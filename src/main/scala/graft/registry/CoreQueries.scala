@@ -441,6 +441,35 @@ object CoreQueries {
           (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
     }),
 
+    // SCOPED compaction (`OPTIMIZE t WHERE p` library form): the low key
+    // range lands FRAGMENTED (two small appends) plus two more dirs for
+    // the mid/high ranges; compactWhere collapses ONLY the dirs the
+    // predicate admits into one fresh dir and carries the rest by name —
+    // O(admitted dirs), never O(table), the engine's answer to routine
+    // small-file maintenance at 100 TB (MaintenanceSpec asserts the
+    // survivor bytes, dir count, and the no-op guarantee). Oracle = the
+    // plain whole-table rollup: compaction is content-preserving.
+    "q_compact_where" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtcw_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo && col("o_orderkey") % 2 === 0,
+        col("o_orderkey") <= lo && col("o_orderkey") % 2 === 1,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      VersionedTable.compactWhere(s, root, col("o_orderkey") <= lo,
+        statsCols = Seq("o_orderkey"))
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
     // PLANNING-TIME skipping — the same six-dir corpus and probe as
     // q_versioned_combo, but nobody names a DirFilter: the probe is an
     // ordinary `.filter` over VersionedTable.scan's manifest FileIndex,
@@ -1112,6 +1141,13 @@ object CoreQueries {
     // RESTORE to the pre-DML version must reproduce the pre-DML rollup
     // exactly — the oracle never sees the deleted-then-restored detour.
     "q_versioned_restore" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // Scoped compaction is content-preserving: the post-OPTIMIZE-WHERE
+    // table rolls up exactly like the raw corpus.
+    "q_compact_where" ->
       """SELECT o_orderstatus, count(*) AS n,
         |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,

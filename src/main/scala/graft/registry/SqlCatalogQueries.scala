@@ -273,6 +273,47 @@ object SqlCatalogQueries {
            |GROUP BY symbol""".stripMargin))
     }),
 
+    // `OPTIMIZE t WHERE p ZORDER BY (...)` — SCOPED maintenance through
+    // the injected parser: a three-dir (time-third) trades table where
+    // the predicate admits ONLY the first third's dir, which is
+    // re-clustered on (time, volume); the other thirds are carried BY
+    // NAME, files byte-identical (SqlCatalogSpec asserts the survivor
+    // bytes and the prune). The probe spans rewritten AND carried dirs —
+    // a scoped physical re-layout must be value-transparent across the
+    // seam. This is the maintenance verb that keeps re-clustering
+    // O(admitted dirs) instead of O(table) at 100 TB.
+    "q_zorder_where" -> ((s, d) => {
+      import org.apache.spark.sql.functions.{col, max, min, unix_micros}
+      val ss = session(s)
+      val root = java.nio.file.Files.createTempDirectory("graft_sqlzw_").toString
+      val t0 = Tables.trades(ss, d)
+        .select(col("time"), col("symbol"), col("price"), col("volume"))
+      val b = t0.agg(min(unix_micros(col("time"))).as("mn"),
+        max(unix_micros(col("time"))).as("mx")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      def um = unix_micros(col("time"))
+      VersionedTable.commit(t0.filter(um < t1), root, "append",
+        statsCols = Seq("time"))
+      VersionedTable.commit(t0.filter(um >= t1 && um < t2), root, "append",
+        statsCols = Seq("time"))
+      VersionedTable.commit(t0.filter(um >= t2), root, "append",
+        statsCols = Seq("time"))
+      val t = freshName("sqlzwhere")
+      ss.sql(s"CREATE TABLE $t USING graft " +
+        s"OPTIONS (statsCols 'time', optimizeDirs '4') LOCATION '$root'")
+      ss.sql(s"OPTIMIZE $t WHERE unix_micros(time) < CAST($t1 AS BIGINT) " +
+        "ZORDER BY (time, volume)")
+      hermetic(s, ss.sql(
+        s"""SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+           |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 1e4 AS sum_price
+           |FROM $t
+           |WHERE unix_micros(time) < CAST($t2 AS BIGINT)
+           |  AND volume <= CAST(50 AS DOUBLE)
+           |GROUP BY symbol""".stripMargin))
+    }),
+
     // `ALTER TABLE ... ADD COLUMNS` — schema evolution as a DDL verb: odd
     // keys land under the NARROW schema, the table is widened by ONE
     // metadata-only `evolve` commit, even keys land WITH the new column
@@ -417,6 +458,19 @@ object SqlCatalogQueries {
         |FROM trades, b
         |WHERE epoch_us(time) >= mn + (mx - mn) // 3
         |  AND epoch_us(time) < mn + 2 * ((mx - mn) // 3)
+        |  AND volume <= 50
+        |GROUP BY symbol""".stripMargin),
+
+    // Scoped OPTIMIZE is value-transparent across the rewritten/carried
+    // seam: the probe (first two thirds ∧ volume bound) equals the plain
+    // filter over the raw table.
+    "q_zorder_where" -> OracleSql.withTradesAnd(
+      """b AS (SELECT min(epoch_us(time)) AS mn,
+        |              max(epoch_us(time)) AS mx FROM trades)""".stripMargin,
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       sum(CAST(floor(price * 1e4 + 0.5) AS BIGINT)) / 10000.0 AS sum_price
+        |FROM trades, b
+        |WHERE epoch_us(time) < mn + 2 * ((mx - mn) // 3)
         |  AND volume <= 50
         |GROUP BY symbol""".stripMargin),
 

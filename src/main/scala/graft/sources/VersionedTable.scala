@@ -46,6 +46,12 @@ class VersionedTableOps(val store: CommitStore) {
 
   private def dataDir(root: String) = new File(root, "data")
 
+  /** Wall clock for commit stamps and retention decisions — a seam so
+    * tests drive time-based behavior (wall-clock VACUUM retention) with
+    * controlled timestamps instead of sleeping.
+    */
+  protected def nowMs(): Long = System.currentTimeMillis()
+
   private def toDouble(v: Any): Double = v match {
     case l: Long   => l.toDouble
     case d: Double => d
@@ -83,20 +89,37 @@ class VersionedTableOps(val store: CommitStore) {
     }
   }
 
-  /** Merge `props` into the table's `_props` file (last writer wins; a
-    * null/empty value removes the key). Atomic via temp-file rename.
+  /** Merge `props` into the table's `_props` file (last writer wins PER
+    * KEY; a null/empty value removes the key). The read-merge-write is
+    * SERIALIZED — a per-root JVM monitor plus an OS file lock on
+    * `_props.lock` for cross-process writers — so two concurrent callers
+    * (say, `renameColumn` stamping `graft.column.mapping` racing a user
+    * toggling `graft.cdf.enabled`) can never silently drop each other's
+    * keys; the rename alone only prevented torn files, not lost updates.
+    * The write itself stays atomic via temp-file rename, so readers
+    * (which take no lock) never see a torn file.
     */
   def setTableProperties(root: String, props: Map[String, String]): Unit = {
     new File(root).mkdirs()
-    val merged = (tableProperties(root) ++ props).filter { case (_, v) =>
-      v != null && v.nonEmpty
-    } -- props.collect { case (k, v) if v == null || v.isEmpty => k }
-    val body = merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n")
-    val tmp = File.createTempFile("_props", ".tmp", new File(root))
-    java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
-    java.nio.file.Files.move(tmp.toPath, new File(root, "_props").toPath,
-      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    val monitor = VersionedTable.propsLocks
+      .computeIfAbsent(new File(root).getCanonicalPath, _ => new Object)
+    monitor.synchronized {
+      val raf = new java.io.RandomAccessFile(new File(root, "_props.lock"), "rw")
+      try {
+        val osLock = raf.getChannel.lock()
+        try {
+          val merged = (tableProperties(root) ++ props).filter { case (_, v) =>
+            v != null && v.nonEmpty
+          } -- props.collect { case (k, v) if v == null || v.isEmpty => k }
+          val body = merged.toSeq.sorted.map { case (k, v) => s"$k=$v" }.mkString("\n")
+          val tmp = File.createTempFile("_props", ".tmp", new File(root))
+          java.nio.file.Files.write(tmp.toPath, body.getBytes("UTF-8"))
+          java.nio.file.Files.move(tmp.toPath, new File(root, "_props").toPath,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+        } finally osLock.release()
+      } finally raf.close()
+    }
   }
 
   /** Effective CDF switch for a DML commit: the explicit argument when the
@@ -106,9 +129,24 @@ class VersionedTableOps(val store: CommitStore) {
     * amplification every writer pays, so only tables with change-feed
     * subscribers opt in.
     */
-  protected def resolveCdf(root: String, cdf: Option[Boolean]): Boolean =
-    cdf.getOrElse(
+  protected def resolveCdf(root: String, cdf: Option[Boolean]): Boolean = {
+    val on = cdf.getOrElse(
       tableProperties(root).get(VersionedTable.CdfEnabledProp).contains("true"))
+    // Migration tripwire (CDF flipped to opt-in in r15): a table that HAS
+    // change images from earlier commits but is now committing DML without
+    // staging any will strand its changeFeed consumers at the first
+    // unstaged version. Warn ONCE per root — loudly, but without failing
+    // the commit (the off switch may be deliberate).
+    if (!on && new File(root, "_changes").isDirectory) {
+      if (VersionedTable.cdfSkipWarned.add(new File(root).getCanonicalPath))
+        org.slf4j.LoggerFactory.getLogger(getClass).warn(
+          s"table $root has change images from prior commits but CDF is now " +
+            "OFF (graft.cdf.enabled unset/false): this DML commit stages no " +
+            "row images, and changeFeed ranges crossing it will fail. Set " +
+            "TBLPROPERTIES('graft.cdf.enabled'='true') to resume staging.")
+    }
+    on
+  }
 
   /** Deletion-vector entries still LIVE under the new dir set: an entry
     * whose recorded dir bases all vanished (a COW rewrite replaced or
@@ -522,7 +560,7 @@ class VersionedTableOps(val store: CommitStore) {
       .append(s"parent=$parent\n")
       .append(s"operation=$mode\n")
       .append(s"rows=$rows\n")
-      .append(s"committed_ms=${System.currentTimeMillis()}\n")
+      .append(s"committed_ms=${nowMs()}\n")
       .append(s"schema=${schemaCols.mkString(",")}\n")
     // The snapshot's full UNION schema (StructType json, one line): the
     // schema anchor for readers. Without it the anchor falls back to the
@@ -700,6 +738,47 @@ class VersionedTableOps(val store: CommitStore) {
       else kept.select(kept.columns.map(col) ++ missing.map(f =>
         lit(null).cast(f.dataType).as(f.name)): _*)
     }
+  }
+
+  /** Schema-pinned frame over a SUBSET of a snapshot's dirs — the keep-read
+    * primitive [[readFiltered]] and the scoped-maintenance verbs share:
+    * anchor columns in anchor order (missing columns null-filled by the
+    * reader, zero footer I/O), deletion vectors folded, column-mapped
+    * snapshots read under physical names and renamed back.
+    */
+  private def readDirs(spark: SparkSession, root: String,
+      snap: Snapshot, dirs: Seq[String],
+      anchor: org.apache.spark.sql.types.StructType): DataFrame =
+    if (dirs.isEmpty)
+      spark.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        VersionedTable.logicalSchema(anchor))
+    else if (VersionedTable.isMapped(anchor))
+      toLogical(applyDvs(spark, root, snap.dvs,
+        spark.read.schema(VersionedTable.physicalSchema(anchor))
+          .parquet(dirs.map(d => new File(root, d).getPath): _*)), anchor)
+    else applyDvs(spark, root, snap.dvs, spark.read.schema(anchor)
+      .parquet(dirs.map(d => new File(root, d).getPath): _*))
+
+  /** The rows of exactly the dirs a PREDICATE admits at the manifest's
+    * skipping tiers (stats hulls + bloom sidecars) — the predicate run
+    * through the SAME translation the planning-time scan and the DML
+    * verbs use, so "what would a scoped OPTIMIZE rewrite?" and "what does
+    * the scan prune?" can never disagree. NOTE: dirs the stats cannot
+    * dismiss are served WHOLE (admission is dir-grain, conservative);
+    * callers wanting row-exact filtering compose `.filter(predicate)` on
+    * top — this frame exists for maintenance scoping and bounds probes.
+    */
+  def readAdmitted(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      asOf: Option[Int] = None): DataFrame = {
+    val v = asOf.orElse(latestVersion(root))
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = snapshot(root, v)
+    val anchor = snapshotSchema(spark, root, snap)
+    readDirs(spark, root, snap,
+      admittedDirs(root, snap, predicateFilters(spark, root, anchor, predicate)),
+      anchor)
   }
 
   /** Planning-time-skipping scan: a frame over snapshot `asOf` backed by a
@@ -1167,6 +1246,15 @@ class VersionedTableOps(val store: CommitStore) {
     // schema_json (one footer read of the snapshot's newest dir, once)
     val anchorJson = snap.schemaJson
       .getOrElse(snapshotSchema(spark, srcRoot, snap).json)
+    // Table properties travel with the clone (Delta CLONE copies source
+    // table properties). Correctness-bearing: `graft.column.mapping` —
+    // the clone's hardlinked files still physically carry every dropped
+    // column's values, so a re-ADD on the clone MUST mint a fresh
+    // physical name exactly as it would on the source; without the
+    // marker, withMintedPhysicalNames binds physical=logical and the
+    // dropped values resurface.
+    val srcProps = tableProperties(srcRoot)
+    if (srcProps.nonEmpty) setTableProperties(dstRoot, srcProps)
     // rows = per-commit delta convention; like restore, a metadata verb
     // reports 0 rather than paying a count scan
     publish(dstRoot, 1, 0, "clone", 0L, snap.schemaCols, snap.dataDirs,
@@ -1326,7 +1414,8 @@ class VersionedTableOps(val store: CommitStore) {
       dims: Seq[(org.apache.spark.sql.Column, Long)],
       nDirs: Int,
       statsCols: Seq[String] = Seq.empty,
-      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int = {
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01,
+      where: Option[org.apache.spark.sql.Column] = None): Int = {
     import graft.operators.ZOrder
     import org.apache.spark.sql.functions.shiftright
     require(nDirs > 0 && (nDirs & (nDirs - 1)) == 0,
@@ -1339,7 +1428,26 @@ class VersionedTableOps(val store: CommitStore) {
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val version = parent + 1
-    val current = read(spark, root)
+    // Scoped form (`OPTIMIZE t WHERE p ZORDER BY ...`): rewrite ONLY the
+    // dirs the predicate's manifest translation admits — the SAME
+    // stats/bloom admission the scan and the DML verbs use — and carry
+    // every dismissed dir BY NAME, its files, stats and blooms untouched.
+    // Routine maintenance at 100 TB re-clusters the hot range at O(that
+    // range), never O(table); the unscoped form keeps the full-snapshot
+    // Delta OPTIMIZE shape.
+    val snapP = snapshot(root, parent)
+    val anchorP = snapshotSchema(spark, root, snapP)
+    val scopeSet = where match {
+      case None    => snapP.dataDirs.toSet
+      case Some(p) =>
+        admittedDirs(root, snapP,
+          predicateFilters(spark, root, anchorP, p)).toSet
+    }
+    val carried = snapP.dataDirs.filterNot(scopeSet)
+    if (where.isDefined && scopeSet.isEmpty) return parent // proven no-op
+    val current =
+      if (where.isEmpty) read(spark, root)
+      else readDirs(spark, root, snapP, snapP.dataDirs.filter(scopeSet), anchorP)
     val shift = codeBits - java.lang.Integer.numberOfTrailingZeros(nDirs)
     val zcode = ZOrder.mortonN(dims.map { case (c, mx) => ZOrder.scaleTo16(c, mx) })
     val laid = current
@@ -1351,9 +1459,15 @@ class VersionedTableOps(val store: CommitStore) {
     // tree; nothing references it until the manifest publishes.
     val token = UUID.randomUUID().toString.take(8)
     val staging = new File(root, s"data/.optimize-$token")
-    laid.repartition(nDirs, col("__zdir"))
+    // Scoped rewrites on a column-mapped table land files under PHYSICAL
+    // names (the carried dirs keep theirs, so the manifest's mapped
+    // anchor must govern the new dirs too); the full rewrite keeps its
+    // logical-named files and drops the mapping wholesale — every mapped
+    // dir is gone after it.
+    val laidOut = laid.repartition(nDirs, col("__zdir"))
       .sortWithinPartitions("__zdir", "__zcode")
       .drop("__zcode")
+    (if (where.isDefined) toPhysical(laidOut, anchorP) else laidOut)
       .write.partitionBy("__zdir").parquet(staging.getPath)
     // Promote each z-bucket to a first-class data dir (same-filesystem
     // rename; buckets with no rows simply don't exist).
@@ -1396,7 +1510,11 @@ class VersionedTableOps(val store: CommitStore) {
       }.toSeq
       // (3) bloom sidecars per promoted dir (data-plane, attempt-named).
       val blooms = dirOf.toSeq.sortBy(_._1).flatMap { case (_, d) =>
-        val dirDf = spark.read.parquet(new File(root, d).getPath)
+        val dirRaw = spark.read.parquet(new File(root, d).getPath)
+        val dirDf =
+          if (where.isDefined && VersionedTable.isMapped(anchorP))
+            toLogical(dirRaw, anchorP)
+          else dirRaw
         bloomCols.map { c =>
           val n = grouped.find(r => dirOf(r.getAs[Long]("__zdir")) == d)
             .map(_.getAs[Long]("__n")).getOrElse(1L)
@@ -1411,16 +1529,76 @@ class VersionedTableOps(val store: CommitStore) {
       }
       // (4) the commit point. Operation `optimize` = content-preserving
       // re-layout (dataChange=false): subscriptions cross it untouched.
-      publish(root, version, parent, "optimize", rows, current.columns.toSeq,
-        dirOf.toSeq.sortBy(_._1).map(_._2), stats, blooms,
-        snapshot(root, parent).txns, // layout ops never forget writer marks
-        Some(VersionedTable.asNullable(current.schema).json))
+      val newDirs = dirOf.toSeq.sortBy(_._1).map(_._2)
+      if (where.isEmpty)
+        publish(root, version, parent, "optimize", rows, current.columns.toSeq,
+          newDirs, stats, blooms,
+          snapP.txns, // layout ops never forget writer marks
+          Some(VersionedTable.asNullable(current.schema).json))
+      else {
+        // scoped: dismissed dirs carried by name with their stats/blooms
+        // verbatim (byte-identical files — the survivor contract); the
+        // anchor (and any column mapping) is the snapshot's own; dv
+        // entries referencing only rewritten dirs fold away, those still
+        // covering carried dirs ride along.
+        val carriedSet = carried.toSet
+        val allDirs = carried ++ newDirs
+        publish(root, version, parent, "optimize", rows,
+          anchorP.fieldNames.toSeq, allDirs,
+          snapP.dirStats.filter(s => carriedSet(s.dir)) ++ stats,
+          snapP.dirBlooms.filter(b => carriedSet(b.dir)) ++ blooms,
+          snapP.txns, Some(anchorP.json), None, liveDvs(snapP.dvs, allDirs))
+      }
       version
     } catch {
       case e: Throwable =>
         cleanup()
         deleteAttemptBlooms(root, token)
         throw e
+    }
+  }
+
+  /** Scoped compaction — `OPTIMIZE t WHERE p` without re-clustering: the
+    * dirs the predicate admits collapse into ONE fresh dir (their
+    * deletion vectors folded away in the rewrite), every dismissed dir is
+    * carried by name with its stats/bloom lines verbatim — files
+    * byte-identical, so routine small-file compaction of the hot range
+    * prices at O(admitted dirs), never O(table). Publishes the
+    * content-preserving `optimize` op: change-feed subscriptions cross it
+    * as an empty delta. Proven-empty scope = no-op, no version burned
+    * (returns the current version). The per-chunk maintenance analogue of
+    * the reference's chunk-scoped compression policies
+    * (`sql/timescaledb_schema.sql:28-31,60-65`).
+    */
+  def compactWhere(spark: SparkSession, root: String,
+      predicate: org.apache.spark.sql.Column,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int = {
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val version = parent + 1
+    val snap = snapshot(root, parent)
+    val anchor = snapshotSchema(spark, root, snap)
+    val scopeSet = admittedDirs(root, snap,
+      predicateFilters(spark, root, anchor, predicate)).toSet
+    if (scopeSet.isEmpty) return parent // skipping tiers proved a no-op
+    val carried = snap.dataDirs.filterNot(scopeSet)
+    val carriedSet = carried.toSet
+    val df = readDirs(spark, root, snap, snap.dataDirs.filter(scopeSet), anchor)
+    val (dirRel, rows, stats, blooms) =
+      stageDir(df, root, version, statsCols, bloomCols, bloomFpp, anchor)
+    try {
+      val allDirs = carried :+ dirRel
+      publish(root, version, parent, "optimize", rows,
+        anchor.fieldNames.toSeq, allDirs,
+        snap.dirStats.filter(s => carriedSet(s.dir)) ++ stats,
+        snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ blooms,
+        snap.txns, Some(anchor.json), None, liveDvs(snap.dvs, allDirs))
+      version
+    } catch { case e: Throwable =>
+      VersionedTable.deleteRecursively(new File(root, dirRel))
+      blooms.foreach(b => new File(root, b.path).delete())
+      throw e
     }
   }
 
@@ -2668,7 +2846,7 @@ class VersionedTableOps(val store: CommitStore) {
       vs.filter(committed.contains).flatMap(snapshot(root, _).dataDirs).toSet
     val retainedDirs = dirsOf(cutoff to latest)
     val expiredDirs = dirsOf(1 until cutoff) -- retainedDirs
-    val now = System.currentTimeMillis()
+    val now = nowMs()
     val live = Option(dataDir(root).listFiles()).toSeq.flatten
       .filter(_.isDirectory).map(d => "data/" + d.getName)
     val doomed = live.filterNot(retainedDirs.contains).filter { d =>
@@ -2710,6 +2888,12 @@ class VersionedTableOps(val store: CommitStore) {
       Option(bloomDir.listFiles()).toSeq.flatten
         .filter(_.getName.startsWith(prefix)).foreach(_.delete())
     }
+    // History outlives manifest retention BY CONTRACT: roll a summary
+    // checkpoint at the current tip BEFORE any manifest dies, so versions
+    // between the last periodic checkpoint and the cutoff keep their
+    // DESCRIBE HISTORY rows. Strict (not the commit path's best-effort):
+    // failing the vacuum loudly beats silently losing history.
+    if (cutoff > 1) writeCheckpoint(root, latest)
     (1 until cutoff).foreach(store.delete(root, _))
     // checkpoint GC: only the NEWEST summary rollup is ever read (it
     // subsumes all older ones — including the history of manifests this
@@ -2735,6 +2919,27 @@ class VersionedTableOps(val store: CommitStore) {
       !f.exists()
     }
     (deleted ++ deletedDvs).sorted
+  }
+
+  /** Wall-clock-true VACUUM retention (`VACUUM t RETAIN n HOURS`): every
+    * version COMMITTED inside the window survives, judged on the
+    * manifests' actual `committed_ms` stamps — not a version-count proxy
+    * — and the latest always survives. The timestamp walk rides
+    * [[historySummary]] (checkpoint + O(tail) manifest parses), so a
+    * streaming sink's 8 600-commits/day table prices this at one small
+    * file read, never O(versions). Delegates to the version-form
+    * [[vacuum]] once the window resolves to a cutoff.
+    */
+  def vacuumRetain(root: String, retainMs: Long,
+      orphanGraceMs: Long = 10 * 60 * 1000L,
+      dryRun: Boolean = false): Seq[String] = {
+    require(retainMs >= 0, "retention window must be non-negative")
+    val latest = latestVersion(root).getOrElse(return Seq.empty)
+    val cutoffMs = nowMs() - retainMs
+    val inWindow = historySummary(root)
+      .filter(_.committedMs >= cutoffMs).map(_.version)
+    val oldestKept = if (inWindow.isEmpty) latest else math.min(inWindow.min, latest)
+    vacuum(root, latest - oldestKept + 1, orphanGraceMs, dryRun)
   }
 }
 
@@ -2767,6 +2972,18 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
     * summaries — losing one costs a longer walk, never correctness.
     */
   val CheckpointIntervalProp = "graft.checkpoint.interval"
+
+  /** Per-root monitors serializing `_props` read-merge-writes within this
+    * JVM (the OS file lock covers cross-process writers).
+    */
+  private[sources] val propsLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Roots already given the one-time "DML skipped CDF on a table with
+    * prior change images" migration warning.
+    */
+  private[sources] val cdfSkipWarned =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
   /** One commit's summary as recorded in a history checkpoint — all that
     * DESCRIBE HISTORY / `graft_table_history` / wall-clock time travel

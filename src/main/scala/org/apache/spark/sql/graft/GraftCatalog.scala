@@ -132,8 +132,66 @@ class GraftCatalog extends DelegatingCatalogExtension {
         require(live, "cannot drop columns of an empty (uncommitted) table")
         VersionedTable.dropColumns(SparkSession.active, root, dropNames)
       }
+      // Kernel-level table properties have ONE source of truth: the table
+      // root's `_props` file, which pure-library sessions (that never
+      // consult this catalog) also read. SET/UNSET TBLPROPERTIES on a
+      // kernel key forwards there, so SQL-issued and library-issued DML
+      // can never disagree on, e.g., whether CDF images are staged.
+      forwardKernelProps(root,
+        others.collect { case s: TableChange.SetProperty =>
+          s.property -> s.value },
+        others.collect { case r: TableChange.RemoveProperty => r.property })
     }
     super.alterTable(ident, changes: _*)
+  }
+
+  /** Kernel-interpreted table properties (see [[forwardKernelProps]]). */
+  private val kernelProps = Set(
+    VersionedTable.CdfEnabledProp, VersionedTable.CheckpointIntervalProp)
+
+  /** Mirror kernel-interpreted properties into the table root's `_props`
+    * file (a remove forwards as a null = key removal). Catalog-only
+    * properties (`graft.dml.mode`, skipping columns…) stay pure catalog
+    * metadata as before — they steer PLANS built through this catalog,
+    * not commits made by any writer.
+    */
+  private def forwardKernelProps(root: String, sets: Seq[(String, String)],
+      removes: Seq[String]): Unit = {
+    val fwd = sets.filter(kv => kernelProps(kv._1)).toMap ++
+      removes.filter(kernelProps).map(_ -> (null: String)).toMap
+    if (fwd.nonEmpty) VersionedTable.setTableProperties(root, fwd)
+  }
+
+  /** CREATE TABLE — stock v1 create path, plus kernel-property
+    * forwarding: `TBLPROPERTIES('graft.cdf.enabled'='true')` declared at
+    * creation lands in the root's `_props` so library writers honor it
+    * from the first commit.
+    */
+  override def createTable(ident: Identifier,
+      columns: Array[org.apache.spark.sql.connector.catalog.Column],
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val t = super.createTable(ident, columns, partitions, properties)
+    forwardCreateProps(ident, properties)
+    t
+  }
+
+  @deprecated("kept for the StructType create path", "graft")
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: JMap[String, String]): Table = {
+    val t = super.createTable(ident, schema, partitions, properties)
+    forwardCreateProps(ident, properties)
+    t
+  }
+
+  private def forwardCreateProps(ident: Identifier,
+      properties: JMap[String, String]): Unit = {
+    val declared = properties.asScala.filter(kv => kernelProps(kv._1)).toMap
+    if (declared.nonEmpty) super.loadTable(ident) match {
+      case v1: V1Table if isGraft(v1) =>
+        val root = new java.io.File(v1.catalogTable.location).getPath
+        VersionedTable.setTableProperties(root, declared)
+      case _ => ()
+    }
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands epoch MICROseconds; resolve to

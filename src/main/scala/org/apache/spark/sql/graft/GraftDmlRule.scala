@@ -79,15 +79,17 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "(expected merge-on-read | copy-on-write)")
     }
 
-  /** The table's CDF switch, when DECLARED at the catalog level
-    * (`TBLPROPERTIES('graft.cdf.enabled'='true'|'false')`). None = not
-    * declared — the kernel falls through to the table root's `_props`
-    * file, then to the engine default (OFF). Delta's
-    * `delta.enableChangeDataFeed` semantics: change images are write
-    * amplification, so only subscribed tables opt in.
+  /** The table's CDF switch: ALWAYS deferred to the kernel (None), which
+    * reads the table root's `_props` file — the single source of truth
+    * for `graft.cdf.enabled`. [[GraftCatalog]] forwards the property from
+    * CREATE TABLE / SET TBLPROPERTIES into `_props`, so SQL-issued and
+    * library-issued DML against the same root can never disagree on
+    * whether change images are staged (the dual-store gap: a catalog-side
+    * value overriding a later library-side toggle would silently gap the
+    * change feed). Delta's `delta.enableChangeDataFeed` semantics: change
+    * images are write amplification, so only subscribed tables opt in.
     */
-  private def cdfOf(gt: GraftTableV2): Option[Boolean] =
-    Option(gt.properties().get(VersionedTable.CdfEnabledProp)).map(_ == "true")
+  private def cdfOf(gt: GraftTableV2): Option[Boolean] = None
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Pass 1: DML verbs become driver commands (their target relations
