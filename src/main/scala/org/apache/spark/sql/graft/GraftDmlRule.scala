@@ -79,17 +79,24 @@ class GraftDmlRule(spark: SparkSession) extends Rule[LogicalPlan] {
           "(expected merge-on-read | copy-on-write)")
     }
 
-  /** The table's CDF switch: ALWAYS deferred to the kernel (None), which
-    * reads the table root's `_props` file — the single source of truth
-    * for `graft.cdf.enabled`. [[GraftCatalog]] forwards the property from
-    * CREATE TABLE / SET TBLPROPERTIES into `_props`, so SQL-issued and
-    * library-issued DML against the same root can never disagree on
-    * whether change images are staged (the dual-store gap: a catalog-side
-    * value overriding a later library-side toggle would silently gap the
-    * change feed). Delta's `delta.enableChangeDataFeed` semantics: change
-    * images are write amplification, so only subscribed tables opt in.
+  /** The table's CDF switch, with the table root's `_props` file as the
+    * PRIMARY store: when `_props` defines `graft.cdf.enabled`, defer to
+    * the kernel (None) — [[GraftCatalog]] forwards SET/UNSET TBLPROPERTIES
+    * there, so SQL-issued and library-issued DML can never disagree (the
+    * dual-store gap: a catalog-side value overriding a later library-side
+    * toggle would silently gap the change feed). The catalog property is
+    * consulted only as a FALLBACK for CREATE-time declarations
+    * (`CREATE TABLE ... TBLPROPERTIES('graft.cdf.enabled'='true')` rides
+    * Spark's v1 create path, which never calls the v2 catalog's
+    * createTable, so the declaration lives only in the catalog entry
+    * until the first SET TBLPROPERTIES). Delta's `delta
+    * .enableChangeDataFeed` semantics: change images are write
+    * amplification, so only subscribed tables opt in.
     */
-  private def cdfOf(gt: GraftTableV2): Option[Boolean] = None
+  private def cdfOf(gt: GraftTableV2): Option[Boolean] =
+    if (VersionedTable.tableProperties(gt.root)
+        .contains(VersionedTable.CdfEnabledProp)) None
+    else Option(gt.properties().get(VersionedTable.CdfEnabledProp)).map(_ == "true")
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
     // Pass 1: DML verbs become driver commands (their target relations

@@ -144,6 +144,36 @@ class ColumnMappingSpec extends SparkTestBase {
     assert(after.filter(col("v").isNotNull).count() === 10L)
   }
 
+  test("CLONE of a post-DROP snapshot: re-ADD on the clone never resurrects") {
+    val root = freshRoot()
+    corpus(root)
+    VersionedTable.dropColumns(spark, root, Seq("v"))
+    // shallow-clone the post-drop snapshot: the hardlinked data files
+    // still PHYSICALLY carry the dropped column's values, so the clone
+    // must inherit the column-mapping marker (via _props propagation) or
+    // a re-ADD of the same logical name would bind physical=logical and
+    // serve the old values instead of NULL
+    val dst = freshRoot()
+    VersionedTable.cloneTo(spark, root, dst)
+    assert(VersionedTable.tableProperties(dst)
+      .get(VersionedTable.ColumnMappingProp).contains("true"),
+      "clone must carry the ever-mapped marker")
+    VersionedTable.addColumns(spark, dst,
+      Seq(org.apache.spark.sql.types.StructField("v",
+        org.apache.spark.sql.types.LongType)))
+    val readd = VersionedTable.read(spark, dst)
+    assert(readd.columns.toSeq === Seq("id", "tag", "v"))
+    assert(readd.filter(col("v").isNotNull).isEmpty,
+      "re-added column on a CLONE resurrected dropped values")
+    // fresh appends on the clone land under the minted physical name
+    VersionedTable.commit(
+      spark.range(300, 310).toDF("id")
+        .withColumn("tag", lit("tZ")).withColumn("v", lit(99L)),
+      dst, "append", statsCols = Seq("id"))
+    assert(VersionedTable.read(spark, dst)
+      .filter(col("v").isNotNull).count() === 10L)
+  }
+
   test("SQL: ALTER TABLE RENAME/DROP COLUMN through the catalog") {
     val ss = SqlCatalogSpec.session(spark)
     val root = freshRoot()

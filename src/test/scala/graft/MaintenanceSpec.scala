@@ -1,0 +1,243 @@
+package graft
+
+import java.io.File
+import java.nio.file.Files
+
+import graft.sources.{CommitStore, VersionedTable, VersionedTableOps}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Scoped maintenance verbs and retention semantics: `OPTIMIZE ... WHERE`
+  * (compactWhere / optimizeZorder's `where` scope) must rewrite ONLY the
+  * dirs the predicate's manifest translation admits — every dismissed dir
+  * carried by NAME with byte-identical files — and wall-clock VACUUM
+  * retention must cut on the manifests' actual commit timestamps. These
+  * are the contracts that keep routine maintenance O(touched data) at
+  * 100 TB instead of O(table).
+  */
+class MaintenanceSpec extends SparkTestBase {
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft_maint_").toString
+
+  /** Three disjoint id-range dirs with min/max stats on id. */
+  private def rangedTable(root: String): Seq[String] = {
+    Seq((0L, 100L), (100L, 200L), (200L, 300L)).foreach { case (lo, hi) =>
+      VersionedTable.commit(
+        spark.range(lo, hi).toDF("id")
+          .withColumn("v", col("id") * 2), root, "append",
+        statsCols = Seq("id"))
+    }
+    VersionedTable.snapshot(root, 3).dataDirs
+  }
+
+  private def ids(df: DataFrame): Seq[Long] =
+    df.select("id").collect().map(_.getLong(0)).sorted.toSeq
+
+  /** Every data file of `dir` with an MD5 of its bytes — the survivor
+    * contract is BYTE identity, not just name identity.
+    */
+  private def fileHashes(root: String, dir: String): Map[String, String] =
+    Option(new File(root, dir).listFiles()).toSeq.flatten
+      .filter(f => f.isFile && !f.getName.startsWith("."))
+      .map { f =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        f.getName -> md.digest(Files.readAllBytes(f.toPath))
+          .map("%02x".format(_)).mkString
+      }.toMap
+
+  test("compactWhere rewrites only admitted dirs; survivors byte-identical") {
+    val root = freshRoot()
+    val Seq(d1, d2, d3) = rangedTable(root)
+    // fragment the low range further: a 4th dir inside [0, 100)
+    VersionedTable.commit(
+      spark.range(300L, 320L).toDF("id").withColumn("v", col("id") * 2)
+        .withColumn("id", col("id") - 300L + 50L), root, "append",
+      statsCols = Seq("id"))
+    val d4 = (VersionedTable.snapshot(root, 4).dataDirs.toSet -- Seq(d1, d2, d3)).head
+    val survivorBytes = Seq(d2, d3).map(d => d -> fileHashes(root, d)).toMap
+    val v = VersionedTable.compactWhere(spark, root, col("id") <= 50L,
+      statsCols = Seq("id"))
+    assert(v === 5)
+    val snap = VersionedTable.snapshot(root, 5)
+    assert(snap.operation === "optimize",
+      "scoped compaction publishes the content-preserving optimize op")
+    assert(snap.dataDirs.contains(d2) && snap.dataDirs.contains(d3),
+      "dismissed dirs must be carried by name")
+    assert(!snap.dataDirs.contains(d1) && !snap.dataDirs.contains(d4),
+      "admitted dirs must be folded into the fresh compact dir")
+    assert(snap.dataDirs.size === 3, "two admitted dirs collapse into one")
+    Seq(d2, d3).foreach { d =>
+      assert(fileHashes(root, d) === survivorBytes(d),
+        s"carried dir $d must be byte-identical after the scoped rewrite")
+    }
+    // content-preserving: the table reads exactly as before (ids 0..299
+    // plus the duplicated 50..69 overlay from the fragment commit)
+    assert(ids(VersionedTable.read(spark, root))
+      === ((0L until 300L) ++ (50L until 70L)).sorted)
+    // the fresh dir re-derived its stats, hull inside the admitted range
+    val fresh = (snap.dataDirs.toSet - d2 - d3).head
+    val stat = snap.dirStats.find(s => s.dir == fresh && s.col == "id").get
+    assert(stat.min >= 0.0 && stat.max <= 99.0,
+      "compacted dir's hull must stay inside the admitted key range")
+    // history: the parent snapshot still serves the pre-compaction layout
+    assert(VersionedTable.snapshot(root, 4).dataDirs.toSet
+      === Set(d1, d2, d3, d4))
+  }
+
+  test("compactWhere with a proven-empty scope is a no-op, no version burned") {
+    val root = freshRoot()
+    rangedTable(root)
+    val v = VersionedTable.compactWhere(spark, root, col("id") > 10000L)
+    assert(v === 3, "empty scope returns the current version")
+    assert(VersionedTable.latestVersion(root) === Some(3))
+  }
+
+  test("compactWhere folds deletion vectors of rewritten dirs, carries the rest") {
+    val root = freshRoot()
+    VersionedTable.setTableProperties(root,
+      Map(VersionedTable.CdfEnabledProp -> "true"))
+    val Seq(d1, d2, d3) = rangedTable(root)
+    // MOR deletes in BOTH the to-be-rewritten range and a carried dir
+    VersionedTable.deleteMor(spark, root, col("id") >= 10L && col("id") < 20L)
+    VersionedTable.deleteMor(spark, root, col("id") >= 250L && col("id") < 260L)
+    assert(VersionedTable.snapshot(root, 5).dvs.size === 2)
+    val v = VersionedTable.compactWhere(spark, root, col("id") <= 50L,
+      statsCols = Seq("id"))
+    val snap = VersionedTable.snapshot(root, v)
+    // the dv over the rewritten dir folded away; the carried dir's stays
+    assert(snap.dvs.size === 1,
+      "dv entries referencing only rewritten dirs must fold away")
+    assert(ids(VersionedTable.read(spark, root))
+      === ((0L until 300L).filterNot(i =>
+        (i >= 10L && i < 20L) || (i >= 250L && i < 260L))))
+  }
+
+  test("scoped optimizeZorder: admitted range re-clustered, survivors byte-identical, probe prunes") {
+    val root = freshRoot()
+    val Seq(d1, d2, d3) = rangedTable(root)
+    val survivorBytes = Seq(d2, d3).map(d => d -> fileHashes(root, d)).toMap
+    val v = VersionedTable.optimizeZorder(spark, root,
+      Seq(col("id") -> 300L, col("v") -> 600L), nDirs = 4,
+      statsCols = Seq("id"), where = Some(col("id") <= 50L))
+    assert(v === 4)
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.operation === "optimize")
+    assert(snap.dataDirs.contains(d2) && snap.dataDirs.contains(d3))
+    assert(!snap.dataDirs.contains(d1))
+    Seq(d2, d3).foreach(d => assert(fileHashes(root, d) === survivorBytes(d)))
+    // fresh z-dirs carry id hulls inside the admitted range
+    val freshDirs = snap.dataDirs.toSet - d2 - d3
+    assert(freshDirs.nonEmpty)
+    freshDirs.foreach { d =>
+      val st = snap.dirStats.find(s => s.dir == d && s.col == "id").get
+      assert(st.min >= 0.0 && st.max <= 99.0)
+    }
+    // a probe into the CARRIED range admits no fresh dir (prune intact)
+    val admitted = VersionedTable.admittedDirs(root, snap,
+      Seq(VersionedTable.RangeFilter("id", 150.0, 160.0)))
+    assert(admitted === Seq(d2),
+      s"post-scoped-optimize probe must prune to the carried dir, got $admitted")
+    // value-transparent across the rewritten/carried seam
+    assert(ids(VersionedTable.read(spark, root)) === (0L until 300L))
+  }
+
+  test("scoped compaction on a column-mapped table writes physical names") {
+    val root = freshRoot()
+    val Seq(d1, _, _) = rangedTable(root)
+    VersionedTable.renameColumn(spark, root, "v", "val")
+    val v = VersionedTable.compactWhere(spark, root, col("id") <= 50L,
+      statsCols = Seq("id"))
+    val snap = VersionedTable.snapshot(root, v)
+    val fresh = (snap.dataDirs.toSet --
+      VersionedTable.snapshot(root, 3).dataDirs).head
+    // the fresh dir's FILES speak the frozen physical name; the table
+    // serves the logical one
+    val footer = spark.read.parquet(new File(root, fresh).getPath)
+    assert(footer.columns.contains("v") && !footer.columns.contains("val"),
+      "mapped rewrite must land files under physical names")
+    val read = VersionedTable.read(spark, root)
+    assert(read.columns.toSeq === Seq("id", "val"))
+    assert(read.filter(col("id") === 42L).head().getLong(1) === 84L)
+  }
+
+  test("a change-feed range crosses a scoped optimize as an empty delta") {
+    val root = freshRoot()
+    rangedTable(root) // versions 1..3 (appends)
+    VersionedTable.compactWhere(spark, root, col("id") <= 50L,
+      statsCols = Seq("id")) // version 4: optimize
+    VersionedTable.commit(
+      spark.range(300L, 310L).toDF("id").withColumn("v", col("id") * 2),
+      root, "append", statsCols = Seq("id")) // version 5
+    val feed = VersionedTable.changeFeed(spark, root, 3, 5)
+    assert(feed.select("id").collect().map(_.getLong(0)).sorted.toSeq
+      === (300L until 310L),
+      "subscribers must cross the optimize version seeing only real changes")
+  }
+
+  test("vacuumRetain cuts on actual commit timestamps (controlled clock)") {
+    object Clocked extends VersionedTableOps(CommitStore.local) {
+      @volatile var now: Long = 0L
+      override protected def nowMs(): Long = now
+    }
+    val root = freshRoot()
+    // four OVERWRITE commits at t = 1000..4000 — each version owns its
+    // dirs, so out-of-window versions' dirs genuinely expire (an
+    // append-only history retains everything by reference, correctly)
+    (1 to 4).foreach { i =>
+      Clocked.now = i * 1000L
+      Clocked.commit(spark.range((i - 1) * 10L, i * 10L).toDF("id"), root,
+        "overwrite")
+    }
+    val dirsByVersion = (1 to 4).map(v => v -> Clocked.snapshot(root, v).dataDirs)
+    // retention window [2500, 4500]: versions 3 and 4 survive, 1 and 2 reap
+    Clocked.now = 4500L
+    val dry = Clocked.vacuumRetain(root, retainMs = 2000L, dryRun = true)
+    val reaped = Clocked.vacuumRetain(root, retainMs = 2000L)
+    assert(dry === reaped, "DRY RUN must report exactly what the real run reaps")
+    val survivors = (Clocked.snapshot(root, 3).dataDirs ++
+      Clocked.snapshot(root, 4).dataDirs).toSet
+    assert(reaped.nonEmpty && reaped.forall(!survivors.contains(_)))
+    assert(reaped.toSet === dirsByVersion.take(2).flatMap(_._2).toSet,
+      "exactly the out-of-window versions' dirs must reap")
+    assert(Clocked.store.versions(root).sorted === Seq(3, 4),
+      "manifests outside the wall-clock window must be gone")
+    assert(ids(Clocked.read(spark, root)) === (30L until 40L))
+    // inside-window versions keep their data dirs on disk and stay readable
+    dirsByVersion.filter(_._1 >= 3).flatMap(_._2)
+      .foreach(d => assert(new File(root, d).exists()))
+    assert(ids(Clocked.read(spark, root, Some(3))) === (20L until 30L))
+  }
+
+  test("DESCRIBE HISTORY survives vacuum even between checkpoints") {
+    val root = freshRoot()
+    // 5 commits — below the default 10-commit checkpoint interval, so
+    // without the vacuum-time rollup these summaries would only live in
+    // the manifests vacuum is about to delete
+    (1 to 5).foreach(i => VersionedTable.commit(
+      spark.range((i - 1) * 10L, i * 10L).toDF("id"), root))
+    VersionedTable.vacuum(root, retainLast = 2)
+    val hist = VersionedTable.historySummary(root)
+    assert(hist.map(_.version) === (1 to 5),
+      "every vacuumed version must keep its history summary")
+    assert(hist.forall(_.operation == "append"))
+  }
+
+  test("concurrent setTableProperties writers never drop each other's keys") {
+    val root = freshRoot()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+    try {
+      val tasks = (1 to 16).map { i =>
+        pool.submit(new Runnable {
+          def run(): Unit =
+            VersionedTable.setTableProperties(root, Map(s"k$i" -> s"v$i"))
+        })
+      }
+      tasks.foreach(_.get())
+    } finally pool.shutdown()
+    val props = VersionedTable.tableProperties(root)
+    (1 to 16).foreach(i => assert(props.get(s"k$i") === Some(s"v$i"),
+      s"lost update: k$i missing from ${props.keySet.toSeq.sorted}"))
+  }
+}

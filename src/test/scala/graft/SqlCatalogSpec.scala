@@ -501,6 +501,69 @@ class SqlCatalogSpec extends SparkTestBase {
       s"vacuumed history must fail loudly, got: ${e.getMessage}")
   }
 
+  test("OPTIMIZE WHERE through pure SQL: scoped rewrite, survivors byte-identical") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val root = freshRoot()
+    (0 to 2).foreach(i => VersionedTable.commit(
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .withColumn("v", col("id") * 2), root, "append", statsCols = Seq("id")))
+    val Seq(d1, d2, d3) = VersionedTable.snapshot(root, 3).dataDirs
+    def hashes(d: String): Map[String, String] =
+      Option(new java.io.File(root, d).listFiles()).toSeq.flatten
+        .filter(f => f.isFile && !f.getName.startsWith("."))
+        .map { f =>
+          f.getName -> java.security.MessageDigest.getInstance("MD5")
+            .digest(Files.readAllBytes(f.toPath)).map("%02x".format(_)).mkString
+        }.toMap
+    val survivors = Seq(d2, d3).map(d => d -> hashes(d)).toMap
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft " +
+      s"OPTIONS (statsCols 'id', optimizeDirs '4') LOCATION '$root'")
+    val v = sql.sql(s"OPTIMIZE $t WHERE id <= 50 ZORDER BY (id, v)").head().getLong(0)
+    assert(v === 4L)
+    val snap = VersionedTable.snapshot(root, 4)
+    assert(snap.operation === "optimize")
+    assert(snap.dataDirs.contains(d2) && snap.dataDirs.contains(d3) &&
+      !snap.dataDirs.contains(d1),
+      "only the admitted dir may be rewritten; the rest carried by name")
+    Seq(d2, d3).foreach(d => assert(hashes(d) === survivors(d),
+      s"carried dir $d must be byte-identical"))
+    // the probe into a carried range still prunes to that dir's files
+    val probe = sql.sql(s"SELECT * FROM $t WHERE id >= 150 AND id < 160")
+    probe.collect()
+    val files = probe.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    val all = sql.sql(s"SELECT * FROM $t"); all.collect()
+    val allFiles = all.queryExecution.executedPlan
+      .collect { case f: FileSourceScanExec => f.metrics("numFiles").value }.sum
+    assert(files > 0 && files < allFiles,
+      s"post-scoped-OPTIMIZE probe must prune ($files vs $allFiles)")
+    // value-transparent across the rewritten/carried seam
+    assert(ids(sql.sql(s"SELECT * FROM $t")) === (0L until 300L))
+    // a proven-empty scope is a no-op: version stands
+    val v2 = sql.sql(s"OPTIMIZE $t WHERE id > 100000").head().getLong(0)
+    assert(v2 === 4L && VersionedTable.latestVersion(root) === Some(4))
+  }
+
+  test("SET TBLPROPERTIES cdf flag reaches library DML (single source of truth)") {
+    val root = freshRoot()
+    VersionedTable.commit(spark.range(0, 10).toDF("id")
+      .withColumn("v", col("id")), root, statsCols = Seq("id"))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft LOCATION '$root'")
+    // declared through SQL AFTER creation...
+    sql.sql(s"ALTER TABLE $t SET TBLPROPERTIES ('graft.cdf.enabled'='true')")
+    // ...must govern a LIBRARY-issued DML against the same root
+    VersionedTable.delete(spark, root, col("id") === 3L)
+    val feed = VersionedTable.changeFeed(spark, root, 1, 2)
+    assert(feed.select("id").collect().map(_.getLong(0)).toSeq === Seq(3L),
+      "SQL-declared CDF must be honored by library DML — no dual store")
+    // UNSET turns staging back off for every writer
+    sql.sql(s"ALTER TABLE $t UNSET TBLPROPERTIES ('graft.cdf.enabled')")
+    assert(VersionedTable.tableProperties(root)
+      .get(VersionedTable.CdfEnabledProp).isEmpty)
+  }
+
   test("DESCRIBE HISTORY serves the commit log by catalog name") {
     val root = freshRoot()
     VersionedTable.commit(spark.range(0, 5).toDF("id"), root, statsCols = Seq("id"))
