@@ -93,12 +93,18 @@ def main():
         "reps": reps,
         "stat": f"min_of_{reps}",
         "correctness_at_scale": correctness,
+        # io_calibration_sec: the fixed-work parquet write+read anchor —
+        # a cross-round swing in these ratios that tracks the anchor is
+        # environment, one that doesn't is code (same attribution contract
+        # as BENCH_FULL; the r14 "regression" burned a round without it)
         "sf01": {"total_sec": b1["value"],
                  "calibration_sec": b1["calibration_sec"],
+                 "io_calibration_sec": b1.get("io_calibration_sec"),
                  "total_per_calib": b1["total_per_calib"],
                  "pit_warm": b1["pit_warm"], "online_warm": b1["online_warm"]},
         "scale": {"total_sec": b10["value"],
                   "calibration_sec": b10["calibration_sec"],
+                  "io_calibration_sec": b10.get("io_calibration_sec"),
                   "total_per_calib": b10["total_per_calib"],
                   "pit_warm": b10["pit_warm"],
                   "online_warm": b10["online_warm"]},
