@@ -470,6 +470,41 @@ object CoreQueries {
           (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
     }),
 
+    // DECLARED MAINTENANCE POLICY (the reference's refresh/compression
+    // schedule analogue, sql/timescaledb_schema.sql:60-65): a MOR DELETE
+    // leaves deletion vectors and a fragmented layout; Maintenance.plan
+    // reads ONE manifest + O(#dirs) fs stats and decides — purge the dvs,
+    // then fold the small dirs — and execute() maps the decisions onto
+    // the existing verbs. Oracle = the delete's complement: policy-driven
+    // maintenance must be content-preserving end to end.
+    "q_maintenance_policy" -> ((s, d) => {
+      import graft.sources.{Maintenance, VersionedTable}
+      val root = java.nio.file.Files.createTempDirectory("graft_vtpol_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val (lo, hi) = (mk / 3, 2 * (mk / 3))
+      Seq(col("o_orderkey") <= lo,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi,
+        col("o_orderkey") > hi).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      VersionedTable.deleteMor(s, root,
+        col("o_orderkey") > lo && col("o_orderkey") <= hi &&
+          col("o_orderstatus") === "F")
+      val policy = Maintenance.Policy(maxDeletionVectors = 1,
+        smallDirMaxBytes = Long.MaxValue / 2, maxSmallDirs = 3)
+      val actions = Maintenance.plan(root, policy)
+      require(actions.exists(_.isInstanceOf[Maintenance.PurgeDeletes]) &&
+        actions.exists(_.isInstanceOf[Maintenance.CompactSmallDirs]),
+        s"policy must trigger purge + compact, got $actions")
+      Maintenance.execute(s, root, actions, statsCols = Seq("o_orderkey"))
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
     // PLANNING-TIME skipping — the same six-dir corpus and probe as
     // q_versioned_combo, but nobody names a DirFilter: the probe is an
     // ordinary `.filter` over VersionedTable.scan's manifest FileIndex,
@@ -1151,6 +1186,18 @@ object CoreQueries {
       """SELECT o_orderstatus, count(*) AS n,
         |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+
+    // Policy-driven purge + compact preserve the post-DELETE content: the
+    // rollup equals the delete predicate's complement (the q_versioned_
+    // delete oracle verbatim — maintenance must not change the answer).
+    "q_maintenance_policy" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders, b
+        |WHERE NOT (o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F')
+        |GROUP BY o_orderstatus""".stripMargin,
 
     // Row-level DELETE through the commit log must equal the predicate's
     // complement over the raw table.

@@ -1,0 +1,121 @@
+package graft.sources
+
+import java.io.File
+
+import org.apache.spark.sql.SparkSession
+
+/** Declared maintenance policies for the versioned table — the lakehouse
+  * analogue of the reference's per-view refresh/compression/retention
+  * schedules (`sql/timescaledb_schema.sql:28-31,60-65,154-159,173-178,
+  * 233-238`), where maintenance is POLICY the operator declares once, not
+  * verbs someone remembers to call.
+  *
+  * The split is deliberate: [[Maintenance.plan]] is a PURE DECISION —
+  * manifest metadata + O(#dirs) filesystem stat calls in, `Seq[Action]`
+  * out, nothing mutated — so it is unit-testable without Spark and safe
+  * to run from any scheduler tick; [[Maintenance.execute]] maps each
+  * action onto the EXISTING library verb ([[VersionedTableOps
+  * .compactSmallDirs]] / [[VersionedTableOps.purgeDeletes]] /
+  * [[VersionedTableOps.vacuumRetain]]), so policy-driven and hand-issued
+  * maintenance share one implementation and one set of contracts
+  * (content-preservation, survivor byte-identity, O(touched-data) cost).
+  */
+object Maintenance {
+
+  /** What a policy tick decided to do, with the metric that triggered it
+    * — actions are DATA, so schedulers can log/audit/veto before running.
+    */
+  sealed trait Action { def reason: String }
+
+  /** Fold the sub-`maxBytes` dirs into one ([[VersionedTableOps
+    * .compactSmallDirs]]) — triggered by fragment count.
+    */
+  final case class CompactSmallDirs(nSmall: Int, maxBytes: Long,
+      reason: String) extends Action
+
+  /** Rewrite the dv'd dirs and clear the deletion-vector set
+    * ([[VersionedTableOps.purgeDeletes]]) — triggered by dv count or
+    * deleted-position count (the DESCRIBE DETAIL counters).
+    */
+  final case class PurgeDeletes(nDvs: Int, deletedRows: Long,
+      reason: String) extends Action
+
+  /** Reap history outside the wall-clock window ([[VersionedTableOps
+    * .vacuumRetain]]).
+    */
+  final case class Vacuum(retainMs: Long, reason: String) extends Action
+
+  /** The operator's declared thresholds. Defaults are deliberately
+    * conservative; `retainMs = None` means "never vacuum automatically"
+    * (history is cheap, deletion is not reversible).
+    */
+  final case class Policy(
+      smallDirMaxBytes: Long = 32L << 20,
+      maxSmallDirs: Int = 8,
+      maxDeletionVectors: Int = 8,
+      maxDeletedRows: Long = 100000L,
+      retainMs: Option[Long] = None,
+      minVersionsOutsideWindow: Int = 1)
+
+  /** The due actions for `root` under `policy` — pure decision over ONE
+    * manifest read plus O(#dirs) file stats; nothing is mutated. Returns
+    * actions in safe execution order (purge before compact: a purge
+    * rewrites dv'd dirs and may itself cure fragmentation; vacuum last —
+    * it only deletes what nothing references).
+    */
+  def plan(root: String, policy: Policy = Policy(),
+      nowMs: Long = System.currentTimeMillis()): Seq[Action] = {
+    val latest = VersionedTable.latestVersion(root).getOrElse(return Seq.empty)
+    val snap = VersionedTable.snapshot(root, latest)
+    val out = Seq.newBuilder[Action]
+
+    val deletedRows = snap.dvs.map(_.rows).sum
+    if (snap.dvs.size >= policy.maxDeletionVectors ||
+        deletedRows >= policy.maxDeletedRows)
+      out += PurgeDeletes(snap.dvs.size, deletedRows,
+        s"${snap.dvs.size} deletion vectors / $deletedRows deleted positions " +
+          s"(thresholds ${policy.maxDeletionVectors} / ${policy.maxDeletedRows})")
+
+    val small = snap.dataDirs.filter { d =>
+      Option(new File(root, d).listFiles()).toSeq.flatten
+        .filter(_.isFile).map(_.length).sum < policy.smallDirMaxBytes
+    }
+    if (small.size >= policy.maxSmallDirs)
+      out += CompactSmallDirs(small.size, policy.smallDirMaxBytes,
+        s"${small.size} dirs under ${policy.smallDirMaxBytes} bytes " +
+          s"(threshold ${policy.maxSmallDirs})")
+
+    policy.retainMs.foreach { window =>
+      // checkpoint-backed O(tail) walk, same as vacuumRetain's own cut
+      val outside = VersionedTable.historySummary(root)
+        .count(e => e.version < latest && e.committedMs < nowMs - window)
+      if (outside >= policy.minVersionsOutsideWindow)
+        out += Vacuum(window,
+          s"$outside versions committed before the ${window} ms window")
+    }
+    out.result()
+  }
+
+  /** Run the planned actions through the existing verbs, preserving plan
+    * order. Returns (action, committed version) — `None` where the verb
+    * proved a no-op (e.g. the purge raced a COW rewrite that already
+    * cleared the dvs) or, for vacuum, the reaped dir count tagged as a
+    * version-less effect.
+    */
+  def execute(spark: SparkSession, root: String,
+      actions: Seq[Action],
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty): Seq[(Action, Option[Int])] =
+    actions.map {
+      case a @ PurgeDeletes(_, _, _) =>
+        a -> VersionedTable.purgeDeletes(spark, root)
+      case a @ CompactSmallDirs(_, maxBytes, _) =>
+        val before = VersionedTable.latestVersion(root)
+        val v = VersionedTable.compactSmallDirs(spark, root, maxBytes,
+          statsCols = statsCols, bloomCols = bloomCols)
+        a -> Some(v).filter(_ != before.getOrElse(-1))
+      case a @ Vacuum(retainMs, _) =>
+        VersionedTable.vacuumRetain(root, retainMs)
+        a -> None
+    }
+}

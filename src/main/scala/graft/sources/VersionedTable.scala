@@ -1576,12 +1576,51 @@ class VersionedTableOps(val store: CommitStore) {
       bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int = {
     val parent = latestVersion(root)
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
-    val version = parent + 1
     val snap = snapshot(root, parent)
     val anchor = snapshotSchema(spark, root, snap)
     val scopeSet = admittedDirs(root, snap,
       predicateFilters(spark, root, anchor, predicate)).toSet
+    compactDirs(spark, root, parent, snap, anchor, scopeSet,
+      statsCols, bloomCols, bloomFpp)
+  }
+
+  /** The fragmented-dirs AUTO-SCOPE: collapse every data dir whose
+    * on-disk footprint is below `maxBytes` into ONE fresh dir, carrying
+    * the healthy dirs by name — the routine answer to "a streaming sink
+    * appended 8 600 small commits today" that never rewrites the big
+    * clustered dirs. Dir sizing is O(#dirs) filesystem metadata (the
+    * DESCRIBE DETAIL walk), no data reads. No-op (current version
+    * returned, nothing committed) below `minDirs` fragments — one small
+    * dir is not fragmentation.
+    */
+  def compactSmallDirs(spark: SparkSession, root: String,
+      maxBytes: Long = 32L << 20, minDirs: Int = 2,
+      statsCols: Seq[String] = Seq.empty,
+      bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01): Int = {
+    require(minDirs >= 2, "compacting fewer than 2 dirs moves data for nothing")
+    val parent = latestVersion(root)
+      .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
+    val snap = snapshot(root, parent)
+    val anchor = snapshotSchema(spark, root, snap)
+    val small = snap.dataDirs.filter { d =>
+      Option(new File(root, d).listFiles()).toSeq.flatten
+        .filter(_.isFile).map(_.length).sum < maxBytes
+    }
+    if (small.size < minDirs) return parent
+    compactDirs(spark, root, parent, snap, anchor, small.toSet,
+      statsCols, bloomCols, bloomFpp)
+  }
+
+  /** Shared scoped-compaction kernel: fold `scopeSet`'s dirs (dvs applied)
+    * into one fresh dir, carry the rest by name, publish the
+    * content-preserving `optimize` op. Empty scope = no-op.
+    */
+  private def compactDirs(spark: SparkSession, root: String, parent: Int,
+      snap: Snapshot, anchor: org.apache.spark.sql.types.StructType,
+      scopeSet: Set[String], statsCols: Seq[String],
+      bloomCols: Seq[String], bloomFpp: Double): Int = {
     if (scopeSet.isEmpty) return parent // skipping tiers proved a no-op
+    val version = parent + 1
     val carried = snap.dataDirs.filterNot(scopeSet)
     val carriedSet = carried.toSet
     val df = readDirs(spark, root, snap, snap.dataDirs.filter(scopeSet), anchor)

@@ -224,6 +224,64 @@ class MaintenanceSpec extends SparkTestBase {
     assert(hist.forall(_.operation == "append"))
   }
 
+  test("Maintenance.plan: pure policy decisions over manifest metadata") {
+    import graft.sources.Maintenance
+    import graft.sources.Maintenance._
+    val root = freshRoot()
+    rangedTable(root)
+    // healthy table under default thresholds: nothing is due
+    assert(Maintenance.plan(root).isEmpty)
+    // dv threshold: two MOR deletes cross maxDeletionVectors = 2
+    VersionedTable.deleteMor(spark, root, col("id") >= 10L && col("id") < 20L)
+    VersionedTable.deleteMor(spark, root, col("id") >= 110L && col("id") < 115L)
+    val p1 = Maintenance.plan(root, Policy(maxDeletionVectors = 2))
+    assert(p1.collect { case d: PurgeDeletes => d } match {
+      case Seq(d) => d.nDvs == 2 && d.deletedRows == 15L
+      case _      => false
+    }, s"expected one PurgeDeletes(2 dvs, 15 rows), got $p1")
+    // deleted-rows threshold fires independently of dv count
+    assert(Maintenance.plan(root, Policy(maxDeletedRows = 10L))
+      .exists(_.isInstanceOf[PurgeDeletes]))
+    // small-dirs threshold: every test dir is tiny, 3 >= 3 fires
+    val p2 = Maintenance.plan(root,
+      Policy(maxSmallDirs = 3, smallDirMaxBytes = Long.MaxValue / 2))
+    assert(p2.collect { case c: CompactSmallDirs => c.nSmall } === Seq(3))
+    // wall-clock retention: a window that excludes the early commits
+    val now = System.currentTimeMillis()
+    val p3 = Maintenance.plan(root, Policy(retainMs = Some(0L)),
+      nowMs = now + 60000L)
+    assert(p3.collect { case v: Vacuum => v }.nonEmpty,
+      "every non-latest version is outside a zero window in the future")
+    // ordering: purge before compact before vacuum
+    val all = Maintenance.plan(root, Policy(maxDeletionVectors = 1,
+      maxSmallDirs = 3, smallDirMaxBytes = Long.MaxValue / 2,
+      retainMs = Some(0L)), nowMs = now + 60000L)
+    assert(all.map(_.getClass.getSimpleName)
+      === Seq("PurgeDeletes", "CompactSmallDirs", "Vacuum"))
+  }
+
+  test("Maintenance.execute maps decisions onto the verbs, content preserved") {
+    import graft.sources.Maintenance
+    import graft.sources.Maintenance._
+    val root = freshRoot()
+    rangedTable(root)
+    VersionedTable.deleteMor(spark, root, col("id") >= 10L && col("id") < 20L)
+    val expected = ids(VersionedTable.read(spark, root))
+    val actions = Maintenance.plan(root, Policy(maxDeletionVectors = 1,
+      maxSmallDirs = 2, smallDirMaxBytes = Long.MaxValue / 2))
+    val ran = Maintenance.execute(spark, root, actions,
+      statsCols = Seq("id"))
+    assert(ran.size === 2 && ran.forall(_._2.isDefined))
+    val snap = VersionedTable.snapshot(root,
+      VersionedTable.latestVersion(root).get)
+    assert(snap.dvs.isEmpty, "policy purge must clear the dv set")
+    assert(snap.dataDirs.size === 1, "policy compact must fold the fragments")
+    assert(ids(VersionedTable.read(spark, root)) === expected,
+      "policy-driven maintenance must be content-preserving")
+    // a second tick finds nothing to do
+    assert(Maintenance.plan(root, Policy(maxDeletionVectors = 1)).isEmpty)
+  }
+
   test("concurrent setTableProperties writers never drop each other's keys") {
     val root = freshRoot()
     val pool = java.util.concurrent.Executors.newFixedThreadPool(8)

@@ -47,10 +47,10 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 210 = r15's 208 + the r16 scoped-OPTIMIZE tier (q_compact_where,
-    // q_zorder_where); raise this floor whenever a query is added, never
-    // lower it
-    assert(SparkEntry.queries.size >= 210,
-      s"registry shrank: ${SparkEntry.queries.size} < 210")
+    // 211 = r15's 208 + the r16 scoped-OPTIMIZE tier (q_compact_where,
+    // q_zorder_where) + declared maintenance (q_maintenance_policy);
+    // raise this floor whenever a query is added, never lower it
+    assert(SparkEntry.queries.size >= 211,
+      s"registry shrank: ${SparkEntry.queries.size} < 211")
   }
 }
