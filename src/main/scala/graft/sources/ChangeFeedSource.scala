@@ -54,9 +54,42 @@ final class ChangeFeedSource(
     maxVersionsPerTrigger: Option[Int],
     maxBytesPerTrigger: Option[Long],
     providedSchema: Option[StructType],
-    readChangeFeed: Boolean = false) extends Source with SupportsTriggerAvailableNow {
+    readChangeFeed: Boolean = false,
+    schemaTrackingLocation: Option[String] = None)
+  extends Source with SupportsTriggerAvailableNow {
 
   private val spark = sqlContext.sparkSession
+
+  // --- schema tracking (Delta's schemaTrackingLocation shape) -----------
+  // With `option("schemaTrackingLocation", dir)` the subscription PERSISTS
+  // its logical anchor (WITH the column-mapping metadata — physical
+  // identity is what makes old batches conformable) and can cross
+  // RENAME/DROP COLUMN commits: on first contact with a reshape version
+  // the source rolls the tracked anchor forward and fails ONE restartable
+  // time; the restarted query re-pins on the tracked anchor and every
+  // batch — including a recovery replay of pre-rename ranges — serves
+  // under the NEW logical names via stable physical identity (a rename
+  // moves no bytes, so the physical column addresses the same data in
+  // every era's files). Without the option the pre-r16 contract stands:
+  // refuse the reshape loudly with the resubscribe remedy.
+  private val tracked: Option[(Int, StructType)] =
+    schemaTrackingLocation.map { loc =>
+      ChangeFeedSource.readTracked(loc).getOrElse {
+        val v = VersionedTable.latestVersion(root).getOrElse(
+          throw new IllegalArgumentException(s"empty versioned table at $root"))
+        val anchor = VersionedTable.anchorAt(spark, root, v)
+        ChangeFeedSource.writeTracked(loc, v, anchor)
+        (v, anchor)
+      }
+    }
+
+  /** The pinned LOGICAL anchor (mapping metadata retained in tracked
+    * mode — needed to conform batches by physical identity).
+    */
+  private val pinnedAnchor: StructType = tracked match {
+    case Some((_, anchor)) => anchor
+    case None => providedSchema.getOrElse(VersionedTable.read(spark, root).schema)
+  }
 
   // Schema resolution happens once, at source construction (the table must
   // have at least one commit by then — same contract as Delta's source).
@@ -65,7 +98,7 @@ final class ChangeFeedSource(
   // commits (VersionedTable.changeFeed) instead of refusing them —
   // subscribers of an upserted table consume O(changed rows) per commit.
   override val schema: StructType = {
-    val base = providedSchema.getOrElse(VersionedTable.read(spark, root).schema)
+    val base = VersionedTable.logicalSchema(pinnedAnchor)
     if (!readChangeFeed) base
     else if (base.fieldNames.contains("_change_type")) base // already meta'd
     else org.apache.spark.sql.types.StructType(base.fields ++ Seq(
@@ -174,17 +207,31 @@ final class ChangeFeedSource(
     // a fully-committed batch; serve it as an empty frame, not an error.
     // A rename/drop mid-subscription would silently null-fill or drop
     // columns under the subscriber's PINNED schema (aligned by name
-    // below) — refuse loudly with the resubscribe remedy instead, the
-    // same contract Delta applies to streaming reads across column-
-    // mapping changes. Batch changeFeed() handles such ranges fine (it
-    // conforms via stable physical identity); only the pinned-schema
-    // streaming path must not cross them.
+    // below) — without schema tracking, refuse loudly with the
+    // resubscribe remedy, the same contract Delta applies to streaming
+    // reads across column-mapping changes without a schemaTrackingLocation.
+    // WITH tracking: roll the persisted anchor forward and fail ONE
+    // restartable time; the restarted source (already re-pinned on the
+    // new anchor) serves this very range again via physical identity.
     if (to > from) {
       val reshaped = (from + 1 to to).map(VersionedTable.snapshot(root, _))
         .filter(s => s.operation == "rename" || s.operation == "drop")
-      require(reshaped.isEmpty,
-        s"versions ${reshaped.map(_.version).mkString(",")} rename/drop columns " +
-          "mid-subscription; resubscribe to pick up the new schema")
+      tracked match {
+        case None =>
+          require(reshaped.isEmpty,
+            s"versions ${reshaped.map(_.version).mkString(",")} rename/drop columns " +
+              "mid-subscription; resubscribe to pick up the new schema (or set " +
+              "option 'schemaTrackingLocation' to cross column-mapping changes)")
+        case Some((tv, _)) if reshaped.nonEmpty && reshaped.map(_.version).max > tv =>
+          val newAnchor = VersionedTable.anchorAt(spark, root, to)
+          ChangeFeedSource.writeTracked(schemaTrackingLocation.get, to, newAnchor)
+          throw new IllegalStateException(
+            s"[GRAFT_SCHEMA_CHANGED] versions ${reshaped.map(_.version).mkString(",")} " +
+              s"rename/drop columns; the tracked schema at ${schemaTrackingLocation.get} " +
+              s"has been rolled forward to version $to — restart the stream to " +
+              "continue under the new column names")
+        case _ => () // reshape already absorbed into the tracked anchor
+      }
     }
     val batch = graft.BenchProbe.time("cfs.get_batch") {
       if (to <= from)
@@ -198,16 +245,69 @@ final class ChangeFeedSource(
     // delta onto the pinned schema (pre-evolution deltas null-fill columns
     // the subscriber knows about; post-evolution deltas drop columns it
     // doesn't — they become visible by resubscribing, Delta's contract).
-    val aligned = batch.select(schema.map { f =>
-      if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
+    // Tracked mode aligns by PHYSICAL identity instead of name: the batch
+    // carries the range-final logical names, which may predate the
+    // tracked anchor's (a recovery replay of a pre-rename range) — the
+    // frozen physical name is the join key that cannot drift.
+    val aligned = tracked match {
+      case None =>
+        batch.select(schema.map { f =>
+          if (batch.columns.contains(f.name)) col(f.name).cast(f.dataType)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+      case Some(_) =>
+        val anchorTo =
+          if (to > from) VersionedTable.anchorAt(spark, root, to) else pinnedAnchor
+        val srcByPhys = anchorTo.fields
+          .map(f => VersionedTable.physicalName(f) -> f.name).toMap
+        val physByPinned = pinnedAnchor.fields
+          .map(f => f.name -> VersionedTable.physicalName(f)).toMap
+        batch.select(schema.map { f =>
+          val srcName = physByPinned.get(f.name).flatMap(srcByPhys.get)
+            .getOrElse(f.name) // meta columns (_change_type...) pass by name
+          if (batch.columns.contains(srcName)) col(srcName).cast(f.dataType).as(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(aligned)
   }
 
   override def stop(): Unit = ()
 
   override def toString: String = s"ChangeFeedSource[$root, starting>$startingVersion]"
+}
+
+object ChangeFeedSource {
+
+  /** The persisted tracked anchor: `<loc>/latest`, line 1 = the version
+    * whose anchor this is, line 2 = the anchor's StructType json WITH the
+    * column-mapping metadata (`graft.physicalName`) — the metadata IS the
+    * tracking (physical identity is how old batches conform to new
+    * names). Torn-file-safe via temp+atomic-rename; a racing writer's
+    * duplicate is byte-equivalent (anchors are deterministic per version).
+    */
+  def readTracked(loc: String): Option[(Int, StructType)] = {
+    val f = new java.io.File(loc, "latest")
+    if (!f.isFile) None
+    else {
+      val lines = new String(
+        java.nio.file.Files.readAllBytes(f.toPath), "UTF-8").split("\n", 2)
+      Some((lines(0).trim.toInt,
+        org.apache.spark.sql.types.DataType.fromJson(lines(1))
+          .asInstanceOf[StructType]))
+    }
+  }
+
+  def writeTracked(loc: String, version: Int, anchor: StructType): Unit = {
+    val dir = new java.io.File(loc)
+    dir.mkdirs()
+    val tmp = java.io.File.createTempFile("track", ".tmp", dir)
+    java.nio.file.Files.write(tmp.toPath,
+      s"$version\n${anchor.json}".getBytes("UTF-8"))
+    java.nio.file.Files.move(tmp.toPath, new java.io.File(dir, "latest").toPath,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+  }
 }
 
 /** `format("graft-changefeed")` registration (via
@@ -228,7 +328,12 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
       schema: Option[StructType],
       providerName: String,
       parameters: Map[String, String]): (String, StructType) = {
-    val base = schema.getOrElse(
+    // tracked-mode restarts re-pin on the PERSISTED anchor (this is how a
+    // restart after [GRAFT_SCHEMA_CHANGED] picks up the new names)
+    val trackedBase = parameters.get("schemaTrackingLocation")
+      .flatMap(ChangeFeedSource.readTracked)
+      .map { case (_, a) => VersionedTable.logicalSchema(a) }
+    val base = trackedBase.orElse(schema).getOrElse(
       VersionedTable.read(sqlContext.sparkSession, rootOf(parameters)).schema)
     val full =
       if (!parameters.get("readChangeFeed").exists(_.toBoolean) ||
@@ -253,6 +358,7 @@ final class ChangeFeedSourceProvider extends StreamSourceProvider with DataSourc
     maxBytes.foreach(n => require(n > 0, s"maxBytesPerTrigger must be > 0, got $n"))
     new ChangeFeedSource(sqlContext, rootOf(parameters),
       parameters.getOrElse("startingVersion", "0").toInt, maxPer, maxBytes, schema,
-      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean))
+      readChangeFeed = parameters.get("readChangeFeed").exists(_.toBoolean),
+      schemaTrackingLocation = parameters.get("schemaTrackingLocation"))
   }
 }

@@ -296,6 +296,13 @@ class VersionedTableOps(val store: CommitStore) {
   } // vt.manifest_parse
 
 
+  /** Version `v`'s schema anchor (column-mapping metadata included) — the
+    * logical shape as of that commit, one manifest read.
+    */
+  def anchorAt(spark: SparkSession, root: String, v: Int):
+      org.apache.spark.sql.types.StructType =
+    snapshotSchema(spark, root, snapshot(root, v))
+
   /** All snapshots, oldest first. */
   def history(root: String): Seq[Snapshot] = {
     val vs = store.versions(root).toSet
@@ -2711,13 +2718,16 @@ class VersionedTableOps(val store: CommitStore) {
     val snaps = (fromVersion + 1 to toVersion).map(snapshot(root, _))
     // `analyze`/`evolve` versions reference the SAME dirs (backfilled
     // skipping metadata / a widened schema anchor); `optimize` replaces
-    // the layout with IDENTICAL content (Delta's dataChange=false) —
+    // the layout with IDENTICAL content (Delta's dataChange=false);
+    // `rename`/`drop` move only the schema anchor (zero rows, files
+    // byte-identical — the range-final anchor below serves every slice
+    // under the final logical names via stable physical identity) —
     // additive no-ops for a consumer, never a reason to break a
     // subscription. `clone` is only ever a table's version 1 (its birth):
     // the whole snapshot IS the delta, same as a born-by-append table.
     // Anything else non-append is a wholesale replacement.
-    snaps.filter(s => !Set("append", "analyze", "clone", "evolve", "optimize")
-        .contains(s.operation)) match {
+    snaps.filter(s => !Set("append", "analyze", "clone", "evolve", "optimize",
+        "rename", "drop").contains(s.operation)) match {
       case bad if bad.nonEmpty =>
         throw new IllegalArgumentException(
           s"change feed crosses non-append versions ${bad.map(_.version).mkString(",")}: " +

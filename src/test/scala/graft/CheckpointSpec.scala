@@ -72,23 +72,24 @@ class CheckpointSpec extends SparkTestBase {
   }
 
   test("history SURVIVES vacuum through the checkpoint; travel stays readable") {
-    val root = build(25) // checkpoints at 10, 20
+    val root = build(25) // periodic checkpoints at 10, 20
     VersionedTable.vacuum(root, retainLast = 3)
-    // manifests 1..22 are gone, but the summary still serves 1..20 from
-    // the v20 checkpoint plus 23..25 from the tail — only 21/22 (dropped
-    // manifests past the newest checkpoint) are genuinely unknowable
+    // manifests 1..22 are gone, but EVERY version keeps its summary:
+    // vacuum rolls a checkpoint at the tip (v25) before deleting
+    // manifests, so even 21/22 — past the last periodic checkpoint —
+    // survive (the r15 gap: they used to be silently unknowable)
     val versions = VersionedTable.historySummary(root).map(_.version)
-    assert(versions === ((1 to 20) ++ (23 to 25)))
+    assert(versions === (1 to 25))
     // versionAsOf never picks a vacuumed (unreadable) version
     val tsOfV15 = VersionedTable.historySummary(root)
       .find(_.version == 15).get.committedMs
     val picked = VersionedTable.versionAsOf(root, tsOfV15)
     assert(picked === None || picked.exists(_ >= 23),
       s"versionAsOf picked unreadable $picked")
-    // superseded checkpoints are GC'd; the newest survives
+    // superseded checkpoints are GC'd; the vacuum-time rollup survives
     val cps = Option(new java.io.File(root, "_checkpoint").listFiles())
       .toSeq.flatten.map(_.getName).sorted
-    assert(cps === Seq("v00020"))
+    assert(cps === Seq("v00025"))
   }
 
   test("a mid-stream changefeed drain reads O(delta) manifests, not O(versions)") {
