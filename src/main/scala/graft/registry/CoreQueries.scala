@@ -470,6 +470,33 @@ object CoreQueries {
           (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
     }),
 
+    // FILE-GRAIN skipping on a FAT dir (per-file fstats hulls, Delta's
+    // per-file stats shape): ONE commit lands the whole trades corpus as
+    // a single dir of time-range-split files, so dir-grain stats alone
+    // cannot prune at all — the time-third probe must skip at the FILE
+    // tier (ManifestIndexSpec asserts numFiles; the gate asserts values).
+    // At 100 TB this is what keeps a large append commit's pruning tight
+    // without forcing a dir-sizing discipline on writers.
+    "q_versioned_filegrain" -> ((s, d) => {
+      import graft.sources.VersionedTable
+      val root = java.nio.file.Files.createTempDirectory("graft_vtfg_").toString
+      val t = Tables.trades(s, d)
+        .select(col("time"), col("symbol"), col("price"), col("volume"))
+      val b = t.agg(min(unix_micros(col("time"))).as("mn"),
+        max(unix_micros(col("time"))).as("mx")).head()
+      val (mn, mx) = (b.getLong(0), b.getLong(1))
+      val t1 = mn + (mx - mn) / 3
+      val t2 = mn + 2 * ((mx - mn) / 3)
+      def um = unix_micros(col("time"))
+      VersionedTable.commit(t.repartitionByRange(8, col("time")), root,
+        "append", statsCols = Seq("time"))
+      VersionedTable.scan(s, root)
+        .filter(um >= t1 && um < t2)
+        .groupBy("symbol")
+        .agg(count(lit(1)).as("n"), sum(col("volume")).as("sum_volume"),
+          Quantize.r(sum(col("price")), 4).as("sum_price"))
+    }),
+
     // DECLARED MAINTENANCE POLICY (the reference's refresh/compression
     // schedule analogue, sql/timescaledb_schema.sql:60-65): a MOR DELETE
     // leaves deletion vectors and a fragmented layout; Maintenance.plan
@@ -1098,6 +1125,17 @@ object CoreQueries {
     // Integer micros arithmetic on both sides: Scala Long '/' and DuckDB
     // '//' both truncate toward zero on the non-negative span.
     "q_versioned_prune" -> OracleSql.withTradesAnd(
+      """b AS (SELECT min(epoch_us(time)) AS mn, max(epoch_us(time)) AS mx FROM trades),
+        |r AS (SELECT mn + (mx - mn) // 3 AS t1, mn + 2 * ((mx - mn) // 3) AS t2 FROM b)""".stripMargin,
+      """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,
+        |       floor((sum(price)) * 1e4 + 0.5) / 1e4 AS sum_price
+        |FROM trades, r
+        |WHERE epoch_us(time) >= t1 AND epoch_us(time) < t2
+        |GROUP BY symbol""".stripMargin),
+
+    // File-grain skipping is value-transparent: same middle-third rollup
+    // as q_versioned_prune, now pruned at the file tier inside one dir.
+    "q_versioned_filegrain" -> OracleSql.withTradesAnd(
       """b AS (SELECT min(epoch_us(time)) AS mn, max(epoch_us(time)) AS mx FROM trades),
         |r AS (SELECT mn + (mx - mn) // 3 AS t1, mn + 2 * ((mx - mn) // 3) AS t2 FROM b)""".stripMargin,
       """SELECT symbol, count(*) AS n, sum(volume) AS sum_volume,

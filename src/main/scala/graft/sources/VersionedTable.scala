@@ -275,6 +275,11 @@ class VersionedTableOps(val store: CommitStore) {
           case Array(d, c, mn, mx) => stats += DirStat(d, c, mn.toDouble, mx.toDouble)
           case _                   => () // malformed stats line: ignore (stats are advisory)
         }
+        case Array("fstats", v)       => v.split("\\|") match {
+          case Array(d, f, c, mn, mx) =>
+            stats += DirStat(d, c, mn.toDouble, mx.toDouble, Some(f))
+          case _                       => () // advisory, like stats
+        }
         case Array("bloom", v)        => v.split("\\|") match {
           case Array(d, c, p) => blooms += DirBloom(d, c, p)
           case _              => () // malformed bloom line: ignore (advisory)
@@ -484,7 +489,8 @@ class VersionedTableOps(val store: CommitStore) {
     // still reads as a schema-correct empty frame instead of throwing.
     // Stats/bloom aggregates speak LOGICAL names (the manifest's space).
     val committed = toLogical(df.sparkSession.read.schema(dfPhys.schema)
-      .parquet(new File(root, newDir).getPath), snapSchema)
+      .parquet(new File(root, newDir).getPath)
+      .withColumn("__file", col("_metadata.file_name")), snapSchema)
     val statAggs = statsCols.flatMap { c =>
       val probe = committed.schema(c).dataType match {
         case TimestampType => unix_micros(col(c)) // micros < 2^53: double-exact
@@ -493,14 +499,27 @@ class VersionedTableOps(val store: CommitStore) {
       }
       Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
     }
-    val aggRow = graft.BenchProbe.time("vt.commit.stats") { committed
-      .agg(count(lit(1)).as("__n"), statAggs: _*).head() }
-    val rows = aggRow.getLong(0)
-    val newStats = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      if (aggRow.isNullAt(1 + 2 * i)) None // all-null or empty batch: no stats
-      else Some(DirStat(newDir, c,
-        toDouble(aggRow.get(1 + 2 * i)), toDouble(aggRow.get(2 + 2 * i))))
+    // ONE grouped agg (by file) yields the row count and every column's
+    // per-FILE min/max in the same scan the old global agg paid; the dir
+    // hull folds driver-side. File-grain `fstats=` entries are what keep
+    // pruning tight on a FAT append (one dir, many files) — a 100 TB
+    // table's commit hulls no longer coarsen to the dir.
+    val perFile = graft.BenchProbe.time("vt.commit.stats") { committed
+      .groupBy(col("__file")).agg(count(lit(1)).as("__n"), statAggs: _*)
+      .collect() }
+    val rows = perFile.map(_.getAs[Long]("__n")).sum
+    val fileStats = perFile.toSeq.flatMap { r =>
+      statsCols.flatMap { c =>
+        if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None // all-null file
+        else Some(DirStat(newDir, c, toDouble(r.getAs[Any](s"__mn_$c")),
+          toDouble(r.getAs[Any](s"__mx_$c")), Some(r.getAs[String]("__file"))))
+      }
     }
+    val newStats = statsCols.flatMap { c =>
+      val fs = fileStats.filter(_.col == c)
+      if (fs.isEmpty) None // all-null or empty batch: no stats
+      else Some(DirStat(newDir, c, fs.map(_.min).min, fs.map(_.max).max))
+    } ++ fileStats
 
     // Per-dir bloom sidecars: equality-predicate skipping where min/max
     // stats can't help (a point key intersects every dir's range). Sidecars
@@ -594,8 +613,16 @@ class VersionedTableOps(val store: CommitStore) {
       body.append(s"txn=$appId|$batchId\n")
     }
     dirs.foreach(d => body.append(s"dir=$d\n"))
-    stats.foreach(s =>
-      body.append(s"stats=${s.dir}|${s.col}|${s.min}|${s.max}\n"))
+    // dir-grain hulls drive dir admission; file-grain entries (fstats=)
+    // drop admission to FILE grain inside admitted dirs — the Delta
+    // per-file-stats shape, so a fat append commit (one dir, many files)
+    // still prunes tightly instead of coarsening to the dir hull
+    stats.foreach(s => s.file match {
+      case None =>
+        body.append(s"stats=${s.dir}|${s.col}|${s.min}|${s.max}\n")
+      case Some(f) =>
+        body.append(s"fstats=${s.dir}|$f|${s.col}|${s.min}|${s.max}\n")
+    })
     blooms.foreach(b =>
       body.append(s"bloom=${b.dir}|${b.col}|${b.path}\n"))
     if (!store.putIfAbsent(root, version, body.toString))
@@ -858,11 +885,14 @@ class VersionedTableOps(val store: CommitStore) {
     val physToLogical = anchor.fields
       .map(f => VersionedTable.physicalName(f) -> f.name)
       .filter { case (p, l) => p != l }.toMap
+    def toLogicalFilters(filters: Seq[VersionedTable.DirFilter]) =
+      if (physToLogical.isEmpty) filters
+      else filters.map(mapFilterCols(_, physToLogical))
     val index = new org.apache.spark.sql.graft.ManifestFileIndex(
       rootPath, dirFiles,
-      filters => admittedDirs(root, snap,
-        if (physToLogical.isEmpty) filters
-        else filters.map(mapFilterCols(_, physToLogical))))
+      filters => admittedDirs(root, snap, toLogicalFilters(filters)),
+      (dir, names, filters) =>
+        admittedFiles(snap, dir, names, toLogicalFilters(filters)))
     (index, anchor)
   }
 
@@ -878,7 +908,10 @@ class VersionedTableOps(val store: CommitStore) {
   def admittedDirs(root: String, snap: Snapshot,
       filters: Seq[VersionedTable.DirFilter]): Seq[String] = {
     import VersionedTable.{AnyOf, DirFilter, PointFilter, RangeFilter}
-    val statsFor = snap.dirStats.map(s => (s.dir, s.col) -> s).toMap
+    // dir-grain hulls only: file-grain entries refine INSIDE a dir
+    // (admittedFiles); folding them here would corrupt the dir hull
+    val statsFor = snap.dirStats.filter(_.file.isEmpty)
+      .map(s => (s.dir, s.col) -> s).toMap
     val bloomFor = snap.dirBlooms.map(b => (b.dir, b.col) -> b).toMap
     def admits(d: String, f: DirFilter): Boolean = f match {
       case RangeFilter(c, lo, hi) =>
@@ -903,6 +936,39 @@ class VersionedTableOps(val store: CommitStore) {
         branches.isEmpty || branches.exists(_.forall(admits(d, _)))
     }
     snap.dataDirs.filter(d => filters.forall(admits(d, _)))
+  }
+
+  /** FILE-grain admission inside one already-admitted dir: the subset of
+    * `fileNames` whose per-file hulls (`fstats=` lines) might satisfy
+    * every filter. Strictly conservative, like [[admittedDirs]]: a file
+    * with no recorded stat for a filter's column survives, and a dir with
+    * no file-grain stats at all returns every file — legacy manifests and
+    * analyze-only tables pay nothing and lose nothing. Point probes use
+    * the min/max hull only (blooms are per-DIR); dismissing a file a
+    * sidecar would have admitted is impossible because hull checks are
+    * necessary conditions on their own.
+    */
+  def admittedFiles(snap: Snapshot, dir: String, fileNames: Seq[String],
+      filters: Seq[VersionedTable.DirFilter]): Seq[String] = {
+    import VersionedTable.{AnyOf, DirFilter, PointFilter, RangeFilter}
+    val fstats = snap.dirStats.filter(s => s.dir == dir && s.file.isDefined)
+    if (fstats.isEmpty || filters.isEmpty) return fileNames
+    val statsFor = fstats.map(s => (s.file.get, s.col) -> s).toMap
+    def admits(f: String, flt: DirFilter): Boolean = flt match {
+      case RangeFilter(c, lo, hi) =>
+        statsFor.get((f, c)).forall(s => s.max >= lo && s.min <= hi)
+      case PointFilter(c, value) => value match {
+        case n: Number => statsFor.get((f, c)).forall(s =>
+          s.max >= n.doubleValue() && s.min <= n.doubleValue())
+        case v: String =>
+          val img = VersionedTable.strImage(v)
+          statsFor.get((f, c)).forall(s => s.max >= img && s.min <= img)
+        case _ => true
+      }
+      case AnyOf(branches) =>
+        branches.isEmpty || branches.exists(_.forall(admits(f, _)))
+    }
+    fileNames.filter(f => filters.forall(admits(f, _)))
   }
 
   /** Deserialize a bloom sidecar; a lost sidecar is None (conservative —
@@ -1671,10 +1737,11 @@ class VersionedTableOps(val store: CommitStore) {
     // schema-pinned read-back, like commit's: no footer inference, and a
     // zero-partition write (no part files) reads as schema-correct empty;
     // stats/bloom aggregates speak LOGICAL names
-    val committedPhys = df.sparkSession.read.schema(dfPhys.schema)
+    val committedPhysF = df.sparkSession.read.schema(dfPhys.schema)
       .parquet(new File(root, dirRel).getPath)
+      .withColumn("__file", col("_metadata.file_name"))
     val committed =
-      if (anchor == null) committedPhys else toLogical(committedPhys, anchor)
+      if (anchor == null) committedPhysF else toLogical(committedPhysF, anchor)
     val statAggs = statsCols.flatMap { c =>
       val probe = committed.schema(c).dataType match {
         case TimestampType => unix_micros(col(c))
@@ -1683,13 +1750,23 @@ class VersionedTableOps(val store: CommitStore) {
       }
       Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
     }
-    val aggRow = committed.agg(count(lit(1)).as("__n"), statAggs: _*).head()
-    val rows = aggRow.getLong(0)
-    val stats = statsCols.zipWithIndex.flatMap { case (c, i) =>
-      if (aggRow.isNullAt(1 + 2 * i)) None
-      else Some(DirStat(dirRel, c,
-        toDouble(aggRow.get(1 + 2 * i)), toDouble(aggRow.get(2 + 2 * i))))
+    // grouped by file, folded to the dir hull driver-side — same
+    // per-file discipline as commit's (see the fstats= note there)
+    val perFile = committed.groupBy(col("__file"))
+      .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
+    val rows = perFile.map(_.getAs[Long]("__n")).sum
+    val fileStats = perFile.toSeq.flatMap { r =>
+      statsCols.flatMap { c =>
+        if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+        else Some(DirStat(dirRel, c, toDouble(r.getAs[Any](s"__mn_$c")),
+          toDouble(r.getAs[Any](s"__mx_$c")), Some(r.getAs[String]("__file"))))
+      }
     }
+    val stats = statsCols.flatMap { c =>
+      val fs = fileStats.filter(_.col == c)
+      if (fs.isEmpty) None
+      else Some(DirStat(dirRel, c, fs.map(_.min).min, fs.map(_.max).max))
+    } ++ fileStats
     val blooms = bloomCols.map { c =>
       val bf = committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
       val rel = s"_blooms/${new File(dirRel).getName}_$c.bloom"
@@ -3126,7 +3203,8 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
     * image is exact); pruning is conservative either way (a dir is skipped
     * only when its whole range misses the predicate).
     */
-  final case class DirStat(dir: String, col: String, min: Double, max: Double)
+  final case class DirStat(dir: String, col: String, min: Double, max: Double,
+      file: Option[String] = None)
 
   /** Per-dir bloom sidecar pointer for one column, as recorded in the
     * manifest (`bloom=<dir>|<col>|<relative-path>`). The sidecar holds a

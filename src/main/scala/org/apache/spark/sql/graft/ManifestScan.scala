@@ -36,7 +36,9 @@ import graft.sources.VersionedTable.{DirFilter, PointFilter, RangeFilter}
 class ManifestFileIndex(
     tableRoot: Path,
     dirFiles: Seq[(String, Array[FileStatus])],
-    admit: Seq[DirFilter] => Seq[String])
+    admit: Seq[DirFilter] => Seq[String],
+    fileAdmit: (String, Seq[String], Seq[DirFilter]) => Seq[String] =
+      (_, names, _) => names)
   extends FileIndex {
 
   private val byDir: Map[String, Array[FileStatus]] = dirFiles.toMap
@@ -48,6 +50,9 @@ class ManifestFileIndex(
     * unpartitioned at the Spark level (`partitionSchema` empty), so
     * `partitionFilters` is always empty and all pruning power rides on
     * `dataFilters` — "partition pruning without a partition layout".
+    * Inside each admitted dir, `fileAdmit` refines to FILE grain when the
+    * manifest carries per-file hulls (`fstats=` lines) — a fat append
+    * commit prunes at the file, not the dir.
     */
   override def listFiles(partitionFilters: Seq[Expression],
       dataFilters: Seq[Expression]): Seq[PartitionDirectory] = {
@@ -55,7 +60,14 @@ class ManifestFileIndex(
     val keep =
       if (filters.isEmpty) dirFiles.map(_._1)
       else admit(filters)
-    val files = keep.flatMap(d => byDir.getOrElse(d, Array.empty[FileStatus]))
+    val files = keep.flatMap { d =>
+      val all = byDir.getOrElse(d, Array.empty[FileStatus])
+      if (filters.isEmpty) all
+      else {
+        val names = fileAdmit(d, all.map(_.getPath.getName).toSeq, filters).toSet
+        all.filter(st => names(st.getPath.getName))
+      }
+    }
     Seq(PartitionDirectory(InternalRow.empty, files.toArray))
   }
 

@@ -53,6 +53,29 @@ class ManifestIndexSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).sorted === (120L until 180L))
   }
 
+  test("per-file stats prune INSIDE a fat dir (file-grain admission)") {
+    val root = freshRoot()
+    // ONE commit, ONE dir, four range-split files — the fat-append shape
+    // whose pruning used to coarsen to the dir hull
+    VersionedTable.commit(
+      spark.range(0, 400).toDF("id").repartitionByRange(4, col("id")),
+      root, "append", statsCols = Seq("id"))
+    val snap = VersionedTable.snapshot(root, 1)
+    assert(snap.dataDirs.size === 1)
+    assert(snap.dirStats.count(s => s.file.isDefined && s.col == "id") === 4,
+      "commit must record one fstats hull per file")
+    assert(snap.dirStats.exists(s => s.file.isEmpty && s.col == "id"),
+      "the dir-grain hull must still be recorded (dir admission needs it)")
+    val all = runAndCount(VersionedTable.scan(spark, root))
+    assert(all._2 === 4, "one dir, four files unfiltered")
+    val probe = VersionedTable.scan(spark, root)
+      .filter(col("id") >= 150L && col("id") < 180L)
+    val (rows, files) = runAndCount(probe)
+    assert(files >= 1 && files < 4,
+      s"file-grain hulls must prune inside the single dir, got $files")
+    assert(rows.map(_.getLong(0)).sorted === (150L until 180L))
+  }
+
   test("an equality probe rides the bloom tier through ordinary .filter") {
     val root = freshRoot()
     Seq("AAA", "BBB", "CCC").foreach { sym =>

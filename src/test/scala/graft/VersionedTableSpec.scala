@@ -469,10 +469,14 @@ class VersionedTableSpec extends SparkTestBase {
     VersionedTable.commit(slice(0, 100), root, "append", statsCols = Seq("id"))
     VersionedTable.commit(slice(100, 200), root, "append", statsCols = Seq("id"))
     VersionedTable.commit(slice(200, 300), root, "append", statsCols = Seq("id"))
-    // stats recorded and accumulated across appends
+    // dir-grain hulls recorded and accumulated across appends (per-FILE
+    // fstats entries ride along; dir admission uses only these)
     val snap = VersionedTable.snapshot(root, 3)
-    assert(snap.dirStats.map(s => (s.col, s.min, s.max)).sortBy(_._2) ===
+    assert(snap.dirStats.filter(_.file.isEmpty)
+      .map(s => (s.col, s.min, s.max)).sortBy(_._2) ===
       Seq(("id", 0.0, 99.0), ("id", 100.0, 199.0), ("id", 200.0, 299.0)))
+    assert(snap.dirStats.exists(_.file.isDefined),
+      "commits must also record per-file hulls")
     // a range inside the middle dir scans ONLY that dir
     val pruned = VersionedTable.readPruned(spark, root, "id", 120.0, 180.0)
     val files = pruned.inputFiles
@@ -685,7 +689,8 @@ class VersionedTableSpec extends SparkTestBase {
     val v = VersionedTable.compact(spark, root,
       statsCols = Seq("id"), bloomCols = Seq("id"))
     val sc = VersionedTable.snapshot(root, v)
-    assert(sc.dataDirs.size === 1 && sc.dirStats.size === 1 && sc.dirBlooms.size === 1,
+    assert(sc.dataDirs.size === 1 && sc.dirStats.count(_.file.isEmpty) === 1 &&
+      sc.dirBlooms.size === 1,
       "compaction dropped bloom sidecar coverage for the compacted dir")
     assert(new File(root, sc.dirBlooms.head.path).exists())
   }
