@@ -1375,14 +1375,17 @@ class VersionedTableOps(val store: CommitStore) {
     // Mapped tables read under PHYSICAL names and rename (analyze's
     // statsCols/bloomCols arrive logical, like every caller-facing name).
     val anchorA = snapshotSchema(spark, root, snap)
-    def dirRead(d: String): DataFrame =
-      if (VersionedTable.isMapped(anchorA))
-        toLogical(spark.read.schema(VersionedTable.physicalSchema(anchorA))
-          .parquet(new File(root, d).getPath), anchorA)
-      else spark.read.parquet(new File(root, d).getPath)
+    def dirRead(d: String): DataFrame = {
+      val raw = (if (VersionedTable.isMapped(anchorA))
+        spark.read.schema(VersionedTable.physicalSchema(anchorA))
+          .parquet(new File(root, d).getPath)
+      else spark.read.parquet(new File(root, d).getPath))
+        .withColumn("__file", col("_metadata.file_name"))
+      if (VersionedTable.isMapped(anchorA)) toLogical(raw, anchorA) else raw
+    }
     val tagged = snap.dataDirs.map { d =>
       dirRead(d)
-        .select((statsCols ++ bloomCols).distinct.map(col): _*)
+        .select((statsCols ++ bloomCols).distinct.map(col) :+ col("__file"): _*)
         .withColumn("__dir", lit(d))
     }.reduce(_ unionByName _)
     val statAggs = statsCols.flatMap { c =>
@@ -1393,20 +1396,26 @@ class VersionedTableOps(val store: CommitStore) {
       }
       Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
     }
-    val grouped = tagged.groupBy(col("__dir"))
+    // grouped at FILE grain; the dir hull folds driver-side — the ANALYZE
+    // retrofit gives an existing fat-dir table file-grain pruning with no
+    // rewrite, same fstats= discipline as fresh commits
+    val grouped = tagged.groupBy(col("__dir"), col("__file"))
       .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
-    val stats = grouped.flatMap { r =>
+    val fileStats = grouped.flatMap { r =>
       val d = r.getAs[String]("__dir")
       statsCols.flatMap { c =>
         if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
         else Some(DirStat(d, c, toDouble(r.getAs[Any](s"__mn_$c")),
-          toDouble(r.getAs[Any](s"__mx_$c"))))
+          toDouble(r.getAs[Any](s"__mx_$c")), Some(r.getAs[String]("__file"))))
       }
     }.toSeq
+    val stats = fileStats.groupBy(s => (s.dir, s.col)).map { case ((d, c), fs) =>
+      DirStat(d, c, fs.map(_.min).min, fs.map(_.max).max)
+    }.toSeq ++ fileStats
     val token = UUID.randomUUID().toString.take(8)
     val blooms = snap.dataDirs.flatMap { d =>
-      val n = grouped.find(_.getAs[String]("__dir") == d)
-        .map(_.getAs[Long]("__n")).getOrElse(1L)
+      val n = grouped.filter(_.getAs[String]("__dir") == d)
+        .map(_.getAs[Long]("__n")).sum.max(1L)
       val dirDf = dirRead(d)
       bloomCols.map { c =>
         val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)

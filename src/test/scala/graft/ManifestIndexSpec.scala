@@ -76,6 +76,23 @@ class ManifestIndexSpec extends SparkTestBase {
     assert(rows.map(_.getLong(0)).sorted === (150L until 180L))
   }
 
+  test("analyze() retrofits file-grain hulls onto an existing fat dir") {
+    val root = freshRoot()
+    // committed with NO stats at all — the legacy-table shape
+    VersionedTable.commit(
+      spark.range(0, 400).toDF("id").repartitionByRange(4, col("id")), root)
+    val before = runAndCount(VersionedTable.scan(spark, root)
+      .filter(col("id") >= 150L && col("id") < 180L))
+    assert(before._2 === 4, "no stats: every file must be scanned")
+    // one metadata-only commit measures the layout, down to file grain
+    VersionedTable.analyze(spark, root, statsCols = Seq("id"))
+    val (rows, files) = runAndCount(VersionedTable.scan(spark, root)
+      .filter(col("id") >= 150L && col("id") < 180L))
+    assert(files >= 1 && files < 4,
+      s"post-analyze the probe must prune at the file tier, got $files")
+    assert(rows.map(_.getLong(0)).sorted === (150L until 180L))
+  }
+
   test("an equality probe rides the bloom tier through ordinary .filter") {
     val root = freshRoot()
     Seq("AAA", "BBB", "CCC").foreach { sym =>
