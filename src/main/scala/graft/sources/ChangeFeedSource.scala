@@ -263,10 +263,21 @@ final class ChangeFeedSource(
         val physByPinned = pinnedAnchor.fields
           .map(f => f.name -> VersionedTable.physicalName(f)).toMap
         batch.select(schema.map { f =>
-          val srcName = physByPinned.get(f.name).flatMap(srcByPhys.get)
-            .getOrElse(f.name) // meta columns (_change_type...) pass by name
-          if (batch.columns.contains(srcName)) col(srcName).cast(f.dataType).as(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
+          // ONLY the CDF meta columns may match by name — they have no
+          // physical identity. For anchor columns the physical name is the
+          // sole join key: a pinned column absent from the range-final
+          // anchor was DROPPED there (possibly re-added later under the
+          // same logical name but a NEW physical name), and falling back
+          // to by-name would serve the dropped column's old values under
+          // the re-added column — the resurrection column mapping exists
+          // to prevent. Null-fill instead.
+          val srcName =
+            if (ChangeFeedSource.MetaCols(f.name)) Some(f.name)
+            else physByPinned.get(f.name).flatMap(srcByPhys.get)
+          srcName.filter(batch.columns.contains) match {
+            case Some(n) => col(n).cast(f.dataType).as(f.name)
+            case None    => lit(null).cast(f.dataType).as(f.name)
+          }
         }: _*)
     }
     org.apache.spark.sql.graft.StreamingBridge.asStreaming(aligned)
@@ -278,6 +289,13 @@ final class ChangeFeedSource(
 }
 
 object ChangeFeedSource {
+
+  /** The CDF-only columns that legitimately align by NAME in tracked mode
+    * (they carry no `graft.physicalName` — they are synthesized per batch,
+    * never stored in a data file).
+    */
+  val MetaCols: Set[String] =
+    Set("_change_type", "_commit_version", "_commit_timestamp")
 
   /** The persisted tracked anchor: `<loc>/latest`, line 1 = the version
     * whose anchor this is, line 2 = the anchor's StructType json WITH the

@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.io.File
+
 
 import org.apache.spark.sql.SparkSession
 
@@ -76,19 +76,23 @@ object Maintenance {
         s"${snap.dvs.size} deletion vectors / $deletedRows deleted positions " +
           s"(thresholds ${policy.maxDeletionVectors} / ${policy.maxDeletedRows})")
 
-    val small = snap.dataDirs.filter { d =>
-      Option(new File(root, d).listFiles()).toSeq.flatten
-        .filter(_.isFile).map(_.length).sum < policy.smallDirMaxBytes
-    }
+    val small = snap.dataDirs.filter(d =>
+      VersionedTable.data.sizeOfDir(root, d) < policy.smallDirMaxBytes)
     if (small.size >= policy.maxSmallDirs)
       out += CompactSmallDirs(small.size, policy.smallDirMaxBytes,
         s"${small.size} dirs under ${policy.smallDirMaxBytes} bytes " +
           s"(threshold ${policy.maxSmallDirs})")
 
     policy.retainMs.foreach { window =>
-      // checkpoint-backed O(tail) walk, same as vacuumRetain's own cut
+      // checkpoint-backed O(tail) walk, same as vacuumRetain's own cut.
+      // Count only versions whose MANIFEST still exists: history summaries
+      // survive vacuum by contract (the checkpoint-at-tip rule), so counting
+      // summaries alone would keep planning a no-op Vacuum forever after the
+      // first one — the policy must converge to [] once nothing is reapable.
+      val reapable = VersionedTable.existingVersions(root).toSet
       val outside = VersionedTable.historySummary(root)
-        .count(e => e.version < latest && e.committedMs < nowMs - window)
+        .count(e => e.version < latest && reapable(e.version) &&
+          e.committedMs < nowMs - window)
       if (outside >= policy.minVersionsOutsideWindow)
         out += Vacuum(window,
           s"$outside versions committed before the ${window} ms window")

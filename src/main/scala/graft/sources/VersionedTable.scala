@@ -41,7 +41,8 @@ import org.apache.spark.sql.types.{StringType, TimestampType}
   * time-travel read cost is O(files in that snapshot); vacuum is
   * O(versions) metadata + file deletes, data-free. Nothing scans the table.
   */
-class VersionedTableOps(val store: CommitStore) {
+class VersionedTableOps(val store: CommitStore,
+    val data: DataStore = DataStore.default) {
   import VersionedTable.{CommitConflictException, DirBloom, DirStat, DvFile, Snapshot}
 
   private def dataDir(root: String) = new File(root, "data")
@@ -66,6 +67,12 @@ class VersionedTableOps(val store: CommitStore) {
     val vs = store.versions(root)
     if (vs.isEmpty) None else Some(vs.max)
   }
+
+  /** Versions whose manifest still exists (i.e. not yet vacuumed) — the
+    * set a Vacuum action could actually reap, as opposed to
+    * [[historySummary]], whose entries survive vacuum by contract.
+    */
+  def existingVersions(root: String): Seq[Int] = store.versions(root)
 
   /** Table-level configuration (`_props` at the table root, `key=value`
     * per line) — the home of `graft.cdf.enabled` and friends. Properties
@@ -532,9 +539,7 @@ class VersionedTableOps(val store: CommitStore) {
         committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
       }
       val rel = s"_blooms/${new File(newDir).getName}_$c.bloom"
-      val f = new File(root, rel)
-      f.getParentFile.mkdirs()
-      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      val os = data.create(root, rel)
       try bf.writeTo(os) finally os.close()
       DirBloom(newDir, c, rel)
     }
@@ -562,8 +567,8 @@ class VersionedTableOps(val store: CommitStore) {
     catch { case e: CommitConflictException =>
       // Lost the race: our dir and sidecars are unreferenced and can't hurt
       // anyone. Remove them now; if we crash before this line, vacuum reaps.
-      VersionedTable.deleteRecursively(new File(root, newDir))
-      newBlooms.foreach(b => new File(root, b.path).delete())
+      data.deleteTree(root, newDir)
+      newBlooms.foreach(b => data.deleteFile(root, b.path))
       throw e
     }
     version
@@ -976,11 +981,8 @@ class VersionedTableOps(val store: CommitStore) {
     */
   private def loadBloom(root: String,
       b: DirBloom): Option[org.apache.spark.util.sketch.BloomFilter] = {
-    val f = new File(root, b.path)
-    if (!f.exists()) None
-    else {
-      val is = new java.io.BufferedInputStream(new java.io.FileInputStream(f))
-      try Some(org.apache.spark.util.sketch.BloomFilter.readFrom(is))
+    data.open(root, b.path).map { is =>
+      try org.apache.spark.util.sketch.BloomFilter.readFrom(is)
       finally is.close()
     }
   }
@@ -1145,7 +1147,7 @@ class VersionedTableOps(val store: CommitStore) {
     if (v == parent) return parent // restoring the tip is a no-op
     val target = snapshot(root, v)
     val missing = (target.dataDirs ++ target.dvs.map(_.path))
-      .filterNot(d => new File(root, d).exists())
+      .filterNot(d => data.exists(root, d))
     require(missing.isEmpty,
       s"cannot restore to version $v: dirs vacuumed [${missing.mkString(",")}]")
     val version = parent + 1
@@ -1305,16 +1307,14 @@ class VersionedTableOps(val store: CommitStore) {
       s"clone destination is not an empty table: $dstRoot")
     val snap = snapshot(srcRoot, v)
     val missing = (snap.dataDirs ++ snap.dvs.map(_.path))
-      .filterNot(d => new File(srcRoot, d).exists())
+      .filterNot(d => data.exists(srcRoot, d))
     require(missing.isEmpty,
       s"cannot clone version $v: dirs vacuumed [${missing.mkString(",")}]")
     // dv files ride the same link step: their `__file` identities are
     // table-RELATIVE ("dirBase/fileName"), so they keep matching the
     // linked data files in the clone's root
     (snap.dataDirs ++ snap.dirBlooms.map(_.path) ++ snap.dvs.map(_.path))
-      .foreach { rel =>
-        VersionedTable.linkTree(new File(srcRoot, rel), new File(dstRoot, rel))
-      }
+      .foreach(rel => data.cloneTree(srcRoot, rel, dstRoot, rel))
     // schema anchor pinned even when the source manifest predates
     // schema_json (one footer read of the snapshot's newest dir, once)
     val anchorJson = snap.schemaJson
@@ -1423,9 +1423,7 @@ class VersionedTableOps(val store: CommitStore) {
         // clobber a winner's sidecars (they are keyed dir+col in the
         // manifest, so the fresh name is invisible until publish)
         val rel = s"_blooms/${new File(d).getName}-$token-_$c.bloom"
-        val f = new File(root, rel)
-        f.getParentFile.mkdirs()
-        val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+        val os = data.create(root, rel)
         try bf.writeTo(os) finally os.close()
         DirBloom(d, c, rel)
       }
@@ -1442,7 +1440,7 @@ class VersionedTableOps(val store: CommitStore) {
         snap.schemaJson, None, snap.dvs)
       version
     } catch { case e: CommitConflictException =>
-      blooms.foreach(b => new File(root, b.path).delete())
+      blooms.foreach(b => data.deleteFile(root, b.path))
       throw e
     }
   }
@@ -1551,22 +1549,25 @@ class VersionedTableOps(val store: CommitStore) {
       .drop("__zcode")
     (if (where.isDefined) toPhysical(laidOut, anchorP) else laidOut)
       .write.partitionBy("__zdir").parquet(staging.getPath)
-    // Promote each z-bucket to a first-class data dir (same-filesystem
-    // rename; buckets with no rows simply don't exist).
-    val buckets = Option(staging.listFiles()).toSeq.flatten
-      .filter(f => f.isDirectory && f.getName.startsWith("__zdir="))
-      .map(f => f.getName.stripPrefix("__zdir=").toLong -> f)
+    // Promote each z-bucket to a first-class data dir through the
+    // DataStore seam (local: one rename; object model: copy+delete —
+    // legal either way because nothing references the bucket until the
+    // manifest publishes it; buckets with no rows simply don't exist).
+    val stagingRel = s"data/.optimize-$token"
+    val buckets = data.list(root, stagingRel)
+      .filter(e => !e.isFile && e.name.startsWith("__zdir="))
+      .map(e => e.name.stripPrefix("__zdir=").toLong -> e.name)
       .sortBy(_._1)
-    val dirOf = buckets.map { case (k, src) =>
+    val dirOf = buckets.map { case (k, srcName) =>
       val rel = f"data/v$version%05d-$token-z$k%04d"
-      require(src.renameTo(new File(root, rel)), s"rename failed for $src")
+      data.promoteDir(root, s"$stagingRel/$srcName", rel)
       k -> rel
     }.toMap
     def cleanup(): Unit = {
-      dirOf.values.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
-      VersionedTable.deleteRecursively(staging)
+      dirOf.values.foreach(d => data.deleteTree(root, d))
+      data.deleteTree(root, stagingRel)
     }
-    VersionedTable.deleteRecursively(staging)
+    data.deleteTree(root, stagingRel)
 
     try {
       // (2) stats: ONE grouped agg over the laid frame (same rows the dirs
@@ -1602,9 +1603,7 @@ class VersionedTableOps(val store: CommitStore) {
             .map(_.getAs[Long]("__n")).getOrElse(1L)
           val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)
           val rel = s"_blooms/${new File(d).getName}_$c.bloom"
-          val f = new File(root, rel)
-          f.getParentFile.mkdirs()
-          val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+          val os = data.create(root, rel)
           try bf.writeTo(os) finally os.close()
           DirBloom(d, c, rel)
         }
@@ -1622,10 +1621,13 @@ class VersionedTableOps(val store: CommitStore) {
         // verbatim (byte-identical files — the survivor contract); the
         // anchor (and any column mapping) is the snapshot's own; dv
         // entries referencing only rewritten dirs fold away, those still
-        // covering carried dirs ride along.
+        // covering carried dirs ride along. rows=0 like every other
+        // content-preserving maintenance commit (purgeDeletes, restore):
+        // publishing the rewritten SUBSET's count would make the same
+        // `optimize` verb report different row semantics scoped vs not.
         val carriedSet = carried.toSet
         val allDirs = carried ++ newDirs
-        publish(root, version, parent, "optimize", rows,
+        publish(root, version, parent, "optimize", 0L,
           anchorP.fieldNames.toSeq, allDirs,
           snapP.dirStats.filter(s => carriedSet(s.dir)) ++ stats,
           snapP.dirBlooms.filter(b => carriedSet(b.dir)) ++ blooms,
@@ -1684,10 +1686,7 @@ class VersionedTableOps(val store: CommitStore) {
       .getOrElse(throw new IllegalArgumentException(s"empty versioned table at $root"))
     val snap = snapshot(root, parent)
     val anchor = snapshotSchema(spark, root, snap)
-    val small = snap.dataDirs.filter { d =>
-      Option(new File(root, d).listFiles()).toSeq.flatten
-        .filter(_.isFile).map(_.length).sum < maxBytes
-    }
+    val small = snap.dataDirs.filter(d => data.sizeOfDir(root, d) < maxBytes)
     if (small.size < minDirs) return parent
     compactDirs(spark, root, parent, snap, anchor, small.toSet,
       statsCols, bloomCols, bloomFpp)
@@ -1710,23 +1709,26 @@ class VersionedTableOps(val store: CommitStore) {
       stageDir(df, root, version, statsCols, bloomCols, bloomFpp, anchor)
     try {
       val allDirs = carried :+ dirRel
-      publish(root, version, parent, "optimize", rows,
+      // rows=0: content-preserving scoped rewrite, same convention as
+      // purgeDeletes — history `rows` means "rows this commit changed".
+      publish(root, version, parent, "optimize", 0L,
         anchor.fieldNames.toSeq, allDirs,
         snap.dirStats.filter(s => carriedSet(s.dir)) ++ stats,
         snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ blooms,
         snap.txns, Some(anchor.json), None, liveDvs(snap.dvs, allDirs))
       version
     } catch { case e: Throwable =>
-      VersionedTable.deleteRecursively(new File(root, dirRel))
-      blooms.foreach(b => new File(root, b.path).delete())
+      data.deleteTree(root, dirRel)
+      blooms.foreach(b => data.deleteFile(root, b.path))
       throw e
     }
   }
 
   /** Delete this attempt's bloom sidecars (conflict cleanup). */
   private def deleteAttemptBlooms(root: String, token: String): Unit =
-    Option(new File(root, "_blooms").listFiles()).toSeq.flatten
-      .filter(_.getName.contains(s"-$token-")).foreach(_.delete())
+    data.list(root, "_blooms")
+      .filter(e => e.isFile && e.name.contains(s"-$token-"))
+      .foreach(e => data.deleteFile(root, s"_blooms/${e.name}"))
 
   /** Write `df` as a fresh attempt-unique data dir with its manifest
     * metadata (row count, min/max stats, bloom sidecars). Nothing
@@ -1779,9 +1781,7 @@ class VersionedTableOps(val store: CommitStore) {
     val blooms = bloomCols.map { c =>
       val bf = committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
       val rel = s"_blooms/${new File(dirRel).getName}_$c.bloom"
-      val f = new File(root, rel)
-      f.getParentFile.mkdirs()
-      val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+      val os = data.create(root, rel)
       try bf.writeTo(os) finally os.close()
       DirBloom(dirRel, c, rel)
     }
@@ -1966,13 +1966,14 @@ class VersionedTableOps(val store: CommitStore) {
       // (1) ONE job writes every replacement dir (dir-per-partition).
       toPhysical(rewrite, anchor).write.partitionBy("__dir")
         .parquet(staging.getPath)
-      val parts = Option(staging.listFiles()).toSeq.flatten
-        .filter(f => f.isDirectory && f.getName.startsWith("__dir="))
-        .map(f => f.getName.stripPrefix("__dir=") -> f)
+      val stagingRel = s"data/.rewrite-$token"
+      val parts = data.list(root, stagingRel)
+        .filter(e => !e.isFile && e.name.startsWith("__dir="))
+        .map(e => e.name.stripPrefix("__dir=") -> e.name)
         .sortBy(_._1)
-      val newByOld = parts.zipWithIndex.map { case ((base, src), i) =>
+      val newByOld = parts.zipWithIndex.map { case ((base, srcName), i) =>
         val rel = f"data/v$version%05d-$token-rw$i%03d"
-        require(src.renameTo(new File(root, rel)), s"rename failed for $src")
+        data.promoteDir(root, s"$stagingRel/$srcName", rel)
         promoted += rel
         oldByBase.getOrElse(base,
           throw new IllegalStateException(s"unexpected partition $base")) -> rel
@@ -2018,9 +2019,7 @@ class VersionedTableOps(val store: CommitStore) {
         bcols.map { c =>
           val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)
           val path = s"_blooms/${new File(rel).getName}_$c.bloom"
-          val f = new File(root, path)
-          f.getParentFile.mkdirs()
-          val os = new java.io.BufferedOutputStream(new java.io.FileOutputStream(f))
+          val os = data.create(root, path)
           try bf.writeTo(os) finally os.close()
           sidecars += path
           DirBloom(rel, c, path)
@@ -2028,10 +2027,10 @@ class VersionedTableOps(val store: CommitStore) {
       }
       (newByOld, stats, blooms)
     } catch { case e: Throwable =>
-      promoted.result().foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
-      sidecars.result().foreach(p => new File(root, p).delete())
+      promoted.result().foreach(d => data.deleteTree(root, d))
+      sidecars.result().foreach(p => data.deleteFile(root, p))
       throw e
-    } finally VersionedTable.deleteRecursively(staging)
+    } finally data.deleteTree(root, s"data/.rewrite-$token")
   }
 
   /** Stage a DML commit's row-level change images as their own parquet
@@ -2162,9 +2161,9 @@ class VersionedTableOps(val store: CommitStore) {
         snap.txns, Some(anchor.json), cdfRel, liveDvs(snap.dvs, newDirs))
       deleted
     } catch { case e: Throwable =>
-      newByOld.values.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
-      newBlooms.foreach(b => new File(root, b.path).delete())
-      cdfRel.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
+      newByOld.values.foreach(d => data.deleteTree(root, d))
+      newBlooms.foreach(b => data.deleteFile(root, b.path))
+      cdfRel.foreach(d => data.deleteTree(root, d))
       throw e
     }
   }
@@ -2265,9 +2264,9 @@ class VersionedTableOps(val store: CommitStore) {
         snap.txns, Some(anchor.json), cdfRel, liveDvs(snap.dvs, newDirs))
       updated
     } catch { case e: Throwable =>
-      newByOld.values.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
-      newBlooms.foreach(b => new File(root, b.path).delete())
-      cdfRel.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
+      newByOld.values.foreach(d => data.deleteTree(root, d))
+      newBlooms.foreach(b => data.deleteFile(root, b.path))
+      cdfRel.foreach(d => data.deleteTree(root, d))
       throw e
     }
   }
@@ -2458,8 +2457,8 @@ class VersionedTableOps(val store: CommitStore) {
         version
       } catch { case e: Throwable =>
         cleanupDirs.result().foreach(d =>
-          VersionedTable.deleteRecursively(new File(root, d)))
-        cleanupBlooms.result().foreach(b => new File(root, b.path).delete())
+          data.deleteTree(root, d))
+        cleanupBlooms.result().foreach(b => data.deleteFile(root, b.path))
         throw e
       }
     } finally src.unpersist()
@@ -2521,8 +2520,8 @@ class VersionedTableOps(val store: CommitStore) {
             candidates.map(d => new File(d).getName)))
         deleted
       } catch { case e: Throwable =>
-        VersionedTable.deleteRecursively(new File(root, dvRel))
-        cdfRel.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
+        data.deleteTree(root, dvRel)
+        cdfRel.foreach(d => data.deleteTree(root, d))
         throw e
       }
     } finally hits.unpersist()
@@ -2597,10 +2596,10 @@ class VersionedTableOps(val store: CommitStore) {
             candidates.map(d => new File(d).getName)))
         updated
       } catch { case e: Throwable =>
-        VersionedTable.deleteRecursively(new File(root, dvRel))
-        VersionedTable.deleteRecursively(new File(root, staged._1))
-        staged._4.foreach(b => new File(root, b.path).delete())
-        cdfRel.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
+        data.deleteTree(root, dvRel)
+        data.deleteTree(root, staged._1)
+        staged._4.foreach(b => data.deleteFile(root, b.path))
+        cdfRel.foreach(d => data.deleteTree(root, d))
         throw e
       }
     } finally hits.unpersist()
@@ -2708,10 +2707,10 @@ class VersionedTableOps(val store: CommitStore) {
             snap.dvs ++ dv)
           version
         } catch { case e: Throwable =>
-          VersionedTable.deleteRecursively(new File(root, srcStaged._1))
-          srcStaged._4.foreach(b => new File(root, b.path).delete())
-          dv.foreach(d => VersionedTable.deleteRecursively(new File(root, d.path)))
-          cdfRel.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
+          data.deleteTree(root, srcStaged._1)
+          srcStaged._4.foreach(b => data.deleteFile(root, b.path))
+          dv.foreach(d => data.deleteTree(root, d.path))
+          cdfRel.foreach(d => data.deleteTree(root, d))
           throw e
         }
       } finally matched.foreach(_.unpersist())
@@ -2783,8 +2782,8 @@ class VersionedTableOps(val store: CommitStore) {
         snap.txns, Some(anchor.json), None, Seq.empty)
       Some(version)
     } catch { case e: Throwable =>
-      newByOld.values.foreach(d => VersionedTable.deleteRecursively(new File(root, d)))
-      newBlooms.foreach(b => new File(root, b.path).delete())
+      newByOld.values.foreach(d => data.deleteTree(root, d))
+      newBlooms.foreach(b => data.deleteFile(root, b.path))
       throw e
     }
   }
@@ -2982,11 +2981,11 @@ class VersionedTableOps(val store: CommitStore) {
     val retainedDirs = dirsOf(cutoff to latest)
     val expiredDirs = dirsOf(1 until cutoff) -- retainedDirs
     val now = nowMs()
-    val live = Option(dataDir(root).listFiles()).toSeq.flatten
-      .filter(_.isDirectory).map(d => "data/" + d.getName)
+    val live = data.list(root, "data")
+      .filterNot(_.isFile).map(e => "data/" + e.name)
     val doomed = live.filterNot(retainedDirs.contains).filter { d =>
       expiredDirs.contains(d) ||
-        new File(root, d).lastModified() <= now - orphanGraceMs
+        data.modifiedMs(root, d) <= now - orphanGraceMs
     }
     // Deletion-vector files follow the DATA-dir lifecycle, not the CDF
     // one: a dv written at version k is CARRIED by every later manifest
@@ -2998,30 +2997,28 @@ class VersionedTableOps(val store: CommitStore) {
       vs.filter(committed.contains).flatMap(snapshot(root, _).dvs.map(_.path)).toSet
     val retainedDvs = dvsOf(cutoff to latest)
     val expiredDvs = dvsOf(1 until cutoff) -- retainedDvs
-    val liveDvs = Option(new File(root, "_dv").listFiles()).toSeq.flatten
-      .filter(_.isDirectory).map(d => "_dv/" + d.getName)
+    val liveDvs = data.list(root, "_dv")
+      .filterNot(_.isFile).map(e => "_dv/" + e.name)
     val doomedDvs = liveDvs.filterNot(retainedDvs.contains).filter { d =>
       expiredDvs.contains(d) ||
-        new File(root, d).lastModified() <= now - orphanGraceMs
+        data.modifiedMs(root, d) <= now - orphanGraceMs
     }
     // DRY RUN: the operator-safety form — report exactly what a real run
     // would reap, touch nothing (no dirs, no sidecars, no manifests)
     if (dryRun) return (doomed ++ doomedDvs).sorted
     val deleted = doomed.filter { d =>
-      val f = new File(root, d)
-      VersionedTable.deleteRecursively(f)
-      !f.exists() // report only what actually died
+      data.deleteTree(root, d)
+      !data.exists(root, d) // report only what actually died
     }
     // A dead dir's bloom sidecars die with it (they are named by the dir —
     // commit writes `<dir>_<col>.bloom`, analyze `<dir>-<token>-_<col>.bloom`
     // — so orphaned sidecars are exactly the ones whose dir-name prefix is
     // gone; dir names can't prefix each other within a version, each carries
     // its own random token).
-    val bloomDir = new File(root, "_blooms")
     deleted.foreach { d =>
       val prefix = new File(d).getName
-      Option(bloomDir.listFiles()).toSeq.flatten
-        .filter(_.getName.startsWith(prefix)).foreach(_.delete())
+      data.list(root, "_blooms").filter(_.name.startsWith(prefix))
+        .foreach(e => data.deleteFile(root, s"_blooms/${e.name}"))
     }
     // History outlives manifest retention BY CONTRACT: roll a summary
     // checkpoint at the current tip BEFORE any manifest dies, so versions
@@ -3040,18 +3037,16 @@ class VersionedTableOps(val store: CommitStore) {
     if (cps.size > 1) cps.sortBy(_._1).dropRight(1).foreach(_._2.delete())
     // CDF change dirs die with their manifests: below the cutoff nobody
     // can address them (changeFeed ranges need both end manifests)
-    val changesDir = new File(root, "_changes")
-    Option(changesDir.listFiles()).toSeq.flatten.filter(_.isDirectory)
-      .foreach { d =>
+    data.list(root, "_changes").filterNot(_.isFile)
+      .foreach { e =>
         // name = v%05d-<token>
-        val v = d.getName.stripPrefix("v").takeWhile(_.isDigit)
+        val v = e.name.stripPrefix("v").takeWhile(_.isDigit)
         if (v.nonEmpty && v.toInt < cutoff)
-          VersionedTable.deleteRecursively(d)
+          data.deleteTree(root, s"_changes/${e.name}")
       }
     val deletedDvs = doomedDvs.filter { d =>
-      val f = new File(root, d)
-      VersionedTable.deleteRecursively(f)
-      !f.exists()
+      data.deleteTree(root, d)
+      !data.exists(root, d)
     }
     (deleted ++ deletedDvs).sorted
   }
