@@ -263,6 +263,7 @@ class VersionedTableOps(val store: CommitStore,
     val blooms = Seq.newBuilder[DirBloom]
     val dvs = Seq.newBuilder[DvFile]
     val txns = Map.newBuilder[String, Long]
+    val fstatsRefs = Map.newBuilder[String, String]
     body.linesIterator.foreach { line =>
       line.split("=", 2) match {
         case Array("parent", v)       => parent = v.toInt
@@ -283,9 +284,19 @@ class VersionedTableOps(val store: CommitStore,
           case _                   => () // malformed stats line: ignore (stats are advisory)
         }
         case Array("fstats", v)       => v.split("\\|") match {
+          // legacy INLINE file-grain stats (pre-sidecar manifests): still
+          // honored so retrofitted tables keep their pruning
           case Array(d, f, c, mn, mx) =>
             stats += DirStat(d, c, mn.toDouble, mx.toDouble, Some(f))
           case _                       => () // advisory, like stats
+        }
+        // per-dir file-grain stats SIDECAR pointer: the manifest stays
+        // O(dirs) no matter how many files a fat commit landed — the
+        // file-grain lines live once in `_fstats/<dirbase>-<tok>.fstats`
+        // and every descendant manifest carries one pointer line
+        case Array("fstatsf", v)      => v.split("\\|") match {
+          case Array(d, p) => fstatsRefs += (d -> p)
+          case _           => () // advisory
         }
         case Array("bloom", v)        => v.split("\\|") match {
           case Array(d, c, p) => blooms += DirBloom(d, c, p)
@@ -304,7 +315,8 @@ class VersionedTableOps(val store: CommitStore,
       }
     }
     Snapshot(version, parent, op, rows, cols, dirs.result(), ms, stats.result(),
-      blooms.result(), txns.result(), schemaJson, cdfDir, dvs.result())
+      blooms.result(), txns.result(), schemaJson, cdfDir, dvs.result(),
+      fstatsRefs.result())
   } // vt.manifest_parse
 
 
@@ -563,7 +575,8 @@ class VersionedTableOps(val store: CommitStore,
     val allDvs = parentSnap.map(_.dvs).getOrElse(Seq.empty)
     try publish(root, version, parent.getOrElse(0), mode, rows,
       snapSchema.fieldNames.toSeq,
-      dirs, allStats, allBlooms, allTxns, Some(snapSchema.json), None, allDvs)
+      dirs, allStats, allBlooms, allTxns, Some(snapSchema.json), None, allDvs,
+      parentSnap.map(_.fstatsRefs).getOrElse(Map.empty))
     catch { case e: CommitConflictException =>
       // Lost the race: our dir and sidecars are unreferenced and can't hurt
       // anyone. Remove them now; if we crash before this line, vacuum reaps.
@@ -585,7 +598,31 @@ class VersionedTableOps(val store: CommitStore,
       txns: Map[String, Long],
       schemaJson: Option[String] = None,
       cdfDir: Option[String] = None,
-      dvs: Seq[DvFile] = Seq.empty): Unit = {
+      dvs: Seq[DvFile] = Seq.empty,
+      fstatsRefs: Map[String, String] = Map.empty): Unit = {
+    // File-grain stats go to PER-DIR SIDECARS, never inline: an inline
+    // fstats= line would be re-serialized by every descendant manifest
+    // (appends carry the parent's stats wholesale), compounding manifest
+    // size to O(total files) at streaming-sink commit rates. A sidecar is
+    // written ONCE when the dir's stats are measured; every descendant
+    // carries a single fstatsf= pointer per dir — manifests stay O(dirs).
+    val (fileGrain, dirGrain) = stats.partition(_.file.isDefined)
+    val newRefs = fileGrain.groupBy(_.dir).map { case (d, fs) =>
+      val rel = s"_fstats/${new File(d).getName}-${UUID.randomUUID().toString.take(8)}.fstats"
+      val os = data.create(root, rel)
+      try {
+        val w = new java.io.OutputStreamWriter(os, "UTF-8")
+        fs.foreach(f => w.write(s"${f.file.get}|${f.col}|${f.min}|${f.max}\n"))
+        w.flush()
+      } finally os.close()
+      d -> rel
+    }
+    val dirSet = dirs.toSet
+    // carried pointers for still-live dirs; a dir re-measured THIS commit
+    // takes its fresh sidecar
+    val refs = fstatsRefs.filter { case (d, _) => dirSet(d) } ++ newRefs
+    def dropNewSidecars(): Unit =
+      newRefs.values.foreach(data.deleteFile(root, _))
     val body = new StringBuilder()
       .append(s"version=$version\n")
       .append(s"parent=$parent\n")
@@ -618,20 +655,23 @@ class VersionedTableOps(val store: CommitStore,
       body.append(s"txn=$appId|$batchId\n")
     }
     dirs.foreach(d => body.append(s"dir=$d\n"))
-    // dir-grain hulls drive dir admission; file-grain entries (fstats=)
-    // drop admission to FILE grain inside admitted dirs — the Delta
-    // per-file-stats shape, so a fat append commit (one dir, many files)
-    // still prunes tightly instead of coarsening to the dir hull
-    stats.foreach(s => s.file match {
-      case None =>
-        body.append(s"stats=${s.dir}|${s.col}|${s.min}|${s.max}\n")
-      case Some(f) =>
-        body.append(s"fstats=${s.dir}|$f|${s.col}|${s.min}|${s.max}\n")
-    })
+    // dir-grain hulls drive dir admission; file-grain sidecar pointers
+    // (fstatsf=) drop admission to FILE grain inside admitted dirs — the
+    // Delta per-file-stats shape, so a fat append commit (one dir, many
+    // files) still prunes tightly instead of coarsening to the dir hull
+    dirGrain.foreach(s =>
+      body.append(s"stats=${s.dir}|${s.col}|${s.min}|${s.max}\n"))
+    refs.toSeq.sortBy(_._1).foreach { case (d, p) =>
+      body.append(s"fstatsf=$d|$p\n") }
     blooms.foreach(b =>
       body.append(s"bloom=${b.dir}|${b.col}|${b.path}\n"))
-    if (!store.putIfAbsent(root, version, body.toString))
+    val won =
+      try store.putIfAbsent(root, version, body.toString)
+      catch { case e: Throwable => dropNewSidecars(); throw e }
+    if (!won) {
+      dropNewSidecars() // unreferenced by any manifest; reap immediately
       throw new CommitConflictException(version)
+    }
     // every Nth commit rolls the history summary forward — a cheap,
     // best-effort cache (O(interval) tail parses + one small file);
     // losing it costs a longer DESCRIBE HISTORY walk, never correctness
@@ -897,7 +937,7 @@ class VersionedTableOps(val store: CommitStore,
       rootPath, dirFiles,
       filters => admittedDirs(root, snap, toLogicalFilters(filters)),
       (dir, names, filters) =>
-        admittedFiles(snap, dir, names, toLogicalFilters(filters)))
+        admittedFiles(root, snap, dir, names, toLogicalFilters(filters)))
     (index, anchor)
   }
 
@@ -953,11 +993,13 @@ class VersionedTableOps(val store: CommitStore,
     * sidecar would have admitted is impossible because hull checks are
     * necessary conditions on their own.
     */
-  def admittedFiles(snap: Snapshot, dir: String, fileNames: Seq[String],
+  def admittedFiles(root: String, snap: Snapshot, dir: String,
+      fileNames: Seq[String],
       filters: Seq[VersionedTable.DirFilter]): Seq[String] = {
     import VersionedTable.{AnyOf, DirFilter, PointFilter, RangeFilter}
-    val fstats = snap.dirStats.filter(s => s.dir == dir && s.file.isDefined)
-    if (fstats.isEmpty || filters.isEmpty) return fileNames
+    if (filters.isEmpty) return fileNames
+    val fstats = fileGrainStats(root, snap, dir)
+    if (fstats.isEmpty) return fileNames
     val statsFor = fstats.map(s => (s.file.get, s.col) -> s).toMap
     def admits(f: String, flt: DirFilter): Boolean = flt match {
       case RangeFilter(c, lo, hi) =>
@@ -974,6 +1016,36 @@ class VersionedTableOps(val store: CommitStore,
         branches.isEmpty || branches.exists(_.forall(admits(f, _)))
     }
     fileNames.filter(f => filters.forall(admits(f, _)))
+  }
+
+  /** One dir's file-grain stats: legacy INLINE `fstats=` entries (from
+    * pre-sidecar manifests) plus the dir's `_fstats` SIDECAR if the
+    * manifest points at one. Sidecars are immutable (attempt-unique
+    * names), so loads cache process-wide; a lost/torn sidecar line just
+    * yields fewer hulls — strictly conservative, the affected files
+    * survive admission. At scan time only dirs that SURVIVED dir-grain
+    * admission are ever resolved, so a pruned-away fat dir costs nothing.
+    */
+  def fileGrainStats(root: String, snap: Snapshot, dir: String): Seq[DirStat] = {
+    val inline = snap.dirStats.filter(s => s.dir == dir && s.file.isDefined)
+    val fromSidecar = snap.fstatsRefs.get(dir).map { rel =>
+      if (VersionedTable.fstatsCache.size > 65536)
+        VersionedTable.fstatsCache.clear() // crude bound; misses only re-read
+      VersionedTable.fstatsCache.getOrElseUpdate(s"$root/$rel",
+        data.open(root, rel) match {
+          case None => Seq.empty[DirStat]
+          case Some(is) =>
+            val raw = try scala.io.Source.fromInputStream(is, "UTF-8")
+              .getLines().toList finally is.close()
+            raw.flatMap(_.split("\\|") match {
+              case Array(f, c, mn, mx) =>
+                scala.util.Try(
+                  DirStat(dir, c, mn.toDouble, mx.toDouble, Some(f))).toOption
+              case _ => None
+            })
+        })
+    }.getOrElse(Seq.empty)
+    inline ++ fromSidecar
   }
 
   /** Deserialize a bloom sidecar; a lost sidecar is None (conservative —
@@ -1157,7 +1229,8 @@ class VersionedTableOps(val store: CommitStore,
       .getOrElse(snapshotSchema(spark, root, target).json)
     publish(root, version, parent, "restore", 0L, target.schemaCols,
       target.dataDirs, target.dirStats, target.dirBlooms,
-      snapshot(root, parent).txns, Some(anchorJson), None, target.dvs)
+      snapshot(root, parent).txns, Some(anchorJson), None, target.dvs,
+      target.fstatsRefs)
     version
   }
 
@@ -1191,7 +1264,7 @@ class VersionedTableOps(val store: CommitStore,
     val version = parent + 1
     publish(root, version, parent, "evolve", 0L, widened.fieldNames.toSeq,
       snap.dataDirs, snap.dirStats, snap.dirBlooms, snap.txns,
-      Some(widened.json), None, snap.dvs)
+      Some(widened.json), None, snap.dvs, snap.fstatsRefs)
     version
   }
 
@@ -1235,11 +1308,24 @@ class VersionedTableOps(val store: CommitStore,
       }
     })
     val version = parent + 1
+    // File-grain SIDECARS speak the logical names of their write time, and
+    // parent manifests share them — so a rename rewrites any sidecar that
+    // mentions the column under a fresh attempt-unique name (old files
+    // stay valid for time travel). O(#refs) small metadata files, only on
+    // the rare rename commit; the fresh entries ride `stats` and publish
+    // re-sidecars them, replacing the carried ref per dir.
+    val renamedFstats = snap.fstatsRefs.keys.toSeq.sorted.flatMap { d =>
+      val fs = fileGrainStats(root, snap, d).filterNot(_.col == oldName)
+      val hit = fileGrainStats(root, snap, d).filter(_.col == oldName)
+      if (hit.isEmpty) Seq.empty
+      else fs ++ hit.map(_.copy(col = newName))
+    }
     publish(root, version, parent, "rename", 0L, renamed.fieldNames.toSeq,
       snap.dataDirs,
-      snap.dirStats.map(st => if (st.col == oldName) st.copy(col = newName) else st),
+      snap.dirStats.map(st => if (st.col == oldName) st.copy(col = newName) else st)
+        ++ renamedFstats,
       snap.dirBlooms.map(b => if (b.col == oldName) b.copy(col = newName) else b),
-      snap.txns, Some(renamed.json), None, snap.dvs)
+      snap.txns, Some(renamed.json), None, snap.dvs, snap.fstatsRefs)
     // once mapped, always mapped: later ADD COLUMNS mint fresh physical
     // names (see withMintedPhysicalNames)
     setTableProperties(root, Map(VersionedTable.ColumnMappingProp -> "true"))
@@ -1273,7 +1359,7 @@ class VersionedTableOps(val store: CommitStore,
       snap.dataDirs,
       snap.dirStats.filterNot(st => dropSet(st.col)),
       snap.dirBlooms.filterNot(b => dropSet(b.col)),
-      snap.txns, Some(narrowed.json), None, snap.dvs)
+      snap.txns, Some(narrowed.json), None, snap.dvs, snap.fstatsRefs)
     setTableProperties(root, Map(VersionedTable.ColumnMappingProp -> "true"))
     version
   }
@@ -1313,7 +1399,8 @@ class VersionedTableOps(val store: CommitStore,
     // dv files ride the same link step: their `__file` identities are
     // table-RELATIVE ("dirBase/fileName"), so they keep matching the
     // linked data files in the clone's root
-    (snap.dataDirs ++ snap.dirBlooms.map(_.path) ++ snap.dvs.map(_.path))
+    (snap.dataDirs ++ snap.dirBlooms.map(_.path) ++ snap.dvs.map(_.path)
+      ++ snap.fstatsRefs.values.toSeq)
       .foreach(rel => data.cloneTree(srcRoot, rel, dstRoot, rel))
     // schema anchor pinned even when the source manifest predates
     // schema_json (one footer read of the snapshot's newest dir, once)
@@ -1332,7 +1419,7 @@ class VersionedTableOps(val store: CommitStore,
     // reports 0 rather than paying a count scan
     publish(dstRoot, 1, 0, "clone", 0L, snap.schemaCols, snap.dataDirs,
       snap.dirStats, snap.dirBlooms, Map.empty, Some(anchorJson), None,
-      snap.dvs)
+      snap.dvs, snap.fstatsRefs)
     1
   }
 
@@ -1434,10 +1521,17 @@ class VersionedTableOps(val store: CommitStore,
       // already indexed on "a" must never degrade a's pruning. Re-analyzed
       // columns take the fresh measurements wholesale.
       val keptStats = snap.dirStats.filterNot(s => statsCols.contains(s.col))
+      // sidecar-held file-grain stats for OTHER columns must survive the
+      // per-dir sidecar replacement the fresh measurements trigger
+      val keptSidecarFstats = snap.fstatsRefs.keys.toSeq.sorted.flatMap(d =>
+        fileGrainStats(root, snap, d)
+          .filterNot(s => statsCols.contains(s.col) || s.file.isEmpty)
+          .filterNot(keptStats.contains))
       val keptBlooms = snap.dirBlooms.filterNot(b => bloomCols.contains(b.col))
       publish(root, version, parent, "analyze", snap.rows, snap.schemaCols,
-        snap.dataDirs, keptStats ++ stats, keptBlooms ++ blooms, snap.txns,
-        snap.schemaJson, None, snap.dvs)
+        snap.dataDirs, keptStats ++ keptSidecarFstats ++ stats,
+        keptBlooms ++ blooms, snap.txns,
+        snap.schemaJson, None, snap.dvs, snap.fstatsRefs)
       version
     } catch { case e: CommitConflictException =>
       blooms.foreach(b => data.deleteFile(root, b.path))
@@ -1495,7 +1589,8 @@ class VersionedTableOps(val store: CommitStore,
       nDirs: Int,
       statsCols: Seq[String] = Seq.empty,
       bloomCols: Seq[String] = Seq.empty, bloomFpp: Double = 0.01,
-      where: Option[org.apache.spark.sql.Column] = None): Int = {
+      where: Option[org.apache.spark.sql.Column] = None,
+      scopeDirs: Option[Set[String]] = None): Int = {
     import graft.operators.ZOrder
     import org.apache.spark.sql.functions.shiftright
     require(nDirs > 0 && (nDirs & (nDirs - 1)) == 0,
@@ -1517,16 +1612,24 @@ class VersionedTableOps(val store: CommitStore,
     // Delta OPTIMIZE shape.
     val snapP = snapshot(root, parent)
     val anchorP = snapshotSchema(spark, root, snapP)
-    val scopeSet = where match {
-      case None    => snapP.dataDirs.toSet
-      case Some(p) =>
-        admittedDirs(root, snapP,
-          predicateFilters(spark, root, anchorP, p)).toSet
+    // A scope can arrive as a predicate (`OPTIMIZE t WHERE p`) or as a
+    // NAMED dir set (a maintenance policy's drift decision, which was
+    // made from manifest metadata and has no Column to offer). Named
+    // scopes are intersected with the live dirs — a policy computed
+    // against an older snapshot must not resurrect a dir DML replaced.
+    val scopeSet = scopeDirs match {
+      case Some(ds) => snapP.dataDirs.toSet intersect ds
+      case None => where match {
+        case None    => snapP.dataDirs.toSet
+        case Some(p) =>
+          admittedDirs(root, snapP,
+            predicateFilters(spark, root, anchorP, p)).toSet
+      }
     }
-    val carried = snapP.dataDirs.filterNot(scopeSet)
-    if (where.isDefined && scopeSet.isEmpty) return parent // proven no-op
+    val scoped = where.isDefined || scopeDirs.isDefined
+    if (scoped && scopeSet.isEmpty) return parent // proven no-op
     val current =
-      if (where.isEmpty) read(spark, root)
+      if (!scoped) read(spark, root)
       else readDirs(spark, root, snapP, snapP.dataDirs.filter(scopeSet), anchorP)
     val shift = codeBits - java.lang.Integer.numberOfTrailingZeros(nDirs)
     val zcode = ZOrder.mortonN(dims.map { case (c, mx) => ZOrder.scaleTo16(c, mx) })
@@ -1547,7 +1650,7 @@ class VersionedTableOps(val store: CommitStore,
     val laidOut = laid.repartition(nDirs, col("__zdir"))
       .sortWithinPartitions("__zdir", "__zcode")
       .drop("__zcode")
-    (if (where.isDefined) toPhysical(laidOut, anchorP) else laidOut)
+    (if (scoped) toPhysical(laidOut, anchorP) else laidOut)
       .write.partitionBy("__zdir").parquet(staging.getPath)
     // Promote each z-bucket to a first-class data dir through the
     // DataStore seam (local: one rename; object model: copy+delete —
@@ -1595,7 +1698,7 @@ class VersionedTableOps(val store: CommitStore,
       val blooms = dirOf.toSeq.sortBy(_._1).flatMap { case (_, d) =>
         val dirRaw = spark.read.parquet(new File(root, d).getPath)
         val dirDf =
-          if (where.isDefined && VersionedTable.isMapped(anchorP))
+          if (scoped && VersionedTable.isMapped(anchorP))
             toLogical(dirRaw, anchorP)
           else dirRaw
         bloomCols.map { c =>
@@ -1611,12 +1714,13 @@ class VersionedTableOps(val store: CommitStore,
       // (4) the commit point. Operation `optimize` = content-preserving
       // re-layout (dataChange=false): subscriptions cross it untouched.
       val newDirs = dirOf.toSeq.sortBy(_._1).map(_._2)
-      if (where.isEmpty)
+      if (!scoped) {
         publish(root, version, parent, "optimize", rows, current.columns.toSeq,
           newDirs, stats, blooms,
           snapP.txns, // layout ops never forget writer marks
           Some(VersionedTable.asNullable(current.schema).json))
-      else {
+        version
+      } else {
         // scoped: dismissed dirs carried by name with their stats/blooms
         // verbatim (byte-identical files — the survivor contract); the
         // anchor (and any column mapping) is the snapshot's own; dv
@@ -1625,15 +1729,11 @@ class VersionedTableOps(val store: CommitStore,
         // content-preserving maintenance commit (purgeDeletes, restore):
         // publishing the rewritten SUBSET's count would make the same
         // `optimize` verb report different row semantics scoped vs not.
-        val carriedSet = carried.toSet
-        val allDirs = carried ++ newDirs
-        publish(root, version, parent, "optimize", 0L,
-          anchorP.fieldNames.toSeq, allDirs,
-          snapP.dirStats.filter(s => carriedSet(s.dir)) ++ stats,
-          snapP.dirBlooms.filter(b => carriedSet(b.dir)) ++ blooms,
-          snapP.txns, Some(anchorP.json), None, liveDvs(snapP.dvs, allDirs))
+        // Publishes through the REBASING path: a disjoint concurrent
+        // append cannot starve routine maintenance.
+        publishScopedRewrite(root, parent, snapP, scopeSet, newDirs,
+          stats, blooms, anchorP.json, anchorP.fieldNames.toSeq)
       }
-      version
     } catch {
       case e: Throwable =>
         cleanup()
@@ -1702,26 +1802,104 @@ class VersionedTableOps(val store: CommitStore,
       bloomCols: Seq[String], bloomFpp: Double): Int = {
     if (scopeSet.isEmpty) return parent // skipping tiers proved a no-op
     val version = parent + 1
-    val carried = snap.dataDirs.filterNot(scopeSet)
-    val carriedSet = carried.toSet
     val df = readDirs(spark, root, snap, snap.dataDirs.filter(scopeSet), anchor)
-    val (dirRel, rows, stats, blooms) =
+    val (dirRel, _, stats, blooms) =
       stageDir(df, root, version, statsCols, bloomCols, bloomFpp, anchor)
     try {
-      val allDirs = carried :+ dirRel
       // rows=0: content-preserving scoped rewrite, same convention as
       // purgeDeletes — history `rows` means "rows this commit changed".
-      publish(root, version, parent, "optimize", 0L,
-        anchor.fieldNames.toSeq, allDirs,
-        snap.dirStats.filter(s => carriedSet(s.dir)) ++ stats,
-        snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ blooms,
-        snap.txns, Some(anchor.json), None, liveDvs(snap.dvs, allDirs))
-      version
+      // The rebasing publish absorbs disjoint concurrent appends.
+      publishScopedRewrite(root, parent, snap, scopeSet, Seq(dirRel),
+        stats, blooms, anchor.json, anchor.fieldNames.toSeq)
     } catch { case e: Throwable =>
       data.deleteTree(root, dirRel)
       blooms.foreach(b => data.deleteFile(root, b.path))
       throw e
     }
+  }
+
+  /** The commit point for a content-preserving SCOPED rewrite (`optimize`
+    * op, rows=0): `scopeSet`'s dirs are replaced by `newDirs`, every other
+    * live dir is carried by name. Unlike a data commit, losing the
+    * conditional put here must not mean starting the whole rewrite over —
+    * on a 100 TB table with streaming appends landing every few seconds,
+    * maintenance that aborts on ANY interleaved commit never lands at all.
+    * Because the op is content-preserving over a NAMED dir set, a lost
+    * race is mechanically rebasable exactly when the winner's commits are
+    * provably disjoint from the scope:
+    *
+    *   - every scoped dir is still live at the new tip (dirs are immutable
+    *     by name, so presence == byte-identical — no DML rewrote them),
+    *   - the deletion vectors touching scoped dirs are IDENTICAL to the
+    *     ones this rewrite folded in (a new dv on a scoped dir means a
+    *     concurrent MOR delete this rewrite's output would resurrect),
+    *   - the schema anchor is unchanged (a rename/drop re-keys the stats
+    *     and bloom lines this publish carries).
+    *
+    * When all three hold, re-publish at the new tip carrying the WINNER's
+    * dirs (its appends ride along untouched); otherwise abort loudly with
+    * the conflict — the caller cleans up the staged dirs, and re-issuing
+    * the maintenance op re-reads a fresh snapshot. Delta Lake's OPTIMIZE
+    * resolves conflicts the same way (disjoint-file commits rebase,
+    * overlapping ones fail). Bounded retries: each rebase is one manifest
+    * read + one conditional put, never a data rewrite.
+    */
+  private[sources] def publishScopedRewrite(root: String, firstParent: Int,
+      firstSnap: Snapshot, scopeSet: Set[String], newDirs: Seq[String],
+      newStats: Seq[DirStat], newBlooms: Seq[DirBloom],
+      anchorJson: String, anchorCols: Seq[String],
+      foldedDvPaths: Set[String] = Set.empty,
+      maxRebase: Int = 5): Int = {
+    val scopeBases = scopeSet.map(d => new File(d).getName)
+    // a dv with no recorded candidate dirs could cover anything: treat it
+    // as scope-relevant (conservative — forces the loud abort)
+    def scopedDvs(s: Snapshot): Set[(String, Long)] =
+      s.dvs.filter(dv => dv.bases.isEmpty || dv.bases.exists(scopeBases))
+        .map(dv => (dv.path, dv.rows)).toSet
+    var parent = firstParent
+    var snap = firstSnap
+    var rebases = 0
+    while (true) {
+      val carried = snap.dataDirs.filterNot(scopeSet)
+      val carriedSet = carried.toSet
+      val allDirs = carried ++ newDirs
+      try {
+        // `foldedDvPaths` = dvs this rewrite already APPLIED into its
+        // output (a purge folds every one) — they must not survive the
+        // publish; dvs a rebase WINNER added on unscoped dirs ride along
+        publish(root, parent + 1, parent, "optimize", 0L, anchorCols,
+          allDirs,
+          snap.dirStats.filter(s => carriedSet(s.dir)) ++ newStats,
+          snap.dirBlooms.filter(b => carriedSet(b.dir)) ++ newBlooms,
+          snap.txns, Some(anchorJson), None,
+          liveDvs(snap.dvs.filterNot(dv => foldedDvPaths(dv.path)), allDirs),
+          snap.fstatsRefs)
+        if (rebases > 0) VersionedTable.rebaseCount.addAndGet(rebases.toLong)
+        return parent + 1
+      } catch { case e: CommitConflictException =>
+        rebases += 1
+        if (rebases > maxRebase) throw e
+        val tip = latestVersion(root).getOrElse(throw e)
+        val tipSnap = snapshot(root, tip)
+        val live = tipSnap.dataDirs.toSet
+        if (!scopeSet.forall(live))
+          throw new VersionedTable.ConcurrentScopeException(root,
+            s"a concurrent commit rewrote scoped dir(s) " +
+              s"${scopeSet.filterNot(live).toSeq.sorted.mkString(", ")} — " +
+              "re-issue the maintenance op against the new snapshot")
+        if (scopedDvs(tipSnap) != scopedDvs(firstSnap))
+          throw new VersionedTable.ConcurrentScopeException(root,
+            "a concurrent commit changed deletion vectors on scoped dirs — " +
+              "re-issue the maintenance op against the new snapshot")
+        if (tipSnap.schemaJson != firstSnap.schemaJson)
+          throw new VersionedTable.ConcurrentScopeException(root,
+            "a concurrent commit changed the schema anchor — " +
+              "re-issue the maintenance op against the new snapshot")
+        parent = tip
+        snap = tipSnap
+      }
+    }
+    -1 // unreachable
   }
 
   /** Delete this attempt's bloom sidecars (conflict cleanup). */
@@ -2158,7 +2336,8 @@ class VersionedTableOps(val store: CommitStore,
         anchor.fieldNames.toSeq, newDirs,
         snap.dirStats.filter(s => keepSet(s.dir)) ++ newStats,
         snap.dirBlooms.filter(b => keepSet(b.dir)) ++ newBlooms,
-        snap.txns, Some(anchor.json), cdfRel, liveDvs(snap.dvs, newDirs))
+        snap.txns, Some(anchor.json), cdfRel, liveDvs(snap.dvs, newDirs),
+        snap.fstatsRefs)
       deleted
     } catch { case e: Throwable =>
       newByOld.values.foreach(d => data.deleteTree(root, d))
@@ -2261,7 +2440,8 @@ class VersionedTableOps(val store: CommitStore,
         anchor.fieldNames.toSeq, newDirs,
         snap.dirStats.filter(s => keepSet(s.dir)) ++ newStats,
         snap.dirBlooms.filter(b => keepSet(b.dir)) ++ newBlooms,
-        snap.txns, Some(anchor.json), cdfRel, liveDvs(snap.dvs, newDirs))
+        snap.txns, Some(anchor.json), cdfRel, liveDvs(snap.dvs, newDirs),
+        snap.fstatsRefs)
       updated
     } catch { case e: Throwable =>
       newByOld.values.foreach(d => data.deleteTree(root, d))
@@ -2453,7 +2633,7 @@ class VersionedTableOps(val store: CommitStore,
           snap.dirStats.filter(s => keepSet(s.dir)) ++ rwStats ++ srcStaged._3,
           snap.dirBlooms.filter(b => keepSet(b.dir)) ++ rwBlooms ++ srcStaged._4,
           snap.txns ++ txn.toMap, Some(anchor.json), cdfRel,
-          liveDvs(snap.dvs, newDirs))
+          liveDvs(snap.dvs, newDirs), snap.fstatsRefs)
         version
       } catch { case e: Throwable =>
         cleanupDirs.result().foreach(d =>
@@ -2517,7 +2697,7 @@ class VersionedTableOps(val store: CommitStore,
           anchor.fieldNames.toSeq, snap.dataDirs, snap.dirStats,
           snap.dirBlooms, snap.txns, Some(anchor.json), cdfRel,
           snap.dvs :+ DvFile(dvRel, deleted,
-            candidates.map(d => new File(d).getName)))
+            candidates.map(d => new File(d).getName)), snap.fstatsRefs)
         deleted
       } catch { case e: Throwable =>
         data.deleteTree(root, dvRel)
@@ -2593,7 +2773,7 @@ class VersionedTableOps(val store: CommitStore,
           snap.dirStats ++ staged._3, snap.dirBlooms ++ staged._4,
           snap.txns, Some(anchor.json), cdfRel,
           snap.dvs :+ DvFile(dvRel, updated,
-            candidates.map(d => new File(d).getName)))
+            candidates.map(d => new File(d).getName)), snap.fstatsRefs)
         updated
       } catch { case e: Throwable =>
         data.deleteTree(root, dvRel)
@@ -2704,7 +2884,7 @@ class VersionedTableOps(val store: CommitStore,
             anchor.fieldNames.toSeq, snap.dataDirs :+ srcStaged._1,
             snap.dirStats ++ srcStaged._3, snap.dirBlooms ++ srcStaged._4,
             snap.txns ++ txn.toMap, Some(anchor.json), cdfRel,
-            snap.dvs ++ dv)
+            snap.dvs ++ dv, snap.fstatsRefs)
           version
         } catch { case e: Throwable =>
           data.deleteTree(root, srcStaged._1)
@@ -2759,7 +2939,8 @@ class VersionedTableOps(val store: CommitStore,
       // no live file identity, so dropping them changes no row.
       publish(root, version, parent, "optimize", 0L,
         anchor.fieldNames.toSeq, snap.dataDirs, snap.dirStats,
-        snap.dirBlooms, snap.txns, Some(anchor.json), None, Seq.empty)
+        snap.dirBlooms, snap.txns, Some(anchor.json), None, Seq.empty,
+        snap.fstatsRefs)
       return Some(version)
     }
     val oldByBase = affected.map(d => new File(d).getName -> d).toMap
@@ -2769,18 +2950,19 @@ class VersionedTableOps(val store: CommitStore,
     try {
       val affectedSet = affected.toSet
       // an affected dir with ZERO live rows emits no rewrite partition —
-      // it is dropped from the manifest (files stay for time travel)
-      val newDirs = snap.dataDirs.flatMap { d =>
-        if (!affectedSet(d)) Some(d) else newByOld.get(d)
-      }
-      val keepSet = newDirs.toSet
-      // rows = per-commit delta convention: a purge adds nothing
-      publish(root, version, parent, "optimize", 0L,
-        anchor.fieldNames.toSeq, newDirs,
-        snap.dirStats.filter(s => keepSet(s.dir)) ++ newStats,
-        snap.dirBlooms.filter(b => keepSet(b.dir)) ++ newBlooms,
-        snap.txns, Some(anchor.json), None, Seq.empty)
-      Some(version)
+      // it is dropped from the manifest (files stay for time travel).
+      // rows = per-commit delta convention: a purge adds nothing. The
+      // purge is the same content-preserving scoped-rewrite shape as
+      // OPTIMIZE WHERE, so it publishes through the same REBASING path —
+      // a purge racing a streaming append re-lands carrying the winner's
+      // dirs instead of starting the dv-fold rewrite over (the folded dvs
+      // die with their scoped dirs; a dv the winner added on an UNSCOPED
+      // dir rides along, and one on a scoped dir aborts loudly).
+      val rewritten = snap.dataDirs.flatMap(d =>
+        if (affectedSet(d)) newByOld.get(d) else None)
+      Some(publishScopedRewrite(root, parent, snap, affectedSet, rewritten,
+        newStats, newBlooms, anchor.json, anchor.fieldNames.toSeq,
+        foldedDvPaths = snap.dvs.map(_.path).toSet))
     } catch { case e: Throwable =>
       newByOld.values.foreach(d => data.deleteTree(root, d))
       newBlooms.foreach(b => data.deleteFile(root, b.path))
@@ -3019,6 +3201,9 @@ class VersionedTableOps(val store: CommitStore,
       val prefix = new File(d).getName
       data.list(root, "_blooms").filter(_.name.startsWith(prefix))
         .foreach(e => data.deleteFile(root, s"_blooms/${e.name}"))
+      // fstats sidecars are dir-named like blooms and die the same death
+      data.list(root, "_fstats").filter(_.name.startsWith(prefix))
+        .foreach(e => data.deleteFile(root, s"_fstats/${e.name}"))
     }
     // History outlives manifest retention BY CONTRACT: roll a summary
     // checkpoint at the current tip BEFORE any manifest dies, so versions
@@ -3115,6 +3300,15 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
   private[sources] val cdfSkipWarned =
     java.util.concurrent.ConcurrentHashMap.newKeySet[String]()
 
+  /** Process-wide cache of parsed `_fstats` sidecars, keyed by absolute
+    * path. Sound because sidecar files are IMMUTABLE (attempt-unique
+    * names, never rewritten in place) — a replaced dir gets a NEW sidecar
+    * under a new name. Bounded crudely: cleared when it grows past the
+    * size any one scan plausibly needs live.
+    */
+  private[sources] val fstatsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[DirStat]]
+
   /** One commit's summary as recorded in a history checkpoint — all that
     * DESCRIBE HISTORY / `graft_table_history` / wall-clock time travel
     * need, so none of them has to parse O(versions) full manifests.
@@ -3169,7 +3363,8 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
       txns: Map[String, Long] = Map.empty,
       schemaJson: Option[String] = None,
       cdfDir: Option[String] = None,
-      dvs: Seq[DvFile] = Seq.empty)
+      dvs: Seq[DvFile] = Seq.empty,
+      fstatsRefs: Map[String, String] = Map.empty)
 
   /** One deletion-vector file, as recorded in the manifest
     * (`dv=<relative-path>|<rows>`): a parquet dir under `_dv/` whose rows
@@ -3292,6 +3487,18 @@ object VersionedTable extends VersionedTableOps(CommitStore.local) {
     extends RuntimeException(
       s"commit conflict: version $version was committed concurrently; " +
         "re-read latestVersion and retry")
+
+  /** A scoped maintenance rewrite lost its conditional put to a commit
+    * that TOUCHED the scope (DML rewrote a scoped dir, a dv landed on one,
+    * or the schema anchor moved) — not rebasable, by design loud.
+    */
+  final class ConcurrentScopeException(root: String, why: String)
+    extends RuntimeException(s"scoped rewrite on $root conflicts: $why")
+
+  /** Total scoped-rewrite rebases this process performed — observability
+    * for the maintenance-vs-writer race (asserted by the race tests).
+    */
+  val rebaseCount = new java.util.concurrent.atomic.AtomicLong(0)
 
   /** Depth-first delete handling nested dirs (e.g. a crashed Spark write's
     * `_temporary` tree). Returns true iff `f` no longer exists.

@@ -62,8 +62,9 @@ class ManifestIndexSpec extends SparkTestBase {
       root, "append", statsCols = Seq("id"))
     val snap = VersionedTable.snapshot(root, 1)
     assert(snap.dataDirs.size === 1)
-    assert(snap.dirStats.count(s => s.file.isDefined && s.col == "id") === 4,
-      "commit must record one fstats hull per file")
+    assert(VersionedTable.fileGrainStats(root, snap, snap.dataDirs.head)
+      .count(_.col == "id") === 4,
+      "commit must record one fstats hull per file (sidecar-referenced)")
     assert(snap.dirStats.exists(s => s.file.isEmpty && s.col == "id"),
       "the dir-grain hull must still be recorded (dir admission needs it)")
     val all = runAndCount(VersionedTable.scan(spark, root))
@@ -73,6 +74,63 @@ class ManifestIndexSpec extends SparkTestBase {
     val (rows, files) = runAndCount(probe)
     assert(files >= 1 && files < 4,
       s"file-grain hulls must prune inside the single dir, got $files")
+    assert(rows.map(_.getLong(0)).sorted === (150L until 180L))
+  }
+
+  test("manifests stay O(dirs): file-grain stats live ONCE in sidecars, descendants carry pointers") {
+    val root = freshRoot()
+    // three fat appends (4 files each) then a stream of tiny appends — the
+    // 8600-commits/day shape whose manifests must NOT accrete per-file lines
+    (0 until 3).foreach(i => VersionedTable.commit(
+      spark.range(i * 400, (i + 1) * 400).toDF("id")
+        .repartitionByRange(4, col("id")), root, "append",
+      statsCols = Seq("id")))
+    (0 until 5).foreach(i => VersionedTable.commit(
+      spark.range(1200 + i * 10, 1210 + i * 10).toDF("id"), root, "append",
+      statsCols = Seq("id")))
+    val latest = VersionedTable.latestVersion(root).get
+    val body = VersionedTable.store.get(root, latest).get
+    assert(!body.contains("fstats="),
+      "no inline per-file lines may ride a descendant manifest")
+    val ptrLines = body.linesIterator.count(_.startsWith("fstatsf="))
+    assert(ptrLines === 8, s"one pointer per dir, got $ptrLines")
+    // each dir's sidecar resolves to its own per-file hulls
+    val snap = VersionedTable.snapshot(root, latest)
+    val fat = snap.dataDirs.head
+    assert(VersionedTable.fileGrainStats(root, snap, fat).size === 4)
+    // and file-grain pruning still works through the pointers
+    val probe = VersionedTable.scan(spark, root)
+      .filter(col("id") >= 150L && col("id") < 180L)
+    val (rows, files) = runAndCount(probe)
+    assert(files >= 1 && files < 4, s"expected file-tier pruning, got $files")
+    assert(rows.map(_.getLong(0)).sorted === (150L until 180L))
+  }
+
+  test("legacy inline fstats= manifests still parse and prune (pre-sidecar tables)") {
+    val root = freshRoot()
+    VersionedTable.commit(
+      spark.range(0, 400).toDF("id").repartitionByRange(4, col("id")),
+      root, "append", statsCols = Seq("id"))
+    // rewrite v1's manifest in the legacy INLINE form (fstats= lines, no
+    // pointer) — exactly what a pre-sidecar table's log contains
+    val snap1 = VersionedTable.snapshot(root, 1)
+    val inline = VersionedTable
+      .fileGrainStats(root, snap1, snap1.dataDirs.head)
+      .map(s => s"fstats=${s.dir}|${s.file.get}|${s.col}|${s.min}|${s.max}")
+    val body = VersionedTable.store.get(root, 1).get.linesIterator
+      .filterNot(_.startsWith("fstatsf=")).mkString("\n") +
+      "\n" + inline.mkString("\n") + "\n"
+    VersionedTable.store.delete(root, 1)
+    assert(VersionedTable.store.putIfAbsent(root, 1, body))
+    val snap = VersionedTable.snapshot(root, 1)
+    assert(snap.fstatsRefs.isEmpty)
+    assert(snap.dirStats.count(_.file.isDefined) === 4, "inline entries parse")
+    assert(VersionedTable
+      .fileGrainStats(root, snap, snap.dataDirs.head).size === 4)
+    val probe = VersionedTable.scan(spark, root)
+      .filter(col("id") >= 150L && col("id") < 180L)
+    val (rows, files) = runAndCount(probe)
+    assert(files >= 1 && files < 4, s"legacy inline must still prune, got $files")
     assert(rows.map(_.getLong(0)).sorted === (150L until 180L))
   }
 

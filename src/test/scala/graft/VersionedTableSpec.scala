@@ -475,8 +475,9 @@ class VersionedTableSpec extends SparkTestBase {
     assert(snap.dirStats.filter(_.file.isEmpty)
       .map(s => (s.col, s.min, s.max)).sortBy(_._2) ===
       Seq(("id", 0.0, 99.0), ("id", 100.0, 199.0), ("id", 200.0, 299.0)))
-    assert(snap.dirStats.exists(_.file.isDefined),
-      "commits must also record per-file hulls")
+    assert(snap.fstatsRefs.nonEmpty && snap.dataDirs.exists(d =>
+      VersionedTable.fileGrainStats(root, snap, d).nonEmpty),
+      "commits must also record per-file hulls (sidecar-referenced)")
     // a range inside the middle dir scans ONLY that dir
     val pruned = VersionedTable.readPruned(spark, root, "id", 120.0, 180.0)
     val files = pruned.inputFiles
