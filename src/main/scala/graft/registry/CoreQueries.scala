@@ -532,6 +532,47 @@ object CoreQueries {
           (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
     }),
 
+    // POLICY-DRIVEN RE-CLUSTER (clustering-drift trigger): a table
+    // z-ordered once then appended through keeps its stale layout until
+    // an operator remembers — so the policy measures drift from manifest
+    // metadata alone (live dirs postdating the last `optimize` op +
+    // their byte fraction) and maps the decision onto the SCOPED zorder
+    // rewrite: O(drifted dirs), the clustered bulk carried by name.
+    // Oracle = the plain rollup: re-clustering must be content-
+    // preserving end to end. MaintenanceSpec asserts the numFiles half
+    // (pruning on the appended range restored by the policy tick).
+    "q_recluster_policy" -> ((s, d) => {
+      import graft.sources.{Maintenance, VersionedTable}
+      val root = java.nio.file.Files.createTempDirectory("graft_vtrcl_").toString
+      val orders = Tables.orders(s, d)
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"))
+      val mk = orders.agg(max(col("o_orderkey"))).head().getLong(0)
+      val half = mk / 2
+      // clustered era: the low half, z-ordered at v2
+      VersionedTable.commit(orders.filter(col("o_orderkey") <= half), root,
+        "append", statsCols = Seq("o_orderkey"))
+      VersionedTable.optimizeZorder(s, root, Seq(col("o_orderkey") -> mk),
+        nDirs = 4, statsCols = Seq("o_orderkey"))
+      // drift era: the high half lands in two unclustered appends
+      val mid = half + (mk - half) / 2
+      Seq(col("o_orderkey") > half && col("o_orderkey") <= mid,
+        col("o_orderkey") > mid).foreach(p =>
+        VersionedTable.commit(orders.filter(p), root, "append",
+          statsCols = Seq("o_orderkey")))
+      val policy = Maintenance.Policy(
+        zorderBy = Seq("o_orderkey" -> mk), zorderDirs = 4,
+        maxDriftFraction = 0.2, minDriftDirs = 2,
+        maxSmallDirs = Int.MaxValue)
+      val actions = Maintenance.plan(root, policy)
+      require(actions.exists(_.isInstanceOf[Maintenance.Recluster]),
+        s"drift must trigger a Recluster, got $actions")
+      Maintenance.execute(s, root, actions, statsCols = Seq("o_orderkey"))
+      VersionedTable.scan(s, root)
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          (sum(Quantize.i(col("o_totalprice"), 2)) / lit(100.0)).as("sum_price"))
+    }),
+
     // PLANNING-TIME skipping — the same six-dir corpus and probe as
     // q_versioned_combo, but nobody names a DirFilter: the probe is an
     // ordinary `.filter` over VersionedTable.scan's manifest FileIndex,
@@ -1236,6 +1277,13 @@ object CoreQueries {
         |FROM orders, b
         |WHERE NOT (o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F')
         |GROUP BY o_orderstatus""".stripMargin,
+
+    // The drift-triggered re-cluster is content-preserving: the rollup
+    // equals the raw corpus regardless of which dirs the policy rewrote.
+    "q_recluster_policy" ->
+      """SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     // Row-level DELETE through the commit log must equal the predicate's
     // complement over the raw table.

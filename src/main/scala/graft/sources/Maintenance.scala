@@ -45,9 +45,24 @@ object Maintenance {
     */
   final case class Vacuum(retainMs: Long, reason: String) extends Action
 
+  /** Re-z-order the dirs that landed AFTER the table's last `optimize`
+    * commit ([[VersionedTableOps.optimizeZorder]] with a named-dir scope)
+    * — triggered by clustering DRIFT: a table z-ordered at v10 then
+    * appended through v400 keeps its stale layout until someone notices,
+    * because nothing else measures it. The metric is manifest-only —
+    * which live dirs postdate the last `optimize` op (historySummary
+    * already carries operations) and what byte fraction they hold
+    * (the same O(#dirs) fs stats the fragmentation trigger pays).
+    */
+  final case class Recluster(driftedDirs: Seq[String], driftBytes: Long,
+      totalBytes: Long, dims: Seq[(String, Long)], nDirs: Int,
+      reason: String) extends Action
+
   /** The operator's declared thresholds. Defaults are deliberately
     * conservative; `retainMs = None` means "never vacuum automatically"
-    * (history is cheap, deletion is not reversible).
+    * (history is cheap, deletion is not reversible), `zorderBy = empty`
+    * means "never recluster automatically" (only the operator knows the
+    * table's probe dimensions and their domains).
     */
   final case class Policy(
       smallDirMaxBytes: Long = 32L << 20,
@@ -55,7 +70,11 @@ object Maintenance {
       maxDeletionVectors: Int = 8,
       maxDeletedRows: Long = 100000L,
       retainMs: Option[Long] = None,
-      minVersionsOutsideWindow: Int = 1)
+      minVersionsOutsideWindow: Int = 1,
+      zorderBy: Seq[(String, Long)] = Seq.empty,
+      zorderDirs: Int = 8,
+      maxDriftFraction: Double = 0.3,
+      minDriftDirs: Int = 2)
 
   /** The due actions for `root` under `policy` — pure decision over ONE
     * manifest read plus O(#dirs) file stats; nothing is mutated. Returns
@@ -76,7 +95,39 @@ object Maintenance {
         s"${snap.dvs.size} deletion vectors / $deletedRows deleted positions " +
           s"(thresholds ${policy.maxDeletionVectors} / ${policy.maxDeletedRows})")
 
-    val small = snap.dataDirs.filter(d =>
+    // Clustering drift: live dirs that postdate the last `optimize` commit
+    // hold data nobody has z-ordered. Only meaningful on a table that WAS
+    // clustered once (zorderBy declared AND an optimize op in history) —
+    // and only decidable while that optimize's manifest survives vacuum.
+    val drifted: Set[String] =
+      if (policy.zorderBy.isEmpty) Set.empty
+      else {
+        val stillThere = VersionedTable.existingVersions(root).toSet
+        VersionedTable.historySummary(root)
+          .filter(e => e.operation == "optimize" && stillThere(e.version))
+          .map(_.version).maxOption match {
+          case None => Set.empty
+          case Some(vOpt) =>
+            val clustered = VersionedTable.snapshot(root, vOpt).dataDirs.toSet
+            val drift = snap.dataDirs.filterNot(clustered)
+            val driftBytes = drift.map(VersionedTable.data.sizeOfDir(root, _)).sum
+            val totalBytes = snap.dataDirs
+              .map(VersionedTable.data.sizeOfDir(root, _)).sum
+            if (drift.size >= policy.minDriftDirs && totalBytes > 0 &&
+                driftBytes.toDouble / totalBytes >= policy.maxDriftFraction) {
+              out += Recluster(drift, driftBytes, totalBytes,
+                policy.zorderBy, policy.zorderDirs,
+                s"${drift.size} dirs / $driftBytes of $totalBytes bytes " +
+                  s"landed after the v$vOpt optimize " +
+                  s"(threshold ${policy.maxDriftFraction})")
+              drift.toSet
+            } else Set.empty
+        }
+      }
+
+    // dirs the recluster will rewrite anyway don't count as fragments —
+    // the drift rewrite folds them into z-ordered dirs this same tick
+    val small = snap.dataDirs.filter(d => !drifted(d) &&
       VersionedTable.data.sizeOfDir(root, d) < policy.smallDirMaxBytes)
     if (small.size >= policy.maxSmallDirs)
       out += CompactSmallDirs(small.size, policy.smallDirMaxBytes,
@@ -117,6 +168,16 @@ object Maintenance {
         val before = VersionedTable.latestVersion(root)
         val v = VersionedTable.compactSmallDirs(spark, root, maxBytes,
           statsCols = statsCols, bloomCols = bloomCols)
+        a -> Some(v).filter(_ != before.getOrElse(-1))
+      case a @ Recluster(dirs, _, _, dims, nDirs, _) =>
+        val before = VersionedTable.latestVersion(root)
+        // named-dir scope: optimizeZorder intersects it with the live dirs,
+        // so a dir DML replaced between plan and execute is simply skipped
+        val v = VersionedTable.optimizeZorder(spark, root,
+          dims.map { case (c, m) =>
+            org.apache.spark.sql.functions.col(c) -> m },
+          nDirs, statsCols = statsCols, bloomCols = bloomCols,
+          scopeDirs = Some(dirs.toSet))
         a -> Some(v).filter(_ != before.getOrElse(-1))
       case a @ Vacuum(retainMs, _) =>
         VersionedTable.vacuumRetain(root, retainMs)

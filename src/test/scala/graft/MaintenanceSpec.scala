@@ -298,4 +298,66 @@ class MaintenanceSpec extends SparkTestBase {
     (1 to 16).foreach(i => assert(props.get(s"k$i") === Some(s"v$i"),
       s"lost update: k$i missing from ${props.keySet.toSeq.sorted}"))
   }
+
+  test("clustering drift: silent below the fraction, Recluster past it, tick restores pruning and converges") {
+    import graft.sources.Maintenance
+    val root = freshRoot()
+    // clustered era: ids 0..400, z-ordered at v2 into 4 id-buckets
+    VersionedTable.commit(
+      spark.range(0L, 400L).toDF("id").withColumn("v", col("id") * 2),
+      root, "append", statsCols = Seq("id"))
+    VersionedTable.optimizeZorder(spark, root, Seq(col("id") -> 500L),
+      nDirs = 4, statsCols = Seq("id"))
+    val policy = Maintenance.Policy(
+      zorderBy = Seq("id" -> 500L), zorderDirs = 4,
+      maxDriftFraction = 0.1, minDriftDirs = 2,
+      maxSmallDirs = Int.MaxValue)
+    assert(!Maintenance.plan(root, policy)
+      .exists(_.isInstanceOf[Maintenance.Recluster]), "no drift yet")
+    // drift era: 4 appends, each spanning the WHOLE 400..500 range — every
+    // drifted dir's id hull covers any probe in the range, so pruning on
+    // the appended range is dead until someone re-clusters
+    (0 until 4).foreach(h => VersionedTable.commit(
+      spark.range(400L, 500L).filter(col("id") % 4 === h)
+        .toDF("id").withColumn("v", col("id") * 2).coalesce(1),
+      root, "append", statsCols = Seq("id")))
+    val actions = Maintenance.plan(root, policy)
+    val rec = actions.collectFirst { case r: Maintenance.Recluster => r }
+      .getOrElse(fail(s"drift must plan a Recluster, got $actions"))
+    assert(rec.driftedDirs.size === 4, "exactly the post-optimize dirs drift")
+    assert(rec.dims === Seq("id" -> 500L) && rec.nDirs === 4)
+    // a policy with no declared zorder dims NEVER reclusters
+    assert(!Maintenance.plan(root, Maintenance.Policy(maxSmallDirs = Int.MaxValue))
+      .exists(_.isInstanceOf[Maintenance.Recluster]))
+    // drifted dirs don't double-count as fragments: the small-dir trigger
+    // sees only the 4 clustered dirs even with an everything-is-small bar
+    val both = Maintenance.plan(root, policy.copy(
+      smallDirMaxBytes = Long.MaxValue / 2, maxSmallDirs = 1))
+    assert(both.collectFirst { case c: Maintenance.CompactSmallDirs => c.nSmall }
+      === Some(4))
+    val before = VersionedTable.readPruned(spark, root, "id", 440.0, 460.0)
+      .inputFiles.length
+    assert(before >= 4, s"every drifted dir admits the probe, got $before")
+    Maintenance.execute(spark, root, actions, statsCols = Seq("id"))
+    val after = VersionedTable.readPruned(spark, root, "id", 440.0, 460.0)
+      .inputFiles.length
+    assert(after < before, s"recluster must restore pruning: $after !< $before")
+    // content-preserving, and the clustered bulk was carried by name
+    assert(ids(VersionedTable.read(spark, root)) === (0L until 500L))
+    // the tick CONVERGES: the recluster is now the last optimize op
+    assert(Maintenance.plan(root, policy).isEmpty,
+      "policy must go quiet once the drift is rewritten")
+  }
+
+  test("a never-optimized table never triggers Recluster (drift is relative to a clustering someone chose)") {
+    import graft.sources.Maintenance
+    val root = freshRoot()
+    (0 until 4).foreach(i => VersionedTable.commit(
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id"),
+      root, "append", statsCols = Seq("id")))
+    val p = Maintenance.Policy(zorderBy = Seq("id" -> 400L),
+      maxDriftFraction = 0.0, minDriftDirs = 1, maxSmallDirs = Int.MaxValue)
+    assert(!Maintenance.plan(root, p)
+      .exists(_.isInstanceOf[Maintenance.Recluster]))
+  }
 }

@@ -47,11 +47,10 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 212 = r15's 208 + the r16 scoped-OPTIMIZE tier (q_compact_where,
-    // q_zorder_where) + declared maintenance (q_maintenance_policy) +
-    // file-grain skipping (q_versioned_filegrain); raise this floor
-    // whenever a query is added, never lower it
-    assert(SparkEntry.queries.size >= 212,
-      s"registry shrank: ${SparkEntry.queries.size} < 212")
+    // 213 = r16's 212 + the r17 drift-triggered re-cluster policy
+    // (q_recluster_policy); raise this floor whenever a query is added,
+    // never lower it
+    assert(SparkEntry.queries.size >= 213,
+      s"registry shrank: ${SparkEntry.queries.size} < 213")
   }
 }
