@@ -214,23 +214,34 @@ final class ChangeFeedSource(
     // restartable time; the restarted source (already re-pinned on the
     // new anchor) serves this very range again via physical identity.
     if (to > from) {
-      val reshaped = (from + 1 to to).map(VersionedTable.snapshot(root, _))
+      val snaps = (from + 1 to to).map(VersionedTable.snapshot(root, _))
+      val reshaped = snaps
         .filter(s => s.operation == "rename" || s.operation == "drop")
       tracked match {
         case None =>
+          // untracked: additive evolution (`evolve`) keeps serving the
+          // pinned projection — new columns appear on resubscribe, Delta's
+          // default contract; only the DESTRUCTIVE reshapes refuse
           require(reshaped.isEmpty,
             s"versions ${reshaped.map(_.version).mkString(",")} rename/drop columns " +
               "mid-subscription; resubscribe to pick up the new schema (or set " +
               "option 'schemaTrackingLocation' to cross column-mapping changes)")
-        case Some((tv, _)) if reshaped.nonEmpty && reshaped.map(_.version).max > tv =>
-          val newAnchor = VersionedTable.anchorAt(spark, root, to)
-          ChangeFeedSource.writeTracked(schemaTrackingLocation.get, to, newAnchor)
-          throw new IllegalStateException(
-            s"[GRAFT_SCHEMA_CHANGED] versions ${reshaped.map(_.version).mkString(",")} " +
-              s"rename/drop columns; the tracked schema at ${schemaTrackingLocation.get} " +
-              s"has been rolled forward to version $to — restart the stream to " +
-              "continue under the new column names")
-        case _ => () // reshape already absorbed into the tracked anchor
+        case Some((tv, _)) =>
+          // tracked: ADDITIVE changes roll the anchor too — a widened
+          // table starts serving its new columns after the same ONE
+          // restartable failure as a rename (pre-evolve files null-fill
+          // them, the batch-read anchor-pinned semantics), instead of
+          // freezing the stale projection until someone resubscribes
+          val rolling = reshaped ++ snaps.filter(_.operation == "evolve")
+          if (rolling.nonEmpty && rolling.map(_.version).max > tv) {
+            val newAnchor = VersionedTable.anchorAt(spark, root, to)
+            ChangeFeedSource.writeTracked(schemaTrackingLocation.get, to, newAnchor)
+            throw new IllegalStateException(
+              s"[GRAFT_SCHEMA_CHANGED] versions ${rolling.map(_.version).mkString(",")} " +
+                s"change the schema; the tracked schema at ${schemaTrackingLocation.get} " +
+                s"has been rolled forward to version $to — restart the stream to " +
+                "continue under the new columns")
+          } // else: reshape already absorbed into the tracked anchor
       }
     }
     val batch = graft.BenchProbe.time("cfs.get_batch") {

@@ -340,6 +340,121 @@ class ColumnMappingSpec extends SparkTestBase {
       === (300L until 305L).map(i => (i, i * 2)))
   }
 
+  test("schemaTrackingLocation: ADD COLUMNS rolls the tracked anchor on one restart; pre-evolve rows null-fill") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val root = freshRoot()
+    corpus(root) // versions 1..3
+    val ckpt = Files.createTempDirectory("graft_cmadd_ckpt_").toString
+    val track = Files.createTempDirectory("graft_cmadd_schema_").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("root", root).option("schemaTrackingLocation", track).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+          seen ++= b.collect().map { r =>
+            val w = if (b.columns.contains("w"))
+              Option(r.getAs[java.lang.Long]("w")).map(_.longValue) else None
+            (r.getAs[Long]("id"), w)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      q.awaitTermination()
+    }
+    drain() // pre-evolve history drains under the original projection
+    assert(seen.size === 300 && seen.forall(_._2.isEmpty))
+    // ADD COLUMNS mid-subscription + a post-evolve append carrying it
+    VersionedTable.addColumns(spark, root,
+      Seq(StructField("w", LongType, nullable = true)))
+    VersionedTable.commit(
+      spark.range(300, 310).toDF("id")
+        .withColumn("v", col("id") * 2)
+        .withColumn("tag", lit("tN"))
+        .withColumn("w", col("id") * 3),
+      root, "append", statsCols = Seq("id"))
+    // first contact with the widening: ONE restartable failure that rolls
+    // the tracked anchor forward — the additive twin of the rename roll
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] { drain() }
+    assert(e.getMessage.contains("GRAFT_SCHEMA_CHANGED") ||
+      Option(e.getCause).exists(_.getMessage.contains("GRAFT_SCHEMA_CHANGED")))
+    val trackedAnchor = graft.sources.ChangeFeedSource.readTracked(track)
+    assert(trackedAnchor.exists(_._2.fieldNames.contains("w")),
+      "the failure must persist the WIDENED anchor before dying")
+    // the SAME checkpoint restarts and serves the new column: post-evolve
+    // rows carry it, and any pre-evolve replay would null-fill it
+    drain()
+    assert(seen.size === 310)
+    assert(seen.sortBy(_._1).takeRight(10).toSeq
+      === (300L until 310L).map(i => (i, Some(i * 3))))
+    // subsequent drains stay quiet; pre-evolve files keep null-filling
+    VersionedTable.commit(
+      spark.range(310, 312).toDF("id")
+        .withColumn("v", col("id") * 2).withColumn("tag", lit("tN"))
+        .withColumn("w", col("id") * 3),
+      root, "append", statsCols = Seq("id"))
+    drain()
+    assert(seen.size === 312)
+  }
+
+  test("schema tracking: kill mid-drain across ADD COLUMNS, restart is exact") {
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.{LongType, StructField}
+    val root = freshRoot()
+    corpus(root) // versions 1..3
+    VersionedTable.addColumns(spark, root,
+      Seq(StructField("w", LongType, nullable = true))) // version 4
+    VersionedTable.commit(
+      spark.range(300, 305).toDF("id")
+        .withColumn("v", col("id") * 2).withColumn("tag", lit("tN"))
+        .withColumn("w", col("id") * 3),
+      root, "append", statsCols = Seq("id")) // version 5
+    val ckpt = Files.createTempDirectory("graft_cmaddk_ckpt_").toString
+    val track = Files.createTempDirectory("graft_cmaddk_schema_").toString
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Option[Long])]
+    var killAt = 2
+    def drain(expectFailure: Boolean): Unit = {
+      val q = spark.readStream.format("graft-changefeed")
+        .option("root", root).option("schemaTrackingLocation", track)
+        .option("maxVersionsPerTrigger", "1").load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+          if (id == killAt) throw new RuntimeException("chaos: sink killed")
+          seen ++= b.collect().map { r =>
+            val w = if (b.columns.contains("w"))
+              Option(r.getAs[java.lang.Long]("w")).map(_.longValue) else None
+            (r.getAs[Long]("id"), w)
+          }
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ckpt)
+        .start()
+      if (expectFailure)
+        intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+          q.awaitTermination()
+        }
+      else q.awaitTermination()
+      ()
+    }
+    drain(expectFailure = true)  // chaos kill or schema roll, both retryable
+    drain(expectFailure = true)  // the remaining failure fires
+    killAt = -1
+    var guard = 0
+    while (seen.size < 305 && guard < 6) { drain(expectFailure = false); guard += 1 }
+    assert(seen.size === 305, s"exactly-once catch-up: got ${seen.size}")
+    assert(seen.map(_._1).sorted.toSeq === (0L until 305L),
+      "no row lost or duplicated across kill/restart + schema roll")
+    // pre-evolve replays under the WIDENED anchor null-fill w; post-evolve
+    // rows carry their written values — exactly the batch-read semantics
+    assert(seen.filter(_._1 < 300L).forall(_._2.isEmpty))
+    assert(seen.sortBy(_._1).takeRight(5).toSeq
+      === (300L until 305L).map(i => (i, Some(i * 3))))
+  }
+
   test("batch changeFeed conforms across a rename via physical identity") {
     val root = freshRoot()
     VersionedTable.setTableProperties(root,
