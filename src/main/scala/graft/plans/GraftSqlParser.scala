@@ -27,6 +27,8 @@ import graft.sources.VersionedTable
   *   VACUUM t RETAIN 168 HOURS          -- wall-clock: reap > 7 days old
   *   VACUUM t [RETAIN n HOURS] DRY RUN  -- report, touch nothing
   *   CREATE TABLE t2 SHALLOW CLONE t [VERSION AS OF n] [LOCATION '...']
+  *   ALTER TABLE t SET MAINTENANCE POLICY (k = v, ...) -- declare once, persists with the table
+  *   MAINTAIN t [DRY RUN]               -- the scheduler tick: plan + execute (or report)
   *   DESCRIBE HISTORY t                 -- the commit log as rows
   *   DESCRIBE DETAIL t                  -- one row of table metadata
   * }}}
@@ -60,6 +62,8 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case VACUUM_RETAIN(t, h, dry) =>
       GraftVacuumCommand(ident(t), Some(h.toDouble), dry != null)
     case VACUUM_PLAIN(t, dry)  => GraftVacuumCommand(ident(t), None, dry != null)
+    case ALTER_POLICY(t, spec) => GraftSetPolicyCommand(ident(t), spec)
+    case MAINTAIN(t, dry)      => GraftMaintainCommand(ident(t), dry != null)
     case DESCRIBE_HISTORY(t)   => GraftDescribeHistoryCommand(ident(t))
     case DESCRIBE_DETAIL(t)    => GraftDescribeDetailCommand(ident(t))
     case _                     => delegate.parsePlan(sqlText)
@@ -87,6 +91,7 @@ class GraftSqlParser(delegate: ParserInterface) extends ParserInterface {
     case RESTORE_VERSION(_, _) | RESTORE_TS(_, _) | OPTIMIZE_WHERE_Z(_, _, _) |
          OPTIMIZE_WHERE(_, _) | OPTIMIZE_Z(_, _) |
          OPTIMIZE_PLAIN(_) | VACUUM_RETAIN(_, _, _) | VACUUM_PLAIN(_, _) |
+         ALTER_POLICY(_, _) | MAINTAIN(_, _) |
          DESCRIBE_HISTORY(_) | DESCRIBE_DETAIL(_) | CREATE_CLONE(_, _, _, _) =>
       parsePlan(sqlText)
     case _ => delegate.parsePlanWithParameters(sqlText, ctx)
@@ -136,6 +141,22 @@ object GraftSqlParser {
     (s"""(?is)\\s*CREATE\\s+TABLE\\s+$ID\\s+SHALLOW\\s+CLONE\\s+$ID""" +
       s"""(?:\\s+VERSION\\s+AS\\s+OF\\s+(\\d+))?""" +
       s"""(?:\\s+LOCATION\\s+'([^']+)')?\\s*;?\\s*""").r
+  // declared maintenance as DDL: the policy persists in the table's own
+  // properties (travels with clones, visible to every session); MAINTAIN
+  // is the scheduler tick — plan, then execute (or report, DRY RUN)
+  val ALTER_POLICY: Regex =
+    s"""(?is)\\s*ALTER\\s+TABLE\\s+$ID\\s+SET\\s+MAINTENANCE\\s+POLICY\\s*\\(([^)]*)\\)\\s*;?\\s*""".r
+  val MAINTAIN: Regex =
+    s"""(?is)\\s*MAINTAIN\\s+$ID(\\s+DRY\\s+RUN)?\\s*;?\\s*""".r
+
+  /** `k = v [, k = v ...]` with optionally single-quoted values (quotes
+    * protect commas inside, e.g. zorderBy = 'time:86400,volume:10000').
+    */
+  def parsePolicySpec(spec: String): Map[String, String] = {
+    val KV = """(\w+)\s*=\s*(?:'([^']*)'|([^,\s][^,]*))""".r
+    KV.findAllMatchIn(spec).map(m =>
+      m.group(1) -> Option(m.group(2)).getOrElse(m.group(3)).trim).toMap
+  }
 
   /** Resolve a session-catalog `USING graft` table to its commit-log root
     * (+ its table properties) — the maintenance commands' address step.
@@ -399,5 +420,67 @@ case class GraftDescribeDetailCommand(table: TableIdentifier)
       snap.dirBlooms.map(_.col).distinct.sorted.mkString(","),
       snap.cdfDir.isDefined,
       snap.dvs.size.toLong, snap.dvs.map(_.rows).sum))
+  }
+}
+
+/** `ALTER TABLE t SET MAINTENANCE POLICY (k = v, ...)` — persist the
+  * declared thresholds in the table's OWN properties (`_props`), so the
+  * policy travels with the table (clones carry it, every session sees it)
+  * and a scheduler needs only the table name. Keys are the
+  * [[graft.sources.Maintenance.Policy]] field names plus `retainHours`
+  * sugar; unknown keys fail loudly. Re-declaring REPLACES the whole
+  * policy (optional triggers reset, they don't inherit stale values).
+  * The reference attaches compression/retention policies to the
+  * hypertable the same way (`sql/timescaledb_schema.sql:60-65,233-238`).
+  */
+case class GraftSetPolicyCommand(table: TableIdentifier, spec: String)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] =
+    Seq(AttributeReference("key", StringType, nullable = false)(),
+      AttributeReference("value", StringType, nullable = false)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.sources.Maintenance
+    val (root, _) = GraftSqlParser.graftRoot(session, table)
+    val policy = Maintenance.fromSpec(GraftSqlParser.parsePolicySpec(spec))
+    val props = Maintenance.toProps(policy)
+    VersionedTable.setTableProperties(root, props)
+    props.toSeq.sortBy(_._1).map { case (k, v) => Row(k, v) }
+  }
+}
+
+/** `MAINTAIN t [DRY RUN]` — the scheduler tick as one SQL verb: read the
+  * table's declared policy, [[graft.sources.Maintenance.plan]] the due
+  * actions (one manifest read + O(#dirs) fs stats), and execute them
+  * through the library verbs — or, DRY RUN, report them and touch
+  * nothing. Zero rows = nothing due (the policy converged). statsCols /
+  * bloomCols for the rewrites come from the catalog table's properties,
+  * same as OPTIMIZE.
+  */
+case class GraftMaintainCommand(table: TableIdentifier, dryRun: Boolean)
+  extends LeafRunnableCommand {
+  override val output: Seq[Attribute] = Seq(
+    AttributeReference("action", StringType, nullable = false)(),
+    AttributeReference("reason", StringType, nullable = false)(),
+    AttributeReference("new_version", LongType, nullable = true)())
+  override def run(session: SparkSession): Seq[Row] = {
+    import graft.sources.Maintenance
+    val (root, catProps) = GraftSqlParser.graftRoot(session, table)
+    val policy = Maintenance.fromProps(VersionedTable.tableProperties(root))
+      .getOrElse(throw new IllegalArgumentException(
+        s"$table has no declared maintenance policy; run " +
+          "ALTER TABLE ... SET MAINTENANCE POLICY (...) first"))
+    def name(a: Maintenance.Action): String = a match {
+      case _: Maintenance.PurgeDeletes     => "purge_deletes"
+      case _: Maintenance.CompactSmallDirs => "compact_small_dirs"
+      case _: Maintenance.Recluster        => "recluster"
+      case _: Maintenance.Vacuum           => "vacuum"
+    }
+    val actions = Maintenance.plan(root, policy)
+    if (dryRun) actions.map(a => Row(name(a), a.reason, null))
+    else Maintenance.execute(session, root, actions,
+      statsCols = GraftSqlParser.propCols(catProps, "statsCols"),
+      bloomCols = GraftSqlParser.propCols(catProps, "bloomCols"))
+      .map { case (a, v) => Row(name(a), a.reason,
+        v.map(i => java.lang.Long.valueOf(i.toLong)).orNull) }
   }
 }

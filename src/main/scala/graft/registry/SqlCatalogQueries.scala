@@ -282,6 +282,34 @@ object SqlCatalogQueries {
     // a scoped physical re-layout must be value-transparent across the
     // seam. This is the maintenance verb that keeps re-clustering
     // O(admitted dirs) instead of O(table) at 100 TB.
+    // DECLARED MAINTENANCE, pure SQL end to end: a MOR DELETE leaves
+    // deletion vectors and a fragmented layout; the policy is declared
+    // ONCE as DDL (persisted in the table's own properties, the
+    // reference's add_compression_policy/add_retention_policy shape,
+    // sql/timescaledb_schema.sql:60-65,233-238), MAINTAIN DRY RUN reports
+    // the due actions touching nothing, and MAINTAIN executes them
+    // through the library verbs. Oracle = the delete's complement:
+    // SQL-declared maintenance must be content-preserving end to end.
+    "q_policy_sql" -> ((s, d) => {
+      val (ss, t, lo, hi) = dmlTable(s, d, mor = true)
+      ss.sql(s"DELETE FROM $t WHERE o_orderkey > $lo AND o_orderkey <= $hi " +
+        "AND o_orderstatus = 'F'")
+      ss.sql(s"ALTER TABLE $t SET MAINTENANCE POLICY (" +
+        "maxDeletionVectors = 1, " +
+        s"smallDirMaxBytes = ${Long.MaxValue / 2}, maxSmallDirs = 3)")
+      val dry = ss.sql(s"MAINTAIN $t DRY RUN").collect()
+      require(dry.map(_.getString(0)).toSet == Set("purge_deletes", "compact_small_dirs"),
+        s"DRY RUN must report purge + compact, got ${dry.mkString(",")}")
+      require(ss.sql(s"DESCRIBE DETAIL $t").head()
+        .getAs[Long]("num_deletion_vectors") == 1L,
+        "DRY RUN must not execute anything")
+      val ran = ss.sql(s"MAINTAIN $t").collect()
+      require(ran.forall(!_.isNullAt(2)), s"actions must commit, got ${ran.mkString(",")}")
+      require(ss.sql(s"MAINTAIN $t").collect().isEmpty,
+        "the policy must converge to no due actions")
+      hermetic(s, statusRollup(ss, t))
+    }),
+
     "q_zorder_where" -> ((s, d) => {
       import org.apache.spark.sql.functions.{col, max, min, unix_micros}
       val ss = session(s)
@@ -486,6 +514,18 @@ object SqlCatalogQueries {
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
 
     "q_versioned_sql_delete" ->
+      """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
+        |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
+        |SELECT o_orderstatus, count(*) AS n,
+        |       sum(CAST(floor(o_totalprice * 1e2 + 0.5) AS BIGINT)) / 100.0 AS sum_price
+        |FROM orders, b
+        |WHERE NOT (o_orderkey > lo AND o_orderkey <= hi AND o_orderstatus = 'F')
+        |GROUP BY o_orderstatus""".stripMargin,
+
+    // SQL-declared maintenance (SET MAINTENANCE POLICY + MAINTAIN) is
+    // content-preserving: the rollup equals the MOR delete's complement,
+    // the q_versioned_sql_delete oracle verbatim.
+    "q_policy_sql" ->
       """WITH b AS (SELECT max(o_orderkey) // 3 AS lo,
         |                  2 * (max(o_orderkey) // 3) AS hi FROM orders)
         |SELECT o_orderstatus, count(*) AS n,

@@ -76,6 +76,102 @@ object Maintenance {
       maxDriftFraction: Double = 0.3,
       minDriftDirs: Int = 2)
 
+  /** Table-property prefix under which a declared policy persists in the
+    * table's own `_props` — so the policy travels WITH the table (clones
+    * carry it, any session sees it) and a scheduler tick needs only the
+    * table name, mirroring how the reference attaches
+    * compression/retention policies to the hypertable itself
+    * (`sql/timescaledb_schema.sql:60-65,233-238`), not to a job config.
+    */
+  val PropPrefix = "graft.policy."
+
+  private val defaults = Policy()
+
+  /** Serialize `policy` as table properties (every field, explicit —
+    * DESCRIBE-able and diff-able; `retainMs`/`zorderBy` omitted = unset).
+    */
+  def toProps(policy: Policy): Map[String, String] = Map(
+    s"${PropPrefix}smallDirMaxBytes" -> policy.smallDirMaxBytes.toString,
+    s"${PropPrefix}maxSmallDirs" -> policy.maxSmallDirs.toString,
+    s"${PropPrefix}maxDeletionVectors" -> policy.maxDeletionVectors.toString,
+    s"${PropPrefix}maxDeletedRows" -> policy.maxDeletedRows.toString,
+    s"${PropPrefix}minVersionsOutsideWindow" -> policy.minVersionsOutsideWindow.toString,
+    s"${PropPrefix}zorderDirs" -> policy.zorderDirs.toString,
+    s"${PropPrefix}maxDriftFraction" -> policy.maxDriftFraction.toString,
+    s"${PropPrefix}minDriftDirs" -> policy.minDriftDirs.toString,
+    // optional fields write EMPTY when unset (property stores merge, so a
+    // re-declared policy must overwrite, not inherit, a stale trigger)
+    s"${PropPrefix}retainMs" -> policy.retainMs.map(_.toString).getOrElse(""),
+    s"${PropPrefix}zorderBy" ->
+      policy.zorderBy.map { case (c, m) => s"$c:$m" }.mkString(","))
+
+  /** The policy persisted in `props`, if any `graft.policy.*` key exists
+    * (absent keys take the [[Policy]] defaults).
+    */
+  def fromProps(props: Map[String, String]): Option[Policy] = {
+    if (!props.keys.exists(_.startsWith(PropPrefix))) return None
+    def p(k: String) = props.get(PropPrefix + k)
+    Some(Policy(
+      smallDirMaxBytes = p("smallDirMaxBytes").map(_.toLong)
+        .getOrElse(defaults.smallDirMaxBytes),
+      maxSmallDirs = p("maxSmallDirs").map(_.toInt).getOrElse(defaults.maxSmallDirs),
+      maxDeletionVectors = p("maxDeletionVectors").map(_.toInt)
+        .getOrElse(defaults.maxDeletionVectors),
+      maxDeletedRows = p("maxDeletedRows").map(_.toLong)
+        .getOrElse(defaults.maxDeletedRows),
+      retainMs = p("retainMs").filter(_.nonEmpty).map(_.toLong),
+      minVersionsOutsideWindow = p("minVersionsOutsideWindow").map(_.toInt)
+        .getOrElse(defaults.minVersionsOutsideWindow),
+      zorderBy = p("zorderBy").map(parseZorderBy).getOrElse(Seq.empty),
+      zorderDirs = p("zorderDirs").map(_.toInt).getOrElse(defaults.zorderDirs),
+      maxDriftFraction = p("maxDriftFraction").map(_.toDouble)
+        .getOrElse(defaults.maxDriftFraction),
+      minDriftDirs = p("minDriftDirs").map(_.toInt).getOrElse(defaults.minDriftDirs)))
+  }
+
+  private def parseZorderBy(s: String): Seq[(String, Long)] =
+    s.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map { part =>
+      part.split(":") match {
+        case Array(c, m) => c.trim -> m.trim.toLong
+        case _ => throw new IllegalArgumentException(
+          s"zorderBy entry '$part': expected 'column:domainMax'")
+      }
+    }
+
+  /** Build a policy from the SQL `(k = v, ...)` spec — keys are the
+    * [[Policy]] field names plus `retainHours` sugar; unknown keys fail
+    * loudly (a typo'd threshold silently defaulting is an outage later).
+    */
+  def fromSpec(spec: Map[String, String]): Policy = {
+    val known = Set("smallDirMaxBytes", "maxSmallDirs", "maxDeletionVectors",
+      "maxDeletedRows", "retainMs", "retainHours", "minVersionsOutsideWindow",
+      "zorderBy", "zorderDirs", "maxDriftFraction", "minDriftDirs")
+    val bad = spec.keys.filterNot(known)
+    require(bad.isEmpty,
+      s"unknown maintenance policy key(s): ${bad.toSeq.sorted.mkString(", ")} " +
+        s"(known: ${known.toSeq.sorted.mkString(", ")})")
+    val retain = spec.get("retainMs").map(_.toLong)
+      .orElse(spec.get("retainHours").map(h => (h.toDouble * 3600 * 1000).toLong))
+    Policy(
+      smallDirMaxBytes = spec.get("smallDirMaxBytes").map(_.toLong)
+        .getOrElse(defaults.smallDirMaxBytes),
+      maxSmallDirs = spec.get("maxSmallDirs").map(_.toInt)
+        .getOrElse(defaults.maxSmallDirs),
+      maxDeletionVectors = spec.get("maxDeletionVectors").map(_.toInt)
+        .getOrElse(defaults.maxDeletionVectors),
+      maxDeletedRows = spec.get("maxDeletedRows").map(_.toLong)
+        .getOrElse(defaults.maxDeletedRows),
+      retainMs = retain,
+      minVersionsOutsideWindow = spec.get("minVersionsOutsideWindow")
+        .map(_.toInt).getOrElse(defaults.minVersionsOutsideWindow),
+      zorderBy = spec.get("zorderBy").map(parseZorderBy).getOrElse(Seq.empty),
+      zorderDirs = spec.get("zorderDirs").map(_.toInt).getOrElse(defaults.zorderDirs),
+      maxDriftFraction = spec.get("maxDriftFraction").map(_.toDouble)
+        .getOrElse(defaults.maxDriftFraction),
+      minDriftDirs = spec.get("minDriftDirs").map(_.toInt)
+        .getOrElse(defaults.minDriftDirs))
+  }
+
   /** The due actions for `root` under `policy` — pure decision over ONE
     * manifest read plus O(#dirs) file stats; nothing is mutated. Returns
     * actions in safe execution order (purge before compact: a purge

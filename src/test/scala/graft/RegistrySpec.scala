@@ -47,10 +47,10 @@ class RegistrySpec extends AnyFunSuite {
         "q_bipower", "q_higher_moments", "q_autocorr", "q_bollinger",
         "q_hampel", "q_vpin", "q_kyle_lambda", "q_session_stats"))
       assert(q.contains(k), s"tier split lost $k")
-    // 213 = r16's 212 + the r17 drift-triggered re-cluster policy
-    // (q_recluster_policy); raise this floor whenever a query is added,
-    // never lower it
-    assert(SparkEntry.queries.size >= 213,
-      s"registry shrank: ${SparkEntry.queries.size} < 213")
+    // 214 = r16's 212 + the r17 drift-triggered re-cluster policy
+    // (q_recluster_policy) + SQL-declared maintenance (q_policy_sql);
+    // raise this floor whenever a query is added, never lower it
+    assert(SparkEntry.queries.size >= 214,
+      s"registry shrank: ${SparkEntry.queries.size} < 214")
   }
 }

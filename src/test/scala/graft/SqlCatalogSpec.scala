@@ -368,15 +368,24 @@ class SqlCatalogSpec extends SparkTestBase {
     assert(ids(sql.sql(s"SELECT * FROM $c")) === (0L until 20L))
     assert(VersionedTable.latestVersion(dst) === Some(1))
     assert(VersionedTable.snapshot(dst, 1).operation === "clone")
-    // zero-copy: every cloned part file is a HARDLINK of the source's
+    // zero-copy on the LOCAL store: every cloned part file is a HARDLINK
+    // of the source's. The object-model store has no links BY DESIGN
+    // (S3 clone = server-side byte copy) — there the contract is a
+    // byte-identical twin, not inode identity.
+    val localStore =
+      graft.sources.DataStore.default.isInstanceOf[graft.sources.LocalDataStore]
     val dir = VersionedTable.snapshot(dst, 1).dataDirs.head
     val parts = new java.io.File(root, dir).listFiles()
       .filter(_.getName.endsWith(".parquet"))
     assert(parts.nonEmpty)
     parts.foreach { f =>
       val twin = new java.io.File(new java.io.File(dst, dir), f.getName)
-      assert(java.nio.file.Files.isSameFile(f.toPath, twin.toPath),
-        s"${f.getName} was copied, not linked")
+      if (localStore)
+        assert(java.nio.file.Files.isSameFile(f.toPath, twin.toPath),
+          s"${f.getName} was copied, not linked")
+      else
+        assert(twin.isFile && twin.length() == f.length(),
+          s"${f.getName}: clone twin missing or size-divergent")
     }
     // DML the CLONE: copy-on-write over linked files; the source is inert
     sql.sql(s"UPDATE $c SET v = v + 100 WHERE id < 5")
@@ -594,6 +603,58 @@ class SqlCatalogSpec extends SparkTestBase {
       assert(sql.sql("SELECT 1 + 1 AS two").head().getInt(0) === 2)
       assert(sql.sql(s"SELECT count(*) AS n FROM $t").head().getLong(0) === 0L)
     } finally sql.sql(s"DROP TABLE $t")
+  }
+
+  test("SET MAINTENANCE POLICY persists with the table; MAINTAIN reports (DRY RUN), executes, converges") {
+    import graft.sources.Maintenance
+    val root = freshRoot()
+    (0 to 2).foreach(i => VersionedTable.commit(
+      spark.range(i * 100L, (i + 1) * 100L).toDF("id")
+        .withColumn("v", col("id") * 2), root, "append", statsCols = Seq("id")))
+    val t = freshTable()
+    sql.sql(s"CREATE TABLE $t USING graft OPTIONS (statsCols 'id') " +
+      s"LOCATION '$root' TBLPROPERTIES ('graft.dml.mode'='merge-on-read')")
+    sql.sql(s"DELETE FROM $t WHERE id >= 150 AND id < 160") // dv, no rewrite
+    // a typo'd threshold fails LOUDLY, not silently-defaults
+    val bad = intercept[Exception] {
+      sql.sql(s"ALTER TABLE $t SET MAINTENANCE POLICY (maxSmalDirs = 2)").collect()
+    }
+    assert(bad.getMessage.contains("unknown maintenance policy key"))
+    // declare: thresholds persist in the TABLE's properties (any session
+    // reading the root sees them — not catalog-session state)
+    val declared = sql.sql(s"ALTER TABLE $t SET MAINTENANCE POLICY (" +
+      s"maxDeletionVectors = 1, smallDirMaxBytes = ${Long.MaxValue / 2}, " +
+      "maxSmallDirs = 2, zorderBy = 'id:300', maxDriftFraction = 0.9)").collect()
+    assert(declared.map(r => r.getString(0) -> r.getString(1)).toMap
+      .get(s"${Maintenance.PropPrefix}maxSmallDirs") === Some("2"))
+    val p = Maintenance.fromProps(VersionedTable.tableProperties(root))
+      .getOrElse(fail("policy must persist in _props"))
+    assert(p.maxDeletionVectors === 1 && p.zorderBy === Seq("id" -> 300L))
+    // DRY RUN reports the due actions and touches nothing (no Recluster:
+    // the table was never optimized, drift is relative to a chosen layout)
+    val dry = sql.sql(s"MAINTAIN $t DRY RUN").collect()
+    assert(dry.map(_.getString(0)).toSeq === Seq("purge_deletes", "compact_small_dirs"))
+    assert(sql.sql(s"DESCRIBE DETAIL $t").head()
+      .getAs[Long]("num_deletion_vectors") === 1L)
+    // MAINTAIN executes in plan order and commits; content preserved
+    val ran = sql.sql(s"MAINTAIN $t").collect()
+    assert(ran.map(_.getString(0)).toSeq === Seq("purge_deletes", "compact_small_dirs"))
+    assert(ran.forall(!_.isNullAt(2)))
+    assert(ids(sql.sql(s"SELECT id, v FROM $t")) ===
+      (0L until 300L).filterNot(i => i >= 150L && i < 160L))
+    // the tick converges: nothing due, zero rows
+    assert(sql.sql(s"MAINTAIN $t").collect().isEmpty)
+    // re-declaring REPLACES the policy: the optional zorder trigger resets
+    sql.sql(s"ALTER TABLE $t SET MAINTENANCE POLICY (maxSmallDirs = 99)")
+    assert(Maintenance.fromProps(VersionedTable.tableProperties(root))
+      .get.zorderBy.isEmpty)
+    // MAINTAIN on a table with no declared policy refuses loudly
+    val root2 = freshRoot()
+    VersionedTable.commit(spark.range(0, 5).toDF("id"), root2)
+    val t2 = freshTable()
+    sql.sql(s"CREATE TABLE $t2 USING graft LOCATION '$root2'")
+    val e = intercept[Exception] { sql.sql(s"MAINTAIN $t2").collect() }
+    assert(e.getMessage.contains("no declared maintenance policy"))
   }
 
   test("DML on a time-travel snapshot and unsupported MERGE shapes fail loudly") {
