@@ -40,6 +40,10 @@ object Bench {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      // INT64 micros (not the INT96 legacy default): value-identical on
+      // read-back, and row groups carry ordered min/max stats so commits
+      // derive stats from footers (FooterStats) instead of re-scanning.
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

@@ -11,6 +11,11 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // INT64 micros (not the INT96 legacy default): the standard parquet
+      // timestamp — value-identical on read-back, and row groups carry
+      // ordered min/max stats, which the versioned commit path reads back
+      // from footers instead of re-scanning the batch (FooterStats).
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -35,7 +40,16 @@ object Verify {
       .foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
-        df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        // The DUMP stays INT96: the driver's pandas normalization reads
+        // INT96 as tz-naive timestamps (the historical encoding of these
+        // artifacts); TIMESTAMP_MICROS(adjustedToUTC) arrives tz-AWARE and
+        // breaks its astype. Engine-internal commits (which run eagerly
+        // inside fn) keep the session's TIMESTAMP_MICROS fast path; only
+        // this output write flips back.
+        val tsKey = "spark.sql.parquet.outputTimestampType"
+        spark.conf.set(tsKey, "INT96")
+        try df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        finally spark.conf.set(tsKey, "TIMESTAMP_MICROS")
         lineage.append(graft.quality.Lineage.toJson(
           graft.quality.Lineage.capture(name, df, s"$outDir/$name"))).append('\n')
       }

@@ -501,38 +501,59 @@ class VersionedTableOps(val store: CommitStore,
     graft.BenchProbe.time("vt.commit.write") {
       dfPhys.write.parquet(new File(root, newDir).getPath)
     }
-    // One agg over the freshly-written dir yields the row count AND every
-    // requested column's min/max (stats ride the same scan). The read-back
-    // pins the writer's schema: no footer inference (one listing saved),
-    // and a zero-partition batch — which writes no part files at all —
-    // still reads as a schema-correct empty frame instead of throwing.
-    // Stats/bloom aggregates speak LOGICAL names (the manifest's space).
-    val committed = toLogical(df.sparkSession.read.schema(dfPhys.schema)
+    // Row count and per-file min/max hulls come from the parquet FOOTERS of
+    // the files just written — O(files) metadata reads instead of a second
+    // Spark job over the batch ([[FooterStats]], guide §1.2 "remove
+    // passes"). FooterStats' exactness contract makes this a pure fast
+    // path: anything it cannot prove exact (INT96 timestamps, NaN hulls,
+    // dropped chunk stats, exotic types) returns None and the original
+    // one-agg scan below runs instead. File-grain `fstats=` entries are
+    // what keep pruning tight on a FAT append (one dir, many files) — a
+    // 100 TB table's commit hulls never coarsen to the dir.
+    val dataFiles = data.list(root, newDir).filter(e => e.isFile &&
+      e.name.endsWith(".parquet") && !e.name.startsWith(".") &&
+      !e.name.startsWith("_")).map(_.name)
+    val physFor = snapSchema.fields
+      .map(f => f.name -> VersionedTable.physicalName(f)).toMap
+    val typeFor = snapSchema.fields.map(f => f.name -> f.dataType).toMap
+    val footer = graft.BenchProbe.time("vt.commit.stats") {
+      // the context's live conf, NOT newHadoopConf(): footer reads only
+      // READ the conf, and copying the full session conf per commit is
+      // measurable at streaming-sink commit rates
+      FooterStats.read(df.sparkSession.sparkContext.hadoopConfiguration,
+        new File(root, newDir), dataFiles, statsCols, physFor, typeFor)
+    }
+    // Scan-path read-back (bloom builder + stats fallback). Pins the
+    // writer's schema: no footer inference, and a zero-partition batch —
+    // which writes no part files at all — still reads as a schema-correct
+    // empty frame. Stats/bloom aggregates speak LOGICAL names (the
+    // manifest's space).
+    lazy val committed = toLogical(df.sparkSession.read.schema(dfPhys.schema)
       .parquet(new File(root, newDir).getPath)
       .withColumn("__file", col("_metadata.file_name")), snapSchema)
-    val statAggs = statsCols.flatMap { c =>
-      val probe = committed.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c)) // micros < 2^53: double-exact
-        case StringType    => col(c) // min/max string; image computed driver-side
-        case _             => col(c).cast("double")
-      }
-      Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
-    }
-    // ONE grouped agg (by file) yields the row count and every column's
-    // per-FILE min/max in the same scan the old global agg paid; the dir
-    // hull folds driver-side. File-grain `fstats=` entries are what keep
-    // pruning tight on a FAT append (one dir, many files) — a 100 TB
-    // table's commit hulls no longer coarsen to the dir.
-    val perFile = graft.BenchProbe.time("vt.commit.stats") { committed
-      .groupBy(col("__file")).agg(count(lit(1)).as("__n"), statAggs: _*)
-      .collect() }
-    val rows = perFile.map(_.getAs[Long]("__n")).sum
-    val fileStats = perFile.toSeq.flatMap { r =>
-      statsCols.flatMap { c =>
-        if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None // all-null file
-        else Some(DirStat(newDir, c, toDouble(r.getAs[Any](s"__mn_$c")),
-          toDouble(r.getAs[Any](s"__mx_$c")), Some(r.getAs[String]("__file"))))
-      }
+    val (rows, fileStats) = footer match {
+      case Some((n, fs)) =>
+        (n, fs.map(s => DirStat(newDir, s.col, s.min, s.max, Some(s.file))))
+      case None =>
+        val statAggs = statsCols.flatMap { c =>
+          val probe = committed.schema(c).dataType match {
+            case TimestampType => unix_micros(col(c)) // micros < 2^53: double-exact
+            case StringType    => col(c) // min/max string; image computed driver-side
+            case _             => col(c).cast("double")
+          }
+          Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
+        }
+        val perFile = graft.BenchProbe.time("vt.commit.stats") { committed
+          .groupBy(col("__file")).agg(count(lit(1)).as("__n"), statAggs: _*)
+          .collect() }
+        (perFile.map(_.getAs[Long]("__n")).sum,
+          perFile.toSeq.flatMap { r =>
+            statsCols.flatMap { c =>
+              if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None // all-null file
+              else Some(DirStat(newDir, c, toDouble(r.getAs[Any](s"__mn_$c")),
+                toDouble(r.getAs[Any](s"__mx_$c")), Some(r.getAs[String]("__file"))))
+            }
+          })
     }
     val newStats = statsCols.flatMap { c =>
       val fs = fileStats.filter(_.col == c)
@@ -545,7 +566,10 @@ class VersionedTableOps(val store: CommitStore,
     // are DATA-plane files named by the attempt-unique dir — racing writers
     // cannot collide, and nothing references a sidecar until the manifest
     // publishes the `bloom=` line, so the same commit protocol covers them.
-    // Cost: one distributed bloom agg per column over the in-cache batch.
+    // Cost: one distributed bloom agg per column over the fresh dir. (r17
+    // measured a single-pass all-columns Catalyst aggregate here: its
+    // per-row interpreted update was ~2x stat.bloomFilter's tight RDD
+    // fold, eating the saved scan even at two columns — kept as-is.)
     val newBlooms = bloomCols.map { c =>
       val bf = graft.BenchProbe.time("vt.commit.bloom") {
         committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
@@ -1923,33 +1947,56 @@ class VersionedTableOps(val store: CommitStore,
     // the snapshot schema whose mapping governs this dir)
     val dfPhys = if (anchor == null) df else toPhysical(df, anchor)
     dfPhys.write.parquet(new File(root, dirRel).getPath)
+    // Footer-derived stats first (exact or not at all — see FooterStats and
+    // the same block in [[commit]]); the scan below is the fallback.
+    val anchorSchema = if (anchor == null) df.schema else anchor
+    val physFor = anchorSchema.fields
+      .map(f => f.name -> VersionedTable.physicalName(f)).toMap
+    val typeFor = anchorSchema.fields.map(f => f.name -> f.dataType).toMap
+    val dataFiles = data.list(root, dirRel).filter(e => e.isFile &&
+      e.name.endsWith(".parquet") && !e.name.startsWith(".") &&
+      !e.name.startsWith("_")).map(_.name)
+    val footer = graft.BenchProbe.time("vt.commit.stats") {
+      // the context's live conf, NOT newHadoopConf(): footer reads only
+      // READ the conf, and copying the full session conf per commit is
+      // measurable at streaming-sink commit rates
+      FooterStats.read(df.sparkSession.sparkContext.hadoopConfiguration,
+        new File(root, dirRel), dataFiles, statsCols, physFor, typeFor)
+    }
     // schema-pinned read-back, like commit's: no footer inference, and a
     // zero-partition write (no part files) reads as schema-correct empty;
     // stats/bloom aggregates speak LOGICAL names
-    val committedPhysF = df.sparkSession.read.schema(dfPhys.schema)
-      .parquet(new File(root, dirRel).getPath)
-      .withColumn("__file", col("_metadata.file_name"))
-    val committed =
+    lazy val committed = {
+      val committedPhysF = df.sparkSession.read.schema(dfPhys.schema)
+        .parquet(new File(root, dirRel).getPath)
+        .withColumn("__file", col("_metadata.file_name"))
       if (anchor == null) committedPhysF else toLogical(committedPhysF, anchor)
-    val statAggs = statsCols.flatMap { c =>
-      val probe = committed.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c))
-        case StringType    => col(c) // min/max string; image computed driver-side
-        case _             => col(c).cast("double")
-      }
-      Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
     }
-    // grouped by file, folded to the dir hull driver-side — same
-    // per-file discipline as commit's (see the fstats= note there)
-    val perFile = committed.groupBy(col("__file"))
-      .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
-    val rows = perFile.map(_.getAs[Long]("__n")).sum
-    val fileStats = perFile.toSeq.flatMap { r =>
-      statsCols.flatMap { c =>
-        if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
-        else Some(DirStat(dirRel, c, toDouble(r.getAs[Any](s"__mn_$c")),
-          toDouble(r.getAs[Any](s"__mx_$c")), Some(r.getAs[String]("__file"))))
-      }
+    val (rows, fileStats) = footer match {
+      case Some((n, fs)) =>
+        (n, fs.map(s => DirStat(dirRel, s.col, s.min, s.max, Some(s.file))))
+      case None =>
+        val statAggs = statsCols.flatMap { c =>
+          val probe = committed.schema(c).dataType match {
+            case TimestampType => unix_micros(col(c))
+            case StringType    => col(c) // min/max string; image computed driver-side
+            case _             => col(c).cast("double")
+          }
+          Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
+        }
+        // grouped by file, folded to the dir hull driver-side — same
+        // per-file discipline as commit's (see the fstats= note there)
+        val perFile = graft.BenchProbe.time("vt.commit.stats") {
+          committed.groupBy(col("__file"))
+            .agg(count(lit(1)).as("__n"), statAggs: _*).collect() }
+        (perFile.map(_.getAs[Long]("__n")).sum,
+          perFile.toSeq.flatMap { r =>
+            statsCols.flatMap { c =>
+              if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+              else Some(DirStat(dirRel, c, toDouble(r.getAs[Any](s"__mn_$c")),
+                toDouble(r.getAs[Any](s"__mx_$c")), Some(r.getAs[String]("__file"))))
+            }
+          })
     }
     val stats = statsCols.flatMap { c =>
       val fs = fileStats.filter(_.col == c)
@@ -1957,7 +2004,9 @@ class VersionedTableOps(val store: CommitStore,
       else Some(DirStat(dirRel, c, fs.map(_.min).min, fs.map(_.max).max))
     } ++ fileStats
     val blooms = bloomCols.map { c =>
-      val bf = committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
+      val bf = graft.BenchProbe.time("vt.commit.bloom") {
+        committed.stat.bloomFilter(c, math.max(rows, 1L), bloomFpp)
+      }
       val rel = s"_blooms/${new File(dirRel).getName}_$c.bloom"
       val os = data.create(root, rel)
       try bf.writeTo(os) finally os.close()

@@ -38,6 +38,9 @@ object SparkTestBase {
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.sql.session.timeZone", "UTC")
+      // match Bench/Verify: INT64-micros timestamps, so tests exercise the
+      // footer-stats commit fast path (FooterStats) like production runs
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
         java.nio.file.Files.createTempDirectory("graft_wh_").toString)
