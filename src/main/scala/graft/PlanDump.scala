@@ -1,0 +1,55 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.SparkSession
+
+/** Dump `explain("formatted")` for registered queries to files — the
+  * measurement artifact the optimization rounds commit under `plans/`
+  * (guide §7.2: plan shape is the evidence a timing claim is checked
+  * against). Not part of the driver contract; a local tool.
+  *
+  * Usage: `tools/run_bench_nolock.sh` with `MAIN=graft.PlanDump`,
+  * args: <outDir> [q_a,q_b,...]   (default: every registered query)
+  * Env: SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1), SPARK_GRAFT_CPUS.
+  *
+  * Building a pipeline query's DataFrame runs its harness (commits, stream
+  * replays) — the dump reflects the FINAL declared frame, which is what the
+  * bench times through the noop sink.
+  */
+object PlanDump {
+
+  def main(args: Array[String]): Unit = {
+    val outDir = args.headOption.getOrElse("plans/dump")
+    val only = args.drop(1).headOption
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    Files.createDirectories(Paths.get(outDir))
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
+        try {
+          val df = fn(spark, sfDir)
+          val txt = df.queryExecution.explainString(
+            org.apache.spark.sql.execution.FormattedMode)
+          Files.write(Paths.get(outDir, s"$name.txt"), txt.getBytes("UTF-8"))
+          println(s"[plandump] $name ok")
+        } catch { case e: Throwable =>
+          System.err.println(s"[plandump] $name failed: ${e.getMessage}")
+        }
+      }
+    spark.stop()
+  }
+}

@@ -49,7 +49,15 @@ object PipelineHealth {
       .select(col("overall").as("dq_score"))
     val ks = KsTest.dStatistic(events, "value", "event_type", "view", "click")
       .select(col("p_value"))
-    val wide = m.crossJoin(dq).crossJoin(ks)
+    // ONE row — and referenced by five metric branches plus the overall
+    // fold. Without materialization Catalyst re-plans (and the executor
+    // re-runs) the whole trades+dq+ks subtree PER REFERENCE: the r17 plan
+    // audit measured 430 physical operators / 208 Exchanges / 80
+    // BroadcastNestedLoopJoins for six 1-row outputs. localCheckpoint
+    // executes the subtree once and truncates the lineage (guide §3.3:
+    // materialise an intermediate to stop plan blowup), collapsing the
+    // plan to the union of six selects over a local 1-row frame.
+    val wide = m.crossJoin(dq).crossJoin(ks).localCheckpoint(true)
 
     def metric(component: String, name: String, value: Column,
         threshold: Double, status: Column): DataFrame =

@@ -23,9 +23,44 @@ import org.apache.spark.sql.functions._
   */
 object Profiler {
 
-  /** `cols` maps column name → true if numeric (profiled into `*_num`). */
-  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame =
-    profileWith(df, cols, c => count_distinct(col(c)))
+  /** `cols` maps column name → true if numeric (profiled into `*_num`).
+    *
+    * Exact form: ONE BRANCH PER COLUMN unioned, not one wide agg. Multiple
+    * exact count_distincts in a single aggregate plan through Catalyst's
+    * Expand — every input row duplicated ×|cols| through the first hash
+    * aggregate (r17 measured 7 columns → a 7× row multiplication stage
+    * dominating the query). Per-column branches each read ONE column
+    * (parquet-pruned scan), run ONE distinct (two-level hash agg, no
+    * Expand), and produce the same row the unpivot produced — branch
+    * stages run concurrently under one job. Values are identical: the
+    * same exact aggregates, regrouped.
+    */
+  def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
+    val branches = cols.map { case (c, numeric) =>
+      df.agg(
+        count(lit(1)).as("__n"),
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as("__nn"),
+        count_distinct(col(c)).as("__nd"),
+        min(col(c)).as("__min"),
+        max(col(c)).as("__max"))
+        .select(
+          lit(c).as("column"),
+          col("__n").as("n_rows"),
+          col("__nn").as("n_nulls"),
+          Quantize.r(col("__nn").cast("double") / col("__n").cast("double"), 6)
+            .as("null_fraction"),
+          col("__nd").as("n_distinct"),
+          (if (numeric) col("__min").cast("double") else lit(null).cast("double"))
+            .as("min_num"),
+          (if (numeric) col("__max").cast("double") else lit(null).cast("double"))
+            .as("max_num"),
+          (if (numeric) lit(null).cast("string") else col("__min").cast("string"))
+            .as("min_str"),
+          (if (numeric) lit(null).cast("string") else col("__max").cast("string"))
+            .as("max_str"))
+    }
+    branches.reduce(_ unionByName _)
+  }
 
   /** The 100 TB form: `approx_count_distinct` (HLL++, relative error `rsd`)
     * replaces every exact distinct count, so the plan loses the Expand

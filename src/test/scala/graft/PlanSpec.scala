@@ -716,13 +716,15 @@ class PlanSpec extends SparkTestBase {
     assert(!rvPlan.contains("Window"), s"range vol needs no window pass:\n$rvPlan")
   }
 
-  test("approx profile drops the Expand the exact profiler pays for oracle exactness") {
-    // exact q_profile: 7 count_distinct aggs plan through Catalyst Expand
-    // (input x7 before the agg) — the documented exact-vs-sketch trade
+  test("neither profiler form multiplies its input through Expand") {
+    // exact q_profile (r17): one branch per column — each branch has ONE
+    // count_distinct, so no multi-distinct Expand (which duplicated input
+    // ×7 through the first agg and dominated the query); values identical
+    // to the old wide-agg form (same exact aggregates, regrouped)
     val exact = registry.QualityQueries.queries("q_profile")(spark, sf0001)
       .queryExecution.executedPlan.toString
-    assert(exact.contains("Expand"),
-      s"exact profile trade changed — update the docs if deliberate:\n$exact")
+    assert(!exact.contains("Expand"),
+      s"exact profile regressed to a multi-distinct Expand plan:\n$exact")
     // approx form: HLL sketches, ONE scan, no input multiplication
     val approx = registry.QualityQueries.queries("q_profile_approx")(spark, sf0001)
       .queryExecution.executedPlan.toString
