@@ -48,11 +48,29 @@ object DupClusters {
     val dir = pairs.select(col(aCol).cast("long").as("src"), col(bCol).cast("long").as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    val n = dir.count()
     val out =
-      if (dir.count() <= driverEdgeLimit) driverDsu(dir)
-      else distributedLabels(dir, maxIter)
+      if (n <= driverEdgeLimit) driverDsu(dir)
+      else distributedLabels(dir, maxIter, n)
     dir.unpersist()
     out
+  }
+
+  /** Run `body` with the iteration-scoped shuffle width derived from the
+    * measured edge count (~1M edges per partition, capped at the session
+    * setting), restoring the session conf after — the guide's
+    * scale-adaptive partitioning: an O(log diameter) join loop at a fixed
+    * session width pays (width × rounds) empty-task and sort overhead on a
+    * small graph, while a genuinely giant graph keeps the session's full
+    * parallelism. Same pattern as the streaming replays' withReplayConf.
+    */
+  private def withGraphParallelism[T](
+      spark: org.apache.spark.sql.SparkSession, edges: Long)(body: => T): T = {
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    val p = math.max(1L, math.min(prev.toLong, edges / 1000000L + 1L))
+    spark.conf.set(key, p.toString)
+    try body finally spark.conf.set(key, prev)
   }
 
   /** Bounded tier: union-find over the collected edge list. */
@@ -87,7 +105,8 @@ object DupClusters {
   }
 
   /** Giant tier: min-label propagation + pointer jumping. */
-  private def distributedLabels(dir: DataFrame, maxIter: Int): DataFrame = {
+  private def distributedLabels(dir: DataFrame, maxIter: Int,
+      edgeCount: Long): DataFrame = withGraphParallelism(dir.sparkSession, edgeCount) {
     val edges = dir.union(dir.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -115,6 +134,8 @@ object DupClusters {
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "lbl")
       i += 1
+      if (sys.env.contains("GRAFT_STREAM_DEBUG"))
+        System.err.println(s"[cc] round $i changed=$changed")
     }
     edges.unpersist()
     // A label set that is still moving when the iteration budget runs out is
