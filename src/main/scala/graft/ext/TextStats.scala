@@ -91,11 +91,17 @@ object TextStats {
     * then a per-doc sorted-array fold.
     */
   def unigramCrossEntropy(documents: DataFrame): DataFrame = {
+    // staged once (lazy localCheckpoint, the staging-table idiom): the
+    // exploded token table feeds BOTH the model counts and the final
+    // per-document join — unstaged, Catalyst re-plans the corpus explode
+    // per consumer (r17 plan audit: 18 Exchanges / 2 full explodes)
     val toks = documents.select(col("doc_id"),
       posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
+      .localCheckpoint(false)
     // the corpus total is the sum of the model's counts — one row per
     // distinct token — so it never costs a second corpus explode
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
+      .localCheckpoint(false)
     val total = counts.agg(sum(col("c")).as("total"))
     val model = counts
       .crossJoin(broadcast(total))
@@ -138,7 +144,10 @@ object TextStats {
     val toks = documents
       .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
       .filter(length(col("term")) > 0)
+    // staged once: tf feeds both the document-frequency aggregation and
+    // the scoring join — unstaged, the explode+count subtree runs twice
     val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"),

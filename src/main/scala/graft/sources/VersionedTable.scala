@@ -1494,40 +1494,67 @@ class VersionedTableOps(val store: CommitStore,
         .withColumn("__file", col("_metadata.file_name"))
       if (VersionedTable.isMapped(anchorA)) toLogical(raw, anchorA) else raw
     }
-    val tagged = snap.dataDirs.map { d =>
-      dirRead(d)
-        .select((statsCols ++ bloomCols).distinct.map(col) :+ col("__file"): _*)
-        .withColumn("__dir", lit(d))
-    }.reduce(_ unionByName _)
-    val statAggs = statsCols.flatMap { c =>
-      val probe = tagged.schema(c).dataType match {
-        case TimestampType => unix_micros(col(c))
-        case StringType    => col(c) // min/max string; image computed driver-side
-        case _             => col(c).cast("double")
+    // FOOTER fast path first, per dir (same exactness contract as commit's
+    // — see [[FooterStats]]): stats + per-dir row counts come from O(files)
+    // metadata reads instead of the union-tagged agg job; any dir footers
+    // cannot prove exact drops the WHOLE call back to the scan below.
+    val physFor = anchorA.fields
+      .map(f => f.name -> VersionedTable.physicalName(f)).toMap
+    val typeFor = anchorA.fields.map(f => f.name -> f.dataType).toMap
+    val footerByDir: Option[Map[String, (Long, Seq[FooterStats.FileStat])]] =
+      snap.dataDirs.foldLeft(
+        Option(Map.empty[String, (Long, Seq[FooterStats.FileStat])])) { (acc, d) =>
+        acc.flatMap { m =>
+          val files = data.list(root, d).filter(e => e.isFile &&
+            e.name.endsWith(".parquet") && !e.name.startsWith(".") &&
+            !e.name.startsWith("_")).map(_.name)
+          FooterStats.read(spark.sparkContext.hadoopConfiguration,
+            new File(root, d), files, statsCols, physFor, typeFor)
+            .map(r => m + (d -> r))
+        }
       }
-      Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
+    // (fileStats, per-dir row counts) — footer-derived, or the original
+    // union-tagged agg at FILE grain (the ANALYZE retrofit gives an
+    // existing fat-dir table file-grain pruning with no rewrite, same
+    // fstats= discipline as fresh commits)
+    val (fileStats, rowsByDir) = footerByDir match {
+      case Some(byDir) =>
+        (snap.dataDirs.flatMap(d => byDir(d)._2.map(s =>
+          DirStat(d, s.col, s.min, s.max, Some(s.file)))),
+          byDir.map { case (d, (n, _)) => d -> n })
+      case None =>
+        val tagged = snap.dataDirs.map { d =>
+          dirRead(d)
+            .select((statsCols ++ bloomCols).distinct.map(col) :+ col("__file"): _*)
+            .withColumn("__dir", lit(d))
+        }.reduce(_ unionByName _)
+        val statAggs = statsCols.flatMap { c =>
+          val probe = tagged.schema(c).dataType match {
+            case TimestampType => unix_micros(col(c))
+            case StringType    => col(c) // min/max string; image computed driver-side
+            case _             => col(c).cast("double")
+          }
+          Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
+        }
+        val grouped = tagged.groupBy(col("__dir"), col("__file"))
+          .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
+        (grouped.toSeq.flatMap { r =>
+          val d = r.getAs[String]("__dir")
+          statsCols.flatMap { c =>
+            if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+            else Some(DirStat(d, c, toDouble(r.getAs[Any](s"__mn_$c")),
+              toDouble(r.getAs[Any](s"__mx_$c")), Some(r.getAs[String]("__file"))))
+          }
+        }, grouped.toSeq.groupBy(_.getAs[String]("__dir"))
+          .map { case (d, rs) => d -> rs.map(_.getAs[Long]("__n")).sum })
     }
-    // grouped at FILE grain; the dir hull folds driver-side — the ANALYZE
-    // retrofit gives an existing fat-dir table file-grain pruning with no
-    // rewrite, same fstats= discipline as fresh commits
-    val grouped = tagged.groupBy(col("__dir"), col("__file"))
-      .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
-    val fileStats = grouped.flatMap { r =>
-      val d = r.getAs[String]("__dir")
-      statsCols.flatMap { c =>
-        if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
-        else Some(DirStat(d, c, toDouble(r.getAs[Any](s"__mn_$c")),
-          toDouble(r.getAs[Any](s"__mx_$c")), Some(r.getAs[String]("__file"))))
-      }
-    }.toSeq
     val stats = fileStats.groupBy(s => (s.dir, s.col)).map { case ((d, c), fs) =>
       DirStat(d, c, fs.map(_.min).min, fs.map(_.max).max)
     }.toSeq ++ fileStats
     val token = UUID.randomUUID().toString.take(8)
     val blooms = snap.dataDirs.flatMap { d =>
-      val n = grouped.filter(_.getAs[String]("__dir") == d)
-        .map(_.getAs[Long]("__n")).sum.max(1L)
-      val dirDf = dirRead(d)
+      val n = rowsByDir.getOrElse(d, 0L).max(1L)
+      lazy val dirDf = dirRead(d) // bloom-only; a stats-only analyze never scans
       bloomCols.map { c =>
         val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)
         // attempt-unique sidecar name: an analyze losing its race must not
@@ -1697,27 +1724,62 @@ class VersionedTableOps(val store: CommitStore,
     data.deleteTree(root, stagingRel)
 
     try {
-      // (2) stats: ONE grouped agg over the laid frame (same rows the dirs
-      // hold) yields every dir's row count and min/max images.
-      val statAggs = statsCols.flatMap { c =>
-        val probe = current.schema(c).dataType match {
-          case TimestampType => unix_micros(col(c))
-          case StringType    => col(c) // min/max string; image computed driver-side
-          case _             => col(c).cast("double")
+      // (2) stats: from the promoted dirs' parquet FOOTERS when provably
+      // exact ([[FooterStats]]' contract), folding file hulls to the dir
+      // grain — which also skips a SECOND execution of the z-code pipeline
+      // (the fallback agg re-scans the scoped data to recompute __zdir per
+      // row). Fallback: the original ONE grouped agg over the laid frame.
+      val physForZ =
+        if (scoped) anchorP.fields
+          .map(f => f.name -> VersionedTable.physicalName(f)).toMap
+        else Map.empty[String, String]
+      val typeForZ = current.schema.fields.map(f => f.name -> f.dataType).toMap
+      val footerByDir: Option[Map[String, (Long, Seq[FooterStats.FileStat])]] =
+        dirOf.values.toSeq.sorted.foldLeft(
+          Option(Map.empty[String, (Long, Seq[FooterStats.FileStat])])) { (acc, d) =>
+          acc.flatMap { m =>
+            val files = data.list(root, d).filter(e => e.isFile &&
+              e.name.endsWith(".parquet") && !e.name.startsWith(".") &&
+              !e.name.startsWith("_")).map(_.name)
+            FooterStats.read(spark.sparkContext.hadoopConfiguration,
+              new File(root, d), files, statsCols, physForZ, typeForZ)
+              .map(r => m + (d -> r))
+          }
         }
-        Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
+      val (rows, stats, nOf) = footerByDir match {
+        case Some(byDir) =>
+          (byDir.values.map(_._1).sum,
+            byDir.toSeq.sortBy(_._1).flatMap { case (d, (_, fs)) =>
+              statsCols.flatMap { c =>
+                val cs = fs.filter(_.col == c)
+                if (cs.isEmpty) None
+                else Some(DirStat(d, c, cs.map(_.min).min, cs.map(_.max).max))
+              }
+            },
+            (d: String) => byDir.get(d).map(_._1).getOrElse(1L))
+        case None =>
+          val statAggs = statsCols.flatMap { c =>
+            val probe = current.schema(c).dataType match {
+              case TimestampType => unix_micros(col(c))
+              case StringType    => col(c) // min/max string; image computed driver-side
+              case _             => col(c).cast("double")
+            }
+            Seq(min(probe).as(s"__mn_$c"), max(probe).as(s"__mx_$c"))
+          }
+          val grouped = laid.groupBy(col("__zdir"))
+            .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
+          (grouped.map(_.getAs[Long]("__n")).sum,
+            grouped.toSeq.flatMap { r =>
+              val d = dirOf(r.getAs[Long]("__zdir"))
+              statsCols.flatMap { c =>
+                if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
+                else Some(DirStat(d, c, toDouble(r.getAs[Any](s"__mn_$c")),
+                  toDouble(r.getAs[Any](s"__mx_$c"))))
+              }
+            },
+            (d: String) => grouped.find(r => dirOf(r.getAs[Long]("__zdir")) == d)
+              .map(_.getAs[Long]("__n")).getOrElse(1L))
       }
-      val grouped = laid.groupBy(col("__zdir"))
-        .agg(count(lit(1)).as("__n"), statAggs: _*).collect()
-      val rows = grouped.map(_.getAs[Long]("__n")).sum
-      val stats = grouped.flatMap { r =>
-        val d = dirOf(r.getAs[Long]("__zdir"))
-        statsCols.flatMap { c =>
-          if (r.isNullAt(r.fieldIndex(s"__mn_$c"))) None
-          else Some(DirStat(d, c, toDouble(r.getAs[Any](s"__mn_$c")),
-            toDouble(r.getAs[Any](s"__mx_$c"))))
-        }
-      }.toSeq
       // (3) bloom sidecars per promoted dir (data-plane, attempt-named).
       val blooms = dirOf.toSeq.sortBy(_._1).flatMap { case (_, d) =>
         val dirRaw = spark.read.parquet(new File(root, d).getPath)
@@ -1726,9 +1788,7 @@ class VersionedTableOps(val store: CommitStore,
             toLogical(dirRaw, anchorP)
           else dirRaw
         bloomCols.map { c =>
-          val n = grouped.find(r => dirOf(r.getAs[Long]("__zdir")) == d)
-            .map(_.getAs[Long]("__n")).getOrElse(1L)
-          val bf = dirDf.stat.bloomFilter(c, math.max(n, 1L), bloomFpp)
+          val bf = dirDf.stat.bloomFilter(c, math.max(nOf(d), 1L), bloomFpp)
           val rel = s"_blooms/${new File(d).getName}_$c.bloom"
           val os = data.create(root, rel)
           try bf.writeTo(os) finally os.close()
