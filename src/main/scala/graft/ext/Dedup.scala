@@ -105,7 +105,10 @@ object Dedup {
     * at scale), never for the whole corpus.
     */
   def nearDups(documents: DataFrame, threshold: Double = 0.7, shingleN: Int = 3): DataFrame = {
-    val cands = minhashCandidates(documents, shingleN)
+    // staged once: the candidate pairs feed the id semi-join AND the join
+    // spine — unstaged, the whole LSH banding pipeline re-plans per
+    // consumer (three corpus-wide minhash passes instead of one)
+    val cands = minhashCandidates(documents, shingleN).localCheckpoint(false)
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sets = documents.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
@@ -182,8 +185,9 @@ object Dedup {
     */
   def nearDupsPortable(documents: DataFrame, threshold: Double = 0.7,
       shingleN: Int = 3): DataFrame = {
+    // staged once — same reasoning as [[nearDups]]'s candidate staging
     val cands = portableMinhashPairs(documents, shingleN)
-      .select(col("doc_a"), col("doc_b"))
+      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sets = documents.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))

@@ -190,10 +190,15 @@ object QualityQueries {
           .filter(col("rn") === col("k"))
           .select(col("symbol"), col(valueCol))
       }
+      // med and devs are each consumed twice (the MAD rank pass and the
+      // final rollup) — staged once so the rank-window passes run once
+      // apiece instead of being re-planned per consumer (r17 plan audit:
+      // 5 fact scans unstaged, 2 staged)
       val med = rankPick(t.select(col("symbol"), col("trade_id"), col("price")), "price")
-        .withColumnRenamed("price", "med")
+        .withColumnRenamed("price", "med").localCheckpoint(false)
       val devs = t.join(broadcast(med), Seq("symbol"))
         .select(col("symbol"), col("trade_id"), abs(col("price") - col("med")).as("dev"))
+        .localCheckpoint(false)
       val mad = rankPick(devs, "dev").withColumnRenamed("dev", "mad")
       devs.join(broadcast(med), Seq("symbol")).join(broadcast(mad), Seq("symbol"))
         .groupBy("symbol")
