@@ -7,16 +7,12 @@ object Verify {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir) = args
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    // UTC + INT64-micros parquet from the ONE engine-defaults site
+    // (graft.core.EngineSession — the footer-stats fast path depends on it)
+    val spark = graft.core.EngineSession.defaults(SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.session.timeZone", "UTC")
-      // INT64 micros (not the INT96 legacy default): the standard parquet
-      // timestamp — value-identical on read-back, and row groups carry
-      // ordered min/max stats, which the versioned commit path reads back
-      // from footers instead of re-scanning the batch (FooterStats).
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-      .config("spark.ui.enabled", "false")
+      .config("spark.ui.enabled", "false"))
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()

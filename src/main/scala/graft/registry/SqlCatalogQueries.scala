@@ -46,16 +46,12 @@ object SqlCatalogQueries {
       val prevDefault = SparkSession.getDefaultSession
       SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()
       try {
-        cached = SparkSession.builder()
+        cached = graft.core.EngineSession.defaults(SparkSession.builder()
           .withExtensions(new graft.plans.GraftExtensions)
           .config("spark.sql.catalog.spark_catalog",
             "org.apache.spark.sql.graft.GraftCatalog")
-          .config("spark.sql.session.timeZone", "UTC")
-          // match Bench/Verify: INT64-micros timestamps → footer-stats
-          // commit fast path (see FooterStats)
-          .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
           .config("spark.sql.shuffle.partitions",
-            base.conf.get("spark.sql.shuffle.partitions"))
+            base.conf.get("spark.sql.shuffle.partitions")))
           .getOrCreate()
       } finally {
         SparkSession.clearActiveSession(); SparkSession.clearDefaultSession()

@@ -28,10 +28,16 @@ object StreamQueries {
     * `cusumOracleSql` depend on bit-for-bit.
     */
   def cusumZ(s: SparkSession, d: String, tradesStream: DataFrame): DataFrame = {
-    val stats = Tables.trades(s, d).groupBy("symbol").agg(
+    // staged (guide §1.2): the static side of a stream-static join is
+    // re-planned AND re-executed by IncrementalExecution on every
+    // micro-batch — unstaged, each replay batch pays the full per-symbol
+    // aggregate over the corpus again; staged, batches read the bounded
+    // stat frame's stored blocks.
+    val stats = graft.core.Staging.stage(
+      Tables.trades(s, d).groupBy("symbol").agg(
         graft.functions.Quantize.r(avg(col("price")), 6).as("mu"),
         graft.functions.Quantize.r(stddev_samp(col("price")), 6).as("sigma"))
-      .filter(col("sigma").isNotNull && col("sigma") > 0)
+      .filter(col("sigma").isNotNull && col("sigma") > 0))
     tradesStream
       .join(broadcast(stats), Seq("symbol"))
       .select(col("time"), col("trade_id"), col("symbol"),
@@ -39,22 +45,48 @@ object StreamQueries {
           (col("price") - col("mu")) / col("sigma"), 6).as("z"))
   }
 
+  /** Replay shuffle/state width derived from the corpus' on-disk bytes —
+    * the guide's scale-adaptive partitioning (§2), same pattern as
+    * [[graft.ext.DupClusters]]' edge-count-derived graph width: a bounded
+    * replay's per-batch FIXED cost is one state-store instance (open +
+    * commit + checkpoint upload) and one task per partition PER stateful
+    * op PER micro-batch, so width must track data, not the core count.
+    * ~32 MB of input per partition (≈128 MB decompressed rows), floor 2
+    * (never serial), capped at the session width so a genuinely large
+    * corpus keeps full parallelism. The driver-side size probe is one
+    * `File.length` walk — no data read.
+    */
+  def replayWidth(s: SparkSession, sourcePath: String): Int = {
+    def du(f: java.io.File): Long =
+      if (f.isFile) f.length
+      else Option(f.listFiles()).toSeq.flatten.map(du).sum
+    val bytes = du(new java.io.File(sourcePath))
+    val sessionWidth = s.conf.get("spark.sql.shuffle.partitions").toInt
+    math.max(2, math.min(sessionWidth,
+      (bytes / (32L * 1024 * 1024)).toInt + 1))
+  }
+
   /** Bounded-replay session tuning: these replays end in ≤ thousands of
     * rows, so 32 state/shuffle partitions is pure per-batch overhead (32
-    * state-store instances + checkpoint uploads per stateful op). 8 cuts
-    * the fixed cost ~4× with no semantic change (state partitioning is
-    * internal; per-key processing is partition-count-independent), and
-    * RocksDB changelog checkpointing uploads deltas instead of full
-    * snapshots. Restores the session conf after — batch queries keep the
-    * session's parallelism.
+    * state-store instances + checkpoint uploads per stateful op). The
+    * width derives from the corpus size ([[replayWidth]]; callers without
+    * a source path keep the legacy fixed 8) with no semantic change
+    * (state partitioning is internal; per-key processing is
+    * partition-count-independent), and RocksDB changelog checkpointing
+    * uploads deltas instead of full snapshots. Restores the session conf
+    * after — batch queries keep the session's parallelism. Single-query-
+    * at-a-time assumption: a concurrent query planned on the same session
+    * during the window would inherit the replay width.
     */
-  def withReplayConf[T](s: SparkSession)(body: => T): T = {
+  def withReplayConf[T](s: SparkSession, sourcePath: String = null)(body: => T): T = {
     val partsKey = "spark.sql.shuffle.partitions"
     val clogKey =
       "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
     val prevParts = s.conf.get(partsKey)
     val prevClog = s.conf.getOption(clogKey)
-    s.conf.set(partsKey, "8")
+    val width =
+      if (sourcePath == null) 8 else replayWidth(s, sourcePath)
+    s.conf.set(partsKey, width.toString)
     s.conf.set(clogKey, "true")
     try body
     finally {
@@ -85,7 +117,7 @@ object StreamQueries {
     * support) scoped to the query and the session default restored after.
     */
   def runOrderedTws[T](s: SparkSession, ds: org.apache.spark.sql.Dataset[T],
-      out: String): Unit = withReplayConf(s) {
+      out: String, src: String = null): Unit = withReplayConf(s, src) {
     val providerKey = "spark.sql.streaming.stateStore.providerClass"
     val prevProvider = s.conf.getOption(providerKey)
     s.conf.set(providerKey,
@@ -113,8 +145,9 @@ object StreamQueries {
   }
 
   /** Backwards-compatible alias used by the ordered-CUSUM replays. */
-  def runOrderedCusum(s: SparkSession, obs: DataFrame, out: String): Unit =
-    runOrderedTws(s, OrderedCusum.monitor(obs), out)
+  def runOrderedCusum(s: SparkSession, obs: DataFrame, out: String,
+      src: String = null): Unit =
+    runOrderedTws(s, OrderedCusum.monitor(obs), out, src)
 
   /** Last emission per key from an ordered-CUSUM replay dump: total consumed
     * (`n_folded + n_late`) is strictly monotone per emission, so max_by on it
@@ -131,11 +164,11 @@ object StreamQueries {
 
   val queries: Map[String, Q] = Map(
     // Streaming OHLC (watermark + tumbling window + memory sink).
-    "q_stream_ohlc" -> ((s, d) => withReplayConf(s) {
+    "q_stream_ohlc" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       StreamingFeatures.streamingOhlcOnce(s, s"$d/events.parquet") }),
 
     // Exactly-once ingest: foreachBatch idempotent MERGE + full replay.
-    "q_stream_merge" -> ((s, d) => withReplayConf(s) {
+    "q_stream_merge" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val out = Files.createTempDirectory("graft_merge_").toString + "/t"
       StreamingFeatures.exactlyOnceIngest(s, s"$d/events.parquet", out)
         .select("time", "symbol", "trade_id", "price", "volume")
@@ -145,7 +178,7 @@ object StreamQueries {
     // as version N+1; the simulated redelivery of batch 0 is absorbed by
     // the commit log (one manifest check, zero data I/O — the
     // transactional-sink alternative to the key-based MERGE above).
-    "q_stream_versioned" -> ((s, d) => withReplayConf(s) {
+    "q_stream_versioned" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       requireSingleBatchSource(s"$d/events.parquet")
       val root = Files.createTempDirectory("graft_vtsink_").toString
       StreamingFeatures.versionedIngest(s, s"$d/events.parquet", root)
@@ -163,7 +196,7 @@ object StreamQueries {
     // BenchProbe phases: the chrono-split corpus build is shared harness
     // (cached per JVM — whichever stream query runs first pays it); the
     // stream phase is the operator under test.
-    "q_stream_upsert" -> ((s, d) => {
+    "q_stream_upsert" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val root = Files.createTempDirectory("graft_upsert_").toString
       graft.BenchProbe.time("q_stream_upsert.split") {
         StreamSources.chronoSplitDir(s, s"$d/events.parquet")
@@ -179,7 +212,7 @@ object StreamQueries {
     // high-frequency sink shape; at 100 TB a COW upsert rewrites every
     // dir the batch's keys touch, per batch). Same oracle: the storage
     // strategy must be invisible to the converged table.
-    "q_stream_upsert_mor" -> ((s, d) => {
+    "q_stream_upsert_mor" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val root = Files.createTempDirectory("graft_upsertmor_").toString
       graft.BenchProbe.time("q_stream_upsert_mor.split") {
         StreamSources.chronoSplitDir(s, s"$d/events.parquet")
@@ -199,7 +232,7 @@ object StreamQueries {
     // retracts the old contribution exactly). Catch-up drain + delta-only
     // drain on one checkpoint; oracle = the plain batch rollup over the
     // FINAL latest-per-symbol table.
-    "q_stream_cdf_upsert" -> ((s, d) => {
+    "q_stream_cdf_upsert" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val silver = Files.createTempDirectory("graft_cdfup_silver_").toString
       val agg = Files.createTempDirectory("graft_cdfup_agg_").toString
       StreamingFeatures.cdfUpsertRefresh(s, s"$d/events.parquet", silver, agg)
@@ -213,13 +246,17 @@ object StreamQueries {
     // (stream-static join). The legacy arrival-order detector survives as a
     // spec twin (StreamingSpec equivalence tests).
     "q_stream_cep" -> ((s, d) => {
-      val thresholds = LargeTrades.thresholds(Tables.trades(s, d))
+      // staged: the batch percentile subtree would otherwise re-execute
+      // inside every micro-batch's plan (see cusumZ)
+      val thresholds = graft.core.Staging.stage(
+        LargeTrades.thresholds(Tables.trades(s, d)))
       val stream = StreamSources.chronoBatchedTradeStream(s, s"$d/events.parquet")
         .join(broadcast(thresholds), Seq("symbol"))
         .filter(col("volume") > col("percentile_95"))
       val out = Files.createTempDirectory("graft_cep_").toString + "/t"
       runOrderedTws(s,
-        OrderedCep.largeTrades(stream, 7L * 24 * 3600 * 1000000L), out)
+        OrderedCep.largeTrades(stream, 7L * 24 * 3600 * 1000000L), out,
+        src = s"$d/events.parquet")
       s.read.parquet(out)
         .select(timestamp_micros(col("timeMicros")).as("time"), col("symbol"),
           col("large_trades_5m"))
@@ -231,7 +268,8 @@ object StreamQueries {
     "q_stream_spread_ema" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_ema_").toString + "/t"
       val stream = StreamSources.chronoBatchedTradeStream(s, s"$d/events.parquet")
-      runOrderedTws(s, OrderedCep.spreadEma(stream), out)
+      runOrderedTws(s, OrderedCep.spreadEma(stream), out,
+        src = s"$d/events.parquet")
       OrderedCep.lastSpreadEmaRows(s.read.parquet(out))
         .select(col("symbol"), col("normal_spread"), col("n_folded").as("n"))
     }),
@@ -242,7 +280,8 @@ object StreamQueries {
     "q_stream_spread_ema_ordered" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_ema_ord_").toString + "/t"
       val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
-      runOrderedTws(s, OrderedCep.spreadEma(stream), out)
+      runOrderedTws(s, OrderedCep.spreadEma(stream), out,
+        src = s"$d/events.parquet")
       OrderedCep.lastSpreadEmaRows(s.read.parquet(out))
         .select(col("symbol"), col("normal_spread"), col("n_folded").as("n"))
     }),
@@ -250,13 +289,15 @@ object StreamQueries {
     // Ordered large-trade CEP over a SINGLE-file source — batching-agnostic
     // twin of the primary 3-batch q_stream_cep, same oracle.
     "q_stream_cep_ordered" -> ((s, d) => {
-      val thresholds = LargeTrades.thresholds(Tables.trades(s, d))
+      val thresholds = graft.core.Staging.stage(
+        LargeTrades.thresholds(Tables.trades(s, d))) // staged — see q_stream_cep
       val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
         .join(broadcast(thresholds), Seq("symbol"))
         .filter(col("volume") > col("percentile_95"))
       val out = Files.createTempDirectory("graft_cep_ord_").toString + "/t"
       runOrderedTws(s,
-        OrderedCep.largeTrades(stream, 7L * 24 * 3600 * 1000000L), out)
+        OrderedCep.largeTrades(stream, 7L * 24 * 3600 * 1000000L), out,
+        src = s"$d/events.parquet")
       s.read.parquet(out)
         .select(timestamp_micros(col("timeMicros")).as("time"), col("symbol"),
           col("large_trades_5m"))
@@ -273,7 +314,7 @@ object StreamQueries {
     // bench (and the 10x artifact's refresh_only_ratios) attribute the
     // O(trailing-window) refresh separately, so a refresh regression can't
     // hide inside the seed's O(N).
-    "q_ohlc_refresh" -> ((s, d) => withReplayConf(s) {
+    "q_ohlc_refresh" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val out = graft.BenchProbe.time("q_ohlc_refresh.seed") {
         seedStale(s, d, "ohlc", graft.features.Ohlc.compute(_)) }
       val t = Tables.trades(s, d)
@@ -287,7 +328,7 @@ object StreamQueries {
     // reference continuous aggregates (`sql/timescaledb_schema.sql:154-159`
     // volatility, `:173-178` vwap, `:233-238` imbalance) — each seeded stale,
     // refreshed twice, and hash-gated against its full recompute.
-    "q_vwap_refresh" -> ((s, d) => withReplayConf(s) {
+    "q_vwap_refresh" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val out = graft.BenchProbe.time("q_vwap_refresh.seed") {
         seedStale(s, d, "vwap", graft.features.Vwap.compute(_)) }
       graft.BenchProbe.time("q_vwap_refresh.refresh") {
@@ -300,7 +341,7 @@ object StreamQueries {
       }
     }),
 
-    "q_imbalance_refresh" -> ((s, d) => withReplayConf(s) {
+    "q_imbalance_refresh" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val out = graft.BenchProbe.time("q_imbalance_refresh.seed") {
         seedStale(s, d, "imb", graft.features.Imbalance.compute(_)) }
       graft.BenchProbe.time("q_imbalance_refresh.refresh") {
@@ -316,7 +357,7 @@ object StreamQueries {
     // Volatility's lag crosses bucket edges, so its ComputeWindow warms the
     // slice with the last pre-window (time, price) per symbol — see
     // Volatility.computeWindowed.
-    "q_volatility_refresh" -> ((s, d) => withReplayConf(s) {
+    "q_volatility_refresh" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val out = graft.BenchProbe.time("q_volatility_refresh.seed") {
         seedStale(s, d, "vol", graft.features.Volatility.compute(_)) }
       graft.BenchProbe.time("q_volatility_refresh.refresh") {
@@ -333,7 +374,7 @@ object StreamQueries {
     // when the watermark passes its gap) — the streaming twin of the batch
     // q_session_stats, same oracle. Complete-mode memory sink for the
     // bounded replay, as q_stream_ohlc.
-    "q_stream_sessions" -> ((s, d) => withReplayConf(s) {
+    "q_stream_sessions" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
         .withWatermark("time", "1 minute")
         .groupBy(session_window(col("time"), "1 hour"), col("symbol"))
@@ -364,7 +405,7 @@ object StreamQueries {
       val out = Files.createTempDirectory("graft_cusum_").toString + "/t"
       val obs = cusumZ(s, d,
         StreamSources.chronoBatchedTradeStream(s, s"$d/events.parquet"))
-      runOrderedCusum(s, obs, out)
+      runOrderedCusum(s, obs, out, src = s"$d/events.parquet")
       s.read.parquet(out)
         .transform(lastOrderedCusumRows)
         .select("symbol", "cusum_pos", "cusum_neg", "n_alerts")
@@ -379,7 +420,7 @@ object StreamQueries {
     "q_stream_cusum_ordered" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_cusum_ord_").toString + "/t"
       val obs = cusumZ(s, d, StreamSources.tradeFileStream(s, s"$d/events.parquet"))
-      runOrderedCusum(s, obs, out)
+      runOrderedCusum(s, obs, out, src = s"$d/events.parquet")
       s.read.parquet(out)
         .transform(lastOrderedCusumRows)
         .select("symbol", "cusum_pos", "cusum_neg", "n_alerts")
@@ -393,7 +434,8 @@ object StreamQueries {
     "q_stream_hampel" -> ((s, d) => {
       val out = Files.createTempDirectory("graft_shampel_").toString + "/t"
       val stream = StreamSources.tradeFileStream(s, s"$d/events.parquet")
-      runOrderedTws(s, graft.streaming.OrderedHampel.clean(stream), out)
+      runOrderedTws(s, graft.streaming.OrderedHampel.clean(stream), out,
+        src = s"$d/events.parquet")
       s.read.parquet(out)
         .select(timestamp_micros(col("timeMicros")).as("time"), col("symbol"),
           col("price"), col("med"), col("is_outlier"), col("cleaned"),
@@ -403,27 +445,29 @@ object StreamQueries {
     // Stream-stream interval join (dual watermarks, time-range state
     // eviction): large trades × trailing-hour quotes. Same oracle as the
     // batch epsilon-join twin q_range_join.
-    "q_stream_interval_join" -> ((s, d) => withReplayConf(s) {
+    "q_stream_interval_join" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       StreamingFeatures.streamingIntervalJoinOnce(s, s"$d/events.parquet",
-        LargeTrades.thresholds(Tables.trades(s, d))) }),
+        graft.core.Staging.stage( // staged — see q_stream_cep
+          LargeTrades.thresholds(Tables.trades(s, d)))) }),
 
     // Stream-stream LEFT OUTER interval join: every large trade emits, with
     // null quote columns when no quote fell in its lookback hour. Gated on
     // the closed region of the stream (watermark + lookback behind max
     // event time) where outer results are final; the batch LEFT JOIN twin
     // oracle applies the same gate.
-    "q_stream_interval_left" -> ((s, d) => withReplayConf(s) {
+    "q_stream_interval_left" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val t = Tables.trades(s, d)
       val cut = broadcast(t.agg(
         (max(col("time")) - expr("INTERVAL 3 HOURS")).as("__cut")))
       StreamingFeatures.streamingIntervalLeftJoinOnce(s, s"$d/events.parquet",
-        LargeTrades.thresholds(t))
+        graft.core.Staging.stage( // staged — see q_stream_cep
+          LargeTrades.thresholds(t)))
         .crossJoin(cut).filter(col("time") < col("__cut")).drop("__cut")
     }),
 
     // Streaming exact dedup with bounded state (dropDuplicatesWithinWatermark)
     // over an at-least-once duplicated delivery; equals batch DISTINCT.
-    "q_stream_dedup" -> ((s, d) => withReplayConf(s) {
+    "q_stream_dedup" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       StreamingFeatures.streamingDedupOnce(s, s"$d/events.parquet") }),
 
     // Streaming SUBSCRIPTION to the versioned table: the commit log consumed
@@ -439,7 +483,7 @@ object StreamQueries {
     // streaming clothes); the folded partials must equal the full-table
     // aggregate. Scaled-int price sums keep the partial-then-total fold
     // order-independent.
-    "q_stream_changefeed" -> ((s, d) => withReplayConf(s) {
+    "q_stream_changefeed" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       import graft.operators.IncrementalAgg
       import graft.sources.VersionedTable
       val root = Files.createTempDirectory("graft_cfup_").toString
@@ -489,7 +533,7 @@ object StreamQueries {
     // delta above the advancing watermark, so the subscription's final bars
     // equal the batch OHLC of the whole table — the streaming/batch
     // equivalence invariant, now through the commit log end to end.
-    "q_changefeed_ohlc" -> ((s, d) => withReplayConf(s) {
+    "q_changefeed_ohlc" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       val bars = Files.createTempDirectory("graft_cfohlc_bars_").toString + "/t"
       val root = landedChangefeedRoot(s, s"$d/events.parquet", 3)
       val feed = s.readStream.format("graft-changefeed")
@@ -518,7 +562,7 @@ object StreamQueries {
     // and the sink all on the commit log. Oracle = the same
     // standardization+aggregate in plain SQL over the full corpus: the
     // two-stage streaming path must converge to the batch answer.
-    "q_medallion" -> ((s, d) => withReplayConf(s) {
+    "q_medallion" -> ((s, d) => withReplayConf(s, s"$d/events.parquet") {
       import graft.sources.VersionedTable
       val bronze = landedChangefeedRoot(s, s"$d/events.parquet", 3)
       val silver = Files.createTempDirectory("graft_medallion_").toString

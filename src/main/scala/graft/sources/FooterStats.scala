@@ -135,11 +135,15 @@ private[sources] object FooterStats {
           st.genericGetMax.asInstanceOf[java.lang.Long].longValue())
       (dt, pt.getPrimitiveTypeName) match {
         case (TimestampType, PrimitiveTypeName.INT64) => ann match {
-          // micros is what Spark's TIMESTAMP_MICROS writes and exactly the
-          // probe the scan path uses (unix_micros); INT96 has no ordered
-          // stats and millis/nanos would need a rounding proof — fall back
+          // UTC-adjusted micros is what Spark's TIMESTAMP_MICROS writes and
+          // exactly the probe the scan path uses (unix_micros); INT96 has
+          // no ordered stats, millis/nanos would need a rounding proof, and
+          // an NTZ-annotated (isAdjustedToUTC=false) column read under a
+          // TimestampType schema could diverge from unix_micros in a
+          // non-UTC session — all fall back
           case t: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation
-              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS =>
+              if t.getUnit == LogicalTypeAnnotation.TimeUnit.MICROS &&
+                t.isAdjustedToUTC =>
             val (mn, mx) = longs
             Some((mn.toDouble, mx.toDouble))
           case _ => throw new Unsupported

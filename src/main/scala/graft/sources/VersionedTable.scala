@@ -47,6 +47,15 @@ class VersionedTableOps(val store: CommitStore,
 
   private def dataDir(root: String) = new File(root, "data")
 
+  /** Opt-in io/compute split of `vt.commit.write` (guide §1.4): when
+    * GRAFT_COMMIT_IO_DEBUG=1, every commit/stage write is preceded by a
+    * noop-sink execution of the same plan, recorded as
+    * `vt.commit.write.noop` — compute-only, so write − noop ≈ the
+    * FileFormatWriter/filesystem share. Doubles commit compute; never on
+    * in an official bench run.
+    */
+  private val commitIoDebug = sys.env.contains("GRAFT_COMMIT_IO_DEBUG")
+
   /** Wall clock for commit stamps and retention decisions — a seam so
     * tests drive time-based behavior (wall-clock VACUUM retention) with
     * controlled timestamps instead of sleeping.
@@ -498,6 +507,14 @@ class VersionedTableOps(val store: CommitStore,
     // which one readers ever see.
     val newDir = f"data/v$version%05d-${UUID.randomUUID().toString.take(8)}"
     val dfPhys = toPhysical(df, snapSchema)
+    if (commitIoDebug) graft.BenchProbe.time("vt.commit.write.noop") {
+      // io/compute split for vt.commit.write: the noop sink executes the
+      // batch's full compute plan with zero filesystem work (guide §1.4),
+      // so `write - noop ≈ FileFormatWriter + fs`. Doubles the batch's
+      // compute, so OFF unless asked for (GRAFT_COMMIT_IO_DEBUG=1), like
+      // GRAFT_STREAM_DEBUG.
+      dfPhys.write.format("noop").mode("overwrite").save()
+    }
     graft.BenchProbe.time("vt.commit.write") {
       dfPhys.write.parquet(new File(root, newDir).getPath)
     }
@@ -2006,7 +2023,13 @@ class VersionedTableOps(val store: CommitStore,
     // column-mapped tables land files under PHYSICAL names (anchor =
     // the snapshot schema whose mapping governs this dir)
     val dfPhys = if (anchor == null) df else toPhysical(df, anchor)
-    dfPhys.write.parquet(new File(root, dirRel).getPath)
+    if (commitIoDebug) graft.BenchProbe.time("vt.commit.write.noop") {
+      // see the identical block in [[commit]] — env-gated io/compute split
+      dfPhys.write.format("noop").mode("overwrite").save()
+    }
+    graft.BenchProbe.time("vt.commit.write") {
+      dfPhys.write.parquet(new File(root, dirRel).getPath)
+    }
     // Footer-derived stats first (exact or not at all — see FooterStats and
     // the same block in [[commit]]); the scan below is the fallback.
     val anchorSchema = if (anchor == null) df.schema else anchor

@@ -229,19 +229,24 @@ object StreamingFeatures {
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
   }
 
-  private def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+  /** The sidecar's schema, if a readable sidecar exists. A corrupt/
+    * truncated sidecar (pre-atomic-write crash artifact) must degrade to
+    * the mergeSchema path, not poison every read.
+    */
+  private def readSidecarSchema(
+      tablePath: String): Option[org.apache.spark.sql.types.StructType] = {
     val sc = sidecarFile(tablePath)
-    val sidecarSchema =
-      if (!sc.exists()) None
-      else
-        // A corrupt/truncated sidecar (pre-atomic-write crash artifact)
-        // must degrade to the mergeSchema path, not poison every read.
-        scala.util.Try {
-          org.apache.spark.sql.types.DataType
-            .fromJson(new String(java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8"))
-            .asInstanceOf[org.apache.spark.sql.types.StructType]
-        }.toOption
-    sidecarSchema match {
+    if (!sc.exists()) None
+    else
+      scala.util.Try {
+        org.apache.spark.sql.types.DataType
+          .fromJson(new String(java.nio.file.Files.readAllBytes(sc.toPath), "UTF-8"))
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+      }.toOption
+  }
+
+  private def readTable(spark: SparkSession, tablePath: String): DataFrame = {
+    readSidecarSchema(tablePath) match {
       case Some(schema) => spark.read.schema(schema).parquet(tablePath)
       case None => spark.read.option("mergeSchema", "true").parquet(tablePath)
     }
@@ -286,8 +291,14 @@ object StreamingFeatures {
     // one explicit partitioned rewrite), and a partitioned table accepts a
     // batch without an event-time column by parking those rows in the null
     // partition (degenerate: no pruning possible, whole table read).
-    val existingHasPart = exists &&
-      spark.read.parquet(tablePath).columns.contains(PartCol)
+    // Layout detection from the O(1) schema sidecar when one exists (every
+    // merge writes it) — the footer-inference read is only the FIRST
+    // merge's (or a foreign table's) fallback, not a per-merge tax.
+    val existingHasPart = exists && graft.BenchProbe.time("merge.layout") {
+      readSidecarSchema(tablePath)
+        .map(_.fieldNames.contains(PartCol))
+        .getOrElse(spark.read.parquet(tablePath).columns.contains(PartCol))
+    }
     val batchPartable =
       batch.columns.contains(PartCol) || partitionTimeCol(batch).isDefined
     val partitioned = if (exists) existingHasPart else batchPartable
@@ -335,7 +346,8 @@ object StreamingFeatures {
       // later rewritten). The collect is a handful of date scalars.
       val existing =
         if (partitioned && prune && existingAll.columns.contains(PartCol)) {
-          val touched = withPart.select(PartCol).distinct().collect().map(_.get(0))
+          val touched = graft.BenchProbe.time("merge.dates") {
+            withPart.select(PartCol).distinct().collect() }.map(_.get(0))
           val nonNull = touched.filter(_ != null).toSeq
           val base =
             if (nonNull.isEmpty) lit(false) else col(PartCol).isin(nonNull: _*)
@@ -370,12 +382,15 @@ object StreamingFeatures {
       // is still per-partition (a mid-commit failure can leave a subset of
       // touched dates rewritten) — weaker than the staged single-dir branch
       // below; refresh re-runs repair it because the merge is idempotent.
-      val materialized = merged.localCheckpoint(true)
+      val materialized = graft.BenchProbe.time("merge.compute") {
+        merged.localCheckpoint(true) }
       try {
-        materialized.write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy(PartCol)
-          .parquet(tablePath)
+        graft.BenchProbe.time("merge.write") {
+          materialized.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PartCol)
+            .parquet(tablePath)
+        }
         writeSchemaSidecar(tablePath, materialized.schema)
       } finally {
         materialized.unpersist(blocking = false)
@@ -384,7 +399,8 @@ object StreamingFeatures {
       // No event-time column: single-partition table, full rewrite (staged
       // through a temp dir so a crash never leaves a half-written table).
       val tmp = tablePath + "_tmp"
-      merged.write.mode("overwrite").parquet(tmp)
+      graft.BenchProbe.time("merge.write") {
+        merged.write.mode("overwrite").parquet(tmp) }
       val target = new java.io.File(tablePath)
       if (target.exists()) {
         import scala.reflect.io.Directory

@@ -33,17 +33,15 @@ trait SparkTestBase extends AnyFunSuite with BeforeAndAfterAll {
 
 object SparkTestBase {
   lazy val session: SparkSession = {
-    val s = SparkSession.builder()
+    // engine defaults (UTC, INT64-micros parquet → footer-stats fast
+    // path) from the ONE definition site, like every production session
+    val s = graft.core.EngineSession.defaults(SparkSession.builder()
       .master("local[4]")
       .appName("graft-tests")
       .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.session.timeZone", "UTC")
-      // match Bench/Verify: INT64-micros timestamps, so tests exercise the
-      // footer-stats commit fast path (FooterStats) like production runs
-      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir",
-        java.nio.file.Files.createTempDirectory("graft_wh_").toString)
+        java.nio.file.Files.createTempDirectory("graft_wh_").toString))
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
