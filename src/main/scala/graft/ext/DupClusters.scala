@@ -62,7 +62,11 @@ object DupClusters {
     * scale-adaptive partitioning: an O(log diameter) join loop at a fixed
     * session width pays (width × rounds) empty-task and sort overhead on a
     * small graph, while a genuinely giant graph keeps the session's full
-    * parallelism. Same pattern as the streaming replays' withReplayConf.
+    * parallelism. Same pattern as the streaming replays' withReplayConf —
+    * including its single-query-at-a-time assumption: a concurrent query
+    * planned on this session during the loop window would inherit the
+    * reduced width (queries here run sequentially; a concurrent caller
+    * should scope width per-operation instead).
     */
   private def withGraphParallelism[T](
       spark: org.apache.spark.sql.SparkSession, edges: Long)(body: => T): T = {

@@ -34,6 +34,12 @@ object Profiler {
     * Expand), and produce the same row the unpivot produced — branch
     * stages run concurrently under one job. Values are identical: the
     * same exact aggregates, regrouped.
+    *
+    * Caller contract: the input is scanned ONCE PER COLUMN. A win for a
+    * column-pruned parquet scan (each branch reads one column); a caller
+    * profiling an EXPENSIVE DERIVED frame pays |cols| recomputes of that
+    * subtree and should stage it first (graft.core.Staging.stage) so the
+    * branches read stored blocks.
     */
   def profile(df: DataFrame, cols: Seq[(String, Boolean)]): DataFrame = {
     val branches = cols.map { case (c, numeric) =>

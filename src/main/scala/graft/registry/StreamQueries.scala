@@ -122,6 +122,9 @@ object StreamQueries {
     val prevProvider = s.conf.getOption(providerKey)
     s.conf.set(providerKey,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // Measured and NOT kept (r18 A/B): rocksdb.trackTotalNumberOfRows=false
+    // — flat to slightly negative on every TWS replay (these stores are
+    // small; the per-put count maintenance is not where the time goes).
     try {
       val q = ds.writeStream
         .foreachBatch { (batch: org.apache.spark.sql.Dataset[T], _: Long) =>

@@ -374,26 +374,39 @@ object StreamingFeatures {
     }
 
     if (partitioned) {
-      // Dynamic overwrite: only partitions present in `merged` (= the touched
-      // dates) are replaced; all other partition directories are untouched.
-      // `merged` lazily reads tablePath itself, so materialize the touched
-      // rows (bounded: only the batch's date partitions) BEFORE the
-      // overwrite starts deleting what they're read from. Crash atomicity
-      // is still per-partition (a mid-commit failure can leave a subset of
-      // touched dates rewritten) — weaker than the staged single-dir branch
-      // below; refresh re-runs repair it because the merge is idempotent.
-      val materialized = graft.BenchProbe.time("merge.compute") {
-        merged.localCheckpoint(true) }
+      // Stage-then-swap: `merged` lazily reads tablePath itself, so it must
+      // never be computed WHILE the target partitions are being deleted.
+      // The r17 form paid a full localCheckpoint materialization (store
+      // every merged row to blocks) + a second pass writing the blocks out
+      // under dynamic partition overwrite; writing the plan ONCE to a
+      // sibling staging dir and swapping the touched `part_date=` dirs in
+      // by O(dates) same-filesystem renames does the same work in one
+      // execution with the same per-partition commit granularity (a
+      // mid-swap crash leaves a subset of touched dates rewritten — the
+      // idempotent merge re-run repairs it, exactly as with dynamic
+      // overwrite's per-partition commit).
+      val stage = tablePath + s"_stage_${java.util.UUID.randomUUID.toString.take(8)}"
       try {
         graft.BenchProbe.time("merge.write") {
-          materialized.write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy(PartCol)
-            .parquet(tablePath)
+          merged.write.mode("overwrite").partitionBy(PartCol).parquet(stage)
         }
-        writeSchemaSidecar(tablePath, materialized.schema)
+        graft.BenchProbe.time("merge.swap") {
+          new java.io.File(tablePath).mkdirs()
+          Option(new java.io.File(stage).listFiles()).toSeq.flatten
+            .filter(f => f.isDirectory && f.getName.startsWith(s"$PartCol="))
+            .foreach { d =>
+              val target = new java.io.File(tablePath, d.getName)
+              if (target.exists()) {
+                import scala.reflect.io.Directory
+                new Directory(target).deleteRecursively()
+              }
+              java.nio.file.Files.move(d.toPath, target.toPath)
+            }
+        }
+        writeSchemaSidecar(tablePath, merged.schema)
       } finally {
-        materialized.unpersist(blocking = false)
+        import scala.reflect.io.Directory
+        new Directory(new java.io.File(stage)).deleteRecursively()
       }
     } else {
       // No event-time column: single-partition table, full rewrite (staged
