@@ -93,7 +93,7 @@ object Curation {
     // staging-table idiom) so the n-gram language ID runs ONE corpus scan
     // instead of three, and AQE sees exact sizes for the funnel joins.
     val en = langGate(documents).select("doc_id", "text")
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Staging.stage)
     val pass = qualityPass(en)
     val canon = dedupCanonical(en)
     hashSplit(en.select("doc_id").join(pass, Seq("doc_id")).join(canon, Seq("doc_id")),

@@ -108,7 +108,7 @@ object Dedup {
     // staged once: the candidate pairs feed the id semi-join AND the join
     // spine — unstaged, the whole LSH banding pipeline re-plans per
     // consumer (three corpus-wide minhash passes instead of one)
-    val cands = minhashCandidates(documents, shingleN).localCheckpoint(false)
+    val cands = minhashCandidates(documents, shingleN).transform(graft.core.Staging.stage)
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sets = documents.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))
@@ -187,7 +187,7 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     // staged once — same reasoning as [[nearDups]]'s candidate staging
     val cands = portableMinhashPairs(documents, shingleN)
-      .select(col("doc_a"), col("doc_b")).localCheckpoint(false)
+      .select(col("doc_a"), col("doc_b")).transform(graft.core.Staging.stage)
     val candIds = cands.select(col("doc_a").as("doc_id"))
       .unionAll(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sets = documents.select(col("doc_id"), shingles(col("text"), shingleN).as("sh"))

@@ -116,7 +116,7 @@ object DupClusters {
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = edges.select(col("src").as("id")).distinct()
       .withColumn("lbl", col("id"))
-      .localCheckpoint(true)
+      .transform(graft.core.Staging.stageNow)
     var changed = 1L
     var i = 0
     while (changed > 0 && i < maxIter) {
@@ -134,7 +134,7 @@ object DupClusters {
       val next = stepped.join(parents, Seq("lbl"), "left_outer")
         .select(col("id"), coalesce(col("plbl"), col("lbl")).as("lbl"),
           (coalesce(col("plbl"), col("lbl")) < col("old")).as("chg"))
-        .localCheckpoint(true)
+        .transform(graft.core.Staging.stageNow)
       changed = next.filter(col("chg")).count()
       labels = next.select("id", "lbl")
       i += 1

@@ -68,9 +68,9 @@ object Ivf {
       sampleMod: Long = 1L,
       quantize: Boolean = false): DataFrame = {
     val train = trainSample(embeddings, sampleMod)
-    var cents = centroids(embeddings, nCentroids).localCheckpoint(true)
+    var cents = centroids(embeddings, nCentroids).transform(graft.core.Staging.stageNow)
     for (_ <- 1 to iters) {
-      cents = stepCentroids(train, cents, quantize).localCheckpoint(true)
+      cents = stepCentroids(train, cents, quantize).transform(graft.core.Staging.stageNow)
     }
     cents
   }
@@ -128,7 +128,7 @@ object Ivf {
       iters: Int = 3,
       sampleMod: Long = 1L): Double = {
     val train = trainSample(embeddings, sampleMod)
-    var cents = centroids(embeddings, nCentroids).localCheckpoint(true)
+    var cents = centroids(embeddings, nCentroids).transform(graft.core.Staging.stageNow)
     var margin = 0.5
     for (_ <- 1 to iters) {
       val m = rawMeans(train, cents)
@@ -138,7 +138,7 @@ object Ivf {
           .as("d"))
         .agg(min(col("d"))).collect()(0).getDouble(0)
       margin = math.min(margin, m)
-      cents = stepCentroids(train, cents, quantize = true).localCheckpoint(true)
+      cents = stepCentroids(train, cents, quantize = true).transform(graft.core.Staging.stageNow)
     }
     margin
   }

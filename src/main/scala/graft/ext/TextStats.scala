@@ -91,17 +91,24 @@ object TextStats {
     * then a per-doc sorted-array fold.
     */
   def unigramCrossEntropy(documents: DataFrame): DataFrame = {
-    // staged once (lazy localCheckpoint, the staging-table idiom): the
-    // exploded token table feeds BOTH the model counts and the final
-    // per-document join — unstaged, Catalyst re-plans the corpus explode
-    // per consumer (r17 plan audit: 18 Exchanges / 2 full explodes)
-    val toks = documents.select(col("doc_id"),
-      posexplode(split(col("text"), " ")).as(Seq("pos", "tok")))
-      .localCheckpoint(false)
+    // The exploded token table feeds BOTH the model counts and the final
+    // per-document join — unstaged, Catalyst re-plans (and re-executes)
+    // the corpus explode per consumer (r17 plan audit: 18 Exchanges / 2
+    // full explodes).
+    // Staging the EXPLODED table is a measured decision, re-checked at 10×
+    // scale in r18 (staged 6.1 s vs unstaged 6.42 s at ~sf1, anchors
+    // matched): one explode + a MEMORY_AND_DISK block read beats
+    // re-executing the corpus scan+explode per consumer. At a scale where
+    // the exploded corpus exceeds cluster storage, drop THIS stage() (keep
+    // `counts` — one row per distinct token, always safe) and pay the
+    // second explode instead; see graft.core.Staging's contract.
+    val toks = graft.core.Staging.stage(
+      documents.select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "tok"))))
     // the corpus total is the sum of the model's counts — one row per
     // distinct token — so it never costs a second corpus explode
     val counts = toks.groupBy("tok").agg(count(lit(1)).as("c"))
-      .localCheckpoint(false)
+      .transform(graft.core.Staging.stage)
     val total = counts.agg(sum(col("c")).as("total"))
     val model = counts
       .crossJoin(broadcast(total))
@@ -146,8 +153,10 @@ object TextStats {
       .filter(length(col("term")) > 0)
     // staged once: tf feeds both the document-frequency aggregation and
     // the scoring join — unstaged, the explode+count subtree runs twice
-    val tf = toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    // staged: measured 0.71× vs unstaged at ~sf1 (r18) — tf is doc×term,
+    // a contraction of the explode, so it only shrinks relative to input
+    val tf = graft.core.Staging.stage(
+      toks.groupBy("doc_id", "term").agg(count(lit(1)).as("tf")))
     val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val scored = tf.join(df, Seq("term")).crossJoin(broadcast(n))
       .select(col("doc_id"), col("term"), col("tf"),

@@ -92,7 +92,7 @@ object AlertRules {
         graft.functions.Quantize.r(percentile(col(valueCol), lit(0.95)), 6)
           .as("p95_latency"),
         count(lit(1)).as("n"))
-      .localCheckpoint(eager = false)
+      .transform(graft.core.Staging.stage)
     val mean = bucketed.agg(
       (sum(col("n")).cast("double") / count(lit(1)).cast("double")).as("mean_n"))
     bucketed.crossJoin(broadcast(mean))

@@ -57,7 +57,7 @@ object PipelineHealth {
     // executes the subtree once and truncates the lineage (guide §3.3:
     // materialise an intermediate to stop plan blowup), collapsing the
     // plan to the union of six selects over a local 1-row frame.
-    val wide = m.crossJoin(dq).crossJoin(ks).localCheckpoint(true)
+    val wide = m.crossJoin(dq).crossJoin(ks).transform(graft.core.Staging.stageNow)
 
     def metric(component: String, name: String, value: Column,
         threshold: Double, status: Column): DataFrame =

@@ -246,11 +246,11 @@ object ExtQueries {
       // the staging-table idiom) so language ID and redaction regexes run
       // one corpus scan apiece instead of re-evaluating per consumer
       val en = graft.ext.Curation.langGate(docs)
-        .select("doc_id", "text").localCheckpoint(eager = false)
+        .select("doc_id", "text").transform(graft.core.Staging.stage)
       val pass = graft.ext.Curation.qualityPass(en)
       val redacted = en.select(col("doc_id"),
         graft.ext.Scrub.redact(col("text")).as("text"))
-        .localCheckpoint(eager = false)
+        .transform(graft.core.Staging.stage)
       val canon = graft.ext.Curation.dedupCanonical(redacted)
       val clean = graft.ext.Scrub.decontaminate(
         redacted.filter(col("doc_id") % 50 =!= 0),

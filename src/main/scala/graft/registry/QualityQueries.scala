@@ -195,10 +195,10 @@ object QualityQueries {
       // apiece instead of being re-planned per consumer (r17 plan audit:
       // 5 fact scans unstaged, 2 staged)
       val med = rankPick(t.select(col("symbol"), col("trade_id"), col("price")), "price")
-        .withColumnRenamed("price", "med").localCheckpoint(false)
+        .withColumnRenamed("price", "med").transform(graft.core.Staging.stage)
       val devs = t.join(broadcast(med), Seq("symbol"))
         .select(col("symbol"), col("trade_id"), abs(col("price") - col("med")).as("dev"))
-        .localCheckpoint(false)
+        .transform(graft.core.Staging.stage)
       val mad = rankPick(devs, "dev").withColumnRenamed("dev", "mad")
       devs.join(broadcast(med), Seq("symbol")).join(broadcast(mad), Seq("symbol"))
         .groupBy("symbol")
